@@ -1,0 +1,348 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dialect.DuckRewriter
+import graft.functions.GraftFunctions
+
+/** Shared plumbing for the SparkEntry query catalog. */
+object Queries {
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** One operator-inventory entry: a Spark implementation plus (when the
+    * semantics are SQL-expressible) an equivalent DuckDB oracle query.
+    * `headline = true` marks the queries Bench times at sf0.1. */
+  final case class Spec(fn: Fn, oracle: Option[String],
+      headline: Boolean = false)
+
+  def prep(spark: SparkSession, sfDir: String): Unit = {
+    Tables.registerAll(spark, sfDir)
+    GraftFunctions.register(spark)
+  }
+
+  /** Spark SQL text + DuckDB oracle text (they differ only where the
+    * dialects force it — function names, flags). */
+  def sql(sparkSql: String, duckSql: String, headline: Boolean = false): Spec =
+    Spec((spark, sfDir) => { prep(spark, sfDir); spark.sql(sparkSql) },
+      Some(duckSql), headline)
+
+  /** Identical text runs on both engines. */
+  def same(q: String, headline: Boolean = false): Spec = sql(q, q, headline)
+
+  /** DuckDB-dialect text: Spark runs it through the DuckRewriter front-end,
+    * DuckDB gets the original verbatim — this puts the dialect layer itself
+    * inside the correctness gate. */
+  def duck(duckSql: String, headline: Boolean = false): Spec =
+    Spec((spark, sfDir) => {
+      prep(spark, sfDir)
+      val schemaOf: String => Option[Seq[String]] = t =>
+        scala.util.Try(spark.table(t).columns.toSeq).toOption
+      spark.sql(DuckRewriter.rewrite(duckSql, schemaOf))
+    }, Some(duckSql), headline)
+
+  /** Not SQL-expressible on DuckDB (approximate / engine-specific) — the
+    * driver records a rows-only check; ScalaTest covers semantics. */
+  def noOracle(fn: Fn, headline: Boolean = false): Spec =
+    Spec((spark, sfDir) => { prep(spark, sfDir); fn(spark, sfDir) },
+      None, headline)
+}
+
+/** Relational core + dialect + function coverage (SURVEY.md §2.1–§2.8).
+  * Design rules applied throughout:
+  *   - dimension tables get explicit BROADCAST hints (they stay broadcastable
+  *     at any sf — Tables.broadcastable);
+  *   - every aggregate over doubles is rounded identically on both engines
+  *     (sum order differs across engines/parallelism, so raw doubles can
+  *     differ in the last ulp);
+  *   - int-like derived columns are cast to BIGINT on both sides so schemas
+  *     hash-match (DuckDB length()/position() return BIGINT, Spark INT);
+  *   - every query carries a total ORDER BY so results are deterministic.
+  */
+object CoreQueries {
+  import Queries._
+
+  val all: Seq[(String, Spec)] = Seq(
+
+    // S1/P2/P8 — base scan, comparison predicates; filter+projection push
+    // down to the parquet scan (verified via explain in QueriesSpec).
+    "q01_scan_filter" -> same(
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_size >= 25 AND p_type = 'ECONOMY' ORDER BY p_partkey"""
+        .stripMargin),
+
+    // P1/P15/F20 — projection + arithmetic + alias
+    "q02_proj_alias" -> same(
+      """SELECT p_partkey, round(p_retailprice / 0.85, 2) AS price_usd
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // P9/P10 — LIKE, OR
+    "q03_like_or" -> same(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_name LIKE '%7%' OR c_mktsegment LIKE '%ILD%'
+        |ORDER BY c_custkey""".stripMargin),
+
+    // P11/A2 — IS NOT NULL + grouped count
+    "q04_filter_group_count" -> same(
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE props IS NOT NULL AND value > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // A1 — ungrouped aggregates
+    "q05_agg_ungrouped" -> same(
+      """SELECT count(*) AS cnt, round(avg(l_quantity), 4) AS avg_qty,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(min(l_discount), 4) AS min_disc
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin),
+
+    // A4/A5/O1 — the TPC-H Q1 shape: partial aggregation (map-side combine)
+    // before the single shuffle on the tiny (flag,status) key space.
+    "q06_tpch_q1" -> same(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin, headline = true),
+
+    // A3/A7 — HAVING over grouped aggregate
+    "q07_group_having" -> same(
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) > 5 ORDER BY o_custkey""".stripMargin),
+
+    // J1 — fact⋈dim with explicit broadcast: no shuffle of the orders fact
+    // table at any scale; only the final tiny agg shuffles.
+    "q08_join_agg" -> sql(
+      """SELECT /*+ BROADCAST(customer) */ c_mktsegment,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      headline = true),
+
+    // J2/J5 — 3-way chain join, both dims broadcast
+    "q09_join3_chain" -> sql(
+      """SELECT /*+ BROADCAST(customer, nation) */ n_name,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      """SELECT n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      headline = true),
+
+    // J3 — join + DISTINCT
+    "q10_join_distinct" -> sql(
+      """SELECT /*+ BROADCAST(part) */ DISTINCT p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity >= 49 ORDER BY p_brand""".stripMargin,
+      """SELECT DISTINCT p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity >= 49 ORDER BY p_brand""".stripMargin),
+
+    // J4 — self-join via aliases
+    "q11_self_join" -> same(
+      """SELECT a.n_name AS n1, b.n_name AS n2
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey
+        | AND a.n_nationkey < b.n_nationkey
+        |ORDER BY n1, n2""".stripMargin),
+
+    // P13/C4/J6 — IN subquery → left-semi join
+    "q12_in_subquery" -> same(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin, headline = true),
+
+    // P14/C3 — scalar subquery
+    "q13_scalar_subquery" -> same(
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice = (SELECT max(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin),
+
+    // C1/A9 — CTE chain of aggregations (the dev.json:287 shape)
+    "q14_cte_chain" -> same(
+      """WITH per_nation AS (
+        |  SELECT c_nationkey, avg(c_acctbal) AS avg_bal
+        |  FROM customer GROUP BY c_nationkey
+        |), mx AS (SELECT max(avg_bal) AS m FROM per_nation)
+        |SELECT n_name, round(avg_bal, 2) AS avg_bal
+        |FROM per_nation JOIN nation ON n_nationkey = c_nationkey
+        |WHERE avg_bal = (SELECT m FROM mx)
+        |ORDER BY n_name""".stripMargin),
+
+    // O1/O4/O5 — top-k (Catalyst TakeOrderedAndProject: no full sort at scale)
+    "q15_topk" -> same(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+      headline = true),
+
+    // A6 — GROUP BY ALL (native on both engines)
+    "q16_group_by_all" -> same(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // O3 — ORDER BY ALL (native on both engines)
+    "q17_order_by_all" -> same(
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |FROM customer GROUP BY c_mktsegment, c_nationkey
+        |ORDER BY ALL""".stripMargin),
+
+    // W1 — ranking window (top-3 orders per customer)
+    "q18_window_rank" -> same(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      headline = true),
+
+    // W1 frames — running sum (identical add order ⇒ identical doubles)
+    "q19_window_running" -> same(
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin),
+
+    // U1 — UNION ALL + re-aggregation
+    "q20_union_all" -> same(
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL SELECT s_nationkey AS k FROM supplier) t
+        |GROUP BY k ORDER BY k""".stripMargin),
+
+    // U1 — INTERSECT (set semantics on both engines)
+    "q21_intersect" -> same(
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin),
+
+    // F1–F6 — string function battery (BIGINT casts: DuckDB length/position
+    // return BIGINT where Spark returns INT)
+    "q22_string_funcs" -> sql(
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |  substring(p_name, 1, 4) AS pre4,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  CAST(ascii(p_name) AS INT) AS a,
+        |  split_part(p_name, ' ', 2) AS word2,
+        |  CAST(position(' ' IN p_name) AS BIGINT) AS sp
+        |FROM part ORDER BY p_partkey""".stripMargin,
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |  substring(p_name, 1, 4) AS pre4,
+        |  length(p_name) AS len,
+        |  CAST(ascii(p_name) AS INT) AS a,
+        |  split_part(p_name, ' ', 2) AS word2,
+        |  position(' ' IN p_name) AS sp
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // F7 — regexp_extract (group 0 = whole match, '' on miss — both
+    // engines); regexp_replace needs the 'g' flag on DuckDB to match
+    // Spark's replace-all
+    "q23_regexp" -> sql(
+      """SELECT doc_id, regexp_extract(text, 'b[a-z]+', 0) AS m,
+        |  regexp_replace(lang, '[aeiou]', '_') AS lr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, regexp_extract(text, 'b[a-z]+', 0) AS m,
+        |  regexp_replace(lang, '[aeiou]', '_', 'g') AS lr
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // date_trunc bucketing + agg (cast to DATE: DuckDB's month-trunc yields
+    // DATE, Spark's yields TIMESTAMP — normalize both sides)
+    "q24_date_trunc" -> same(
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // F10 — DuckDB boundary-crossing datediff vs our custom expression
+    "q25_datediff_minute" -> sql(
+      """SELECT user_id, duck_datediff('minute', min(ts), max(ts)) AS span_min,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT user_id, datediff('minute', min(ts), max(ts)) AS span_min,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // F11 — `::` cast syntax (native in both parsers)
+    "q26_cast_syntax" -> same(
+      """SELECT l_quantity::BIGINT AS qi, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // F14/F16/F17 — array build/index/slice (1-based element_at; DuckDB
+    // brackets are 1-based too)
+    "q27_array_funcs" -> sql(
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  element_at(split(text, ' '), 1) AS first_tok,
+        |  element_at(split(text, ' '), -1) AS last_tok,
+        |  array_join(slice(split(text, ' '), 1, 3), '_') AS first3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  string_split(text, ' ')[1] AS first_tok,
+        |  string_split(text, ' ')[-1] AS last_tok,
+        |  array_to_string(string_split(text, ' ')[1:3], '_') AS first3
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // F18 — JSON field extraction (->> on DuckDB, get_json_object on Spark)
+    "q28_json_extract" -> sql(
+      """SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // S16 — reservoir-style exact-count sample (seeded; nondeterministic
+    // across engines ⇒ rows-only check, like the reference's count-based
+    // validation of dev.json:559)
+    "q29_sample" -> noOracle((spark, sfDir) => {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.load(spark, sfDir, "orders")
+      val n = math.ceil(orders.count() * 0.1).toInt
+      orders.orderBy(rand(42), col("o_orderkey")).limit(n)
+    }),
+
+    // P3 — * EXCLUDE through the dialect rewriter (oracle runs the DuckDB
+    // text verbatim)
+    "q30_exclude" -> duck(
+      "SELECT * EXCLUDE (c_acctbal) FROM customer ORDER BY c_custkey"),
+
+    // P4 — * REPLACE
+    "q31_replace" -> duck(
+      """SELECT * REPLACE (upper(c_mktsegment) AS c_mktsegment)
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // P5 — COLUMNS('regex') projection
+    "q32_columns_regex" -> duck(
+      "SELECT COLUMNS('^c_(custkey|name)$') FROM customer ORDER BY c_custkey"),
+
+    // F8/F9 — string bracket index + slice (duck_index/duck_slice)
+    "q33_bracket_slice" -> duck(
+      """SELECT doc_id, text[1:20] AS prefix20, lang[1] AS l1,
+        |  source[2:] AS src_tail
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // C2 — bare FROM query
+    "q34_bare_from" -> duck("FROM nation ORDER BY n_nationkey"),
+
+    // F19/D15 — session settings + engine version (engine-specific values ⇒
+    // rows-only)
+    "q35_settings" -> noOracle((spark, _) =>
+      spark.sql(
+        "SELECT current_setting('threads') AS threads, pragma_version() AS v"))
+  )
+}

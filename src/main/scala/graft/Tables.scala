@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loads the driver-generated testdata tables (TESTDATA.md) from an sf
+  * directory and registers them as temp views.
+  *
+  * Scale notes (100 TB design): each table is a plain parquet read — at
+  * cluster scale these become multi-file scans where Spark's
+  * FileSourceScanExec handles split planning, column pruning and predicate
+  * pushdown for free. Nothing here collects to the driver. Dimension tables
+  * (region/nation/supplier/part/customer) stay small relative to the fact
+  * tables (lineitem/orders/events) at every sf, so queries broadcast them
+  * explicitly (see SparkEntry).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small-side tables safe to broadcast at ANY scale factor: they grow
+    * sublinearly (region/nation are fixed; supplier/part/customer grow with
+    * sf but stay orders of magnitude under the fact tables). */
+  val broadcastable: Set[String] =
+    Set("region", "nation", "supplier", "part", "customer")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects outright; read it as raw nanos (legacy conf) and convert to a
+    // micros timestamp in the plan. The cast is codegen'd arithmetic on the
+    // scan output — no UDF, pushdown/pruning on the other columns unaffected.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Registers every table as a temp view in the session, so queries can be
+    * written in plain SQL. Idempotent. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ClassicConversions
+
+/** Registers the graft custom expressions into a session's function
+  * registry so they resolve from SQL text (and via
+  * `functions.call_function` from the DataFrame API).
+  *
+  * Registration is per-session and idempotent. We register into the
+  * existing session (rather than requiring `spark.sql.extensions` at
+  * build time) so the driver-owned Verify/Bench entry points work with any
+  * session they hand us; `GraftExtensions` offers the declarative route
+  * for users who do control session construction.
+  */
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  private val all: Seq[(String, Int, Builder)] = Seq(
+    ("duck_index", 2, args => DuckIndex(args(0), args(1))),
+    ("duck_slice", 3, args => DuckSlice(args(0), args(1), args(2))),
+    ("duck_datediff", 3, args => DuckDateDiff(args(0), args(1), args(2))),
+    ("current_setting", 1, args => CurrentSetting(args(0))),
+    ("pragma_version", 0, _ => PragmaVersion())
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val registry =
+      ClassicConversions.castToImpl(spark).sessionState.functionRegistry
+    all.foreach { case (name, arity, builder) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity,
+            s"$name expects $arity argument(s), got ${args.length}")
+          builder(args)
+        })
+    }
+  }
+}

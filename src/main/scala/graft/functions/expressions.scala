@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for DuckDB-dialect semantics the built-in
+  * Spark functions don't cover (SURVEY.md §2.10: current_setting F19,
+  * boundary-crossing datediff F10, pragma_version D15, plus the
+  * type-dispatching bracket index/slice F8/F9/F16/F17 that the dialect
+  * rewriter targets).
+  *
+  * All are `RuntimeReplaceable` compositions of existing codegen'd
+  * expressions (or foldable leaves), so the hot path stays inside
+  * whole-stage codegen — no UDF/interpreted path, which matters at 100 TB.
+  * Type dispatch happens in `lazy val replacement`, which Catalyst only
+  * forces after the children are resolved (dataType/nullable delegate to
+  * it), and the optimizer's ReplaceExpressions swaps the composition in.
+  */
+
+/** DuckDB 1-based bracket indexing `x[i]`, dispatching on input type:
+  * string → 1-char substring; array → element_at (both 1-based, negative
+  * counts from the end — DuckDB semantics; reference eval/data/dev.json:439
+  * `phone_numbers[1]`, :463 `firstname[1]`).
+  */
+case class DuckIndex(child: Expression, idx: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType => Substring(child, idx, Literal(1))
+    case _: ArrayType  => ElementAt(child, idx, failOnError = false)
+    case dt => throw new IllegalArgumentException(
+      s"duck_index: unsupported input type $dt")
+  }
+  override def children: Seq[Expression] = Seq(child, idx)
+  override def prettyName: String = "duck_index"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), idx = newChildren(1))
+}
+
+/** DuckDB inclusive 1-based slice `x[lo:hi]` (reference dev.json:295
+  * `email[:4]`, :471 `phone_numbers[:2]`). The rewriter emits `lo = 1` for
+  * `[:hi]` and the sentinel `hi = Int.MaxValue` for `[lo:]`. */
+case class DuckSlice(child: Expression, lo: Expression, hi: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType =>
+      // substring(x, lo, hi-lo+1); Substring clamps an over-long length
+      Substring(child, lo, Add(Subtract(hi, lo), Literal(1)))
+    case _: ArrayType =>
+      val end = If(EqualTo(hi, Literal(Int.MaxValue)), Size(child), hi)
+      Slice(child, lo, Add(Subtract(end, lo), Literal(1)))
+    case dt => throw new IllegalArgumentException(
+      s"duck_slice: unsupported input type $dt")
+  }
+  override def children: Seq[Expression] = Seq(child, lo, hi)
+  override def prettyName: String = "duck_slice"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2))
+}
+
+/** DuckDB `datediff(part, start, end)` counts *boundary crossings*, not
+  * complete intervals (reference dev.json:279 `datediff('minute', …)`):
+  * `datediff('minute', 10:00:59, 10:01:00) = 1` where Spark's
+  * `timestampdiff` says 0. Implemented as truncate-both-to-unit then exact
+  * difference. Returns BIGINT like DuckDB. */
+case class DuckDateDiff(unit: Expression, start: Expression, end: Expression)
+    extends Expression with RuntimeReplaceable {
+
+  private def unitStr: String = unit match {
+    case Literal(u: UTF8String, _: StringType) => u.toString.toLowerCase
+    case _ => throw new IllegalArgumentException(
+      "duck_datediff: unit must be a string literal")
+  }
+
+  private def secs(e: Expression): Expression = Cast(e, LongType)
+  private def trunc(u: String, e: Expression): Expression =
+    TruncTimestamp(Literal(UTF8String.fromString(u), StringType), e)
+  private def perUnit(u: String, d: Long): Expression =
+    IntegralDivide(
+      Subtract(secs(trunc(u, end)), secs(trunc(u, start))), Literal(d))
+
+  override lazy val replacement: Expression = {
+    val raw = unitStr match {
+      case "second" => perUnit("second", 1L)
+      case "minute" => perUnit("minute", 60L)
+      case "hour"   => perUnit("hour", 3600L)
+      case "day"    =>
+        Cast(DateDiff(Cast(end, DateType), Cast(start, DateType)), LongType)
+      case "week"   =>
+        IntegralDivide(
+          Cast(DateDiff(Cast(trunc("week", end), DateType),
+            Cast(trunc("week", start), DateType)), LongType), Literal(7L))
+      case "month"  =>
+        // Year/Month require a DATE child; replacements bypass the
+        // analyzer's implicit casts, so cast explicitly.
+        Cast(Add(
+          Multiply(Subtract(Year(Cast(end, DateType)),
+            Year(Cast(start, DateType))), Literal(12)),
+          Subtract(Month(Cast(end, DateType)),
+            Month(Cast(start, DateType)))), LongType)
+      case "year"   =>
+        Cast(Subtract(Year(Cast(end, DateType)),
+          Year(Cast(start, DateType))), LongType)
+      case other => throw new IllegalArgumentException(
+        s"duck_datediff: unsupported unit '$other'")
+    }
+    // Analyzer's ResolveTimeZone doesn't descend into a RuntimeReplaceable
+    // replacement built after resolution — stamp the session zone ourselves
+    // or the replacement stays unresolved.
+    val tz = SQLConf.get.sessionLocalTimeZone
+    raw.transformUp {
+      case e: TimeZoneAwareExpression if e.timeZoneId.isEmpty =>
+        e.withTimeZone(tz)
+    }
+  }
+
+  override def children: Seq[Expression] = Seq(unit, start, end)
+  override def prettyName: String = "duck_datediff"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2))
+}
+
+/** DuckDB `current_setting(name)` (reference dev.json:567/575 validation).
+  * Folds to a constant from the session SQLConf at plan time — settings are
+  * session-scoped, matching DuckDB. `SET x = v` is mapped by the Engine to
+  * conf key `graft.setting.x`; DuckDB's core knobs get sensible Spark
+  * equivalents. */
+case class CurrentSetting(key: Expression) extends LeafExpression
+    with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def foldable: Boolean = true
+  private lazy val value: UTF8String = {
+    val k = key.eval(null) match {
+      case s: UTF8String => s.toString
+      case s: String     => s
+      case _             => null
+    }
+    if (k == null) null
+    else {
+      val conf = SQLConf.get
+      val direct = conf.getConfString(s"graft.setting.$k", null)
+      val v =
+        if (direct != null) direct
+        else k match {
+          case "threads" =>
+            conf.getConfString("spark.sql.shuffle.partitions", "")
+          case _ => null
+        }
+      if (v == null) null else UTF8String.fromString(v)
+    }
+  }
+  override def eval(input: InternalRow): Any = value
+  override def prettyName: String = "current_setting"
+}
+
+/** `pragma_version()` — engine version (reference dev.json:247
+  * `CALL pragma_version()`). Foldable constant. */
+case class PragmaVersion() extends LeafExpression with CodegenFallback {
+  override def nullable: Boolean = false
+  override def dataType: DataType = StringType
+  override def foldable: Boolean = true
+  override def eval(input: InternalRow): Any =
+    UTF8String.fromString(
+      s"graft-0.1.0 (spark ${org.apache.spark.SPARK_VERSION})")
+  override def prettyName: String = "pragma_version"
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dialect.DuckRewriter
+
+/** Pure string-level tests of the DuckDB→Spark dialect front-end
+  * (SURVEY.md §4 item 1). */
+class DuckRewriterSpec extends AnyFunSuite {
+
+  private val schema: String => Option[Seq[String]] = {
+    case "customer" =>
+      Some(Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"))
+    case "t" => Some(Seq("a", "b", "c"))
+    case _   => None
+  }
+
+  private def rw(s: String): String = DuckRewriter.rewrite(s, schema)
+
+  test("bare FROM gets SELECT *") {
+    assert(rw("FROM t ORDER BY a") == "SELECT * FROM t ORDER BY a")
+  }
+
+  test("IN (FROM t) becomes IN (SELECT * FROM t)") {
+    assert(rw("SELECT 1 WHERE x IN (FROM t)")
+      == "SELECT 1 WHERE x IN (SELECT * FROM t)")
+  }
+
+  test("* EXCLUDE expands to remaining columns") {
+    assert(rw("SELECT * EXCLUDE (c_acctbal) FROM customer")
+      == "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer")
+  }
+
+  test("* EXCLUDE with several columns") {
+    assert(rw("SELECT * EXCLUDE (b, c) FROM t") == "SELECT a FROM t")
+  }
+
+  test("* REPLACE substitutes the expression, keeping position") {
+    assert(rw("SELECT * REPLACE (upper(c_mktsegment) AS c_mktsegment) FROM customer")
+      == "SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+        "upper(c_mktsegment) AS c_mktsegment FROM customer")
+  }
+
+  test("* REPLACE with nested call and two items") {
+    assert(rw("SELECT * REPLACE (round(a / 0.85, 2) AS a, upper(b) AS b) FROM t")
+      == "SELECT round(a / 0.85, 2) AS a, upper(b) AS b, c FROM t")
+  }
+
+  test("COLUMNS regex expands to matching columns") {
+    assert(rw("SELECT COLUMNS('^c_(custkey|name)$') FROM customer")
+      == "SELECT c_custkey, c_name FROM customer")
+  }
+
+  test("json arrow ->> maps to get_json_object") {
+    assert(rw("SELECT props->>'k' FROM t")
+      == "SELECT get_json_object(props, '$.k') FROM t")
+  }
+
+  test("bracket index becomes duck_index") {
+    assert(rw("SELECT name[1] FROM t") == "SELECT duck_index(name, 1) FROM t")
+  }
+
+  test("bracket slice with both bounds") {
+    assert(rw("SELECT name[2:4] FROM t")
+      == "SELECT duck_slice(name, 2, 4) FROM t")
+  }
+
+  test("open-ended slices") {
+    assert(rw("SELECT name[:4] FROM t")
+      == "SELECT duck_slice(name, 1, 4) FROM t")
+    assert(rw("SELECT name[2:] FROM t")
+      == s"SELECT duck_slice(name, 2, ${Int.MaxValue}) FROM t")
+  }
+
+  test("slice over a function call result") {
+    assert(rw("SELECT split_part(url, '/', 2)[1:5] FROM t")
+      == "SELECT duck_slice(split_part(url, '/', 2), 1, 5) FROM t")
+  }
+
+  test("list literal becomes array()") {
+    assert(rw("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)")
+  }
+
+  test("struct literal becomes named_struct") {
+    assert(rw("SELECT {'a': 1, 'b': 2, 'c': 3}")
+      == "SELECT named_struct('a', 1, 'b', 2, 'c', 3)")
+  }
+
+  test("single-quoted alias becomes backticks") {
+    assert(rw("SELECT price / 0.85 AS 'price (USD)' FROM t")
+      == "SELECT price / 0.85 AS `price (USD)` FROM t")
+  }
+
+  test("plain SQL passes through untouched") {
+    val q = "SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY a"
+    assert(rw(q) == q)
+  }
+}

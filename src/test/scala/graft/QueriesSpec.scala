@@ -1,0 +1,55 @@
+package graft
+
+/** End-to-end: every SparkEntry catalog query runs at sf0.001 and returns
+  * rows; plan-shape assertions keep the scale properties honest (pushdown,
+  * broadcast) — the DuckDB value-match itself is the driver's gate, and
+  * tools/oracle_check.py replays it locally. */
+class QueriesSpec extends SparkSpecBase {
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL exists for every SQL-expressible query") {
+    // rows-only checks are the documented exceptions
+    val rowsOnly = Set("q29_sample", "q35_settings")
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("q01 pushes filter and projection into the parquet scan") {
+    val plan = SparkEntry.queries("q01_scan_filter")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(p_size,25)")
+      || plan.contains("IsNotNull(p_size)"), plan)
+    // pruned read schema: only the 4 projected+filtered columns
+    assert(!plan.contains("p_retailprice"), "projection not pruned:\n" + plan)
+  }
+
+  test("q08 fact-dim join broadcasts the dimension side") {
+    val plan = SparkEntry.queries("q08_join_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q15 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("q15_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q06 aggregation is partial before the shuffle (map-side combine)") {
+    val plan = SparkEntry.queries("q06_tpch_q1")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial"), plan)
+  }
+}
