@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EmbeddingOps, TextOps}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis) as driver-contract entries — the north-star extension of the
+  * reference's doc_retriever.py dataflow (SURVEY.md §2.9 H4).
+  *
+  * Oracle strategy: wherever the semantics are deterministic and
+  * engine-portable (exact dedup, blocked/verified Jaccard, brute-force
+  * cosine, token/quality/lang-id formulas), the DuckDB oracle recomputes
+  * them from first principles (list lambdas + unnest zip), so the whole
+  * distributed pipeline is value-checked, not just smoke-tested. Hash-
+  * family-dependent ops (simhash, LSH buckets) are rows-only here and
+  * property-tested in ScalaTest against planted duplicates.
+  */
+object PipelineQueries {
+  import Queries._
+
+  /** DuckDB-side word-3-gram distinct shingle list (same semantics as
+    * [[TextOps.wordShingles]]: slice clamps at the tail, min one shingle). */
+  private val duckShingles =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
+      |  i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))"""
+      .stripMargin
+
+  private val duckJaccard =
+    """len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"""
+      .stripMargin
+
+  val all: Seq[(String, Spec)] = Seq(
+
+    // Exact dedup: hash-groupBy on the content digest, keep first doc.
+    // One shuffle on the digest — the canonical dedup at any scale.
+    "q40_dedup_exact" -> same(
+      """SELECT doc_id, md5(text) AS digest FROM (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    // Blocked exact n-gram Jaccard: quadratic only within (lang, source)
+    // blocks — the classic blocking strategy when a natural key exists.
+    "q41_dedup_jaccard_blocked" -> api((spark, _) => {
+      val d = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("source"),
+        TextOps.wordShingles(col("text"), 3).as("sh"))
+      d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(TextOps.jaccard(col("a.sh"), col("b.sh")), 6).as("jac"))
+        .where(col("jac") >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+      s"""WITH d AS (SELECT doc_id, lang, source, $duckShingles AS sh
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round($duckJaccard, 6) AS jac
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+         |  AND a.doc_id < b.doc_id
+         |WHERE round($duckJaccard, 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // MinHash+LSH near-dup detection, exact-Jaccard verified. The oracle
+    // is the full exact pairwise answer: with 32 bands × 2 rows recall at
+    // j>=0.5 is >0.999, and the verification step removes false positives,
+    // so LSH output == exact output on real data (checked at both SFs).
+    "q42_dedup_minhash" -> api((spark, _) =>
+      TextOps.minhashDupPairs(spark.table("documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b"),
+      s"""WITH d AS (SELECT doc_id, $duckShingles AS sh FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round($duckJaccard, 6) AS jac
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE round($duckJaccard, 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+      headline = true),
+
+    // SimHash near-dups: hash-family-specific bits → rows-only check here;
+    // TextOpsSpec verifies planted duplicates are caught.
+    "q43_dedup_simhash" -> noOracle((spark, _) =>
+      TextOps.simhashDupPairs(spark.table("documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // All-pairs embedding similarity, top-10 — the exact baseline the ANN
+    // path is measured against (quadratic: small data / oracle use only).
+    "q44_embed_top_pairs" -> api((spark, _) =>
+      EmbeddingOps.nearestPairs(spark.table("embeddings"), "vec_id",
+        "embedding", 10),
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(embedding) AS x) z))
+        |      AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round((SELECT sum(x*y) FROM
+        |        (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)
+        |        z) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p
+        |ORDER BY cos DESC, id_a, id_b LIMIT 10""".stripMargin),
+
+    // Exact kNN: broadcast query batch, one corpus pass, per-query top-5.
+    "q45_knn_brute" -> api((spark, _) => {
+      val emb = spark.table("embeddings")
+      EmbeddingOps.knnBruteForce(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5).orderBy("qid", "rn")
+    },
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(embedding) AS x) z))
+        |      AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n
+        |  WHERE vec_id < 10),
+        |p AS (SELECT q.qid, n.vec_id AS id,
+        |    round((SELECT sum(x*y) FROM
+        |        (SELECT unnest(q.qe) AS x, unnest(n.embedding) AS y) z)
+        |      / (q.qn * n.nrm), 6) AS cos
+        |  FROM n, q WHERE n.vec_id <> q.qid),
+        |r AS (SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+        |      AS rn
+        |  FROM p)
+        |SELECT qid, id, cos, rn FROM r WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
+      headline = true),
+
+    // ANN via cosine-LSH buckets: engine-specific hash family → rows-only;
+    // EmbeddingOpsSpec measures recall against the brute-force baseline.
+    "q46_knn_ann_lsh" -> noOracle((spark, _) => {
+      val emb = spark.table("embeddings")
+      EmbeddingOps.annLsh(emb, emb.where(col("vec_id") < 50),
+        "vec_id", "embedding", k = 5, bits = 4).orderBy("qid", "rn")
+    }, headline = true),
+
+    // Token counting: whitespace + BPE-ish regex tokenization.
+    "q47_token_stats" -> sql(
+      """SELECT doc_id,
+        |  CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0))
+        |    AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))
+        |    AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      headline = true),
+
+    // Heuristic quality score (length/alpha-ratio/word-shape bands).
+    "q48_quality_score" -> api((spark, _) =>
+      spark.table("documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, round(
+        |  (CASE WHEN len(string_split_regex(trim(text), '\s+'))
+        |     BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4 +
+        |  (CASE WHEN length(text)::DOUBLE /
+        |     greatest(len(string_split_regex(trim(text), '\s+')), 1)
+        |     BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2 +
+        |  (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+        |     greatest(length(text), 1)) * 0.4, 6) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Stopword-argmax language ID (first-max-wins tie-break, 'und' if no
+    // stopword hits). `lang` column is the generator's truth label.
+    "q49_lang_id" -> api((spark, _) =>
+      spark.table("documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text")).as("pred"))
+        .orderBy("doc_id"),
+      {
+        val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+        def score(words: Seq[String]) =
+          s"len(list_filter($toks, t -> list_contains(" +
+            words.mkString("['", "', '", "']") + ", t)))"
+        val s = TextOps.langStopwords.map { case (l, ws) =>
+          l -> score(ws)
+        }
+        val Seq(en, de, es, fr, zh) = s.map(_._2)
+        s"""SELECT doc_id, lang,
+           |  CASE
+           |    WHEN $en > 0 AND $en >= $de AND $en >= $es AND $en >= $fr
+           |      AND $en >= $zh THEN 'en'
+           |    WHEN $de > 0 AND $de >= $es AND $de >= $fr AND $de >= $zh
+           |      THEN 'de'
+           |    WHEN $es > 0 AND $es >= $fr AND $es >= $zh THEN 'es'
+           |    WHEN $fr > 0 AND $fr >= $zh THEN 'fr'
+           |    WHEN $zh > 0 THEN 'zh'
+           |    ELSE 'und' END AS pred
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Content-normalization fingerprint (md5 of canonicalized text).
+    "q50_fingerprint" -> api((spark, _) =>
+      spark.table("documents")
+        .select(col("doc_id"),
+          TextOps.normFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, md5(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

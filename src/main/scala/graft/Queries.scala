@@ -44,6 +44,11 @@ object Queries {
   def noOracle(fn: Fn, headline: Boolean = false): Spec =
     Spec((spark, sfDir) => { prep(spark, sfDir); fn(spark, sfDir) },
       None, headline)
+
+  /** DataFrame-API implementation with a handwritten DuckDB oracle. */
+  def api(fn: Fn, duckSql: String, headline: Boolean = false): Spec =
+    Spec((spark, sfDir) => { prep(spark, sfDir); fn(spark, sfDir) },
+      Some(duckSql), headline)
 }
 
 /** Relational core + dialect + function coverage (SURVEY.md §2.1–§2.8).

@@ -24,8 +24,21 @@ object GraftFunctions {
     ("duck_slice", 3, args => DuckSlice(args(0), args(1), args(2))),
     ("duck_datediff", 3, args => DuckDateDiff(args(0), args(1), args(2))),
     ("current_setting", 1, args => CurrentSetting(args(0))),
-    ("pragma_version", 0, _ => PragmaVersion())
+    ("pragma_version", 0, _ => PragmaVersion()),
+    ("simhash64", 1, args => SimHash64Expr(args(0))),
+    ("rp_sketch", 3, args => RpSketchExpr(args(0), args(1), args(2)))
   )
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
+  /** Column-API entry points (no session registration needed). */
+  def simhash64(tokens: Column): Column =
+    toCol(SimHash64Expr(toExpr(tokens)))
+  def rpSketch(vec: Column, bits: Column, seed: Column): Column =
+    toCol(RpSketchExpr(toExpr(vec), toExpr(bits), toExpr(seed)))
+  def duckDatediff(unit: Column, start: Column, end: Column): Column =
+    toCol(DuckDateDiff(toExpr(unit), toExpr(start), toExpr(end)))
 
   def register(spark: SparkSession): Unit = {
     val registry =

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash kernels invoked from codegen via `StaticInvoke` — one fused pass
+  * per row instead of the O(bits × tokens) nested higher-order-function
+  * expansion the same logic would cost in SQL. Deterministic (seeded
+  * xxHash64 / splitmix64), so results are stable across runs, partitions
+  * and cluster sizes.
+  */
+object GraftHash {
+
+  /** 64-bit SimHash over a token array: per-bit majority vote of the
+    * tokens' xxHash64 bits. Near-identical token multisets → small Hamming
+    * distance. */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val s: UTF8String = tokens.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Random-hyperplane (sign) sketch of a float vector: `bits` Rademacher
+    * (±1-entry) hyperplanes derived from `seed`; bit j = sign of the dot
+    * product with plane j. Collision probability of two vectors on one bit
+    * is 1 - θ/π (θ = angle), the classic cosine-LSH family. */
+  def rpSketch(vec: ArrayData, bits: Int, seed: Long): Long = {
+    val d = vec.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < d) {
+        val r = splitmix64(seed + j.toLong * d + i)
+        val sign = if ((r & 1L) == 1L) 1.0 else -1.0
+        dot += vec.getFloat(i) * sign
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}

@@ -126,6 +126,46 @@ case class DuckDateDiff(unit: Expression, start: Expression, end: Expression)
     copy(newChildren(0), newChildren(1), newChildren(2))
 }
 
+/** 64-bit SimHash of a token array — replacement is a codegen'd static
+  * call into [[GraftHash.simhash64]] (one pass over the tokens; the
+  * SQL-composable alternative is O(64×tokens) nested lambdas). */
+case class SimHash64Expr(child: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    // replacements bypass the analyzer's implicit casts — normalize the
+    // element type ourselves (array() literals arrive as array<void>)
+    val in = if (child.dataType == ArrayType(StringType)) child
+             else Cast(child, ArrayType(StringType))
+    objects.StaticInvoke(GraftHash.getClass, LongType, "simhash64",
+      Seq(in), inputTypes = Seq(ArrayType(StringType)),
+      returnNullable = false)
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** Random-hyperplane cosine-LSH sketch of a float vector
+  * ([[GraftHash.rpSketch]]); `bits`/`seed` must be foldable. */
+case class RpSketchExpr(child: Expression, bits: Expression,
+    seed: Expression) extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val in = if (child.dataType == ArrayType(FloatType)) child
+             else Cast(child, ArrayType(FloatType))
+    objects.StaticInvoke(GraftHash.getClass, LongType, "rpSketch",
+      Seq(in, Cast(bits, IntegerType), Cast(seed, LongType)),
+      inputTypes = Seq(ArrayType(FloatType), IntegerType, LongType),
+      returnNullable = false)
+  }
+  override def children: Seq[Expression] = Seq(child, bits, seed)
+  override def prettyName: String = "rp_sketch"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2))
+}
+
 /** DuckDB `current_setting(name)` (reference dev.json:567/575 validation).
   * Folds to a constant from the session SQLConf at plan time — settings are
   * session-scoped, matching DuckDB. `SET x = v` is mapped by the Engine to

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Vector-similarity operators over an embedding column
+  * (`array<float>`): exact cosine top-k (the correctness baseline) and a
+  * cosine-LSH bucketed variant (the scale path).
+  *
+  * Generalizes the reference's retrieval operator — dot-product top-n in
+  * eval/doc_retriever.py:78-94, which materializes the whole corpus matrix
+  * in one process — into distributed form.
+  *
+  * Scale design (100 TB):
+  *   - [[knnBruteForce]] broadcasts the (small) query set and streams the
+  *     corpus once: O(corpus × queries) work, zero corpus shuffle, ranked
+  *     per-query with a window over the per-query candidate slice.
+  *   - [[annLsh]] buckets both sides by a 16-bit random-hyperplane sketch
+  *     ([[graft.functions.GraftHash.rpSketch]], codegen'd single pass):
+  *     the corpus shuffles once on the sketch key, each query probes only
+  *     its own bucket — the cross-corpus scan disappears. Recall is tuned
+  *     by sketch width (fewer bits → bigger buckets → higher recall).
+  *   - [[nearestPairs]] (all-pairs) is quadratic by definition and exists
+  *     as the small-data oracle baseline; corpus-scale dedup should use
+  *     the LSH route (`annLsh` with corpus as queries, or simhash over
+  *     [[TextOps]]).
+  *
+  * All arithmetic is double-precision SQL (`aggregate`/`zip_with` higher-
+  * order functions) — deterministic sequential fold per row, matching the
+  * DuckDB oracle's `sum(unnest*unnest)` evaluation order.
+  */
+object EmbeddingOps {
+
+  /** Dot product of two array<float|double> columns (double fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Queries must be small enough to broadcast (they are, by construction:
+    * a query batch, not a corpus). Rank is deterministic: cosine rounded
+    * to 6 dp, id as tie-break. */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qvec")))
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(q, col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("vec"), col("qvec")), 6).as("cos"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rn"))
+  }
+
+  /** Approximate top-k: both sides keyed by an `bits`-wide random-
+    * hyperplane sketch; candidates are corpus vectors in the query's
+    * bucket, ranked exactly within it. One shuffle on the sketch key. */
+  def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8, seed: Long = 7L): DataFrame = {
+    def sketch(c: Column) = GraftFunctions.rpSketch(c, lit(bits), lit(seed))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sketch(col(vecCol)).as("bkt"))
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qvec"), sketch(col(vecCol)).as("bkt")))
+    c.join(q, Seq("bkt"))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("vec"), col("qvec")), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
+      .where(col("rn") <= k)
+  }
+
+  /** Global top-n most-similar pairs by exact cosine — the all-pairs
+    * baseline (small data / oracle checking only; see class doc). */
+  def nearestPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      n: Int): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(n)
+  }
+}

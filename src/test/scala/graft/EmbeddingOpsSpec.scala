@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EmbeddingOps
+
+/** Vector-similarity operator semantics: exact kNN ordering on constructed
+  * vectors, and ANN recall against the brute-force baseline on clustered
+  * data. */
+class EmbeddingOpsSpec extends SparkSpecBase {
+
+  /** 10 tight clusters × 20 vectors in 16-d: centers are axis-aligned
+    * units; members are center + small deterministic jitter (cosine
+    * within a cluster ≈ 0.99, across clusters ≈ 0). */
+  private lazy val clustered = {
+    import spark.implicits._
+    val d = 16
+    val rows = for {
+      c <- 0 until 10
+      m <- 0 until 20
+    } yield {
+      val v = Array.tabulate(d) { i =>
+        val jitter = (((c * 131 + m * 17 + i * 7) % 13) - 6) / 100.0f
+        (if (i == c) 1.0f else 0.0f) + jitter
+      }
+      (c.toLong * 100 + m, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "cluster")
+  }
+
+  test("knnBruteForce returns same-cluster neighbors first") {
+    val queries = clustered.where(col("vec_id") % 100 === 0) // one per cluster
+    val knn = EmbeddingOps.knnBruteForce(clustered, queries, "vec_id",
+      "embedding", k = 5).collect()
+    assert(knn.length == 10 * 5)
+    // every neighbor of query c*100 is in cluster c
+    assert(knn.forall(r => r.getLong(1) / 100 == r.getLong(0) / 100),
+      knn.mkString("\n"))
+  }
+
+  test("knnBruteForce exact order on a hand-checkable line") {
+    import spark.implicits._
+    // vectors on a 2-d arc: cosine to (1,0) decreases with angle
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.95f, 0.1f)),
+      (2L, Array(0.7f, 0.7f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val knn = EmbeddingOps.knnBruteForce(vs,
+        vs.where(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rn").collect().map(_.getLong(1))
+    assert(knn.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("annLsh achieves high recall@5 on clustered data") {
+    val queries = clustered.where(col("vec_id") % 100 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(EmbeddingOps.knnBruteForce(clustered, queries,
+      "vec_id", "embedding", k = 5))
+    val ann = pairs(EmbeddingOps.annLsh(clustered, queries,
+      "vec_id", "embedding", k = 5, bits = 4))
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("annLsh probes only the query's bucket (candidate bound)") {
+    // with 8 bits over near-orthogonal clusters, candidates per query stay
+    // well under the corpus size — the point of bucketing
+    val queries = clustered.where(col("vec_id") % 100 === 0)
+    val ann = EmbeddingOps.annLsh(clustered, queries, "vec_id",
+      "embedding", k = 1000, bits = 8) // k large: count all candidates
+    val perQuery = ann.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQuery.forall(_ < 200), perQuery.mkString(","))
+  }
+
+  test("nearestPairs finds the tightest pair") {
+    import spark.implicits._
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = EmbeddingOps.nearestPairs(vs, "vec_id", "embedding", 1)
+      .collect()(0)
+    assert((top.getLong(0), top.getLong(1)) == (0L, 1L))
+  }
+}

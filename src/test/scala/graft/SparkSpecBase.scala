@@ -21,6 +21,6 @@ object SparkTestSession {
 }
 
 abstract class SparkSpecBase extends AnyFunSuite {
-  def spark: SparkSession = SparkTestSession.spark
+  lazy val spark: SparkSession = SparkTestSession.spark
   def sfDir: String = SparkTestSession.sfDir
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Property tests for the hash-family text operators that have no SQL
+  * oracle: planted near-duplicates must be caught, distinct texts must
+  * not collide. */
+class TextOpsSpec extends SparkSpecBase {
+
+  private lazy val planted = {
+    import spark.implicits._
+    // ~120 tokens: long enough that a 1-word swap keeps simhash bit
+    // majorities stable (short docs legitimately flip many bits)
+    val base = (1 to 40).map(i =>
+      s"sentence $i of the planted document talks about topic-${i % 7}")
+      .mkString(" ")
+    val nearDup = base.replace("topic-3", "topic-9") // small perturbation
+    val other = (1 to 30).map(i =>
+      s"completely different document number $i about spark catalyst " +
+        s"optimizer internals partition shuffle topic-$i codegen stage-$i")
+    ((100L, base) +: (101L, nearDup) +: other.zipWithIndex.map {
+      case (t, i) => (200L + i, t)
+    }).toDF("doc_id", "text")
+  }
+
+  test("minhashDupPairs catches the planted near-duplicate") {
+    val pairs = TextOps.minhashDupPairs(planted, "doc_id", "text",
+      threshold = 0.5).collect()
+    assert(pairs.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L),
+      s"planted pair missing: ${pairs.mkString(",")}")
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("minhashDupPairs finds no pairs among distinct docs") {
+    val distinctOnly = planted.where(col("doc_id") >= 200L)
+    // the template sentences share boilerplate; threshold 0.8 separates
+    val pairs = TextOps.minhashDupPairs(distinctOnly, "doc_id", "text",
+      threshold = 0.8).collect()
+    assert(pairs.isEmpty, pairs.mkString(","))
+  }
+
+  test("simhashDupPairs catches the planted near-duplicate") {
+    val pairs = TextOps.simhashDupPairs(planted, "doc_id", "text",
+      maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L),
+      s"planted pair missing: ${pairs.mkString(",")}")
+  }
+
+  test("minhash agrees with exact jaccard on the corpus (recall check)") {
+    // exact pairwise truth at sf0.001 (500 docs) vs the LSH pipeline
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = docs.select(col("doc_id"),
+      TextOps.wordShingles(col("text"), 3).as("sh"))
+    val exact = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        TextOps.jaccard(col("a.sh"), col("b.sh")).as("jac"))
+      .where(col("jac") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.minhashDupPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("normFingerprint is punctuation/case/whitespace-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello,  World! 42"),
+      (2L, "hello world 42"),
+      (3L, "HELLO   world?? 42..."),
+      (4L, "something else")).toDF("id", "text")
+      .select(col("id"), TextOps.normFingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
+    assert(fps(4L) != fps(1L))
+  }
+
+  test("langId picks the stopword-majority language") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of a house in it is"),
+      (2L, "der hund und die katze ist nicht ein zu"),
+      (3L, "el perro y la casa de que en un por"),
+      (4L, "xyzzy qwerty asdf")).toDF("id", "text")
+      .select(col("id"), TextOps.langId(col("text")).as("pred"))
+    val preds = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "de")
+    assert(preds(3L) == "es")
+    assert(preds(4L) == "und")
+  }
+
+  test("qualityScore is in [0,1] and penalizes degenerate docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a sensible paragraph with a healthy number of normal words " +
+        "spread over a reasonable length of text for scoring"),
+      (2L, "x"),
+      (3L, "!!!! ???? #### $$$$ %%%%")).toDF("id", "text")
+      .select(col("id"), TextOps.qualityScore(col("text")).as("q"))
+    val qs = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(qs.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(qs(1L) > qs(2L) && qs(1L) > qs(3L))
+  }
+}
