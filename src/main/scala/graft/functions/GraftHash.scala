@@ -41,6 +41,31 @@ object GraftHash {
     sig
   }
 
+  /** MinHash signature: k per-seed minima of xxHash64 over the shingle
+    * set, computed in ONE pass over the shingles (the equivalent nested
+    * higher-order-function formulation is interpreted and allocates a
+    * fresh k-array per shingle — ~50× slower at corpus scale). */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s: UTF8String = shingles.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -147,6 +147,26 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChildren(0))
 }
 
+/** Fused MinHash signature kernel ([[GraftHash.minhashSig]]): one pass
+  * over the shingle array for all k seeded minima. `k` must be foldable. */
+case class MinHashSigExpr(child: Expression, k: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val in = if (child.dataType == ArrayType(StringType)) child
+             else Cast(child, ArrayType(StringType))
+    objects.StaticInvoke(GraftHash.getClass,
+      ArrayType(LongType, containsNull = false), "minhashSig",
+      Seq(in, Cast(k, IntegerType)),
+      inputTypes = Seq(ArrayType(StringType), IntegerType),
+      returnNullable = false)
+  }
+  override def children: Seq[Expression] = Seq(child, k)
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
 /** Random-hyperplane cosine-LSH sketch of a float vector
   * ([[GraftHash.rpSketch]]); `bits`/`seed` must be foldable. */
 case class RpSketchExpr(child: Expression, bits: Expression,

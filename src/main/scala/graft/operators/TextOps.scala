@@ -46,11 +46,20 @@ object TextOps {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k))))
 
-  /** MinHash signature: k independent min-hashes of the shingle set.
-    * xxhash64(shingle, seed) provides the seeded hash family. */
+  /** MinHash signature: k independent min-hashes of the shingle set —
+    * fused single-pass kernel (graft.functions.GraftHash.minhashSig). */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+    graft.functions.GraftFunctions.minhashSig(shingles, lit(k))
+
+  /** Small single-file inputs arrive as one split; per-row signature work
+    * is CPU-bound, so fan out to the session's parallelism first. On a
+    * real multi-file corpus the scan already yields enough splits and the
+    * round-robin repartition is a cheap no-op-sized shuffle relative to
+    * the signature compute it unlocks. */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** LSH banding: b bands of r rows each (b*r = signature length); a pair
     * agreeing on any whole band becomes a candidate. */
@@ -83,7 +92,7 @@ object TextOps {
       maxBucket: Int = 1000): DataFrame = {
     require(k % b == 0, "bands must divide signature length")
     val r = k / b
-    val shingled = docs.select(col(idCol).as("id"),
+    val shingled = parallelize(docs).select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("sh"))
 
     val banded = shingled
@@ -122,7 +131,7 @@ object TextOps {
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val chunks = 4
-    val sigs = docs.select(col(idCol).as("id"),
+    val sigs = parallelize(docs).select(col(idCol).as("id"),
       graft.functions.GraftFunctions.simhash64(tokens(col(textCol)))
         .as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
