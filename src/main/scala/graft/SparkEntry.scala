@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def catalogs: Seq[(String, Queries.Spec)] =
-    CoreQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ PipelineQueries.all ++ SystemQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{MediaOps, Summarize}
+import graft.streaming.StreamingOps
+
+/** Streaming, multimodal, profiling and I/O-roundtrip entries
+  * (SURVEY.md §2.1 S3-S13, §2.7 D8/D9, plus the streaming north-star).
+  *
+  * COPY roundtrips use the original table as the oracle: write → read
+  * back → compare against `SELECT *` proves writer/reader fidelity
+  * end-to-end, the same effect-vs-result decoupling the reference's
+  * validation_sql uses for its COPY entries (dev.json:327-375). */
+object SystemQueries {
+  import Queries._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val all: Seq[(String, Spec)] = Seq(
+
+    // Structured Streaming windowed aggregation drained with AvailableNow;
+    // oracle = the batch answer over the same files (stream==batch).
+    "q51_stream_window_counts" -> api(
+      (spark, sfDir) => StreamingOps.windowedEventCounts(spark, sfDir),
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      headline = true),
+
+    // flatMapGroupsWithState sessionization (custom streaming state);
+    // oracle = batch gaps-and-islands.
+    "q52_stream_sessions" -> api(
+      (spark, sfDir) => StreamingOps.sessionCounts(spark, sfDir, 30),
+      """WITH m AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |  count(*) AS total_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // The same sessionization as pure batch SQL (gaps-and-islands) —
+    // windows + lag on both engines.
+    "q53_sessionize_batch" -> sql(
+      """WITH m AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR unix_timestamp(ts) - unix_timestamp(lag(ts) OVER w) > 1800
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS total_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """WITH m AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |  count(*) AS total_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+      headline = true),
+
+    // Multimodal plumbing: binary payloads → frame sampling → STUB decode
+    // → pooled features. Hash-derived stub features ⇒ rows-only check;
+    // MediaOpsSpec pins shape and determinism.
+    "q54_media_features" -> noOracle((spark, _) =>
+      MediaOps.extractFeatures(MediaOps.mediaTable(spark.table("documents")))
+        .orderBy("media_id")),
+
+    // DESCRIBE with DuckDB type names from the Spark schema.
+    "q55_describe" -> api((spark, _) =>
+      Summarize.describe(spark.table("lineitem"))
+        .select(col("column_name"), col("column_type"))
+        .orderBy("column_name"),
+      """SELECT column_name, column_type FROM (DESCRIBE lineitem)
+        |ORDER BY column_name""".stripMargin),
+
+    // SUMMARIZE: 12-stat single-pass profile (approximate stats differ
+    // across engines ⇒ rows-only; SummarizeSpec pins the exact fields).
+    "q56_summarize" -> noOracle((spark, _) =>
+      Summarize.summarize(spark.table("customer"))),
+
+    // Parquet write→read roundtrip (COPY TO / file-as-table, S11/S12).
+    "q57_copy_parquet" -> api((spark, _) => {
+      val dir = tmp("graft_copy_parquet") + "/part.parquet"
+      spark.table("part").write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).orderBy("p_partkey")
+    }, "SELECT * FROM part ORDER BY p_partkey"),
+
+    // CSV roundtrip with explicit schema on re-read (S5/S8).
+    "q58_copy_csv" -> api((spark, _) => {
+      val dir = tmp("graft_copy_csv") + "/supplier.csv"
+      spark.table("supplier").write.mode("overwrite")
+        .option("header", "true").csv(dir)
+      spark.read.schema(spark.table("supplier").schema)
+        .option("header", "true").csv(dir).orderBy("s_suppkey")
+    }, "SELECT * FROM supplier ORDER BY s_suppkey"),
+
+    // JSON roundtrip (S6/S13).
+    "q59_copy_json" -> api((spark, _) => {
+      val dir = tmp("graft_copy_json") + "/nation.json"
+      spark.table("nation").write.mode("overwrite").json(dir)
+      spark.read.schema(spark.table("nation").schema).json(dir)
+        .orderBy("n_nationkey")
+    }, "SELECT * FROM nation ORDER BY n_nationkey")
+  )
+}

@@ -39,8 +39,7 @@ object DuckRewriter {
     var s = sql.trim
     s = bareFrom(s)
     s = inFrom(s)
-    s = starExclude(s, schemaOf)
-    s = starReplace(s, schemaOf)
+    s = starModifiers(s, schemaOf)
     s = columnsRegex(s, schemaOf)
     s = jsonArrows(s)
     s = brackets(s)
@@ -71,60 +70,72 @@ object DuckRewriter {
       : Option[Seq[String]] =
     fromTable(s).flatMap(schemaOf)
 
-  /** Finds `<head>(`…balanced…`)` and hands the inner text to `expand`;
-    * recurses so repeated occurrences all rewrite. Regexes can't see paren
-    * balance (`* REPLACE (upper(x) AS x)` has nested calls), hence the scan. */
-  private def rewriteBalanced(s: String, head: Regex,
-      expand: String => Option[String]): String =
-    head.findFirstMatchIn(s) match {
-      case None => s
-      case Some(m) =>
-        var depth = 1; var inStr = false; var i = m.end
-        while (i < s.length && depth > 0) {
-          val c = s.charAt(i)
-          if (c == '\'') inStr = !inStr
-          else if (!inStr && c == '(') depth += 1
-          else if (!inStr && c == ')') depth -= 1
-          i += 1
-        }
-        val inner = s.substring(m.end, i - 1)
-        expand(inner) match {
-          case Some(repl) =>
-            rewriteBalanced(s.substring(0, m.start) + repl + s.substring(i),
-              head, expand)
-          case None => s
-        }
-    }
-
-  /** `* EXCLUDE (a, b)` → explicit remaining-column list. */
-  private val excludeHeadRe: Regex = """(?is)\*\s+EXCLUDE\s*\(""".r
-  private def starExclude(s: String, schemaOf: String => Option[Seq[String]])
-      : String =
-    rewriteBalanced(s, excludeHeadRe, inner => {
-      val dropped = splitTopLevel(inner).map(_.trim.toLowerCase).toSet
-      lookupCols(s, schemaOf).map(cols =>
-        cols.filterNot(c => dropped(c.toLowerCase)).mkString(", "))
-    })
-
-  /** `* REPLACE (expr AS col[, ...])` → full column list with substitutions. */
-  private val replaceHeadRe: Regex = """(?is)\*\s+REPLACE\s*\(""".r
+  /** `* EXCLUDE (a, b) [REPLACE (...)]` / `* REPLACE (e AS c) [EXCLUDE
+    * (...)]` → explicit column list. Both modifiers can follow one star
+    * (DuckDB allows the combination), so parse them as a chain. */
+  private val starModHeadRe: Regex =
+    """(?is)\*\s+(EXCLUDE|REPLACE)\s*\(""".r
+  private val modHeadRe: Regex = """(?is)\A\s*(EXCLUDE|REPLACE)\s*\(""".r
   private val replaceItemRe: Regex =
     """(?is)(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
-  private def starReplace(s: String, schemaOf: String => Option[Seq[String]])
-      : String =
-    rewriteBalanced(s, replaceHeadRe, inner => {
-      val repls: Map[String, String] = splitTopLevel(inner).flatMap {
-        case replaceItemRe(expr, col) => Some(col.toLowerCase -> expr.trim)
-        case _ => None
-      }.toMap
-      lookupCols(s, schemaOf).map(cols =>
-        cols.map { c =>
-          repls.get(c.toLowerCase) match {
-            case Some(e) => s"$e AS $c"
-            case None    => c
+
+  /** Returns end index of the balanced paren group opening at `start`. */
+  private def balancedEnd(s: String, start: Int): Int = {
+    var depth = 1; var inStr = false; var i = start
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') depth -= 1
+      i += 1
+    }
+    i
+  }
+
+  private def starModifiers(s: String,
+      schemaOf: String => Option[Seq[String]]): String =
+    starModHeadRe.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        // collect the modifier chain: (kind, innerText)*
+        var mods = List.empty[(String, String)]
+        var pos = m.end
+        var kind = m.group(1).toUpperCase
+        var done = false
+        while (!done) {
+          val end = balancedEnd(s, pos)
+          mods :+= (kind, s.substring(pos, end - 1))
+          modHeadRe.findFirstMatchIn(s.substring(end)) match {
+            case Some(n) => kind = n.group(1).toUpperCase; pos = end + n.end
+            case None => pos = end; done = true
           }
-        }.mkString(", "))
-    })
+        }
+        lookupCols(s, schemaOf) match {
+          case None => s
+          case Some(cols) =>
+            val expansion = mods.foldLeft(cols.map(c => c -> c)) {
+              case (acc, ("EXCLUDE", inner)) =>
+                val dropped =
+                  splitTopLevel(inner).map(_.trim.toLowerCase).toSet
+                acc.filterNot { case (name, _) => dropped(name.toLowerCase) }
+              case (acc, (_, inner)) => // REPLACE
+                val repls = splitTopLevel(inner).flatMap {
+                  case replaceItemRe(expr, col) =>
+                    Some(col.toLowerCase -> expr.trim)
+                  case _ => None
+                }.toMap
+                acc.map { case (name, rendered) =>
+                  repls.get(name.toLowerCase) match {
+                    case Some(e) => name -> s"$e AS $name"
+                    case None    => name -> rendered
+                  }
+                }
+            }.map(_._2).mkString(", ")
+            starModifiers(
+              s.substring(0, m.start) + expansion + s.substring(pos),
+              schemaOf)
+        }
+    }
 
   /** `COLUMNS('re')` → expanded matching-column list. */
   private val columnsRe: Regex =
@@ -193,7 +204,10 @@ object DuckRewriter {
       else Regex.quoteReplacement(m.matched)
     })
 
-  /** Splits on top-level commas (ignores commas inside parens/quotes). */
+  /** Splits on top-level commas (ignores commas inside parens/quotes).
+    * Public: the Engine's command parsing reuses it. */
+  def splitTop(s: String): Seq[String] = splitTopLevel(s)
+
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inStr = false; val cur = new StringBuilder

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `SUMMARIZE t` — DuckDB's per-column profile (reference
+  * eval/data/dev.json:191,551) re-expressed as ONE aggregation pass:
+  * every statistic for every column is computed in a single `agg`, so the
+  * input is scanned once regardless of column count (the naive
+  * per-column loop would scan N times — fatal at 100 TB).
+  *
+  * Output matches DuckDB 0.9 SUMMARIZE's column set: column_name,
+  * column_type (DuckDB type names), min, max, approx_unique, avg, std,
+  * q25, q50, q75, count, null_percentage. The per-column pivot happens on
+  * the collected 1-row aggregate — driver-side size is O(columns), never
+  * O(rows). */
+object Summarize {
+
+  /** Spark → DuckDB type-name mapping (shared with DESCRIBE). */
+  def duckTypeName(dt: DataType): String = dt match {
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case _: DecimalType => "DECIMAL"
+    case StringType => "VARCHAR"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    // DuckDB's TIMESTAMP has no zone; both Spark flavors map to it
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case BinaryType => "BLOB"
+    case ArrayType(e, _) => duckTypeName(e) + "[]"
+    case StructType(fields) =>
+      fields.map(f => s"${f.name} ${duckTypeName(f.dataType)}")
+        .mkString("STRUCT(", ", ", ")")
+    case other => other.sql
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  def summarize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.schema.fields
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        min(c).cast("string").as(s"${f.name}__min"),
+        max(c).cast("string").as(s"${f.name}__max"),
+        approx_count_distinct(c).as(s"${f.name}__uniq"),
+        count(c).as(s"${f.name}__cnt"))
+      val numeric =
+        if (isNumeric(f.dataType)) Seq(
+          avg(c.cast("double")).as(s"${f.name}__avg"),
+          stddev_samp(c.cast("double")).as(s"${f.name}__std"),
+          percentile_approx(c.cast("double"), lit(0.25), lit(10000))
+            .as(s"${f.name}__q25"),
+          percentile_approx(c.cast("double"), lit(0.5), lit(10000))
+            .as(s"${f.name}__q50"),
+          percentile_approx(c.cast("double"), lit(0.75), lit(10000))
+            .as(s"${f.name}__q75"))
+        else Seq.empty
+      base ++ numeric
+    } :+ count(lit(1)).as("__total")
+
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def get[T](name: String): Option[T] = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.getAs[T](i))
+    }
+    val total = r.getAs[Long]("__total")
+
+    val rows = cols.map { f =>
+      val cnt = get[Long](s"${f.name}__cnt").getOrElse(0L)
+      val nullPct =
+        if (total == 0) 0.0
+        else BigDecimal((total - cnt) * 100.0 / total)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Row(f.name, duckTypeName(f.dataType),
+        get[String](s"${f.name}__min").orNull,
+        get[String](s"${f.name}__max").orNull,
+        get[Long](s"${f.name}__uniq").getOrElse(0L),
+        if (isNumeric(f.dataType)) get[Double](s"${f.name}__avg").orNull
+        else null,
+        if (isNumeric(f.dataType)) get[Double](s"${f.name}__std").orNull
+        else null,
+        if (isNumeric(f.dataType)) get[Double](s"${f.name}__q25").orNull
+        else null,
+        if (isNumeric(f.dataType)) get[Double](s"${f.name}__q50").orNull
+        else null,
+        if (isNumeric(f.dataType)) get[Double](s"${f.name}__q75").orNull
+        else null,
+        total, nullPct)
+    }
+    val schema = StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("column_type", StringType, nullable = false),
+      StructField("min", StringType),
+      StructField("max", StringType),
+      StructField("approx_unique", LongType, nullable = false),
+      StructField("avg", DoubleType),
+      StructField("std", DoubleType),
+      StructField("q25", DoubleType),
+      StructField("q50", DoubleType),
+      StructField("q75", DoubleType),
+      StructField("count", LongType, nullable = false),
+      StructField("null_percentage", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** `DESCRIBE t` with DuckDB-style output columns. */
+  def describe(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.schema.fields.map { f =>
+      Row(f.name, duckTypeName(f.dataType),
+        if (f.nullable) "YES" else "NO", null, null, null)
+    }
+    val schema = StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("column_type", StringType, nullable = false),
+      StructField("null", StringType, nullable = false),
+      StructField("key", StringType),
+      StructField("default", StringType),
+      StructField("extra", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+}

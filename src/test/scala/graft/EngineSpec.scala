@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+
+/** Engine command-surface tests mirroring the reference benchmark's
+  * DDL/DML/meta flows (eval/data/dev.json lines cited per test). */
+class EngineSpec extends SparkSpecBase {
+
+  private def engine: Engine = new Engine(spark)
+
+  test("CREATE TABLE + INSERT + SELECT (dev.json:231,239)") {
+    val e = engine
+    e.executeDuck(
+      "CREATE TABLE IF NOT EXISTS products (maker varchar(10), model varchar(10), type varchar(10))")
+    e.executeDuck(
+      "INSERT INTO products (maker, model, type) VALUES ('A', '1001', 'pc')")
+    val r = e.executeDuck("SELECT * FROM products").collect()
+    assert(r.length == 1 && r(0).getString(0) == "A")
+  }
+
+  test("INSERT with list literal into VARCHAR[] column (dev.json:447,455)") {
+    val e = engine
+    e.executeDuck("CREATE TABLE cust (customer_id varchar, phone_numbers varchar[])")
+    e.executeDuck(
+      "INSERT INTO cust VALUES ('c1', ['12312323', '23123344'])")
+    val r = e.executeDuck(
+      "SELECT phone_numbers[1] AS p1 FROM cust").collect()
+    assert(r(0).getString(0) == "12312323")
+  }
+
+  test("UPDATE SET col = NULL (dev.json:519)") {
+    val e = engine
+    e.executeDuck("CREATE TABLE t1 (id int, email varchar)")
+    e.executeDuck("INSERT INTO t1 VALUES (1, 'a@x.com')")
+    e.executeDuck("INSERT INTO t1 VALUES (2, 'b@x.com')")
+    e.executeDuck("UPDATE t1 SET email = NULL")
+    val r = e.executeDuck("SELECT email FROM t1").collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
+  test("UPDATE with WHERE touches only matching rows") {
+    val e = engine
+    e.executeDuck("CREATE TABLE t2 (id int, v int)")
+    e.executeDuck("INSERT INTO t2 VALUES (1, 10)")
+    e.executeDuck("INSERT INTO t2 VALUES (2, 20)")
+    e.executeDuck("UPDATE t2 SET v = 0 WHERE id = 1")
+    val r = e.executeDuck("SELECT id, v FROM t2 ORDER BY id").collect()
+    assert(r(0).getInt(1) == 0 && r(1).getInt(1) == 20)
+  }
+
+  test("DELETE with WHERE") {
+    val e = engine
+    e.executeDuck("CREATE TABLE t3 (id int)")
+    e.executeDuck("INSERT INTO t3 VALUES (1)")
+    e.executeDuck("INSERT INTO t3 VALUES (2)")
+    e.executeDuck("DELETE FROM t3 WHERE id = 1")
+    val r = e.executeDuck("SELECT id FROM t3").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("ALTER TABLE ADD COLUMN varchar[] reflects in DESCRIBE (dev.json:455)") {
+    val e = engine
+    e.executeDuck("CREATE TABLE t4 (id int)")
+    e.executeDuck("ALTER TABLE t4 ADD COLUMN phone_numbers VARCHAR[]")
+    val d = e.executeDuck("DESCRIBE t4").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("phone_numbers") == "VARCHAR[]")
+  }
+
+  test("ALTER COLUMN SET DATA TYPE (dev.json:527)") {
+    val e = engine
+    e.executeDuck("CREATE TABLE t5 (id int, email varchar)")
+    e.executeDuck("INSERT INTO t5 VALUES (7, '42')")
+    e.executeDuck("ALTER TABLE t5 ALTER email SET DATA TYPE INTEGER")
+    val d = e.executeDuck("DESCRIBE t5").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("email") == "INTEGER")
+    assert(e.executeDuck("SELECT email FROM t5").collect()(0).getInt(0) == 42)
+  }
+
+  test("CTAS + COPY TO/FROM csv roundtrip (dev.json:327,351)") {
+    val e = engine
+    Queries.prep(spark, sfDir)
+    e.register("customers", spark.table("customer"))
+    val dir = Files.createTempDirectory("graft_copy").toString + "/c.csv"
+    e.executeDuck(s"COPY customers TO '$dir' (FORMAT CSV)")
+    val before = e.table("customers").count()
+    e.executeDuck(s"COPY customers FROM '$dir'")
+    assert(e.table("customers").count() == before * 2)
+  }
+
+  test("column-subset COPY FROM leaves other columns NULL (dev.json:351)") {
+    val e = engine
+    Queries.prep(spark, sfDir)
+    e.register("customers2", spark.table("customer"))
+    val dir = Files.createTempDirectory("graft_copy2").toString + "/c2.csv"
+    e.executeDuck(
+      s"COPY (SELECT c_custkey FROM customers2) TO '$dir' (FORMAT CSV)")
+    val before = e.table("customers2").count()
+    e.executeDuck(s"COPY customers2 (c_custkey) FROM '$dir'")
+    val appended = e.table("customers2")
+    assert(appended.count() == before * 2)
+    assert(appended.where("c_name IS NULL").count() == before)
+  }
+
+  test("COPY TO parquet partitioned (dev.json:343)") {
+    val e = engine
+    Queries.prep(spark, sfDir)
+    e.register("customers3", spark.table("customer"))
+    val dir = Files.createTempDirectory("graft_part").toString
+    e.executeDuck(
+      s"COPY customers3 TO '$dir' (FORMAT PARQUET, PARTITION_BY (c_mktsegment))")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == e.table("customers3").count())
+    assert(back.columns.contains("c_mktsegment"))
+  }
+
+  test("ATTACH directory + PRAGMA database_list (dev.json:599)") {
+    val e = engine
+    val dir = Files.createTempDirectory("graft_attach").toString
+    Queries.prep(spark, sfDir)
+    spark.table("region").write.mode("overwrite")
+      .parquet(s"$dir/region.parquet")
+    e.executeDuck(s"ATTACH '$dir' AS extdb")
+    val dbs = e.executeDuck("PRAGMA database_list").collect()
+      .map(_.getString(1))
+    assert(dbs.contains("extdb"))
+    assert(e.table("extdb.region").count() == 5)
+  }
+
+  test("SET + current_setting roundtrip (dev.json:567,575)") {
+    val e = engine
+    e.executeDuck("SET memory_limit = '20G'")
+    val r = e.executeDuck(
+      "SELECT current_setting('memory_limit') AS m").collect()
+    assert(r(0).getString(0) == "20G")
+  }
+
+  test("PRAGMA show_tables and table_info (dev.json:255,263)") {
+    val e = engine
+    e.executeDuck("CREATE TABLE vis1 (a int, b varchar)")
+    assert(e.executeDuck("PRAGMA show_tables").collect()
+      .map(_.getString(0)).contains("vis1"))
+    val info = e.executeDuck("PRAGMA table_info('vis1')").collect()
+    assert(info.map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((0, "a", "INTEGER"), (1, "b", "VARCHAR")))
+  }
+
+  test("CALL pragma_version() (dev.json:247)") {
+    val e = engine
+    val v = e.executeDuck("CALL pragma_version()").collect()(0).getString(0)
+    assert(v.startsWith("graft-"))
+  }
+
+  test("SUMMARIZE returns the 12-stat profile (dev.json:191,551)") {
+    val e = engine
+    Queries.prep(spark, sfDir)
+    e.register("nation_s", spark.table("nation"))
+    val s = e.executeDuck("SUMMARIZE nation_s")
+    assert(s.columns.toSeq == Seq("column_name", "column_type", "min",
+      "max", "approx_unique", "avg", "std", "q25", "q50", "q75", "count",
+      "null_percentage"))
+    assert(s.count() == 3)
+  }
+
+  test("bare FROM and EXCLUDE flow through the rewriter (dev.json:287,183)") {
+    val e = engine
+    e.executeDuck("CREATE TABLE t6 (a int, b int, c int)")
+    e.executeDuck("INSERT INTO t6 VALUES (1, 2, 3)")
+    val r = e.executeDuck("FROM t6").collect()
+    assert(r(0).toSeq == Seq(1, 2, 3))
+    val ex = e.executeDuck("SELECT * EXCLUDE (b) FROM t6")
+    assert(ex.columns.toSeq == Seq("a", "c"))
+  }
+
+  test("struct literal and field access (dev.json:479,503,511)") {
+    val e = engine
+    val r = e.executeDuck("SELECT {'a': 1, 'b': 2, 'c': 3} AS s").collect()
+    assert(r(0).getStruct(0).toSeq == Seq(1, 2, 3))
+    e.executeDuck("CREATE TABLE t7 (person STRUCT(name VARCHAR, id INTEGER))")
+    e.executeDuck("INSERT INTO t7 VALUES ({'name': 'ada', 'id': 1})")
+    val n = e.executeDuck("SELECT person.name AS n FROM t7").collect()
+    assert(n(0).getString(0) == "ada")
+  }
+}

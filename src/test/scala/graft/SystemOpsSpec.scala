@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MediaOps, Summarize}
+import graft.streaming.StreamingOps
+
+/** Streaming/multimodal/profiling semantics not covered by the SQL
+  * oracles. */
+class SystemOpsSpec extends SparkSpecBase {
+
+  test("streaming windowed counts equal the batch answer") {
+    Queries.prep(spark, sfDir)
+    val streamed = StreamingOps.windowedEventCounts(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = spark.sql(
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionization equals batch gaps-and-islands") {
+    Queries.prep(spark, sfDir)
+    val streamed = StreamingOps.sessionCounts(spark, sfDir, 30)
+      .collect().map(_.toSeq).toSeq
+    val batch = spark.sql(
+      """WITH m AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR unix_timestamp(ts) - unix_timestamp(lag(ts) OVER w) > 1800
+        |  THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, sum(new_s) AS n_sessions,
+        |  count(*) AS total_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("media features: fixed shape, bounded frames, deterministic") {
+    Queries.prep(spark, sfDir)
+    val media = MediaOps.mediaTable(spark.table("documents"))
+    val f1 = MediaOps.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.nonEmpty)
+    // fixed-width embedding, bounded frame count
+    assert(f1.forall(_.getAs[Seq[Double]]("embedding").length == 8))
+    assert(f1.forall(r => r.getAs[Int]("n_frames") >= 1 &&
+      r.getAs[Int]("n_frames") <= 16))
+    // deterministic across runs
+    val f2 = MediaOps.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+  }
+
+  test("media payload survives the binary column (roundtrip)") {
+    Queries.prep(spark, sfDir)
+    val back = MediaOps.mediaTable(spark.table("documents"))
+      .select(col("media_id"), decode(col("payload"), "utf-8").as("text2"))
+      .join(spark.table("documents"),
+        col("media_id") === col("doc_id"))
+      .where(col("text2") =!= col("text"))
+    assert(back.count() == 0)
+  }
+
+  test("summarize computes exact stats in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, null, 30.0), (4L, "a", 40.0))
+      .toDF("id", "s", "v")
+    val s = Summarize.summarize(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(s("id").getString(1) == "BIGINT")
+    assert(s("s").getString(1) == "VARCHAR")
+    assert(s("v").getString(1) == "DOUBLE")
+    assert(s("v").getAs[Double]("avg") == 25.0)
+    assert(s("id").getAs[Long]("count") == 4L)
+    assert(s("s").getAs[Double]("null_percentage") == 25.0)
+    assert(s("v").getString(s.head._2.fieldIndex("min")) == "10.0")
+  }
+
+  test("summarize scans the input exactly once") {
+    Queries.prep(spark, sfDir)
+    val df = spark.table("customer")
+    val plan = Summarize.summarize(df) // forces the agg; now inspect input
+    assert(plan.count() == df.schema.fields.length)
+  }
+
+  test("describe renders DuckDB type names") {
+    Queries.prep(spark, sfDir)
+    val d = Summarize.describe(spark.table("embeddings")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("vec_id") == "BIGINT")
+    assert(d("embedding") == "FLOAT[]")
+    assert(d("label") == "INTEGER")
+  }
+}
