@@ -25,10 +25,31 @@ import graft.operators.Summarize
 class Engine(val spark: SparkSession) {
   GraftFunctions.register(spark)
 
+  /** Base directory for relative file paths in COPY/read_csv_auto/
+    * file-as-table (DuckDB resolves them against its cwd). */
+  var workDir: String = System.getProperty("java.io.tmpdir")
+
+  /** Name of the primary database (DuckDB names it after the db file). */
+  var defaultDbName: String = "memory"
+
+  /** DESCRIBE nullability overrides for tables whose source format can't
+    * carry constraints (parquet fixtures of NOT NULL columns). */
+  val notNullCols: mutable.Map[String, Set[String]] = mutable.Map.empty
+
+  /** Declared type text per (table, column) where Spark's type system
+    * can't carry it (FLOAT[100] fixed-size arrays are metadata-only,
+    * SURVEY.md §1.2) — DESCRIBE renders the declaration. */
+  val declaredTypes: mutable.Map[String, Map[String, String]] =
+    mutable.Map.empty
+
+  private def resolvePath(p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$workDir/$p"
+
   /** table name (lowercase) → current DataFrame */
   private val tables = mutable.LinkedHashMap.empty[String, DataFrame]
   /** attached database alias → table names */
   private val attached = mutable.LinkedHashMap.empty[String, Seq[String]]
+  private var viewSeq = 0
 
   private def norm(name: String): String =
     name.toLowerCase.stripPrefix("\"").stripSuffix("\"")
@@ -67,10 +88,6 @@ class Engine(val spark: SparkSession) {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*""".r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
-  private val CopyTo =
-    """(?is)\s*COPY\s+(\([^)]+\)|[\w.]+)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
-  private val CopyFrom =
-    """(?is)\s*COPY\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val AttachCmd =
     """(?is)\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'(?:\s+AS\s+(\w+))?\s*""".r
   private val SetCmd =
@@ -84,15 +101,161 @@ class Engine(val spark: SparkSession) {
   private val SummarizeCmd = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
   private val DescribeCmd = """(?is)\s*DESCRIBE\s+([\w.]+)\s*""".r
 
+  /** Runs a multi-statement script (';'-separated, quote-aware); returns
+    * the last statement's result. */
+  def executeScript(script: String): DataFrame = {
+    val stmts = splitStatements(script).filter(_.trim.nonEmpty)
+    stmts.foldLeft(empty())((_, s) => executeDuck(s))
+  }
+
+  private def splitStatements(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var inStr = false; val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case ';' if !inStr => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.result().trim.nonEmpty) out += cur.result()
+    out.toSeq
+  }
+
+  // ---- table-producing file functions & literals -------------------------
+  private val readAutoRe =
+    """(?is)read_(csv|json)_auto\s*\(""".r
+  private val fileTableRe =
+    """(?i)FROM\s+'([^']+\.(?:parquet|csv|json))'""".r
+  private val usingSampleRe =
+    ("""(?is)FROM\s+([\w.]+)\s+USING\s+SAMPLE\s+([\d.]+)\s*%""" +
+      """\s*(?:\(\s*(\w+)\s*\))?""").r
+
+  private def nextView(): String = { viewSeq += 1; s"__graft_src_$viewSeq" }
+
+  /** Replaces read_csv_auto/read_json_auto calls, quoted-file tables and
+    * USING SAMPLE clauses with registered temp views so the rest of the
+    * statement is plain SQL. */
+  private def bindFileTables(sql0: String): String = {
+    var sql = sql0
+    // read_xxx_auto(...)
+    var m = readAutoRe.findFirstMatchIn(sql)
+    while (m.isDefined) {
+      val kind = m.get.group(1).toLowerCase
+      val close = balancedEnd(sql, m.get.end)
+      val args = sql.substring(m.get.end, close - 1)
+      val argList = graft.dialect.DuckRewriter.splitTop(args)
+      val path = resolvePath(argList.head.trim.stripPrefix("'").stripSuffix("'"))
+      val columnsOpt = argList.map(_.trim)
+        .find(_.toLowerCase.startsWith("columns"))
+        .map(_.split("=", 2)(1).trim)
+      val df = (kind, columnsOpt) match {
+        case ("csv", None) =>
+          spark.read.option("header", "true").option("inferSchema", "true")
+            .csv(path)
+        case ("csv", Some(colSpec)) =>
+          spark.read.option("header", "true")
+            .schema(parseColumnsSpec(colSpec)).csv(path)
+        case ("json", _) => spark.read.json(path)
+      }
+      val v = nextView()
+      df.createOrReplaceTempView(v)
+      sql = sql.substring(0, m.get.start) + v + sql.substring(close)
+      m = readAutoRe.findFirstMatchIn(sql)
+    }
+    // FROM 'file.parquet'
+    sql = fileTableRe.replaceAllIn(sql, fm => {
+      val path = resolvePath(fm.group(1))
+      val df =
+        if (path.endsWith(".parquet")) spark.read.parquet(path)
+        else if (path.endsWith(".json")) spark.read.json(path)
+        else spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(path)
+      val v = nextView()
+      df.createOrReplaceTempView(v)
+      s"FROM $v"
+    })
+    // USING SAMPLE (reservoir = exact count, seeded; system/bernoulli =
+    // Spark's Bernoulli sample — DuckDB's system sample is approximate too)
+    sql = usingSampleRe.replaceAllIn(sql, sm => {
+      val src = table(sm.group(1))
+      val pct = sm.group(2).toDouble / 100.0
+      val kind = Option(sm.group(3)).map(_.toLowerCase).getOrElse("system")
+      val sampled = kind match {
+        case "reservoir" =>
+          val n = math.ceil(src.count() * pct).toInt
+          src.orderBy(rand(42)).limit(n)
+        case _ => src.sample(pct, 42L)
+      }
+      val v = nextView()
+      sampled.createOrReplaceTempView(v)
+      s"FROM $v"
+    })
+    sql
+  }
+
+  private def balancedEnd(s: String, start: Int): Int = {
+    var depth = 1; var inStr = false; var i = start
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') depth -= 1
+      i += 1
+    }
+    i
+  }
+
+  /** `{'col': 'TYPE', ...}` → StructType (read_csv_auto columns= option). */
+  private def parseColumnsSpec(spec: String): org.apache.spark.sql.types.StructType = {
+    val inner = spec.trim.stripPrefix("{").stripSuffix("}")
+    val fields = graft.dialect.DuckRewriter.splitTop(inner).map { f =>
+      val Array(k, v) = f.split(":", 2)
+      val name = k.trim.stripPrefix("'").stripSuffix("'")
+      val typ = v.trim.stripPrefix("'").stripSuffix("'")
+      org.apache.spark.sql.types.StructField(name,
+        org.apache.spark.sql.types.StructType
+          .fromDDL(s"x ${normalizeType(typ)}").fields(0).dataType)
+    }
+    org.apache.spark.sql.types.StructType(fields)
+  }
+
+  private val ShowDatabases = """(?is)\s*SHOW\s+DATABASES\s*""".r
+
+  /** DuckDB memory-limit strings render as binary units ('20G' →
+    * '18.6 GiB'). */
+  private def normalizeSetting(key: String, value: String): String =
+    key match {
+      case "memory_limit" =>
+        val re = """(?i)([\d.]+)\s*([KMGT])I?B?""".r
+        value.trim match {
+          case re(num, unit) =>
+            val mult = Map("K" -> 1e3, "M" -> 1e6, "G" -> 1e9, "T" -> 1e12)(
+              unit.toUpperCase)
+            val gib = num.toDouble * mult / math.pow(2, 30)
+            f"$gib%.1f GiB"
+          case other => other
+        }
+      case "default_null_order" =>
+        value.trim.toLowerCase.replace(' ', '_')
+      case _ => value
+    }
+
   /** Executes one DuckDB-dialect statement; returns the result (commands
     * return a small status/empty frame, like DuckDB). */
   def executeDuck(sqlText: String): DataFrame = sqlText match {
     case CreateTableAs(name, query) =>
       register(name, executeDuck(query)); empty()
     case CreateTable(name, colDefs) =>
-      val ddl = DuckRewriter.rewrite(colDefs, schemaOf)
+      // column DEFINITIONS are type syntax, not expressions — they skip
+      // the dialect rewriter (FLOAT[100] is a type, not an index)
+      val fixedSize = DuckRewriter.splitTop(colDefs).flatMap { d =>
+        val parts = d.trim.split("\\s+", 2)
+        parts.lift(1).filter(_.matches("(?i)\\w+\\s*\\[\\s*\\d+\\s*\\]"))
+          .map(t => parts(0).toLowerCase -> t.replaceAll("\\s", "")
+            .toUpperCase)
+      }.toMap
+      if (fixedSize.nonEmpty) declaredTypes(norm(name)) = fixedSize
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        normalizeDdl(ddl))
+        normalizeDdl(colDefs))
       register(name, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
       empty()
@@ -149,79 +312,7 @@ class Engine(val spark: SparkSession) {
     case DropTable(name) =>
       tables.remove(norm(name))
       spark.catalog.dropTempView(norm(name)); empty()
-    case CopyTo(src, path, optsOpt) =>
-      val df = if (src.startsWith("("))
-        executeDuck(src.stripPrefix("(").stripSuffix(")"))
-      else table(src)
-      val opts = copyOptions(optsOpt)
-      val fmt = opts.getOrElse("format",
-        if (path.endsWith(".parquet")) "parquet"
-        else if (path.endsWith(".json")) "json" else "csv")
-      val w0 = df.write.mode("overwrite")
-      val w = opts.get("partition_by") match {
-        case Some(cols) => w0.partitionBy(cols.split(",").map(_.trim): _*)
-        case None => w0
-      }
-      fmt match {
-        case "parquet" => w.parquet(path)
-        case "json" => w.json(path)
-        case _ =>
-          // CSV holds scalars only: complex columns serialize as JSON
-          // text (DuckDB's COPY writes its list/struct repr similarly)
-          val flat = df.select(df.schema.fields.map { f =>
-            f.dataType match {
-              case _: org.apache.spark.sql.types.ArrayType |
-                   _: org.apache.spark.sql.types.StructType |
-                   _: org.apache.spark.sql.types.MapType =>
-                to_json(col(f.name)).as(f.name)
-              case _ => col(f.name)
-            }
-          }.toIndexedSeq: _*)
-          flat.write.mode("overwrite").option("header", "true")
-            .option("sep", opts.getOrElse("delimiter", ",")).csv(path)
-      }
-      empty()
-    case CopyFrom(name, colsOpt, path, optsOpt) =>
-      val target = table(name)
-      val opts = copyOptions(optsOpt)
-      val fmt = opts.getOrElse("format",
-        if (path.endsWith(".parquet")) "parquet"
-        else if (path.endsWith(".json")) "json" else "csv")
-      val incomingCols = Option(colsOpt)
-        .map(_.split(",").map(_.trim.toLowerCase).toSeq)
-        .getOrElse(target.columns.map(_.toLowerCase).toSeq)
-      val readSchema = org.apache.spark.sql.types.StructType(
-        target.schema.fields.filter(f =>
-          incomingCols.contains(f.name.toLowerCase)))
-      val in = fmt match {
-        case "parquet" => spark.read.parquet(path)
-        case "json" => spark.read.schema(readSchema).json(path)
-        case _ =>
-          // complex columns travel as JSON text in CSV (see CopyTo)
-          import org.apache.spark.sql.types._
-          val flatSchema = StructType(readSchema.fields.map {
-            case f @ StructField(_, _: ArrayType | _: StructType |
-                _: MapType, _, _) => f.copy(dataType = StringType)
-            case f => f
-          })
-          val raw = spark.read.schema(flatSchema).option("header", "true")
-            .option("sep", opts.getOrElse("delimiter", ",")).csv(path)
-          raw.select(readSchema.fields.map { f =>
-            f.dataType match {
-              case _: ArrayType | _: StructType | _: MapType =>
-                from_json(col(f.name), f.dataType).as(f.name)
-              case _ => col(f.name)
-            }
-          }.toIndexedSeq: _*)
-      }
-      // column-subset COPY: absent columns land as typed NULLs (S10)
-      val aligned = target.schema.fields.map { f =>
-        if (in.columns.map(_.toLowerCase).contains(f.name.toLowerCase))
-          col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }
-      register(name, target.unionByName(in.select(aligned.toIndexedSeq: _*)))
-      empty()
+    case c if """(?is)\A\s*COPY\b.*""".r.matches(c) => parseCopy(c)
     case AttachCmd(path, aliasOpt) =>
       val alias = Option(aliasOpt).getOrElse(
         new java.io.File(path).getName.replaceAll("\\.[^.]*$", ""))
@@ -239,7 +330,7 @@ class Engine(val spark: SparkSession) {
       empty()
     case PragmaShowTables() =>
       import spark.implicits._
-      tables.keys.toSeq.sorted.toDF("name")
+      tables.keys.filterNot(_.contains('.')).toSeq.sorted.toDF("name")
     case PragmaTableInfo(name) =>
       import spark.implicits._
       table(name).schema.fields.zipWithIndex.map { case (f, i) =>
@@ -251,8 +342,11 @@ class Engine(val spark: SparkSession) {
       (Seq("memory") ++ attached.keys.toSeq).zipWithIndex
         .map { case (n, i) => (i.toLong, n, "") }
         .toDF("seq", "name", "file")
+    case ShowDatabases() =>
+      import spark.implicits._
+      (Seq(defaultDbName) ++ attached.keys.toSeq).toDF("database_name")
     case SetCmd(key, value) =>
-      spark.conf.set(s"graft.setting.$key", value)
+      spark.conf.set(s"graft.setting.$key", normalizeSetting(key, value))
       key match { // DuckDB knobs with direct Spark equivalents
         case "threads" =>
           spark.conf.set("spark.sql.shuffle.partitions", value)
@@ -262,9 +356,138 @@ class Engine(val spark: SparkSession) {
     case CallVersion() =>
       spark.sql("SELECT pragma_version() AS `version`")
     case SummarizeCmd(name) => Summarize.summarize(table(name))
-    case DescribeCmd(name) => Summarize.describe(table(name))
+    case DescribeCmd(name) =>
+      Summarize.describe(table(name),
+        notNullCols.getOrElse(norm(name), Set.empty),
+        declaredTypes.getOrElse(norm(name), Map.empty))
     case query =>
-      spark.sql(DuckRewriter.rewrite(query, schemaOf))
+      // db-qualified names (nyc.taxi) resolve through the Engine catalog:
+      // temp views are single-part, so swap in the underscored view name
+      val dotted = tables.keys.filter(_.contains('.'))
+        .foldLeft(query) { (q, key) =>
+          ("""(?i)\b""" + java.util.regex.Pattern.quote(key) + """\b""").r
+            .replaceAllIn(q, key.replace('.', '_'))
+        }
+      spark.sql(DuckRewriter.rewrite(bindFileTables(dotted), schemaOf))
+  }
+
+  // ---- COPY (balanced hand parser: the (query) form nests parens) --------
+  private val copyHeadRe = """(?is)\A\s*COPY\s+""".r
+  private val copyTailRe =
+    """(?is)\A\s*(TO|FROM)\s+'([^']+)'\s*(?:\((.*)\))?\s*\z""".r
+
+  private def parseCopy(stmt: String): DataFrame = {
+    var rest = copyHeadRe.replaceFirstIn(stmt, "")
+    var query: Option[String] = None
+    var name = ""
+    var cols: Option[Seq[String]] = None
+    if (rest.startsWith("(")) {
+      val end = balancedEnd(rest, 1)
+      query = Some(rest.substring(1, end - 1))
+      rest = rest.substring(end)
+    } else {
+      val m = """(?s)\A([\w.]+)\s*""".r.findFirstMatchIn(rest).get
+      name = m.group(1)
+      rest = rest.substring(m.end)
+      if (rest.startsWith("(")) {
+        val end = balancedEnd(rest, 1)
+        cols = Some(DuckRewriter.splitTop(rest.substring(1, end - 1))
+          .map(_.trim))
+        rest = rest.substring(end)
+      }
+    }
+    rest match {
+      case copyTailRe(dir, path, optsOpt) =>
+        val opts = copyOptions(optsOpt)
+        if (dir.equalsIgnoreCase("TO")) {
+          val df0 = query.map(executeDuck).getOrElse(table(name))
+          val df = cols match {
+            case Some(cs) => df0.select(cs.map(col): _*)
+            case None => df0
+          }
+          copyTo(df, resolvePath(path), opts)
+        } else copyFrom(name, cols, resolvePath(path), opts)
+      case other =>
+        throw new IllegalArgumentException(s"COPY: cannot parse '$other'")
+    }
+  }
+
+  private def fmtOf(path: String, opts: Map[String, String]): String =
+    opts.getOrElse("format",
+      if (path.endsWith(".parquet")) "parquet"
+      else if (path.endsWith(".json")) "json" else "csv")
+
+  private def copyTo(df: DataFrame, path: String,
+      opts: Map[String, String]): DataFrame = {
+    val w0 = df.write.mode("overwrite")
+    val w = opts.get("partition_by") match {
+      case Some(cs) => w0.partitionBy(cs.split(",").map(_.trim): _*)
+      case None => w0
+    }
+    fmtOf(path, opts) match {
+      case "parquet" => w.parquet(path)
+      case "json" => w.json(path)
+      case _ =>
+        // CSV holds scalars only: complex columns serialize as JSON text
+        // (DuckDB's COPY writes its list/struct repr similarly)
+        import org.apache.spark.sql.types._
+        val flat = df.select(df.schema.fields.map { f =>
+          f.dataType match {
+            case _: ArrayType | _: StructType | _: MapType =>
+              to_json(col(f.name)).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+        flat.write.mode("overwrite").option("header", "true")
+          .option("sep", opts.getOrElse("delimiter", ",")).csv(path)
+    }
+    empty()
+  }
+
+  private def copyFrom(name: String, colsOpt: Option[Seq[String]],
+      path: String, opts: Map[String, String]): DataFrame = {
+    val target = table(name)
+    val incomingCols = colsOpt.map(_.map(_.toLowerCase))
+      .getOrElse(target.columns.map(_.toLowerCase).toSeq)
+    val readSchema = org.apache.spark.sql.types.StructType(
+      target.schema.fields.filter(f =>
+        incomingCols.contains(f.name.toLowerCase)))
+    val in = fmtOf(path, opts) match {
+      case "parquet" =>
+        // hive-partition glob (dir/city=X/*.parquet): recover the
+        // partition column from the directory name via basePath
+        val partIdx = path.split('/').indexWhere(_.matches("[^=]+=[^=]*"))
+        if (partIdx > 0) {
+          val base = path.split('/').take(partIdx).mkString("/")
+          spark.read.option("basePath", base).parquet(path)
+        } else spark.read.parquet(path)
+      case "json" => spark.read.schema(readSchema).json(path)
+      case _ =>
+        // complex columns travel as JSON text in CSV (see copyTo)
+        import org.apache.spark.sql.types._
+        val flatSchema = StructType(readSchema.fields.map {
+          case f @ StructField(_, _: ArrayType | _: StructType |
+              _: MapType, _, _) => f.copy(dataType = StringType)
+          case f => f
+        })
+        val raw = spark.read.schema(flatSchema).option("header", "true")
+          .option("sep", opts.getOrElse("delimiter", ",")).csv(path)
+        raw.select(readSchema.fields.map { f =>
+          f.dataType match {
+            case _: ArrayType | _: StructType | _: MapType =>
+              from_json(col(f.name), f.dataType).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+    }
+    // column-subset COPY: absent columns land as typed NULLs (S10)
+    val aligned = target.schema.fields.map { f =>
+      if (in.columns.map(_.toLowerCase).contains(f.name.toLowerCase))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    register(name, target.unionByName(in.select(aligned.toIndexedSeq: _*)))
+    empty()
   }
 
   private def copyOptions(optsOpt: String): Map[String, String] =

@@ -40,13 +40,104 @@ object DuckRewriter {
     s = bareFrom(s)
     s = inFrom(s)
     s = starModifiers(s, schemaOf)
+    s = funcColumns(s, schemaOf)
     s = columnsRegex(s, schemaOf)
     s = jsonArrows(s)
-    s = brackets(s)
-    s = arrayLiterals(s)
+    s = duckDatediffCall(s)
+    // bracket/list/cast rewrites must not fire inside string literals
+    // (regex char classes like '[a-z]' are NOT list literals) — mask
+    // literals, rewrite, restore
+    val (masked, lits) = maskLiterals(s)
+    var m = masked
+    m = brackets(m)
+    m = arrayLiterals(m)
+    m = roundingIntCast(m)
+    s = unmaskLiterals(m, lits)
     s = structLiterals(s)
     s = quotedAlias(s)
+    s = lateralAliases(s, schemaOf)
     s
+  }
+
+  private def maskLiterals(s: String): (String, Seq[String]) = {
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val j = s.indexOf('\'', i + 1)
+        val end = if (j < 0) s.length - 1 else j
+        lits += s.substring(i, end + 1)
+        out ++= s"§L${lits.length - 1}§"
+        i = end + 1
+      } else { out += s.charAt(i); i += 1 }
+    }
+    (out.result(), lits.toSeq)
+  }
+
+  private def unmaskLiterals(s: String, lits: Seq[String]): String =
+    """§L(\d+)§""".r.replaceAllIn(s, m =>
+      Regex.quoteReplacement(lits(m.group(1).toInt)))
+
+  /** DuckDB `datediff('unit', a, b)` counts boundary crossings — route to
+    * the custom expression (Spark's datediff has different semantics and
+    * takes an unquoted unit). */
+  private val datediffRe: Regex = """(?i)\bdate_?diff\s*\(\s*'""".r
+  private def duckDatediffCall(s: String): String =
+    datediffRe.replaceAllIn(s, "duck_datediff('")
+
+  /** DuckDB double→int casts round (nearbyint); Spark truncates. */
+  private val intCastRe: Regex =
+    ("""([A-Za-z_][\w.]*(?:\([^()]*\))?)\s*::\s*""" +
+      """(INTEGER|INT|BIGINT|SMALLINT|TINYINT)\b""").r
+  private def roundingIntCast(s: String): String =
+    intCastRe.replaceAllIn(s, m => Regex.quoteReplacement(
+      s"CAST(round(${m.group(1)}) AS ${m.group(2)})"))
+
+  /** P6: `f(COLUMNS('re'))` applies f to every matching column. */
+  private val funcColumnsRe: Regex =
+    """(?is)(\w+)\s*\(\s*COLUMNS\s*\(\s*'([^']*)'\s*\)\s*\)""".r
+  private def funcColumns(s: String, schemaOf: String => Option[Seq[String]])
+      : String =
+    funcColumnsRe.replaceAllIn(s, m => {
+      val f = m.group(1)
+      val re = m.group(2).r
+      lookupCols(s, schemaOf) match {
+        case Some(cols) =>
+          val hit = cols.filter(c => re.findFirstIn(c).isDefined)
+          Regex.quoteReplacement(hit.map(c => s"$f($c)").mkString(", "))
+        case None => Regex.quoteReplacement(m.matched)
+      }
+    })
+
+  /** P12: a SELECT-list alias referenced in WHERE (DuckDB lateral alias)
+    * is inlined — Spark resolves lateral aliases in SELECT, not WHERE.
+    * Conservative: only function/bracket expressions aliased to a name
+    * that is not a real column of the FROM table. */
+  private val selectFromRe: Regex =
+    """(?is)\ASELECT\s+(.*?)\s+FROM\s+([A-Za-z_][\w.]*)\s+WHERE\s+(.+)\z""".r
+  private val aliasItemRe: Regex =
+    """(?is)(.+?[)\]])\s+(?:AS\s+)?([A-Za-z_]\w*)\z""".r
+  private def lateralAliases(s: String,
+      schemaOf: String => Option[Seq[String]]): String = s match {
+    case selectFromRe(sel, tbl, where) =>
+      val realCols = schemaOf(tbl).getOrElse(Seq.empty)
+        .map(_.toLowerCase).toSet
+      var newWhere = where
+      splitTopLevel(sel).foreach { item =>
+        item.trim match {
+          case aliasItemRe(expr, alias)
+              if !realCols(alias.toLowerCase) &&
+                expr.exists(c => c == '(' || c == '[') =>
+            newWhere = ("""(?i)\b""" + Regex.quote(alias) + """\b""").r
+              .replaceAllIn(newWhere,
+                Regex.quoteReplacement(s"($expr)"))
+          case _ =>
+        }
+      }
+      if (newWhere == where) s
+      else s"SELECT $sel FROM $tbl WHERE $newWhere"
+    case _ => s
   }
 
   /** `FROM t ...` with no SELECT → `SELECT * FROM t ...` */

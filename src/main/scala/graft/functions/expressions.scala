@@ -77,9 +77,17 @@ case class DuckDateDiff(unit: Expression, start: Expression, end: Expression)
       "duck_datediff: unit must be a string literal")
   }
 
+  /** TIMESTAMP_NTZ inputs (parquet micros without zone) are cast to
+    * session-zone timestamps first — value-preserving under the UTC
+    * session default, and required because TruncTimestamp only resolves
+    * for TimestampType. */
+  private def asTs(e: Expression): Expression = e.dataType match {
+    case TimestampType => e
+    case _ => Cast(e, TimestampType)
+  }
   private def secs(e: Expression): Expression = Cast(e, LongType)
   private def trunc(u: String, e: Expression): Expression =
-    TruncTimestamp(Literal(UTF8String.fromString(u), StringType), e)
+    TruncTimestamp(Literal(UTF8String.fromString(u), StringType), asTs(e))
   private def perUnit(u: String, d: Long): Expression =
     IntegralDivide(
       Subtract(secs(trunc(u, end)), secs(trunc(u, start))), Literal(d))

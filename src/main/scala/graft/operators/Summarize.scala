@@ -34,10 +34,19 @@ object Summarize {
     case BinaryType => "BLOB"
     case ArrayType(e, _) => duckTypeName(e) + "[]"
     case StructType(fields) =>
-      fields.map(f => s"${f.name} ${duckTypeName(f.dataType)}")
+      fields.map(f =>
+          s"${quoteIfKeyword(f.name)} ${duckTypeName(f.dataType)}")
         .mkString("STRUCT(", ", ", ")")
     case other => other.sql
   }
+
+  /** DuckDB double-quotes keyword-colliding identifiers when rendering
+    * nested type names. */
+  private val duckKeywordish = Set("name", "type", "order", "group",
+    "user", "table", "select", "values", "key", "default", "end", "start",
+    "text", "value")
+  private def quoteIfKeyword(name: String): String =
+    if (duckKeywordish(name.toLowerCase)) s""""$name"""" else name
 
   private def isNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType => true
@@ -114,12 +123,16 @@ object Summarize {
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
-  /** `DESCRIBE t` with DuckDB-style output columns. */
-  def describe(df: DataFrame): DataFrame = {
+  /** `DESCRIBE t` with DuckDB-style output columns. `notNull` overrides
+    * nullability for formats that can't carry constraints. */
+  def describe(df: DataFrame, notNull: Set[String] = Set.empty,
+      declared: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     val rows = df.schema.fields.map { f =>
-      Row(f.name, duckTypeName(f.dataType),
-        if (f.nullable) "YES" else "NO", null, null, null)
+      val nullable = f.nullable && !notNull(f.name.toLowerCase)
+      Row(f.name,
+        declared.getOrElse(f.name.toLowerCase, duckTypeName(f.dataType)),
+        if (nullable) "YES" else "NO", null, null, null)
     }
     val schema = StructType(Seq(
       StructField("column_name", StringType, nullable = false),

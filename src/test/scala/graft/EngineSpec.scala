@@ -133,7 +133,8 @@ class EngineSpec extends SparkSpecBase {
     e.executeDuck("SET memory_limit = '20G'")
     val r = e.executeDuck(
       "SELECT current_setting('memory_limit') AS m").collect()
-    assert(r(0).getString(0) == "20G")
+    // DuckDB 0.9.2 normalizes memory_limit to GiB ('20G' → '18.6 GiB')
+    assert(r(0).getString(0) == "18.6 GiB")
   }
 
   test("PRAGMA show_tables and table_info (dev.json:255,263)") {

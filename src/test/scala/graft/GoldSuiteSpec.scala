@@ -1,0 +1,17 @@
+package graft
+
+/** Reference-parity gate: all 75 benchmark entries (setup → query →
+  * validation) must match the DuckDB oracle dump. Skips cleanly when the
+  * read-only reference checkout is not present. */
+class GoldSuiteSpec extends SparkSpecBase {
+  test("all 75 reference gold queries match the DuckDB oracle") {
+    assume(new java.io.File("/root/reference/eval/data/dev.json").exists(),
+      "reference checkout not present")
+    assume(new java.io.File("/root/repo/fixtures/gold_expected.json")
+      .exists(), "oracle dump not generated (tools/gold_oracle.py)")
+    val results = GoldSuite.run(spark)
+    val failed = results.filterNot(_.ok)
+    assert(failed.isEmpty, failed.map(r =>
+      s"${r.idx} [${r.mode}] ${r.detail}").mkString("\n"))
+  }
+}
