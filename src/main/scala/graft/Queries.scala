@@ -101,11 +101,16 @@ object CoreQueries {
 
     // A4/A5/O1 — the TPC-H Q1 shape: partial aggregation (map-side combine)
     // before the single shuffle on the tiny (flag,status) key space.
+    // Money sums go through DECIMAL so the result is independent of
+    // partitioning/add order (double sums are not associative; at cluster
+    // scale the add order is never deterministic).
     "q06_tpch_q1" -> same(
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
@@ -116,7 +121,7 @@ object CoreQueries {
     // A3/A7 — HAVING over grouped aggregate
     "q07_group_having" -> same(
       """SELECT o_custkey, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey
         |HAVING count(*) > 5 ORDER BY o_custkey""".stripMargin),
 
@@ -124,11 +129,14 @@ object CoreQueries {
     // table at any scale; only the final tiny agg shuffles.
     "q08_join_agg" -> sql(
       """SELECT /*+ BROADCAST(customer) */ c_mktsegment,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       headline = true),
@@ -136,12 +144,15 @@ object CoreQueries {
     // J2/J5 — 3-way chain join, both dims broadcast
     "q09_join3_chain" -> sql(
       """SELECT /*+ BROADCAST(customer, nation) */ n_name,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
       """SELECT n_name, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -271,7 +282,8 @@ object CoreQueries {
     // DATE, Spark's yields TIMESTAMP — normalize both sides)
     "q24_date_trunc" -> same(
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // F10 — DuckDB boundary-crossing datediff vs our custom expression

@@ -25,7 +25,8 @@ object SystemQueries {
     "q51_stream_window_counts" -> api(
       (spark, sfDir) => StreamingOps.windowedEventCounts(spark, sfDir),
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       headline = true),
 

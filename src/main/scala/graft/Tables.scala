@@ -38,10 +38,38 @@ object Tables {
     else df
   }
 
-  /** Registers every table as a temp view in the session, so queries can be
-    * written in plain SQL. Idempotent. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  /** Tables whose single-file testdata arrives as ONE parquet row group —
+    * an unsplittable scan, so every downstream op starts single-threaded.
+    * These get repartitioned to the session's parallelism and cached (the
+    * buffer-pool role). On a real multi-file corpus the scan already
+    * yields enough splits and this is skipped (partitions >= parallelism). */
+  private val hot: Set[String] =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  private val registeredFor =
+    java.util.Collections.synchronizedSet(
+      new java.util.HashSet[(Int, String)]())
+
+  /** Registers every table as a temp view in the session, so queries can
+    * be written in plain SQL. Idempotent and memoized per (session, dir):
+    * repeat calls skip the 10 parquet footer reads, and hot tables stay
+    * cached across queries. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val key = (System.identityHashCode(spark), sfDir)
+    // memo alone isn't enough: other components (GoldSuite) may drop the
+    // session's temp views between calls — re-register unless all views
+    // are actually present (cheap driver-side catalog lookups)
+    if (registeredFor.contains(key) &&
+      names.forall(spark.catalog.tableExists)) return
+    registeredFor.add(key)
+    val par = spark.sparkContext.defaultParallelism
     names.foreach { n =>
-      load(spark, sfDir, n).createOrReplaceTempView(n)
+      val df0 = load(spark, sfDir, n)
+      val df =
+        if (hot(n) && df0.rdd.getNumPartitions < par)
+          df0.repartition(par).cache()
+        else df0
+      df.createOrReplaceTempView(n)
     }
+  }
 }

@@ -27,7 +27,12 @@ object GraftFunctions {
     ("pragma_version", 0, _ => PragmaVersion()),
     ("simhash64", 1, args => SimHash64Expr(args(0))),
     ("minhash_sig", 2, args => MinHashSigExpr(args(0), args(1))),
-    ("rp_sketch", 3, args => RpSketchExpr(args(0), args(1), args(2)))
+    ("rp_sketch", 3, args => RpSketchExpr(args(0), args(1), args(2))),
+    ("vec_cosine", 2, args => VecCosineExpr(args(0), args(1))),
+    ("vec_dot", 2, args => VecDotExpr(args(0), args(1))),
+    ("vec_norm", 1, args => VecNormExpr(args(0))),
+    ("word_shingles", 2, args => WordShinglesExpr(args(0), args(1))),
+    ("lsh_band_hashes", 3, args => LshBandsExpr(args(0), args(1), args(2)))
   )
 
   import org.apache.spark.sql.Column
@@ -42,6 +47,15 @@ object GraftFunctions {
     toCol(RpSketchExpr(toExpr(vec), toExpr(bits), toExpr(seed)))
   def duckDatediff(unit: Column, start: Column, end: Column): Column =
     toCol(DuckDateDiff(toExpr(unit), toExpr(start), toExpr(end)))
+  def vecCosine(a: Column, b: Column): Column =
+    toCol(VecCosineExpr(toExpr(a), toExpr(b)))
+  def vecDot(a: Column, b: Column): Column =
+    toCol(VecDotExpr(toExpr(a), toExpr(b)))
+  def vecNorm(a: Column): Column = toCol(VecNormExpr(toExpr(a)))
+  def wordShingles(text: Column, n: Column): Column =
+    toCol(WordShinglesExpr(toExpr(text), toExpr(n)))
+  def lshBandHashes(sig: Column, b: Column, r: Column): Column =
+    toCol(LshBandsExpr(toExpr(sig), toExpr(b), toExpr(r)))
 
   def register(spark: SparkSession): Unit = {
     val registry =

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Vector and text kernels invoked from codegen via `StaticInvoke` — one
+  * fused pass per row where the equivalent higher-order-function algebra
+  * (`zip_with` + `aggregate` lambdas) is interpreted per element and
+  * allocates an intermediate array per call.
+  *
+  * Numerics are bit-identical to the sequential-fold SQL formulation the
+  * oracles use: double accumulation in array order, norms via sqrt of the
+  * same fold — so swapping these in changes nothing the comparator sees.
+  */
+object GraftVector {
+
+  /** Dot product of two float vectors (double accumulation, array order). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Cosine similarity: dot(a,b) / (|a| * |b|), all three folds in one
+    * pass over the pair. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      sab += x * y; saa += x * x; sbb += y * y
+      i += 1
+    }
+    sab / (math.sqrt(saa) * math.sqrt(sbb))
+  }
+
+  /** LSH band hashes of a minhash signature: xxHash64 of each of the b
+    * r-long bands, one pass (the `transform(sequence, xxhash64(slice))`
+    * formulation re-slices the signature per band, interpreted). */
+  def lshBandHashes(sig: ArrayData, b: Int, r: Int): ArrayData = {
+    val out = new Array[Long](b)
+    val buf = new Array[Byte](r * 8)
+    var j = 0
+    while (j < b) {
+      var i = 0
+      while (i < r) {
+        val v = sig.getLong(j * r + i)
+        var byte = 0
+        while (byte < 8) {
+          buf(i * 8 + byte) = ((v >>> (byte * 8)) & 0xFF).toByte
+          byte += 1
+        }
+        i += 1
+      }
+      out(j) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          buf.length, 42L)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val ws = "\\s+".r.pattern
+
+  /** Distinct word n-gram shingles in one pass: trim → whitespace split →
+    * join each n-window with spaces → distinct preserving first occurrence.
+    * Tail windows clamp (shorter than n); minimum one shingle — identical
+    * to the `transform(sequence(...), slice ...)` SQL formulation (and the
+    * DuckDB list-lambda oracle) including the empty-string token a blank
+    * document yields. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = ws.split(text.toString.trim, -1)
+    val last = math.max(toks.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String](last * 2)
+    var i = 0
+    while (i < last) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -194,6 +194,100 @@ case class RpSketchExpr(child: Expression, bits: Expression,
     copy(newChildren(0), newChildren(1), newChildren(2))
 }
 
+/** Fused cosine similarity of two float vectors
+  * ([[GraftVector.cosine]]): dot and both norms in a single codegen'd
+  * pass per pair — the `zip_with`+`aggregate` lambda formulation is
+  * interpreted (CodegenFallback) and ~20× slower on a kNN hot path. */
+case class VecCosineExpr(left: Expression, right: Expression)
+    extends Expression with RuntimeReplaceable {
+  private def asVec(e: Expression): Expression =
+    if (e.dataType == ArrayType(FloatType)) e
+    else Cast(e, ArrayType(FloatType))
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftVector.getClass, DoubleType, "cosine",
+      Seq(asVec(left), asVec(right)),
+      inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType)),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(left, right)
+  override def prettyName: String = "vec_cosine"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
+/** Fused dot product ([[GraftVector.dot]]); double accumulation in array
+  * order — numerically identical to the sequential SQL fold. */
+case class VecDotExpr(left: Expression, right: Expression)
+    extends Expression with RuntimeReplaceable {
+  private def asVec(e: Expression): Expression =
+    if (e.dataType == ArrayType(FloatType)) e
+    else Cast(e, ArrayType(FloatType))
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftVector.getClass, DoubleType, "dot",
+      Seq(asVec(left), asVec(right)),
+      inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType)),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(left, right)
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
+/** Fused L2 norm ([[GraftVector.norm]]). */
+case class VecNormExpr(child: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val in = if (child.dataType == ArrayType(FloatType)) child
+             else Cast(child, ArrayType(FloatType))
+    objects.StaticInvoke(GraftVector.getClass, DoubleType, "norm",
+      Seq(in), inputTypes = Seq(ArrayType(FloatType)),
+      returnNullable = false)
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "vec_norm"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** Distinct word n-gram shingles in one fused pass
+  * ([[GraftVector.wordShingles]]) — replaces the interpreted
+  * `transform(sequence, slice, concat_ws)` + `array_distinct` chain that
+  * dominates dedup pipelines (it re-slices the token array per shingle
+  * position). `n` must be foldable. */
+case class WordShinglesExpr(text: Expression, n: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftVector.getClass,
+      ArrayType(StringType, containsNull = false), "wordShingles",
+      Seq(Cast(text, StringType), Cast(n, IntegerType)),
+      inputTypes = Seq(StringType, IntegerType),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(text, n)
+  override def prettyName: String = "word_shingles"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
+/** Fused LSH band hashes ([[GraftVector.lshBandHashes]]): all b band
+  * hashes of a minhash signature in one pass. `b`/`r` must be foldable. */
+case class LshBandsExpr(sig: Expression, b: Expression, r: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftVector.getClass,
+      ArrayType(LongType, containsNull = false), "lshBandHashes",
+      Seq(sig, Cast(b, IntegerType), Cast(r, IntegerType)),
+      inputTypes = Seq(ArrayType(LongType), IntegerType, IntegerType),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(sig, b, r)
+  override def prettyName: String = "lsh_band_hashes"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2))
+}
+
 /** DuckDB `current_setting(name)` (reference dev.json:567/575 validation).
   * Folds to a constant from the session SQLConf at plan time — settings are
   * session-scoped, matching DuckDB. `SET x = v` is mapped by the Engine to

@@ -33,15 +33,16 @@ import graft.functions.GraftFunctions
   */
 object EmbeddingOps {
 
-  /** Dot product of two array<float|double> columns (double fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<float> columns — fused codegen'd kernel
+    * ([[graft.functions.GraftVector.dot]]); double accumulation in array
+    * order, identical numerics to the `zip_with`+`aggregate` fold (which
+    * is interpreted and ~20× slower on the kNN hot path). */
+  def dot(a: Column, b: Column): Column = GraftFunctions.vecDot(a, b)
 
-  def l2norm(a: Column): Column = sqrt(dot(a, a))
+  def l2norm(a: Column): Column = GraftFunctions.vecNorm(a)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity — dot and both norms in ONE pass per pair. */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.vecCosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * Queries must be small enough to broadcast (they are, by construction:

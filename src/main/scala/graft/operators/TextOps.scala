@@ -32,13 +32,13 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles ("w1 w2 w3"). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** Distinct word n-gram shingles ("w1 w2 w3") — fused single-pass
+    * kernel ([[graft.functions.GraftVector.wordShingles]]); same output
+    * as the `transform(sequence, slice, concat_ws)` + `array_distinct`
+    * chain, which is interpreted and re-slices the token array per
+    * shingle position. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.wordShingles(text, lit(n))
 
   /** Distinct character k-gram shingles. */
   def charShingles(text: Column, k: Int): Column =
@@ -62,11 +62,10 @@ object TextOps {
   }
 
   /** LSH banding: b bands of r rows each (b*r = signature length); a pair
-    * agreeing on any whole band becomes a candidate. */
+    * agreeing on any whole band becomes a candidate. Fused kernel: all b
+    * band hashes in one pass over the signature. */
   def lshBands(sig: Column, b: Int, r: Int): Column =
-    transform(sequence(lit(0), lit(b - 1)),
-      j => struct(j.as("band"),
-        xxhash64(slice(sig, j * lit(r) + lit(1), lit(r))).as("bh")))
+    graft.functions.GraftFunctions.lshBandHashes(sig, lit(b), lit(r))
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -96,21 +95,20 @@ object TextOps {
       wordShingles(col(textCol), shingleN).as("sh"))
 
     val banded = shingled
-      .select(col("id"), explode(lshBands(
-        minhashSignature(col("sh"), k), b, r)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bh"))
+      .select(col("id"), posexplode(lshBands(
+        minhashSignature(col("sh"), k), b, r)).as(Seq("band", "bh")))
 
-    // skew guard: cap bucket size before the quadratic pairing
-    val bucketed = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .where(col("bsz") <= maxBucket)
-
-    val candidates = bucketed.as("x")
-      .join(bucketed.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // one shuffle to the buckets; pairs expand from the grouped id list
+    // (no self-join). Skew guard: buckets over maxBucket are dropped
+    // before the quadratic expansion — the collect_list buffer itself
+    // stays bounded (ids are longs; even a 100k-doc boilerplate bucket
+    // is <1 MB before the filter drops it).
+    val candidates = banded.groupBy("band", "bh")
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
       .distinct()
 
     candidates

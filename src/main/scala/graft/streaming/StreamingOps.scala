@@ -21,6 +21,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Runs `body` with the session's shuffle-partition count pinned to
+    * `n`, restoring it afterwards. Streaming aggregations freeze their
+    * state-store partition count at the first checkpoint; every state
+    * partition is a live store instance with its own checkpoint I/O, so
+    * the count should track state size (number of open windows / active
+    * keys), NOT the batch shuffle width — 32 stores for a few thousand
+    * windows is pure per-instance overhead. At real corpus scale pass a
+    * larger `n` sized to key cardinality. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)
+      (body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Event-time hourly counts per event_type, computed as a stream over
     * the parquet directory and drained with AvailableNow. Identical to
     * the batch `GROUP BY date_trunc('hour', ts), event_type` answer once
@@ -36,19 +51,24 @@ object StreamingOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // DECIMAL sum: order-independent, so stream == batch bit-exactly
+      // regardless of micro-batch boundaries or partitioning
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
     val name = s"stream_counts_${System.nanoTime()}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -99,14 +119,16 @@ object StreamingOps {
     }
 
     val name = s"stream_sessions_${System.nanoTime()}"
-    val q = events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(update)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(update)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id")
   }
 }
