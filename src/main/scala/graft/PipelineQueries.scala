@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EmbeddingOps, TextOps}
+import graft.operators.{EmbeddingOps, RetrievalOps, TextOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) as driver-contract entries — the north-star extension of the
@@ -206,6 +206,101 @@ object PipelineQueries {
         .orderBy("doc_id"),
       """SELECT doc_id, md5(regexp_replace(regexp_replace(lower(text),
         |  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Retrieval chunking (the reference's split_documents: 500-char
+    // windows, 50 overlap, min one chunk per doc) — map-only, value-
+    // checked via chunk boundaries + lengths.
+    "q60_chunk_docs" -> api((spark, _) =>
+      RetrievalOps.chunkDocuments(spark.table("documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx"),
+      """SELECT doc_id, u.i AS chunk_idx,
+        |  length(substring(text, u.i*450 + 1, 500)) AS chunk_len
+        |FROM documents, unnest(range(0, greatest(
+        |    CAST(ceil((length(text) - 50) / 450.0) AS BIGINT), 1))) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // The reference's full retrieval dataflow (doc_retriever.py:28-94):
+    // chunk → embed (deterministic stub) → dot-product top-3 per query.
+    // Integer-valued stub vectors make the ranking exact on both engines,
+    // so the whole distributed pipeline is value-checked end-to-end.
+    "q61_doc_retrieval" -> api((spark, _) => {
+      val chunks = RetrievalOps.chunkDocuments(
+        spark.table("documents"), "doc_id", "text")
+      val emb = chunks.select(col("doc_id"), col("chunk_idx"),
+        RetrievalOps.stubEmbed(col("chunk")).as("emb"))
+      val queries = emb.where(col("chunk_idx") === 0 && col("doc_id") < 3)
+        .select(col("doc_id").as("qdoc"), col("chunk_idx").as("qidx"),
+          col("emb"))
+      RetrievalOps.retrieveTopN(emb, Seq("doc_id", "chunk_idx"),
+          queries, Seq("qdoc", "qidx"), "emb", 3)
+        .select(col("qdoc"), col("doc_id"), col("chunk_idx"),
+          col("score"), col("rn"))
+        .orderBy("qdoc", "rn")
+    },
+      """WITH c AS (
+        |  SELECT doc_id, u.i AS chunk_idx,
+        |    substring(text, u.i*450 + 1, 500) AS chunk
+        |  FROM documents, unnest(range(0, greatest(
+        |     CAST(ceil((length(text) - 50) / 450.0) AS BIGINT), 1))) AS u(i)
+        |), e AS (
+        |  SELECT doc_id, chunk_idx, list_transform(range(0,16), i ->
+        |    CAST((ascii(substring(chunk, i*7 + 1, 1)) * (i+1)) % 97
+        |      AS DOUBLE)) AS emb
+        |  FROM c
+        |), q AS (
+        |  SELECT doc_id AS qdoc, 0 AS qidx, emb AS qemb FROM e
+        |  WHERE chunk_idx = 0 AND doc_id < 3
+        |), s AS (
+        |  SELECT q.qdoc, e.doc_id, e.chunk_idx,
+        |    (SELECT sum(x*y) FROM
+        |      (SELECT unnest(e.emb) AS x, unnest(q.qemb) AS y) z) AS score
+        |  FROM e, q WHERE NOT (e.doc_id = q.qdoc AND e.chunk_idx = q.qidx)
+        |), r AS (
+        |  SELECT qdoc, doc_id, chunk_idx, score,
+        |    row_number() OVER (PARTITION BY qdoc
+        |      ORDER BY score DESC, doc_id, chunk_idx) AS rn
+        |  FROM s)
+        |SELECT qdoc, doc_id, chunk_idx, score, rn FROM r WHERE rn <= 3
+        |ORDER BY qdoc, rn""".stripMargin),
+
+    // Edit distance (harness metric H10, eval/metric_utils.py:23-40) —
+    // Spark's levenshtein is already a codegen'd Catalyst expression.
+    "q62_edit_distance" -> same(
+      """SELECT a.doc_id,
+        |  CAST(levenshtein(substring(a.text, 1, 80),
+        |    substring(b.text, 1, 80)) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin),
+
+    // Embedding-cosine similar pairs above a threshold (the exact variant
+    // of cosine dedup; the LSH route is q46). Fused cosine kernel over
+    // the pairs; threshold 0.3 ≈ the 99th percentile of this corpus.
+    "q65_dedup_embed" -> api((spark, _) => {
+      val e = spark.table("embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(EmbeddingOps.cosine(col("va"), col("vb")), 6).as("cos"))
+        .where(col("cos") >= 0.3)
+        .orderBy("id_a", "id_b")
+    },
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(embedding) AS x) z))
+        |      AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round((SELECT sum(x*y) FROM
+        |      (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)
+        |      z) / (a.nrm * b.nrm), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round((SELECT sum(x*y) FROM
+        |    (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)
+        |    z) / (a.nrm * b.nrm), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin)
   )
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** The reference's document-retrieval dataflow (eval/doc_retriever.py:28-94)
+  * as distributed operators: fixed-size overlapped chunking
+  * (split_documents :39-57, 500 chars / 50 overlap), embedding
+  * (embed_documents :65-75 — an external API call there; STUBBED here as a
+  * deterministic text-derived vector, clearly fake), and dot-product top-n
+  * ranking (query_docs :78-94).
+  *
+  * Scale design (100 TB): chunking and embedding are map-only (pipeline
+  * with the scan, zero shuffle); ranking broadcasts the query batch and
+  * streams the corpus once, ranked per-query with a window over the
+  * candidate slice — the corpus never shuffles. For corpus×corpus loads
+  * use [[EmbeddingOps.annLsh]] instead.
+  */
+object RetrievalOps {
+
+  /** Splits text into `size`-char chunks starting every `size - overlap`
+    * chars (the reference's recursive splitter bottoms out at exactly this
+    * sliding window). Every doc yields at least one chunk. Output:
+    * (idCol, chunk_idx, chunk). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      size: Int = 500, overlap: Int = 50): DataFrame = {
+    val step = size - overlap
+    val text = col(textCol)
+    val nChunks = greatest(
+      ceil((length(text) - overlap) / lit(step.toDouble)).cast("bigint"),
+      lit(1L))
+    docs.select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => text.substr((i * step + 1).cast("int"), lit(size))))
+          .as(Seq("chunk_idx", "chunk")))
+  }
+
+  /** STUB embedding — deterministic fake (the real embed_documents calls
+    * an external model API; none ships in this environment). Vector of
+    * `dim` doubles derived from characters at strided positions; integer-
+    * valued and engine-portable, so retrieval math stays oracle-checkable
+    * end-to-end. Swap for a real encoder via mapInPandas/model serving in
+    * production. */
+  def stubEmbed(chunk: Column, dim: Int = 16): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => ((ascii(chunk.substr(i * 7 + 1, lit(1))) * (i + 1)) % 97)
+        .cast("double"))
+
+  /** Dot-product top-n: ranks corpus rows against each broadcast query
+    * vector (the reference's query_docs). `corpus`/`queries` carry key
+    * columns + an embedding column; ties break on the key columns. */
+  def retrieveTopN(corpus: DataFrame, corpusKeys: Seq[String],
+      queries: DataFrame, queryKeys: Seq[String],
+      embCol: String, n: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      queryKeys.map(col) :+ col(embCol).as("__qemb"): _*))
+    val notSelf = queryKeys.zip(corpusKeys)
+      .map { case (qk, ck) => col(qk) === col(ck) }
+      .reduce(_ && _)
+    corpus.join(q, !notSelf)
+      .select((queryKeys ++ corpusKeys).map(col) :+
+        GraftFunctions.vecDot(col(embCol), col("__qemb")).as("score"): _*)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(queryKeys.map(col): _*)
+          .orderBy(col("score").desc +: corpusKeys.map(col): _*)))
+      .where(col("rn") <= n)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RetrievalOps
+
+/** Chunk/embed/retrieve semantics (the reference's doc_retriever.py flow):
+  * boundaries, overlap, minimum-one-chunk, stub determinism, and ranking
+  * sanity. Cross-engine values are covered by the q60/q61 oracles. */
+class RetrievalOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a" * 1000),       // 1000 chars → chunks at 1, 451, 901
+    (2L, "b" * 500),        // exactly one window
+    (3L, "short"),          // under one window
+    (4L, "")                // empty doc still yields one (empty) chunk
+  ).toDF("doc_id", "text")
+
+  test("chunking: 500-char windows every 450, min one chunk") {
+    val c = RetrievalOps.chunkDocuments(docs, "doc_id", "text")
+      .select($"doc_id", $"chunk_idx", length($"chunk").as("len"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(c == Set(
+      (1L, 0, 500), (1L, 1, 500), (1L, 2, 100),
+      (2L, 0, 500), (3L, 0, 5), (4L, 0, 0)))
+  }
+
+  test("consecutive chunks overlap by 50 chars") {
+    val text = (0 until 1000).map(i => ('a' + i % 26).toChar).mkString
+    val chunks = RetrievalOps.chunkDocuments(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("chunk_idx").select("chunk").as[String].collect()
+    assert(chunks(0).takeRight(50) == chunks(1).take(50))
+    assert(chunks(1).takeRight(50) == chunks(2).take(50))
+  }
+
+  test("stub embedding is deterministic and dimension-stable") {
+    val e = RetrievalOps.chunkDocuments(docs, "doc_id", "text")
+      .select(RetrievalOps.stubEmbed($"chunk").as("emb"))
+    val a = e.collect().map(_.getSeq[Double](0))
+    val b = e.collect().map(_.getSeq[Double](0))
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_.length == 16))
+    assert(a.forall(_.forall(v => v >= 0 && v < 97 && v == v.floor)))
+  }
+
+  test("retrieveTopN ranks the identical chunk first") {
+    // corpus contains the query's own text under a different id: that
+    // chunk maximizes the dot product against the query vector
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content here entirely"),
+      (3L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val emb = RetrievalOps.chunkDocuments(corpus, "doc_id", "text")
+      .select($"doc_id", $"chunk_idx",
+        RetrievalOps.stubEmbed($"chunk").as("emb"))
+    val queries = emb.where($"doc_id" === 1)
+      .select($"doc_id".as("qdoc"), $"chunk_idx".as("qidx"), $"emb")
+    val top = RetrievalOps.retrieveTopN(emb, Seq("doc_id", "chunk_idx"),
+        queries, Seq("qdoc", "qidx"), "emb", 2)
+      .orderBy("rn").select("doc_id").as[Long].collect()
+    assert(top.head == 3L)
+  }
+}
