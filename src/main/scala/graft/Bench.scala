@@ -24,16 +24,23 @@ object Bench {
     qs(names.head)(spark, sfDir).count()
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { qs(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // a failed query reports -1 (never a near-zero elapsed that would
+    // masquerade as fast) and is listed under "failed"
+    val qjson = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

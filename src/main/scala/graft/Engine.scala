@@ -300,8 +300,13 @@ class Engine(val spark: SparkSession) {
       register(name, updated); empty()
     case Delete(name, whereOpt) =>
       val target = table(name)
+      // delete only rows where the predicate is TRUE: a NULL predicate
+      // keeps the row (SQL three-valued semantics; `!NULL` is NULL and
+      // `.where` would have dropped it)
       val keep = Option(whereOpt)
-        .map(w => !expr(DuckRewriter.rewrite(w, schemaOf))).getOrElse(lit(false))
+        .map(w => !coalesce(expr(DuckRewriter.rewrite(w, schemaOf)),
+          lit(false)))
+        .getOrElse(lit(false))
       register(name, target.where(keep)); empty()
     case AlterAdd(name, colName, typ) =>
       register(name, table(name).withColumn(colName,

@@ -86,13 +86,17 @@ object GoldSuite {
     sql.replace(TitanicUrl, s"$Fix/titanic_local.csv")
       .replace("ATTACH 'who.ddb'", s"ATTACH '$Fix/who' AS who")
 
-  case class EntryResult(idx: Int, mode: String, ok: Boolean, detail: String)
+  case class EntryResult(idx: Int, mode: String, ok: Boolean, detail: String,
+      skipped: Boolean = false)
 
   def runEntry(spark: SparkSession, idx: Int, e: Map[String, Any],
       expected: Map[String, Any]): EntryResult = {
     val mode = expected("mode").toString
+    // an entry whose oracle failed to generate can't be checked: count it
+    // as SKIPPED (excluded from the pass denominator), never as a pass
     if (mode == "oracle_error")
-      return EntryResult(idx, mode, ok = true, "oracle skipped")
+      return EntryResult(idx, mode, ok = false,
+        s"oracle failed: ${expected.getOrElse("error", "")}", skipped = true)
     // fresh engine + clean temp-view namespace per entry
     spark.catalog.listTables().collect()
       .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
@@ -159,7 +163,8 @@ object GoldSuite {
               }.getOrElse(""))
         }
       case "count" =>
-        val n = vdf.collect()(0).get(0).toString
+        // oracle records the scalar count VALUE (first cell); compare ours
+        val n = canonCell(vdf.collect()(0).get(0))
         EntryResult(idx, mode, n == expRows.head,
           s"count $n vs ${expRows.head}")
       case "summarize" =>
@@ -213,11 +218,15 @@ object GoldSuite {
     spark.sparkContext.setLogLevel("ERROR")
     val results = run(spark)
     results.foreach { r =>
-      val mark = if (r.ok) "PASS" else "FAIL"
+      val mark = if (r.skipped) "SKIP" else if (r.ok) "PASS" else "FAIL"
       println(f"$mark ${r.idx}%3d [${r.mode}] ${r.detail}")
     }
-    val passed = results.count(_.ok)
-    println(s"\ngold suite: $passed/${results.length} pass")
+    val (skipped, checked) = results.partition(_.skipped)
+    val passed = checked.count(_.ok)
+    println(s"\ngold suite: $passed/${checked.length} pass" +
+      (if (skipped.nonEmpty)
+        s"; ${skipped.length} skipped (${skipped.map(_.idx).mkString(",")})"
+      else ""))
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{EmbeddingOps, RetrievalOps, TextOps}
+import graft.functions.GraftFunctions
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) as driver-contract entries — the north-star extension of the
@@ -53,7 +54,7 @@ object PipelineQueries {
             col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(TextOps.jaccard(col("a.sh"), col("b.sh")), 6).as("jac"))
+          GraftFunctions.duckRound(TextOps.jaccard(col("a.sh"), col("b.sh")), 6).as("jac"))
         .where(col("jac") >= 0.5)
         .orderBy("id_a", "id_b")
     },
@@ -73,7 +74,7 @@ object PipelineQueries {
     "q42_dedup_minhash" -> api((spark, _) =>
       TextOps.minhashDupPairs(spark.table("documents"), "doc_id", "text",
           threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .select(col("id_a"), col("id_b"), GraftFunctions.duckRound(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b"),
       s"""WITH d AS (SELECT doc_id, $duckShingles AS sh FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -95,9 +96,10 @@ object PipelineQueries {
     "q44_embed_top_pairs" -> api((spark, _) =>
       EmbeddingOps.nearestPairs(spark.table("embeddings"), "vec_id",
         "embedding", 10),
-      """WITH n AS (SELECT vec_id, embedding,
-        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(embedding) AS x) z))
-        |      AS nrm
+      """WITH n AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS embedding,
+        |    sqrt((SELECT sum(x*x) FROM
+        |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z)) AS nrm
         |  FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round((SELECT sum(x*y) FROM
@@ -113,9 +115,10 @@ object PipelineQueries {
       EmbeddingOps.knnBruteForce(emb, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5).orderBy("qid", "rn")
     },
-      """WITH n AS (SELECT vec_id, embedding,
-        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(embedding) AS x) z))
-        |      AS nrm
+      """WITH n AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS embedding,
+        |    sqrt((SELECT sum(x*x) FROM
+        |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z)) AS nrm
         |  FROM embeddings),
         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n
         |  WHERE vec_id < 10),
@@ -285,13 +288,14 @@ object PipelineQueries {
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(EmbeddingOps.cosine(col("va"), col("vb")), 6).as("cos"))
+          GraftFunctions.duckRound(EmbeddingOps.cosine(col("va"), col("vb")), 6).as("cos"))
         .where(col("cos") >= 0.3)
         .orderBy("id_a", "id_b")
     },
-      """WITH n AS (SELECT vec_id, embedding,
-        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(embedding) AS x) z))
-        |      AS nrm
+      """WITH n AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS embedding,
+        |    sqrt((SELECT sum(x*x) FROM
+        |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z)) AS nrm
         |  FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round((SELECT sum(x*y) FROM

@@ -66,8 +66,13 @@ object SystemQueries {
     // Multimodal plumbing: binary payloads → frame sampling → STUB decode
     // → pooled features. Hash-derived stub features ⇒ rows-only check;
     // MediaOpsSpec pins shape and determinism.
+    // The pooled embedding is rendered as a CSV string: the driver's
+    // rows-only check sorts the result in pandas, which cannot sort a
+    // raw array column (r01: "unhashable type: numpy.ndarray").
     "q54_media_features" -> noOracle((spark, _) =>
       MediaOps.extractFeatures(MediaOps.mediaTable(spark.table("documents")))
+        .withColumn("embedding", array_join(
+          expr("transform(embedding, x -> cast(x AS string))"), ","))
         .orderBy("media_id")),
 
     // DESCRIBE with DuckDB type names from the Spark schema.

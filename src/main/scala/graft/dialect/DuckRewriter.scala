@@ -86,13 +86,15 @@ object DuckRewriter {
   private def duckDatediffCall(s: String): String =
     datediffRe.replaceAllIn(s, "duck_datediff('")
 
-  /** DuckDB double→int casts round (nearbyint); Spark truncates. */
+  /** DuckDB double→int casts round half-to-even (nearbyint); Spark
+    * truncates and Spark's round() is HALF_UP — rint() is the exact
+    * match (verified: DuckDB 2.5::INT=2, 0.5::INT=0). */
   private val intCastRe: Regex =
     ("""([A-Za-z_][\w.]*(?:\([^()]*\))?)\s*::\s*""" +
       """(INTEGER|INT|BIGINT|SMALLINT|TINYINT)\b""").r
   private def roundingIntCast(s: String): String =
     intCastRe.replaceAllIn(s, m => Regex.quoteReplacement(
-      s"CAST(round(${m.group(1)}) AS ${m.group(2)})"))
+      s"CAST(rint(${m.group(1)}) AS ${m.group(2)})"))
 
   /** P6: `f(COLUMNS('re'))` applies f to every matching column. */
   private val funcColumnsRe: Regex =

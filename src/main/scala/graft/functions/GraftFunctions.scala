@@ -28,6 +28,7 @@ object GraftFunctions {
     ("simhash64", 1, args => SimHash64Expr(args(0))),
     ("minhash_sig", 2, args => MinHashSigExpr(args(0), args(1))),
     ("rp_sketch", 3, args => RpSketchExpr(args(0), args(1), args(2))),
+    ("duck_round", 2, args => DuckRoundExpr(args(0), args(1))),
     ("vec_cosine", 2, args => VecCosineExpr(args(0), args(1))),
     ("vec_dot", 2, args => VecDotExpr(args(0), args(1))),
     ("vec_norm", 1, args => VecNormExpr(args(0))),
@@ -47,6 +48,9 @@ object GraftFunctions {
     toCol(RpSketchExpr(toExpr(vec), toExpr(bits), toExpr(seed)))
   def duckDatediff(unit: Column, start: Column, end: Column): Column =
     toCol(DuckDateDiff(toExpr(unit), toExpr(start), toExpr(end)))
+  def duckRound(x: Column, d: Int): Column =
+    toCol(DuckRoundExpr(toExpr(x),
+      org.apache.spark.sql.catalyst.expressions.Literal(d)))
   def vecCosine(a: Column, b: Column): Column =
     toCol(VecCosineExpr(toExpr(a), toExpr(b)))
   def vecDot(a: Column, b: Column): Column =

@@ -53,6 +53,29 @@ object GraftVector {
     sab / (math.sqrt(saa) * math.sqrt(sbb))
   }
 
+  /** DuckDB-exact `round(x, d)`: C++ `std::round(x * 10^d) / 10^d` —
+    * half-away-from-zero on the SCALED value. Spark's `round` applies
+    * HALF_UP to the BigDecimal expansion of the unscaled double, which
+    * disagrees near scaled-tie boundaries (e.g. cosine 0.3209955 where
+    * x*1e6 = 320995.4999…: DuckDB → 0.320995, Spark → 0.320996). The
+    * tie test compares the fractional part against 0.5 exactly rather
+    * than adding 0.5 first, matching std::round on doubles like
+    * 0.49999999999999994 where `floor(x+0.5)` would round up. */
+  def duckRound(x: Double, d: Int): Double = {
+    val p = math.pow(10, d)
+    val scaled = x * p
+    if (scaled.isNaN || scaled.isInfinite) return x
+    val r =
+      if (scaled >= 0) {
+        val fl = math.floor(scaled)
+        if (scaled - fl >= 0.5) fl + 1 else fl
+      } else {
+        val ce = math.ceil(scaled)
+        if (ce - scaled >= 0.5) ce - 1 else ce
+      }
+    r / p
+  }
+
   /** LSH band hashes of a minhash signature: xxHash64 of each of the b
     * r-long bands, one pass (the `transform(sequence, xxhash64(slice))`
     * formulation re-slices the signature per band, interpreted). */

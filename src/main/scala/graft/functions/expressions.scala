@@ -288,6 +288,25 @@ case class LshBandsExpr(sig: Expression, b: Expression, r: Expression)
     copy(newChildren(0), newChildren(1), newChildren(2))
 }
 
+/** DuckDB-exact `round(x, d)` ([[GraftVector.duckRound]]): std::round on
+  * the scaled value (half away from zero), where Spark's `Round` is
+  * BigDecimal HALF_UP on the unscaled double — they disagree on scaled-tie
+  * cells, which breaks hash-exact oracle comparison of rounded continuous
+  * scores (cosine/jaccard). `d` must be foldable. */
+case class DuckRoundExpr(child: Expression, d: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftVector.getClass, DoubleType, "duckRound",
+      Seq(Cast(child, DoubleType), Cast(d, IntegerType)),
+      inputTypes = Seq(DoubleType, IntegerType),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(child, d)
+  override def prettyName: String = "duck_round"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
 /** DuckDB `current_setting(name)` (reference dev.json:567/575 validation).
   * Folds to a constant from the session SQLConf at plan time — settings are
   * session-scoped, matching DuckDB. `SET x = v` is mapped by the Engine to

@@ -55,7 +55,7 @@ object EmbeddingOps {
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(q, col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        round(cosine(col("vec"), col("qvec")), 6).as("cos"))
+        GraftFunctions.duckRound(cosine(col("vec"), col("qvec")), 6).as("cos"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
@@ -76,7 +76,7 @@ object EmbeddingOps {
     c.join(q, Seq("bkt"))
       .where(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        round(cosine(col("vec"), col("qvec")), 6).as("cos"))
+        GraftFunctions.duckRound(cosine(col("vec"), col("qvec")), 6).as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
       .where(col("rn") <= k)
@@ -90,7 +90,7 @@ object EmbeddingOps {
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        GraftFunctions.duckRound(cosine(col("va"), col("vb")), 6).as("cos"))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(n)
   }

@@ -195,6 +195,7 @@ object TextOps {
     val meanWordLen = nChar / greatest(nTok, lit(1.0))
     val lenBand = when(nTok.between(10, 1000), 1.0).otherwise(0.3)
     val wordBand = when(meanWordLen.between(2.5, 12.0), 1.0).otherwise(0.4)
-    round(lenBand * 0.4 + wordBand * 0.2 + alphaRatio * 0.4, 6)
+    graft.functions.GraftFunctions.duckRound(
+      lenBand * 0.4 + wordBand * 0.2 + alphaRatio * 0.4, 6)
   }
 }

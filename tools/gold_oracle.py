@@ -69,7 +69,6 @@ def run_entry(e, idx):
     for s in split_stmts(localize(e.get("setup_sql", "") or "", workdir)):
         con.execute(s)
     stmts = split_stmts(localize(e["query"], workdir))
-    last = None
     for i, s in enumerate(stmts):
         if i == len(stmts) - 1:
             try:
@@ -79,6 +78,9 @@ def run_entry(e, idx):
                 # their direct result under the conventional name
                 df = con.execute(s).fetch_df()
                 con.register("ddb_benchmark_result", df)
+        else:
+            # non-final statements mutate state (multi-statement queries)
+            con.execute(s)
     vrows, vcols, vnames = [], 0, []
     for s in split_stmts(localize(e.get("validation_sql", "") or "SELECT * FROM ddb_benchmark_result", workdir)):
         cur = con.execute(s)
@@ -103,7 +105,10 @@ def main():
                 rec["proj"] = idxs
                 rec["rows"] = canon_rows([[r[i] for i in idxs] for r in rows])
             elif mode == "count":
-                rec["rows"] = [str(len(rows))]
+                # the validation is a scalar count query: record the COUNT
+                # VALUE (first cell), not the number of validation rows
+                # (which is always 1 for a scalar select)
+                rec["rows"] = [canon_cell(rows[0][0])]
             elif mode == "summarize":
                 # engine-portable subset: name, type, count
                 sub = [(r[0], r[1], r[10]) for r in rows]
