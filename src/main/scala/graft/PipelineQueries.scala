@@ -143,6 +143,17 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5, bits = 4).orderBy("qid", "rn")
     }, headline = true),
 
+    // ANN via IVF lists (the FAISS-style scale path): corpus-sampled
+    // centroids, map-only assignment, nprobe-list probing. Centroid
+    // choice is engine-specific → rows-only; EmbeddingOpsSpec measures
+    // recall vs brute force.
+    "q66_knn_ann_ivf" -> noOracle((spark, _) => {
+      val emb = spark.table("embeddings")
+      EmbeddingOps.annIvf(emb, emb.where(col("vec_id") < 50),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 3)
+        .orderBy("qid", "rn")
+    }, headline = true),
+
     // Token counting: whitespace + BPE-ish regex tokenization.
     "q47_token_stats" -> sql(
       """SELECT doc_id,

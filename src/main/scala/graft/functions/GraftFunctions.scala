@@ -29,6 +29,7 @@ object GraftFunctions {
     ("minhash_sig", 2, args => MinHashSigExpr(args(0), args(1))),
     ("rp_sketch", 3, args => RpSketchExpr(args(0), args(1), args(2))),
     ("duck_round", 2, args => DuckRoundExpr(args(0), args(1))),
+    ("ivf_probe", 3, args => IvfProbeExpr(args(0), args(1), args(2))),
     ("vec_cosine", 2, args => VecCosineExpr(args(0), args(1))),
     ("vec_dot", 2, args => VecDotExpr(args(0), args(1))),
     ("vec_norm", 1, args => VecNormExpr(args(0))),
@@ -48,6 +49,8 @@ object GraftFunctions {
     toCol(RpSketchExpr(toExpr(vec), toExpr(bits), toExpr(seed)))
   def duckDatediff(unit: Column, start: Column, end: Column): Column =
     toCol(DuckDateDiff(toExpr(unit), toExpr(start), toExpr(end)))
+  def ivfProbe(vec: Column, cents: Column, nprobe: Column): Column =
+    toCol(IvfProbeExpr(toExpr(vec), toExpr(cents), toExpr(nprobe)))
   def duckRound(x: Column, d: Int): Column =
     toCol(DuckRoundExpr(toExpr(x),
       org.apache.spark.sql.catalyst.expressions.Literal(d)))

@@ -102,6 +102,51 @@ object GraftVector {
     new GenericArrayData(out)
   }
 
+  /** IVF probe: cosine of `vec` against every centroid in the flattened
+    * row-major centroid matrix (nlist = cents.length / vec.length), then
+    * the indices of the `nprobe` nearest centroids, best first. One fused
+    * pass, centroid matrix arrives as a broadcast literal — assignment is
+    * map-only with zero shuffle at any corpus size. */
+  def ivfProbe(vec: ArrayData, cents: ArrayData, nprobe: Int): ArrayData = {
+    val d = vec.numElements()
+    val nlist = if (d == 0) 0 else cents.numElements() / d
+    val v = new Array[Double](d)
+    var vn = 0.0
+    var i = 0
+    while (i < d) {
+      v(i) = vec.getFloat(i).toDouble; vn += v(i) * v(i); i += 1
+    }
+    val scores = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var dot = 0.0; var cn = 0.0
+      var j = 0
+      while (j < d) {
+        val x = cents.getFloat(c * d + j).toDouble
+        dot += v(j) * x; cn += x * x; j += 1
+      }
+      scores(c) = if (cn == 0 || vn == 0) -2.0
+                  else dot / (math.sqrt(vn) * math.sqrt(cn))
+      c += 1
+    }
+    val n = math.min(nprobe, nlist)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](nlist)
+    var s = 0
+    while (s < n) {
+      var best = -1; var bestScore = -3.0
+      var k = 0
+      while (k < nlist) {
+        if (!taken(k) && scores(k) > bestScore) {
+          best = k; bestScore = scores(k)
+        }
+        k += 1
+      }
+      taken(best) = true; out(s) = best; s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val ws = "\\s+".r.pattern
 
   /** Distinct word n-gram shingles in one pass: trim → whitespace split →

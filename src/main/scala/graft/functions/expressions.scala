@@ -288,6 +288,28 @@ case class LshBandsExpr(sig: Expression, b: Expression, r: Expression)
     copy(newChildren(0), newChildren(1), newChildren(2))
 }
 
+/** IVF centroid probe ([[GraftVector.ivfProbe]]): indices of the nprobe
+  * nearest centroids (cosine) in one fused pass; the flattened centroid
+  * matrix is a literal, so assignment never shuffles. */
+case class IvfProbeExpr(vec: Expression, cents: Expression,
+    nprobe: Expression) extends Expression with RuntimeReplaceable {
+  private def asVec(e: Expression): Expression =
+    if (e.dataType == ArrayType(FloatType)) e
+    else Cast(e, ArrayType(FloatType))
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftVector.getClass,
+      ArrayType(IntegerType, containsNull = false), "ivfProbe",
+      Seq(asVec(vec), asVec(cents), Cast(nprobe, IntegerType)),
+      inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType),
+        IntegerType),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(vec, cents, nprobe)
+  override def prettyName: String = "ivf_probe"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2))
+}
+
 /** DuckDB-exact `round(x, d)` ([[GraftVector.duckRound]]): std::round on
   * the scaled value (half away from zero), where Spark's `Round` is
   * BigDecimal HALF_UP on the unscaled double — they disagree on scaled-tie

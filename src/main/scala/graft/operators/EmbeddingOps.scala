@@ -82,6 +82,44 @@ object EmbeddingOps {
       .where(col("rn") <= k)
   }
 
+  /** Approximate top-k via IVF (inverted-file) lists: `nlist` centroids
+    * are drawn deterministically from the corpus itself (hash-ordered
+    * sample — cheap, sufficient for bucketing; swap in k-means iterations
+    * for tighter lists without touching the query path), every corpus
+    * vector is assigned to its nearest centroid by a fused probe kernel
+    * whose centroid matrix travels as a literal (map-only, zero shuffle),
+    * and each query probes its `nprobe` nearest lists.
+    *
+    * Scale shape (100 TB): centroid selection is a top-`nlist` sample
+    * (driver holds nlist·d floats, e.g. 64×1024 = 256 KB); assignment is
+    * embedded in the scan; the only movement is the broadcast of the
+    * (small) query batch and a final per-query top-k window over
+    * candidates bounded by nprobe/nlist of the corpus. */
+  def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      seed: Long = 7L): DataFrame = {
+    val cents: Array[Float] = corpus
+      .select(col(vecCol).as("v"))
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(nlist)
+      .collect()
+      .flatMap(_.getSeq[Float](0))
+    val cLit = lit(cents)
+    def probe(v: Column, n: Int) = GraftFunctions.ivfProbe(v, cLit, lit(n))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      element_at(probe(col(vecCol), 1), 1).as("cid"))
+    val q = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("cid", explode(probe(col("qvec"), nprobe))))
+    c.join(q, Seq("cid"))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        GraftFunctions.duckRound(cosine(col("vec"), col("qvec")), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
+      .where(col("rn") <= k)
+  }
+
   /** Global top-n most-similar pairs by exact cosine — the all-pairs
     * baseline (small data / oracle checking only; see class doc). */
   def nearestPairs(corpus: DataFrame, idCol: String, vecCol: String,

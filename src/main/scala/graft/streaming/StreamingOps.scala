@@ -69,7 +69,19 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("hour", "event_type")
+    drainSink(spark, name, Seq("hour", "event_type"))
+  }
+
+  /** Materializes a memory-sink table and drops the sink, so repeated
+    * invocations in one session don't accumulate sink tables (each holds
+    * the full result set on the driver). */
+  private def drainSink(spark: SparkSession, name: String,
+      sortCols: Seq[String]): DataFrame = {
+    val out = spark.table(name)
+      .orderBy(sortCols.map(col): _*).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
+    out
   }
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
@@ -129,6 +141,6 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("user_id")
+    drainSink(spark, name, Seq("user_id"))
   }
 }

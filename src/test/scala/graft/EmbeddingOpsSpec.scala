@@ -73,6 +73,28 @@ class EmbeddingOpsSpec extends SparkSpecBase {
     assert(perQuery.forall(_ < 200), perQuery.mkString(","))
   }
 
+  test("annIvf achieves high recall@5 on clustered data") {
+    val queries = clustered.where(col("vec_id") % 100 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(EmbeddingOps.knnBruteForce(clustered, queries,
+      "vec_id", "embedding", k = 5))
+    val ivf = pairs(EmbeddingOps.annIvf(clustered, queries,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("annIvf probes only nprobe lists (candidate bound)") {
+    val queries = clustered.where(col("vec_id") % 100 === 0)
+    val ivf = EmbeddingOps.annIvf(clustered, queries, "vec_id",
+      "embedding", k = 1000, nlist = 8, nprobe = 2) // k large: all cands
+    val perQuery = ivf.groupBy("qid").count().collect().map(_.getLong(1))
+    // 2 of 8 lists ≈ a quarter of the 200-vector corpus on average; a
+    // generous bound still proves the cross-corpus scan is gone
+    assert(perQuery.forall(_ <= 120), perQuery.mkString(","))
+  }
+
   test("nearestPairs finds the tightest pair") {
     import spark.implicits._
     val vs = Seq(

@@ -69,6 +69,22 @@ class ExpressionsSpec extends SparkSpecBase {
         |TIMESTAMP '2024-01-02 00:00:01')""".stripMargin) == 1L)
   }
 
+  test("duck_round matches DuckDB std::round-on-scaled-value semantics") {
+    // the q65 regression cell: scaled value 320995.4999… must round DOWN
+    // (Spark's HALF_UP on the BigDecimal expansion says 0.320996)
+    assert(one[Double](
+      "SELECT duck_round(0.3209954998529308d, 6)") == 0.320995)
+    // a clean above-tie rounds up
+    assert(one[Double](
+      "SELECT duck_round(0.3209955023505671d, 6)") == 0.320996)
+    // half away from zero on negatives
+    assert(one[Double]("SELECT duck_round(-2.5d, 0)") == -3.0)
+    assert(one[Double]("SELECT duck_round(2.5d, 0)") == 3.0)
+    // std::round(0.49999999999999994) == 0 (naive floor(x+0.5) says 1)
+    assert(one[Double](
+      "SELECT duck_round(0.49999999999999994d, 0)") == 0.0)
+  }
+
   test("current_setting reads graft.setting.* then falls back") {
     spark.conf.set("graft.setting.memory_limit", "20G")
     assert(one[String]("SELECT current_setting('memory_limit')") == "20G")

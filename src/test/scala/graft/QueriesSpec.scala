@@ -22,7 +22,8 @@ class QueriesSpec extends SparkSpecBase {
     // sampling, engine-specific settings, hash-family-dependent dedup/ANN,
     // stub media features, approximate SUMMARIZE stats
     val rowsOnly = Set("q29_sample", "q35_settings", "q43_dedup_simhash",
-      "q46_knn_ann_lsh", "q54_media_features", "q56_summarize")
+      "q46_knn_ann_lsh", "q54_media_features", "q56_summarize",
+      "q66_knn_ann_ivf")
     val missing =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
