@@ -360,6 +360,40 @@ object CoreQueries {
     // rows-only)
     "q35_settings" -> noOracle((spark, _) =>
       spark.sql(
-        "SELECT current_setting('threads') AS threads, pragma_version() AS v"))
+        "SELECT current_setting('threads') AS threads, pragma_version() AS v")),
+
+    // A10 — ROLLUP hierarchy totals (absent from the reference benchmark;
+    // native on both engines, one shuffle with partial aggregation)
+    "q36_rollup" -> same(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // A11 — distinct aggregate alongside plain aggregates (Catalyst
+    // expands to a two-stage aggregation automatically)
+    "q37_count_distinct" -> same(
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin),
+
+    // NOT EXISTS → left-anti join (customers with no big-ticket order;
+    // every customer has SOME order in the testdata, so the correlated
+    // predicate is what makes the anti-join non-trivial)
+    "q38_anti_join" -> same(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // LEFT OUTER join + null-skipping count (the canonical "count per
+    // parent incl. zero" shape). A preserved left side can't be the
+    // broadcast build side, so both sides shuffle on the key — which is
+    // the right plan at scale anyway (co-partitioned join + partial agg).
+    "q39_outer_join" -> same(
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
   )
 }

@@ -56,4 +56,17 @@ class QueriesSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_sum") || plan.contains("partial"), plan)
   }
+
+  test("q12 IN-subquery plans as a broadcast left-semi join") {
+    val plan = SparkEntry.queries("q12_in_subquery")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q38 NOT EXISTS plans as an anti join (no materialized subquery)") {
+    val plan = SparkEntry.queries("q38_anti_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+  }
 }
