@@ -290,6 +290,42 @@ object PipelineQueries {
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin),
 
+    // Deterministic train/val/test split: assignment is a pure function
+    // of the content fingerprint (NOT row order or partitioning), so the
+    // split is reproducible at any scale and cluster layout; buckets are
+    // the first hex nibble of md5 (12/2/2 of 16 → 75/12.5/12.5%).
+    // Map-only + one tiny agg shuffle. Portable across engines ⇒ fully
+    // oracle-checked.
+    "q63_train_split" -> same(
+      """SELECT CASE
+        |    WHEN substring(md5(text), 1, 1) IN
+        |      ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |      THEN 'train'
+        |    WHEN substring(md5(text), 1, 1) IN ('c','d') THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Train/test contamination: documents whose normalized 100-char
+    // prefix fingerprint appears in both splits of q63's partition — the
+    // standard eval-leakage check (prefix fingerprint so near-dup
+    // rewrites are caught, not just byte-identical copies). One shuffle
+    // on the fingerprint; at corpus scale the fingerprint table is tiny
+    // relative to the corpus (32 bytes/doc).
+    "q64_contamination" -> same(
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(substring(lower(trim(text)), 1, 100)) AS fp,
+        |    CASE WHEN substring(md5(text), 1, 1) IN
+        |      ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |      THEN 'train' ELSE 'heldout' END AS split
+        |  FROM documents)
+        |SELECT a.doc_id AS train_id, b.doc_id AS heldout_id, a.fp
+        |FROM fp a JOIN fp b ON a.fp = b.fp
+        |  AND a.split = 'train' AND b.split = 'heldout'
+        |ORDER BY train_id, heldout_id""".stripMargin),
+
     // Embedding-cosine similar pairs above a threshold (the exact variant
     // of cosine dedup; the LSH route is q46). Fused cosine kernel over
     // the pairs; threshold 0.3 ≈ the 99th percentile of this corpus.
