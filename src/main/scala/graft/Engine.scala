@@ -66,6 +66,10 @@ class Engine(val spark: SparkSession) {
   def table(name: String): DataFrame =
     tables.getOrElse(norm(name), spark.table(norm(name)))
 
+  /** Snapshot of the registered catalog (for schema-only copies,
+    * [[SqlValidator.schemaOnly]]). */
+  def registeredTables: Seq[(String, DataFrame)] = tables.toSeq
+
   private def schemaOf: String => Option[Seq[String]] = t =>
     scala.util.Try(table(t).columns.toSeq).toOption
 

@@ -110,6 +110,27 @@ object SystemQueries {
       spark.table("nation").write.mode("overwrite").json(dir)
       spark.read.schema(spark.table("nation").schema).json(dir)
         .orderBy("n_nationkey")
-    }, "SELECT * FROM nation ORDER BY n_nationkey")
+    }, "SELECT * FROM nation ORDER BY n_nationkey"),
+
+    // H7 parse/bind validation over a fixed statement battery: verdicts
+    // are deterministic but the classification rules are engine-internal
+    // ⇒ rows-only; ValidatorSpec pins the semantics.
+    "q67_validate_sql" -> noOracle((spark, _) => {
+      import spark.implicits._
+      val engine = new Engine(spark)
+      Tables.names.foreach(n => engine.register(n, spark.table(n)))
+      val battery = Seq(
+        "s01_ok_select" -> "SELECT count(*) FROM lineitem",
+        "s02_ok_join" ->
+          "SELECT c_name FROM customer JOIN orders ON o_custkey = c_custkey",
+        "s03_bad_syntax" -> "SELEC model FROM part",
+        "s04_bad_table" -> "SELECT * FROM no_such_table",
+        "s05_bad_column" -> "SELECT not_a_column FROM part",
+        "s06_ok_ddl" -> "CREATE TABLE v_tmp AS SELECT 1 AS x",
+        "s07_runtime_ok" -> "SELECT CAST('zzz' AS INT) FROM part")
+      battery.map { case (id, sql) =>
+        (id, SqlValidator.validate(engine, sql))
+      }.toDF("stmt_id", "valid").orderBy("stmt_id")
+    })
   )
 }

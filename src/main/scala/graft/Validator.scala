@@ -1,0 +1,72 @@
+package graft
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.util.control.NonFatal
+import org.apache.spark.sql.AnalysisException
+
+/** Parse/bind SQL validation without touching real data — the harness's
+  * fast negative test (SURVEY.md §2.9 H7; reference
+  * examples/validate_sql.py:6-27 + examples/utils.py:85-105).
+  *
+  * Reference semantics, reproduced exactly:
+  *   - Parser / Binder / Catalog errors ⇒ INVALID
+  *   - runtime-class errors ⇒ VALID (the reference treats anything past
+  *     binding as a data problem, not a SQL problem)
+  *   - timeout (default 500 ms, reference's subprocess budget) ⇒ VALID
+  *     (parse/bind presumed passed)
+  *
+  * The statement runs against a SCHEMA-ONLY copy of the catalog (every
+  * table truncated to zero rows), mirroring the reference's schema-only
+  * in-memory DB: DDL/DML execute harmlessly, SELECTs analyze fully, and
+  * nothing can scan real data — validation cost is independent of corpus
+  * size, which is what makes it usable as a pre-flight check in front of
+  * a 100 TB query.
+  */
+object SqlValidator {
+
+  /** A scratch engine with the same table names/schemas but no rows —
+    * in an ISOLATED session (`newSession`: shared SparkContext, separate
+    * temp-view catalog and conf), so registering the schema-only views
+    * can never clobber the caller's live tables of the same names. */
+  def schemaOnly(base: Engine): Engine = {
+    val s2 = base.spark.newSession()
+    val v = new Engine(s2)
+    v.defaultDbName = base.defaultDbName
+    base.registeredTables.foreach { case (n, df) =>
+      // rebuild the empty relation IN the scratch session — a DataFrame
+      // registers temp views in the session it was created by
+      v.register(n, s2.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        df.schema))
+    }
+    v
+  }
+
+  /** Validates one statement (or ';'-separated script) against a
+    * schema-only copy of `base`'s catalog. */
+  def validate(base: Engine, sql: String, timeoutMs: Long = 500): Boolean = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val scratch = schemaOnly(base)
+    val f = Future {
+      try {
+        // collect() forces full analysis AND (empty) execution, so
+        // analysis-time errors surface here rather than on first use
+        scratch.executeScript(sql).collect()
+        true
+      } catch {
+        // ParseException extends AnalysisException: parser, binder and
+        // catalog failures all land here ⇒ invalid
+        case _: AnalysisException => false
+        // dialect/command-layer rejections (unknown unit, bad arity…)
+        // are binder-class failures
+        case _: IllegalArgumentException => false
+        case _: MatchError => false
+        // anything else is a runtime-class error ⇒ valid, per reference
+        case NonFatal(_) => true
+      }
+    }
+    try Await.result(f, timeoutMs.millis)
+    catch { case _: java.util.concurrent.TimeoutException => true }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+/** H7 parse/bind validation semantics (reference
+  * examples/validate_sql.py:6-27): parser/binder/catalog errors are
+  * invalid; runtime-class problems and timeouts are valid; validation
+  * never touches real data. */
+class ValidatorSpec extends SparkSpecBase {
+
+  private lazy val engine: Engine = {
+    Queries.prep(spark, sfDir)
+    val e = new Engine(spark)
+    Tables.names.foreach(n => e.register(n, spark.table(n)))
+    e
+  }
+
+  test("well-formed queries validate") {
+    assert(SqlValidator.validate(engine, "SELECT count(*) FROM lineitem"))
+    assert(SqlValidator.validate(engine,
+      "SELECT c_name FROM customer JOIN orders ON o_custkey = c_custkey"))
+    assert(SqlValidator.validate(engine,
+      "SELECT * EXCLUDE (c_acctbal) FROM customer"))
+  }
+
+  test("syntax errors are invalid") {
+    assert(!SqlValidator.validate(engine, "SELEC model FROM part"))
+    assert(!SqlValidator.validate(engine, "SELECT FROM WHERE"))
+  }
+
+  test("catalog errors (unknown table/column) are invalid") {
+    assert(!SqlValidator.validate(engine, "SELECT * FROM no_such_table"))
+    assert(!SqlValidator.validate(engine, "SELECT not_a_column FROM part"))
+  }
+
+  test("runtime-class errors are valid (reference semantics)") {
+    // bad cast can only fail on actual rows; schema-only ⇒ passes bind
+    assert(SqlValidator.validate(engine,
+      "SELECT CAST('zzz' AS INT) AS x FROM part"))
+  }
+
+  test("validation executes against schema-only copies (no data, no " +
+      "mutation of the real catalog)") {
+    // DML validates fine…
+    assert(SqlValidator.validate(engine, "DELETE FROM orders"))
+    // …and the real engine still has its rows
+    assert(engine.table("orders").count() > 0)
+  }
+}
