@@ -43,6 +43,13 @@ object SystemQueries {
         |  count(*) AS total_events
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // Streaming exactly-once dedup of an at-least-once (duplicated)
+    // delivery; oracle = batch DISTINCT over the same files.
+    "q68_stream_dedup" -> api(
+      (spark, sfDir) => StreamingOps.streamDedup(spark, sfDir),
+      """SELECT DISTINCT event_id, user_id, event_type, ts
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // The same sessionization as pure batch SQL (gaps-and-islands) —
     // windows + lag on both engines.
     "q53_sessionize_batch" -> sql(

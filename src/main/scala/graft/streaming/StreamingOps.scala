@@ -84,6 +84,40 @@ object StreamingOps {
     out
   }
 
+  /** Streaming exactly-once dedup: the input is deliberately duplicated
+    * (every event delivered twice, the at-least-once shape of real
+    * ingestion), then `dropDuplicatesWithinWatermark` on the event key
+    * collapses redeliveries inside the watermark horizon. Drained with
+    * AvailableNow, the result equals batch `SELECT DISTINCT` — that
+    * equivalence is the oracle. State is one entry per key inside the
+    * watermark, dropped as the watermark advances — bounded on an
+    * unbounded stream. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val duplicated = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("__copy", explode(array(lit(1), lit(2))))
+      .drop("__copy")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val name = s"stream_dedup_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = duplicated.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainSink(spark, name, Seq("event_id"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, events: Int,
       closed: List[(Long, Long, Int)])
