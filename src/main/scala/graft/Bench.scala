@@ -38,16 +38,22 @@ object Bench {
       }
       val (t1, ok1) = once()
       if (!ok1) (name, t1, false)
-      else { val (t2, _) = once(); (name, math.min(t1, t2), true) }
+      else {
+        // a failed second run must not contribute its time-to-failure as
+        // a "fast" min — fall back to the successful first measurement
+        val (t2, ok2) = once()
+        (name, if (ok2) math.min(t1, t2) else t1, true)
+      }
     }
     // a failed query reports -1 (never a near-zero elapsed that would
-    // masquerade as fast) and is listed under "failed"
+    // masquerade as fast), is listed under "failed", and is excluded
+    // from the total so "value" always equals the sum of the ok entries
     val qjson = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -44,7 +44,9 @@ object SystemQueries {
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     // Streaming exactly-once dedup of an at-least-once (duplicated)
-    // delivery; oracle = batch DISTINCT over the same files.
+    // delivery; oracle = batch DISTINCT over the same files. The stream
+    // dedups on the FULL row (matching DISTINCT), not just event_id —
+    // an id collision carrying different attributes must not collapse.
     "q68_stream_dedup" -> api(
       (spark, sfDir) => StreamingOps.streamDedup(spark, sfDir),
       """SELECT DISTINCT event_id, user_id, event_type, ts
@@ -135,9 +137,8 @@ object SystemQueries {
         "s05_bad_column" -> "SELECT not_a_column FROM part",
         "s06_ok_ddl" -> "CREATE TABLE v_tmp AS SELECT 1 AS x",
         "s07_runtime_ok" -> "SELECT CAST('zzz' AS INT) FROM part")
-      battery.map { case (id, sql) =>
-        (id, SqlValidator.validate(engine, sql))
-      }.toDF("stmt_id", "valid").orderBy("stmt_id")
+      SqlValidator.validateAll(engine, battery)
+        .toDF("stmt_id", "valid").orderBy("stmt_id")
     })
   )
 }

@@ -13,8 +13,12 @@ import org.apache.spark.sql.AnalysisException
   *   - Parser / Binder / Catalog errors ⇒ INVALID
   *   - runtime-class errors ⇒ VALID (the reference treats anything past
   *     binding as a data problem, not a SQL problem)
-  *   - timeout (default 500 ms, reference's subprocess budget) ⇒ VALID
-  *     (parse/bind presumed passed)
+  *   - timeout ⇒ VALID (parse/bind presumed passed — the reference's
+  *     budget rule). The default budget is 5 s: generous enough that a
+  *     loaded driver doesn't flip genuine parse/bind failures to VALID
+  *     (the reference's 0.5 s covered a subprocess that did nothing but
+  *     validate; our verdict shares a JVM with running queries). Callers
+  *     wanting the reference's exact budget pass timeoutMs = 500.
   *
   * The statement runs against a SCHEMA-ONLY copy of the catalog (every
   * table truncated to zero rows), mirroring the reference's schema-only
@@ -44,11 +48,27 @@ object SqlValidator {
   }
 
   /** Validates one statement (or ';'-separated script) against a
-    * schema-only copy of `base`'s catalog. */
-  def validate(base: Engine, sql: String, timeoutMs: Long = 500): Boolean = {
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    * schema-only copy of `base`'s catalog. Building the scratch session
+    * costs more than one verdict — use [[validateAll]] for batteries. */
+  def validate(base: Engine, sql: String, timeoutMs: Long = 5000): Boolean =
+    validateWith(schemaOnly(base), sql, timeoutMs)
+
+  /** Validates a battery of statements against ONE shared schema-only
+    * scratch (statements may observe earlier statements' DDL, like a
+    * session would). */
+  def validateAll(base: Engine, stmts: Seq[(String, String)],
+      timeoutMs: Long = 5000): Seq[(String, Boolean)] = {
     val scratch = schemaOnly(base)
+    stmts.map { case (id, sql) => (id, validateWith(scratch, sql, timeoutMs)) }
+  }
+
+  private def validateWith(scratch: Engine, sql: String,
+      timeoutMs: Long): Boolean = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val group = s"sql-validate-${System.nanoTime()}"
+    val sc = scratch.spark.sparkContext
     val f = Future {
+      sc.setJobGroup(group, "sql validation", interruptOnCancel = true)
       try {
         // collect() forces full analysis AND (empty) execution, so
         // analysis-time errors surface here rather than on first use
@@ -64,9 +84,14 @@ object SqlValidator {
         case _: MatchError => false
         // anything else is a runtime-class error ⇒ valid, per reference
         case NonFatal(_) => true
-      }
+      } finally sc.clearJobGroup()
     }
     try Await.result(f, timeoutMs.millis)
-    catch { case _: java.util.concurrent.TimeoutException => true }
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        // don't leave the abandoned attempt running on the shared context
+        sc.cancelJobGroup(group)
+        true
+    }
   }
 }

@@ -15,41 +15,51 @@ import org.apache.spark.sql.functions._
   *      boilerplate-document / null-key / celebrity-user shape). AQE
   *      splits skewed *partitions*; salting splits skewed *keys*, which
   *      AQE cannot do for a single giant key inside one partition.
-  *   3. Bucketing (see BucketedOpsSpec): pre-shuffle both fact tables on
+  *   3. Bucketing (see JoinOpsSpec): pre-shuffle both fact tables on
   *      the join key at write time, then every subsequent join on that
   *      key is shuffle-free — the right trade when a key is joined
   *      repeatedly (dim-fact stars, incremental dedup against a corpus).
   */
 object JoinOps {
 
-  /** Two-stage aggregation for skew-heavy group-bys: rows are spread
-    * across `saltFactor` sub-keys (deterministic hash of the whole row —
-    * no rand(), so retried tasks don't double-count), partially
-    * aggregated per (key, salt), then finally aggregated per key. The
-    * hot key's load fans out over saltFactor reducers instead of melting
-    * one. Composable only for algebraic aggregates — the caller passes
-    * partial and final expression builders.
-    */
-  def saltedAggregate(df: DataFrame, key: Column, saltFactor: Int,
-      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
-    df.withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)))
-      .groupBy(key.as("__key"), col("__salt"))
+  /** Per-row salt in [0, saltFactor): seeded `rand` so byte-identical
+    * duplicate rows (exactly the hot-key shape salting exists for) still
+    * spread across sub-keys — a whole-row hash would send every copy of
+    * a duplicated row to the same reducer. Spark marks rand-bearing
+    * stages indeterminate and replays them wholesale on partial stage
+    * retry (SPARK-23207), so a retry cannot double-count; and because
+    * ANY salt assignment yields the same final result here (partials
+    * re-aggregate per key; the replicated join side carries every salt),
+    * the assignment itself never needs to be reproducible. */
+  def saltExpr(saltFactor: Int, seed: Long = 42L): Column =
+    (rand(seed) * saltFactor).cast("int")
+
+  /** Two-stage aggregation for skew-heavy group-bys: rows spread across
+    * `saltFactor` sub-keys, partially aggregated per (key, salt), then
+    * finally aggregated per key — the hot key's load fans out over
+    * saltFactor reducers instead of melting one. Composable only for
+    * algebraic aggregates: the caller passes partial and final
+    * expression builders. The group key keeps its column name. */
+  def saltedAggregate(df: DataFrame, key: String, saltFactor: Int,
+      partial: Seq[Column], finalAgg: Seq[Column],
+      seed: Long = 42L): DataFrame =
+    df.withColumn("__salt", saltExpr(saltFactor, seed))
+      .groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
-      .groupBy(col("__key"))
+      .groupBy(col(key))
       .agg(finalAgg.head, finalAgg.tail: _*)
 
   /** Skew-proof inner equi-join: every row of the (small) `right` side is
     * replicated `saltFactor` times, each copy tagged with one salt value;
-    * `left` rows pick a deterministic salt. The giant key's rows land on
+    * `left` rows pick a salt at random. The giant key's rows land on
     * saltFactor different reducers, each meeting its own replica of the
     * matching right rows. Costs saltFactor× the right side — use for a
     * dim-side join where the fact side has pathological keys and the dim
     * side is modest. */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
-      rightKey: String, saltFactor: Int): DataFrame = {
+      rightKey: String, saltFactor: Int, seed: Long = 42L): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)))
+      saltExpr(saltFactor, seed).cast("long"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     salted.join(replicated,

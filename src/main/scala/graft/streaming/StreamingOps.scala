@@ -104,7 +104,10 @@ object StreamingOps {
       .withColumn("__copy", explode(array(lit(1), lit(2))))
       .drop("__copy")
       .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+      // full-row key: equals batch DISTINCT even if an event_id ever
+      // collides with different attributes
+      .dropDuplicatesWithinWatermark("event_id", "user_id", "event_type",
+        "ts")
 
     val name = s"stream_dedup_${System.nanoTime()}"
     withStatePartitions(spark, 8) {

@@ -20,11 +20,18 @@ class JoinOpsSpec extends SparkSpecBase {
     val plain = skewed.groupBy("k")
       .agg(count(lit(1)).as("n"), sum("v").as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val salted = JoinOps.saltedAggregate(skewed, col("k"), 8,
+    val salted = JoinOps.saltedAggregate(skewed, "k", 8,
         partial = Seq(count(lit(1)).as("pn"), sum("v").as("ps")),
         finalAgg = Seq(sum("pn").as("n"), sum("ps").as("s")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(salted == plain)
+  }
+
+  test("saltedAggregate keeps the caller's key column name") {
+    val out = JoinOps.saltedAggregate(skewed, "k", 4,
+      partial = Seq(count(lit(1)).as("pn")),
+      finalAgg = Seq(sum("pn").as("n")))
+    assert(out.columns.toSeq == Seq("k", "n"))
   }
 
   test("saltedJoin equals plain join exactly") {
@@ -39,10 +46,13 @@ class JoinOpsSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
-  test("salt spreads the hot key over multiple sub-keys") {
-    val perSalt = skewed.where(col("k") === 1)
-      .withColumn("__salt",
-        pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(8)))
+  test("salt spreads a hot key of byte-identical duplicate rows") {
+    import spark.implicits._
+    // the degenerate shape: every row of the hot key is IDENTICAL (a
+    // whole-row hash would put them all on one reducer)
+    val dups = Seq.fill(10000)((1L, 1.0)).toDF("k", "v")
+    val perSalt = dups
+      .withColumn("__salt", JoinOps.saltExpr(8))
       .groupBy("__salt").count().collect()
     assert(perSalt.length == 8, perSalt.mkString(","))
     // no single salt holds the whole hot key
