@@ -326,6 +326,83 @@ object PipelineQueries {
         |  AND a.split = 'train' AND b.split = 'heldout'
         |ORDER BY train_id, heldout_id""".stripMargin),
 
+    // End-to-end curation pipeline — the operators composed the way a
+    // real corpus run chains them: normalize-fingerprint dedup (keep
+    // lowest doc_id) → quality gate → language gate (predicted == label)
+    // → fingerprint split → per-(split, lang) accounting. Map-only until
+    // the dedup shuffle on the fingerprint, then one small agg shuffle;
+    // every stage is the already-oracle-checked operator. Fully
+    // SQL-expressible, so the whole composition is value-checked too.
+    "q69_curation_pipeline" -> api((spark, _) => {
+      val d = spark.table("documents")
+      val scored = d.select(col("doc_id"), col("lang"), col("n_chars"),
+        TextOps.normFingerprint(col("text")).as("fp"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.langId(col("text")).as("pred"),
+        substring(md5(col("text")), 1, 1).as("h1"))
+      val deduped = scored.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("doc_id")))
+        .where(col("rn") === 1)
+      deduped
+        .where(col("q") >= 0.5 && col("pred") === col("lang"))
+        .withColumn("split",
+          when(col("h1").isin("0", "1", "2", "3", "4", "5", "6", "7", "8",
+            "9", "a", "b"), "train")
+            .when(col("h1").isin("c", "d"), "val")
+            .otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .orderBy("split", "lang")
+    }, {
+      val fp = "md5(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      val quality =
+        """round(
+          |  (CASE WHEN len(string_split_regex(trim(text), '\s+'))
+          |     BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4 +
+          |  (CASE WHEN length(text)::DOUBLE /
+          |     greatest(len(string_split_regex(trim(text), '\s+')), 1)
+          |     BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2 +
+          |  (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+          |     greatest(length(text), 1)) * 0.4, 6)""".stripMargin
+      val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+      def score(words: Seq[String]) =
+        s"len(list_filter($toks, t -> list_contains(" +
+          words.mkString("['", "', '", "']") + ", t)))"
+      val s = TextOps.langStopwords.map { case (l, ws) => l -> score(ws) }
+      val Seq(en, de, es, fr, zh) = s.map(_._2)
+      val pred =
+        s"""CASE
+           |  WHEN $en > 0 AND $en >= $de AND $en >= $es AND $en >= $fr
+           |    AND $en >= $zh THEN 'en'
+           |  WHEN $de > 0 AND $de >= $es AND $de >= $fr AND $de >= $zh
+           |    THEN 'de'
+           |  WHEN $es > 0 AND $es >= $fr AND $es >= $zh THEN 'es'
+           |  WHEN $fr > 0 AND $fr >= $zh THEN 'fr'
+           |  WHEN $zh > 0 THEN 'zh'
+           |  ELSE 'und' END""".stripMargin
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, n_chars, $fp AS fp, $quality AS q,
+         |    $pred AS pred, substring(md5(text), 1, 1) AS h1
+         |  FROM documents),
+         |deduped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn
+         |  FROM scored)
+         |SELECT CASE
+         |    WHEN h1 IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+         |      THEN 'train'
+         |    WHEN h1 IN ('c','d') THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM deduped
+         |WHERE rn = 1 AND q >= 0.5 AND pred = lang
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }),
+
     // Embedding-cosine similar pairs above a threshold (the exact variant
     // of cosine dedup; the LSH route is q46). Fused cosine kernel over
     // the pairs; threshold 0.3 ≈ the 99th percentile of this corpus.
