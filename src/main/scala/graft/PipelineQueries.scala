@@ -84,6 +84,27 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin,
       headline = true),
 
+    // Incremental ingest dedup: a new batch (doc_id < 25 stands in for
+    // the day's arrivals) against the standing corpus. Oracle = exact
+    // batch×corpus pairwise Jaccard (cheap: |batch| × |corpus|, not
+    // corpus²). LSH recall at j>=0.5 with 32×2 bands is >0.999 and
+    // verification removes false positives, so LSH output == exact.
+    "q70_dedup_incremental" -> api((spark, _) => {
+      val d = spark.table("documents")
+      TextOps.minhashDupAgainst(
+          d.where(col("doc_id") >= 25), d.where(col("doc_id") < 25),
+          "doc_id", "text", threshold = 0.5)
+        .select(col("batch_id"), col("corpus_id"),
+          GraftFunctions.duckRound(col("jac"), 6).as("jac"))
+        .orderBy("batch_id", "corpus_id")
+    },
+      s"""WITH d AS (SELECT doc_id, $duckShingles AS sh FROM documents)
+         |SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+         |  round($duckJaccard, 6) AS jac
+         |FROM d a JOIN d b ON a.doc_id < 25 AND b.doc_id >= 25
+         |WHERE round($duckJaccard, 6) >= 0.5
+         |ORDER BY batch_id, corpus_id""".stripMargin),
+
     // SimHash near-dups: hash-family-specific bits → rows-only check here;
     // TextOpsSpec verifies planted duplicates are caught.
     "q43_dedup_simhash" -> noOracle((spark, _) =>

@@ -121,6 +121,21 @@ object SystemQueries {
         .orderBy("n_nationkey")
     }, "SELECT * FROM nation ORDER BY n_nationkey"),
 
+    // Data-layout optimization: hive-partitioned write (S11) + a read
+    // whose filter prunes to one partition directory — the layout that
+    // turns a 100 TB scan into a per-language scan. QueriesSpec asserts
+    // PartitionFilters in the plan; the oracle checks the values.
+    "q71_partition_pruned_read" -> api((spark, _) => {
+      val dir = tmp("graft_layout") + "/docs_by_lang"
+      spark.table("documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(dir)
+      spark.read.parquet(dir).where(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin),
+
     // H7 parse/bind validation over a fixed statement battery: verdicts
     // are deterministic but the classification rules are engine-internal
     // ⇒ rows-only; ValidatorSpec pins the semantics.

@@ -122,6 +122,40 @@ object TextOps {
       .where(col("jac") >= threshold)
   }
 
+  /** Incremental MinHash dedup: candidates of a (small) NEW batch
+    * against an existing corpus — the shape of continuous ingestion,
+    * where re-pairing the whole corpus per batch would be ruinous.
+    * The corpus side is banded and shuffled once on (band, hash); the
+    * batch side is broadcast, so batch size never re-shuffles the
+    * corpus. At steady state the corpus bands are a materialized table
+    * and each ingest touches only its own band buckets.
+    * @return (batch_id, corpus_id, jac) pairs with jac >= threshold */
+  def minhashDupAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      shingleN: Int = 3, k: Int = 64, b: Int = 32): DataFrame = {
+    require(k % b == 0, "bands must divide signature length")
+    val r = k / b
+    def shingled(df: DataFrame, as: String) =
+      parallelize(df).select(col(idCol).as(as),
+        wordShingles(col(textCol), shingleN).as(s"sh_$as"))
+    def banded(df: DataFrame, idAs: String) =
+      df.select(col(idAs), posexplode(lshBands(
+        minhashSignature(col(s"sh_$idAs"), k), b, r)).as(Seq("band", "bh")))
+
+    val corpusSh = shingled(corpus, "corpus_id")
+    val batchSh = shingled(batch, "batch_id")
+    val candidates = banded(corpusSh, "corpus_id")
+      .join(broadcast(banded(batchSh, "batch_id")), Seq("band", "bh"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    candidates
+      .join(batchSh, Seq("batch_id"))
+      .join(corpusSh, Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        jaccard(col("sh_batch_id"), col("sh_corpus_id")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (one codegen'd
     * pass over the token array), candidates via 4×16-bit chunk banding
     * (any pair within Hamming distance 3 shares at least one intact chunk

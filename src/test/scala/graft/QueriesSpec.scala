@@ -69,4 +69,14 @@ class QueriesSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), plan)
   }
+
+  test("q71 partitioned layout prunes the scan to the filtered partition") {
+    val plan = SparkEntry.queries("q71_partition_pruned_read")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // the lang predicate must appear as a partition filter, not a data one
+    val pf = plan.substring(plan.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']')
+    assert(pf.contains("lang"), plan)
+  }
 }
