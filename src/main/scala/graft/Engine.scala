@@ -43,7 +43,28 @@ class Engine(val spark: SparkSession) {
     mutable.Map.empty
 
   private def resolvePath(p: String): String =
-    if (p.startsWith("/") || p.contains("://")) p else s"$workDir/$p"
+    if (p.startsWith("http://") || p.startsWith("https://")) fetchToTmp(p)
+    else if (p.startsWith("/") || p.contains("://")) p
+    else s"$workDir/$p"
+
+  /** S3 shim (SURVEY §2.1): DuckDB's httpfs reads https:// URLs in-query
+    * (reference dev.json:199-215 read_csv_auto('https://…titanic.csv'));
+    * Spark's Hadoop FS has no http(s) scheme, so the file is fetched once
+    * to a driver-local temp file and the scan reads that. Memoized per
+    * URL per engine — repeated queries re-read the local copy. Scale
+    * note: this is for bootstrap-sized side inputs (the reference's use
+    * case); corpus-scale data should land on a real shared FS first. */
+  private val fetched = mutable.Map.empty[String, String]
+  private def fetchToTmp(url: String): String =
+    fetched.getOrElseUpdate(url, {
+      val suffix = url.substring(url.lastIndexOf('.'))
+      val tmp = java.nio.file.Files.createTempFile("graft_http", suffix)
+      val in = new java.net.URL(url).openStream()
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toString
+    })
 
   /** table name (lowercase) → current DataFrame */
   private val tables = mutable.LinkedHashMap.empty[String, DataFrame]

@@ -183,4 +183,29 @@ class EngineSpec extends SparkSpecBase {
     val n = e.executeDuck("SELECT person.name AS n FROM t7").collect()
     assert(n(0).getString(0) == "ada")
   }
+
+  test("read_csv_auto over an http URL fetches to a local tmp (S3 shim, " +
+      "dev.json:199)") {
+    // zero-egress environment: serve a CSV from loopback instead of the
+    // reference's real https URL — the shim's code path is identical
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val body = "id,name\n1,ada\n2,grace\n".getBytes("UTF-8")
+    server.createContext("/titanic.csv",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, body.length)
+        try ex.getResponseBody.write(body) finally ex.close()
+      })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val e = engine
+      val df = e.executeDuck("CREATE TABLE http_tbl AS SELECT * FROM " +
+        s"read_csv_auto('http://127.0.0.1:$port/titanic.csv')")
+      val rows = e.executeDuck("SELECT * FROM http_tbl ORDER BY id")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(1) == "ada")
+    } finally server.stop(0)
+  }
 }
