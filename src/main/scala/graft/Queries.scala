@@ -394,6 +394,36 @@ object CoreQueries {
     "q39_outer_join" -> same(
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    // Ordered string aggregation: deterministic ORDER inside the
+    // aggregate makes the concatenation engine-portable (an unordered
+    // string_agg/collect_list depends on partitioning).
+    "q72_string_agg" -> sql(
+      """SELECT n_regionkey,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+        .stripMargin,
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name)
+        |  AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+        .stripMargin),
+
+    // Exact interpolated percentiles (Spark percentile == DuckDB
+    // quantile_cont; the approximate variants are engine-specific and
+    // live in SUMMARIZE).
+    "q73_percentiles" -> sql(
+      """SELECT l_returnflag,
+        |  round(percentile(l_quantity, 0.5), 4) AS p50,
+        |  round(percentile(l_quantity, 0.9), 4) AS p90,
+        |  round(percentile(l_extendedprice, 0.99), 2) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin)
   )
 }
