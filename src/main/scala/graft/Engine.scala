@@ -42,24 +42,67 @@ class Engine(val spark: SparkSession) {
   val declaredTypes: mutable.Map[String, Map[String, String]] =
     mutable.Map.empty
 
+  /** Read-side path resolution: http(s) sources go through the fetch
+    * shim. Write targets must use [[resolveWritePath]] — downloading a
+    * COPY TO destination would be nonsense. */
   private def resolvePath(p: String): String =
     if (p.startsWith("http://") || p.startsWith("https://")) fetchToTmp(p)
     else if (p.startsWith("/") || p.contains("://")) p
     else s"$workDir/$p"
 
+  private def resolveWritePath(p: String): String = {
+    require(!p.startsWith("http://") && !p.startsWith("https://"),
+      s"COPY TO an http(s) URL is not supported: $p")
+    if (p.startsWith("/") || p.contains("://")) p else s"$workDir/$p"
+  }
+
   /** S3 shim (SURVEY §2.1): DuckDB's httpfs reads https:// URLs in-query
     * (reference dev.json:199-215 read_csv_auto('https://…titanic.csv'));
     * Spark's Hadoop FS has no http(s) scheme, so the file is fetched once
     * to a driver-local temp file and the scan reads that. Memoized per
-    * URL per engine — repeated queries re-read the local copy. Scale
-    * note: this is for bootstrap-sized side inputs (the reference's use
-    * case); corpus-scale data should land on a real shared FS first. */
+    * URL per engine — repeated queries re-read the local copy. Follows
+    * redirects across protocols (http→https 301s, which
+    * HttpURLConnection refuses to follow itself) and carries
+    * connect/read timeouts so a dead server fails the query instead of
+    * hanging it. Scale note: this is for bootstrap-sized side inputs
+    * (the reference's use case); corpus-scale data should land on a
+    * real shared FS first. */
   private val fetched = mutable.Map.empty[String, String]
   private def fetchToTmp(url: String): String =
     fetched.getOrElseUpdate(url, {
-      val suffix = url.substring(url.lastIndexOf('.'))
+      // suffix from the path component only (helps format inference);
+      // a dot in the hostname/query must not leak into the suffix
+      val path = new java.net.URI(url).getPath
+      val suffix = path.lastIndexOf('.') match {
+        case i if i >= 0 && !path.substring(i).contains('/') =>
+          path.substring(i)
+        case _ => ".tmp"
+      }
       val tmp = java.nio.file.Files.createTempFile("graft_http", suffix)
-      val in = new java.net.URL(url).openStream()
+      tmp.toFile.deleteOnExit()
+      var target = url
+      var redirects = 0
+      var in: java.io.InputStream = null
+      while (in == null) {
+        val conn = new java.net.URL(target).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(60000)
+        conn.setInstanceFollowRedirects(false)
+        conn.getResponseCode match {
+          case code if code >= 300 && code < 400 =>
+            conn.disconnect()
+            redirects += 1
+            require(redirects <= 5, s"too many redirects fetching $url")
+            val loc = conn.getHeaderField("Location")
+            require(loc != null, s"redirect without Location from $target")
+            target = new java.net.URL(new java.net.URL(target), loc).toString
+          case code if code >= 400 =>
+            conn.disconnect()
+            throw new java.io.IOException(s"HTTP $code fetching $url")
+          case _ => in = conn.getInputStream
+        }
+      }
       try java.nio.file.Files.copy(in, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
@@ -435,7 +478,7 @@ class Engine(val spark: SparkSession) {
             case Some(cs) => df0.select(cs.map(col): _*)
             case None => df0
           }
-          copyTo(df, resolvePath(path), opts)
+          copyTo(df, resolveWritePath(path), opts)
         } else copyFrom(name, cols, resolvePath(path), opts)
       case other =>
         throw new IllegalArgumentException(s"COPY: cannot parse '$other'")

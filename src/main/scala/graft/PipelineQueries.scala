@@ -32,6 +32,46 @@ object PipelineQueries {
       |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"""
       .stripMargin
 
+  /** DuckDB-side quality formula (same bands as [[TextOps.qualityScore]]).
+    * Shared by q48 and the q69 pipeline so the two oracles can never
+    * drift apart. */
+  private val duckQuality =
+    """round(
+      |  (CASE WHEN len(string_split_regex(trim(text), '\s+'))
+      |     BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4 +
+      |  (CASE WHEN length(text)::DOUBLE /
+      |     greatest(len(string_split_regex(trim(text), '\s+')), 1)
+      |     BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2 +
+      |  (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+      |     greatest(length(text), 1)) * 0.4, 6)""".stripMargin
+
+  /** DuckDB-side stopword-argmax language-ID CASE (same tables and
+    * first-max-wins tie-break as [[TextOps.langId]]); shared by q49 and
+    * q69. */
+  private val duckLangPred: String = {
+    val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    def score(words: Seq[String]) =
+      s"len(list_filter($toks, t -> list_contains(" +
+        words.mkString("['", "', '", "']") + ", t)))"
+    val Seq(en, de, es, fr, zh) =
+      TextOps.langStopwords.map { case (_, ws) => score(ws) }
+    s"""CASE
+       |    WHEN $en > 0 AND $en >= $de AND $en >= $es AND $en >= $fr
+       |      AND $en >= $zh THEN 'en'
+       |    WHEN $de > 0 AND $de >= $es AND $de >= $fr AND $de >= $zh
+       |      THEN 'de'
+       |    WHEN $es > 0 AND $es >= $fr AND $es >= $zh THEN 'es'
+       |    WHEN $fr > 0 AND $fr >= $zh THEN 'fr'
+       |    WHEN $zh > 0 THEN 'zh'
+       |    ELSE 'und' END""".stripMargin
+  }
+
+  /** DuckDB-side normalization fingerprint ([[TextOps.normFingerprint]]);
+    * shared by q50 and q69. */
+  private val duckFingerprint =
+    """md5(regexp_replace(regexp_replace(lower(text),
+      |  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""".stripMargin
+
   val all: Seq[(String, Spec)] = Seq(
 
     // Exact dedup: hash-groupBy on the content digest, keep first doc.
@@ -194,15 +234,8 @@ object PipelineQueries {
       spark.table("documents")
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("score"))
         .orderBy("doc_id"),
-      """SELECT doc_id, round(
-        |  (CASE WHEN len(string_split_regex(trim(text), '\s+'))
-        |     BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4 +
-        |  (CASE WHEN length(text)::DOUBLE /
-        |     greatest(len(string_split_regex(trim(text), '\s+')), 1)
-        |     BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2 +
-        |  (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
-        |     greatest(length(text), 1)) * 0.4, 6) AS score
-        |FROM documents ORDER BY doc_id""".stripMargin),
+      s"""SELECT doc_id, $duckQuality AS score
+         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Stopword-argmax language ID (first-max-wins tie-break, 'und' if no
     // stopword hits). `lang` column is the generator's truth label.
@@ -211,27 +244,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           TextOps.langId(col("text")).as("pred"))
         .orderBy("doc_id"),
-      {
-        val toks = "string_split_regex(trim(lower(text)), '\\s+')"
-        def score(words: Seq[String]) =
-          s"len(list_filter($toks, t -> list_contains(" +
-            words.mkString("['", "', '", "']") + ", t)))"
-        val s = TextOps.langStopwords.map { case (l, ws) =>
-          l -> score(ws)
-        }
-        val Seq(en, de, es, fr, zh) = s.map(_._2)
-        s"""SELECT doc_id, lang,
-           |  CASE
-           |    WHEN $en > 0 AND $en >= $de AND $en >= $es AND $en >= $fr
-           |      AND $en >= $zh THEN 'en'
-           |    WHEN $de > 0 AND $de >= $es AND $de >= $fr AND $de >= $zh
-           |      THEN 'de'
-           |    WHEN $es > 0 AND $es >= $fr AND $es >= $zh THEN 'es'
-           |    WHEN $fr > 0 AND $fr >= $zh THEN 'fr'
-           |    WHEN $zh > 0 THEN 'zh'
-           |    ELSE 'und' END AS pred
-           |FROM documents ORDER BY doc_id""".stripMargin
-      }),
+      s"""SELECT doc_id, lang, $duckLangPred AS pred
+         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Content-normalization fingerprint (md5 of canonicalized text).
     "q50_fingerprint" -> api((spark, _) =>
@@ -239,9 +253,8 @@ object PipelineQueries {
         .select(col("doc_id"),
           TextOps.normFingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
-      """SELECT doc_id, md5(regexp_replace(regexp_replace(lower(text),
-        |  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin),
+      s"""SELECT doc_id, $duckFingerprint AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Retrieval chunking (the reference's split_documents: 500-char
     // windows, 50 overlap, min one chunk per doc) — map-only, value-
@@ -377,36 +390,13 @@ object PipelineQueries {
           sum("n_chars").cast("long").as("total_chars"))
         .orderBy("split", "lang")
     }, {
-      val fp = "md5(regexp_replace(regexp_replace(lower(text), " +
-        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
-      val quality =
-        """round(
-          |  (CASE WHEN len(string_split_regex(trim(text), '\s+'))
-          |     BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4 +
-          |  (CASE WHEN length(text)::DOUBLE /
-          |     greatest(len(string_split_regex(trim(text), '\s+')), 1)
-          |     BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2 +
-          |  (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
-          |     greatest(length(text), 1)) * 0.4, 6)""".stripMargin
-      val toks = "string_split_regex(trim(lower(text)), '\\s+')"
-      def score(words: Seq[String]) =
-        s"len(list_filter($toks, t -> list_contains(" +
-          words.mkString("['", "', '", "']") + ", t)))"
-      val s = TextOps.langStopwords.map { case (l, ws) => l -> score(ws) }
-      val Seq(en, de, es, fr, zh) = s.map(_._2)
-      val pred =
-        s"""CASE
-           |  WHEN $en > 0 AND $en >= $de AND $en >= $es AND $en >= $fr
-           |    AND $en >= $zh THEN 'en'
-           |  WHEN $de > 0 AND $de >= $es AND $de >= $fr AND $de >= $zh
-           |    THEN 'de'
-           |  WHEN $es > 0 AND $es >= $fr AND $es >= $zh THEN 'es'
-           |  WHEN $fr > 0 AND $fr >= $zh THEN 'fr'
-           |  WHEN $zh > 0 THEN 'zh'
-           |  ELSE 'und' END""".stripMargin
+      // the scoring fragments are the SHARED vals the q48/q49/q50
+      // oracles use — the pipeline oracle can never drift from the
+      // per-operator oracles
       s"""WITH scored AS (
-         |  SELECT doc_id, lang, n_chars, $fp AS fp, $quality AS q,
-         |    $pred AS pred, substring(md5(text), 1, 1) AS h1
+         |  SELECT doc_id, lang, n_chars, $duckFingerprint AS fp,
+         |    $duckQuality AS q,
+         |    $duckLangPred AS pred, substring(md5(text), 1, 1) AS h1
          |  FROM documents),
          |deduped AS (
          |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)

@@ -419,10 +419,13 @@ object CoreQueries {
         |  round(percentile(l_extendedprice, 0.99), 2) AS price_p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin,
+      // DOUBLE casts: on a DECIMAL-typed source quantile_cont returns
+      // DECIMAL (losing the interpolation digits and the type match)
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
-        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS price_p99
+        |  round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50,
+        |  round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90,
+        |  round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 2)
+        |    AS price_p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin)
   )

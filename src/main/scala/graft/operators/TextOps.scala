@@ -119,7 +119,10 @@ object TextOps {
         col("id_b") === col("id"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .where(col("jac") >= threshold)
+      // threshold at 6-dp rounding, matching the exact-pairwise oracle's
+      // round-then-filter convention (a pair at 0.4999996 rounds IN)
+      .where(graft.functions.GraftFunctions.duckRound(col("jac"), 6)
+        >= threshold)
   }
 
   /** Incremental MinHash dedup: candidates of a (small) NEW batch
@@ -129,10 +132,15 @@ object TextOps {
     * batch side is broadcast, so batch size never re-shuffles the
     * corpus. At steady state the corpus bands are a materialized table
     * and each ingest touches only its own band buckets.
+    * @param maxBucket drop corpus band-buckets larger than this before
+    *                  the candidate join — same skew guard as
+    *                  [[minhashDupPairs]]: a 100k-doc boilerplate bucket
+    *                  would emit 100k candidates per matching batch doc
     * @return (batch_id, corpus_id, jac) pairs with jac >= threshold */
   def minhashDupAgainst(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
-      shingleN: Int = 3, k: Int = 64, b: Int = 32): DataFrame = {
+      shingleN: Int = 3, k: Int = 64, b: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
     require(k % b == 0, "bands must divide signature length")
     val r = k / b
     def shingled(df: DataFrame, as: String) =
@@ -144,7 +152,14 @@ object TextOps {
 
     val corpusSh = shingled(corpus, "corpus_id")
     val batchSh = shingled(batch, "batch_id")
-    val candidates = banded(corpusSh, "corpus_id")
+    // skew guard: one count-window shuffle over the (small) band table —
+    // at steady state this is the precomputed corpus-bands table anyway
+    val guarded = banded(corpusSh, "corpus_id")
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val candidates = guarded
       .join(broadcast(banded(batchSh, "batch_id")), Seq("band", "bh"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
@@ -153,7 +168,9 @@ object TextOps {
       .join(corpusSh, Seq("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         jaccard(col("sh_batch_id"), col("sh_corpus_id")).as("jac"))
-      .where(col("jac") >= threshold)
+      // 6-dp round-then-filter, matching the exact oracle's convention
+      .where(graft.functions.GraftFunctions.duckRound(col("jac"), 6)
+        >= threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (one codegen'd
