@@ -121,6 +121,33 @@ object SystemQueries {
         .orderBy("n_nationkey")
     }, "SELECT * FROM nation ORDER BY n_nationkey"),
 
+    // Backward as-of join (DuckDB ASOF JOIN): each click enriched with
+    // the user's most recent purchase at-or-before it. Spark lacks the
+    // operator; AsOfJoin composes it as union + one window pass (one
+    // key shuffle, no inequality-join blowup) — value-checked against
+    // DuckDB's native ASOF JOIN.
+    "q74_asof_join" -> api((spark, _) => {
+      val ev = spark.table("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("purchase_id"), col("value"))
+      graft.operators.AsOfJoin.asofBackward(clicks, purchases,
+          "user_id", "ts", "pts", Seq("purchase_id", "value"))
+        .select(col("event_id"), col("purchase_id"),
+          col("value").as("purchase_value"))
+        .orderBy("event_id")
+    },
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, p.purchase_id, p.value AS purchase_value
+        |FROM clicks c ASOF JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY event_id""".stripMargin),
+
     // Data-layout optimization: hive-partitioned write (S11) + a read
     // whose filter prunes to one partition directory — the layout that
     // turns a 100 TB scan into a per-language scan. QueriesSpec asserts

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the single latest right row
+  * with `right.time <= left.time` on the same key (DuckDB `ASOF JOIN`;
+  * the canonical time-series enrichment: trades←quotes, events←prices).
+  *
+  * Spark-first formulation: no range probe and no per-row subquery —
+  * both sides are tagged and UNIONed, then ONE window pass per key
+  * carries the most recent right-side payload forward
+  * (`last(_, ignoreNulls)` over rows-unbounded-preceding), and left rows
+  * are kept with their carried payload. Cost: one shuffle on the key
+  * (the union), one sort per partition (the window) — the same shape as
+  * any windowed aggregation, scaling to arbitrarily long histories
+  * without the quadratic blowup of an inequality join. At equal
+  * timestamps the right row sorts first, giving `<=` (inclusive)
+  * semantics like DuckDB.
+  *
+  * Inner semantics: left rows with no prior right row are dropped
+  * (DuckDB ASOF JOIN default); pass `keepUnmatched = true` for the
+  * LEFT OUTER variant.
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side columns carried onto each left row
+    *                  (must not collide with left column names) */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      keepUnmatched: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val payloadType = StructType(valueCols.map(c => right.schema(c)))
+    val lvalType = StructType(left.schema.fields)
+    val r = right.select(col(keyCol).as("__k"),
+      col(rightTime).as("__t"), lit(0).as("__side"),
+      struct(valueCols.map(col): _*).as("__rval"),
+      lit(null).cast(lvalType).as("__lval"))
+    val l = left.select(col(keyCol).as("__k"),
+      col(leftTime).as("__t"), lit(1).as("__side"),
+      lit(null).cast(payloadType).as("__rval"),
+      struct(left.columns.map(col): _*).as("__lval"))
+
+    val unioned = r.unionByName(l)
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__carry", last(col("__rval"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val matched =
+      if (keepUnmatched) carried else carried.where(col("__carry").isNotNull)
+    matched.select(
+      left.columns.map(c => col(s"__lval.$c")) ++
+        valueCols.map(c => col(s"__carry.$c")): _*)
+  }
+}

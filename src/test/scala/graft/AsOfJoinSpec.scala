@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** As-of join semantics on hand-checkable data: latest-at-or-before
+  * matching, inclusive ties, per-key isolation, inner vs outer. */
+class AsOfJoinSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val quotes = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (1L, ts("2024-01-01 10:10:00"), 102.0),
+      (2L, ts("2024-01-01 10:03:00"), 200.0)
+    ).toDF("k", "qt", "price")
+  }
+
+  private lazy val trades = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 10:04:59"), "t1"), // → 100.0 (10:00)
+      (1L, ts("2024-01-01 10:05:00"), "t2"), // → 101.0 (tie: inclusive)
+      (1L, ts("2024-01-01 10:30:00"), "t3"), // → 102.0 (latest)
+      (2L, ts("2024-01-01 10:04:00"), "t4"), // → 200.0 (own key only)
+      (2L, ts("2024-01-01 10:00:00"), "t5")  // → no match (before all)
+    ).toDF("k", "tt", "id")
+  }
+
+  test("matches the latest quote at or before each trade, per key") {
+    val out = AsOfJoin.asofBackward(trades, quotes, "k", "tt", "qt",
+        Seq("price"))
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(out == Map("t1" -> 100.0, "t2" -> 101.0, "t3" -> 102.0,
+      "t4" -> 200.0))
+  }
+
+  test("inner semantics drop unmatched; outer keeps them with null") {
+    val inner = AsOfJoin.asofBackward(trades, quotes, "k", "tt", "qt",
+      Seq("price"))
+    assert(inner.count() == 4) // t5 dropped
+    val outer = AsOfJoin.asofBackward(trades, quotes, "k", "tt", "qt",
+      Seq("price"), keepUnmatched = true)
+    assert(outer.count() == 5)
+    val t5 = outer.where(col("id") === "t5").collect()(0)
+    assert(t5.isNullAt(3))
+  }
+
+  test("plans as one shuffle + window, not an inequality join") {
+    val plan = AsOfJoin.asofBackward(trades, quotes, "k", "tt", "qt",
+      Seq("price")).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
