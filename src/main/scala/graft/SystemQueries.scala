@@ -148,6 +148,20 @@ object SystemQueries {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY event_id""".stripMargin),
 
+    // Attribution-window range join: clicks within 30 min before each
+    // purchase of the same user — equi-join on the user plus a time-range
+    // predicate (the keyed range-join shape; the keyless variant is
+    // RangeJoin + RangeJoinSpec). Plain SQL on both engines.
+    "q75_attribution_window" -> same(
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin),
+
     // Data-layout optimization: hive-partitioned write (S11) + a read
     // whose filter prunes to one partition directory — the layout that
     // turns a 100 TB scan into a per-language scan. QueriesSpec asserts
