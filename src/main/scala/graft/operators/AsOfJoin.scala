@@ -33,17 +33,26 @@ object AsOfJoin {
     import org.apache.spark.sql.types.StructType
     val payloadType = StructType(valueCols.map(c => right.schema(c)))
     val lvalType = StructType(left.schema.fields)
-    val r = right.select(col(keyCol).as("__k"),
-      col(rightTime).as("__t"), lit(0).as("__side"),
-      struct(valueCols.map(col): _*).as("__rval"),
-      lit(null).cast(lvalType).as("__lval"))
-    val l = left.select(col(keyCol).as("__k"),
-      col(leftTime).as("__t"), lit(1).as("__side"),
+    // a NULL right timestamp can never satisfy left.t >= right.t (SQL
+    // comparison semantics; DuckDB ASOF agrees) — drop it before tagging
+    // or it would sort first (nulls-first) and fabricate matches
+    val r = right.where(col(rightTime).isNotNull)
+      .select(right(keyCol).as("__k"),
+        right(rightTime).as("__t"), lit(0).as("__side"),
+        struct(valueCols.map(right(_)): _*).as("__rval"),
+        lit(null).cast(lvalType).as("__lval"))
+    val l = left.select(left(keyCol).as("__k"),
+      left(leftTime).as("__t"), lit(1).as("__side"),
       lit(null).cast(payloadType).as("__rval"),
-      struct(left.columns.map(col): _*).as("__lval"))
+      struct(left.columns.map(left(_)): _*).as("__lval"))
 
     val unioned = r.unionByName(l)
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    // __rval as the final sort key totally orders right-side ties on
+    // (key, t): which payload wins is arbitrary (as in DuckDB) but
+    // DETERMINISTIC across runs/partitionings. Left rows all carry a
+    // null __rval, so their relative order stays irrelevant.
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__rval"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__carry", last(col("__rval"), ignoreNulls = true).over(w))
@@ -51,7 +60,7 @@ object AsOfJoin {
     val matched =
       if (keepUnmatched) carried else carried.where(col("__carry").isNotNull)
     matched.select(
-      left.columns.map(c => col(s"__lval.$c")) ++
-        valueCols.map(c => col(s"__carry.$c")): _*)
+      left.columns.map(c => col("__lval").getField(c).as(c)) ++
+        valueCols.map(c => col("__carry").getField(c).as(c)): _*)
   }
 }

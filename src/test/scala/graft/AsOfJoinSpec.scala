@@ -50,6 +50,33 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(t5.isNullAt(3))
   }
 
+  test("a NULL right timestamp never matches (no fabricated carries)") {
+    import spark.implicits._
+    val q = Seq((1L, Option.empty[Timestamp], 99.0),
+        (1L, Some(ts("2024-01-01 10:05:00")), 101.0))
+      .toDF("k", "qt", "price")
+    val t = Seq((1L, ts("2024-01-01 10:01:00"), "early"),
+        (1L, ts("2024-01-01 10:06:00"), "late"))
+      .toDF("k", "tt", "id")
+    val out = AsOfJoin.asofBackward(t, q, "k", "tt", "qt", Seq("price"))
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    // "early" precedes every non-null quote → dropped, never given 99.0
+    assert(out == Map("late" -> 101.0))
+  }
+
+  test("right-side ties on (key, ts) resolve deterministically") {
+    import spark.implicits._
+    val q = Seq((1L, ts("2024-01-01 10:00:00"), 5.0),
+        (1L, ts("2024-01-01 10:00:00"), 9.0))
+      .toDF("k", "qt", "price").repartition(8) // scramble physical order
+    val t = Seq((1L, ts("2024-01-01 10:01:00"), "t1")).toDF("k", "tt", "id")
+    val picks = (1 to 5).map { _ =>
+      AsOfJoin.asofBackward(t, q, "k", "tt", "qt", Seq("price"))
+        .collect()(0).getDouble(3)
+    }
+    assert(picks.distinct.length == 1, picks.mkString(","))
+  }
+
   test("plans as one shuffle + window, not an inequality join") {
     val plan = AsOfJoin.asofBackward(trades, quotes, "k", "tt", "qt",
       Seq("price")).queryExecution.executedPlan.toString
