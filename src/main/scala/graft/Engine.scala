@@ -350,7 +350,16 @@ class Engine(val spark: SparkSession) {
         col(f.name).cast(f.dataType).as(f.name))
       register(name, target.unionByName(rows.select(casted.toIndexedSeq: _*)))
       empty()
-    case Update(name, setList, whereOpt) =>
+    case c if """(?is)\s*UPDATE\b.*""".r.matches(c) =>
+      // match the command shape on MASKED text: a ' WHERE ' inside a
+      // string literal must not split the statement
+      val (mskd, lits) = DuckRewriter.mask(c)
+      val (name, setList, whereOpt) = mskd match {
+        case Update(n, sl, w) =>
+          (n, DuckRewriter.unmask(sl, lits),
+            Option(w).map(DuckRewriter.unmask(_, lits)).orNull)
+        case _ => throw new IllegalArgumentException(s"UPDATE: cannot parse")
+      }
       val target = table(name)
       val cond = Option(whereOpt)
         .map(w => expr(DuckRewriter.rewrite(w, schemaOf))).getOrElse(lit(true))
@@ -358,15 +367,25 @@ class Engine(val spark: SparkSession) {
         val Array(c, v) = a.split("=", 2)
         norm(c.trim) -> expr(DuckRewriter.rewrite(v.trim, schemaOf))
       }.toMap
-      val updated = target.schema.fields.foldLeft(target) { (df, f) =>
+      // ONE select against the original relation: every SET expression
+      // and the WHERE predicate see PRE-update values (sequential
+      // withColumn would leak updated columns into later assignments —
+      // UPDATE t SET a = b, b = a must swap)
+      val updated = target.select(target.schema.fields.map { f =>
         sets.get(f.name.toLowerCase) match {
-          case Some(v) => df.withColumn(f.name,
-            when(cond, v.cast(f.dataType)).otherwise(col(f.name)))
-          case None => df
+          case Some(v) =>
+            when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
         }
-      }
+      }.toIndexedSeq: _*)
       register(name, updated); empty()
-    case Delete(name, whereOpt) =>
+    case c if """(?is)\s*DELETE\b.*""".r.matches(c) =>
+      val (mskd, lits) = DuckRewriter.mask(c)
+      val (name, whereOpt) = mskd match {
+        case Delete(n, w) =>
+          (n, Option(w).map(DuckRewriter.unmask(_, lits)).orNull)
+        case _ => throw new IllegalArgumentException(s"DELETE: cannot parse")
+      }
       val target = table(name)
       // delete only rows where the predicate is TRUE: a NULL predicate
       // keeps the row (SQL three-valued semantics; `!NULL` is NULL and
@@ -384,7 +403,9 @@ class Engine(val spark: SparkSession) {
         col(colName).cast(normalizeType(typ)))); empty()
     case DropTable(name) =>
       tables.remove(norm(name))
-      spark.catalog.dropTempView(norm(name)); empty()
+      // dotted (attached-catalog) names are backed by an underscored
+      // temp view (see register) — drop the view that actually exists
+      spark.catalog.dropTempView(norm(name).replace('.', '_')); empty()
     case c if """(?is)\A\s*COPY\b.*""".r.matches(c) => parseCopy(c)
     case AttachCmd(path, aliasOpt) =>
       val alias = Option(aliasOpt).getOrElse(
@@ -492,14 +513,14 @@ class Engine(val spark: SparkSession) {
 
   private def copyTo(df: DataFrame, path: String,
       opts: Map[String, String]): DataFrame = {
-    val w0 = df.write.mode("overwrite")
-    val w = opts.get("partition_by") match {
-      case Some(cs) => w0.partitionBy(cs.split(",").map(_.trim): _*)
-      case None => w0
-    }
+    val partCols = opts.get("partition_by")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    def partitioned(w: org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row]) =
+      if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w
     fmtOf(path, opts) match {
-      case "parquet" => w.parquet(path)
-      case "json" => w.json(path)
+      case "parquet" => partitioned(df.write.mode("overwrite")).parquet(path)
+      case "json" => partitioned(df.write.mode("overwrite")).json(path)
       case _ =>
         // CSV holds scalars only: complex columns serialize as JSON text
         // (DuckDB's COPY writes its list/struct repr similarly)
@@ -511,8 +532,10 @@ class Engine(val spark: SparkSession) {
             case _ => col(f.name)
           }
         }.toIndexedSeq: _*)
-        flat.write.mode("overwrite").option("header", "true")
-          .option("sep", opts.getOrElse("delimiter", ",")).csv(path)
+        // PARTITION_BY applies to CSV too — the flat rewrite must not
+        // drop the partitioned-writer configuration
+        partitioned(flat.write.mode("overwrite").option("header", "true")
+          .option("sep", opts.getOrElse("delimiter", ","))).csv(path)
     }
     empty()
   }

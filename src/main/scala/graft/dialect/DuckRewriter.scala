@@ -42,22 +42,37 @@ object DuckRewriter {
     s = starModifiers(s, schemaOf)
     s = funcColumns(s, schemaOf)
     s = columnsRegex(s, schemaOf)
-    s = jsonArrows(s)
     s = duckDatediffCall(s)
-    // bracket/list/cast rewrites must not fire inside string literals
-    // (regex char classes like '[a-z]' are NOT list literals) — mask
-    // literals, rewrite, restore
-    val (masked, lits) = maskLiterals(s)
+    // bracket/list/cast/arrow/lateral rewrites must not fire inside
+    // string literals (regex char classes like '[a-z]' are NOT list
+    // literals; an alias word inside a literal is data, not a
+    // reference) — mask literals, rewrite, restore
+    val (masked, lits0) = maskLiterals(s)
+    val lits = scala.collection.mutable.ArrayBuffer(lits0: _*)
     var m = masked
-    m = brackets(m)
-    m = arrayLiterals(m)
+    m = jsonArrows(m, lits)
+    // to fixpoint: nesting ([[1,2],[3]], m[keys[1]]) resolves one level
+    // per pass
+    var prev: String = null
+    var guard = 0
+    while (m != prev && guard < 10) {
+      prev = m
+      m = brackets(m)
+      m = arrayLiterals(m)
+      guard += 1
+    }
     m = roundingIntCast(m)
-    s = unmaskLiterals(m, lits)
+    m = lateralAliases(m, schemaOf)
+    s = unmaskLiterals(m, lits.toSeq)
     s = structLiterals(s)
     s = quotedAlias(s)
-    s = lateralAliases(s, schemaOf)
     s
   }
+
+  /** Masks string literals as `§Ln§` tokens (public: the Engine's
+    * quote-aware command parsing reuses it). */
+  def mask(s: String): (String, Seq[String]) = maskLiterals(s)
+  def unmask(s: String, lits: Seq[String]): String = unmaskLiterals(s, lits)
 
   private def maskLiterals(s: String): (String, Seq[String]) = {
     val lits = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -88,9 +103,12 @@ object DuckRewriter {
 
   /** DuckDB double→int casts round half-to-even (nearbyint); Spark
     * truncates and Spark's round() is HALF_UP — rint() is the exact
-    * match (verified: DuckDB 2.5::INT=2, 0.5::INT=0). */
+    * match (verified: DuckDB 2.5::INT=2, 0.5::INT=0). Bases covered:
+    * identifier chains, call results, parenthesized expressions, numeric
+    * literals, masked string literals. */
   private val intCastRe: Regex =
-    ("""([A-Za-z_][\w.]*(?:\([^()]*\))?)\s*::\s*""" +
+    ("""([A-Za-z_][\w.]*(?:\([^()]*\))?|\([^()]*\)|-?\d+(?:\.\d+)?""" +
+      """|§L\d+§)\s*::\s*""" +
       """(INTEGER|INT|BIGINT|SMALLINT|TINYINT)\b""").r
   private def roundingIntCast(s: String): String =
     intCastRe.replaceAllIn(s, m => Regex.quoteReplacement(
@@ -247,31 +265,90 @@ object DuckRewriter {
 
   /** `x ->> 'k'` → get_json_object(x, '$.k'); `->` keeps JSON text too
     * (DuckDB returns JSON; for string-typed storage the text form is the
-    * same once extracted). */
-  private val arrowRe: Regex =
-    """(?s)([A-Za-z_][\w.]*|\))\s*->>?\s*'([^']*)'""".r
-  private def jsonArrows(s: String): String =
-    arrowRe.replaceAllIn(s, m => Regex.quoteReplacement(
-      s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
+    * same once extracted). Operates on MASKED text (keys arrive as §Ln§
+    * tokens). The base is found by scanning left: an identifier chain,
+    * a masked literal, or a balanced call `f(...)` — so chained arrows
+    * (`x->'a'->>'b'`, rewritten innermost-first across passes) and
+    * function-call bases both work. */
+  private val arrowKeyRe: Regex = """->>?\s*§L(\d+)§""".r
+  private def jsonArrows(s0: String,
+      lits: scala.collection.mutable.ArrayBuffer[String]): String = {
+    var s = s0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 20) {
+      changed = false
+      guard += 1
+      arrowKeyRe.findFirstMatchIn(s).foreach { m =>
+        val key = lits(m.group(1).toInt).stripPrefix("'").stripSuffix("'")
+        // scan left from the arrow for the base expression start
+        var i = m.start - 1
+        while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+        val end = i + 1
+        if (i >= 0 && s.charAt(i) == ')') {
+          var depth = 0
+          while (i >= 0 && { val c = s.charAt(i)
+            if (c == ')') depth += 1 else if (c == '(') depth -= 1
+            depth > 0 }) i -= 1
+          i -= 1 // move before the '('
+          while (i >= 0 && (s.charAt(i).isLetterOrDigit ||
+            "_.§".contains(s.charAt(i)))) i -= 1
+        } else {
+          while (i >= 0 && (s.charAt(i).isLetterOrDigit ||
+            "_.§".contains(s.charAt(i)))) i -= 1
+        }
+        val start = i + 1
+        if (start < end) {
+          val base = s.substring(start, end)
+          // the '$.key' path becomes a NEW masked literal so later
+          // passes still see quote-free text
+          lits += s"'$$.$key'"
+          val tok = s"§L${lits.length - 1}§"
+          s = s.substring(0, start) +
+            s"get_json_object($base, $tok)" + s.substring(m.end)
+          changed = true
+        }
+      }
+    }
+    s
+  }
 
   /** Bracket indexing and slicing over identifiers / call results:
     * `x[i]` → duck_index(x, i); `x[i:j]` (either bound optional) →
     * duck_slice(x, i|1, j|MAX). Does NOT touch `[...]` without a preceding
     * value — that's a DuckDB list literal, handled below. */
+  // base: identifier chain, call result, or masked string literal
+  // ('hello'[2] is DuckDB string indexing). Subscripts may be any
+  // bracket-free expression (arr[idx], arr[i+1]) — nested subscripts
+  // resolve over the rewrite fixpoint loop.
+  private val bracketBase = """([A-Za-z_][\w.]*(?:\([^()]*\))?|§L\d+§)"""
   private val sliceRe: Regex =
-    ("""([A-Za-z_][\w.]*(?:\([^()]*\))?)\s*\[\s*""" + // base: ident or f(...)
-      """(-?\d+)?\s*:\s*(-?\d+)?\s*\]""").r
+    (bracketBase + """\s*\[\s*""" +
+      """([^\[\]:,]+?)?\s*:\s*([^\[\]:,]+?)?\s*\]""").r
   private val indexRe: Regex =
-    """([A-Za-z_][\w.]*(?:\([^()]*\))?)\s*\[\s*(-?\d+)\s*\]""".r
+    (bracketBase + """\s*\[\s*([^\[\]:,]+?)\s*\]""").r
+  /** A keyword before `[` means list literal, not indexing
+    * (`SELECT [42]`, `IN [1]`, `THEN [x]`). */
+  private val sqlKeywords = Set("select", "from", "where", "and", "or",
+    "not", "in", "when", "then", "else", "case", "end", "on", "join",
+    "group", "by", "order", "having", "limit", "as", "union", "all",
+    "values", "insert", "update", "set", "delete", "between", "like",
+    "is", "null", "distinct", "intersect", "except", "exists")
   private def brackets(s: String): String = {
     val afterSlice = sliceRe.replaceAllIn(s, m => {
       val base = m.group(1)
-      val lo = Option(m.group(2)).getOrElse("1")
-      val hi = Option(m.group(3)).getOrElse(Int.MaxValue.toString)
-      Regex.quoteReplacement(s"duck_slice($base, $lo, $hi)")
+      if (sqlKeywords(base.toLowerCase)) Regex.quoteReplacement(m.matched)
+      else {
+        val lo = Option(m.group(2)).getOrElse("1")
+        val hi = Option(m.group(3)).getOrElse(Int.MaxValue.toString)
+        Regex.quoteReplacement(s"duck_slice($base, $lo, $hi)")
+      }
     })
-    indexRe.replaceAllIn(afterSlice, m => Regex.quoteReplacement(
-      s"duck_index(${m.group(1)}, ${m.group(2)})"))
+    indexRe.replaceAllIn(afterSlice, m =>
+      if (sqlKeywords(m.group(1).toLowerCase))
+        Regex.quoteReplacement(m.matched)
+      else Regex.quoteReplacement(
+        s"duck_index(${m.group(1)}, ${m.group(2)})"))
   }
 
   /** Remaining `[a, b, c]` with no preceding value (so not an index/slice,

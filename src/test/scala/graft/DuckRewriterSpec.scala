@@ -95,4 +95,49 @@ class DuckRewriterSpec extends AnyFunSuite {
     val q = "SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY a"
     assert(rw(q) == q)
   }
+
+  test("chained json arrows nest get_json_object") {
+    assert(rw("SELECT x->'a'->>'b' FROM t")
+      == "SELECT get_json_object(get_json_object(x, '$.a'), '$.b') FROM t")
+  }
+
+  test("json arrow on a call-result base wraps the whole call") {
+    assert(rw("SELECT json_extract(col, 'x')->>'name' FROM t")
+      == "SELECT get_json_object(json_extract(col, 'x'), '$.name') FROM t")
+  }
+
+  test("non-literal bracket subscripts rewrite to duck_index") {
+    assert(rw("SELECT arr[idx] FROM t") ==
+      "SELECT duck_index(arr, idx) FROM t")
+    assert(rw("SELECT arr[i + 1] FROM t") ==
+      "SELECT duck_index(arr, i + 1) FROM t")
+  }
+
+  test("string-literal base indexing and slicing") {
+    assert(rw("SELECT 'hello'[2]") == "SELECT duck_index('hello', 2)")
+    assert(rw("SELECT 'hello'[1:3]") == "SELECT duck_slice('hello', 1, 3)")
+  }
+
+  test("nested list literals convert at every level") {
+    assert(rw("SELECT [[1,2],[3,4]]")
+      == "SELECT array(array(1,2),array(3,4))")
+  }
+
+  test("::INT covers parenthesized, numeric and literal bases") {
+    assert(rw("SELECT (a + b)::INT FROM t")
+      == "SELECT CAST(rint((a + b)) AS INT) FROM t")
+    assert(rw("SELECT 3.5::INT") == "SELECT CAST(rint(3.5) AS INT)")
+    assert(rw("SELECT '2.5'::INT") == "SELECT CAST(rint('2.5') AS INT)")
+  }
+
+  test("lateral alias inlining leaves string literals intact") {
+    val q = "SELECT upper(a) AS state FROM t WHERE state = 'state pending'"
+    assert(rw(q)
+      == "SELECT upper(a) AS state FROM t WHERE (upper(a)) = 'state pending'")
+  }
+
+  test("regex character classes inside literals are never list literals") {
+    val q = "SELECT regexp_extract(a, '[a-z]+', 0) FROM t"
+    assert(rw(q) == q)
+  }
 }

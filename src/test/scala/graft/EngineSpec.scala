@@ -184,6 +184,35 @@ class EngineSpec extends SparkSpecBase {
     assert(n(0).getString(0) == "ada")
   }
 
+  test("UPDATE: all SET expressions and WHERE see pre-update values") {
+    val e = engine
+    e.executeDuck("CREATE TABLE sw (a INT, b INT)")
+    e.executeDuck("INSERT INTO sw VALUES (1, 2)")
+    e.executeDuck("UPDATE sw SET a = b, b = a")
+    val r = e.executeDuck("SELECT a, b FROM sw").collect()(0)
+    assert((r.getInt(0), r.getInt(1)) == (2, 1), "swap must swap")
+    e.executeDuck("CREATE TABLE sw2 (a INT, b INT)")
+    e.executeDuck("INSERT INTO sw2 VALUES (9, 0)")
+    e.executeDuck("UPDATE sw2 SET a = 0, b = 1 WHERE a > 5")
+    val r2 = e.executeDuck("SELECT a, b FROM sw2").collect()(0)
+    assert((r2.getInt(0), r2.getInt(1)) == (0, 1),
+      "WHERE must see the old a")
+  }
+
+  test("UPDATE/DELETE: a WHERE inside a string literal does not split " +
+      "the statement") {
+    val e = engine
+    e.executeDuck("CREATE TABLE notes (id INT, note VARCHAR)")
+    e.executeDuck("INSERT INTO notes VALUES (1, 'x'), (2, 'y')")
+    e.executeDuck("UPDATE notes SET note = 'fixed where broken' WHERE id = 1")
+    val vals = e.executeDuck("SELECT note FROM notes ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("fixed where broken", "y"))
+    e.executeDuck("DELETE FROM notes WHERE note = 'fixed where broken'")
+    assert(e.executeDuck("SELECT count(*) AS n FROM notes")
+      .collect()(0).getLong(0) == 1)
+  }
+
   test("read_csv_auto over an http URL fetches to a local tmp (S3 shim, " +
       "dev.json:199)") {
     // zero-egress environment: serve a CSV from loopback instead of the
