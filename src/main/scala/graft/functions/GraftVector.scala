@@ -39,7 +39,10 @@ object GraftVector {
   }
 
   /** Cosine similarity: dot(a,b) / (|a| * |b|), all three folds in one
-    * pass over the pair. */
+    * pass over the pair. A zero-norm side yields 0.0 (no similarity
+    * signal), NOT the IEEE 0/0 NaN — Spark sorts NaN above every real
+    * number, so a NaN would put zero vectors ahead of genuine matches
+    * in every top-k ranking. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var sab = 0.0; var saa = 0.0; var sbb = 0.0
@@ -50,7 +53,8 @@ object GraftVector {
       sab += x * y; saa += x * x; sbb += y * y
       i += 1
     }
-    sab / (math.sqrt(saa) * math.sqrt(sbb))
+    if (saa == 0.0 || sbb == 0.0) 0.0
+    else sab / (math.sqrt(saa) * math.sqrt(sbb))
   }
 
   /** DuckDB-exact `round(x, d)`: C++ `std::round(x * 10^d) / 10^d` —

@@ -44,6 +44,19 @@ object EmbeddingOps {
   /** Cosine similarity — dot and both norms in ONE pass per pair. */
   def cosine(a: Column, b: Column): Column = GraftFunctions.vecCosine(a, b)
 
+  /** Shared scoring tail for the three kNN variants: exact cosine over
+    * the candidate set, per-query dense rank, top-k. One definition so a
+    * semantics change (rounding, tie-break, NaN policy) cannot diverge
+    * between the exact and approximate paths. */
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame =
+    candidates
+      .select(col("qid"), col("id"),
+        GraftFunctions.duckRound(cosine(col("vec"), col("qvec")), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rn"))
+
   /** Exact top-k cosine neighbors for each query vector.
     * Queries must be small enough to broadcast (they are, by construction:
     * a query batch, not a corpus). Rank is deterministic: cosine rounded
@@ -52,15 +65,8 @@ object EmbeddingOps {
       vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"),
       col(vecCol).as("qvec")))
-    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(q, col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        GraftFunctions.duckRound(cosine(col("vec"), col("qvec")), 6).as("cos"))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("id"), col("cos"), col("rn"))
+    rankTopK(corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(q, col("id") =!= col("qid")), k)
   }
 
   /** Approximate top-k: both sides keyed by an `bits`-wide random-
@@ -73,13 +79,7 @@ object EmbeddingOps {
       sketch(col(vecCol)).as("bkt"))
     val q = broadcast(queries.select(col(idCol).as("qid"),
       col(vecCol).as("qvec"), sketch(col(vecCol)).as("bkt")))
-    c.join(q, Seq("bkt"))
-      .where(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        GraftFunctions.duckRound(cosine(col("vec"), col("qvec")), 6).as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
-      .where(col("rn") <= k)
+    rankTopK(c.join(q, Seq("bkt")).where(col("id") =!= col("qid")), k)
   }
 
   /** Approximate top-k via IVF (inverted-file) lists: `nlist` centroids
@@ -111,13 +111,7 @@ object EmbeddingOps {
     val q = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("cid", explode(probe(col("qvec"), nprobe))))
-    c.join(q, Seq("cid"))
-      .where(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        GraftFunctions.duckRound(cosine(col("vec"), col("qvec")), 6).as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
-      .where(col("rn") <= k)
+    rankTopK(c.join(q, Seq("cid")).where(col("id") =!= col("qid")), k)
   }
 
   /** Global top-n most-similar pairs by exact cosine — the all-pairs

@@ -26,6 +26,9 @@ object RetrievalOps {
     * (idCol, chunk_idx, chunk). */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
       size: Int = 500, overlap: Int = 50): DataFrame = {
+    require(overlap >= 0 && overlap < size,
+      s"overlap ($overlap) must be in [0, size=$size) — step would be " +
+        "non-positive and chunking would silently truncate")
     val step = size - overlap
     val text = col(textCol)
     val nChunks = greatest(
@@ -54,6 +57,9 @@ object RetrievalOps {
   def retrieveTopN(corpus: DataFrame, corpusKeys: Seq[String],
       queries: DataFrame, queryKeys: Seq[String],
       embCol: String, n: Int): DataFrame = {
+    require(queryKeys.size == corpusKeys.size,
+      "queryKeys and corpusKeys must align 1:1 (zip would silently drop " +
+        "the excess keys from the self-exclusion predicate)")
     val q = broadcast(queries.select(
       queryKeys.map(col) :+ col(embCol).as("__qemb"): _*))
     val notSelf = queryKeys.zip(corpusKeys)

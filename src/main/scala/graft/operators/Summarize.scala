@@ -56,23 +56,27 @@ object Summarize {
   def summarize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cols = df.schema.fields
-    val aggs = cols.flatMap { f =>
-      val c = col(f.name)
+    // aliases are POSITIONAL (c0__min, c1__min, …), never name-derived:
+    // a column literally named "x__min" next to "x", or a dotted name,
+    // must not collide with or break the generated stat slots; column
+    // references go through df(_) so dots resolve as literal names
+    val aggs = cols.zipWithIndex.flatMap { case (f, ci) =>
+      val c = df(f.name)
       val base = Seq(
-        min(c).cast("string").as(s"${f.name}__min"),
-        max(c).cast("string").as(s"${f.name}__max"),
-        approx_count_distinct(c).as(s"${f.name}__uniq"),
-        count(c).as(s"${f.name}__cnt"))
+        min(c).cast("string").as(s"c${ci}__min"),
+        max(c).cast("string").as(s"c${ci}__max"),
+        approx_count_distinct(c).as(s"c${ci}__uniq"),
+        count(c).as(s"c${ci}__cnt"))
       val numeric =
         if (isNumeric(f.dataType)) Seq(
-          avg(c.cast("double")).as(s"${f.name}__avg"),
-          stddev_samp(c.cast("double")).as(s"${f.name}__std"),
+          avg(c.cast("double")).as(s"c${ci}__avg"),
+          stddev_samp(c.cast("double")).as(s"c${ci}__std"),
           percentile_approx(c.cast("double"), lit(0.25), lit(10000))
-            .as(s"${f.name}__q25"),
+            .as(s"c${ci}__q25"),
           percentile_approx(c.cast("double"), lit(0.5), lit(10000))
-            .as(s"${f.name}__q50"),
+            .as(s"c${ci}__q50"),
           percentile_approx(c.cast("double"), lit(0.75), lit(10000))
-            .as(s"${f.name}__q75"))
+            .as(s"c${ci}__q75"))
         else Seq.empty
       base ++ numeric
     } :+ count(lit(1)).as("__total")
@@ -84,25 +88,25 @@ object Summarize {
     }
     val total = r.getAs[Long]("__total")
 
-    val rows = cols.map { f =>
-      val cnt = get[Long](s"${f.name}__cnt").getOrElse(0L)
+    val rows = cols.zipWithIndex.map { case (f, ci) =>
+      val cnt = get[Long](s"c${ci}__cnt").getOrElse(0L)
       val nullPct =
         if (total == 0) 0.0
         else BigDecimal((total - cnt) * 100.0 / total)
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       Row(f.name, duckTypeName(f.dataType),
-        get[String](s"${f.name}__min").orNull,
-        get[String](s"${f.name}__max").orNull,
-        get[Long](s"${f.name}__uniq").getOrElse(0L),
-        if (isNumeric(f.dataType)) get[Double](s"${f.name}__avg").orNull
+        get[String](s"c${ci}__min").orNull,
+        get[String](s"c${ci}__max").orNull,
+        get[Long](s"c${ci}__uniq").getOrElse(0L),
+        if (isNumeric(f.dataType)) get[Double](s"c${ci}__avg").orNull
         else null,
-        if (isNumeric(f.dataType)) get[Double](s"${f.name}__std").orNull
+        if (isNumeric(f.dataType)) get[Double](s"c${ci}__std").orNull
         else null,
-        if (isNumeric(f.dataType)) get[Double](s"${f.name}__q25").orNull
+        if (isNumeric(f.dataType)) get[Double](s"c${ci}__q25").orNull
         else null,
-        if (isNumeric(f.dataType)) get[Double](s"${f.name}__q50").orNull
+        if (isNumeric(f.dataType)) get[Double](s"c${ci}__q50").orNull
         else null,
-        if (isNumeric(f.dataType)) get[Double](s"${f.name}__q75").orNull
+        if (isNumeric(f.dataType)) get[Double](s"c${ci}__q75").orNull
         else null,
         total, nullPct)
     }

@@ -91,8 +91,11 @@ object TextOps {
       maxBucket: Int = 1000): DataFrame = {
     require(k % b == 0, "bands must divide signature length")
     val r = k / b
+    // shingled feeds the banding AND both verification joins: persist it
+    // so the shingle kernel runs once, not three times, per corpus pass
     val shingled = parallelize(docs).select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = shingled
       .select(col("id"), posexplode(lshBands(
@@ -174,21 +177,36 @@ object TextOps {
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (one codegen'd
-    * pass over the token array), candidates via 4×16-bit chunk banding
-    * (any pair within Hamming distance 3 shares at least one intact chunk
-    * by pigeonhole), verified by exact Hamming distance. */
+    * pass over the token array), candidates via chunk banding with
+    * `maxHamming + 1` chunks — by pigeonhole, any pair within the
+    * Hamming budget shares at least one INTACT chunk, whatever the
+    * budget (a fixed 4-chunk split would silently lose recall for
+    * maxHamming > 3). Degenerate chunk buckets (short/boilerplate docs
+    * collapsing whole chunks to zero) are capped like the minhash
+    * paths. Verified by exact Hamming distance. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val chunks = 4
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks // last chunk absorbs the remainder bits
     val sigs = parallelize(docs).select(col(idCol).as("id"),
       graft.functions.GraftFunctions.simhash64(tokens(col(textCol)))
         .as("sig"))
+    def chunkBits(c: Int): Column = {
+      val w = if (c == chunks - 1) 64 - c * width else width
+      val shifted = shiftright(col("sig"), c * width)
+      if (c * width + w >= 64) shifted
+      else shifted.bitwiseAND(lit((1L << w) - 1))
+    }
     val banded = sigs.select(col("id"), col("sig"),
         explode(array((0 until chunks).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("sig"), c * 16)
-              .bitwiseAND(lit(0xFFFFL)).as("ch"))): _*)).as("bb"))
+          struct(lit(c).as("chunk"), chunkBits(c).as("ch"))): _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.chunk"), col("bb.ch"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk", "ch")))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
           col("x.id") < col("y.id"))

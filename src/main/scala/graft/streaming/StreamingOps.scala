@@ -39,7 +39,14 @@ object StreamingOps {
   /** Event-time hourly counts per event_type, computed as a stream over
     * the parquet directory and drained with AvailableNow. Identical to
     * the batch `GROUP BY date_trunc('hour', ts), event_type` answer once
-    * the stream is fully consumed — that equivalence IS the oracle. */
+    * the stream is fully consumed — that equivalence IS the oracle.
+    *
+    * Output mode is Complete — required for the full-history answer on a
+    * bounded replay, and under Complete the watermark does NOT evict
+    * window state. An open-ended production deployment of this exact
+    * aggregation should switch to Append (windows finalize and state
+    * evicts as the watermark passes) and accept that the trailing
+    * watermark-delay of windows flushes only with further input. */
   def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -151,12 +158,21 @@ object StreamingOps {
 
     def update(user: Long, evs: Iterator[SessionEvent],
         state: GroupState[SessionState]): Iterator[UserSessions] = {
-      // AvailableNow on a bounded directory: all events for the user
-      // arrive before the final flush; sort within the group (bounded by
-      // per-user event count) and count gap-separated runs.
+      // Contract: ONE micro-batch delivers the user's whole history
+      // (AvailableNow over a bounded directory — the deterministic-replay
+      // entry point). A second batch for the same user would silently
+      // re-emit per-batch counts, so the state is used as a tripwire:
+      // fail loudly instead of double-counting. The open-ended
+      // incremental variant needs event-time timeouts + watermark and
+      // has different flush timing; it is intentionally not this API.
+      if (state.exists)
+        throw new IllegalStateException(
+          s"sessionCounts saw user $user in a second micro-batch; " +
+            "this entry point requires single-batch bounded replay")
       val ts = evs.map(_.ts.getTime).toArray.sorted
       if (ts.isEmpty) Iterator.empty
       else {
+        state.update(SessionState(ts.head, ts.last, ts.length, Nil))
         var sessions = 1L
         var i = 1
         while (i < ts.length) {
