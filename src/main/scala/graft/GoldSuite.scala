@@ -27,8 +27,9 @@ object GoldSuite {
   def canonCell(v: Any): String = v match {
     case null => "NULL"
     case b: Boolean => b.toString
-    case d: Double => f"${BigDecimal(d).setScale(6,
-      BigDecimal.RoundingMode.HALF_EVEN).toDouble}%.6f"
+    case d: Double => String.format(java.util.Locale.ROOT, "%.6f",
+      BigDecimal(d).setScale(6,
+        BigDecimal.RoundingMode.HALF_EVEN).toDouble)
     case f: Float => canonCell(f.toDouble)
     case t: java.sql.Timestamp =>
       val s = t.toString

@@ -47,24 +47,45 @@ object PipelineQueries {
 
   /** DuckDB-side stopword-argmax language-ID CASE (same tables and
     * first-max-wins tie-break as [[TextOps.langId]]); shared by q49 and
-    * q69. */
+    * q69, and GENERATED from [[TextOps.langStopwords]] so the table can
+    * grow or shrink without touching this formula: branch i fires when
+    * its score is positive and >= every LATER language's score (earlier
+    * branches already failed, giving first-max-wins). */
   private val duckLangPred: String = {
     val toks = "string_split_regex(trim(lower(text)), '\\s+')"
     def score(words: Seq[String]) =
       s"len(list_filter($toks, t -> list_contains(" +
         words.mkString("['", "', '", "']") + ", t)))"
-    val Seq(en, de, es, fr, zh) =
-      TextOps.langStopwords.map { case (_, ws) => score(ws) }
-    s"""CASE
-       |    WHEN $en > 0 AND $en >= $de AND $en >= $es AND $en >= $fr
-       |      AND $en >= $zh THEN 'en'
-       |    WHEN $de > 0 AND $de >= $es AND $de >= $fr AND $de >= $zh
-       |      THEN 'de'
-       |    WHEN $es > 0 AND $es >= $fr AND $es >= $zh THEN 'es'
-       |    WHEN $fr > 0 AND $fr >= $zh THEN 'fr'
-       |    WHEN $zh > 0 THEN 'zh'
-       |    ELSE 'und' END""".stripMargin
+    val scored = TextOps.langStopwords.map { case (l, ws) => l -> score(ws) }
+    val branches = scored.zipWithIndex.map { case ((lang, s), i) =>
+      val laterGe = scored.drop(i + 1)
+        .map { case (_, s2) => s"$s >= $s2" }
+      val cond = (s"$s > 0" +: laterGe).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    branches.mkString("CASE\n    ", "\n    ", "\n    ELSE 'und' END")
   }
+
+  /** Hex-nibble split buckets (first md5 nibble: 12/2/2 of 16) — ONE
+    * definition interpolated by q63, q64 and q69 so the split can never
+    * silently diverge between the splitter, the contamination check and
+    * the pipeline. */
+  private val trainNibbleSeq: Seq[String] =
+    Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+  private val valNibbleSeq: Seq[String] = Seq("c", "d")
+  private val trainNibbles = trainNibbleSeq.mkString("('", "','", "')")
+  private val valNibbles = valNibbleSeq.mkString("('", "','", "')")
+
+  /** Normalized-embedding CTE shared by the q44/q45/q65 oracles: casts
+    * to DOUBLE[] so DuckDB folds products in double precision like the
+    * fused Spark kernels (float-precision products diverge in the last
+    * ulp and break 6-dp hash matching — the round-1 q65 failure). */
+  private val duckNormEmbeddings =
+    """(SELECT vec_id,
+      |    CAST(embedding AS DOUBLE[]) AS embedding,
+      |    sqrt((SELECT sum(x*x) FROM
+      |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z)) AS nrm
+      |  FROM embeddings)""".stripMargin
 
   /** DuckDB-side normalization fingerprint ([[TextOps.normFingerprint]]);
     * shared by q50 and q69. */
@@ -157,11 +178,7 @@ object PipelineQueries {
     "q44_embed_top_pairs" -> api((spark, _) =>
       EmbeddingOps.nearestPairs(spark.table("embeddings"), "vec_id",
         "embedding", 10),
-      """WITH n AS (SELECT vec_id,
-        |    CAST(embedding AS DOUBLE[]) AS embedding,
-        |    sqrt((SELECT sum(x*x) FROM
-        |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z)) AS nrm
-        |  FROM embeddings),
+      s"""WITH n AS $duckNormEmbeddings,
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round((SELECT sum(x*y) FROM
         |        (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)
@@ -176,11 +193,7 @@ object PipelineQueries {
       EmbeddingOps.knnBruteForce(emb, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5).orderBy("qid", "rn")
     },
-      """WITH n AS (SELECT vec_id,
-        |    CAST(embedding AS DOUBLE[]) AS embedding,
-        |    sqrt((SELECT sum(x*x) FROM
-        |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z)) AS nrm
-        |  FROM embeddings),
+      s"""WITH n AS $duckNormEmbeddings,
         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n
         |  WHERE vec_id < 10),
         |p AS (SELECT q.qid, n.vec_id AS id,
@@ -331,15 +344,14 @@ object PipelineQueries {
     // Map-only + one tiny agg shuffle. Portable across engines ⇒ fully
     // oracle-checked.
     "q63_train_split" -> same(
-      """SELECT CASE
-        |    WHEN substring(md5(text), 1, 1) IN
-        |      ('0','1','2','3','4','5','6','7','8','9','a','b')
-        |      THEN 'train'
-        |    WHEN substring(md5(text), 1, 1) IN ('c','d') THEN 'val'
-        |    ELSE 'test' END AS split,
-        |  count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      s"""SELECT CASE
+         |    WHEN substring(md5(text), 1, 1) IN $trainNibbles
+         |      THEN 'train'
+         |    WHEN substring(md5(text), 1, 1) IN $valNibbles THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Train/test contamination: documents whose normalized 100-char
     // prefix fingerprint appears in both splits of q63's partition — the
@@ -348,13 +360,12 @@ object PipelineQueries {
     // on the fingerprint; at corpus scale the fingerprint table is tiny
     // relative to the corpus (32 bytes/doc).
     "q64_contamination" -> same(
-      """WITH fp AS (
-        |  SELECT doc_id,
-        |    md5(substring(lower(trim(text)), 1, 100)) AS fp,
-        |    CASE WHEN substring(md5(text), 1, 1) IN
-        |      ('0','1','2','3','4','5','6','7','8','9','a','b')
-        |      THEN 'train' ELSE 'heldout' END AS split
-        |  FROM documents)
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(substring(lower(trim(text)), 1, 100)) AS fp,
+         |    CASE WHEN substring(md5(text), 1, 1) IN $trainNibbles
+         |      THEN 'train' ELSE 'heldout' END AS split
+         |  FROM documents)
         |SELECT a.doc_id AS train_id, b.doc_id AS heldout_id, a.fp
         |FROM fp a JOIN fp b ON a.fp = b.fp
         |  AND a.split = 'train' AND b.split = 'heldout'
@@ -369,21 +380,24 @@ object PipelineQueries {
     // SQL-expressible, so the whole composition is value-checked too.
     "q69_curation_pipeline" -> api((spark, _) => {
       val d = spark.table("documents")
-      val scored = d.select(col("doc_id"), col("lang"), col("n_chars"),
+      // cheap keys (fingerprint, split nibble) BEFORE the dedup; the
+      // expensive scoring kernels (quality, lang-id) only on survivors —
+      // on a high-duplicate crawl, duplicates must not pay for scoring
+      val keyed = d.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("text"),
         TextOps.normFingerprint(col("text")).as("fp"),
-        TextOps.qualityScore(col("text")).as("q"),
-        TextOps.langId(col("text")).as("pred"),
         substring(md5(col("text")), 1, 1).as("h1"))
-      val deduped = scored.withColumn("rn",
+      val deduped = keyed.withColumn("rn",
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy("fp").orderBy("doc_id")))
         .where(col("rn") === 1)
       deduped
+        .withColumn("q", TextOps.qualityScore(col("text")))
+        .withColumn("pred", TextOps.langId(col("text")))
         .where(col("q") >= 0.5 && col("pred") === col("lang"))
         .withColumn("split",
-          when(col("h1").isin("0", "1", "2", "3", "4", "5", "6", "7", "8",
-            "9", "a", "b"), "train")
-            .when(col("h1").isin("c", "d"), "val")
+          when(col("h1").isin(trainNibbleSeq: _*), "train")
+            .when(col("h1").isin(valNibbleSeq: _*), "val")
             .otherwise("test"))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -393,24 +407,25 @@ object PipelineQueries {
       // the scoring fragments are the SHARED vals the q48/q49/q50
       // oracles use — the pipeline oracle can never drift from the
       // per-operator oracles
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang, n_chars, $duckFingerprint AS fp,
-         |    $duckQuality AS q,
-         |    $duckLangPred AS pred, substring(md5(text), 1, 1) AS h1
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, n_chars, text, $duckFingerprint AS fp,
+         |    substring(md5(text), 1, 1) AS h1
          |  FROM documents),
          |deduped AS (
          |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
          |    AS rn
-         |  FROM scored)
+         |  FROM keyed),
+         |survivors AS (
+         |  SELECT *, $duckQuality AS q, $duckLangPred AS pred
+         |  FROM deduped WHERE rn = 1)
          |SELECT CASE
-         |    WHEN h1 IN ('0','1','2','3','4','5','6','7','8','9','a','b')
-         |      THEN 'train'
-         |    WHEN h1 IN ('c','d') THEN 'val'
+         |    WHEN h1 IN $trainNibbles THEN 'train'
+         |    WHEN h1 IN $valNibbles THEN 'val'
          |    ELSE 'test' END AS split,
          |  lang, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-         |FROM deduped
-         |WHERE rn = 1 AND q >= 0.5 AND pred = lang
+         |FROM survivors
+         |WHERE q >= 0.5 AND pred = lang
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     }),
 
@@ -427,11 +442,7 @@ object PipelineQueries {
         .where(col("cos") >= 0.3)
         .orderBy("id_a", "id_b")
     },
-      """WITH n AS (SELECT vec_id,
-        |    CAST(embedding AS DOUBLE[]) AS embedding,
-        |    sqrt((SELECT sum(x*x) FROM
-        |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z)) AS nrm
-        |  FROM embeddings)
+      s"""WITH n AS $duckNormEmbeddings
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round((SELECT sum(x*y) FROM
         |      (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)

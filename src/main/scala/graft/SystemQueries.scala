@@ -126,6 +126,10 @@ object SystemQueries {
     // operator; AsOfJoin composes it as union + one window pass (one
     // key shuffle, no inequality-join blowup) — value-checked against
     // DuckDB's native ASOF JOIN.
+    // Purchases are pre-deduped to one row per (user, ts), keeping the
+    // max event_id: at equal timestamps DuckDB's ASOF pick is arbitrary
+    // and ours is payload-deterministic — tie-free input makes the
+    // value-check well-defined on any data, not just the current SFs.
     "q74_asof_join" -> api((spark, _) => {
       val ev = spark.table("events")
       val clicks = ev.where(col("event_type") === "click")
@@ -133,6 +137,11 @@ object SystemQueries {
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("pts"),
           col("event_id").as("purchase_id"), col("value"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "pts")
+            .orderBy(col("purchase_id").desc)))
+        .where(col("rn") === 1).drop("rn")
       graft.operators.AsOfJoin.asofBackward(clicks, purchases,
           "user_id", "ts", "pts", Seq("purchase_id", "value"))
         .select(col("event_id"), col("purchase_id"),
@@ -141,8 +150,11 @@ object SystemQueries {
     },
       """WITH clicks AS (SELECT user_id, ts, event_id FROM events
         |  WHERE event_type = 'click'),
-        |p AS (SELECT user_id, ts, event_id AS purchase_id, value
-        |  FROM events WHERE event_type = 'purchase')
+        |p0 AS (SELECT user_id, ts, event_id AS purchase_id, value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts, purchase_id, value FROM p0 WHERE rn = 1)
         |SELECT c.event_id, p.purchase_id, p.value AS purchase_value
         |FROM clicks c ASOF JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
@@ -167,9 +179,14 @@ object SystemQueries {
     // turns a 100 TB scan into a per-language scan. QueriesSpec asserts
     // PartitionFilters in the plan; the oracle checks the values.
     "q71_partition_pruned_read" -> api((spark, _) => {
-      val dir = tmp("graft_layout") + "/docs_by_lang"
-      spark.table("documents").write.mode("overwrite")
-        .partitionBy("lang").parquet(dir)
+      val base = Files.createTempDirectory("graft_layout")
+      base.toFile.deleteOnExit()
+      val dir = base.toString + "/docs_by_lang"
+      // write only the columns the read consumes — shipping the full
+      // text payload into a layout no one reads is pure write cost
+      spark.table("documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
       spark.read.parquet(dir).where(col("lang") === "en")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")

@@ -43,16 +43,23 @@ object MediaOps {
         1, maxFrames),
       i => payload.substr(i, lit(frameLen)))
 
-  /** STUB decoder: 8 pseudo-features per frame derived from seeded hashes
-    * of the frame bytes. Replace with a real codec for production. */
+  /** Per-frame feature width — ONE constant shared by the decoder and
+    * the pooler: a real decoder emitting a different width must change
+    * it here, or element_at in meanPool would fail (narrower) or
+    * silently truncate (wider). */
+  val featureDim: Int = 8
+
+  /** STUB decoder: [[featureDim]] pseudo-features per frame derived from
+    * seeded hashes of the frame bytes. Replace with a real codec for
+    * production. */
   def stubDecodeFeatures(frame: Column): Column =
-    transform(sequence(lit(0), lit(7)),
+    transform(sequence(lit(0), lit(featureDim - 1)),
       j => (pmod(xxhash64(frame, j), lit(1000)).cast("double") / 1000.0))
 
   /** Mean-pools per-frame feature vectors into one fixed-width vector. */
   def meanPool(features: Column): Column = {
     val n = greatest(size(features), lit(1)).cast("double")
-    transform(sequence(lit(1), lit(8)),
+    transform(sequence(lit(1), lit(featureDim)),
       i => round(aggregate(features, lit(0.0),
         (acc, f) => acc + element_at(f, i)) / n, 6))
   }
