@@ -77,6 +77,35 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(picks.distinct.length == 1, picks.mkString(","))
   }
 
+  test("equals the naive inequality join on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-01-01 00:00:00").getTime
+    // distinct minutes per key → the naive argmax is unique, so the
+    // comparison is exact without modeling tie-break order
+    val q = (1 to 20).flatMap { k =>
+      rnd.shuffle((0 until 500).toList).take(30)
+        .map(m => (k.toLong, new Timestamp(base + m * 60000L),
+          rnd.nextDouble()))
+    }.toDF("k", "qt", "price")
+    val t = (1 to 25).flatMap { k =>           // keys 21-25: no quotes
+      (0 until 20).map(i => (k.toLong,
+        new Timestamp(base + rnd.nextInt(600) * 60000L), s"$k-$i"))
+    }.toDF("k", "tt", "id")
+
+    val ours = AsOfJoin.asofBackward(t, q, "k", "tt", "qt", Seq("price"))
+      .select("id", "price").as[(String, Double)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l.id")).orderBy(col("r.qt").desc)
+    val naive = t.as("l").join(q.as("r"),
+        col("l.k") === col("r.k") && col("r.qt") <= col("l.tt"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("l.id"), col("r.price"))
+      .as[(String, Double)].collect().toMap
+    assert(ours == naive)
+    assert(ours.nonEmpty && ours.size < 500) // some rows matched, some not
+  }
+
   test("plans as one shuffle + window, not an inequality join") {
     val plan = AsOfJoin.asofBackward(trades, quotes, "k", "tt", "qt",
       Seq("price")).queryExecution.executedPlan.toString
