@@ -427,7 +427,7 @@ object PipelineQueries {
          |FROM survivors
          |WHERE q >= 0.5 AND pred = lang
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }),
+    }, headline = true),
 
     // Embedding-cosine similar pairs above a threshold (the exact variant
     // of cosine dedup; the LSH route is q46). Fused cosine kernel over

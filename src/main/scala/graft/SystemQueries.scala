@@ -158,7 +158,8 @@ object SystemQueries {
         |SELECT c.event_id, p.purchase_id, p.value AS purchase_value
         |FROM clicks c ASOF JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY event_id""".stripMargin),
+        |ORDER BY event_id""".stripMargin,
+      headline = true),
 
     // Attribution-window range join: clicks within 30 min before each
     // purchase of the same user — equi-join on the user plus a time-range

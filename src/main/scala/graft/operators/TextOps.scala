@@ -237,34 +237,59 @@ object TextOps {
     size(filter(toks, t =>
       array_contains(array(words.map(lit): _*), t)))
 
+  /** Let-binding for Column trees: evaluates `bound` ONCE per row and
+    * feeds it to `body` as a lambda variable (a one-element `transform`).
+    * Catalyst has no shared-subexpression node, and codegen CSE does not
+    * reach interpreted contexts (Filter above Window, higher-order
+    * lambdas) — referencing an expensive Column N times evaluates it N
+    * times there. */
+  def letOnce(bound: Column, body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
   /** Heuristic language ID: argmax of stopword hits, 'und' (undetermined)
     * when nothing matches. Deterministic tie-break: first language in
-    * [[langStopwords]] order wins. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val best = langStopwords.foldLeft(
-      (lit("und"), lit(0))) { case ((bestLang, bestScore), (lang, words)) =>
-        val s = langScore(toks, words)
-        (when(s > bestScore, lit(lang)).otherwise(bestLang),
-          when(s > bestScore, s).otherwise(bestScore))
-    }
-    best._1
-  }
+    * [[langStopwords]] order wins.
+    *
+    * The argmax is one `array_max` over (score, -index, lang) structs —
+    * lexicographic struct ordering picks the highest score and breaks
+    * ties toward the first language — so each per-language score is
+    * evaluated exactly ONCE per row. A when/otherwise fold would embed
+    * every earlier score tree in each later comparison (2^n copies);
+    * outside whole-stage codegen's subexpression elimination (e.g. in a
+    * Filter directly above a Window) that fold re-tokenizes the text
+    * tens of times per row — observed 20x slower on the curation
+    * pipeline. */
+  def langId(text: Column): Column =
+    letOnce(tokens(lower(text)), { toks =>
+      val entries = langStopwords.zipWithIndex.map {
+        case ((lang, words), i) =>
+          struct(langScore(toks, words).as("s"), lit(-i).as("o"),
+            lit(lang).as("l"))
+      }
+      // 'und' rides along as a sentinel at (s=0, o=1): it outranks every
+      // real language at score 0 (o=1 beats o<=0) and loses to any
+      // positive score — so ONE array_max copy yields both the argmax and
+      // the nothing-matched fallback (a when(best.s > 0, ...) wrapper
+      // would duplicate the whole array_max tree per field reference)
+      val und = struct(lit(0).as("s"), lit(1).as("o"), lit("und").as("l"))
+      array_max(array(entries :+ und: _*)).getField("l")
+    })
 
   /** Quality score in [0,1]: blend of length band, alpha ratio, mean word
     * length band and whitespace sanity — the shape of heuristic corpus
     * filters (Gopher/C4-style rules) as one deterministic formula. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast("double")
-    val nChar = length(text).cast("double")
-    val alphaRatio =
-      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
-        greatest(nChar, lit(1.0))
-    val meanWordLen = nChar / greatest(nTok, lit(1.0))
-    val lenBand = when(nTok.between(10, 1000), 1.0).otherwise(0.3)
-    val wordBand = when(meanWordLen.between(2.5, 12.0), 1.0).otherwise(0.4)
-    graft.functions.GraftFunctions.duckRound(
-      lenBand * 0.4 + wordBand * 0.2 + alphaRatio * 0.4, 6)
-  }
+  def qualityScore(text: Column): Column =
+    // nTok (a full tokenization) is referenced three times below —
+    // letOnce binds it to a single evaluation per row
+    letOnce(size(tokens(text)).cast("double"), { nTok =>
+      val nChar = length(text).cast("double")
+      val alphaRatio =
+        length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+          greatest(nChar, lit(1.0))
+      val meanWordLen = nChar / greatest(nTok, lit(1.0))
+      val lenBand = when(nTok.between(10, 1000), 1.0).otherwise(0.3)
+      val wordBand = when(meanWordLen.between(2.5, 12.0), 1.0).otherwise(0.4)
+      graft.functions.GraftFunctions.duckRound(
+        lenBand * 0.4 + wordBand * 0.2 + alphaRatio * 0.4, 6)
+    })
 }
