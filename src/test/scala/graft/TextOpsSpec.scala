@@ -82,13 +82,18 @@ class TextOpsSpec extends SparkSpecBase {
       (1L, "the cat and the dog of a house in it is"),
       (2L, "der hund und die katze ist nicht ein zu"),
       (3L, "el perro y la casa de que en un por"),
-      (4L, "xyzzy qwerty asdf")).toDF("id", "text")
+      (4L, "xyzzy qwerty asdf"),
+      // 'que'/'un' are stopwords of BOTH es and fr (2-2 tie): the
+      // earlier language in langStopwords order must win, matching the
+      // DuckDB oracle's first-max-wins CASE
+      (5L, "que un")).toDF("id", "text")
       .select(col("id"), TextOps.langId(col("text")).as("pred"))
     val preds = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(preds(1L) == "en")
     assert(preds(2L) == "de")
     assert(preds(3L) == "es")
     assert(preds(4L) == "und")
+    assert(preds(5L) == "es")
   }
 
   test("qualityScore is in [0,1] and penalizes degenerate docs") {
