@@ -451,6 +451,63 @@ object PipelineQueries {
         |WHERE round((SELECT sum(x*y) FROM
         |    (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)
         |    z) / (a.nrm * b.nrm), 6) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Corpus heavy hitters: top-20 tokens by frequency. The explode is
+    // map-side; the count aggregates partially before its one shuffle;
+    // the top-k is TakeOrderedAndProject (no global sort) — the shape
+    // that survives a 100 TB vocabulary scan. Deterministic tie-break on
+    // the token.
+    "q83_heavy_hitters" -> sql(
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT explode(split(trim(lower(text)), '\\s+')) AS tok
+        |  FROM documents) t
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+      """SELECT u.tok AS tok, count(*) AS n
+        |FROM documents,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS u(tok)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+      headline = true),
+
+    // PII redaction: email + phone masking, the standard pre-training
+    // scrub. Map-only regexp_replace chain (codegen'd, zero shuffle).
+    // The corpus text carries no PII, so a synthetic contact suffix
+    // derived from doc_id is appended first — the redaction then has
+    // real work to do on every row and the oracle checks it value-wise.
+    "q84_pii_redact" -> sql(
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    concat(text, ' contact user', doc_id, '@mail.example.com or +1-555-',
+        |      lpad(CAST(doc_id AS STRING), 4, '0')),
+        |    '[\\w.+-]+@[\\w.-]+\\.[a-z]{2,}', '<EMAIL>'),
+        |    '\\+?\\d[\\d-]{6,}', '<PHONE>') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@mail.example.com or +1-555-'
+        |      || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+        |    '[\w.+-]+@[\w.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?\d[\d-]{6,}', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Within-document repetition stats (the Gopher-style repetition
+    // rule): duplicate-sentence ratio per doc. Count-based (set sizes,
+    // not order), so list_distinct's ordering freedom can't bite.
+    // Map-only: sentence split + two set sizes per row, zero shuffle.
+    "q85_repetition_stats" -> sql(
+      """SELECT doc_id,
+        |  CAST(size(split(text, '\\. ')) AS BIGINT) AS n_sent,
+        |  CAST(size(array_distinct(split(text, '\\. '))) AS BIGINT)
+        |    AS n_uniq,
+        |  duck_round(1.0 - size(array_distinct(split(text, '\\. ')))
+        |    / CAST(size(split(text, '\\. ')) AS DOUBLE), 6) AS dup_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\. ')) AS n_sent,
+        |  len(list_distinct(string_split_regex(text, '\. '))) AS n_uniq,
+        |  round(1.0 - len(list_distinct(string_split_regex(text, '\. ')))
+        |    / CAST(len(string_split_regex(text, '\. ')) AS DOUBLE), 6)
+        |    AS dup_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

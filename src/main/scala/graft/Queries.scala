@@ -409,6 +409,121 @@ object CoreQueries {
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
         .stripMargin),
 
+    // PIVOT: long→wide reshape. Sums go through DECIMAL inside the pivot
+    // (order-independent), cast to DOUBLE by name outside. Spark's PIVOT
+    // plans as a single aggregate over the pivot key — one shuffle, no
+    // per-segment scans. Absent (nation, segment) combos are NULL on both
+    // engines (sum over an empty group).
+    "q76_pivot" -> sql(
+      """SELECT c_nationkey,
+        |  CAST(AUTOMOBILE AS DOUBLE) AS automobile,
+        |  CAST(BUILDING AS DOUBLE) AS building,
+        |  CAST(FURNITURE AS DOUBLE) AS furniture,
+        |  CAST(HOUSEHOLD AS DOUBLE) AS household,
+        |  CAST(MACHINERY AS DOUBLE) AS machinery
+        |FROM (SELECT c_nationkey, c_mktsegment,
+        |        CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer)
+        |PIVOT (sum(bal) FOR c_mktsegment IN
+        |  ('AUTOMOBILE' AS AUTOMOBILE, 'BUILDING' AS BUILDING,
+        |   'FURNITURE' AS FURNITURE, 'HOUSEHOLD' AS HOUSEHOLD,
+        |   'MACHINERY' AS MACHINERY))
+        |ORDER BY c_nationkey""".stripMargin,
+      """SELECT c_nationkey,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS automobile,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS building,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS furniture,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS household,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS machinery
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+        .stripMargin),
+
+    // UNPIVOT: wide→long reshape (map-only — no shuffle at any scale;
+    // the UNION ALL oracle formulation would scan the table once per
+    // metric, the UNPIVOT plan scans once total).
+    "q77_unpivot" -> sql(
+      """SELECT p_partkey, metric, val FROM (
+        |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+        |    p_retailprice AS price FROM part)
+        |UNPIVOT (val FOR metric IN (size, price))
+        |ORDER BY p_partkey, metric""".stripMargin,
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'price' AS metric, p_retailprice AS val
+        |FROM part
+        |ORDER BY p_partkey, metric""".stripMargin),
+
+    // Generator/UNNEST: one row per token (LATERAL VIEW explode ↔
+    // DuckDB unnest) — map-side expansion, pipelined with the scan.
+    "q78_explode_tokens" -> sql(
+      """SELECT doc_id, tok FROM documents
+        |LATERAL VIEW explode(split(trim(text), '\\s+')) t AS tok
+        |ORDER BY doc_id, tok""".stripMargin,
+      """SELECT doc_id, u.tok AS tok
+        |FROM documents,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS u(tok)
+        |ORDER BY doc_id, tok""".stripMargin),
+
+    // GROUPING SETS with grouping() disambiguators (generalizes q36's
+    // ROLLUP): all four sets in ONE shuffle with partial aggregation —
+    // Catalyst expands the sets map-side rather than re-scanning per set.
+    "q79_grouping_sets" -> same(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag NULLS LAST, l_linestatus NULLS LAST"""
+        .stripMargin),
+
+    // RANGE window frame over event-time: a sliding 1-hour sum keyed by
+    // actual timestamps, not row positions. Frame bounds in epoch millis
+    // (exact integers on both engines; DECIMAL sum ⇒ order-independent).
+    "q80_window_range_frame" -> sql(
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY unix_millis(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS hour_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS hour_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin),
+
+    // QUALIFY (DuckDB window filter) through the dialect rewriter — the
+    // oracle runs the QUALIFY text verbatim; Spark gets the subquery
+    // rewrite. Same top-2-per-customer shape as q18, so the rewrite is
+    // value-checked against a native window-filter execution.
+    "q81_qualify" -> duck(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // Correlated EXISTS → left-semi join (the positive dual of q38's
+    // NOT EXISTS anti join).
+    "q82_exists_correlated" -> same(
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Exact interpolated percentiles (Spark percentile == DuckDB
     // quantile_cont; the approximate variants are engine-specific and
     // live in SUMMARIZE).

@@ -195,6 +195,20 @@ object SystemQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin),
 
+    // Stream-stream interval join (attribution window as a stream):
+    // watermarked both sides, event-time-bounded join state. Oracle =
+    // the batch range join over the same files (q75's shape).
+    "q86_stream_interval_join" -> api(
+      (spark, sfDir) => StreamingOps.streamIntervalJoin(spark, sfDir, 30),
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin),
+
     // H7 parse/bind validation over a fixed statement battery: verdicts
     // are deterministic but the classification rules are engine-internal
     // ⇒ rows-only; ValidatorSpec pins the semantics.

@@ -19,6 +19,9 @@ import scala.util.matching.Regex
   *   - JSON arrows `->>'k'` / `->'k'`   dev.json:543      → get_json_object
   *   - bare `FROM t` queries            dev.json:287      → `SELECT * FROM t`
   *   - `IN (FROM t)`                    dev.json:287      → `IN (SELECT * FROM t)`
+  *   - `QUALIFY <pred>`                 (DuckDB window filter; absent from
+  *                                      dev.json but core dialect surface)
+  *                                      → subquery + WHERE
   *   - struct literal `{'a': 1}`        dev.json:479      → named_struct('a', 1)
   *   - list literal `[1,2,3]`           dev.json:487      → array(1,2,3)
   *   - single-quoted alias `AS 'x'`     dev.json:79       → backtick alias
@@ -50,6 +53,7 @@ object DuckRewriter {
     val (masked, lits0) = maskLiterals(s)
     val lits = scala.collection.mutable.ArrayBuffer(lits0: _*)
     var m = masked
+    m = qualifyClause(m)
     m = jsonArrows(m, lits)
     // to fixpoint: nesting ([[1,2],[3]], m[keys[1]]) resolves one level
     // per pass
@@ -158,6 +162,79 @@ object DuckRewriter {
       if (newWhere == where) s
       else s"SELECT $sel FROM $tbl WHERE $newWhere"
     case _ => s
+  }
+
+  /** Index of the first DEPTH-0 occurrence of word `kw` in masked text
+    * (case-insensitive; literals are already §Ln§ tokens so depth counts
+    * only real parens), or -1. */
+  private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
+    val upper = s.toUpperCase
+    val k = kw.toUpperCase
+    var depth = 0
+    var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && upper.startsWith(k, i) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + k.length >= s.length || !isWordChar(s.charAt(i + k.length))))
+        return i
+      i += 1
+    }
+    -1
+  }
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** `QUALIFY <pred>` (DuckDB's post-window filter; Spark has none) →
+    * subquery + WHERE. Two shapes:
+    *   - pred without a window call (it references select-list aliases,
+    *     e.g. `QUALIFY rn <= 2`): the whole select becomes a subquery and
+    *     pred moves to the outer WHERE, where the aliases are ordinary
+    *     output columns;
+    *   - pred with a direct window call (`QUALIFY row_number() OVER (…)
+    *     <= 2`): the predicate is computed INSIDE the subquery as a
+    *     boolean `__qualify` column (window functions are legal in a
+    *     select list, never in WHERE), and the outer query filters on it.
+    * The outer projection re-lists the select items by output name, so
+    * every item must be a plain identifier or carry an alias — otherwise
+    * the text is returned unchanged (conservative, like the other
+    * schema-dependent rewrites). ORDER BY / LIMIT after QUALIFY stay on
+    * the outer query. */
+  private val identChainRe: Regex = """(?s)\A[A-Za-z_][\w.]*\z""".r
+  private val explicitAliasRe: Regex =
+    """(?is)\A.+\s+AS\s+([A-Za-z_]\w*)\z""".r
+  private def qualifyClause(s: String): String = {
+    val qi = topLevelKeyword(s, "QUALIFY")
+    if (qi < 0) return s
+    if (!s.toUpperCase.startsWith("SELECT")) return s
+    val prefix = s.substring(0, qi).trim      // SELECT … FROM … [GROUP BY …]
+    val rest = s.substring(qi + "QUALIFY".length)
+    val oi = topLevelKeyword(rest, "ORDER")
+    val li = topLevelKeyword(rest, "LIMIT")
+    val cut = Seq(oi, li).filter(_ >= 0).sorted.headOption.getOrElse(rest.length)
+    val pred = rest.substring(0, cut).trim
+    val tail0 = rest.substring(cut).trim
+    val tail = if (tail0.isEmpty) "" else " " + tail0
+    val fi = topLevelKeyword(prefix, "FROM")
+    if (fi < 0) return s
+    val sel = prefix.substring("SELECT".length, fi).trim
+    val fromRest = prefix.substring(fi)
+    val outNames = splitTopLevel(sel).map(_.trim).map {
+      case explicitAliasRe(alias) => Some(alias)
+      case item @ identChainRe() => Some(item.split('.').last)
+      case item => item match {
+        case aliasItemRe(_, alias) => Some(alias)
+        case _ => None
+      }
+    }
+    if (outNames.exists(_.isEmpty)) return s
+    val out = outNames.flatten.mkString(", ")
+    if ("""(?i)\bOVER\b""".r.findFirstIn(pred).isDefined)
+      s"SELECT $out FROM (SELECT $sel, ($pred) AS __qualify $fromRest) __q" +
+        s" WHERE __qualify$tail"
+    else
+      s"SELECT $out FROM (SELECT $sel $fromRest) __q WHERE $pred$tail"
   }
 
   /** `FROM t ...` with no SELECT → `SELECT * FROM t ...` */

@@ -128,6 +128,45 @@ object StreamingOps {
     drainSink(spark, name, Seq("event_id"))
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks from the preceding `windowMinutes` — the attribution window
+    * (the batch dual is SparkEntry q75). Both sides are watermarked and
+    * the join condition bounds event-time in BOTH directions, so Spark
+    * evicts join state as the watermark advances — state stays
+    * proportional to the window, not the stream, on unbounded input.
+    * Drained with AvailableNow the result equals the batch range join —
+    * that equivalence is the oracle. */
+  def streamIntervalJoin(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 30): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def side(eventType: String, prefix: String) = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .where(col("event_type") === eventType)
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("ts").as(s"${prefix}_ts"), col("event_id").as(s"${prefix}_id"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("purchase", "p").join(side("click", "c"),
+      expr(s"""p_user = c_user
+              |AND c_ts >= p_ts - INTERVAL $windowMinutes MINUTES
+              |AND c_ts <= p_ts""".stripMargin))
+      .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"))
+
+    val name = s"stream_ijoin_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainSink(spark, name, Seq("purchase_id", "click_id"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, events: Int,
       closed: List[(Long, Long, Int)])

@@ -140,4 +140,30 @@ class DuckRewriterSpec extends AnyFunSuite {
     val q = "SELECT regexp_extract(a, '[a-z]+', 0) FROM t"
     assert(rw(q) == q)
   }
+
+  test("QUALIFY on an alias moves to an outer WHERE") {
+    assert(rw("SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t " +
+      "QUALIFY rn <= 2 ORDER BY a")
+      == "SELECT a, rn FROM (SELECT a, row_number() OVER (ORDER BY a) AS rn" +
+        " FROM t) __q WHERE rn <= 2 ORDER BY a")
+  }
+
+  test("QUALIFY with a direct window call computes __qualify inside") {
+    assert(rw("SELECT a, b FROM t " +
+      "QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1")
+      == "SELECT a, b FROM (SELECT a, b, (row_number() OVER (PARTITION BY a" +
+        " ORDER BY b) = 1) AS __qualify FROM t) __q WHERE __qualify")
+  }
+
+  test("QUALIFY leaves un-aliasable select items untouched") {
+    val q = "SELECT a + 1 FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"
+    assert(rw(q) == q)
+  }
+
+  test("ORDER BY inside the window spec does not split the predicate") {
+    val out = rw("SELECT a FROM t " +
+      "QUALIFY rank() OVER (ORDER BY a) <= 3 LIMIT 5")
+    assert(out == "SELECT a FROM (SELECT a, (rank() OVER (ORDER BY a) <= 3)" +
+      " AS __qualify FROM t) __q WHERE __qualify LIMIT 5")
+  }
 }

@@ -79,4 +79,33 @@ class QueriesSpec extends SparkSpecBase {
       .takeWhile(_ != ']')
     assert(pf.contains("lang"), plan)
   }
+
+  test("q76 PIVOT plans as one aggregate pass (no per-segment scans)") {
+    val plan = SparkEntry.queries("q76_pivot")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // a single scan of customer: pivot must not re-scan per segment
+    assert("FileScan parquet|Scan ExistingRDD|InMemoryTableScan".r
+      .findAllIn(plan).size <= 1, plan)
+  }
+
+  test("q83 heavy hitters: partial agg + top-k, no global sort") {
+    val plan = SparkEntry.queries("q83_heavy_hitters")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("q82 EXISTS plans as a semi join (no materialized subquery)") {
+    val plan = SparkEntry.queries("q82_exists_correlated")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q81 QUALIFY rewrite filters above the window, not a re-sort") {
+    val plan = SparkEntry.queries("q81_qualify")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      plan)
+    assert(plan.contains("Filter"), plan)
+  }
 }

@@ -38,6 +38,23 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    Queries.prep(spark, sfDir)
+    val streamed = StreamingOps.streamIntervalJoin(spark, sfDir, 30)
+      .collect().map(_.toSeq).toSeq
+    val batch = spark.sql(
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("media features: fixed shape, bounded frames, deterministic") {
     Queries.prep(spark, sfDir)
     val media = MediaOps.mediaTable(spark.table("documents"))

@@ -16,9 +16,17 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     def cell(v):
+        # type-tagged cells keep mixed NULL/number/string columns sortable
+        # (a NULL pivot cell next to floats would otherwise TypeError)
+        if v is None:
+            return (0, "")
+        if isinstance(v, bool):
+            return (2, str(v))
         if isinstance(v, float):
-            return round(v, 6)
-        return str(v)
+            return (3, "nan") if math.isnan(v) else (1, round(v, 6))
+        if isinstance(v, int):
+            return (1, float(v))
+        return (2, str(v))
     return sorted([tuple(cell(r[i]) for i in order) for r in rows])
 
 fails = []
