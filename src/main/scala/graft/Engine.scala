@@ -150,6 +150,12 @@ class Engine(val spark: SparkSession) {
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*""".r
   private val Delete =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*""".r
+  private val Merge =
+    ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+))?""" +
+      """\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)""" +
+      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)""" +
+      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)""" +
+      """\s*VALUES\s*\((.+)\)\s*""").r
   private val AlterAdd =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
   private val AlterType =
@@ -395,6 +401,60 @@ class Engine(val spark: SparkSession) {
           lit(false)))
         .getOrElse(lit(false))
       register(name, target.where(keep)); empty()
+    case c if """(?is)\s*MERGE\b.*""".r.matches(c) =>
+      // MERGE INTO t USING s ON cond
+      //   WHEN MATCHED THEN UPDATE SET col = expr, …
+      //   WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)
+      // — the classic upsert, as one rematerialization: matched target
+      // rows take the SET expressions, unmatched keep their values, and
+      // source rows with no target match append. Contract (standard
+      // MERGE practice): at most one source row matches a target row —
+      // a fan-out source would duplicate target rows, as it does in any
+      // engine without the cardinality check.
+      val (mskd, lits) = DuckRewriter.mask(c)
+      val (tName, tA, sName, sA, cond, setList, insCols, insVals) =
+        mskd match {
+          case Merge(tn, ta, sn, sa, on, sl, ic, iv) =>
+            (tn, Option(ta).getOrElse(tn), sn, Option(sa).getOrElse(sn),
+              DuckRewriter.unmask(on, lits), DuckRewriter.unmask(sl, lits),
+              ic, DuckRewriter.unmask(iv, lits))
+          case _ => throw new IllegalArgumentException("MERGE: cannot parse")
+        }
+      val tgt = table(tName)
+      val src = table(sName)
+      val condE = expr(DuckRewriter.rewrite(cond, schemaOf))
+      val sets = DuckRewriter.splitTop(setList).map { a =>
+        val Array(k, v) = a.split("=", 2)
+        // SET targets are target columns — strip an optional alias qualifier
+        norm(k.trim.stripPrefix(s"$tA.")) ->
+          expr(DuckRewriter.rewrite(v.trim, schemaOf))
+      }.toMap
+      // left join keeps every target row; __m marks the matched ones
+      val joined = tgt.alias(tA)
+        .join(src.withColumn("__m", lit(true)).alias(sA), condE, "left")
+      val updated = joined.select(tgt.schema.fields.map { f =>
+        sets.get(f.name.toLowerCase) match {
+          case Some(v) => when(col("__m"), v.cast(f.dataType))
+            .otherwise(col(s"$tA.${f.name}")).as(f.name)
+          case None => col(s"$tA.${f.name}").as(f.name)
+        }
+      }.toIndexedSeq: _*)
+      // source rows with no target match become inserts
+      val insertNames = insCols.split(",").map(n =>
+        norm(n.trim.stripPrefix(s"$tA.")))
+      val insertExprs = DuckRewriter.splitTop(insVals)
+        .map(v => expr(DuckRewriter.rewrite(v.trim, schemaOf)))
+      val anti = src.alias(sA).join(tgt.alias(tA), condE, "left_anti")
+        .select(insertExprs.zip(insertNames).map { case (e, n) =>
+          e.as(n) }.toIndexedSeq: _*)
+      val alignedInserts = tgt.schema.fields.map { f =>
+        if (insertNames.contains(f.name.toLowerCase))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      register(tName,
+        updated.unionByName(anti.select(alignedInserts.toIndexedSeq: _*)))
+      empty()
     case AlterAdd(name, colName, typ) =>
       register(name, table(name).withColumn(colName,
         lit(null).cast(normalizeType(typ)))); empty()

@@ -524,6 +524,20 @@ object CoreQueries {
         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Analytic-function battery: lead/lag/first_value/ntile over one
+    // named window (unique (date, key) order ⇒ deterministic on both
+    // engines; ntile is the SQL-standard bucket split on both).
+    "q89_window_battery" -> same(
+      """SELECT o_orderkey,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Exact interpolated percentiles (Spark percentile == DuckDB
     // quantile_cont; the approximate variants are engine-specific and
     // live in SUMMARIZE).

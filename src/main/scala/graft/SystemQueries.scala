@@ -195,6 +195,76 @@ object SystemQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin),
 
+    // MERGE upsert (the daily-dimension-refresh shape): updates land on
+    // matched keys, new keys append — one left join + one anti join, both
+    // shuffle-free when the delta broadcasts. DuckDB 1.0 has no MERGE, so
+    // the oracle computes the merged state directly; the Engine command
+    // is value-checked against it end-to-end.
+    "q87_merge_upsert" -> api((spark, _) => {
+      val e = new Engine(spark)
+      e.register("acct", spark.table("customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+      e.register("delta", spark.sql(
+        """SELECT c_custkey AS k, c_name AS nm,
+          |  round(c_acctbal + 100, 2) AS bal
+          |FROM customer WHERE c_custkey % 3 = 0
+          |UNION ALL
+          |SELECT c_custkey + 1000000 AS k, concat('new_', c_custkey) AS nm,
+          |  CAST(1.5 AS DOUBLE) AS bal
+          |FROM customer WHERE c_custkey < 5""".stripMargin))
+      e.executeDuck(
+        """MERGE INTO acct USING delta ON acct.c_custkey = delta.k
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = delta.bal
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+          |VALUES (delta.k, delta.nm, delta.bal)""".stripMargin)
+      e.table("acct").orderBy("c_custkey")
+    },
+      """WITH delta AS (
+        |  SELECT c_custkey AS k, c_name AS nm,
+        |    round(c_acctbal + 100, 2) AS bal
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS k, 'new_' || c_custkey AS nm,
+        |    CAST(1.5 AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey < 5),
+        |upd AS (
+        |  SELECT c.c_custkey, c.c_name,
+        |    CASE WHEN d.k IS NOT NULL THEN d.bal ELSE c.c_acctbal END
+        |      AS c_acctbal
+        |  FROM customer c LEFT JOIN delta d ON c.c_custkey = d.k),
+        |ins AS (
+        |  SELECT d.k AS c_custkey, d.nm AS c_name, d.bal AS c_acctbal
+        |  FROM delta d LEFT JOIN customer c ON c.c_custkey = d.k
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT * FROM upd UNION ALL SELECT * FROM ins
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Recursive CTE (WITH RECURSIVE): Spark has no plan-level recursion,
+    // so IterativeOps drives semi-naive iteration over checkpointed
+    // frontiers — value-checked against DuckDB's native WITH RECURSIVE.
+    // The hierarchy is synthetic (parent = custkey div 10), giving every
+    // customer a depth and a root in ≤4 rounds.
+    "q88_recursive_hierarchy" -> api((spark, _) => {
+      val cust = spark.table("customer").select(col("c_custkey"))
+      val base = cust.where(col("c_custkey") < 10)
+        .select(col("c_custkey").as("k"), lit(0).as("depth"),
+          col("c_custkey").as("root"))
+      graft.operators.IterativeOps.recursiveUnionAll(base, f =>
+        cust.where(col("c_custkey") >= 10)
+          .join(f, expr("(c_custkey div 10) = k"))
+          .select(col("c_custkey").as("k"),
+            (col("depth") + 1).as("depth"), col("root")))
+        .orderBy("k")
+    },
+      """WITH RECURSIVE r AS (
+        |  SELECT c_custkey AS k, 0 AS depth, c_custkey AS root
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey AS k, r.depth + 1 AS depth, r.root AS root
+        |  FROM customer c JOIN r ON c.c_custkey // 10 = r.k
+        |  WHERE c.c_custkey >= 10)
+        |SELECT k, depth, root FROM r ORDER BY k""".stripMargin),
+
     // Stream-stream interval join (attribution window as a stream):
     // watermarked both sides, event-time-bounded join state. Oracle =
     // the batch range join over the same files (q75's shape).

@@ -237,4 +237,40 @@ class EngineSpec extends SparkSpecBase {
       assert(rows(0).getString(1) == "ada")
     } finally server.stop(0)
   }
+
+  test("MERGE upserts: matched rows update, unmatched rows insert") {
+    val e = engine
+    e.executeDuck("CREATE TABLE tgt (id int, name varchar, bal double)")
+    e.executeDuck("INSERT INTO tgt VALUES (1, 'a', 10.0)")
+    e.executeDuck("INSERT INTO tgt VALUES (2, 'b', 20.0)")
+    e.executeDuck("CREATE TABLE d (k int, nm varchar, v double)")
+    e.executeDuck("INSERT INTO d VALUES (2, 'b2', 99.0)")
+    e.executeDuck("INSERT INTO d VALUES (3, 'c', 30.0)")
+    e.executeDuck(
+      """MERGE INTO tgt USING d ON tgt.id = d.k
+        |WHEN MATCHED THEN UPDATE SET bal = d.v
+        |WHEN NOT MATCHED THEN INSERT (id, name, bal)
+        |VALUES (d.k, d.nm, d.v)""".stripMargin)
+    val r = e.executeDuck("SELECT id, name, bal FROM tgt ORDER BY id")
+      .collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1), x.getDouble(2))).toSeq
+      == Seq((1, "a", 10.0), (2, "b", 99.0), (3, "c", 30.0)),
+      r.mkString(", "))
+  }
+
+  test("MERGE leaves non-SET columns of matched rows untouched") {
+    val e = engine
+    e.executeDuck("CREATE TABLE t2m (id int, a varchar, b varchar)")
+    e.executeDuck("INSERT INTO t2m VALUES (1, 'keep', 'old')")
+    e.executeDuck("CREATE TABLE d2m (k int, nb varchar)")
+    e.executeDuck("INSERT INTO d2m VALUES (1, 'new')")
+    e.executeDuck(
+      """MERGE INTO t2m USING d2m ON t2m.id = d2m.k
+        |WHEN MATCHED THEN UPDATE SET b = d2m.nb
+        |WHEN NOT MATCHED THEN INSERT (id, a, b) VALUES (d2m.k, NULL, d2m.nb)"""
+        .stripMargin)
+    val r = e.executeDuck("SELECT a, b FROM t2m").collect()
+    assert(r.length == 1 && r(0).getString(0) == "keep"
+      && r(0).getString(1) == "new")
+  }
 }
