@@ -12,8 +12,13 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // Forked run output must reach stdout RAW (no "[info] " logger prefix):
-// the driver parses Bench's single JSON line from stdout.
+// the driver parses Bench's single JSON line from stdout. Set at project
+// level (not `run /`): `runMain` resolves its forkOptions via the
+// project-level key and would otherwise keep the [info]-prefixing logger
+// (r01's BENCH JSON failed to parse exactly this way).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
