@@ -453,6 +453,159 @@ object PipelineQueries {
         |    z) / (a.nrm * b.nrm), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // Deterministic hash sample: a content-keyed Bernoulli sample
+    // (md5 prefix below a hex threshold ≈ 26/256 ≈ 10.2%) — unlike
+    // q29's seeded RNG sample this is reproducible on ANY engine,
+    // partitioning or cluster size, so it is fully oracle-checked.
+    // Map-only (the filter pipelines with the scan); the standard way
+    // to cut a stable dev subset from a 100 TB corpus.
+    "q92_hash_sample" -> same(
+      """SELECT doc_id, lang, substring(md5(text), 1, 2) AS hh
+        |FROM documents WHERE substring(md5(text), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin),
+
+    // KMV (k-minimum-values) distinct sketch: per language, keep the
+    // k=32 smallest 48-bit hash fractions of the distinct texts; the
+    // estimator (k-1)/kth_min approximates the distinct count with
+    // ~1/sqrt(k-1) ≈ 18% relative error. Mergeable across partitions
+    // (min-of-mins), so at corpus scale each partition ships only k
+    // values to the final merge — this entry value-checks the sketch
+    // itself against DuckDB computing the SAME sketch, and carries the
+    // exact distinct count alongside for the error story.
+    "q93_kmv_sketch" -> sql(
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)
+        |      / 281474976710656.0 AS f
+        |  FROM documents),
+        |r AS (SELECT lang, f,
+        |    row_number() OVER (PARTITION BY lang ORDER BY f) AS rn
+        |  FROM h),
+        |k AS (SELECT lang, max(f) AS fk, count(*) AS kk
+        |  FROM r WHERE rn <= 32 GROUP BY lang),
+        |x AS (SELECT lang, count(DISTINCT text) AS exact_distinct
+        |  FROM documents GROUP BY lang)
+        |SELECT k.lang,
+        |  CAST(round(CASE WHEN kk < 32 THEN kk ELSE (kk - 1) / fk END)
+        |    AS BIGINT) AS est_distinct,
+        |  x.exact_distinct
+        |FROM k JOIN x ON k.lang = x.lang ORDER BY k.lang""".stripMargin,
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substring(md5(text), 1, 12))::BIGINT
+        |      / 281474976710656.0 AS f
+        |  FROM documents),
+        |r AS (SELECT lang, f,
+        |    row_number() OVER (PARTITION BY lang ORDER BY f) AS rn
+        |  FROM h),
+        |k AS (SELECT lang, max(f) AS fk, count(*) AS kk
+        |  FROM r WHERE rn <= 32 GROUP BY lang),
+        |x AS (SELECT lang, count(DISTINCT text) AS exact_distinct
+        |  FROM documents GROUP BY lang)
+        |SELECT k.lang,
+        |  CAST(round(CASE WHEN kk < 32 THEN kk ELSE (kk - 1) / fk END)
+        |    AS BIGINT) AS est_distinct,
+        |  x.exact_distinct
+        |FROM k JOIN x ON k.lang = x.lang ORDER BY k.lang""".stripMargin),
+
+    // Near-dup pairs → duplicate CLUSTERS: connected components over the
+    // verified MinHash pair graph (min-label fixpoint, IterativeOps), so
+    // a dedup pass can keep exactly one representative per component.
+    // Oracle: DuckDB recursive CTE over the exact pairwise edges —
+    // min reachable id == component id. Output: members of non-singleton
+    // components.
+    "q94_dup_clusters" -> api((spark, _) => {
+      val pairs = TextOps.minhashDupPairs(spark.table("documents"),
+        "doc_id", "text", threshold = 0.5)
+      val comp = graft.operators.IterativeOps
+        .connectedComponents(pairs, "id_a", "id_b")
+      comp.select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE round($duckJaccard, 6) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach(id, lab) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+         |SELECT id AS doc_id, component FROM comp
+         |ORDER BY doc_id""".stripMargin),
+
+    // TF-IDF top terms: tf (per-doc term count) × ln(N/df), top-3 terms
+    // per document. The ranking ORDER BY is (tf DESC, df ASC, tok) —
+    // exactly the score order but computed on integers, so float-ulp
+    // differences between engines' ln() can never flip a rank; the
+    // score column itself is rounded display output. Two shuffles
+    // (doc-term agg, term df agg) + a broadcast of the tiny df table.
+    "q95_tfidf" -> sql(
+      """WITH t AS (
+        |  SELECT doc_id, tok FROM documents
+        |  LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) u AS tok),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf
+        |  FROM t GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS rn
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        |SELECT doc_id, tok, tf, df, score, rn FROM s WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id, u.tok AS tok FROM documents,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS u(tok)),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf
+        |  FROM t GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS rn
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        |SELECT doc_id, tok, tf, df, score, rn FROM s WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin),
+
+    // Character-5-gram Jaccard near-dups, blocked by (lang, source) —
+    // the char-shingle complement of q41's word n-grams (robust to
+    // whitespace/tokenization noise). Same blocked-quadratic shape.
+    "q99_char_ngram_jaccard" -> api((spark, _) => {
+      val d = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("source"),
+        TextOps.charShingles(col("text"), 5).as("sh"))
+      d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          GraftFunctions.duckRound(
+            TextOps.jaccard(col("a.sh"), col("b.sh")), 6).as("jac"))
+        .where(col("jac") >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(text) - 4, 1) + 1),
+        |      i -> substring(text, i, 5))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        |    AS jac
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |  AND a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        |    >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // Corpus heavy hitters: top-20 tokens by frequency. The explode is
     // map-side; the count aggregates partially before its one shuffle;
     // the top-k is TakeOrderedAndProject (no global sort) — the shape

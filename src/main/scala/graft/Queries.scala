@@ -538,6 +538,93 @@ object CoreQueries {
         |  ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // TPC-H Q3 shape (shipping priority): selective dim filter broadcast
+    // into two fact joins, grouped revenue, top-10 — the plan is
+    // broadcast → broadcast → partial agg → one shuffle on the group key
+    // → TakeOrderedAndProject; the orders/lineitem fact tables never
+    // shuffle before aggregation.
+    "q90_tpch_q3" -> sql(
+      """SELECT /*+ BROADCAST(customer) */ o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+      headline = true),
+
+    // TPC-H Q5 shape (local-supplier volume): five joins where every
+    // dimension (customer, supplier, nation, region) broadcasts and the
+    // only shuffle on fact data is lineitem⋈orders on the orderkey —
+    // then a tiny agg on n_name. The c_nationkey = s_nationkey predicate
+    // is the classic "local supplier" join filter.
+    "q91_tpch_q5" -> sql(
+      """SELECT /*+ BROADCAST(customer, supplier, nation, region) */
+        |  n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+      headline = true),
+
+    // Fixed-width histogram by floor arithmetic (no engine-specific
+    // width_bucket): map-side bucket compute + one tiny agg shuffle.
+    "q97_histogram" -> same(
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // CUBE over two dimensions (all four grouping sets in one shuffle;
+    // completes the q36 ROLLUP / q79 GROUPING SETS family).
+    "q98_cube" -> same(
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(grouping(c_nationkey) AS INT) AS g_nat,
+        |  CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY CUBE(c_nationkey, c_mktsegment)
+        |ORDER BY g_nat, g_seg, c_nationkey NULLS LAST,
+        |  c_mktsegment NULLS LAST""".stripMargin),
+
     // Exact interpolated percentiles (Spark percentile == DuckDB
     // quantile_cont; the approximate variants are engine-specific and
     // live in SUMMARIZE).

@@ -161,6 +161,40 @@ object SystemQueries {
         |ORDER BY event_id""".stripMargin,
       headline = true),
 
+    // Forward as-of join (q74's mirror): each click enriched with the
+    // user's NEXT purchase at-or-after it — same union + one-window-pass
+    // composition, scanning time in reverse. Purchases pre-deduped per
+    // (user, ts) so the value-check is tie-free (as in q74).
+    "q96_asof_forward" -> api((spark, _) => {
+      val ev = spark.table("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("purchase_id"), col("value"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "pts")
+            .orderBy(col("purchase_id").desc)))
+        .where(col("rn") === 1).drop("rn")
+      graft.operators.AsOfJoin.asofForward(clicks, purchases,
+          "user_id", "ts", "pts", Seq("purchase_id", "value"))
+        .select(col("event_id"), col("purchase_id"),
+          col("value").as("purchase_value"))
+        .orderBy("event_id")
+    },
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, ts, event_id AS purchase_id, value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts, purchase_id, value FROM p0 WHERE rn = 1)
+        |SELECT c.event_id, p.purchase_id, p.value AS purchase_value
+        |FROM clicks c ASOF JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY event_id""".stripMargin),
+
     // Attribution-window range join: clicks within 30 min before each
     // purchase of the same user — equi-join on the user plus a time-range
     // predicate (the keyed range-join shape; the keyless variant is

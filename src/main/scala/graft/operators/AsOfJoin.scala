@@ -29,7 +29,24 @@ object AsOfJoin {
     *                  (must not collide with left column names) */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
       leftTime: String, rightTime: String, valueCols: Seq[String],
-      keepUnmatched: Boolean = false): DataFrame = {
+      keepUnmatched: Boolean = false): DataFrame =
+    asofImpl(left, right, keyCol, leftTime, rightTime, valueCols,
+      keepUnmatched, forward = false)
+
+  /** Forward as-of join — for each left row, the single EARLIEST right
+    * row with `right.time >= left.time` on the same key (DuckDB
+    * `ASOF JOIN ... ON l.t <= r.t`; the "next event after" enrichment:
+    * click→next purchase, alert→next deploy). Same cost shape as the
+    * backward variant: one union shuffle + one window pass. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      keepUnmatched: Boolean = false): DataFrame =
+    asofImpl(left, right, keyCol, leftTime, rightTime, valueCols,
+      keepUnmatched, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      keepUnmatched: Boolean, forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val payloadType = StructType(valueCols.map(c => right.schema(c)))
     val lvalType = StructType(left.schema.fields)
@@ -51,8 +68,13 @@ object AsOfJoin {
     // (key, t): which payload wins is arbitrary (as in DuckDB) but
     // DETERMINISTIC across runs/partitionings. Left rows all carry a
     // null __rval, so their relative order stays irrelevant.
+    // Forward = the same scan over reversed time (descending __t):
+    // "latest right at-or-before" becomes "earliest right at-or-after";
+    // __side still puts the right row first at equal timestamps, which
+    // keeps the bound inclusive in both directions.
+    val tKey = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__side"), col("__rval"))
+      .orderBy(tKey, col("__side").asc, col("__rval").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__carry", last(col("__rval"), ignoreNulls = true).over(w))

@@ -106,6 +106,43 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(ours.nonEmpty && ours.size < 500) // some rows matched, some not
   }
 
+  test("forward variant matches the earliest quote at or after each trade") {
+    val out = AsOfJoin.asofForward(trades, quotes, "k", "tt", "qt",
+        Seq("price"))
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    // t1 (10:04:59) → 101.0 (10:05); t2 (10:05) → 101.0 (inclusive tie);
+    // t3 (10:30) → no later quote (dropped); t4 (10:04) → none for key 2
+    // after 10:03 → dropped; t5 (10:00) → 200.0 (10:03)
+    assert(out == Map("t1" -> 101.0, "t2" -> 101.0, "t5" -> 200.0))
+  }
+
+  test("forward equals the naive inequality join on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val q = (1 to 20).flatMap { k =>
+      rnd.shuffle((0 until 500).toList).take(30)
+        .map(m => (k.toLong, new Timestamp(base + m * 60000L),
+          rnd.nextDouble()))
+    }.toDF("k", "qt", "price")
+    val t = (1 to 25).flatMap { k =>
+      (0 until 20).map(i => (k.toLong,
+        new Timestamp(base + rnd.nextInt(600) * 60000L), s"$k-$i"))
+    }.toDF("k", "tt", "id")
+
+    val ours = AsOfJoin.asofForward(t, q, "k", "tt", "qt", Seq("price"))
+      .select("id", "price").as[(String, Double)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l.id")).orderBy(col("r.qt").asc)
+    val naive = t.as("l").join(q.as("r"),
+        col("l.k") === col("r.k") && col("r.qt") >= col("l.tt"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("l.id"), col("r.price"))
+      .as[(String, Double)].collect().toMap
+    assert(ours == naive)
+    assert(ours.nonEmpty && ours.size < 500)
+  }
+
   test("plans as one shuffle + window, not an inequality join") {
     val plan = AsOfJoin.asofBackward(trades, quotes, "k", "tt", "qt",
       Seq("price")).queryExecution.executedPlan.toString

@@ -44,6 +44,30 @@ class IterativeOpsSpec extends SparkSpecBase {
     assert(out == Seq((1, 0), (2, 1), (3, 1)))
   }
 
+  test("connectedComponents labels every vertex with its component min") {
+    import spark.implicits._
+    // components {1,2,3}, {5,7}, {9,10,11,12} (a 4-chain), given as an
+    // arbitrary-direction edge list
+    val edges = Seq((2, 1), (2, 3), (7, 5), (9, 10), (11, 10), (12, 11))
+      .toDF("a", "b")
+    val out = IterativeOps.connectedComponents(edges, "a", "b")
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(out == Seq(1 -> 1, 2 -> 1, 3 -> 1, 5 -> 5, 7 -> 5,
+      9 -> 9, 10 -> 9, 11 -> 9, 12 -> 9))
+  }
+
+  test("connectedComponents converges on a cycle and a long chain") {
+    import spark.implicits._
+    // an 8-cycle plus a 10-chain: diameter forces several rounds
+    val cycle = (0 until 8).map(i => (i, (i + 1) % 8))
+    val chain = (100 until 109).map(i => (i, i + 1))
+    val edges = (cycle ++ chain).toDF("a", "b")
+    val comp = IterativeOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert((0 until 8).forall(comp(_) == 0))
+    assert((100 to 109).forall(comp(_) == 100))
+  }
+
   test("recursiveUnionAll raises after maxIter on a cycle") {
     import spark.implicits._
     val edges = Seq((1, 2), (2, 1)).toDF("src", "dst")
