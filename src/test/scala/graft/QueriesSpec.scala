@@ -101,6 +101,28 @@ class QueriesSpec extends SparkSpecBase {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("q90 TPC-H Q3: broadcast dim joins + top-k, fact never pre-shuffles") {
+    val plan = SparkEntry.queries("q90_tpch_q3")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q91 TPC-H Q5: every dimension broadcasts (no fact-side SMJ)") {
+    val plan = SparkEntry.queries("q91_tpch_q5")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q92 hash sample is map-only (no shuffle in the plan)") {
+    val plan = SparkEntry.queries("q92_hash_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") ||
+      plan.contains("rangepartitioning"), plan) // only the final ORDER BY
+  }
+
   test("q81 QUALIFY rewrite filters above the window, not a re-sort") {
     val plan = SparkEntry.queries("q81_qualify")(spark, sfDir)
       .queryExecution.executedPlan.toString
