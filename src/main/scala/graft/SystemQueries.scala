@@ -84,6 +84,53 @@ object SystemQueries {
           expr("transform(embedding, x -> cast(x AS string))"), ","))
         .orderBy("media_id")),
 
+    // The batched (mapPartitions) decode path over the same media table —
+    // the vectorized-codec call shape; bit-identical to q54's Column path
+    // (SystemOpsSpec) and rows-only checked like it.
+    "q100_media_batched" -> noOracle((spark, _) =>
+      MediaOps.extractFeaturesBatched(
+          MediaOps.mediaTable(spark.table("documents")))
+        .withColumn("embedding", array_join(
+          expr("transform(embedding, x -> cast(x AS string))"), ","))
+        .orderBy("media_id")),
+
+    // Skew-proof two-stage salted aggregation: rows spread over 8
+    // sub-keys, partial per (key, salt), final per key. The oracle is
+    // the PLAIN group-by — salting must be algebraically invisible.
+    // (DECIMAL partials ⇒ exact merge at any parallelism.)
+    "q101_salted_agg" -> api((spark, _) =>
+      graft.operators.JoinOps.saltedAggregate(
+          spark.table("lineitem"), "l_returnflag", saltFactor = 8,
+          partial = Seq(
+            sum(col("l_quantity").cast("decimal(18,2)")).as("ps"),
+            count(lit(1)).as("pc")),
+          finalAgg = Seq(
+            round(sum(col("ps")).cast("double"), 2).as("qty"),
+            sum(col("pc")).as("n")))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // Skew-proof salted join: the dim side replicated 8x so a hot fact
+    // key fans out over 8 reducers; the oracle is the plain join+agg
+    // (same values — the salting is pure execution strategy).
+    "q102_salted_join" -> api((spark, _) =>
+      graft.operators.JoinOps.saltedJoin(
+          spark.table("orders"), spark.table("customer"),
+          "o_custkey", "c_custkey", saltFactor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("c_mktsegment"),
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
     // DESCRIBE with DuckDB type names from the Spark schema.
     "q55_describe" -> api((spark, _) =>
       Summarize.describe(spark.table("lineitem"))

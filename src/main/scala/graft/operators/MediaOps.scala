@@ -77,4 +77,61 @@ object MediaOps {
       size(frames).as("n_frames"),
       meanPool(feats).as("embedding"))
   }
+
+  /** Batched decode path — the shape of a real vectorized codec call
+    * (the Scala analogue of `mapInPandas`): payloads cross the kernel
+    * boundary in fixed-size batches per partition, so a JNI/native
+    * decoder amortizes its call overhead and bounds its memory to
+    * `batchSize` payloads. The kernel here is the SAME stub feature
+    * formula as [[stubDecodeFeatures]] (bit-identical output, proven in
+    * MediaOps specs), so swapping in a real codec changes exactly one
+    * function. No shuffle: mapPartitions preserves the scan
+    * partitioning; output is fixed-width regardless of payload size. */
+  def extractFeaturesBatched(media: DataFrame, batchSize: Int = 32,
+      frameLen: Int = 64, stride: Int = 48, maxFrames: Int = 16)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one kernel call per batch — where a vectorized decoder runs
+          val feats = stubKernelBatch(batch.map(_._2),
+            frameLen, stride, maxFrames)
+          batch.iterator.zip(feats.iterator).map { case ((id, _), f) =>
+            (id, f._1, f._2)
+          }
+        }
+      }
+      .toDF("media_id", "n_frames", "embedding")
+  }
+
+  /** JVM stub kernel: per payload, the same frames → xxhash features →
+    * mean-pool → round(6) pipeline as the Column path (Spark's
+    * `xxhash64(frame, j)` = XXH64 over frame bytes at seed 42, then over
+    * the int j at the previous hash as seed). */
+  private def stubKernelBatch(payloads: Seq[Array[Byte]], frameLen: Int,
+      stride: Int, maxFrames: Int): Seq[(Int, Array[Double])] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{BinaryType, IntegerType}
+    payloads.map { p =>
+      val end = math.max(p.length - (frameLen - 1), 1)
+      val starts = Range.inclusive(1, end, stride).take(maxFrames)
+      val frames = starts.map(s => p.slice(s - 1, s - 1 + frameLen))
+      val feats = frames.map { f =>
+        Array.tabulate(featureDim) { j =>
+          val h = XxHash64Function.hash(j,
+            IntegerType, XxHash64Function.hash(f, BinaryType, 42L))
+          (((h % 1000) + 1000) % 1000).toDouble / 1000.0
+        }
+      }
+      val n = math.max(frames.size, 1)
+      val pooled = Array.tabulate(featureDim) { j =>
+        BigDecimal(feats.map(_(j)).sum / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      (frames.size, pooled)
+    }
+  }
 }

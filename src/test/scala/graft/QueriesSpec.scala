@@ -23,7 +23,7 @@ class QueriesSpec extends SparkSpecBase {
     // stub media features, approximate SUMMARIZE stats
     val rowsOnly = Set("q29_sample", "q35_settings", "q43_dedup_simhash",
       "q46_knn_ann_lsh", "q54_media_features", "q56_summarize",
-      "q66_knn_ann_ivf", "q67_validate_sql")
+      "q66_knn_ann_ivf", "q67_validate_sql", "q100_media_batched")
     val missing =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")

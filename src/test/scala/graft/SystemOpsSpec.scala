@@ -69,6 +69,33 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
   }
 
+  test("batched decode path is bit-identical to the Column path") {
+    Queries.prep(spark, sfDir)
+    val media = MediaOps.mediaTable(spark.table("documents"))
+    val colPath = MediaOps.extractFeatures(media)
+      .select(col("media_id").cast("long"), col("n_frames"),
+        col("embedding"))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    val batched = MediaOps.extractFeaturesBatched(media)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    assert(colPath.toSeq == batched.toSeq)
+  }
+
+  test("batched decode is invariant to batch size and partitioning") {
+    Queries.prep(spark, sfDir)
+    val media = MediaOps.mediaTable(spark.table("documents"))
+    def run(m: org.apache.spark.sql.DataFrame, bs: Int) =
+      MediaOps.extractFeaturesBatched(m, batchSize = bs)
+        .orderBy("media_id").collect().map(_.toSeq).toSeq
+    val base = run(media, 32)
+    // batch boundaries must not leak into results…
+    assert(run(media, 7) == base)
+    // …nor must the physical partitioning
+    assert(run(media.repartition(13), 32) == base)
+  }
+
   test("media payload survives the binary column (roundtrip)") {
     Queries.prep(spark, sfDir)
     val back = MediaOps.mediaTable(spark.table("documents"))
