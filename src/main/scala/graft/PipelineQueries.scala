@@ -66,6 +66,24 @@ object PipelineQueries {
     branches.mkString("CASE\n    ", "\n    ", "\n    ELSE 'und' END")
   }
 
+  /** DuckDB-side whitespace tokens (same semantics as [[TextOps.tokens]]). */
+  private val duckTokens = "string_split_regex(trim(text), '\\s+')"
+
+  /** DuckDB-side portable 32-bit SimHash over a token list column `tk`
+    * (same bits as [[graft.functions.GraftHash.simhashMd5]]): for bit j,
+    * the vote is the MSB of hex nibble j of each token's md5 — char
+    * `>= '8'` ⇔ nibble in [8, 15] — and the bit is set when the vote sum
+    * is strictly positive, matching the kernel's `counts(j) > 0`.
+    * GENERATED 32-term SQL so kernel and oracle share one definition. */
+  private val duckSimhashMd5: String = {
+    val terms = (0 until 32).map { j =>
+      s"""CASE WHEN sum(CASE WHEN substr(md5(t), ${j + 1}, 1) >= '8'
+         |  THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END"""
+        .stripMargin
+    }.mkString(" +\n    ")
+    s"(SELECT $terms\n   FROM (SELECT unnest(tk) AS t) z)"
+  }
+
   /** Hex-nibble split buckets (first md5 nibble: 12/2/2 of 16) — ONE
     * definition interpolated by q63, q64 and q69 so the split can never
     * silently diverge between the splitter, the contamination check and
@@ -661,6 +679,74 @@ object PipelineQueries {
         |  round(1.0 - len(list_distinct(string_split_regex(text, '\. ')))
         |    / CAST(len(string_split_regex(text, '\. ')) AS DOUBLE), 6)
         |    AS dup_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Portable 32-bit SimHash per document: bit j = majority vote of the
+    // MSB of md5 hex nibble j over the whitespace tokens. Unlike the
+    // xxHash64-based q43 (engine-internal hash ⇒ rows-only check), every
+    // engine with md5()+substr() reproduces this signature bit-for-bit —
+    // the oracle below is the same 32-nibble vote written as plain SQL.
+    // Map-only (one digest pass per row, zero shuffle) at any scale.
+    "q103_simhash_portable" -> api((spark, _) =>
+      spark.table("documents").select(col("doc_id"),
+        GraftFunctions.simhashMd5(TextOps.tokens(col("text"))).as("sig"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, $duckSimhashMd5 AS sig
+         |FROM (SELECT doc_id, $duckTokens AS tk FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+
+    // Near-dup pairs over the portable signature: candidates via
+    // (maxHamming+1)-chunk banding — by pigeonhole any pair within the
+    // Hamming budget shares an intact chunk — then EXACT Hamming verify.
+    // The oracle is the full quadratic pairwise check, so the whole
+    // LSH-style pipeline (hash → band → verify) is value-checked, not
+    // rows-only: banding must be algebraically invisible. One shuffle
+    // on the (chunk, bits) key at corpus scale vs the oracle's O(n²).
+    "q104_simhash_hamming_pairs" -> api((spark, _) =>
+      TextOps.simhashMd5DupPairs(spark.table("documents"), "doc_id",
+          "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      s"""WITH s AS (
+         |  SELECT doc_id, $duckSimhashMd5 AS sig
+         |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Gopher-style filter rules (Rae et al. 2021 §A1.1): mean word
+    // length, symbol-to-word ratio, and the hash-fraction rule, with the
+    // boolean keep decision. Complements q48's scoring: these are the
+    // RULES formulation (hard thresholds), map-only over the corpus.
+    "q113_gopher_rules" -> sql(
+      """SELECT doc_id,
+        |  duck_round(length(replace(text, ' ', ''))
+        |    / CAST(size(split(trim(text), '\\s+')) AS DOUBLE), 6)
+        |    AS mean_word_len,
+        |  duck_round(size(filter(split(trim(text), '\\s+'),
+        |      w -> w RLIKE '^[#$%&@*+=_~^|\\\\/<>-]+$'))
+        |    / CAST(size(split(trim(text), '\\s+')) AS DOUBLE), 6)
+        |    AS symbol_ratio,
+        |  (size(split(trim(text), '\\s+')) BETWEEN 50 AND 100000
+        |   AND length(replace(text, ' ', ''))
+        |     / CAST(size(split(trim(text), '\\s+')) AS DOUBLE)
+        |     BETWEEN 3 AND 10) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  round(length(replace(text, ' ', ''))
+        |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE),
+        |    6) AS mean_word_len,
+        |  round(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> regexp_matches(w, '^[#$%&@*+=_~^|\\/<>-]+$')))
+        |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE),
+        |    6) AS symbol_ratio,
+        |  (len(string_split_regex(trim(text), '\s+')) BETWEEN 50 AND 100000
+        |   AND length(replace(text, ' ', ''))
+        |     / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+        |     BETWEEN 3 AND 10) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

@@ -643,6 +643,129 @@ object CoreQueries {
         |  round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 2)
         |    AS price_p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
-        .stripMargin)
+        .stripMargin),
+
+    // TPC-H Q6 shape — the canonical scan-aggregate: every predicate and
+    // both referenced columns push down to the parquet scan (no join, no
+    // shuffle beyond the single-row final agg). DECIMAL partials make the
+    // sum order-independent at any parallelism.
+    "q105_tpch_q6" -> same(
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin, headline = true),
+
+    // TPC-H Q10 shape — returned-item top customers: the quarter filter
+    // on orders cuts the fact join early, nation broadcasts (hint is a
+    // comment to DuckDB), top-20 runs as TakeOrderedAndProject (no full
+    // sort materialization).
+    "q106_tpch_q10" -> same(
+      """SELECT /*+ BROADCAST(nation) */ c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  c_acctbal
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+      headline = true),
+
+    // TPC-H Q12 shape (o_orderpriority standing in for l_shipmode):
+    // integer CASE-sums are exact at any aggregation order/parallelism.
+    "q107_tpch_q12" -> same(
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= o_orderdate
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // TPC-H Q14 shape — promo revenue share: conditional DECIMAL sums
+    // (exact), single double division at the end; part broadcasts.
+    "q108_tpch_q14" -> same(
+      """SELECT /*+ BROADCAST(part) */ round(100.00 *
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin),
+
+    // TPC-H Q16 shape — distinct-supplier counts with a NOT IN exclusion
+    // subquery (anti-join) and a two-stage distinct aggregate.
+    "q109_tpch_q16" -> same(
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin),
+
+    // TPC-H Q18 shape — large-quantity orders: the IN subquery is a
+    // groupBy-HAVING over the fact table (shuffle on l_orderkey reused
+    // by the semi join), then enrich and top-100. l_quantity values are
+    // integral, so double sums are exact here.
+    "q110_tpch_q18" -> same(
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+
+    // TPC-H Q19 shape — disjunctive brand/size/quantity predicates: the
+    // OR of ANDs stays a single scan+broadcast-join (no union rewrite),
+    // with the part-side conjuncts pushed into the scan.
+    "q111_tpch_q19" -> same(
+      """SELECT /*+ BROADCAST(part) */
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#11' AND p_size BETWEEN 10 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 40
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    // TPC-H Q7 shape — cross-nation volume with TWO nation dimension
+    // roles (supplier side + customer side, both broadcast) and a
+    // disjunctive nation-pair predicate, grouped by shipment year.
+    "q112_tpch_q7" -> same(
+      """SELECT /*+ BROADCAST(sn), BROADCAST(cn) */
+        |  sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE ((sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_11')
+        |    OR (sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_12'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   )
 }

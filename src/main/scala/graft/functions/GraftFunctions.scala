@@ -26,6 +26,7 @@ object GraftFunctions {
     ("current_setting", 1, args => CurrentSetting(args(0))),
     ("pragma_version", 0, _ => PragmaVersion()),
     ("simhash64", 1, args => SimHash64Expr(args(0))),
+    ("simhash_md5", 1, args => SimHashMd5Expr(args(0))),
     ("minhash_sig", 2, args => MinHashSigExpr(args(0), args(1))),
     ("rp_sketch", 3, args => RpSketchExpr(args(0), args(1), args(2))),
     ("duck_round", 2, args => DuckRoundExpr(args(0), args(1))),
@@ -43,6 +44,8 @@ object GraftFunctions {
   /** Column-API entry points (no session registration needed). */
   def simhash64(tokens: Column): Column =
     toCol(SimHash64Expr(toExpr(tokens)))
+  def simhashMd5(tokens: Column): Column =
+    toCol(SimHashMd5Expr(toExpr(tokens)))
   def minhashSig(shingles: Column, k: Column): Column =
     toCol(MinHashSigExpr(toExpr(shingles), toExpr(k)))
   def rpSketch(vec: Column, bits: Column, seed: Column): Column =

@@ -66,6 +66,39 @@ object GraftHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Portable 32-bit SimHash: bit j is the majority vote of the MSB of
+    * hex nibble j of each token's md5. Unlike [[simhash64]] (xxHash64,
+    * engine-internal), every SQL engine with `md5()` + `substr()` can
+    * reproduce this bit-for-bit — so the operator is oracle-checkable
+    * end-to-end, not just rows-only. One digest per token, one pass. */
+  def simhashMd5(tokens: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(tokens.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 32) {
+          val b = digest(j / 2)
+          val nibble = if (j % 2 == 0) (b >> 4) & 0xF else b & 0xF
+          if ((nibble & 0x8) != 0) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -155,6 +155,25 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChildren(0))
 }
 
+/** Portable 32-bit SimHash ([[GraftHash.simhashMd5]]): md5-nibble votes,
+  * reproducible on any engine with md5()+substr() — the oracle-checkable
+  * counterpart of [[SimHash64Expr]]. */
+case class SimHashMd5Expr(child: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val in = if (child.dataType == ArrayType(StringType)) child
+             else Cast(child, ArrayType(StringType))
+    objects.StaticInvoke(GraftHash.getClass, LongType, "simhashMd5",
+      Seq(in), inputTypes = Seq(ArrayType(StringType)),
+      returnNullable = false)
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "simhash_md5"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** Fused MinHash signature kernel ([[GraftHash.minhashSig]]): one pass
   * over the shingle array for all k seeded minima. `k` must be foldable. */
 case class MinHashSigExpr(child: Expression, k: Expression)

@@ -185,15 +185,35 @@ object TextOps {
     * collapsing whole chunks to zero) are capped like the minhash
     * paths. Verified by exact Hamming distance. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    bandedHammingPairs(
+      parallelize(docs).select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.simhash64(tokens(col(textCol)))
+          .as("sig")),
+      bits = 64, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** Portable-simhash near-dup pairs: same banding/verify structure as
+    * [[simhashDupPairs]] but over the md5-nibble 32-bit signature
+    * ([[graft.functions.GraftFunctions.simhashMd5]]), which any engine
+    * with md5()+substr() reproduces bit-for-bit — so THIS pipeline
+    * (hash → candidate banding → exact-Hamming verify) is checked
+    * against a quadratic DuckDB oracle, not just rows-only. */
+  def simhashMd5DupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000000): DataFrame =
+    bandedHammingPairs(
+      parallelize(docs).select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.simhashMd5(tokens(col(textCol)))
+          .as("sig")),
+      bits = 32, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  private def bandedHammingPairs(sigs: DataFrame, bits: Int,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming in [0, $bits)")
     val chunks = maxHamming + 1
-    val width = 64 / chunks // last chunk absorbs the remainder bits
-    val sigs = parallelize(docs).select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.simhash64(tokens(col(textCol)))
-        .as("sig"))
+    val width = bits / chunks // last chunk absorbs the remainder bits
     def chunkBits(c: Int): Column = {
-      val w = if (c == chunks - 1) 64 - c * width else width
+      val w = if (c == chunks - 1) bits - c * width else width
       val shifted = shiftright(col("sig"), c * width)
       if (c * width + w >= 64) shifted
       else shifted.bitwiseAND(lit((1L << w) - 1))

@@ -123,6 +123,50 @@ class QueriesSpec extends SparkSpecBase {
       plan.contains("rangepartitioning"), plan) // only the final ORDER BY
   }
 
+  test("q105 TPC-H Q6: predicates and pruning reach the lineitem scan") {
+    val plan = SparkEntry.queries("q105_tpch_q6")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // lineitem is the cached hot table: pruning + predicate pushdown
+    // happen at the InMemoryTableScan (on a raw multi-file corpus the
+    // same predicates land in the FileScan's PushedFilters)
+    val scanLine = plan.linesIterator
+      .find(_.contains("InMemoryTableScan")).getOrElse(plan)
+    assert(scanLine.contains("l_shipdate") &&
+      scanLine.contains("l_discount"), scanLine)
+    assert(!scanLine.substring(0,
+      scanLine.indexOf(']') max 0).contains("l_orderkey"),
+      "projection not pruned:\n" + scanLine)
+    assert(plan.contains("partial"), plan) // map-side combine
+  }
+
+  test("q106 TPC-H Q10: dims broadcast, top-20 is TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("q106_tpch_q10")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q111 TPC-H Q19: disjunctive predicate stays one broadcast join") {
+    val plan = SparkEntry.queries("q111_tpch_q19")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Union"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q112 TPC-H Q7: both nation roles broadcast, no cartesian") {
+    val plan = SparkEntry.queries("q112_tpch_q7")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q103 portable simhash is map-only (no shuffle before sort)") {
+    val plan = SparkEntry.queries("q103_simhash_portable")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("q81 QUALIFY rewrite filters above the window, not a re-sort") {
     val plan = SparkEntry.queries("q81_qualify")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -108,4 +108,66 @@ class TextOpsSpec extends SparkSpecBase {
     assert(qs.values.forall(q => q >= 0.0 && q <= 1.0))
     assert(qs(1L) > qs(2L) && qs(1L) > qs(3L))
   }
+
+  test("simhashMd5 matches an independent per-bit md5-nibble vote") {
+    // reference implementation: hex string route (the oracle's view),
+    // vs the kernel's digest-byte route
+    def ref(tokens: Seq[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](32)
+      tokens.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        (0 until 32).foreach { j =>
+          if (hex(j) >= '8') counts(j) += 1 else counts(j) -= 1
+        }
+      }
+      (0 until 32).foldLeft(0L) { (sig, j) =>
+        if (counts(j) > 0) sig | (1L << j) else sig
+      }
+    }
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "a", "",
+      "unicode tökens müssen auch gehen",
+      (1 to 50).map(i => s"w$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.GraftFunctions.simhashMd5(
+          TextOps.tokens(col("text"))).as("sig"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      // TextOps.tokens = split(trim(text), "\s+"): empty text → [""]
+      val toks = t.trim.split("\\s+").toSeq match {
+        case Seq() => Seq(""); case s => s
+      }
+      assert(got(i.toLong) == ref(toks), s"doc $i ('$t')")
+    }
+  }
+
+  test("simhashMd5DupPairs banding equals the quadratic exact answer") {
+    import spark.implicits._
+    val docs = planted
+    val got = TextOps.simhashMd5DupPairs(docs, "doc_id", "text",
+        maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over the signatures
+    val sigs = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.simhashMd5(
+          TextOps.tokens(col("text"))).as("sig"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == want, s"got=$got want=$want")
+    // the planted near-dup (100, 101) must be far closer in Hamming
+    // space than the base is to any unrelated doc
+    val bySig = sigs.toMap
+    def ham(a: Long, b: Long) =
+      java.lang.Long.bitCount(bySig(a) ^ bySig(b))
+    val unrelated = sigs.collect { case (id, _) if id >= 200L => id }
+    assert(unrelated.forall(u => ham(100L, 101L) < ham(100L, u)),
+      s"near-dup hamming ${ham(100L, 101L)} not separated")
+  }
 }
