@@ -747,6 +747,36 @@ object PipelineQueries {
         |   AND length(replace(text, ' ', ''))
         |     / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
         |     BETWEEN 3 AND 10) AS keep
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Ordered event funnel (view → click → purchase): each stage's first
+    // qualifying timestamp must follow the previous stage's. Three
+    // per-user min-aggregates chained by join — every shuffle is on
+    // user_id so they collapse into one exchange reused across stages.
+    "q115_funnel" -> same(
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CASE WHEN p.user_id IS NOT NULL THEN 3
+        |       WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin),
+
+    // CDC-style compaction: latest event per user (ts, event_id as the
+    // deterministic tie-break) — the "current state" table a changelog
+    // stream compacts into. One window pass over a single shuffle; at
+    // 100 TB this is the standard incremental-snapshot shape.
+    "q116_cdc_latest" -> same(
+      """SELECT user_id, event_type, value, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
   )
 }

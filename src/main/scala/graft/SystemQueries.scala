@@ -144,6 +144,25 @@ object SystemQueries {
     "q56_summarize" -> noOracle((spark, _) =>
       Summarize.summarize(spark.table("customer"))),
 
+    // Exact profile variant: count/nulls/distinct/min/max/avg for the
+    // lineitem measures in ONE scan (all stats are slots of a single agg
+    // row, unpivoted with stack) — the value-checked counterpart of
+    // q56's sketch-based SUMMARIZE. The oracle spells the same stats as
+    // per-column UNION ALL aggregates.
+    "q114_exact_stats" -> api((spark, _) =>
+      Summarize.exactStats(spark.table("lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("column_name"),
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""SELECT '$c' AS column_name, count($c) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+           |  CAST(CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE)
+           |    / count($c) AS DOUBLE) AS avg
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
+
     // Parquet write→read roundtrip (COPY TO / file-as-table, S11/S12).
     "q57_copy_parquet" -> api((spark, _) => {
       val dir = tmp("graft_copy_parquet") + "/part.parquet"

@@ -127,6 +127,32 @@ object Summarize {
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** Exact per-column profile (count / nulls / distinct / min / max /
+    * avg) in ONE scan: every stat for every column is an aggregate slot
+    * of a single agg row, unpivoted with stack(). Unlike [[summarize]]
+    * (sketch stats, rows-only check) each stat here is exact and
+    * order-independent — DECIMAL sums make avg deterministic at any
+    * parallelism — so the operator is value-checked against a DuckDB
+    * oracle. Distributed: one partial+final agg, no driver collect. */
+  def exactStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.zipWithIndex.flatMap { case (name, i) =>
+      val c = df(name)
+      Seq(count(c).as(s"cnt$i"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nul$i"),
+        countDistinct(c).as(s"dst$i"),
+        min(c.cast("double")).as(s"min$i"),
+        max(c.cast("double")).as(s"max$i"),
+        sum(c.cast("decimal(18,6)")).as(s"sum$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex.map { case (name, i) =>
+      s"'$name', cnt$i, nul$i, dst$i, min$i, max$i, " +
+        s"CAST(CAST(sum$i AS DOUBLE) / cnt$i AS DOUBLE)"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+      "(column_name, n, n_null, n_distinct, min, max, avg)")
+  }
+
   /** `DESCRIBE t` with DuckDB-style output columns. `notNull` overrides
     * nullability for formats that can't carry constraints. */
   def describe(df: DataFrame, notNull: Set[String] = Set.empty,
