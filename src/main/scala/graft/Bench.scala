@@ -15,7 +15,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.headline
+    // default: the headline set (the driver's contract); explicit args
+    // select any catalog entries for ad-hoc measurement
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.headline
     val qs = SparkEntry.queries
     // warm-up: register + materialize the table cache (buffer-pool warm,
     // like any resident engine), then one query end-to-end for codegen

@@ -693,7 +693,7 @@ object PipelineQueries {
         .orderBy("doc_id"),
       s"""SELECT doc_id, $duckSimhashMd5 AS sig
          |FROM (SELECT doc_id, $duckTokens AS tk FROM documents)
-         |ORDER BY doc_id""".stripMargin),
+         |ORDER BY doc_id""".stripMargin, headline = true),
 
     // Near-dup pairs over the portable signature: candidates via
     // (maxHamming+1)-chunk banding — by pigeonhole any pair within the
@@ -715,7 +715,7 @@ object PipelineQueries {
          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin),
+         |ORDER BY id_a, id_b""".stripMargin, headline = true),
 
     // Gopher-style filter rules (Rae et al. 2021 §A1.1): mean word
     // length, symbol-to-word ratio, and the hash-fraction rule, with the
