@@ -777,6 +777,53 @@ object PipelineQueries {
       """SELECT user_id, event_type, value, ts FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
+    // Time-series resampling: per-user daily grid (sequence + explode)
+    // LEFT JOINed to daily aggregates, gaps forward-filled with an
+    // IGNORE NULLS running last_value. The grid is generated, never
+    // materialized wider than (users × days); the fill is one window
+    // pass over the user_id shuffle.
+    "q118_resample_ffill" -> sql(
+      """WITH grid AS (
+        |  SELECT user_id, explode(sequence(DATE '2024-01-01',
+        |    DATE '2024-01-30', interval 1 day)) AS d
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |daily AS (
+        |  SELECT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY user_id, CAST(date_trunc('DAY', ts) AS DATE))
+        |SELECT g.user_id, g.d,
+        |  last_value(dv.v, true) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+        |FROM grid g LEFT JOIN daily dv
+        |  ON g.user_id = dv.user_id AND g.d = dv.d
+        |ORDER BY g.user_id, g.d""".stripMargin,
+      """WITH grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE))
+        |SELECT g.user_id, g.d,
+        |  last_value(dv.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+        |FROM grid g LEFT JOIN daily dv
+        |  ON g.user_id = dv.user_id AND g.d = dv.d
+        |ORDER BY g.user_id, g.d""".stripMargin),
+
+    // Deterministic stratified sample: first-k-per-class by content
+    // hash order — reproducible on any engine/partitioning (the
+    // per-class counterpart of q92's corpus-wide hash sample).
+    "q120_stratified_sample" -> same(
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 30 ORDER BY doc_id""".stripMargin)
   )
 }

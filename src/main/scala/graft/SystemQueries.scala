@@ -170,6 +170,24 @@ object SystemQueries {
       spark.read.parquet(dir).orderBy("p_partkey")
     }, "SELECT * FROM part ORDER BY p_partkey"),
 
+    // ORC write→read roundtrip: the same sink/source contract as q57 on
+    // Spark's other native columnar format (predicate pushdown + column
+    // pruning work identically on the read side).
+    "q117_copy_orc" -> api((spark, _) => {
+      val dir = tmp("graft_copy_orc") + "/part.orc"
+      spark.table("part").write.mode("overwrite").orc(dir)
+      spark.read.orc(dir).orderBy("p_partkey")
+    }, "SELECT * FROM part ORDER BY p_partkey"),
+
+    // Stream-static enrichment join (broadcast dim into each micro-batch,
+    // no join state); oracle = the batch join+agg over the same files.
+    "q119_stream_enrich" -> api(
+      (spark, sfDir) => StreamingOps.enrichedStreamAgg(spark, sfDir),
+      """SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
     // CSV roundtrip with explicit schema on re-read (S5/S8).
     "q58_copy_csv" -> api((spark, _) => {
       val dir = tmp("graft_copy_csv") + "/supplier.csv"

@@ -79,6 +79,40 @@ object StreamingOps {
     drainSink(spark, name, Seq("hour", "event_type"))
   }
 
+  /** Stream-static enrichment join: the event stream joins a STATIC
+    * dimension table — the canonical streaming-enrich shape. No join
+    * state and no watermark are needed on the static side; Spark
+    * broadcasts the dimension into every micro-batch, so at cluster
+    * scale the stream never shuffles for the join. DECIMAL partials
+    * keep stream == batch bit-exact at any micro-batch slicing. */
+  def enrichedStreamAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dim = broadcast(spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey")))
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+
+    val name = s"stream_enrich_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainSink(spark, name, Seq("c_nationkey"))
+  }
+
   /** Materializes a memory-sink table and drops the sink, so repeated
     * invocations in one session don't accumulate sink tables (each holds
     * the full result set on the driver). */
