@@ -824,6 +824,247 @@ object PipelineQueries {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
         |  FROM documents) t
-        |WHERE rn <= 30 ORDER BY doc_id""".stripMargin)
+        |WHERE rn <= 30 ORDER BY doc_id""".stripMargin),
+
+    // Winsorization (outlier clipping) at the per-group 5th/95th order
+    // statistic. The bounds are EXACT k-th elements (rank selection, no
+    // interpolation) so both engines pick bit-identical doubles, and the
+    // clipped mean goes through DECIMAL partials — fully deterministic
+    // at any parallelism. One window pass + one agg, both on the same
+    // group key, so the shuffle is reused.
+    "q132_winsorize" -> same(
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS p,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag,
+        |    min(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+        |      THEN p END) AS lo,
+        |    min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |      THEN p END) AS hi
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT r.l_returnflag, count(*) AS n,
+        |  sum(CASE WHEN r.p < b.lo THEN 1 ELSE 0 END) AS n_clip_lo,
+        |  sum(CASE WHEN r.p > b.hi THEN 1 ELSE 0 END) AS n_clip_hi,
+        |  round(CAST(sum(CAST(r.p AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 4) AS mean_raw,
+        |  round(CAST(sum(CAST(least(greatest(r.p, b.lo), b.hi)
+        |    AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_winsor
+        |FROM r JOIN b ON r.l_returnflag = b.l_returnflag
+        |GROUP BY r.l_returnflag ORDER BY r.l_returnflag""".stripMargin),
+
+    // Statistical profile: Pearson correlation, sample covariance and
+    // stddev per group — the numeric-feature screening pass of a
+    // training pipeline. Co-moment aggregates are mergeable, so this is
+    // partial-agg + one tiny shuffle; round(…) absorbs the last-ulp
+    // accumulation-order difference between engines.
+    "q133_corr_stats" -> same(
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2)
+        |    AS covar_qty_price,
+        |  round(stddev_samp(l_extendedprice), 2) AS std_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / count(*), 4) AS mean_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin),
+
+    // Per-label per-dimension embedding moments (the feature-scaling
+    // statistics a normalization step consumes). posexplode pivots the
+    // vector column into (dim, value) rows — 64×|rows| — which partial-
+    // aggregates down to |labels|×64 before the only shuffle.
+    "q134_feature_moments" -> sql(
+      """SELECT label, CAST(pos AS INT) AS dim,
+        |  round(sum(x) / count(*), 4) AS mean_x,
+        |  round(stddev_samp(x), 4) AS std_x
+        |FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+        |GROUP BY label, pos ORDER BY label, dim""".stripMargin,
+      """SELECT label, CAST(pos AS INT) AS dim,
+        |  round(sum(x) / count(*), 4) AS mean_x,
+        |  round(stddev_samp(x), 4) AS std_x
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings) t
+        |GROUP BY label, pos ORDER BY label, dim""".stripMargin),
+
+    // PageRank (3 damped iterations, d = 0.85) over the bipartite
+    // customer↔supplier trade graph derived from the fact tables. The
+    // Spark side is the honest iterative formulation — rank and degree
+    // DataFrames re-joined per step, all shuffles on the node key — the
+    // shape that scales to billions of edges; the oracle unrolls the
+    // same three steps as CTEs. round(9) absorbs add-order ulps.
+    "q135_pagerank" -> api((spark, _) => {
+      val d = 0.85
+      val e0 = spark.table("orders")
+        .join(spark.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("src"),
+          concat(lit("S"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = edges.select(col("src").as("node")).distinct().cache()
+      val n = nodes.count().toDouble
+      var rank = nodes.withColumn("r", lit(1.0 / n))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(rank, edges("src") === rank("node"))
+          .join(deg, "src")
+          .groupBy(col("dst"))
+          .agg(sum(col("r") / col("deg")).as("s"))
+        rank = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit((1 - d) / n) + lit(d) * coalesce(col("s"), lit(0.0)))
+              .as("r"))
+      }
+      rank.select(col("node"),
+          graft.functions.GraftFunctions.duckRound(col("r"), 9).as("r"))
+        .orderBy("node")
+    },
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r / deg.deg) AS s
+        |       FROM e JOIN r0 ON e.src = r0.node
+        |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c1.s, 0)
+        |         AS r
+        |       FROM nodes CROSS JOIN nn
+        |       LEFT JOIN c1 ON nodes.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r / deg.deg) AS s
+        |       FROM e JOIN r1 ON e.src = r1.node
+        |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c2.s, 0)
+        |         AS r
+        |       FROM nodes CROSS JOIN nn
+        |       LEFT JOIN c2 ON nodes.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, sum(r2.r / deg.deg) AS s
+        |       FROM e JOIN r2 ON e.src = r2.node
+        |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(c3.s, 0)
+        |         AS r
+        |       FROM nodes CROSS JOIN nn
+        |       LEFT JOIN c3 ON nodes.node = c3.node)
+        |SELECT node, round(r, 9) AS r FROM r3 ORDER BY node"""
+        .stripMargin),
+
+    // K-means assignment step (the IVF-training inner loop): every
+    // vector scored against 8 fixed centroids (the lowest-vec_id
+    // embeddings) through the fused cosine kernel, argmax by rounded
+    // cosine with centroid-id tie-break. The centroid side broadcasts;
+    // the fact side never shuffles until the final ORDER BY.
+    "q136_kmeans_assign" -> api((spark, _) => {
+      val e = spark.table("embeddings")
+      val cents = e.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val scored = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          GraftFunctions.duckRound(
+            EmbeddingOps.cosine(col("embedding"), col("cvec")), 6).as("cos"))
+      scored
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(col("cos").desc, col("cid"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("cos"))
+        .orderBy("vec_id")
+    },
+      s"""WITH n AS $duckNormEmbeddings,
+        |c AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+        |      FROM n ORDER BY vec_id LIMIT 8),
+        |s AS (SELECT n.vec_id, c.cid,
+        |    round((SELECT sum(x*y) FROM (SELECT unnest(n.embedding) AS x,
+        |        unnest(c.cvec) AS y) z) / (n.nrm * c.cnrm), 6) AS cos
+        |  FROM n CROSS JOIN c),
+        |b AS (SELECT vec_id, cid, cos, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM s)
+        |SELECT vec_id, cid, cos FROM b WHERE rn = 1 ORDER BY vec_id"""
+        .stripMargin),
+
+    // BM25 ranking (k1 = 1.2, b = 0.75) for a fixed term set — the
+    // classical lexical-retrieval scorer next to q61's embedding
+    // retrieval. tf, df, and doc lengths are three partial aggregates
+    // over one tokenized scan; the one-row corpus stats broadcast into
+    // the scoring join.
+    "q137_bm25" -> sql(
+      """WITH tok AS (
+        |  SELECT doc_id, explode(split(trim(lower(text)), '\\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('spark', 'join', 'fast')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |       WHERE term IN ('spark', 'join', 'fast') GROUP BY term),
+        |dl AS (SELECT doc_id,
+        |         CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS dl
+        |       FROM documents),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*)
+        |         AS avgdl FROM dl)
+        |SELECT t.doc_id,
+        |  round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |    (t.tf * 2.2) /
+        |    (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 5) AS bm25
+        |FROM tf t JOIN df ON t.term = df.term
+        |JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
+        |GROUP BY t.doc_id ORDER BY bm25 DESC, t.doc_id LIMIT 20"""
+        .stripMargin,
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('spark', 'join', 'fast')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |       WHERE term IN ('spark', 'join', 'fast') GROUP BY term),
+        |dl AS (SELECT doc_id,
+        |         len(string_split_regex(trim(text), '\s+')) AS dl
+        |       FROM documents),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*)
+        |         AS avgdl FROM dl)
+        |SELECT t.doc_id,
+        |  round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |    (t.tf * 2.2) /
+        |    (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 5) AS bm25
+        |FROM tf t JOIN df ON t.term = df.term
+        |JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
+        |GROUP BY t.doc_id ORDER BY bm25 DESC, t.doc_id LIMIT 20"""
+        .stripMargin),
+
+    // Inter-event gap profile per user (lag diff + min/max + exact
+    // interpolated median/p90): the session-health statistics pass.
+    // One window shuffle on user_id, reused by the aggregate.
+    "q138_gap_stats" -> sql(
+      """WITH g AS (
+        |  SELECT user_id, CAST(unix_timestamp(ts) -
+        |    unix_timestamp(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS BIGINT) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  min(gap) AS min_gap, max(gap) AS max_gap,
+        |  round(percentile(gap, 0.5), 4) AS p50_gap,
+        |  round(percentile(gap, 0.9), 4) AS p90_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """WITH g AS (
+        |  SELECT user_id, date_diff('second',
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    ts) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  min(gap) AS min_gap, max(gap) AS max_gap,
+        |  round(CAST(quantile_cont(gap, 0.5) AS DOUBLE), 4) AS p50_gap,
+        |  round(CAST(quantile_cont(gap, 0.9) AS DOUBLE), 4) AS p90_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 }

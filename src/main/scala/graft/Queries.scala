@@ -766,6 +766,202 @@ object CoreQueries {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    // TPC-H Q2 shape — argmin-per-group via a correlated scalar MIN
+    // subquery (the testdata has no partsupp, so "suppliers of a part"
+    // comes from lineitem). Catalyst decorrelates the subquery into an
+    // aggregate + join on l_partkey, so the plan is two shuffles on the
+    // same key, not a per-row probe. DISTINCT collapses the repeated
+    // (part, supplier) pairs that lineitem naturally carries.
+    "q121_tpch_q2" -> same(
+      """SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_type = 'LARGE' AND p_size >= 40
+        |  AND s_acctbal = (
+        |    SELECT min(s2.s_acctbal)
+        |    FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+        |    WHERE l2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal, p_partkey LIMIT 100""".stripMargin),
+
+    // TPC-H Q4 shape — EXISTS semi join: the correlated existence probe
+    // becomes a left-semi hash join on l_orderkey; only orders in the
+    // quarter window reach it (filter first, then semi).
+    "q122_tpch_q4" -> same(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // TPC-H Q8 shape — market share: conditional share of a two-level
+    // aggregate. All dims broadcast; DECIMAL partials keep both sums
+    // exact so the final double division is deterministic.
+    "q123_tpch_q8" -> same(
+      """SELECT /*+ BROADCAST(customer, supplier, nation, region) */
+        |  year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin),
+
+    // TPC-H Q9 shape — product-line profit by nation and year (cost side
+    // proxied from p_retailprice since the testdata has no partsupp):
+    // profit = revenue - 10% retail carrying cost, both DECIMAL partials.
+    "q124_tpch_q9" -> same(
+      """SELECT /*+ BROADCAST(part, supplier, nation) */
+        |  n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6)) -
+        |    CAST(p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%green%' OR p_type = 'PROMO'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin),
+
+    // TPC-H Q11 shape — group HAVING > scalar-subquery fraction of the
+    // global total: two aggregations over the same scan, the global one
+    // broadcast back as a one-row filter operand.
+    "q125_tpch_q11" -> same(
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) >
+        |  (SELECT sum(CAST(l_extendedprice * l_quantity
+        |     AS DECIMAL(18,2))) * 0.0007 FROM lineitem)
+        |ORDER BY value DESC, l_partkey LIMIT 100""".stripMargin),
+
+    // TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    // join with an ON-clause filter on the right side (preserves
+    // zero-order customers), then a second aggregation over the first.
+    "q126_tpch_q13" -> same(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+        .stripMargin),
+
+    // TPC-H Q15 shape — top supplier by revenue: the revenue CTE is used
+    // twice (join input + scalar MAX); DECIMAL partials make the two
+    // evaluations bit-identical so the equality filter is safe on DOUBLE.
+    "q127_tpch_q15" -> same(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // TPC-H Q17 shape — small-quantity revenue below a correlated
+    // per-part average: the correlated aggregate decorrelates to a
+    // groupBy(l_partkey) joined back to the fact rows. The threshold is
+    // sum(DECIMAL)/count (not avg) so both engines compute the identical
+    // double before the comparison.
+    "q128_tpch_q17" -> same(
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < (
+        |    SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |        AS DOUBLE) / count(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+        .stripMargin),
+
+    // TPC-H Q20 shape — semi join against a nested aggregate threshold:
+    // suppliers that moved >100 units of one PROMO part in a year. The
+    // IN probe list is itself a groupBy-HAVING (shuffle on the composite
+    // key), then a broadcast semi into the 100-row supplier dim.
+    "q129_tpch_q20" -> same(
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 60)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // TPC-H Q21 shape — EXISTS + NOT EXISTS double correlation ("the
+    // only supplier whose line was late on a multi-supplier order"):
+    // both probes decorrelate to joins on l_orderkey; the NOT EXISTS
+    // side carries a non-equality correlated predicate (o_orderdate),
+    // exercising Catalyst's general decorrelation path.
+    "q130_tpch_q21" -> same(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
+        .stripMargin),
+
+    // TPC-H Q22 shape — anti join + ungrouped scalar average: customers
+    // above the positive-balance average with no URGENT order (every
+    // testdata customer has orders, so the anti probe filters on
+    // priority). The average is sum(DECIMAL)/count for determinism; the
+    // "country code" is the leading digit of the customer id.
+    "q131_tpch_q22" -> same(
+      """SELECT substring(c_name, 16, 1) AS cntrycode,
+        |  count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+        |        AS DOUBLE) / count(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderpriority = '1-URGENT')
+        |GROUP BY substring(c_name, 16, 1) ORDER BY cntrycode"""
+        .stripMargin)
   )
 }
