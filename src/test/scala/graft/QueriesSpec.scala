@@ -174,4 +174,48 @@ class QueriesSpec extends SparkSpecBase {
       plan)
     assert(plan.contains("Filter"), plan)
   }
+
+  test("q122 TPC-H Q4: EXISTS decorrelates to a left-semi join") {
+    val plan = SparkEntry.queries("q122_tpch_q4")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q126 TPC-H Q13: ON-clause filter keeps the outer join outer") {
+    val plan = SparkEntry.queries("q126_tpch_q13")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftOuter"), plan)
+  }
+
+  test("q131 TPC-H Q22: NOT EXISTS decorrelates to a left-anti join") {
+    val plan = SparkEntry.queries("q131_tpch_q22")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q121 TPC-H Q2: correlated MIN decorrelates (no per-row probe)") {
+    val plan = SparkEntry.queries("q121_tpch_q2")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the scalar subquery must become an aggregate + join, never a
+    // nested-loop re-execution per outer row
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_min") || plan.contains("min("), plan)
+  }
+
+  test("q136 k-means assignment broadcasts the centroid side") {
+    val plan = SparkEntry.queries("q136_kmeans_assign")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q135 PageRank ranks sum to ~1 after three damped iterations") {
+    val rows = SparkEntry.queries("q135_pagerank")(spark, sfDir)
+      .collect()
+    val total = rows.map(_.getDouble(1)).sum
+    // damped PageRank with bidirectional edges preserves total mass
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass $total")
+  }
 }
