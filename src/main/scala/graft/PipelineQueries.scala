@@ -1086,6 +1086,96 @@ object PipelineQueries {
         |  round(CAST(quantile_cont(gap, 0.5) AS DOUBLE), 4) AS p50_gap,
         |  round(CAST(quantile_cont(gap, 0.9) AS DOUBLE), 4) AS p90_gap
         |FROM g WHERE gap IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // Z-order (Morton) interleave of two 16-bit dimensions — the sort
+    // key a multi-dimensional clustering write uses so min/max file
+    // stats prune on BOTH columns at scan time (the 100 TB layout move
+    // q71's single-column hive partitioning can't express). The classic
+    // bit-spread is written with multiply/AND/OR only, so the identical
+    // text runs on both engines; sorting by the code IS the clustering.
+    "q139_zorder" -> same(
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey % 65536 AS x,
+        |    (year(o_orderdate) * 12 + month(o_orderdate)) % 65536 AS y
+        |  FROM orders),
+        |sx AS (SELECT o_orderkey, x, y,
+        |    (x | (x * 256)) & 16711935 AS a,
+        |    (y | (y * 256)) & 16711935 AS b FROM src),
+        |s2 AS (SELECT o_orderkey, x, y,
+        |    (a | (a * 16)) & 252645135 AS a,
+        |    (b | (b * 16)) & 252645135 AS b FROM sx),
+        |s3 AS (SELECT o_orderkey, x, y,
+        |    (a | (a * 4)) & 858993459 AS a,
+        |    (b | (b * 4)) & 858993459 AS b FROM s2),
+        |s4 AS (SELECT o_orderkey, x, y,
+        |    (a | (a * 2)) & 1431655765 AS a,
+        |    (b | (b * 2)) & 1431655765 AS b FROM s3)
+        |SELECT o_orderkey, x, y, a | (b * 2) AS zcode
+        |FROM s4 ORDER BY zcode, o_orderkey LIMIT 200""".stripMargin),
+
+    // Item-item co-occurrence with lift (market-basket / co-purchase
+    // prep): distinct (customer, item) baskets self-joined on the
+    // customer key, pair counts against independent-frequency
+    // expectation. The PROMO filter bounds the per-basket fan-out — at
+    // corpus scale the standard move is capping each basket at its
+    // top-k items before the quadratic step.
+    "q140_item_cooccur" -> same(
+      """WITH bought AS (
+        |  SELECT /*+ BROADCAST(part) */
+        |    DISTINCT o_custkey AS cust, l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'),
+        |freq AS (SELECT item, count(*) AS n_cust FROM bought
+        |         GROUP BY item),
+        |tot AS (SELECT count(DISTINCT cust) AS n FROM bought),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS together
+        |  FROM bought a JOIN bought b
+        |    ON a.cust = b.cust AND a.item < b.item
+        |  GROUP BY a.item, b.item)
+        |SELECT p.item_a, p.item_b, p.together,
+        |  round(CAST(p.together AS DOUBLE) * tot.n /
+        |    (fa.n_cust * fb.n_cust), 4) AS lift
+        |FROM pairs p
+        |JOIN freq fa ON p.item_a = fa.item
+        |JOIN freq fb ON p.item_b = fb.item
+        |CROSS JOIN tot
+        |ORDER BY p.together DESC, p.item_a, p.item_b LIMIT 50"""
+        .stripMargin),
+
+    // Character-trigram language-model cross-entropy per document (the
+    // perplexity-style quality filter of corpus curation): corpus
+    // trigram counts are self-trained in one pass, then each document
+    // is scored by the mean surprise -ln(count/total) of its trigrams.
+    // The count table is trigram-cardinality (small) and broadcasts
+    // into the scoring join; the explode never materializes wider than
+    // one partition's rows.
+    "q141_trigram_lm" -> sql(
+      """WITH tri AS (
+        |  SELECT doc_id, t FROM documents
+        |  LATERAL VIEW explode(transform(
+        |    sequence(1, greatest(length(text) - 2, 1)),
+        |    i -> substring(text, i, 3))) x AS t),
+        |cnt AS (SELECT t, count(*) AS c FROM tri GROUP BY t),
+        |tot AS (SELECT count(*) AS n FROM tri)
+        |SELECT tri.doc_id, count(*) AS n_tri,
+        |  round(avg(ln(CAST(tot.n AS DOUBLE) / cnt.c)), 4)
+        |    AS cross_entropy
+        |FROM tri JOIN cnt ON tri.t = cnt.t CROSS JOIN tot
+        |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin,
+      """WITH tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(length(text) - 2, 1) + 1),
+        |    i -> substring(text, i, 3))) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM tri GROUP BY t),
+        |tot AS (SELECT count(*) AS n FROM tri)
+        |SELECT tri.doc_id, count(*) AS n_tri,
+        |  round(avg(ln(CAST(tot.n AS DOUBLE) / cnt.c)), 4)
+        |    AS cross_entropy
+        |FROM tri JOIN cnt ON tri.t = cnt.t CROSS JOIN tot
+        |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin)
   )
 }
