@@ -1176,6 +1176,93 @@ object PipelineQueries {
         |  round(avg(ln(CAST(tot.n AS DOUBLE) / cnt.c)), 4)
         |    AS cross_entropy
         |FROM tri JOIN cnt ON tri.t = cnt.t CROSS JOIN tot
-        |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin)
+        |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin),
+
+    // Tokenizer-vocabulary build + per-document OOV rate: the top-k
+    // corpus vocabulary (count-desc, term tie-break) LEFT-joined back
+    // into the token stream. The vocabulary is top-k-small by
+    // construction, so the scoring join broadcasts; this corpus has a
+    // ~30-word synthetic vocabulary, so k=15 makes OOV non-vacuous.
+    "q145_vocab_oov" -> sql(
+      """WITH tok AS (
+        |  SELECT doc_id, explode(split(trim(lower(text)), '\\s+')) AS term
+        |  FROM documents),
+        |vocab AS (SELECT term FROM (
+        |  SELECT term, count(*) AS c FROM tok GROUP BY term
+        |  ORDER BY c DESC, term LIMIT 15) v)
+        |SELECT t.doc_id, count(*) AS n_tok,
+        |  sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS oov_ratio
+        |FROM tok t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |vocab AS (SELECT term FROM (
+        |  SELECT term, count(*) AS c FROM tok GROUP BY term
+        |  ORDER BY c DESC, term LIMIT 15) v)
+        |SELECT t.doc_id, count(*) AS n_tok,
+        |  sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS oov_ratio
+        |FROM tok t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+
+    // Sequence packing for training batches: running token offset per
+    // language shard, documents assigned to fixed 512-token budget
+    // batches by their start offset. One window pass per shard key —
+    // the deterministic batch layout step before tensorization. (The
+    // shard key bounds the window partition; a global pack would
+    // serialize on one partition at scale.)
+    "q146_seq_pack" -> sql(
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang,
+        |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs, sum(n_tok) AS batch_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang,
+        |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs, sum(n_tok) AS batch_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Quality-weighted deterministic sampling: accept a document iff
+    // its content-hash fraction falls below its length-derived weight —
+    // importance sampling that is reproducible on any engine or
+    // partitioning (the weighted generalization of q92's flat hash
+    // sample). Map-only; the filter pipelines with the scan.
+    "q147_weighted_sample" -> sql(
+      """SELECT doc_id,
+        |  round(least(1.0, CAST(n_chars AS DOUBLE) / 1000.0), 6) AS w,
+        |  round(CAST(conv(substring(md5(text), 1, 6), 16, 10) AS DOUBLE)
+        |    / 16777216.0, 6) AS hf
+        |FROM documents
+        |WHERE CAST(conv(substring(md5(text), 1, 6), 16, 10) AS DOUBLE)
+        |    / 16777216.0 < least(1.0, CAST(n_chars AS DOUBLE) / 1000.0)
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  round(least(1.0, CAST(n_chars AS DOUBLE) / 1000.0), 6) AS w,
+        |  round(CAST(('0x' || substring(md5(text), 1, 6))::BIGINT
+        |    AS DOUBLE) / 16777216.0, 6) AS hf
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5(text), 1, 6))::BIGINT AS DOUBLE)
+        |    / 16777216.0 < least(1.0, CAST(n_chars AS DOUBLE) / 1000.0)
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -962,6 +962,53 @@ object CoreQueries {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderpriority = '1-URGENT')
         |GROUP BY substring(c_name, 16, 1) ORDER BY cntrycode"""
-        .stripMargin)
+        .stripMargin),
+
+    // Multiset set-ops + inline VALUES table: EXCEPT (distinct),
+    // EXCEPT ALL (per-occurrence removal) and INTERSECT ALL complete
+    // the q20/q21 set-op family; the VALUES CTE exercises inline
+    // literal relations. All three run as hash set-op shuffles on the
+    // single key column.
+    "q142_except_values" -> same(
+      """WITH v(seg) AS (VALUES ('BUILDING'), ('MACHINERY')),
+        |hi AS (SELECT o_custkey FROM orders
+        |       WHERE o_totalprice > 300000),
+        |d AS (SELECT c_custkey FROM customer
+        |      WHERE c_mktsegment IN (SELECT seg FROM v)
+        |      EXCEPT SELECT o_custkey FROM hi),
+        |m AS (SELECT o_custkey AS k FROM orders
+        |      EXCEPT ALL SELECT o_custkey FROM hi),
+        |i AS (SELECT o_custkey AS k FROM orders
+        |      INTERSECT ALL
+        |      SELECT o_custkey FROM orders
+        |      WHERE o_orderpriority = '5-LOW')
+        |SELECT (SELECT count(*) FROM d) AS n_except,
+        |  (SELECT count(*) FROM m) AS n_except_all,
+        |  (SELECT count(*) FROM i) AS n_intersect_all""".stripMargin),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — top-2
+    // customers per nation as a lateral probe. Catalyst decorrelates
+    // the correlated limit into a partitioned rank filter (one window
+    // pass over the customer shuffle), not a per-nation re-execution.
+    "q143_lateral_topk" -> same(
+      """SELECT n_name, t.c_name, t.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin),
+
+    // Distribution-rank analytics (percent_rank / cume_dist /
+    // dense_rank) partitioned by segment — completes the q89 battery;
+    // partitioned windows keep the sort local to each key at scale.
+    "q144_pct_rank" -> same(
+      """SELECT c_custkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  dense_rank() OVER w AS dr
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
   )
 }

@@ -211,6 +211,13 @@ class QueriesSpec extends SparkSpecBase {
       || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("q143 correlated LATERAL LIMIT decorrelates to a window filter") {
+    val plan = SparkEntry.queries("q143_lateral_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q135 PageRank ranks sum to ~1 after three damped iterations") {
     val rows = SparkEntry.queries("q135_pagerank")(spark, sfDir)
       .collect()
