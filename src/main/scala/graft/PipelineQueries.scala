@@ -895,14 +895,23 @@ object PipelineQueries {
     // DataFrames re-joined per step, all shuffles on the node key — the
     // shape that scales to billions of edges; the oracle unrolls the
     // same three steps as CTEs. round(9) absorbs add-order ulps.
-    "q135_pagerank" -> api((spark, _) => {
+    "q135_pagerank" -> api((spark, sfDir) => {
       val d = 0.85
       // The (src, dst, deg) edge table is derived once per session and
       // cached (buffer-pool role, same class as Tables.hot): the three
       // iterations re-scan the cache instead of recomputing the distinct
-      // pair join per step. Memoized like Tables.registerAll.
+      // pair join per step. Memoized like Tables.registerAll, keyed on
+      // the sf directory so a session that switches scale factors
+      // rebuilds instead of reusing stale edges.
       if (!spark.catalog.tableExists("graft_pr_edges") ||
-          spark.conf.getOption("graft.pr.built").isEmpty) {
+          !spark.conf.getOption("graft.pr.built").contains(sfDir)) {
+        // drop a stale cache before rebuilding (sf switch mid-session)
+        Seq("graft_pr_edges", "graft_pr_nodes").foreach { v =>
+          if (spark.catalog.tableExists(v)) {
+            spark.table(v).unpersist()
+            spark.catalog.dropTempView(v)
+          }
+        }
         val e0 = spark.table("orders")
           .join(spark.table("lineitem"),
             col("o_orderkey") === col("l_orderkey"))
@@ -917,7 +926,7 @@ object PipelineQueries {
           .createOrReplaceTempView("graft_pr_edges")
         ed.select(col("src").as("node")).distinct().cache()
           .createOrReplaceTempView("graft_pr_nodes")
-        spark.conf.set("graft.pr.built", "1")
+        spark.conf.set("graft.pr.built", sfDir)
       }
       val edges = spark.table("graft_pr_edges")
       val nodes = spark.table("graft_pr_nodes")

@@ -47,23 +47,29 @@ object Tables {
     Set("lineitem", "orders", "events", "documents", "embeddings")
 
   private val registeredFor =
-    java.util.Collections.synchronizedSet(
-      new java.util.HashSet[(Int, String)]())
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
 
   /** Registers every table as a temp view in the session, so queries can
-    * be written in plain SQL. Idempotent and memoized per (session, dir):
-    * repeat calls skip the 10 parquet footer reads, and hot tables stay
-    * cached across queries. */
+    * be written in plain SQL. Idempotent and memoized per session:
+    * repeat calls for the SAME sf dir skip the 10 parquet footer reads,
+    * and hot tables stay cached across queries. The memo records which
+    * dir the session currently points at — a call with a different dir
+    * re-registers everything (view existence alone can't tell, since the
+    * old dir's views are still present and would silently serve stale
+    * data). */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    val key = (System.identityHashCode(spark), sfDir)
+    val id = System.identityHashCode(spark)
     // memo alone isn't enough: other components (GoldSuite) may drop the
     // session's temp views between calls — re-register unless all views
     // are actually present (cheap driver-side catalog lookups)
-    if (registeredFor.contains(key) &&
+    if (sfDir == registeredFor.get(id) &&
       names.forall(spark.catalog.tableExists)) return
-    registeredFor.add(key)
+    registeredFor.put(id, sfDir)
     val par = spark.sparkContext.defaultParallelism
     names.foreach { n =>
+      // release the previous dir's cached blocks before rebinding the view
+      if (spark.catalog.tableExists(n))
+        scala.util.Try(spark.table(n).unpersist())
       val df0 = load(spark, sfDir, n)
       val df =
         if (hot(n) && df0.rdd.getNumPartitions < par)
