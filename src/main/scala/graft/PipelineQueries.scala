@@ -904,6 +904,7 @@ object PipelineQueries {
       // the sf directory so a session that switches scale factors
       // rebuilds instead of reusing stale edges.
       if (!spark.catalog.tableExists("graft_pr_edges") ||
+          !spark.catalog.tableExists("graft_pr_nodes") ||
           !spark.conf.getOption("graft.pr.built").contains(sfDir)) {
         // drop a stale cache before rebuilding (sf switch mid-session)
         Seq("graft_pr_edges", "graft_pr_nodes").foreach { v =>

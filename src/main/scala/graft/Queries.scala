@@ -783,7 +783,8 @@ object CoreQueries {
         |    SELECT min(s2.s_acctbal)
         |    FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
         |    WHERE l2.l_partkey = p_partkey)
-        |ORDER BY s_acctbal, p_partkey LIMIT 100""".stripMargin),
+        |ORDER BY s_acctbal, p_partkey, s_suppkey LIMIT 100"""
+        .stripMargin),
 
     // TPC-H Q4 shape — EXISTS semi join: the correlated existence probe
     // becomes a left-semi hash join on l_orderkey; only orders in the
@@ -903,7 +904,7 @@ object CoreQueries {
         .stripMargin),
 
     // TPC-H Q20 shape — semi join against a nested aggregate threshold:
-    // suppliers that moved >100 units of one PROMO part in a year. The
+    // suppliers that moved >60 units of one PROMO part in a year. The
     // IN probe list is itself a groupBy-HAVING (shuffle on the composite
     // key), then a broadcast semi into the 100-row supplier dim.
     "q129_tpch_q20" -> same(

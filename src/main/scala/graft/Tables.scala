@@ -64,7 +64,10 @@ object Tables {
     // are actually present (cheap driver-side catalog lookups)
     if (sfDir == registeredFor.get(id) &&
       names.forall(spark.catalog.tableExists)) return
-    registeredFor.put(id, sfDir)
+    // memo is recorded only after ALL views rebind: a mid-loop load
+    // failure must not leave the session claiming the new dir while
+    // some views still serve the old one
+    registeredFor.remove(id)
     val par = spark.sparkContext.defaultParallelism
     names.foreach { n =>
       // release the previous dir's cached blocks before rebinding the view
@@ -77,5 +80,6 @@ object Tables {
         else df0
       df.createOrReplaceTempView(n)
     }
+    registeredFor.put(id, sfDir)
   }
 }
