@@ -1273,6 +1273,40 @@ object PipelineQueries {
         |FROM documents
         |WHERE CAST(('0x' || substring(md5(text), 1, 6))::BIGINT AS DOUBLE)
         |    / 16777216.0 < least(1.0, CAST(n_chars AS DOUBLE) / 1000.0)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Character-unigram entropy per document — the compression-ratio
+    // proxy that flags keyboard-mash and boilerplate text (low entropy)
+    // independently of the trigram LM score (q141). Character counts
+    // partial-aggregate map-side; the per-document entropy fold is one
+    // small agg on the doc key.
+    "q148_char_entropy" -> sql(
+      """WITH ch AS (
+        |  SELECT doc_id, c, count(*) AS k FROM documents
+        |  LATERAL VIEW explode(transform(
+        |    sequence(1, greatest(length(text), 1)),
+        |    i -> substring(text, i, 1))) x AS c
+        |  GROUP BY doc_id, c),
+        |n AS (SELECT doc_id, sum(k) AS n FROM ch GROUP BY doc_id)
+        |SELECT ch.doc_id,
+        |  count(*) AS n_distinct_chars,
+        |  round(-sum((CAST(k AS DOUBLE) / n.n) *
+        |    ln(CAST(k AS DOUBLE) / n.n)), 4) AS entropy
+        |FROM ch JOIN n ON ch.doc_id = n.doc_id
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(length(text), 1) + 1),
+        |    i -> substring(text, i, 1))) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS k FROM ch
+        |       GROUP BY doc_id, c),
+        |n AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY doc_id)
+        |SELECT cc.doc_id,
+        |  count(*) AS n_distinct_chars,
+        |  round(-sum((CAST(k AS DOUBLE) / n.n) *
+        |    ln(CAST(k AS DOUBLE) / n.n)), 4) AS entropy
+        |FROM cc JOIN n ON cc.doc_id = n.doc_id
+        |GROUP BY cc.doc_id ORDER BY cc.doc_id""".stripMargin)
   )
 }
