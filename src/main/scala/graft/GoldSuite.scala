@@ -88,7 +88,7 @@ object GoldSuite {
       .replace("ATTACH 'who.ddb'", s"ATTACH '$Fix/who' AS who")
 
   case class EntryResult(idx: Int, mode: String, ok: Boolean, detail: String,
-      skipped: Boolean = false)
+      skipped: Boolean = false, category: String = "")
 
   def runEntry(spark: SparkSession, idx: Int, e: Map[String, Any],
       expected: Map[String, Any]): EntryResult = {
@@ -197,7 +197,9 @@ object GoldSuite {
       Files.readString(Paths.get(s"$Fix/gold_expected.json")),
       classOf[java.util.Map[String, Object]]).asScala
     entries.zipWithIndex.map { case (e, idx) =>
-      try runEntry(spark, idx, e,
+      val cat = Option(e.getOrElse("category", null))
+        .map(_.toString).getOrElse("")
+      val r = try runEntry(spark, idx, e,
         expected(idx.toString).asInstanceOf[java.util.Map[String, Any]]
           .asScala.toMap)
       catch {
@@ -206,7 +208,22 @@ object GoldSuite {
             s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage)
               .getOrElse("").linesIterator.take(2).mkString(" ")}")
       }
+      r.copy(category = cat)
     }
+  }
+
+  /** Category-sliced execution-accuracy rollup, mirroring the reference
+    * evaluator's per-slice report (eval/evaluate.py:49-82 print_scores and
+    * :354-380 slice_attribute loop → get_to_print CSV rows). Skipped
+    * entries (oracle_error) are excluded from the denominator, matching
+    * the overall-count rule. */
+  def categoryReport(results: Seq[EntryResult]): Seq[(String, Int, Double)] = {
+    val checked = results.filterNot(_.skipped)
+    val bySlice = checked.groupBy(_.category).map { case (cat, rs) =>
+      (cat, rs.length, rs.count(_.ok).toDouble / rs.length)
+    }.toSeq.sortBy(_._1)
+    ("all", checked.length,
+      checked.count(_.ok).toDouble / math.max(checked.length, 1)) +: bySlice
   }
 
   def main(args: Array[String]): Unit = {
@@ -228,6 +245,17 @@ object GoldSuite {
       (if (skipped.nonEmpty)
         s"; ${skipped.length} skipped (${skipped.map(_.idx).mkString(",")})"
       else ""))
+    // per-category execution-accuracy table + CSV, as the reference
+    // evaluator reports (slice,support,exec)
+    println("\nslice       support  execution")
+    val report = categoryReport(results)
+    report.foreach { case (cat, n, acc) =>
+      println(f"${if (cat.isEmpty) "(none)" else cat}%-12s$n%7d  $acc%.3f")
+    }
+    println("\nslice,support,exec")
+    report.foreach { case (cat, n, acc) =>
+      println(f"$cat,$n,$acc%.3f")
+    }
     spark.stop()
   }
 }

@@ -847,8 +847,10 @@ object PipelineQueries {
         |      THEN p END) AS hi
         |  FROM r GROUP BY l_returnflag)
         |SELECT r.l_returnflag, count(*) AS n,
-        |  sum(CASE WHEN r.p < b.lo THEN 1 ELSE 0 END) AS n_clip_lo,
-        |  sum(CASE WHEN r.p > b.hi THEN 1 ELSE 0 END) AS n_clip_hi,
+        |  CAST(sum(CASE WHEN r.p < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN r.p > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
         |  round(CAST(sum(CAST(r.p AS DECIMAL(18,2))) AS DOUBLE)
         |    / count(*), 4) AS mean_raw,
         |  round(CAST(sum(CAST(least(greatest(r.p, b.lo), b.hi)
@@ -1201,7 +1203,8 @@ object PipelineQueries {
         |  SELECT term, count(*) AS c FROM tok GROUP BY term
         |  ORDER BY c DESC, term LIMIT 15) v)
         |SELECT t.doc_id, count(*) AS n_tok,
-        |  sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
         |  round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*), 6) AS oov_ratio
         |FROM tok t LEFT JOIN vocab v ON t.term = v.term
@@ -1214,7 +1217,8 @@ object PipelineQueries {
         |  SELECT term, count(*) AS c FROM tok GROUP BY term
         |  ORDER BY c DESC, term LIMIT 15) v)
         |SELECT t.doc_id, count(*) AS n_tok,
-        |  sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
         |  round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*), 6) AS oov_ratio
         |FROM tok t LEFT JOIN vocab v ON t.term = v.term
@@ -1237,7 +1241,7 @@ object PipelineQueries {
         |  FROM t)
         |SELECT lang,
         |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS batch_id,
-        |  count(*) AS n_docs, sum(n_tok) AS batch_tokens
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS batch_tokens
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -1249,7 +1253,7 @@ object PipelineQueries {
         |  FROM t)
         |SELECT lang,
         |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS batch_id,
-        |  count(*) AS n_docs, sum(n_tok) AS batch_tokens
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS batch_tokens
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Quality-weighted deterministic sampling: accept a document iff

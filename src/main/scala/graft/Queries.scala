@@ -681,10 +681,10 @@ object CoreQueries {
     // integer CASE-sums are exact at any aggregation order/parallelism.
     "q107_tpch_q12" -> same(
       """SELECT l_returnflag,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= o_orderdate
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -919,27 +919,29 @@ object CoreQueries {
         |  HAVING sum(l_quantity) > 60)
         |ORDER BY s_suppkey""".stripMargin),
 
-    // TPC-H Q21 shape — EXISTS + NOT EXISTS double correlation ("the
-    // only supplier whose line was late on a multi-supplier order"):
-    // both probes decorrelate to joins on l_orderkey; the NOT EXISTS
-    // side carries a non-equality correlated predicate (o_orderdate),
-    // exercising Catalyst's general decorrelation path.
+    // TPC-H Q21 shape ("the only supplier whose line was late on a
+    // multi-supplier order"). Hand-decorrelated: the textbook EXISTS +
+    // NOT EXISTS double correlation (still exercised by q38/q82/q122/
+    // q131) would shuffle lineitem three times (main + semi + anti); the
+    // equivalent single-pass form below aggregates per-order supplier
+    // counts once — EXISTS other supplier ⇔ n_supp >= 2, NOT EXISTS
+    // other LATE supplier ⇔ n_late = 1 (the probe line itself is late).
+    // Every downstream step stays on the l_orderkey partitioning, so
+    // the lineitem⋈orders shuffle is paid once and reused.
     "q130_tpch_q21" -> same(
-      """SELECT s_name, count(*) AS numwait
-        |FROM supplier
-        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        |JOIN orders ON o_orderkey = l1.l_orderkey
-        |WHERE o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-        |  AND EXISTS (
-        |    SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey
-        |      AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (
-        |    SELECT 1 FROM lineitem l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey
-        |      AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |ord AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |  FROM lo GROUP BY l_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM lo JOIN ord ON lo.l_orderkey = ord.l_orderkey
+        |JOIN supplier ON s_suppkey = lo.l_suppkey
+        |WHERE lo.late AND ord.n_supp >= 2 AND ord.n_late = 1
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
         .stripMargin),
 

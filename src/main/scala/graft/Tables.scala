@@ -64,22 +64,29 @@ object Tables {
     // are actually present (cheap driver-side catalog lookups)
     if (sfDir == registeredFor.get(id) &&
       names.forall(spark.catalog.tableExists)) return
-    // memo is recorded only after ALL views rebind: a mid-loop load
-    // failure must not leave the session claiming the new dir while
-    // some views still serve the old one
-    registeredFor.remove(id)
-    val par = spark.sparkContext.defaultParallelism
-    names.foreach { n =>
-      // release the previous dir's cached blocks before rebinding the view
-      if (spark.catalog.tableExists(n))
-        scala.util.Try(spark.table(n).unpersist())
-      val df0 = load(spark, sfDir, n)
-      val df =
-        if (hot(n) && df0.rdd.getNumPartitions < par)
-          df0.repartition(par).cache()
-        else df0
-      df.createOrReplaceTempView(n)
+    // the whole remove→rebind→record sequence runs under a per-session
+    // lock: two threads registering different dirs on one session must
+    // not interleave (views mixed between dirs with a single dir memoized)
+    registeredFor.synchronized {
+      if (sfDir == registeredFor.get(id) &&
+        names.forall(spark.catalog.tableExists)) return
+      // memo is recorded only after ALL views rebind: a mid-loop load
+      // failure must not leave the session claiming the new dir while
+      // some views still serve the old one
+      registeredFor.remove(id)
+      val par = spark.sparkContext.defaultParallelism
+      names.foreach { n =>
+        // release the previous dir's cached blocks before rebinding the view
+        if (spark.catalog.tableExists(n))
+          scala.util.Try(spark.table(n).unpersist())
+        val df0 = load(spark, sfDir, n)
+        val df =
+          if (hot(n) && df0.rdd.getNumPartitions < par)
+            df0.repartition(par).cache()
+          else df0
+        df.createOrReplaceTempView(n)
+      }
+      registeredFor.put(id, sfDir)
     }
-    registeredFor.put(id, sfDir)
   }
 }

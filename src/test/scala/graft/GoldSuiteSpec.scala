@@ -15,5 +15,13 @@ class GoldSuiteSpec extends SparkSpecBase {
     val failed = results.filterNot(r => r.ok || r.skipped)
     assert(failed.isEmpty, failed.map(r =>
       s"${r.idx} [${r.mode}] ${r.detail}").mkString("\n"))
+    // category-sliced rollup (reference evaluate.py slice report): the
+    // dev set tags every entry, and each slice must be fully green
+    val report = GoldSuite.categoryReport(results)
+    assert(report.head._1 == "all" && report.head._3 == 1.0)
+    val slices = report.tail
+    assert(slices.nonEmpty && slices.forall(_._1.nonEmpty),
+      s"entries missing category tags: $slices")
+    assert(slices.forall(_._3 == 1.0), s"red slice in $slices")
   }
 }

@@ -29,12 +29,34 @@ def canon(rows, cols):
                 if math.isnan(v):
                     vals.append("nan")
                 else:
-                    vals.append(f"{v:.9g}")
+                    # -0.0 == 0.0 to the driver (Python value hash)
+                    vals.append(f"{v + 0.0 if v != 0 else 0.0:.9g}")
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
     out.sort()
     return [cols[i] for i in order], out
+
+
+def type_compat(d, s):
+    """Type-sensitive compare mirroring the driver's type-aware hash.
+
+    Calibrated against CORRECTNESS_r02: machine-int widths are
+    interchangeable (q18/q45/q112/... emit Spark INTEGER vs DuckDB
+    BIGINT and passed — both reach the driver as Python ints), but
+    HUGEINT (DuckDB's bare integer-sum result) is NOT — it converts to
+    float on the driver side and failed q107/q132/q145/q146 there.
+    Timestamp flavors reflect parquet physical encoding (accepted).
+    """
+    if s is None:
+        return False
+    if d == s:
+        return True
+    ts = {"TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP_MS", "TIMESTAMP_S",
+          "TIMESTAMP WITH TIME ZONE"}
+    ints = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+            "UTINYINT", "USMALLINT", "UINTEGER"}
+    return (d in ts and s in ts) or (d in ints and s in ints)
 
 
 def main():
@@ -52,20 +74,35 @@ def main():
             n_fail += 1
             continue
         try:
-            duck = con.execute(oracle[name])
-            d_cols = [c[0] for c in duck.description]
+            duck = con.sql(oracle[name])
+            d_cols = list(duck.columns)
+            d_types = [str(t) for t in duck.types]
             d_rows = duck.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        sp = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
-        s_cols = [c[0] for c in sp.description]
+        sp = con.sql(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
+        s_cols = list(sp.columns)
+        s_types = [str(t) for t in sp.types]
         s_rows = sp.fetchall()
         dc, dr = canon(d_rows, d_cols)
         sc, sr = canon(s_rows, s_cols)
+        # The driver's hash is type-aware: a DuckDB HUGEINT (bare integer
+        # sum) vs Spark BIGINT fails there even when the values agree, so
+        # type divergence must fail here too (r2 shipped 4 such reds while
+        # the value-only local gate was green).
+        t_diff = [
+            (c, dt, dict(zip(s_cols, s_types)).get(c))
+            for c, dt in zip(d_cols, d_types)
+            if not type_compat(dt, dict(zip(s_cols, s_types)).get(c))
+        ]
         if dc != sc:
             print(f"FAIL {name}: columns duck={dc} spark={sc}")
+            n_fail += 1
+        elif t_diff:
+            print(f"FAIL {name}: column types differ (duck vs spark): "
+                  f"{t_diff}")
             n_fail += 1
         elif dr != sr:
             n_fail += 1

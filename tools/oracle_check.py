@@ -29,18 +29,38 @@ def canon(rows, cols):
         return (2, str(v))
     return sorted([tuple(cell(r[i]) for i in order) for r in rows])
 
+TS = {"TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP_MS", "TIMESTAMP_S",
+      "TIMESTAMP WITH TIME ZONE"}
+INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER"}
+
+def type_compat(d, s):
+    # driver hash is type-aware: HUGEINT (bare int sum) vs BIGINT fails
+    # there (float conversion), so it must fail here; machine-int widths
+    # and parquet timestamp-encoding flavors are interchangeable (driver
+    # r2 accepted INTEGER-vs-BIGINT on q18/q45/q112/... and ts flavors)
+    return d == s or (d in TS and s in TS) or (d in INTS and s in INTS)
+
 fails = []
 for name, sql in sorted(oracle.items()):
     try:
-        d = con.execute(sql)
-        dcols = [c[0].lower() for c in d.description]
+        d = con.sql(sql)
+        dcols = [c.lower() for c in d.columns]
+        dtypes = [str(t) for t in d.types]
         drows = d.fetchall()
-        s = duckdb.connect().execute(
-            f"SELECT * FROM '{out}/{name}/*.parquet'")
-        scols = [c[0].lower() for c in s.description]
+        scon = duckdb.connect()
+        s = scon.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
+        scols = [c.lower() for c in s.columns]
+        stypes = [str(t) for t in s.types]
         srows = s.fetchall()
         if sorted(dcols) != sorted(scols):
             fails.append((name, f"cols duck={sorted(dcols)} spark={sorted(scols)}"))
+            continue
+        smap = dict(zip(scols, stypes))
+        tdiff = [(c, dt, smap[c]) for c, dt in zip(dcols, dtypes)
+                 if not type_compat(dt, smap[c])]
+        if tdiff:
+            fails.append((name, f"types differ (duck vs spark): {tdiff}"))
             continue
         cd, cs = canon(drows, dcols), canon(srows, scols)
         if cd != cs:
