@@ -83,27 +83,50 @@ object EmbeddingOps {
   }
 
   /** Approximate top-k via IVF (inverted-file) lists: `nlist` centroids
-    * are drawn deterministically from the corpus itself (hash-ordered
-    * sample — cheap, sufficient for bucketing; swap in k-means iterations
-    * for tighter lists without touching the query path), every corpus
-    * vector is assigned to its nearest centroid by a fused probe kernel
-    * whose centroid matrix travels as a literal (map-only, zero shuffle),
-    * and each query probes its `nprobe` nearest lists.
+    * are seeded deterministically from the corpus (hash-ordered sample)
+    * and optionally tightened by `trainIters` spherical-k-means Lloyd
+    * steps; every corpus vector is assigned to its nearest centroid by a
+    * fused probe kernel whose centroid matrix travels as a literal
+    * (map-only, zero shuffle), and each query probes its `nprobe`
+    * nearest lists.
     *
     * Scale shape (100 TB): centroid selection is a top-`nlist` sample
-    * (driver holds nlist·d floats, e.g. 64×1024 = 256 KB); assignment is
-    * embedded in the scan; the only movement is the broadcast of the
-    * (small) query batch and a final per-query top-k window over
-    * candidates bounded by nprobe/nlist of the corpus. */
+    * (driver holds nlist·d floats, e.g. 64×1024 = 256 KB); each Lloyd
+    * step is one distributed mean per (cluster, dimension) — a map-side
+    * partial aggregate whose result is nlist·d rows, the same tiny
+    * matrix, collected and re-broadcast; assignment is embedded in the
+    * scan; the only other movement is the broadcast of the (small)
+    * query batch and a final per-query top-k window over candidates
+    * bounded by nprobe/nlist of the corpus. */
   def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
-      seed: Long = 7L): DataFrame = {
-    val cents: Array[Float] = corpus
+      seed: Long = 7L, trainIters: Int = 0): DataFrame = {
+    var cents: Array[Float] = corpus
       .select(col(vecCol).as("v"))
       .orderBy(xxhash64(col(idCol), lit(seed)))
       .limit(nlist)
       .collect()
       .flatMap(_.getSeq[Float](0))
+    val dim = if (nlist == 0) 0 else cents.length / nlist
+    // Lloyd: assign (fused kernel, map-only) → per-(cluster, dim) mean
+    // (one partial-agg shuffle of nlist·d cells) → new centroid matrix.
+    // Cosine assignment is scale-invariant, so the unnormalized mean is
+    // a valid spherical-k-means update; empty clusters keep their seed.
+    for (_ <- 0 until trainIters) {
+      val cLit0 = lit(cents)
+      val means = corpus
+        .select(element_at(
+            GraftFunctions.ivfProbe(col(vecCol), cLit0, lit(1)), 1)
+            .as("cid"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.clone()
+      means.foreach { r =>
+        next(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      cents = next
+    }
     val cLit = lit(cents)
     def probe(v: Column, n: Int) = GraftFunctions.ivfProbe(v, cLit, lit(n))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),

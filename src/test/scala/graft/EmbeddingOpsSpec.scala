@@ -85,6 +85,26 @@ class EmbeddingOpsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("annIvf Lloyd training does not lose recall vs hash-seeded lists") {
+    val queries = clustered.where(col("vec_id") % 100 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(EmbeddingOps.knnBruteForce(clustered, queries,
+      "vec_id", "embedding", k = 5))
+    def recallAt(iters: Int) = {
+      val ivf = pairs(EmbeddingOps.annIvf(clustered, queries,
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2,
+        trainIters = iters))
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val (r0, r2) = (recallAt(0), recallAt(2))
+    // training moves centroids toward true cluster means: at equal
+    // nprobe, recall must not regress and should reach the ceiling on
+    // this separable corpus
+    assert(r2 >= r0, s"trained=$r2 < seeded=$r0")
+    assert(r2 >= 0.9, s"trained recall=$r2")
+  }
+
   test("annIvf probes only nprobe lists (candidate bound)") {
     val queries = clustered.where(col("vec_id") % 100 === 0)
     val ivf = EmbeddingOps.annIvf(clustered, queries, "vec_id",
