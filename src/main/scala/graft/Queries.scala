@@ -923,25 +923,33 @@ object CoreQueries {
     // multi-supplier order"). Hand-decorrelated: the textbook EXISTS +
     // NOT EXISTS double correlation (still exercised by q38/q82/q122/
     // q131) would shuffle lineitem three times (main + semi + anti); the
-    // equivalent single-pass form below aggregates per-order supplier
-    // counts once — EXISTS other supplier ⇔ n_supp >= 2, NOT EXISTS
-    // other LATE supplier ⇔ n_late = 1 (the probe line itself is late).
-    // Every downstream step stays on the l_orderkey partitioning, so
-    // the lineitem⋈orders shuffle is paid once and reused.
+    // equivalent form below pays the lineitem⋈orders join once: per-
+    // (order, supplier) late-line counts, then per-order supplier
+    // counts as a WINDOW over that aggregate (no self-join, no multi-
+    // DISTINCT Expand) — EXISTS other supplier ⇔ n_supp >= 2, NOT
+    // EXISTS other LATE supplier ⇔ n_late = 1 (the probe supplier
+    // itself is late). numwait is the late-line total of the
+    // qualifying (order, supplier) cells.
     "q130_tpch_q21" -> same(
       """WITH lo AS (
         |  SELECT l_orderkey, l_suppkey,
         |    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |  WHERE o_orderstatus = 'F'),
-        |ord AS (
-        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
-        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
-        |  FROM lo GROUP BY l_orderkey)
-        |SELECT s_name, count(*) AS numwait
-        |FROM lo JOIN ord ON lo.l_orderkey = ord.l_orderkey
-        |JOIN supplier ON s_suppkey = lo.l_suppkey
-        |WHERE lo.late AND ord.n_supp >= 2 AND ord.n_late = 1
+        |sup AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS late_lines
+        |  FROM lo GROUP BY l_orderkey, l_suppkey),
+        |w AS (
+        |  SELECT l_suppkey, late_lines,
+        |    count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |    sum(CASE WHEN late_lines > 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_orderkey) AS n_late
+        |  FROM sup)
+        |SELECT s_name, CAST(sum(late_lines) AS BIGINT) AS numwait
+        |FROM w JOIN supplier ON s_suppkey = w.l_suppkey
+        |WHERE w.late_lines > 0 AND w.n_supp >= 2 AND w.n_late = 1
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
         .stripMargin),
 

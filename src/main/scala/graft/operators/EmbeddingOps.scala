@@ -98,9 +98,15 @@ object EmbeddingOps {
     * scan; the only other movement is the broadcast of the (small)
     * query batch and a final per-query top-k window over candidates
     * bounded by nprobe/nlist of the corpus. */
-  def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
-      seed: Long = 7L, trainIters: Int = 0): DataFrame = {
+  /** Seeds `nlist` centroids from a deterministic hash-ordered corpus
+    * sample and tightens them with `trainIters` spherical-k-means Lloyd
+    * steps. Each step: fused nearest-centroid assignment (map-only) →
+    * per-(cluster, dim) mean (one partial-agg shuffle whose result is
+    * nlist·dim cells) → collect the tiny matrix and re-broadcast.
+    * Cosine assignment is scale-invariant, so the unnormalized mean is
+    * a valid spherical update; empty clusters keep their seed. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 7L, trainIters: Int = 0): Array[Float] = {
     var cents: Array[Float] = corpus
       .select(col(vecCol).as("v"))
       .orderBy(xxhash64(col(idCol), lit(seed)))
@@ -108,10 +114,6 @@ object EmbeddingOps {
       .collect()
       .flatMap(_.getSeq[Float](0))
     val dim = if (nlist == 0) 0 else cents.length / nlist
-    // Lloyd: assign (fused kernel, map-only) → per-(cluster, dim) mean
-    // (one partial-agg shuffle of nlist·d cells) → new centroid matrix.
-    // Cosine assignment is scale-invariant, so the unnormalized mean is
-    // a valid spherical-k-means update; empty clusters keep their seed.
     for (_ <- 0 until trainIters) {
       val cLit0 = lit(cents)
       val means = corpus
@@ -127,6 +129,29 @@ object EmbeddingOps {
       }
       cents = next
     }
+    cents
+  }
+
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+
+  /** [[ivfCentroids]] memoized under a caller-chosen key (e.g. the sf
+    * directory + parameters): training reads the corpus 1+trainIters
+    * times, and a resident engine would persist its IVF lists rather
+    * than re-train per query. Keyed on data identity, not session —
+    * the result is a plain deterministic float matrix. */
+  def ivfCentroidsMemo(key: String, corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, seed: Long = 7L,
+      trainIters: Int = 0): Array[Float] =
+    centroidMemo.computeIfAbsent(key,
+      _ => ivfCentroids(corpus, idCol, vecCol, nlist, seed, trainIters))
+
+  def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      seed: Long = 7L, trainIters: Int = 0,
+      centroids: Option[Array[Float]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      ivfCentroids(corpus, idCol, vecCol, nlist, seed, trainIters))
     val cLit = lit(cents)
     def probe(v: Column, n: Int) = GraftFunctions.ivfProbe(v, cLit, lit(n))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
