@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EmbeddingOps, RetrievalOps, TextOps}
+import graft.operators.{EmbeddingOps, PromptOps, RetrievalOps, TextOps}
 import graft.functions.GraftFunctions
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -1469,6 +1469,31 @@ object PipelineQueries {
         |  round(-sum((CAST(k AS DOUBLE) / n.n) *
         |    ln(CAST(k AS DOUBLE) / n.n)), 4) AS entropy
         |FROM cc JOIN n ON cc.doc_id = n.doc_id
-        |GROUP BY cc.doc_id ORDER BY cc.doc_id""".stripMargin)
+        |GROUP BY cc.doc_id ORDER BY cc.doc_id""".stripMargin),
+
+    // Prompt construction (reference H3, eval/prompt_formatters.py:89-127
+    // duckdbinst): the schema text folds into literal prefix/suffix, so a
+    // corpus of prompts is ONE codegen'd concat per row — map-only. The
+    // oracle rebuilds the identical byte string with DuckDB string
+    // concatenation; the hardcoded schema text doubles as a drift guard
+    // (if the Spark-side nation schema changed, the hash would diverge).
+    "q149_prompt_format" -> api((spark, _) => {
+      val qdf = spark.table("documents").select(col("doc_id"),
+        concat(lit("Answer using nation: "), substring(col("text"), 1, 40))
+          .as("question"))
+      PromptOps.withPrompt(qdf, "question", "duckdbinst",
+          Seq("nation" -> spark.table("nation").schema))
+        .select(col("doc_id"), col("prompt"))
+        .orderBy("doc_id")
+    }, {
+      val nationText = "CREATE TABLE nation (\n    n_nationkey INTEGER," +
+        "\n    n_name VARCHAR,\n    n_regionkey INTEGER\n)"
+      val (pre, post) = PromptOps.promptParts("duckdbinst", nationText, "")
+      def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+      s"""SELECT doc_id,
+         |  ${sqlLit(pre + "Answer using nation: ")} ||
+         |  substring(text, 1, 40) || ${sqlLit(post)} AS prompt
+         |FROM documents ORDER BY doc_id""".stripMargin
+    })
   )
 }

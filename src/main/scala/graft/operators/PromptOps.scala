@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's prompt-construction surface (eval/prompt_formatters.py
+  * :8-226, registry eval/constants.py:11-17) as engine operators: the five
+  * formatter strategies render a per-row instruction column into the exact
+  * prompt text the reference's formatters produce.
+  *
+  * Spark-first shape: the schema text and retrieved context are driver-side
+  * constants folded into literal prefix/suffix strings, so each prompt is
+  * ONE codegen'd `concat` over the instruction column — map-only, zero
+  * shuffle, no UDF. Prompt construction over a training corpus is a scan,
+  * exactly like the text-analysis operators.
+  *
+  * Divergence from the reference, by design: format_all_tables shuffles
+  * table order (`random.shuffle`, prompt_formatters.py:39) and memoizes the
+  * shuffle — here table order is the caller's, deterministically
+  * (reproducibility rule; pass a pre-shuffled seq to emulate). The chat
+  * formatter's schema-explanation call (prompt_formatters.py:160-185) is an
+  * LLM-orchestration hook (SURVEY §7.4 H5): injectable here, with a
+  * deterministic default.
+  */
+object PromptOps {
+
+  val styles: Seq[String] = Seq("rajkumar", "duckdb", "duckdbinst",
+    "duckdbinstnoshort", "duckdbchat")
+
+  /** CREATE TABLE rendering (prompt_formatters.py:20-31) with DuckDB type
+    * names from the Spark schema (the reference reads them off its
+    * Table/column metadata). */
+  def formatTable(name: String, schema: StructType): String = {
+    val cols = schema.fields.map(f =>
+      s"    ${f.name} ${Summarize.duckTypeName(f.dataType)}")
+    if (cols.nonEmpty) s"CREATE TABLE $name (\n${cols.mkString(",\n")}\n)"
+    else s"CREATE TABLE $name"
+  }
+
+  /** prompt_formatters.py:34-43 minus the cached shuffle (see class doc). */
+  def formatAllTables(tables: Seq[(String, StructType)]): String =
+    tables.map { case (n, s) => formatTable(n, s) }.mkString("\n\n")
+
+  /** Retrieved-context block per style (format_retrieved_context,
+    * prompt_formatters.py:46-52, 96-102); empty context ⇒ empty block. */
+  def formatContext(style: String, context: Seq[String]): String =
+    if (context.isEmpty) ""
+    else {
+      val joined = context.mkString("\n--------\n")
+      style match {
+        case "duckdbinst" | "duckdbinstnoshort" =>
+          s"\n### Documentation:\n$joined\n"
+        case "duckdbchat" =>
+          "\n\nHere is additional documentation about DuckDB that could " +
+            s"be useful.\n--------\n$joined\n--------\n"
+        case _ =>
+          "\n\n/*\nHere is additional documentation about DuckDB that " +
+            s"could be useful.\n--------\n$joined\n--------\n*/"
+      }
+    }
+
+  /** The (prefix, suffix) the style wraps around the instruction —
+    * everything but the per-row question is constant, which is what makes
+    * the whole formatter one literal concat per row. */
+  def promptParts(style: String, tableText: String,
+      contextText: String): (String, String) = style match {
+    case "rajkumar" =>
+      (s"$tableText\n\n\n-- Using valid DuckDB SQL, answer the following " +
+        s"question for the tables provided above.$contextText\n\n-- ", "\n")
+    case "duckdb" => // prompt_formatters.py:78-86 — rajkumar + sql fence
+      (s"$tableText\n\n\n-- Using valid DuckDB SQL, answer the following " +
+        s"question for the tables provided above.$contextText\n\n-- ",
+        "\n```sql\n")
+    case "duckdbinst" | "duckdbinstnoshort" =>
+      // prompt_formatters.py:89-134
+      val hasSchema =
+        if (tableText.isEmpty) "." else ", given a duckdb database schema."
+      val input =
+        if (tableText.isEmpty) ""
+        else "Here is the database schema that the SQL query will run " +
+          s"on:\n$tableText\n"
+      val response =
+        if (style == "duckdbinst")
+          "### Response (use duckdb shorthand if possible):\n"
+        else "### Response:\n"
+      ("### Instruction:\nYour task is to generate valid duckdb SQL to " +
+        s"answer the following question$hasSchema\n\n### Input:\n$input" +
+        s"$contextText\n### Question:\n", s"\n\n$response")
+    case other =>
+      throw new IllegalArgumentException(
+        s"promptParts: unknown or non-scalar style '$other'")
+  }
+
+  /** Adds `outCol` with the fully formatted prompt for `questionCol` —
+    * one codegen'd concat per row. */
+  def withPrompt(df: DataFrame, questionCol: String, style: String,
+      tables: Seq[(String, StructType)], context: Seq[String] = Nil,
+      outCol: String = "prompt"): DataFrame = {
+    val (pre, post) = promptParts(style, formatAllTables(tables),
+      formatContext(style, context))
+    df.withColumn(outCol, concat(lit(pre), col(questionCol), lit(post)))
+  }
+
+  /** Chat-style messages (DuckDBChat, prompt_formatters.py:137-215):
+    * array<struct<role,content>> per row. `explainSchema` is the
+    * reference's LLM schema-summary hook — injectable, deterministic
+    * default echoes the schema (the orchestration itself is out of
+    * engine, SURVEY §7.4 H5). */
+  def withChatPrompt(df: DataFrame, questionCol: String,
+      tables: Seq[(String, StructType)], context: Seq[String] = Nil,
+      explainSchema: String => String = s =>
+        s"The database contains the tables defined by:\n$s",
+      outCol: String = "messages"): DataFrame = {
+    val tableText = formatAllTables(tables)
+    val contextText = formatContext("duckdbchat", context)
+    val system = "You are a helpful assistant that can generate DuckDB " +
+      "sql queries, which is a superset of Postgresql, based on the user " +
+      "input. You do not respond with any human readable text, only SQL " +
+      "code."
+    val schemaAsk = s"SQL schema of my database:\n$tableText\nExplain in " +
+      "a few sentences what the data is about:\n        "
+    val finalPre = "Now output a single SQL query without any " +
+      "explanation and do not add anything \nto the query that was not " +
+      "part of the question, also do not use markdown. Make sure to " +
+      "only \nuse information provided in the prompt, or tables and " +
+      "columns from the schema above and write a query to answer the " +
+      s"question.$contextText\n\nMy quesiton is \n`"
+    val finalPost = "`\n\nGenerate the DuckDB specific SQL query:"
+    def msg(role: String, content: Column) =
+      struct(lit(role).as("role"), content.as("content"))
+    df.withColumn(outCol, array(
+      msg("system", lit(system)),
+      msg("user", lit(schemaAsk)),
+      msg("assistant", lit(explainSchema(tableText))),
+      msg("user", concat(lit(finalPre), col(questionCol), lit(finalPost)))))
+  }
+}

@@ -44,12 +44,73 @@ object RetrievalOps {
     * an external model API; none ships in this environment). Vector of
     * `dim` doubles derived from characters at strided positions; integer-
     * valued and engine-portable, so retrieval math stays oracle-checkable
-    * end-to-end. Swap for a real encoder via mapInPandas/model serving in
-    * production. */
+    * end-to-end. Swap for a real encoder via [[Embedder]]. */
   def stubEmbed(chunk: Column, dim: Int = 16): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => ((ascii(chunk.substr(i * 7 + 1, lit(1))) * (i + 1)) % 97)
         .cast("double"))
+
+  /** JVM twin of [[stubEmbed]] (bit-identity proven in RetrievalOpsSpec):
+    * the deterministic default `encode` of [[BatchedEmbedder]]. */
+  def stubEncodeBatch(texts: Seq[String], dim: Int): Seq[Array[Double]] =
+    texts.map { t =>
+      Array.tabulate(dim) { i =>
+        val pos = i * 7
+        val c = if (t != null && pos < t.length) t.charAt(pos).toInt else 0
+        ((c * (i + 1)) % 97).toDouble
+      }
+    }
+
+  /** Injectable embedding interface — the seam where the reference calls
+    * its external embedding API (eval/doc_retriever.py:65-75). Both
+    * implementations append `outCol: array<double>` without shuffling:
+    * embedding is a map-side stage of the retrieval pipeline at any
+    * scale. */
+  trait Embedder {
+    def dim: Int
+    def embed(df: DataFrame, textCol: String,
+        outCol: String = "embedding"): DataFrame
+  }
+
+  /** The stub as an [[Embedder]]: a codegen'd column kernel. */
+  final class StubEmbedder(val dim: Int = 16) extends Embedder {
+    def embed(df: DataFrame, textCol: String,
+        outCol: String = "embedding"): DataFrame =
+      df.withColumn(outCol, stubEmbed(col(textCol), dim))
+  }
+
+  /** Batched per-partition embedder — the call shape of a real model
+    * server: texts cross the boundary in `batchSize` groups so a
+    * vectorized encoder amortizes call overhead and bounds memory
+    * (MediaOps.extractFeaturesBatched is the same move for codecs).
+    * `encode` is the external hook; the default is [[stubEncodeBatch]],
+    * bit-identical to the column stub, so swapping in a real model
+    * changes exactly one function. mapPartitions preserves the scan
+    * partitioning — no shuffle. */
+  final class BatchedEmbedder(val dim: Int = 16, batchSize: Int = 64,
+      encode: (Seq[String], Int) => Seq[Array[Double]] = stubEncodeBatch)
+      extends Embedder {
+    def embed(df: DataFrame, textCol: String,
+        outCol: String = "embedding"): DataFrame = {
+      val spark = df.sparkSession
+      val schema = df.schema.add(outCol,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+      val ti = df.schema.fieldIndex(textCol)
+      val (d, bs, enc) = (dim, batchSize, encode)
+      val rdd = df.rdd.mapPartitions { it =>
+        it.grouped(bs).flatMap { batch =>
+          // one encoder call per batch — where the model server runs
+          val embs = enc(batch.map(r =>
+            if (r.isNullAt(ti)) null else r.getString(ti)), d)
+          batch.iterator.zip(embs.iterator).map { case (r, e) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e.toSeq)
+          }
+        }
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+  }
 
   /** Dot-product top-n: ranks corpus rows against each broadcast query
     * vector (the reference's query_docs). `corpus`/`queries` carry key

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.PromptOps
+
+/** Prompt-formatter parity: each strategy must reproduce the reference
+  * template byte for byte (eval/prompt_formatters.py:8-226) for a known
+  * schema + question + context fixture. */
+class PromptOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType)))
+  private val tables = Seq("t" -> schema)
+  private val q = "how many rows?"
+  private def render(style: String, context: Seq[String] = Nil): String =
+    PromptOps.withPrompt(Seq(q).toDF("question"), "question", style,
+      tables, context).select("prompt").as[String].collect().head
+
+  test("format_table renders CREATE TABLE with DuckDB type names") {
+    assert(PromptOps.formatTable("t", schema) ==
+      "CREATE TABLE t (\n    id BIGINT,\n    name VARCHAR\n)")
+    assert(PromptOps.formatTable("empty", StructType(Nil)) ==
+      "CREATE TABLE empty")
+  }
+
+  test("rajkumar template (prompt_formatters.py:55-62)") {
+    assert(render("rajkumar") ==
+      "CREATE TABLE t (\n    id BIGINT,\n    name VARCHAR\n)\n\n\n" +
+        "-- Using valid DuckDB SQL, answer the following question for " +
+        "the tables provided above.\n\n-- how many rows?\n")
+  }
+
+  test("duckdb template adds the sql fence (prompt_formatters.py:78-86)") {
+    assert(render("duckdb") == render("rajkumar") + "```sql\n")
+  }
+
+  test("duckdbinst template (prompt_formatters.py:89-127)") {
+    assert(render("duckdbinst") ==
+      "### Instruction:\nYour task is to generate valid duckdb SQL to " +
+        "answer the following question, given a duckdb database " +
+        "schema.\n\n### Input:\nHere is the database schema that the " +
+        "SQL query will run on:\nCREATE TABLE t (\n    id BIGINT,\n    " +
+        "name VARCHAR\n)\n\n### Question:\nhow many rows?\n\n" +
+        "### Response (use duckdb shorthand if possible):\n")
+  }
+
+  test("duckdbinstnoshort differs only in the response header") {
+    assert(render("duckdbinstnoshort") ==
+      render("duckdbinst").replace(
+        "### Response (use duckdb shorthand if possible):\n",
+        "### Response:\n"))
+  }
+
+  test("retrieved context blocks per style (py:46-52, 96-102)") {
+    val ctx = Seq("docA", "docB")
+    assert(PromptOps.formatContext("rajkumar", ctx) ==
+      "\n\n/*\nHere is additional documentation about DuckDB that could " +
+        "be useful.\n--------\ndocA\n--------\ndocB\n--------\n*/")
+    assert(PromptOps.formatContext("duckdbinst", ctx) ==
+      "\n### Documentation:\ndocA\n--------\ndocB\n")
+    assert(PromptOps.formatContext("rajkumar", Nil) == "")
+    assert(render("duckdbinst", ctx).contains(
+      "### Documentation:\ndocA\n--------\ndocB"))
+  }
+
+  test("chat messages carry system/schema/explain/question roles") {
+    val df = PromptOps.withChatPrompt(Seq(q).toDF("question"), "question",
+      tables)
+    val msgs = df.select(explode(col("messages")).as("m"))
+      .select("m.role", "m.content").as[(String, String)].collect()
+    assert(msgs.map(_._1).toSeq ==
+      Seq("system", "user", "assistant", "user"))
+    assert(msgs(1)._2.startsWith("SQL schema of my database:\nCREATE " +
+      "TABLE t (") && msgs(1)._2.endsWith(
+      "Explain in a few sentences what the data is about:\n        "))
+    assert(msgs(3)._2.contains("My quesiton is \n`how many rows?`"))
+    assert(msgs(3)._2.endsWith("Generate the DuckDB specific SQL query:"))
+  }
+
+  test("no-schema duckdbinst drops the Input block wording") {
+    val p = PromptOps.withPrompt(Seq(q).toDF("question"), "question",
+        "duckdbinst", Nil).select("prompt").as[String].collect().head
+    assert(p.startsWith("### Instruction:\nYour task is to generate " +
+      "valid duckdb SQL to answer the following question.\n"))
+    assert(!p.contains("Here is the database schema"))
+  }
+}

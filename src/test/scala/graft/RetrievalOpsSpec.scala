@@ -61,4 +61,20 @@ class RetrievalOpsSpec extends SparkSpecBase {
       .orderBy("rn").select("doc_id").as[Long].collect()
     assert(top.head == 3L)
   }
+
+  test("BatchedEmbedder is bit-identical to the column StubEmbedder") {
+    // the injectable model-server path must not change the math: swap-in
+    // contract is exactly one function (encode)
+    val chunks = RetrievalOps.chunkDocuments(docs, "doc_id", "text")
+    def rows(e: RetrievalOps.Embedder) =
+      e.embed(chunks, "chunk", "emb")
+        .select($"doc_id", $"chunk_idx", $"emb")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toList))
+        .sortBy(t => (t._1, t._2)).toList
+    val colPath = rows(new RetrievalOps.StubEmbedder(16))
+    val batched = rows(new RetrievalOps.BatchedEmbedder(16, batchSize = 3))
+    assert(colPath == batched)
+    assert(colPath.nonEmpty && colPath.head._3.length == 16)
+  }
 }
