@@ -1245,12 +1245,15 @@ object PipelineQueries {
     // Spark side groups each customer's distinct items in ONE shuffle
     // (map-side partial collect_set; no DISTINCT pre-pass), then a
     // single sentinel-keyed aggregation over the per-basket explode
-    // yields pair counts ((a,b) rows), item frequencies ((a,NULL)
-    // singleton rows) AND the basket total (the (NULL,NULL) row per
-    // basket) — one exchange where the naive plan runs three; the tiny
-    // freq/tot slices broadcast back onto the pair rows. Per-basket
-    // fan-out is bounded by basket size (cap at top-k items at corpus
-    // scale). Oracle keeps the self-join formulation.
+    // yields pair counts, item frequencies AND the basket total from
+    // one exchange where the naive plan runs three; the tiny freq/tot
+    // slices broadcast back onto the pair rows. Pairs travel as ONE
+    // BIGINT (a*2^32+b; partkeys are positive ints, 0 is the free
+    // sentinel: (a,0) = singleton, 0 = basket marker) — a primitive
+    // explode+agg keys codegen cheaper than array<struct> rows, and
+    // first-run lambda compilation drops ~6 s. Per-basket fan-out is
+    // bounded by basket size (cap at top-k items at corpus scale).
+    // Oracle keeps the self-join formulation.
     "q140_item_cooccur" -> sql(
       """WITH baskets AS (
         |  SELECT /*+ BROADCAST(part) */ o_custkey AS cust,
@@ -1260,22 +1263,21 @@ object PipelineQueries {
         |  WHERE p_type = 'PROMO'
         |  GROUP BY o_custkey),
         |agg AS (
-        |  SELECT pr.item_a, pr.item_b, count(*) AS c
+        |  SELECT pr DIV 4294967296 AS item_a, pr % 4294967296 AS item_b,
+        |    count(*) AS c
         |  FROM baskets
         |  LATERAL VIEW explode(concat(
         |    flatten(transform(items, (x, i) ->
         |      transform(slice(items, i + 2, size(items)),
-        |        y -> named_struct('item_a', x, 'item_b', y)))),
-        |    transform(items, x -> named_struct(
-        |      'item_a', x, 'item_b', CAST(NULL AS BIGINT))),
-        |    array(named_struct('item_a', CAST(NULL AS BIGINT),
-        |      'item_b', CAST(NULL AS BIGINT))))) e AS pr
-        |  GROUP BY pr.item_a, pr.item_b),
+        |        y -> x * 4294967296 + y))),
+        |    transform(items, x -> x * 4294967296),
+        |    array(CAST(0 AS BIGINT)))) e AS pr
+        |  GROUP BY pr),
         |freq AS (SELECT item_a AS item, c AS n_cust FROM agg
-        |         WHERE item_a IS NOT NULL AND item_b IS NULL),
-        |tot AS (SELECT c AS n FROM agg WHERE item_a IS NULL),
+        |         WHERE item_a > 0 AND item_b = 0),
+        |tot AS (SELECT c AS n FROM agg WHERE item_a = 0 AND item_b = 0),
         |pairs AS (SELECT item_a, item_b, c AS together FROM agg
-        |          WHERE item_a IS NOT NULL AND item_b IS NOT NULL)
+        |          WHERE item_a > 0 AND item_b > 0)
         |SELECT /*+ BROADCAST(fa, fb) */ p.item_a, p.item_b, p.together,
         |  round(CAST(p.together AS DOUBLE) * tot.n /
         |    (fa.n_cust * fb.n_cust), 4) AS lift
@@ -1494,6 +1496,111 @@ object PipelineQueries {
          |  ${sqlLit(pre + "Answer using nation: ")} ||
          |  substring(text, 1, 40) || ${sqlLit(post)} AS prompt
          |FROM documents ORDER BY doc_id""".stripMargin
-    })
+    }),
+
+    // Eval-set decontamination by 13-gram overlap (the GPT-3/PaLM rule:
+    // a train document is contaminated if it shares any 13-gram with a
+    // held-out document). Reuses q63's md5-nibble split. Grams travel as
+    // md5 fingerprints, distinct-ed per doc map-side (array_distinct
+    // inside the explode), so the join key is 32 bytes regardless of n;
+    // the held-out gram set is split-fraction-small and one fingerprint
+    // shuffle matches train grams against it — no doc×doc comparison at
+    // any scale. Complements q64 (whole-prefix fingerprints): this
+    // catches partial copies a prefix fingerprint misses.
+    "q150_ngram_decontam" -> sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substring(md5(text), 1, 1) IN $trainNibbles
+         |      THEN 'train' ELSE 'heldout' END AS split,
+         |    split(trim(text), ' ') AS w
+         |  FROM documents),
+         |ng AS (
+         |  SELECT doc_id, split,
+         |    explode(array_distinct(transform(
+         |      sequence(1, greatest(size(w) - 12, 1)),
+         |      i -> md5(array_join(slice(w, i, 13), ' '))))) AS g
+         |  FROM tok),
+         |hg AS (SELECT DISTINCT g FROM ng WHERE split = 'heldout')
+         |SELECT t.doc_id, count(*) AS n_shared_13grams
+         |FROM ng t JOIN hg ON t.g = hg.g
+         |WHERE t.split = 'train'
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substring(md5(text), 1, 1) IN $trainNibbles
+         |      THEN 'train' ELSE 'heldout' END AS split,
+         |    string_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |ng AS (
+         |  SELECT doc_id, split, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 12, 1) + 1),
+         |    i -> md5(array_to_string(w[i:i+12], ' '))))) AS g
+         |  FROM tok),
+         |hg AS (SELECT DISTINCT g FROM ng WHERE split = 'heldout')
+         |SELECT t.doc_id, count(*) AS n_shared_13grams
+         |FROM ng t JOIN hg ON t.g = hg.g
+         |WHERE t.split = 'train'
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+
+    // Duplicated-n-gram fraction per document (the Gopher repetition
+    // filter measured CORPUS-wide: what share of a doc's 10-gram
+    // occurrences also appear in some other doc). The per-(doc, gram)
+    // count table aggregates once and feeds both consumers — the dup
+    // gram set (grams in >1 doc: count of dgc rows, no DISTINCT pass)
+    // and the per-doc rollup — so the explode is shuffled exactly once,
+    // the q141 dtc shape. Distinguishes in-doc repetition (q85) from
+    // cross-doc boilerplate: this is the signal that strips shared
+    // headers/footers at corpus scale.
+    "q151_dup_ngram_frac" -> sql(
+      """WITH tok AS (
+        |  SELECT doc_id, split(trim(text), ' ') AS w FROM documents),
+        |ng AS (
+        |  SELECT doc_id, explode(transform(
+        |    sequence(1, greatest(size(w) - 9, 1)),
+        |    i -> md5(array_join(slice(w, i, 10), ' ')))) AS g
+        |  FROM tok),
+        |dgc AS (SELECT doc_id, g, count(*) AS k FROM ng
+        |        GROUP BY doc_id, g),
+        |dup AS (SELECT g FROM dgc GROUP BY g HAVING count(*) > 1)
+        |SELECT dgc.doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN dup.g IS NOT NULL THEN k ELSE 0 END)
+        |    AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN dup.g IS NOT NULL THEN k ELSE 0 END)
+        |    AS DOUBLE) / sum(k), 6) AS dup_frac
+        |FROM dgc LEFT JOIN dup ON dgc.g = dup.g
+        |GROUP BY dgc.doc_id ORDER BY dgc.doc_id""".stripMargin,
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 9, 1) + 1),
+        |    i -> md5(array_to_string(w[i:i+9], ' ')))) AS g
+        |  FROM tok),
+        |dgc AS (SELECT doc_id, g, count(*) AS k FROM ng
+        |        GROUP BY doc_id, g),
+        |dup AS (SELECT g FROM dgc GROUP BY g HAVING count(*) > 1)
+        |SELECT dgc.doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN dup.g IS NOT NULL THEN k ELSE 0 END)
+        |    AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN dup.g IS NOT NULL THEN k ELSE 0 END)
+        |    AS DOUBLE) / sum(k), 6) AS dup_frac
+        |FROM dgc LEFT JOIN dup ON dgc.g = dup.g
+        |GROUP BY dgc.doc_id ORDER BY dgc.doc_id""".stripMargin),
+
+    // Slowly-changing-dimension type 2 build: each user's event stream
+    // becomes validity intervals (valid_from, valid_to, is_current) —
+    // the dimension-table shape a warehouse derives from CDC feeds.
+    // One window pass per user partition (lead), no joins; identical
+    // text runs on both engines.
+    "q152_scd2_history" -> same(
+      """WITH s AS (
+        |  SELECT user_id, event_type AS status, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM events WHERE event_type IN ('signup', 'purchase', 'error'))
+        |SELECT user_id, status, valid_from, valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM s ORDER BY user_id, valid_from, status""".stripMargin)
   )
 }

@@ -210,10 +210,13 @@ object SystemQueries {
     // operator; AsOfJoin composes it as union + one window pass (one
     // key shuffle, no inequality-join blowup) — value-checked against
     // DuckDB's native ASOF JOIN.
-    // Purchases are pre-deduped to one row per (user, ts), keeping the
-    // max event_id: at equal timestamps DuckDB's ASOF pick is arbitrary
-    // and ours is payload-deterministic — tie-free input makes the
-    // value-check well-defined on any data, not just the current SFs.
+    // The oracle pre-dedupes purchases to one row per (user, ts)
+    // keeping the max event_id, because at equal timestamps DuckDB's
+    // ASOF pick is arbitrary. The Spark side needs NO dedup pass:
+    // AsOfJoin's carry tie-break (last right row at equal (key, t),
+    // ordered by payload) already selects the max (purchase_id, value)
+    // struct — the same row — so the extra window shuffle is skipped
+    // (verified row-identical at sf0.1).
     "q74_asof_join" -> api((spark, _) => {
       val ev = spark.table("events")
       val clicks = ev.where(col("event_type") === "click")
@@ -221,11 +224,6 @@ object SystemQueries {
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("pts"),
           col("event_id").as("purchase_id"), col("value"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("user_id", "pts")
-            .orderBy(col("purchase_id").desc)))
-        .where(col("rn") === 1).drop("rn")
       graft.operators.AsOfJoin.asofBackward(clicks, purchases,
           "user_id", "ts", "pts", Seq("purchase_id", "value"))
         .select(col("event_id"), col("purchase_id"),
@@ -247,8 +245,9 @@ object SystemQueries {
 
     // Forward as-of join (q74's mirror): each click enriched with the
     // user's NEXT purchase at-or-after it — same union + one-window-pass
-    // composition, scanning time in reverse. Purchases pre-deduped per
-    // (user, ts) so the value-check is tie-free (as in q74).
+    // composition, scanning time in reverse. As in q74, only the oracle
+    // pre-dedupes per (user, ts); the carry tie-break picks the same
+    // max-payload row without the extra window shuffle.
     "q96_asof_forward" -> api((spark, _) => {
       val ev = spark.table("events")
       val clicks = ev.where(col("event_type") === "click")
@@ -256,11 +255,6 @@ object SystemQueries {
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("pts"),
           col("event_id").as("purchase_id"), col("value"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("user_id", "pts")
-            .orderBy(col("purchase_id").desc)))
-        .where(col("rn") === 1).drop("rn")
       graft.operators.AsOfJoin.asofForward(clicks, purchases,
           "user_id", "ts", "pts", Seq("purchase_id", "value"))
         .select(col("event_id"), col("purchase_id"),
