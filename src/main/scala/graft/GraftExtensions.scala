@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("pragma_version"),
       new ExpressionInfo("graft.functions", "pragma_version"),
       _ => PragmaVersion()))
+    // keyless range joins plan as binned equi-joins instead of
+    // nested loops when spark.graft.rangeJoin.binWidth is set
+    ext.injectOptimizerRule(graft.plans.BinnedRangeJoinRule(_))
   }
 }

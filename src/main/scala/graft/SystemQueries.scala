@@ -287,6 +287,32 @@ object SystemQueries {
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin),
 
+    // Keyless range join through the OPTIMIZER RULE (BinnedRangeJoinRule
+    // + BinnedRangeJoinRuleSpec): the plain-SQL BETWEEN join below would
+    // plan as a quadratic BroadcastNestedLoopJoin; with the rule armed it
+    // plans as the binned equi-join (points project a bin id, intervals
+    // explode onto covered bins, exact band re-filter). cache+count
+    // forces planning/execution while the conf is armed, so the driver
+    // gate values the rule's output, not the fallback; the conf is
+    // disarmed before returning so no other entry's plan is touched.
+    "q153_range_join_rule" -> api((spark, _) => {
+      graft.plans.BinnedRangeJoinRule.install(spark)
+      spark.conf.set(graft.plans.BinnedRangeJoinRule.WidthConf, "500")
+      try {
+        val df = spark.sql(
+          """SELECT s_suppkey, p_partkey, p_retailprice
+            |FROM supplier JOIN part
+            |  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 500
+            |ORDER BY s_suppkey, p_partkey""".stripMargin)
+        df.cache().count()
+        df
+      } finally spark.conf.unset(graft.plans.BinnedRangeJoinRule.WidthConf)
+    },
+      """SELECT s_suppkey, p_partkey, p_retailprice
+        |FROM supplier JOIN part
+        |  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 500
+        |ORDER BY s_suppkey, p_partkey""".stripMargin),
+
     // Data-layout optimization: hive-partitioned write (S11) + a read
     // whose filter prunes to one partition directory — the layout that
     // turns a 100 TB scan into a per-language scan. QueriesSpec asserts
