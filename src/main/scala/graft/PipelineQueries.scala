@@ -1540,7 +1540,8 @@ object PipelineQueries {
          |SELECT t.doc_id, count(*) AS n_shared_13grams
          |FROM ng t JOIN hg ON t.g = hg.g
          |WHERE t.split = 'train'
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      headline = true),
 
     // Duplicated-n-gram fraction per document (the Gopher repetition
     // filter measured CORPUS-wide: what share of a doc's 10-gram
@@ -1569,7 +1570,8 @@ object PipelineQueries {
         |    AS DOUBLE) / sum(k), 6) AS dup_frac
         |FROM dgc LEFT JOIN dup ON dgc.g = dup.g
         |GROUP BY dgc.doc_id ORDER BY dgc.doc_id""".stripMargin,
-      """WITH tok AS (
+      headline = true,
+      duckSql = """WITH tok AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS w
         |  FROM documents),
         |ng AS (
