@@ -88,6 +88,44 @@ object PipelineQueries {
     * definition interpolated by q63, q64 and q69 so the split can never
     * silently diverge between the splitter, the contamination check and
     * the pipeline. */
+  /** Shared recall-oracle scaffolding for the ANN entries (q46/q66):
+    * materializes the ANN result to `dir` tagged with the corpus row
+    * count, then scores per-query overlap against the exact top-5
+    * (q45's contract). The tag guards the fixed /tmp path: the oracle
+    * filters on `n_corpus = (SELECT count(*) FROM embeddings)`, so a
+    * stale read from a different-SF run drops every row and fails
+    * LOUDLY instead of silently comparing another corpus's data. The
+    * exact baseline is corpus state (deterministic per sf dir), so it
+    * is cached once per session+dir like q135's edge list rather than
+    * re-running the brute-force scan on every invocation. */
+  private def annRecall(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, ann: org.apache.spark.sql.DataFrame,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = spark.table("embeddings")
+    val nCorpus = emb.count()
+    ann.withColumn("n_corpus", lit(nCorpus))
+      .write.mode("overwrite").parquet(dir)
+    val view = "graft_knn_exact"
+    if (!spark.catalog.tableExists(view) ||
+        !spark.conf.getOption("graft.knn.built").contains(sfDir)) {
+      if (spark.catalog.tableExists(view)) {
+        spark.table(view).unpersist()
+        spark.catalog.dropTempView(view)
+      }
+      EmbeddingOps.knnBruteForce(emb, emb.where(col("vec_id") < 50),
+          "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("id"), lit(1).as("hit"))
+        .cache().createOrReplaceTempView(view)
+      spark.conf.set("graft.knn.built", sfDir)
+    }
+    spark.read.parquet(dir).where(col("n_corpus") === nCorpus)
+      .join(spark.table(view), Seq("qid", "id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_ann"),
+        coalesce(sum("hit"), lit(0)).cast("long").as("n_hit"))
+      .orderBy("qid")
+  }
+
   private val trainNibbleSeq: Seq[String] =
     Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
   private val valNibbleSeq: Seq[String] = Seq("c", "d")
@@ -250,21 +288,12 @@ object PipelineQueries {
     // checks the evaluation the reference's retriever runs against
     // exact top-n (eval/doc_retriever.py:78-94); EmbeddingOpsSpec still
     // asserts the recall floor.
-    "q46_knn_ann_lsh" -> api((spark, _) => {
+    "q46_knn_ann_lsh" -> api((spark, sfDir) => {
       val emb = spark.table("embeddings")
-      val dir = "/tmp/graft_ann_lsh"
-      EmbeddingOps.annLsh(emb, emb.where(col("vec_id") < 50),
-          "vec_id", "embedding", k = 5, bits = 4)
-        .write.mode("overwrite").parquet(dir)
-      val exact = EmbeddingOps.knnBruteForce(emb,
-          emb.where(col("vec_id") < 50), "vec_id", "embedding", k = 5)
-        .select(col("qid"), col("id"), lit(1).as("hit"))
-      spark.read.parquet(dir)
-        .join(exact, Seq("qid", "id"), "left")
-        .groupBy("qid")
-        .agg(count(lit(1)).as("n_ann"),
-          coalesce(sum("hit"), lit(0)).cast("long").as("n_hit"))
-        .orderBy("qid")
+      annRecall(spark, sfDir,
+        EmbeddingOps.annLsh(emb, emb.where(col("vec_id") < 50),
+          "vec_id", "embedding", k = 5, bits = 4),
+        "/tmp/graft_ann_lsh")
     },
       s"""WITH n AS $duckNormEmbeddings,
         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n
@@ -280,7 +309,8 @@ object PipelineQueries {
         |  FROM p),
         |e AS (SELECT qid, id FROM r WHERE rn <= 5),
         |ann AS (SELECT qid, id
-        |        FROM read_parquet('/tmp/graft_ann_lsh/*.parquet'))
+        |        FROM read_parquet('/tmp/graft_ann_lsh/*.parquet')
+        |        WHERE n_corpus = (SELECT count(*) FROM embeddings))
         |SELECT a.qid, count(*) AS n_ann,
         |  CAST(sum(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_hit
@@ -295,24 +325,19 @@ object PipelineQueries {
     // top-5.
     "q66_knn_ann_ivf" -> api((spark, sfDir) => {
       val emb = spark.table("embeddings")
-      val dir = "/tmp/graft_ann_ivf"
       // trained lists are corpus state, not per-query work: memoize per
-      // sf dir (the IVF-index role; cf. q135's edge-cache memo)
-      val cents = EmbeddingOps.ivfCentroidsMemo(s"$sfDir|16|7|2",
-        emb, "vec_id", "embedding", nlist = 16, seed = 7L, trainIters = 2)
-      EmbeddingOps.annIvf(emb, emb.where(col("vec_id") < 50),
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 3,
-          centroids = Some(cents))
-        .write.mode("overwrite").parquet(dir)
-      val exact = EmbeddingOps.knnBruteForce(emb,
-          emb.where(col("vec_id") < 50), "vec_id", "embedding", k = 5)
-        .select(col("qid"), col("id"), lit(1).as("hit"))
-      spark.read.parquet(dir)
-        .join(exact, Seq("qid", "id"), "left")
-        .groupBy("qid")
-        .agg(count(lit(1)).as("n_ann"),
-          coalesce(sum("hit"), lit(0)).cast("long").as("n_hit"))
-        .orderBy("qid")
+      // sf dir (the IVF-index role; cf. q135's edge-cache memo); the
+      // key is derived from the actual parameters so they cannot drift
+      val (nlist, seed, iters) = (16, 7L, 2)
+      val cents = EmbeddingOps.ivfCentroidsMemo(
+        s"$sfDir|$nlist|$seed|$iters",
+        emb, "vec_id", "embedding", nlist = nlist, seed = seed,
+        trainIters = iters)
+      annRecall(spark, sfDir,
+        EmbeddingOps.annIvf(emb, emb.where(col("vec_id") < 50),
+          "vec_id", "embedding", k = 5, nlist = nlist, nprobe = 3,
+          centroids = Some(cents)),
+        "/tmp/graft_ann_ivf")
     },
       s"""WITH n AS $duckNormEmbeddings,
         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n
@@ -328,7 +353,8 @@ object PipelineQueries {
         |  FROM p),
         |e AS (SELECT qid, id FROM r WHERE rn <= 5),
         |ann AS (SELECT qid, id
-        |        FROM read_parquet('/tmp/graft_ann_ivf/*.parquet'))
+        |        FROM read_parquet('/tmp/graft_ann_ivf/*.parquet')
+        |        WHERE n_corpus = (SELECT count(*) FROM embeddings))
         |SELECT a.qid, count(*) AS n_ann,
         |  CAST(sum(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_hit
@@ -1603,6 +1629,7 @@ object PipelineQueries {
         |  FROM events WHERE event_type IN ('signup', 'purchase', 'error'))
         |SELECT user_id, status, valid_from, valid_to,
         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
-        |FROM s ORDER BY user_id, valid_from, status""".stripMargin)
+        |FROM s
+        |ORDER BY user_id, valid_from, status, valid_to""".stripMargin)
   )
 }

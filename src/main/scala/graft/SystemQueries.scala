@@ -299,12 +299,20 @@ object SystemQueries {
       graft.plans.BinnedRangeJoinRule.install(spark)
       spark.conf.set(graft.plans.BinnedRangeJoinRule.WidthConf, "500")
       try {
+        // the previous invocation's pinned result is released first, so
+        // repeat runs hold at most one copy (no unbounded cache leak)
+        val view = "graft_q153_cache"
+        if (spark.catalog.tableExists(view)) {
+          spark.table(view).unpersist()
+          spark.catalog.dropTempView(view)
+        }
         val df = spark.sql(
           """SELECT s_suppkey, p_partkey, p_retailprice
             |FROM supplier JOIN part
             |  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 500
             |ORDER BY s_suppkey, p_partkey""".stripMargin)
         df.cache().count()
+        df.createOrReplaceTempView(view)
         df
       } finally spark.conf.unset(graft.plans.BinnedRangeJoinRule.WidthConf)
     },

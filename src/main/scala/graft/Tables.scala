@@ -64,9 +64,11 @@ object Tables {
     // are actually present (cheap driver-side catalog lookups)
     if (sfDir == registeredFor.get(id) &&
       names.forall(spark.catalog.tableExists)) return
-    // the whole remove→rebind→record sequence runs under a per-session
-    // lock: two threads registering different dirs on one session must
-    // not interleave (views mixed between dirs with a single dir memoized)
+    // the whole remove→rebind→record sequence runs under ONE global
+    // lock (the memo map's monitor): two threads registering different
+    // dirs on one session must not interleave (views mixed between dirs
+    // with a single dir memoized). Registration is rare and idempotent,
+    // so serializing unrelated sessions too is an accepted cost.
     registeredFor.synchronized {
       if (sfDir == registeredFor.get(id) &&
         names.forall(spark.catalog.tableExists)) return

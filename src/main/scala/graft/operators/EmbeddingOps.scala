@@ -107,13 +107,16 @@ object EmbeddingOps {
     * a valid spherical update; empty clusters keep their seed. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 7L, trainIters: Int = 0): Array[Float] = {
-    var cents: Array[Float] = corpus
+    val sample = corpus
       .select(col(vecCol).as("v"))
       .orderBy(xxhash64(col(idCol), lit(seed)))
       .limit(nlist)
       .collect()
-      .flatMap(_.getSeq[Float](0))
-    val dim = if (nlist == 0) 0 else cents.length / nlist
+    var cents: Array[Float] = sample.flatMap(_.getSeq[Float](0))
+    // dim from an actual vector, NOT cents.length/nlist: a corpus with
+    // fewer than nlist vectors yields fewer centroids, and a wrong dim
+    // would scatter Lloyd updates across centroid boundaries
+    val dim = if (sample.isEmpty) 0 else sample.head.getSeq[Float](0).length
     for (_ <- 0 until trainIters) {
       val cLit0 = lit(cents)
       val means = corpus

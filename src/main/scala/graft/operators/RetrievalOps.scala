@@ -46,9 +46,12 @@ object RetrievalOps {
     * valued and engine-portable, so retrieval math stays oracle-checkable
     * end-to-end. Swap for a real encoder via [[Embedder]]. */
   def stubEmbed(chunk: Column, dim: Int = 16): Column =
+    // coalesce: a NULL chunk embeds like the empty string (all zeros),
+    // keeping the column kernel bit-identical to stubEncodeBatch's
+    // JVM branch for null text
     transform(sequence(lit(0), lit(dim - 1)),
-      i => ((ascii(chunk.substr(i * 7 + 1, lit(1))) * (i + 1)) % 97)
-        .cast("double"))
+      i => ((coalesce(ascii(chunk.substr(i * 7 + 1, lit(1))), lit(0))
+        * (i + 1)) % 97).cast("double"))
 
   /** JVM twin of [[stubEmbed]] (bit-identity proven in RetrievalOpsSpec):
     * the deterministic default `encode` of [[BatchedEmbedder]]. */

@@ -77,4 +77,16 @@ class RetrievalOpsSpec extends SparkSpecBase {
     assert(colPath == batched)
     assert(colPath.nonEmpty && colPath.head._3.length == 16)
   }
+
+  test("null text embeds identically (all zeros) on both paths") {
+    val df = Seq((1L, Option("abc")), (2L, Option.empty[String]))
+      .toDF("doc_id", "chunk")
+    def vecs(e: RetrievalOps.Embedder) =
+      e.embed(df, "chunk", "emb").orderBy("doc_id")
+        .select("emb").as[Seq[Double]].collect().toList
+    val c = vecs(new RetrievalOps.StubEmbedder(8))
+    val b = vecs(new RetrievalOps.BatchedEmbedder(8, batchSize = 2))
+    assert(c == b)
+    assert(c(1) == Seq.fill(8)(0.0)) // null ⇒ empty-string embedding
+  }
 }
