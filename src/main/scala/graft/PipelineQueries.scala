@@ -1571,13 +1571,14 @@ object PipelineQueries {
 
     // Duplicated-n-gram fraction per document (the Gopher repetition
     // filter measured CORPUS-wide: what share of a doc's 10-gram
-    // occurrences also appear in some other doc). The per-(doc, gram)
-    // count table aggregates once and feeds both consumers — the dup
-    // gram set (grams in >1 doc: count of dgc rows, no DISTINCT pass)
-    // and the per-doc rollup — so the explode is shuffled exactly once,
-    // the q141 dtc shape. Distinguishes in-doc repetition (q85) from
-    // cross-doc boilerplate: this is the signal that strips shared
-    // headers/footers at corpus scale.
+    // occurrences also appear in some other doc). The corpus-wide doc
+    // count per gram is a window over the per-(doc, gram) count table
+    // (count(*) OVER (PARTITION BY g)) rather than a self-join against
+    // a dup-gram set — the corpus is exploded and aggregated exactly
+    // once, then only the compact (doc, gram, k) table moves through
+    // the g-window and the doc rollup. Distinguishes in-doc repetition
+    // (q85) from cross-doc boilerplate: this is the signal that strips
+    // shared headers/footers at corpus scale.
     "q151_dup_ngram_frac" -> sql(
       """WITH tok AS (
         |  SELECT doc_id, split(trim(text), ' ') AS w FROM documents),
@@ -1588,14 +1589,14 @@ object PipelineQueries {
         |  FROM tok),
         |dgc AS (SELECT doc_id, g, count(*) AS k FROM ng
         |        GROUP BY doc_id, g),
-        |dup AS (SELECT g FROM dgc GROUP BY g HAVING count(*) > 1)
-        |SELECT dgc.doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
-        |  CAST(sum(CASE WHEN dup.g IS NOT NULL THEN k ELSE 0 END)
+        |dgd AS (SELECT doc_id, k,
+        |          count(*) OVER (PARTITION BY g) AS ndocs FROM dgc)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ndocs > 1 THEN k ELSE 0 END)
         |    AS BIGINT) AS n_dup,
-        |  round(CAST(sum(CASE WHEN dup.g IS NOT NULL THEN k ELSE 0 END)
+        |  round(CAST(sum(CASE WHEN ndocs > 1 THEN k ELSE 0 END)
         |    AS DOUBLE) / sum(k), 6) AS dup_frac
-        |FROM dgc LEFT JOIN dup ON dgc.g = dup.g
-        |GROUP BY dgc.doc_id ORDER BY dgc.doc_id""".stripMargin,
+        |FROM dgd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       headline = true,
       duckSql = """WITH tok AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS w
@@ -1607,14 +1608,14 @@ object PipelineQueries {
         |  FROM tok),
         |dgc AS (SELECT doc_id, g, count(*) AS k FROM ng
         |        GROUP BY doc_id, g),
-        |dup AS (SELECT g FROM dgc GROUP BY g HAVING count(*) > 1)
-        |SELECT dgc.doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
-        |  CAST(sum(CASE WHEN dup.g IS NOT NULL THEN k ELSE 0 END)
+        |dgd AS (SELECT doc_id, k,
+        |          count(*) OVER (PARTITION BY g) AS ndocs FROM dgc)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ndocs > 1 THEN k ELSE 0 END)
         |    AS BIGINT) AS n_dup,
-        |  round(CAST(sum(CASE WHEN dup.g IS NOT NULL THEN k ELSE 0 END)
+        |  round(CAST(sum(CASE WHEN ndocs > 1 THEN k ELSE 0 END)
         |    AS DOUBLE) / sum(k), 6) AS dup_frac
-        |FROM dgc LEFT JOIN dup ON dgc.g = dup.g
-        |GROUP BY dgc.doc_id ORDER BY dgc.doc_id""".stripMargin),
+        |FROM dgd GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // Slowly-changing-dimension type 2 build: each user's event stream
     // becomes validity intervals (valid_from, valid_to, is_current) —

@@ -225,4 +225,29 @@ class QueriesSpec extends SparkSpecBase {
     // damped PageRank with bidirectional edges preserves total mass
     assert(math.abs(total - 1.0) < 1e-3, s"rank mass $total")
   }
+
+  test("q151 dup-gram rollup explodes the corpus once") {
+    // dgc aggregates once; the g-window and the per-doc rollup both
+    // consume that shuffle — a second explode of the corpus would show
+    // up as a second Generate
+    val plan = SparkEntry.queries("q151_dup_ngram_frac")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val explodes = "\\bGenerate\\b".r.findAllIn(plan).size
+    assert(explodes <= 1 || plan.contains("ReusedExchange"),
+      s"corpus exploded $explodes times without exchange reuse:\n$plan")
+  }
+
+  test("q150 decontam joins gram fingerprints, no doc-pair product") {
+    val plan = SparkEntry.queries("q150_ngram_decontam")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q152 SCD2 is one window pass, no join") {
+    val plan = SparkEntry.queries("q152_scd2_history")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
