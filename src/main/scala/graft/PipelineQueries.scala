@@ -1631,6 +1631,208 @@ object PipelineQueries {
         |SELECT user_id, status, valid_from, valid_to,
         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM s
-        |ORDER BY user_id, valid_from, status, valid_to""".stripMargin)
+        |ORDER BY user_id, valid_from, status, valid_to""".stripMargin),
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score each doc by
+    // the average log-likelihood ratio of its hashed-unigram features
+    // under a target distribution (here the 'en' subcorpus) vs the raw
+    // corpus. Two linear passes, exactly how DSIR runs at scale: a fit
+    // pass reduces the corpus to a 256-bucket count table (bucket = the
+    // first md5 byte of the token, portable across engines), which is
+    // broadcast back for the score pass — no giant per-bucket window
+    // partitions, no driver-side model. The add-one-smoothed
+    // normalizers ln(T+256) - ln(R+256) are doc-independent, so they
+    // fold into one constant instead of a per-row division.
+    "q154_dsir_weights" -> api({ (spark, _) =>
+      val tb = spark.table("documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("t")), 1, 2).as("b"))
+      val st = tb.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
+      val tot = st.agg(sum("tc").as("t_tot"), sum("rc").as("r_tot"))
+      val dbc = tb.groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
+      dbc.join(broadcast(st), "b").crossJoin(broadcast(tot))
+        .withColumn("c", log((col("t_tot") + lit(256.0)) /
+          (col("r_tot") + lit(256.0))))
+        .groupBy("doc_id")
+        .agg(sum("k").cast("long").as("n_tok"),
+          round(sum(col("k") * (log(col("tc") + 1) - log(col("rc") + 1)))
+            / sum(col("k")) - max(col("c")), 6).as("dsir_w"))
+        .orderBy("doc_id")
+    },
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest($duckTokens) AS t FROM documents),
+         |tb AS (SELECT doc_id, lang, substr(md5(t), 1, 2) AS b FROM tok),
+         |st AS (SELECT b,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+         |    count(*) AS rc FROM tb GROUP BY b),
+         |tot AS (SELECT sum(tc) AS t_tot, sum(rc) AS r_tot FROM st),
+         |dbc AS (SELECT doc_id, b, count(*) AS k FROM tb
+         |        GROUP BY doc_id, b)
+         |SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_tok,
+         |  round(sum(d.k * (ln(st.tc + 1) - ln(st.rc + 1))) / sum(d.k)
+         |    - ln((t.t_tot + 256.0) / (t.r_tot + 256.0)), 6) AS dsir_w
+         |FROM dbc d JOIN st ON d.b = st.b CROSS JOIN tot t
+         |GROUP BY d.doc_id, t.t_tot, t.r_tot
+         |ORDER BY d.doc_id""".stripMargin,
+      headline = true),
+
+    // Quality-ranked domain mixing under a token budget: each source
+    // keeps its best-quality docs (rounded-quality-desc, doc_id
+    // tie-break) until half its token mass is spent — the mixture-
+    // construction step that turns per-doc quality scores into an
+    // actual training corpus. Integer budget arithmetic (cum*2 <=
+    // src_tok) so the cut is exact on both engines; the per-source
+    // totals are a tiny broadcast, and the only wide shuffle is the
+    // per-source ranking window.
+    "q155_token_budget_mix" -> api({ (spark, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = spark.table("documents").select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        TextOps.qualityScore(col("text")).as("q"))
+      val stot = d.groupBy("source").agg(sum("n_tok").as("src_tok"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(stot), "source")
+        .withColumn("cum", sum("n_tok").over(w))
+        .where(col("cum") * 2 <= col("src_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum("n_tok").cast("long").as("tok_kept"),
+          round(min("q"), 6).as("min_quality"))
+        .orderBy("source")
+    },
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len($duckTokens) AS n_tok,
+         |    $duckQuality AS q
+         |  FROM documents),
+         |s AS (SELECT source, sum(n_tok) AS src_tok FROM d GROUP BY source),
+         |w AS (SELECT d.doc_id, d.source, d.n_tok, d.q,
+         |    sum(d.n_tok) OVER (PARTITION BY d.source
+         |      ORDER BY d.q DESC, d.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    s.src_tok
+         |  FROM d JOIN s USING (source))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+         |  round(min(q), 6) AS min_quality
+         |FROM w WHERE cum * 2 <= src_tok
+         |GROUP BY source ORDER BY source""".stripMargin),
+
+    // Padding-efficiency profile for length-bucketed batching: docs
+    // binned to the next power-of-two token length, per-bucket padding
+    // waste if every doc pads to the bucket size. The report a packing
+    // strategy is tuned against (cf. q146's greedy packer). Map-only
+    // + one small agg; integer outputs except the final ratio.
+    "q156_pad_efficiency" -> sql(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    greatest(size(split(trim(text), '\\s+')), 1) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT n_tok,
+        |    CAST(power(2, ceil(log2(n_tok))) AS BIGINT) AS bucket FROM d)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS toks,
+        |  CAST(sum(bucket - n_tok) AS BIGINT) AS pad_waste,
+        |  round(CAST(sum(bucket - n_tok) AS DOUBLE) / sum(bucket), 6)
+        |    AS waste_frac
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+      s"""WITH d AS (
+         |  SELECT doc_id, greatest(len($duckTokens), 1) AS n_tok
+         |  FROM documents),
+         |b AS (SELECT n_tok,
+         |    CAST(power(2, ceil(log2(n_tok))) AS BIGINT) AS bucket FROM d)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS toks,
+         |  CAST(sum(bucket - n_tok) AS BIGINT) AS pad_waste,
+         |  round(CAST(sum(bucket - n_tok) AS DOUBLE) / sum(bucket), 6)
+         |    AS waste_frac
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // Deterministic language rebalancing: downsample every language to
+    // the smallest language's expected share by accepting a doc iff its
+    // content-hash fraction clears the per-language rate (min_count /
+    // lang_count). Content-keyed like q92, so the kept set is stable
+    // under repartitioning and across engines; the rate table is a
+    // 5-row broadcast. `f * c < mc` keeps the accept test in one IEEE
+    // multiply instead of a division per row.
+    "q157_lang_rebalance" -> sql(
+      """WITH lc AS (SELECT lang, count(*) AS c FROM documents
+        |            GROUP BY lang),
+        |m AS (SELECT min(c) AS mc FROM lc),
+        |d AS (SELECT doc_id, lang,
+        |    CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)
+        |      / 281474976710656.0 AS f
+        |  FROM documents)
+        |SELECT d.doc_id, d.lang
+        |FROM d JOIN lc ON d.lang = lc.lang CROSS JOIN m
+        |WHERE d.f * lc.c < CAST(m.mc AS DOUBLE)
+        |ORDER BY d.doc_id""".stripMargin,
+      """WITH lc AS (SELECT lang, count(*) AS c FROM documents
+        |            GROUP BY lang),
+        |m AS (SELECT min(c) AS mc FROM lc),
+        |d AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(text), 1, 12))::BIGINT
+        |      / 281474976710656.0 AS f
+        |  FROM documents)
+        |SELECT d.doc_id, d.lang
+        |FROM d JOIN lc ON d.lang = lc.lang CROSS JOIN m
+        |WHERE d.f * lc.c < CAST(m.mc AS DOUBLE)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // Canonical-document selection: q94's near-dup clusters +
+    // survivorship — per connected component keep the highest-quality
+    // member (rounded-quality desc, doc_id tie-break) and report the
+    // cluster size it speaks for. The last step of a dedup pass: the
+    // kept set is `canonical_id`, the dropped mass is cluster_size - 1.
+    // Oracle recomputes components from exact pairwise Jaccard via a
+    // recursive CTE, then applies the same argmax.
+    "q158_canonical_docs" -> api({ (spark, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = TextOps.minhashDupPairs(spark.table("documents"),
+        "doc_id", "text", threshold = 0.5)
+      val comp = graft.operators.IterativeOps
+        .connectedComponents(pairs, "id_a", "id_b")
+      val q = spark.table("documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"))
+      val w = Window.partitionBy("component")
+        .orderBy(col("q").desc, col("doc_id"))
+      comp.select(col("id").as("doc_id"), col("component"))
+        .join(q, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("sz",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .where(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("canonical_id"),
+          round(col("q"), 6).as("canonical_q"),
+          col("sz").cast("long").as("cluster_size"))
+        .orderBy("component")
+    },
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE round($duckJaccard, 6) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach(id, lab) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, $duckQuality AS q FROM documents),
+         |r AS (SELECT comp.component, comp.id AS doc_id, q.q,
+         |    row_number() OVER (PARTITION BY comp.component
+         |      ORDER BY q.q DESC, comp.id) AS rn,
+         |    count(*) OVER (PARTITION BY comp.component) AS sz
+         |  FROM comp JOIN q ON comp.id = q.doc_id)
+         |SELECT component, doc_id AS canonical_id,
+         |  round(q, 6) AS canonical_q, CAST(sz AS BIGINT) AS cluster_size
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin)
   )
 }

@@ -250,4 +250,40 @@ class QueriesSpec extends SparkSpecBase {
     assert(plan.contains("Window"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("q154 DSIR broadcasts the fitted bucket stats, no sort-merge join") {
+    // the 256-row model and the 1-row totals must come back as
+    // broadcasts — a shuffle join on the bucket key would repartition
+    // the whole (doc, bucket) table
+    val plan = SparkEntry.queries("q154_dsir_weights")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q155 budget mix broadcasts per-source totals") {
+    val plan = SparkEntry.queries("q155_token_budget_mix")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q157 rebalance keep-set is repartitioning-invariant") {
+    // content-keyed acceptance: the kept doc_ids must not depend on the
+    // physical layout of the scan
+    val base = SparkEntry.queries("q157_lang_rebalance")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val shuffled = spark.table("documents").repartition(7)
+    shuffled.createOrReplaceTempView("documents")
+    try {
+      val again = SparkEntry.queries("q157_lang_rebalance")(spark, sfDir)
+        .collect().map(_.getLong(0)).toSeq
+      assert(again == base)
+    } finally {
+      // dropping the view defeats registerAll's memo, forcing a rebind
+      spark.catalog.dropTempView("documents")
+      Tables.registerAll(spark, sfDir)
+    }
+  }
 }
