@@ -1833,6 +1833,87 @@ object PipelineQueries {
          |  FROM comp JOIN q ON comp.id = q.doc_id)
          |SELECT component, doc_id AS canonical_id,
          |  round(q, 6) AS canonical_q, CAST(sz AS BIGINT) AS cluster_size
-         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin)
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+
+    // Count-min sketch (Cormode & Muthukrishnan 2005): 4 rows × 512
+    // columns of md5-derived counters over the token stream, then the
+    // top-20 exact heavy hitters are estimated as the min over their 4
+    // cells. Like q93's KMV, the entry value-checks THE SKETCH — DuckDB
+    // builds the identical structure, so every counter and every
+    // estimate must agree, not just the trend. Mergeable at scale: the
+    // 2048-cell table is a hash-agg partial per partition, and the
+    // estimate never undershoots (cms_est >= exact_n by construction).
+    "q159_countmin_sketch" -> sql(
+      """WITH tok AS (
+        |  SELECT explode(split(trim(lower(text)), '\\s+')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT t, j,
+        |    CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', t)),
+        |      1, 4), 16, 10) AS BIGINT) % 512 AS c
+        |  FROM tok LATERAL VIEW explode(array(0, 1, 2, 3)) x AS j),
+        |cells AS (SELECT j, c, count(*) AS n FROM h GROUP BY j, c),
+        |ex AS (SELECT t, count(*) AS exact_n FROM tok GROUP BY t
+        |       ORDER BY exact_n DESC, t LIMIT 20),
+        |lk AS (
+        |  SELECT ex.t, ex.exact_n, j,
+        |    CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', ex.t)),
+        |      1, 4), 16, 10) AS BIGINT) % 512 AS c
+        |  FROM ex LATERAL VIEW explode(array(0, 1, 2, 3)) x AS j)
+        |SELECT lk.t AS token, CAST(max(lk.exact_n) AS BIGINT) AS exact_n,
+        |  CAST(min(cells.n) AS BIGINT) AS cms_est
+        |FROM lk JOIN cells ON lk.j = cells.j AND lk.c = cells.c
+        |GROUP BY lk.t ORDER BY exact_n DESC, token""".stripMargin,
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |tj AS (SELECT t, unnest([0, 1, 2, 3]) AS j FROM tok),
+        |h AS (
+        |  SELECT t, j,
+        |    ('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || t),
+        |      1, 4))::BIGINT % 512 AS c
+        |  FROM tj),
+        |cells AS (SELECT j, c, count(*) AS n FROM h GROUP BY j, c),
+        |ex AS (SELECT t, count(*) AS exact_n FROM tok GROUP BY t
+        |       ORDER BY exact_n DESC, t LIMIT 20),
+        |ej AS (SELECT t, exact_n, unnest([0, 1, 2, 3]) AS j FROM ex),
+        |lk AS (
+        |  SELECT t, exact_n, j,
+        |    ('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || t),
+        |      1, 4))::BIGINT % 512 AS c
+        |  FROM ej)
+        |SELECT lk.t AS token, CAST(max(lk.exact_n) AS BIGINT) AS exact_n,
+        |  CAST(min(cells.n) AS BIGINT) AS cms_est
+        |FROM lk JOIN cells ON lk.j = cells.j AND lk.c = cells.c
+        |GROUP BY lk.t ORDER BY exact_n DESC, token""".stripMargin),
+
+    // Weekly retention cohorts: users grouped by first-seen week, the
+    // classic (cohort, week-offset) retention triangle. Week-truncated
+    // dates on both engines start Monday, so offsets are exact integer
+    // arithmetic; DISTINCT (user, cohort, offset) before the count
+    // makes n_users a per-cell distinct-user count with one shuffle.
+    "q160_retention_cohorts" -> sql(
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.cw,
+        |    CAST(datediff(CAST(date_trunc('week', e.ts) AS DATE), f.cw)
+        |      / 7 AS INT) AS wk
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cw AS cohort_week, wk AS week_offset,
+        |  count(*) AS n_users
+        |FROM a GROUP BY cw, wk ORDER BY cw, wk""".stripMargin,
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.cw,
+        |    CAST(date_diff('day', f.cw,
+        |      CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS wk
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cw AS cohort_week, wk AS week_offset,
+        |  count(*) AS n_users
+        |FROM a GROUP BY cw, wk ORDER BY cw, wk""".stripMargin)
   )
 }
