@@ -1271,48 +1271,57 @@ object PipelineQueries {
     // Spark side groups each customer's distinct items in ONE shuffle
     // (map-side partial collect_set; no DISTINCT pre-pass), then a
     // single sentinel-keyed aggregation over the per-basket explode
-    // yields pair counts, item frequencies AND the basket total from
-    // one exchange where the naive plan runs three; the tiny freq/tot
-    // slices broadcast back onto the pair rows. Pairs travel as ONE
-    // BIGINT (a*2^32+b; partkeys are positive ints, 0 is the free
-    // sentinel: (a,0) = singleton, 0 = basket marker) — a primitive
-    // explode+agg keys codegen cheaper than array<struct> rows, and
-    // first-run lambda compilation drops ~6 s. Per-basket fan-out is
-    // bounded by basket size (cap at top-k items at corpus scale).
-    // Oracle keeps the self-join formulation.
-    "q140_item_cooccur" -> sql(
-      """WITH baskets AS (
-        |  SELECT /*+ BROADCAST(part) */ o_custkey AS cust,
-        |    sort_array(collect_set(l_partkey)) AS items
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |  JOIN part ON p_partkey = l_partkey
-        |  WHERE p_type = 'PROMO'
-        |  GROUP BY o_custkey),
-        |agg AS (
-        |  SELECT pr DIV 4294967296 AS item_a, pr % 4294967296 AS item_b,
-        |    count(*) AS c
-        |  FROM baskets
-        |  LATERAL VIEW explode(concat(
-        |    flatten(transform(items, (x, i) ->
-        |      transform(slice(items, i + 2, size(items)),
-        |        y -> x * 4294967296 + y))),
-        |    transform(items, x -> x * 4294967296),
-        |    array(CAST(0 AS BIGINT)))) e AS pr
-        |  GROUP BY pr),
-        |freq AS (SELECT item_a AS item, c AS n_cust FROM agg
-        |         WHERE item_a > 0 AND item_b = 0),
-        |tot AS (SELECT c AS n FROM agg WHERE item_a = 0 AND item_b = 0),
-        |pairs AS (SELECT item_a, item_b, c AS together FROM agg
-        |          WHERE item_a > 0 AND item_b > 0)
-        |SELECT /*+ BROADCAST(fa, fb) */ p.item_a, p.item_b, p.together,
-        |  round(CAST(p.together AS DOUBLE) * tot.n /
-        |    (fa.n_cust * fb.n_cust), 4) AS lift
-        |FROM pairs p
-        |JOIN freq fa ON p.item_a = fa.item
-        |JOIN freq fb ON p.item_b = fb.item
-        |CROSS JOIN tot
-        |ORDER BY p.together DESC, p.item_a, p.item_b LIMIT 50"""
-        .stripMargin,
+    // yields pair counts, item frequencies AND the basket total.
+    // Pairs travel as ONE BIGINT (a*2^32+b; partkeys are positive
+    // ints, 0 is the free sentinel: (a,0) = singleton, 0 = basket
+    // marker) — a primitive explode+agg keys codegen cheaper than
+    // array<struct> rows. The agg table is MATERIALIZED
+    // (localCheckpoint) before the three consumers slice it: filter
+    // pushdown through the aggregate makes the branch subplans
+    // non-identical, so exchange reuse can't fire and an inlined CTE
+    // re-runs the whole basket build per branch (measured 4×) —
+    // materializing is what DuckDB itself does for multiply-referenced
+    // CTEs, and at corpus scale the shared intermediate would be a
+    // persisted table. Per-basket fan-out is bounded by basket size
+    // (cap at top-k items at corpus scale). Oracle keeps the
+    // self-join formulation.
+    "q140_item_cooccur" -> api({ (spark, _) =>
+      val agg = spark.sql(
+        """WITH baskets AS (
+          |  SELECT /*+ BROADCAST(part) */ o_custkey AS cust,
+          |    sort_array(collect_set(l_partkey)) AS items
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |  JOIN part ON p_partkey = l_partkey
+          |  WHERE p_type = 'PROMO'
+          |  GROUP BY o_custkey)
+          |SELECT pr DIV 4294967296 AS item_a, pr % 4294967296 AS item_b,
+          |  count(*) AS c
+          |FROM baskets
+          |LATERAL VIEW explode(concat(
+          |  flatten(transform(items, (x, i) ->
+          |    transform(slice(items, i + 2, size(items)),
+          |      y -> x * 4294967296 + y))),
+          |  transform(items, x -> x * 4294967296),
+          |  array(CAST(0 AS BIGINT)))) e AS pr
+          |GROUP BY pr""".stripMargin).localCheckpoint()
+      agg.createOrReplaceTempView("graft_q140_agg")
+      spark.sql(
+        """WITH freq AS (SELECT item_a AS item, c AS n_cust
+          |  FROM graft_q140_agg WHERE item_a > 0 AND item_b = 0),
+          |tot AS (SELECT c AS n FROM graft_q140_agg
+          |        WHERE item_a = 0 AND item_b = 0),
+          |pairs AS (SELECT item_a, item_b, c AS together
+          |  FROM graft_q140_agg WHERE item_a > 0 AND item_b > 0)
+          |SELECT /*+ BROADCAST(fa, fb) */ p.item_a, p.item_b, p.together,
+          |  round(CAST(p.together AS DOUBLE) * tot.n /
+          |    (fa.n_cust * fb.n_cust), 4) AS lift
+          |FROM pairs p
+          |JOIN freq fa ON p.item_a = fa.item
+          |JOIN freq fb ON p.item_b = fb.item
+          |CROSS JOIN tot
+          |ORDER BY p.together DESC, p.item_a, p.item_b LIMIT 50"""
+          .stripMargin)
+    },
       """WITH bought AS (
         |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
