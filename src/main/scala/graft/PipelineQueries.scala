@@ -677,21 +677,27 @@ object PipelineQueries {
     // differences between engines' ln() can never flip a rank; the
     // score column itself is rounded display output. Two shuffles
     // (doc-term agg, term df agg) + a broadcast of the tiny df table.
-    "q95_tfidf" -> sql(
-      """WITH t AS (
-        |  SELECT doc_id, tok FROM documents
-        |  LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) u AS tok),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf
-        |  FROM t GROUP BY doc_id, tok),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+    "q95_tfidf" -> api({ (spark, _) =>
+      // tf is materialized once; df is tf's row count per token (each
+      // (doc, tok) row is one containing doc), so the corpus is
+      // exploded exactly once instead of once per consumer
+      val tf = spark.sql(
+        """SELECT doc_id, tok, count(*) AS tf FROM documents
+          |LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) u AS tok
+          |GROUP BY doc_id, tok""".stripMargin).localCheckpoint()
+      tf.createOrReplaceTempView("graft_q95_tf")
+      spark.sql(
+        """WITH df AS (SELECT tok, count(*) AS df FROM graft_q95_tf
+          |            GROUP BY tok),
         |n AS (SELECT count(*) AS n FROM documents),
         |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
         |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score,
         |    row_number() OVER (PARTITION BY tf.doc_id
         |      ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS rn
-        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        |  FROM graft_q95_tf tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
         |SELECT doc_id, tok, tf, df, score, rn FROM s WHERE rn <= 3
-        |ORDER BY doc_id, rn""".stripMargin,
+        |ORDER BY doc_id, rn""".stripMargin)
+    },
       """WITH t AS (
         |  SELECT doc_id, u.tok AS tok FROM documents,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS u(tok)),
@@ -1350,26 +1356,36 @@ object PipelineQueries {
     // trigram counts are self-trained in one pass, then each document
     // is scored by the mean surprise -ln(count/total) of its trigrams.
     // The per-document trigram-count table (dtc) is aggregated ONCE and
-    // its shuffle feeds all three consumers (corpus counts, total,
-    // scoring) via exchange reuse — the r2 shape re-ran the explode per
-    // CTE branch. Scoring weights each distinct trigram by its in-doc
-    // count (identical math to the per-instance avg); the corpus count
-    // table is trigram-cardinality small and broadcasts.
-    "q141_trigram_lm" -> sql(
-      """WITH dtc AS (
-        |  SELECT doc_id, t, count(*) AS k FROM documents
-        |  LATERAL VIEW explode(transform(
-        |    sequence(1, greatest(length(text) - 2, 1)),
-        |    i -> substring(text, i, 3))) x AS t
-        |  GROUP BY doc_id, t),
-        |cnt AS (SELECT t, sum(k) AS c FROM dtc GROUP BY t),
-        |tot AS (SELECT sum(k) AS n FROM dtc)
-        |SELECT /*+ BROADCAST(cnt) */ dtc.doc_id,
-        |  CAST(sum(k) AS BIGINT) AS n_tri,
-        |  round(sum(k * ln(CAST(tot.n AS DOUBLE) / cnt.c)) / sum(k), 4)
-        |    AS cross_entropy
-        |FROM dtc JOIN cnt ON dtc.t = cnt.t CROSS JOIN tot
-        |GROUP BY dtc.doc_id ORDER BY dtc.doc_id""".stripMargin,
+    // MATERIALIZED (localCheckpoint) before the three consumers (corpus
+    // counts, total, scoring) read it: filter/pruning differences
+    // between the inlined CTE branches defeat exchange reuse, so
+    // without the barrier the corpus explode re-runs per branch
+    // (measured 3 Generates). The corpus count table stays
+    // trigram-cardinality small and broadcasts back for scoring — the
+    // scale-safe shape (a per-trigram window would put every doc
+    // sharing a hot trigram in one partition). Scoring weights each
+    // distinct trigram by its in-doc count (identical math to the
+    // per-instance avg).
+    "q141_trigram_lm" -> api({ (spark, _) =>
+      val dtc = spark.sql(
+        """SELECT doc_id, t, count(*) AS k FROM documents
+          |LATERAL VIEW explode(transform(
+          |  sequence(1, greatest(length(text) - 2, 1)),
+          |  i -> substring(text, i, 3))) x AS t
+          |GROUP BY doc_id, t""".stripMargin).localCheckpoint()
+      dtc.createOrReplaceTempView("graft_q141_dtc")
+      spark.sql(
+        """WITH cnt AS (SELECT t, sum(k) AS c FROM graft_q141_dtc
+          |             GROUP BY t),
+          |tot AS (SELECT sum(k) AS n FROM graft_q141_dtc)
+          |SELECT /*+ BROADCAST(cnt) */ dtc.doc_id,
+          |  CAST(sum(k) AS BIGINT) AS n_tri,
+          |  round(sum(k * ln(CAST(tot.n AS DOUBLE) / cnt.c)) / sum(k), 4)
+          |    AS cross_entropy
+          |FROM graft_q141_dtc dtc
+          |JOIN cnt ON dtc.t = cnt.t CROSS JOIN tot
+          |GROUP BY dtc.doc_id ORDER BY dtc.doc_id""".stripMargin)
+    },
       """WITH tri AS (
         |  SELECT doc_id, unnest(list_transform(
         |    range(1, greatest(length(text) - 2, 1) + 1),
