@@ -1939,6 +1939,22 @@ object PipelineQueries {
         |  FROM events e JOIN f ON e.user_id = f.user_id)
         |SELECT cw AS cohort_week, wk AS week_offset,
         |  count(*) AS n_users
-        |FROM a GROUP BY cw, wk ORDER BY cw, wk""".stripMargin)
+        |FROM a GROUP BY cw, wk ORDER BY cw, wk""".stripMargin),
+
+    // Equi-depth histogram (the q97 fixed-width dual): per-language
+    // length quartiles via ntile over a deterministic total order.
+    // Partitioned by the group key, so each window sort is local to its
+    // partition and spills rather than funneling through one task —
+    // the per-group formulation a stats collector uses; identical text
+    // runs on both engines.
+    "q161_equidepth_hist" -> same(
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    ntile(4) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS b
+        |  FROM documents)
+        |SELECT lang, b AS bucket, count(*) AS n,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM r GROUP BY lang, b ORDER BY lang, b""".stripMargin)
   )
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{avg, col}
+
 /** End-to-end: every SparkEntry catalog query runs at sf0.001 and returns
   * rows; plan-shape assertions keep the scale properties honest (pushdown,
   * broadcast) — the DuckDB value-match itself is the driver's gate, and
@@ -284,6 +286,44 @@ class QueriesSpec extends SparkSpecBase {
       // dropping the view defeats registerAll's memo, forcing a rebind
       spark.catalog.dropTempView("documents")
       Tables.registerAll(spark, sfDir)
+    }
+  }
+
+  test("q159 count-min estimates never undershoot the exact counts") {
+    val rows = SparkEntry.queries("q159_countmin_sketch")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: cms $est < exact $exact")
+    }
+  }
+
+  test("q154 DSIR weights rank the target language's docs higher") {
+    // docs drawn from the 'en' target distribution must average a
+    // higher importance weight than the rest of the corpus
+    val w = SparkEntry.queries("q154_dsir_weights")(spark, sfDir)
+    val lang = spark.table("documents").select("doc_id", "lang")
+    val byTarget = w.join(lang, "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg("dsir_w")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byTarget(true) > byTarget(false),
+      s"en ${byTarget(true)} !> rest ${byTarget(false)}")
+  }
+
+  test("q161 equi-depth buckets are depth-balanced and ordered") {
+    val rows = SparkEntry.queries("q161_equidepth_hist")(spark, sfDir)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, bs) =>
+      val depths = bs.map(_.getLong(2))
+      assert(depths.max - depths.min <= 1, s"$lang depths unbalanced")
+      val sorted = bs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach { w =>
+        if (w.size == 2)
+          assert(w(0).getLong(4) <= w(1).getLong(3),
+            s"$lang bucket ranges overlap")
+      }
     }
   }
 }
