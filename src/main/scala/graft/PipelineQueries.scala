@@ -88,6 +88,31 @@ object PipelineQueries {
     * definition interpolated by q63, q64 and q69 so the split can never
     * silently diverge between the splitter, the contamination check and
     * the pipeline. */
+  /** Materializes `df` once (localCheckpoint) and binds it as temp view
+    * `name` — the fix for multiply-referenced CTEs wrapping an
+    * aggregate, where filter pushdown/column pruning makes the inlined
+    * branch subplans non-canonical so exchange reuse never fires and
+    * each consumer re-runs the whole upstream pipeline. The blocks of
+    * the PREVIOUS checkpoint bound to the same (session, name) are
+    * released first: bench/verify invoke entries repeatedly in one
+    * session, and without the release each pass would stack storage
+    * blocks until the old plans happen to be GC'd. */
+  private val ckpts = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.rdd.RDD[_]]()
+  private def checkpointView(spark: org.apache.spark.sql.SparkSession,
+      name: String, df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ck = df.localCheckpoint()
+    val rdd = ck.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.orNull
+    val key = System.identityHashCode(spark) + ":" + name
+    val prev = if (rdd == null) ckpts.remove(key) else ckpts.put(key, rdd)
+    if (prev != null && (prev ne rdd)) scala.util.Try(prev.unpersist(false))
+    ck.createOrReplaceTempView(name)
+    ck
+  }
+
   /** Shared recall-oracle scaffolding for the ANN entries (q46/q66):
     * materializes the ANN result to `dir` tagged with the corpus row
     * count, then scores per-query overlap against the exact top-5
@@ -681,11 +706,10 @@ object PipelineQueries {
       // tf is materialized once; df is tf's row count per token (each
       // (doc, tok) row is one containing doc), so the corpus is
       // exploded exactly once instead of once per consumer
-      val tf = spark.sql(
+      checkpointView(spark, "graft_q95_tf", spark.sql(
         """SELECT doc_id, tok, count(*) AS tf FROM documents
           |LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) u AS tok
-          |GROUP BY doc_id, tok""".stripMargin).localCheckpoint()
-      tf.createOrReplaceTempView("graft_q95_tf")
+          |GROUP BY doc_id, tok""".stripMargin))
       spark.sql(
         """WITH df AS (SELECT tok, count(*) AS df FROM graft_q95_tf
           |            GROUP BY tok),
@@ -1292,7 +1316,7 @@ object PipelineQueries {
     // (cap at top-k items at corpus scale). Oracle keeps the
     // self-join formulation.
     "q140_item_cooccur" -> api({ (spark, _) =>
-      val agg = spark.sql(
+      checkpointView(spark, "graft_q140_agg", spark.sql(
         """WITH baskets AS (
           |  SELECT /*+ BROADCAST(part) */ o_custkey AS cust,
           |    sort_array(collect_set(l_partkey)) AS items
@@ -1309,8 +1333,7 @@ object PipelineQueries {
           |      y -> x * 4294967296 + y))),
           |  transform(items, x -> x * 4294967296),
           |  array(CAST(0 AS BIGINT)))) e AS pr
-          |GROUP BY pr""".stripMargin).localCheckpoint()
-      agg.createOrReplaceTempView("graft_q140_agg")
+          |GROUP BY pr""".stripMargin))
       spark.sql(
         """WITH freq AS (SELECT item_a AS item, c AS n_cust
           |  FROM graft_q140_agg WHERE item_a > 0 AND item_b = 0),
@@ -1367,13 +1390,12 @@ object PipelineQueries {
     // distinct trigram by its in-doc count (identical math to the
     // per-instance avg).
     "q141_trigram_lm" -> api({ (spark, _) =>
-      val dtc = spark.sql(
+      checkpointView(spark, "graft_q141_dtc", spark.sql(
         """SELECT doc_id, t, count(*) AS k FROM documents
           |LATERAL VIEW explode(transform(
           |  sequence(1, greatest(length(text) - 2, 1)),
           |  i -> substring(text, i, 3))) x AS t
-          |GROUP BY doc_id, t""".stripMargin).localCheckpoint()
-      dtc.createOrReplaceTempView("graft_q141_dtc")
+          |GROUP BY doc_id, t""".stripMargin))
       spark.sql(
         """WITH cnt AS (SELECT t, sum(k) AS c FROM graft_q141_dtc
           |             GROUP BY t),
@@ -1685,8 +1707,9 @@ object PipelineQueries {
           (col("r_tot") + lit(256.0))))
         .groupBy("doc_id")
         .agg(sum("k").cast("long").as("n_tok"),
-          round(sum(col("k") * (log(col("tc") + 1) - log(col("rc") + 1)))
-            / sum(col("k")) - max(col("c")), 6).as("dsir_w"))
+          GraftFunctions.duckRound(
+            sum(col("k") * (log(col("tc") + 1) - log(col("rc") + 1)))
+              / sum(col("k")) - max(col("c")), 6).as("dsir_w"))
         .orderBy("doc_id")
     },
       s"""WITH tok AS (
@@ -1753,14 +1776,21 @@ object PipelineQueries {
     // binned to the next power-of-two token length, per-bucket padding
     // waste if every doc pads to the bucket size. The report a packing
     // strategy is tuned against (cf. q146's greedy packer). Map-only
-    // + one small agg; integer outputs except the final ratio.
+    // + one small agg; integer outputs except the final ratio. The
+    // Spark bucket is bit-length arithmetic (length(bin(n-1))), not
+    // float ceil(log2(n)): Spark's log2 = ln(x)/ln(2) overshoots at
+    // exact powers of two (ceil(log2(2^29)) = 30), which would both
+    // diverge from DuckDB's exact log2 and double the pad size.
     "q156_pad_efficiency" -> sql(
       """WITH d AS (
         |  SELECT doc_id,
         |    greatest(size(split(trim(text), '\\s+')), 1) AS n_tok
         |  FROM documents),
         |b AS (SELECT n_tok,
-        |    CAST(power(2, ceil(log2(n_tok))) AS BIGINT) AS bucket FROM d)
+        |    CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(power(2,
+        |        length(bin(CAST(n_tok AS BIGINT) - 1))) AS BIGINT)
+        |    END AS bucket FROM d)
         |SELECT bucket, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS toks,
         |  CAST(sum(bucket - n_tok) AS BIGINT) AS pad_waste,
@@ -1771,7 +1801,10 @@ object PipelineQueries {
          |  SELECT doc_id, greatest(len($duckTokens), 1) AS n_tok
          |  FROM documents),
          |b AS (SELECT n_tok,
-         |    CAST(power(2, ceil(log2(n_tok))) AS BIGINT) AS bucket FROM d)
+         |    CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(power(2,
+         |        length(bin(CAST(n_tok AS BIGINT) - 1))) AS BIGINT)
+         |    END AS bucket FROM d)
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS toks,
          |  CAST(sum(bucket - n_tok) AS BIGINT) AS pad_waste,
@@ -1791,8 +1824,8 @@ object PipelineQueries {
         |            GROUP BY lang),
         |m AS (SELECT min(c) AS mc FROM lc),
         |d AS (SELECT doc_id, lang,
-        |    CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)
-        |      / 281474976710656.0 AS f
+        |    CAST(conv(substring(md5(text), 1, 12), 16, 10) AS DOUBLE)
+        |      / CAST(281474976710656 AS DOUBLE) AS f
         |  FROM documents)
         |SELECT d.doc_id, d.lang
         |FROM d JOIN lc ON d.lang = lc.lang CROSS JOIN m
@@ -1802,8 +1835,8 @@ object PipelineQueries {
         |            GROUP BY lang),
         |m AS (SELECT min(c) AS mc FROM lc),
         |d AS (SELECT doc_id, lang,
-        |    ('0x' || substring(md5(text), 1, 12))::BIGINT
-        |      / 281474976710656.0 AS f
+        |    CAST(('0x' || substring(md5(text), 1, 12))::BIGINT AS DOUBLE)
+        |      / CAST(281474976710656 AS DOUBLE) AS f
         |  FROM documents)
         |SELECT d.doc_id, d.lang
         |FROM d JOIN lc ON d.lang = lc.lang CROSS JOIN m
@@ -1865,42 +1898,52 @@ object PipelineQueries {
     // top-20 exact heavy hitters are estimated as the min over their 4
     // cells. Like q93's KMV, the entry value-checks THE SKETCH — DuckDB
     // builds the identical structure, so every counter and every
-    // estimate must agree, not just the trend. Mergeable at scale: the
-    // 2048-cell table is a hash-agg partial per partition, and the
+    // estimate must agree, not just the trend. The corpus is exploded
+    // ONCE into a materialized (token, count) table; cell counts sum
+    // those counts per (row, column) over distinct tokens (identical
+    // totals, 4-way fan-out over vocabulary not token instances) and
+    // the exact top-20 is the same table's head. Mergeable at scale:
+    // the 2048-cell table is a hash-agg partial per partition, and the
     // estimate never undershoots (cms_est >= exact_n by construction).
-    "q159_countmin_sketch" -> sql(
-      """WITH tok AS (
-        |  SELECT explode(split(trim(lower(text)), '\\s+')) AS t
-        |  FROM documents),
+    "q159_countmin_sketch" -> api({ (spark, _) =>
+      checkpointView(spark, "graft_q159_tc", spark.sql(
+        """SELECT t, count(*) AS cnt FROM documents
+          |LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) u AS t
+          |GROUP BY t""".stripMargin))
+      spark.sql(
+        """WITH h AS (
+          |  SELECT t, cnt, j,
+          |    CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', t)),
+          |      1, 4), 16, 10) AS BIGINT) % 512 AS c
+          |  FROM graft_q159_tc
+          |  LATERAL VIEW explode(array(0, 1, 2, 3)) x AS j),
+          |cells AS (SELECT j, c, sum(cnt) AS n FROM h GROUP BY j, c),
+          |ex AS (SELECT t, cnt AS exact_n FROM graft_q159_tc
+          |       ORDER BY cnt DESC, t LIMIT 20),
+          |lk AS (
+          |  SELECT ex.t, ex.exact_n, j,
+          |    CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', ex.t)),
+          |      1, 4), 16, 10) AS BIGINT) % 512 AS c
+          |  FROM ex LATERAL VIEW explode(array(0, 1, 2, 3)) x AS j)
+          |SELECT lk.t AS token, CAST(max(lk.exact_n) AS BIGINT) AS exact_n,
+          |  CAST(min(cells.n) AS BIGINT) AS cms_est
+          |FROM lk JOIN cells ON lk.j = cells.j AND lk.c = cells.c
+          |GROUP BY lk.t ORDER BY exact_n DESC, token""".stripMargin)
+    },
+      """WITH tc AS (
+        |  SELECT t, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS t FROM documents) z
+        |  GROUP BY t),
+        |tj AS (SELECT t, cnt, unnest([0, 1, 2, 3]) AS j FROM tc),
         |h AS (
-        |  SELECT t, j,
-        |    CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', t)),
-        |      1, 4), 16, 10) AS BIGINT) % 512 AS c
-        |  FROM tok LATERAL VIEW explode(array(0, 1, 2, 3)) x AS j),
-        |cells AS (SELECT j, c, count(*) AS n FROM h GROUP BY j, c),
-        |ex AS (SELECT t, count(*) AS exact_n FROM tok GROUP BY t
-        |       ORDER BY exact_n DESC, t LIMIT 20),
-        |lk AS (
-        |  SELECT ex.t, ex.exact_n, j,
-        |    CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', ex.t)),
-        |      1, 4), 16, 10) AS BIGINT) % 512 AS c
-        |  FROM ex LATERAL VIEW explode(array(0, 1, 2, 3)) x AS j)
-        |SELECT lk.t AS token, CAST(max(lk.exact_n) AS BIGINT) AS exact_n,
-        |  CAST(min(cells.n) AS BIGINT) AS cms_est
-        |FROM lk JOIN cells ON lk.j = cells.j AND lk.c = cells.c
-        |GROUP BY lk.t ORDER BY exact_n DESC, token""".stripMargin,
-      """WITH tok AS (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-        |  FROM documents),
-        |tj AS (SELECT t, unnest([0, 1, 2, 3]) AS j FROM tok),
-        |h AS (
-        |  SELECT t, j,
+        |  SELECT t, cnt, j,
         |    ('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || t),
         |      1, 4))::BIGINT % 512 AS c
         |  FROM tj),
-        |cells AS (SELECT j, c, count(*) AS n FROM h GROUP BY j, c),
-        |ex AS (SELECT t, count(*) AS exact_n FROM tok GROUP BY t
-        |       ORDER BY exact_n DESC, t LIMIT 20),
+        |cells AS (SELECT j, c, sum(cnt) AS n FROM h GROUP BY j, c),
+        |ex AS (SELECT t, cnt AS exact_n FROM tc
+        |       ORDER BY cnt DESC, t LIMIT 20),
         |ej AS (SELECT t, exact_n, unnest([0, 1, 2, 3]) AS j FROM ex),
         |lk AS (
         |  SELECT t, exact_n, j,
@@ -1950,8 +1993,8 @@ object PipelineQueries {
     "q161_equidepth_hist" -> same(
       """WITH r AS (
         |  SELECT lang, n_chars,
-        |    ntile(4) OVER (PARTITION BY lang
-        |      ORDER BY n_chars, doc_id) AS b
+        |    CAST(ntile(4) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS INT) AS b
         |  FROM documents)
         |SELECT lang, b AS bucket, count(*) AS n,
         |  min(n_chars) AS lo, max(n_chars) AS hi
