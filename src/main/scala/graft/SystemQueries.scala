@@ -425,6 +425,44 @@ object SystemQueries {
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin),
 
+    // Streaming count-min sketch: per-hour 4×512 counter cells kept as
+    // streaming state (sketch-sized, not key-cardinality-sized), then
+    // each hour's exact top-3 users scored against the drained sketch.
+    // Integer counts make stream == batch sketch exact at any
+    // micro-batch slicing, so the whole thing is oracle-checkable:
+    // DuckDB builds the identical sketch in SQL.
+    "q162_stream_countmin" -> api(
+      (spark, sfDir) => StreamingOps.streamingCountMin(spark, sfDir),
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    user_id FROM events),
+        |tj AS (SELECT hour, user_id, unnest([0, 1, 2, 3]) AS j FROM e),
+        |h AS (SELECT hour, j,
+        |    ('0x' || substring(md5(CAST(j AS VARCHAR) || '|' ||
+        |      CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 512 AS c
+        |  FROM tj),
+        |cells AS (SELECT hour, j, c, count(*) AS n FROM h
+        |          GROUP BY hour, j, c),
+        |ex AS (SELECT hour, user_id, count(*) AS exact_n FROM e
+        |       GROUP BY hour, user_id),
+        |top AS (SELECT hour, user_id, exact_n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY hour
+        |    ORDER BY exact_n DESC, user_id) AS rn FROM ex) z
+        |  WHERE rn <= 3),
+        |tj2 AS (SELECT hour, user_id, exact_n, unnest([0, 1, 2, 3]) AS j
+        |        FROM top),
+        |lk AS (SELECT hour, user_id, exact_n, j,
+        |    ('0x' || substring(md5(CAST(j AS VARCHAR) || '|' ||
+        |      CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 512 AS c
+        |  FROM tj2)
+        |SELECT lk.hour, lk.user_id,
+        |  CAST(max(lk.exact_n) AS BIGINT) AS exact_n,
+        |  CAST(min(cells.n) AS BIGINT) AS cms_est
+        |FROM lk JOIN cells ON lk.hour = cells.hour
+        |  AND lk.j = cells.j AND lk.c = cells.c
+        |GROUP BY lk.hour, lk.user_id
+        |ORDER BY lk.hour, exact_n DESC, lk.user_id""".stripMargin),
+
     // H7 parse/bind validation over a fixed statement battery: verdicts
     // are deterministic but the classification rules are engine-internal
     // ⇒ rows-only; ValidatorSpec pins the semantics.

@@ -269,4 +269,68 @@ object StreamingOps {
     }
     drainSink(spark, name, Seq("user_id"))
   }
+
+  /** Streaming count-min sketch: the 4×512 md5-derived counter table
+    * (q159's family) maintained as a stateful streaming aggregation
+    * keyed on (hour window, row, column). Streaming state is
+    * SKETCH-sized — open windows × 2048 cells — not key-cardinality
+    * sized, which is the point of sketching an unbounded stream: a
+    * per-user exact count would grow state with the user population,
+    * the sketch's is constant per window. Counts are integers, so the
+    * drained cells equal the batch-built sketch exactly at any
+    * micro-batch slicing; the returned frame scores each hour's exact
+    * top-3 users (batch side) against the sketch estimate read from
+    * the drained cells — estimates can only overshoot (collisions). */
+  def streamingCountMin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val cells = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id"),
+        explode(array((0 to 3).map(lit(_)): _*)).as("j"))
+      .withColumn("c",
+        expr("CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', " +
+          "CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 512"))
+      .groupBy(window(col("ts"), "1 hour"), col("j"), col("c"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("j"), col("c"),
+        col("n"))
+    val name = s"stream_cms_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = cells.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainSink(spark, name, Seq("hour", "j", "c"))
+      .createOrReplaceTempView("graft_q162_cells")
+    spark.sql(
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    user_id FROM events),
+        |ex AS (SELECT hour, user_id, count(*) AS exact_n FROM e
+        |       GROUP BY hour, user_id),
+        |top AS (SELECT hour, user_id, exact_n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY hour
+        |    ORDER BY exact_n DESC, user_id) AS rn FROM ex) z
+        |  WHERE rn <= 3),
+        |lk AS (
+        |  SELECT top.hour, top.user_id, top.exact_n, j,
+        |    CAST(conv(substring(md5(concat(CAST(j AS STRING), '|',
+        |      CAST(top.user_id AS STRING))), 1, 4), 16, 10) AS BIGINT)
+        |      % 512 AS c
+        |  FROM top LATERAL VIEW explode(array(0, 1, 2, 3)) x AS j)
+        |SELECT lk.hour, lk.user_id,
+        |  CAST(max(lk.exact_n) AS BIGINT) AS exact_n,
+        |  CAST(min(cl.n) AS BIGINT) AS cms_est
+        |FROM lk JOIN graft_q162_cells cl
+        |  ON lk.hour = cl.hour AND lk.j = cl.j AND lk.c = cl.c
+        |GROUP BY lk.hour, lk.user_id
+        |ORDER BY lk.hour, exact_n DESC, lk.user_id""".stripMargin)
+  }
 }
