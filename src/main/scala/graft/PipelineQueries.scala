@@ -1998,6 +1998,47 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT lang, b AS bucket, count(*) AS n,
         |  min(n_chars) AS lo, max(n_chars) AS hi
-        |FROM r GROUP BY lang, b ORDER BY lang, b""".stripMargin)
+        |FROM r GROUP BY lang, b ORDER BY lang, b""".stripMargin),
+
+    // H6 SQL post-processing as engine operators: stop-token truncation
+    // (text_to_sql.py:162), whitespace collapse (:18-20) and the
+    // question cleaner (data_utils.py:69-80), exercised on adversarial
+    // strings synthesized deterministically from the corpus (quotes,
+    // tabs, a non-ASCII char, trailing explanation after the stop
+    // token) so every regex step is non-vacuous. The oracle replays
+    // the identical chain in DuckDB ('g' flag: Spark regexp_replace is
+    // global by default, DuckDB's is first-match).
+    "q163_sql_postprocess" -> api({ (spark, _) =>
+      val raw = concat(lit("SELECT '"), substring(col("text"), 1, 30),
+        lit("' AS q,\t\"col\" FROM t;\n-- explanation"))
+      val ques = concat(lit("what is "), substring(col("text"), 1, 20),
+        lit("'' ``\té  ?"))
+      spark.table("documents").select(col("doc_id"),
+        PromptOps.truncateAtStops(raw, Seq("\n", ";")).as("sql_out"),
+        PromptOps.cleanWhitespace(raw).as("collapsed"),
+        PromptOps.cleanStr(ques).as("question"))
+        .orderBy("doc_id")
+    },
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    'SELECT ' || chr(39) || substring(text, 1, 30) || chr(39) ||
+        |      ' AS q,' || chr(9) || '"col" FROM t;' || chr(10) ||
+        |      '-- explanation' AS raw,
+        |    'what is ' || substring(text, 1, 20) || chr(39) || chr(39) ||
+        |      ' ``' || chr(9) || chr(233) || '  ?' AS ques
+        |  FROM documents)
+        |SELECT doc_id,
+        |  string_split(string_split(raw, chr(10))[1], ';')[1] AS sql_out,
+        |  regexp_replace(raw, '[\t\n\s]+', ' ', 'g') AS collapsed,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(ques, '[^\x00-\x7f]', ' ', 'g'),
+        |          chr(39) || chr(39), ' ', 'g'),
+        |        '``', ' ', 'g'),
+        |      '"', chr(39), 'g'),
+        |    '[\t ]+', ' ', 'g')) AS question
+        |FROM b ORDER BY doc_id""".stripMargin)
   )
 }

@@ -135,4 +135,30 @@ object PromptOps {
       msg("assistant", lit(explainSchema(tableText))),
       msg("user", concat(lit(finalPre), col(questionCol), lit(finalPost)))))
   }
+
+  // ---- H6: SQL post-processing (model output → executable SQL) ----
+  // eval/text_to_sql.py:18-20 (clean_whitespace), :160-163 (stop-token
+  // truncation), eval/data_utils.py:69-80 (clean_str). Each is a
+  // codegen'd string expression — map-only over the output column.
+
+  /** Truncates at the first occurrence of each stop sequence, applied
+    * in order (text_to_sql.py:162-163 `sql_query.split(token)[0]`). */
+  def truncateAtStops(c: Column, stops: Seq[String]): Column =
+    stops.foldLeft(c)((acc, s) => substring_index(acc, s, 1))
+
+  /** Collapses whitespace runs to one space (text_to_sql.py:18-20;
+    * regex kept verbatim, `\s` already covers the explicit \t\n). */
+  def cleanWhitespace(c: Column): Column =
+    regexp_replace(c, "[\\t\\n\\s]+", " ")
+
+  /** The reference's question cleaner (data_utils.py:69-80), steps in
+    * the reference's order: non-ASCII → space, doubled-quote escapes
+    * dropped, double quote → single, tab/space runs collapsed, trim. */
+  def cleanStr(c: Column): Column = {
+    val ascii = regexp_replace(c, "[^\\x00-\\x7f]", " ")
+    val noSq = regexp_replace(ascii, "''", " ")
+    val noBq = regexp_replace(noSq, "``", " ")
+    val dq = regexp_replace(noBq, "\"", "'")
+    trim(regexp_replace(dq, "[\\t ]+", " "))
+  }
 }

@@ -87,4 +87,28 @@ class PromptOpsSpec extends SparkSpecBase {
       "valid duckdb SQL to answer the following question.\n"))
     assert(!p.contains("Here is the database schema"))
   }
+
+  // H6 post-processing — expected values computed by running the
+  // reference's own Python (text_to_sql.py clean_whitespace + stop
+  // split, data_utils.py clean_str) on the same inputs
+  test("stop-token truncation matches split(token)[0] chaining") {
+    val out = Seq("SELECT 1;\n-- note").toDF("raw")
+      .select(PromptOps.truncateAtStops(col("raw"), Seq("\n", ";"))
+        .as("s")).as[String].collect().head
+    assert(out == "SELECT 1")
+  }
+
+  test("cleanWhitespace collapses runs like the reference regex") {
+    val out = Seq("a\t b\n\nc   d").toDF("raw")
+      .select(PromptOps.cleanWhitespace(col("raw")).as("s"))
+      .as[String].collect().head
+    assert(out == "a b c d")
+  }
+
+  test("cleanStr mirrors data_utils.clean_str byte for byte") {
+    val out = Seq("  quéry '' `` \"x\"\t end ").toDF("raw")
+      .select(PromptOps.cleanStr(col("raw")).as("s"))
+      .as[String].collect().head
+    assert(out == "qu ry 'x' end")
+  }
 }
