@@ -2039,6 +2039,67 @@ object PipelineQueries {
         |        '``', ' ', 'g'),
         |      '"', chr(39), 'g'),
         |    '[\t ]+', ' ', 'g')) AS question
-        |FROM b ORDER BY doc_id""".stripMargin)
+        |FROM b ORDER BY doc_id""".stripMargin),
+
+    // H9 + H13 evaluation metrics as engine operators: per-language
+    // exact-match rollup (evaluate.py:85-113) and set-overlap
+    // precision/recall/F1 (metric_utils.py:15-20) over synthesized
+    // gold/pred pairs — every third doc's prediction goes through the
+    // `<db> | <sql>` extraction path (predict.py:83-91) and must
+    // exact-match after it; the rest carry a `<>` for the rewrite and
+    // intentionally miss. Token sets overlap partially (positions 1-10
+    // vs 4-13) so P/R/F1 are non-trivial on every row. Map-only
+    // metrics, one rollup shuffle.
+    "q164_eval_metrics" -> api({ (spark, _) =>
+      val w = TextOps.tokens(col("text"))
+      val idStr = col("doc_id").cast("string")
+      val goldSql = concat(lit("SELECT x FROM t WHERE id = "), idStr)
+      val predSql = when(col("doc_id") % 3 === 0,
+          concat(lit("db | SELECT x FROM t WHERE id = "), idStr))
+        .otherwise(concat(lit("SELECT y FROM t WHERE id <> "), idStr))
+      spark.table("documents").select(col("doc_id"), col("lang"),
+          PromptOps.setPrf(slice(w, 1, 10), slice(w, 4, 10)).as("prf"),
+          (PromptOps.extractSql(predSql) === goldSql)
+            .cast("int").as("em"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("em").cast("long").as("n_exact"),
+          round(avg(col("prf.prec")), 6).as("avg_prec"),
+          round(avg(col("prf.recall")), 6).as("avg_recall"),
+          round(avg(col("prf.f1")), 6).as("avg_f1"))
+        .orderBy("lang")
+    },
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $duckTokens AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(w[1:10]) AS g, list_distinct(w[4:13]) AS p,
+         |    'SELECT x FROM t WHERE id = ' || CAST(doc_id AS VARCHAR)
+         |      AS gold_sql,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN 'db | SELECT x FROM t WHERE id = ' ||
+         |        CAST(doc_id AS VARCHAR)
+         |      ELSE 'SELECT y FROM t WHERE id <> ' ||
+         |        CAST(doc_id AS VARCHAR) END AS pred_sql
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(p) = 0 THEN 0.0
+         |      ELSE len(list_intersect(g, p))::DOUBLE / len(p) END AS prec,
+         |    CASE WHEN len(g) = 0 THEN 0.0
+         |      ELSE len(list_intersect(g, p))::DOUBLE / len(g) END
+         |      AS recall,
+         |    CASE WHEN trim(string_split(
+         |        replace(trim(pred_sql), '<>', '!='), '|')[-1]) = gold_sql
+         |      THEN 1 ELSE 0 END AS em
+         |  FROM b),
+         |m2 AS (SELECT *, CASE WHEN prec + recall = 0 THEN 0.0
+         |  ELSE 2 * prec * recall / (prec + recall) END AS f1 FROM m)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(em) AS BIGINT) AS n_exact,
+         |  round(avg(prec), 6) AS avg_prec,
+         |  round(avg(recall), 6) AS avg_recall,
+         |  round(avg(f1), 6) AS avg_f1
+         |FROM m2 GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }

@@ -161,4 +161,27 @@ object PromptOps {
     val dq = regexp_replace(noBq, "\"", "'")
     trim(regexp_replace(dq, "[\\t ]+", " "))
   }
+
+  /** Model-output extraction (eval/predict.py:83-91): strip, `<>` →
+    * `!=`, and take what follows the last `|` (models trained on
+    * `<db> | <sql>` pairs emit the prefix). The reference's replace
+    * discards its result (predict.py:87 — a straight bug, the repaired
+    * string is never assigned); this implements the evident intent. */
+  def extractSql(c: Column): Column =
+    trim(substring_index(regexp_replace(trim(c), "<>", "!="), "|", -1))
+
+  /** H13 set-overlap precision/recall/F1 (eval/metric_utils.py:15-20)
+    * over two array columns, with the reference's zero-denominator
+    * conventions. Inputs pass through array_distinct so array columns
+    * behave as the Python sets the reference takes. */
+  def setPrf(gold: Column, pred: Column): Column = {
+    val g = array_distinct(gold)
+    val p = array_distinct(pred)
+    val inter = size(array_intersect(g, p)).cast("double")
+    val prec = when(size(p) === 0, 0.0).otherwise(inter / size(p))
+    val rec = when(size(g) === 0, 0.0).otherwise(inter / size(g))
+    val f1 = when(prec + rec === 0.0, 0.0)
+      .otherwise(lit(2.0) * prec * rec / (prec + rec))
+    struct(prec.as("prec"), rec.as("recall"), f1.as("f1"))
+  }
 }

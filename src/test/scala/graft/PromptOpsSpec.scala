@@ -111,4 +111,29 @@ class PromptOpsSpec extends SparkSpecBase {
       .as[String].collect().head
     assert(out == "qu ry 'x' end")
   }
+
+  test("extractSql strips the db prefix and repairs <> (predict.py:83-91)") {
+    val rows = Seq("  mydb | SELECT a FROM t WHERE x <> 1  ",
+      "SELECT 1").toDF("raw")
+      .select(PromptOps.extractSql(col("raw")).as("s"))
+      .as[String].collect()
+    assert(rows(0) == "SELECT a FROM t WHERE x != 1")
+    assert(rows(1) == "SELECT 1")
+  }
+
+  test("setPrf matches metric_utils.prec_recall_f1 conventions") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq.empty[String]),
+      (Seq.empty[String], Seq.empty[String]))
+      .toDF("g", "p")
+      .select(PromptOps.setPrf(col("g"), col("p")).as("m"))
+      .select("m.prec", "m.recall", "m.f1")
+      .as[(Double, Double, Double)].collect()
+    // gold={a,b,c}, pred={b,c,d}: prec=2/3, recall=2/3, f1=2/3
+    assert(math.abs(df(0)._1 - 2.0 / 3) < 1e-12)
+    assert(math.abs(df(0)._3 - 2.0 / 3) < 1e-12)
+    // empty pred → all zeros (reference returns 0.0, not NaN)
+    assert(df(1) == ((0.0, 0.0, 0.0)))
+    assert(df(2) == ((0.0, 0.0, 0.0)))
+  }
 }
