@@ -97,21 +97,35 @@ object PipelineQueries {
     * released first: bench/verify invoke entries repeatedly in one
     * session, and without the release each pass would stack storage
     * blocks until the old plans happen to be GC'd. */
-  private val ckpts = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.rdd.RDD[_]]()
-  private def checkpointView(spark: org.apache.spark.sql.SparkSession,
-      name: String, df: org.apache.spark.sql.DataFrame)
+  // weak session keys: reference-identity (no cross-session hash
+  // collisions) and entries for stopped sessions evict with the session
+  private val ckpts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.rdd.RDD[_]]]())
+  /** Binds an ALREADY-materialized (LogicalRDD-backed) frame as `name`,
+    * releasing the previous checkpoint bound to that (session, name). */
+  private[graft] def bindCheckpointView(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String, ck: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val ck = df.localCheckpoint()
     val rdd = ck.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.orNull
-    val key = System.identityHashCode(spark) + ":" + name
-    val prev = if (rdd == null) ckpts.remove(key) else ckpts.put(key, rdd)
+    val perSession = ckpts.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.rdd.RDD[_]]())
+    val prev =
+      if (rdd == null) perSession.remove(name)
+      else perSession.put(name, rdd)
     if (prev != null && (prev ne rdd)) scala.util.Try(prev.unpersist(false))
     ck.createOrReplaceTempView(name)
     ck
   }
+  private def checkpointView(spark: org.apache.spark.sql.SparkSession,
+      name: String, df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bindCheckpointView(spark, name, df.localCheckpoint())
 
   /** Shared recall-oracle scaffolding for the ANN entries (q46/q66):
     * materializes the ANN result to `dir` tagged with the corpus row
@@ -2064,9 +2078,11 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).cast("long").as("n"),
           sum("em").cast("long").as("n_exact"),
-          round(avg(col("prf.prec")), 6).as("avg_prec"),
-          round(avg(col("prf.recall")), 6).as("avg_recall"),
-          round(avg(col("prf.f1")), 6).as("avg_f1"))
+          GraftFunctions.duckRound(avg(col("prf.prec")), 6)
+            .as("avg_prec"),
+          GraftFunctions.duckRound(avg(col("prf.recall")), 6)
+            .as("avg_recall"),
+          GraftFunctions.duckRound(avg(col("prf.f1")), 6).as("avg_f1"))
         .orderBy("lang")
     },
       s"""WITH t AS (

@@ -146,10 +146,12 @@ object PromptOps {
   def truncateAtStops(c: Column, stops: Seq[String]): Column =
     stops.foldLeft(c)((acc, s) => substring_index(acc, s, 1))
 
-  /** Collapses whitespace runs to one space (text_to_sql.py:18-20;
-    * regex kept verbatim, `\s` already covers the explicit \t\n). */
+  /** Collapses whitespace runs to one space (text_to_sql.py:18-20).
+    * `(?U)` makes Java's `\s` Unicode-aware like Python's — the
+    * reference collapses U+00A0-style whitespace too, and scraped
+    * model output carries it. */
   def cleanWhitespace(c: Column): Column =
-    regexp_replace(c, "[\\t\\n\\s]+", " ")
+    regexp_replace(c, "(?U)[\\t\\n\\s]+", " ")
 
   /** The reference's question cleaner (data_utils.py:69-80), steps in
     * the reference's order: non-ASCII → space, doubled-quote escapes

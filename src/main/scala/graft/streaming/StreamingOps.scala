@@ -307,8 +307,11 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
-    drainSink(spark, name, Seq("hour", "j", "c"))
-      .createOrReplaceTempView("graft_q162_cells")
+    // drained cells are already localCheckpoint'ed by drainSink; bind
+    // through the shared release mechanism so repeated invocations
+    // don't stack the previous run's blocks
+    graft.PipelineQueries.bindCheckpointView(spark, "graft_q162_cells",
+      drainSink(spark, name, Seq("hour", "j", "c")))
     spark.sql(
       """WITH e AS (
         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

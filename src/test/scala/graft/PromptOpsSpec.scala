@@ -105,6 +105,13 @@ class PromptOpsSpec extends SparkSpecBase {
     assert(out == "a b c d")
   }
 
+  test("cleanWhitespace matches Python's Unicode-aware \\s (U+00A0)") {
+    val out = Seq("a\u00A0b").toDF("raw")
+      .select(PromptOps.cleanWhitespace(col("raw")).as("s"))
+      .as[String].collect().head
+    assert(out == "a b")
+  }
+
   test("cleanStr mirrors data_utils.clean_str byte for byte") {
     val out = Seq("  quéry '' `` \"x\"\t end ").toDF("raw")
       .select(PromptOps.cleanStr(col("raw")).as("s"))
