@@ -2116,6 +2116,76 @@ object PipelineQueries {
          |  round(avg(prec), 6) AS avg_prec,
          |  round(avg(recall), 6) AS avg_recall,
          |  round(avg(f1), 6) AS avg_f1
-         |FROM m2 GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM m2 GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // One BPE merge step (the tokenizer-training inner loop): count
+    // adjacent character pairs across the corpus weighted by word
+    // frequency, rank merge candidates. The corpus collapses to the
+    // distinct-word table first (vocabulary-sized — the BPE trick that
+    // makes training tractable), so the pair explode fans out over the
+    // vocab, not the token stream; per-word pair multiplicity times
+    // word frequency reproduces token-stream counts exactly.
+    "q165_bpe_merge_step" -> sql(
+      """WITH wc AS (
+        |  SELECT t AS w, count(*) AS f FROM documents
+        |  LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) u AS t
+        |  GROUP BY t),
+        |pe AS (
+        |  SELECT f, explode(transform(
+        |    sequence(1, length(w) - 1),
+        |    i -> substring(w, i, 2))) AS pr
+        |  FROM wc WHERE length(w) >= 2)
+        |SELECT pr AS pair, CAST(sum(f) AS BIGINT) AS cnt
+        |FROM pe GROUP BY pr
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS t FROM documents),
+        |wc AS (SELECT t AS w, count(*) AS f FROM tok GROUP BY t),
+        |pe AS (
+        |  SELECT f, unnest(list_transform(
+        |    range(1, length(w)),
+        |    i -> substring(w, i, 2))) AS pr
+        |  FROM wc WHERE length(w) >= 2)
+        |SELECT pr AS pair, CAST(sum(f) AS BIGINT) AS cnt
+        |FROM pe GROUP BY pr
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
+
+    // Zipf-slope fit over the token frequency table: least-squares
+    // slope/intercept of ln(freq) on ln(rank) — the power-law
+    // diagnostic that flags synthetic or template-heavy corpora
+    // (natural text sits near slope -1). Closed-form sums on the
+    // vocabulary-sized table; rank is a deterministic total order.
+    "q166_zipf_fit" -> sql(
+      """WITH tc AS (
+        |  SELECT t, count(*) AS c FROM documents
+        |  LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) u AS t
+        |  GROUP BY t),
+        |r AS (SELECT ln(CAST(row_number() OVER
+        |    (ORDER BY c DESC, t) AS DOUBLE)) AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y
+        |  FROM tc),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) AS intercept
+        |FROM s""".stripMargin,
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS t FROM documents),
+        |tc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |r AS (SELECT ln(CAST(row_number() OVER
+        |    (ORDER BY c DESC, t) AS DOUBLE)) AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y
+        |  FROM tc),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) AS intercept
+        |FROM s""".stripMargin)
   )
 }
