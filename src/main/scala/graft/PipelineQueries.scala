@@ -2186,6 +2186,30 @@ object PipelineQueries {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
         |    / n, 6) AS intercept
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin),
+
+    // Template/boilerplate detection by shared normalized prefix
+    // (the cheap first pass CCNet-style pipelines run before MinHash):
+    // docs opening with the same 16 normalized chars are template
+    // candidates. Map-side fingerprint, one group-by shuffle; at
+    // corpus scale the multi-member groups are the tiny output and
+    // feed a per-group strip/keep decision.
+    "q167_template_prefixes" -> sql(
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    md5(substring(lower(trim(text)), 1, 16)) AS fp
+        |  FROM documents)
+        |SELECT fp, count(*) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY fp HAVING count(*) > 1
+        |ORDER BY n_docs DESC, fp""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    md5(substring(lower(trim(text)), 1, 16)) AS fp
+        |  FROM documents)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY fp HAVING count(*) > 1
+        |ORDER BY n_docs DESC, fp""".stripMargin)
   )
 }
