@@ -72,27 +72,31 @@ object SystemQueries {
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
       headline = true),
 
-    // Multimodal plumbing: binary payloads → frame sampling → STUB decode
-    // → pooled features. Hash-derived stub features ⇒ rows-only check;
-    // MediaOpsSpec pins shape and determinism.
-    // The pooled embedding is rendered as a CSV string: the driver's
-    // rows-only check sorts the result in pandas, which cannot sort a
-    // raw array column (r01: "unhashable type: numpy.ndarray").
-    "q54_media_features" -> noOracle((spark, _) =>
-      MediaOps.extractFeatures(MediaOps.mediaTable(spark.table("documents")))
-        .withColumn("embedding", array_join(
-          expr("transform(embedding, x -> cast(x AS string))"), ","))
-        .orderBy("media_id")),
+    // Multimodal decode, REAL: PNG payloads (encoded by a different
+    // stack — tools/gen_media_fixture.py, pure Python) decoded with the
+    // JDK's javax.imageio codec into integer-exact pixel statistics.
+    // Oracle = the independently precomputed per-image stats fixture,
+    // scoped to the documents present in the bound sf. All-BIGINT
+    // features ⇒ exact hash match, no float-parity caveats.
+    "q54_media_features" -> api((spark, _) =>
+      MediaOps.imageFeatures(MediaOps.imageTable(spark))
+        .orderBy("media_id"),
+      """SELECT e.* FROM
+        |  read_parquet('/root/repo/fixtures/media/expected.parquet') e
+        |JOIN documents d ON e.media_id = d.doc_id
+        |ORDER BY e.media_id""".stripMargin),
 
-    // The batched (mapPartitions) decode path over the same media table —
-    // the vectorized-codec call shape; bit-identical to q54's Column path
-    // (SystemOpsSpec) and rows-only checked like it.
-    "q100_media_batched" -> noOracle((spark, _) =>
-      MediaOps.extractFeaturesBatched(
-          MediaOps.mediaTable(spark.table("documents")))
-        .withColumn("embedding", array_join(
-          expr("transform(embedding, x -> cast(x AS string))"), ","))
-        .orderBy("media_id")),
+    // The batched (mapPartitions) decode path over the same image table —
+    // the vectorized-codec call shape; same per-image ImageIO decode, so
+    // bit-identical to q54's Column path (SystemOpsSpec) and checked
+    // against the same stats oracle.
+    "q100_media_batched" -> api((spark, _) =>
+      MediaOps.imageFeaturesBatched(MediaOps.imageTable(spark))
+        .orderBy("media_id"),
+      """SELECT e.* FROM
+        |  read_parquet('/root/repo/fixtures/media/expected.parquet') e
+        |JOIN documents d ON e.media_id = d.doc_id
+        |ORDER BY e.media_id""".stripMargin),
 
     // Skew-proof two-stage salted aggregation: rows spread over 8
     // sub-keys, partial per (key, salt), final per key. The oracle is

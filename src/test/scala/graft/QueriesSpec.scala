@@ -22,10 +22,10 @@ class QueriesSpec extends SparkSpecBase {
   test("oracle SQL exists for every SQL-expressible query") {
     // rows-only checks are the documented exceptions: nondeterministic
     // sampling, engine-specific settings, hash-family-dependent dedup/ANN,
-    // stub media features, approximate SUMMARIZE stats
+    // approximate SUMMARIZE stats
     val rowsOnly = Set("q29_sample", "q35_settings", "q43_dedup_simhash",
-      "q46_knn_ann_lsh", "q54_media_features", "q56_summarize",
-      "q66_knn_ann_ivf", "q67_validate_sql", "q100_media_batched")
+      "q46_knn_ann_lsh", "q56_summarize",
+      "q66_knn_ann_ivf", "q67_validate_sql")
     val missing =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")

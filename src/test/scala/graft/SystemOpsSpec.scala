@@ -55,6 +55,42 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("image decode: ImageIO stats match the independently computed " +
+      "fixture expectation") {
+    Queries.prep(spark, sfDir)
+    val got = MediaOps.imageFeatures(MediaOps.imageTable(spark))
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    val want = spark.read
+      .parquet("/root/repo/fixtures/media/expected.parquet")
+      .join(broadcast(spark.table("documents").select(col("doc_id"))),
+        col("media_id") === col("doc_id"), "leftsemi")
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("image decode: batched path is bit-identical to the Column path " +
+      "and invariant to batch size / partitioning") {
+    Queries.prep(spark, sfDir)
+    val images = MediaOps.imageTable(spark)
+    val colPath = MediaOps.imageFeatures(images)
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    def run(df: org.apache.spark.sql.DataFrame, bs: Int) =
+      MediaOps.imageFeaturesBatched(df, batchSize = bs)
+        .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(run(images, 32) == colPath)
+    assert(run(images, 7) == colPath)
+    assert(run(images.repartition(13), 32) == colPath)
+  }
+
+  test("image decode rejects undecodable payloads loudly") {
+    val bad = Array[Byte](1, 2, 3, 4)
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.decodeImageStats(bad)
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
   test("media features: fixed shape, bounded frames, deterministic") {
     Queries.prep(spark, sfDir)
     val media = MediaOps.mediaTable(spark.table("documents"))
