@@ -128,22 +128,33 @@ object PipelineQueries {
     bindCheckpointView(spark, name, df.localCheckpoint())
 
   /** Shared recall-oracle scaffolding for the ANN entries (q46/q66):
-    * materializes the ANN result to `dir` tagged with the corpus row
-    * count, then scores per-query overlap against the exact top-5
-    * (q45's contract). The tag guards the fixed /tmp path: the oracle
-    * filters on `n_corpus = (SELECT count(*) FROM embeddings)`, so a
-    * stale read from a different-SF run drops every row and fails
-    * LOUDLY instead of silently comparing another corpus's data. The
-    * exact baseline is corpus state (deterministic per sf dir), so it
-    * is cached once per session+dir like q135's edge list rather than
-    * re-running the brute-force scan on every invocation. */
+    * materializes the ANN result under `dir`, then scores per-query
+    * overlap against the exact top-5 (q45's contract). The handoff is
+    * guarded twice: rows go into a subdirectory KEYED by a corpus
+    * fingerprint (sum of per-vec_id md5-nibble hashes — the portable
+    * hash both engines compute identically), and carry that tag plus
+    * the row count as columns. Concurrent runs against different
+    * corpora therefore write different subdirs (no clobber), and the
+    * oracle's glob + `corpus_tag`/`n_corpus` filter drops any stale
+    * subdir from another corpus — two datasets with the same embedding
+    * COUNT but different ids no longer collide (a same-tag leftover is
+    * byte-identical by determinism of the seeded ANN paths). A
+    * mismatch empties the result and fails LOUDLY. The exact baseline
+    * is corpus state (deterministic per sf dir), so it is cached once
+    * per session+dir like q135's edge list rather than re-running the
+    * brute-force scan on every invocation. */
   private def annRecall(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, ann: org.apache.spark.sql.DataFrame,
       dir: String): org.apache.spark.sql.DataFrame = {
     val emb = spark.table("embeddings")
     val nCorpus = emb.count()
+    val tag = emb.agg(sum(expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 12), 16, 10)"
+          + " AS BIGINT)")))
+      .first.getLong(0)
     ann.withColumn("n_corpus", lit(nCorpus))
-      .write.mode("overwrite").parquet(dir)
+      .withColumn("corpus_tag", lit(tag))
+      .write.mode("overwrite").parquet(s"$dir/t$tag")
     val view = "graft_knn_exact"
     if (!spark.catalog.tableExists(view) ||
         !spark.conf.getOption("graft.knn.built").contains(sfDir)) {
@@ -157,7 +168,7 @@ object PipelineQueries {
         .cache().createOrReplaceTempView(view)
       spark.conf.set("graft.knn.built", sfDir)
     }
-    spark.read.parquet(dir).where(col("n_corpus") === nCorpus)
+    spark.read.parquet(s"$dir/t$tag").where(col("n_corpus") === nCorpus)
       .join(spark.table(view), Seq("qid", "id"), "left")
       .groupBy("qid")
       .agg(count(lit(1)).as("n_ann"),
@@ -348,8 +359,11 @@ object PipelineQueries {
         |  FROM p),
         |e AS (SELECT qid, id FROM r WHERE rn <= 5),
         |ann AS (SELECT qid, id
-        |        FROM read_parquet('/tmp/graft_ann_lsh/*.parquet')
-        |        WHERE n_corpus = (SELECT count(*) FROM embeddings))
+        |        FROM read_parquet('/tmp/graft_ann_lsh/*/*.parquet')
+        |        WHERE n_corpus = (SELECT count(*) FROM embeddings)
+        |          AND corpus_tag = (SELECT sum(('0x' ||
+        |            substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT)
+        |            FROM embeddings))
         |SELECT a.qid, count(*) AS n_ann,
         |  CAST(sum(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_hit
@@ -392,8 +406,11 @@ object PipelineQueries {
         |  FROM p),
         |e AS (SELECT qid, id FROM r WHERE rn <= 5),
         |ann AS (SELECT qid, id
-        |        FROM read_parquet('/tmp/graft_ann_ivf/*.parquet')
-        |        WHERE n_corpus = (SELECT count(*) FROM embeddings))
+        |        FROM read_parquet('/tmp/graft_ann_ivf/*/*.parquet')
+        |        WHERE n_corpus = (SELECT count(*) FROM embeddings)
+        |          AND corpus_tag = (SELECT sum(('0x' ||
+        |            substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT)
+        |            FROM embeddings))
         |SELECT a.qid, count(*) AS n_ann,
         |  CAST(sum(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_hit
@@ -1313,57 +1330,73 @@ object PipelineQueries {
     // Item-item co-occurrence with lift (market-basket / co-purchase
     // prep): pair counts against independent-frequency expectation.
     // Spark side groups each customer's distinct items in ONE shuffle
-    // (map-side partial collect_set; no DISTINCT pre-pass), then a
-    // single sentinel-keyed aggregation over the per-basket explode
-    // yields pair counts, item frequencies AND the basket total.
-    // Pairs travel as ONE BIGINT (a*2^32+b; partkeys are positive
-    // ints, 0 is the free sentinel: (a,0) = singleton, 0 = basket
-    // marker) — a primitive explode+agg keys codegen cheaper than
-    // array<struct> rows. The agg table is MATERIALIZED
-    // (localCheckpoint) before the three consumers slice it: filter
-    // pushdown through the aggregate makes the branch subplans
-    // non-identical, so exchange reuse can't fire and an inlined CTE
-    // re-runs the whole basket build per branch (measured 4×) —
-    // materializing is what DuckDB itself does for multiply-referenced
-    // CTEs, and at corpus scale the shared intermediate would be a
-    // persisted table. Per-basket fan-out is bounded by basket size
-    // (cap at top-k items at corpus scale). Oracle keeps the
-    // self-join formulation.
+    // (map-side partial collect_set; no DISTINCT pre-pass) and
+    // MATERIALIZES the basket table (localCheckpoint): pairs, item
+    // frequencies and the basket total all derive from it, and without
+    // the barrier each CTE branch re-runs the whole 3-table basket
+    // build (filter pushdown makes the branch subplans non-canonical,
+    // defeating exchange reuse; measured 4×). Pair emission is fused
+    // into the downstream grouped pass: one explode per basket, pairs
+    // travel as ONE BIGINT (a*2^32 + b — primitive explode+agg keys
+    // codegen cheaper than array<struct> rows). The packing is only
+    // valid while partkeys < 2^32 (TPC-H reaches that around SF~21,500);
+    // the basket build GUARDS it (items is sorted, so checking the last
+    // element is O(1) per basket) and fails loudly with the struct-key
+    // fallback named in the error, instead of silently colliding.
+    // The pair/freq aggregations shuffle <1 MB at bench sf, so the
+    // reducer count is sized down (8) while the entry executes — at
+    // warehouse scale this knob is sized by volume, and the plan shape
+    // (broadcast joins on the item-cardinality freq table, no pair
+    // self-join) is unchanged. cache+count forces execution while the
+    // conf is armed (q153's pattern); the previous invocation's pinned
+    // result is released first. Oracle keeps the self-join formulation.
     "q140_item_cooccur" -> api({ (spark, _) =>
-      checkpointView(spark, "graft_q140_agg", spark.sql(
-        """WITH baskets AS (
-          |  SELECT /*+ BROADCAST(part) */ o_custkey AS cust,
-          |    sort_array(collect_set(l_partkey)) AS items
-          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-          |  JOIN part ON p_partkey = l_partkey
-          |  WHERE p_type = 'PROMO'
-          |  GROUP BY o_custkey)
-          |SELECT pr DIV 4294967296 AS item_a, pr % 4294967296 AS item_b,
-          |  count(*) AS c
-          |FROM baskets
-          |LATERAL VIEW explode(concat(
-          |  flatten(transform(items, (x, i) ->
-          |    transform(slice(items, i + 2, size(items)),
-          |      y -> x * 4294967296 + y))),
-          |  transform(items, x -> x * 4294967296),
-          |  array(CAST(0 AS BIGINT)))) e AS pr
-          |GROUP BY pr""".stripMargin))
-      spark.sql(
-        """WITH freq AS (SELECT item_a AS item, c AS n_cust
-          |  FROM graft_q140_agg WHERE item_a > 0 AND item_b = 0),
-          |tot AS (SELECT c AS n FROM graft_q140_agg
-          |        WHERE item_a = 0 AND item_b = 0),
-          |pairs AS (SELECT item_a, item_b, c AS together
-          |  FROM graft_q140_agg WHERE item_a > 0 AND item_b > 0)
-          |SELECT /*+ BROADCAST(fa, fb) */ p.item_a, p.item_b, p.together,
-          |  round(CAST(p.together AS DOUBLE) * tot.n /
-          |    (fa.n_cust * fb.n_cust), 4) AS lift
-          |FROM pairs p
-          |JOIN freq fa ON p.item_a = fa.item
-          |JOIN freq fb ON p.item_b = fb.item
-          |CROSS JOIN tot
-          |ORDER BY p.together DESC, p.item_a, p.item_b LIMIT 50"""
-          .stripMargin)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        checkpointView(spark, "graft_q140_baskets", spark.sql(
+          """SELECT /*+ BROADCAST(part) */ o_custkey AS cust,
+            |  IF(element_at(items, -1) < 4294967296, items, raise_error(
+            |    'q140: l_partkey >= 2^32 breaks BIGINT pair packing — '
+            |    || 'switch the pair key to struct(item_a, item_b)'))
+            |    AS items
+            |FROM (
+            |  SELECT o_custkey, sort_array(collect_set(l_partkey)) AS items
+            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            |  JOIN part ON p_partkey = l_partkey
+            |  WHERE p_type = 'PROMO'
+            |  GROUP BY o_custkey)""".stripMargin))
+        val view = "graft_q140_cache"
+        if (spark.catalog.tableExists(view)) {
+          spark.table(view).unpersist()
+          spark.catalog.dropTempView(view)
+        }
+        val df = spark.sql(
+          """WITH freq AS (
+            |  SELECT item, count(*) AS n_cust FROM graft_q140_baskets
+            |  LATERAL VIEW explode(items) e AS item GROUP BY item),
+            |tot AS (SELECT count(*) AS n FROM graft_q140_baskets),
+            |pairs AS (
+            |  SELECT pr DIV 4294967296 AS item_a, pr % 4294967296 AS item_b,
+            |    count(*) AS together
+            |  FROM graft_q140_baskets
+            |  LATERAL VIEW explode(flatten(transform(items, (x, i) ->
+            |    transform(slice(items, i + 2, size(items)),
+            |      y -> x * 4294967296 + y)))) e AS pr
+            |  GROUP BY pr)
+            |SELECT /*+ BROADCAST(fa, fb) */ p.item_a, p.item_b, p.together,
+            |  round(CAST(p.together AS DOUBLE) * tot.n /
+            |    (fa.n_cust * fb.n_cust), 4) AS lift
+            |FROM pairs p
+            |JOIN freq fa ON p.item_a = fa.item
+            |JOIN freq fb ON p.item_b = fb.item
+            |CROSS JOIN tot
+            |ORDER BY p.together DESC, p.item_a, p.item_b LIMIT 50"""
+            .stripMargin)
+        df.cache().count()
+        df.createOrReplaceTempView(view)
+        df
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     },
       """WITH bought AS (
         |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
@@ -1393,34 +1426,48 @@ object PipelineQueries {
     // trigram counts are self-trained in one pass, then each document
     // is scored by the mean surprise -ln(count/total) of its trigrams.
     // The per-document trigram-count table (dtc) is aggregated ONCE and
-    // MATERIALIZED (localCheckpoint) before the three consumers (corpus
-    // counts, total, scoring) read it: filter/pruning differences
-    // between the inlined CTE branches defeat exchange reuse, so
-    // without the barrier the corpus explode re-runs per branch
-    // (measured 3 Generates). The corpus count table stays
-    // trigram-cardinality small and broadcasts back for scoring — the
-    // scale-safe shape (a per-trigram window would put every doc
-    // sharing a hot trigram in one partition). Scoring weights each
-    // distinct trigram by its in-doc count (identical math to the
-    // per-instance avg).
+    // MATERIALIZED (localCheckpoint); exactly TWO consumers read it —
+    // the corpus-count pass and the scoring join. The corpus total is
+    // NOT a third scan of dtc: it folds into the corpus-count pass as a
+    // global window over the already-aggregated trigram table (trigram-
+    // cardinality small, broadcast anyway — the one place a global
+    // window is scale-safe). The corpus count table broadcasts back for
+    // scoring — the scale-safe shape (a per-trigram window would put
+    // every doc sharing a hot trigram in one partition). Scoring weights
+    // each distinct trigram by its in-doc count (identical math to the
+    // per-instance avg). Post-dtc shuffles are trigram/doc-cardinality
+    // small, so the reducer count is sized down while the entry
+    // executes (q140's pattern — cache+count while the conf is armed).
     "q141_trigram_lm" -> api({ (spark, _) =>
-      checkpointView(spark, "graft_q141_dtc", spark.sql(
-        """SELECT doc_id, t, count(*) AS k FROM documents
-          |LATERAL VIEW explode(transform(
-          |  sequence(1, greatest(length(text) - 2, 1)),
-          |  i -> substring(text, i, 3))) x AS t
-          |GROUP BY doc_id, t""".stripMargin))
-      spark.sql(
-        """WITH cnt AS (SELECT t, sum(k) AS c FROM graft_q141_dtc
-          |             GROUP BY t),
-          |tot AS (SELECT sum(k) AS n FROM graft_q141_dtc)
-          |SELECT /*+ BROADCAST(cnt) */ dtc.doc_id,
-          |  CAST(sum(k) AS BIGINT) AS n_tri,
-          |  round(sum(k * ln(CAST(tot.n AS DOUBLE) / cnt.c)) / sum(k), 4)
-          |    AS cross_entropy
-          |FROM graft_q141_dtc dtc
-          |JOIN cnt ON dtc.t = cnt.t CROSS JOIN tot
-          |GROUP BY dtc.doc_id ORDER BY dtc.doc_id""".stripMargin)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        checkpointView(spark, "graft_q141_dtc", spark.sql(
+          """SELECT doc_id, t, count(*) AS k FROM documents
+            |LATERAL VIEW explode(transform(
+            |  sequence(1, greatest(length(text) - 2, 1)),
+            |  i -> substring(text, i, 3))) x AS t
+            |GROUP BY doc_id, t""".stripMargin))
+        val view = "graft_q141_cache"
+        if (spark.catalog.tableExists(view)) {
+          spark.table(view).unpersist()
+          spark.catalog.dropTempView(view)
+        }
+        val df = spark.sql(
+          """WITH cnt AS (SELECT t, sum(k) AS c FROM graft_q141_dtc
+            |             GROUP BY t),
+            |cn AS (SELECT t, c, sum(c) OVER () AS n FROM cnt)
+            |SELECT /*+ BROADCAST(cn) */ dtc.doc_id,
+            |  CAST(sum(k) AS BIGINT) AS n_tri,
+            |  round(sum(k * ln(CAST(cn.n AS DOUBLE) / cn.c)) / sum(k), 4)
+            |    AS cross_entropy
+            |FROM graft_q141_dtc dtc
+            |JOIN cn ON dtc.t = cn.t
+            |GROUP BY dtc.doc_id ORDER BY dtc.doc_id""".stripMargin)
+        df.cache().count()
+        df.createOrReplaceTempView(view)
+        df
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     },
       """WITH tri AS (
         |  SELECT doc_id, unnest(list_transform(
@@ -2023,8 +2070,12 @@ object PipelineQueries {
     // the identical chain in DuckDB ('g' flag: Spark regexp_replace is
     // global by default, DuckDB's is first-match).
     "q163_sql_postprocess" -> api({ (spark, _) =>
+      // the raw literal embeds U+00A0 (NBSP) + U+2003 (em space)
+      // after the tab, forcing the whitespace collapse to do real
+      // UNICODE work — Java's (?U)\s and the oracle's enumerated RE2
+      // class must agree beyond ASCII (DuckDB: chr(160)||chr(8195))
       val raw = concat(lit("SELECT '"), substring(col("text"), 1, 30),
-        lit("' AS q,\t\"col\" FROM t;\n-- explanation"))
+        lit("' AS q,\t  \"col\" FROM t;\n-- explanation"))
       val ques = concat(lit("what is "), substring(col("text"), 1, 20),
         lit("'' ``\té  ?"))
       spark.table("documents").select(col("doc_id"),
@@ -2036,14 +2087,18 @@ object PipelineQueries {
       """WITH b AS (
         |  SELECT doc_id,
         |    'SELECT ' || chr(39) || substring(text, 1, 30) || chr(39) ||
-        |      ' AS q,' || chr(9) || '"col" FROM t;' || chr(10) ||
+        |      ' AS q,' || chr(9) || chr(160) || chr(8195) ||
+        |      '"col" FROM t;' || chr(10) ||
         |      '-- explanation' AS raw,
         |    'what is ' || substring(text, 1, 20) || chr(39) || chr(39) ||
         |      ' ``' || chr(9) || chr(233) || '  ?' AS ques
         |  FROM documents)
         |SELECT doc_id,
         |  string_split(string_split(raw, chr(10))[1], ';')[1] AS sql_out,
-        |  regexp_replace(raw, '[\t\n\s]+', ' ', 'g') AS collapsed,
+        |  regexp_replace(raw,
+        |    '[\x09-\x0D \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}' ||
+        |    '\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+        |    ' ', 'g') AS collapsed,
         |  trim(regexp_replace(
         |    regexp_replace(
         |      regexp_replace(
@@ -2210,6 +2265,31 @@ object PipelineQueries {
         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY fp HAVING count(*) > 1
-        |ORDER BY n_docs DESC, fp""".stripMargin)
+        |ORDER BY n_docs DESC, fp""".stripMargin),
+
+    // H11 — SQL keyword-casing canonicalization as an engine function
+    // (the sqlglot roundtrip's metric effect, metric_utils.py:9-12 /
+    // evaluate.py:326-329). Each doc synthesizes a lowercase SQL string
+    // carrying the hard cases — a single-quoted literal full of
+    // keywords (must stay lowercase), a quoted identifier "select"
+    // (verbatim), and doc-dependent identifiers (untouched) — and the
+    // oracle CONSTRUCTS the expected canonical text directly, so the
+    // quote-aware scan is value-checked per row. Map-only, zero
+    // shuffle.
+    "q168_sql_casing" -> api({ (spark, _) =>
+      spark.sql(
+        """SELECT doc_id, correct_casing(concat(
+          |  'select t.col_a as a, ''group by order'' as s, "select" as q',
+          |  ' from tab_', CAST(doc_id % 7 AS STRING),
+          |  ' t where id between 1 and ', CAST(doc_id AS STRING),
+          |  ' group by a order by a desc limit 5')) AS canon
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+      """SELECT doc_id,
+        |  'SELECT t.col_a AS a, ''group by order'' AS s, "select" AS q'
+        |  || ' FROM tab_' || CAST(doc_id % 7 AS VARCHAR)
+        |  || ' t WHERE id BETWEEN 1 AND ' || CAST(doc_id AS VARCHAR)
+        |  || ' GROUP BY a ORDER BY a DESC LIMIT 5' AS canon
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

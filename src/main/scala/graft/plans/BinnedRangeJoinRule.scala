@@ -36,6 +36,14 @@ import org.apache.spark.sql.types._
   * units of the point column; seconds for timestamps). Unset = rule is
   * inert. Registered by [[graft.GraftExtensions]]; on an existing
   * session call [[BinnedRangeJoinRule.install]].
+  *
+  * A width far below the typical interval length would explode each
+  * interval onto a huge bin array (ultimately hitting Spark's array
+  * size limit with an opaque error), so the per-interval bin count is
+  * CLAMPED: any interval covering more than
+  * `spark.graft.rangeJoin.maxBinsPerInterval` bins (default 4096)
+  * raises a clear reconfigure-the-width error at runtime instead of
+  * degrading into an OOM-shaped failure.
   */
 case class BinnedRangeJoinRule(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -134,9 +142,22 @@ case class BinnedRangeJoinRule(spark: SparkSession)
     val keep = Filter(LessThanOrEqual(band.lo, band.hi), intervalSide)
     val iBin = AttributeReference("__ibin", LongType,
       nullable = false)()
+    val seqExpr = Sequence(binOf(band.lo), binOf(band.hi),
+      Some(Literal(1L, LongType)), tz)
+    // clamp: a misconfigured width must fail with a clear message, not
+    // a runtime array-limit blowup deep inside Sequence
+    val maxBins = Option(SQLConf.get.getConfString(MaxBinsConf, ""))
+      .filter(_.nonEmpty).flatMap(s => scala.util.Try(s.toLong).toOption)
+      .filter(_ > 0).getOrElse(DefaultMaxBins)
+    val guarded = If(
+      GreaterThanOrEqual(Subtract(binOf(band.hi), binOf(band.lo)),
+        Literal(maxBins, LongType)),
+      Cast(RaiseError(Literal(
+        s"$WidthConf produces more than $maxBins bins for one interval; "
+          + s"raise the width (or $MaxBinsConf)")), seqExpr.dataType, tz),
+      seqExpr)
     val gen = Generate(
-      Explode(Sequence(binOf(band.lo), binOf(band.hi),
-        Some(Literal(1L, LongType)), tz)),
+      Explode(guarded),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(iBin), child = keep)
 
@@ -151,6 +172,8 @@ case class BinnedRangeJoinRule(spark: SparkSession)
 
 object BinnedRangeJoinRule {
   val WidthConf = "spark.graft.rangeJoin.binWidth"
+  val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerInterval"
+  val DefaultMaxBins = 4096L
 
   /** Adds the rule to an already-built session (the builder path is
     * `spark.sql.extensions=graft.GraftExtensions`). Idempotent. */

@@ -94,4 +94,43 @@ class BinnedRangeJoinRuleSpec extends SparkSpecBase {
     assert(spark.experimental.extraOptimizations
       .count(_.isInstanceOf[BinnedRangeJoinRule]) == 1)
   }
+
+  test("a width far below the interval length fails with a clear " +
+      "config error, not an array blowup") {
+    fixture()
+    withRule("0.00001") { // interval (199, 400) would cover ~20M bins
+      val e = intercept[Exception] {
+        spark.sql(bandSql).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("binWidth produces more than")),
+        e.toString)
+    }
+  }
+
+  test("fires for a timestamp BETWEEN join (time-zone-aware bin cast)") {
+    // timestamps one minute apart + four 15-minute windows
+    spark.sql("""SELECT id AS pid,
+        timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,id,0) AS ts
+      FROM range(200)""").createOrReplaceTempView("tpts")
+    spark.sql("""SELECT id AS iid,
+        timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,
+          CAST(id * 40 AS INT), 0) AS tlo,
+        timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,
+          CAST(id * 40 + 15 AS INT), 0) AS thi
+      FROM range(4)""").createOrReplaceTempView("tivl")
+    val sql = "SELECT pid, iid FROM tpts JOIN tivl ON ts BETWEEN tlo AND thi"
+    val off = spark.sql(sql).as[(Long, Long)].collect().sorted.toSeq
+    val on = withRule("600") { // width in seconds for timestamps
+      val df = spark.sql(sql)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        s"timestamp band still a nested loop:\n$phys")
+      assert(phys.contains("__pbin") || phys.contains("__ibin"), phys)
+      df.as[(Long, Long)].collect().sorted.toSeq
+    }
+    assert(on == off && off.nonEmpty)
+  }
 }
