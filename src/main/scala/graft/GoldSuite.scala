@@ -187,7 +187,15 @@ object GoldSuite {
     }
   }
 
-  def run(spark: SparkSession): Seq[EntryResult] = {
+  /** Runs the suite; with `correctCasing = true` every dev.json query
+    * first passes through the H11 casing canonicalizer
+    * ([[graft.operators.PromptOps.correctCasingString]]) — the analogue
+    * of the reference evaluator's optional `--correct-sql-casing` flag
+    * (eval/evaluate.py:260-262, applied to the SQL strings at :326-329).
+    * The canonicalized SQL must still produce every expected result:
+    * casing correction is metric plumbing, never a semantic change. */
+  def run(spark: SparkSession,
+      correctCasing: Boolean = false): Seq[EntryResult] = {
     val mapper = new ObjectMapper()
     val entries = mapper.readValue(
       Files.readString(Paths.get(RefDev)), classOf[java.util.List[Object]])
@@ -196,7 +204,12 @@ object GoldSuite {
     val expected = mapper.readValue(
       Files.readString(Paths.get(s"$Fix/gold_expected.json")),
       classOf[java.util.Map[String, Object]]).asScala
-    entries.zipWithIndex.map { case (e, idx) =>
+    entries.zipWithIndex.map { case (e0, idx) =>
+      val e =
+        if (correctCasing) e0.updated("query",
+          graft.operators.PromptOps.correctCasingString(
+            e0("query").toString))
+        else e0
       val cat = Option(e.getOrElse("category", null))
         .map(_.toString).getOrElse("")
       val r = try runEntry(spark, idx, e,
@@ -234,7 +247,10 @@ object GoldSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val results = run(spark)
+    val casing = args.contains("--casing")
+    if (casing) println("casing mode: queries canonicalized via " +
+      "correct_casing before execution (--correct-sql-casing analogue)")
+    val results = run(spark, correctCasing = casing)
     results.foreach { r =>
       val mark = if (r.skipped) "SKIP" else if (r.ok) "PASS" else "FAIL"
       println(f"$mark ${r.idx}%3d [${r.mode}] ${r.detail}")

@@ -323,15 +323,31 @@ object CoreQueries {
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin),
 
-    // S16 — reservoir-style exact-count sample (seeded; nondeterministic
-    // across engines ⇒ rows-only check, like the reference's count-based
-    // validation of dev.json:559)
-    "q29_sample" -> noOracle((spark, sfDir) => {
+    // S16 — reservoir-style exact-count sample. Sample MEMBERSHIP is
+    // seeded-RNG-specific per engine, so the driver check covers the
+    // sampling CONTRACT instead (the reference's own count-based
+    // validation of dev.json:559): each engine draws its own 10%
+    // sample and reports size, key-distinctness and the expected size —
+    // all three agree cross-engine even though the sampled rows differ.
+    "q29_sample" -> api((spark, sfDir) => {
       import org.apache.spark.sql.functions._
       val orders = Tables.load(spark, sfDir, "orders")
       val n = math.ceil(orders.count() * 0.1).toInt
-      orders.orderBy(rand(42), col("o_orderkey")).limit(n)
-    }),
+      val sample = orders.orderBy(rand(42), col("o_orderkey")).limit(n)
+      sample.agg(
+          count(lit(1)).cast("long").as("n_sample"),
+          countDistinct(col("o_orderkey")).cast("long").as("n_keys"))
+        .crossJoin(orders.agg(
+          ceil(count(lit(1)) * 0.1).cast("long").as("n_expected")))
+        .select(col("n_sample"), col("n_keys"), col("n_expected"))
+    },
+      """WITH s AS (SELECT * FROM orders
+        |           USING SAMPLE reservoir(10%) REPEATABLE (42))
+        |SELECT count(*) AS n_sample,
+        |  count(DISTINCT o_orderkey) AS n_keys,
+        |  (SELECT CAST(ceil(count(*) * 0.1) AS BIGINT) FROM orders)
+        |    AS n_expected
+        |FROM s""".stripMargin),
 
     // P3 — * EXCLUDE through the dialect rewriter (oracle runs the DuckDB
     // text verbatim)
@@ -356,11 +372,16 @@ object CoreQueries {
     // C2 — bare FROM query
     "q34_bare_from" -> duck("FROM nation ORDER BY n_nationkey"),
 
-    // F19/D15 — session settings + engine version (engine-specific values ⇒
-    // rows-only)
-    "q35_settings" -> noOracle((spark, _) =>
-      spark.sql(
-        "SELECT current_setting('threads') AS threads, pragma_version() AS v")),
+    // F19/D15 — session settings. The engine-SEMANTIC settings (default
+    // sort direction, default null order) are genuinely shared with
+    // DuckDB — our dialect layer implements NULLS LAST default ordering
+    // (O6) and ascending ORDER BY — so current_setting over them is
+    // value-checked cross-engine. Host-specific settings (threads,
+    // version) stay covered rows-only by Gold 27/30/70/71 and specs.
+    "q35_settings" -> same(
+      """SELECT current_setting('default_order') AS default_order,
+        |  current_setting('default_null_order') AS default_null_order"""
+        .stripMargin),
 
     // A10 — ROLLUP hierarchy totals (absent from the reference benchmark;
     // native on both engines, one shuffle with partial aggregation)

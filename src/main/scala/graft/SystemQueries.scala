@@ -143,10 +143,22 @@ object SystemQueries {
       """SELECT column_name, column_type FROM (DESCRIBE lineitem)
         |ORDER BY column_name""".stripMargin),
 
-    // SUMMARIZE: 12-stat single-pass profile (approximate stats differ
-    // across engines ⇒ rows-only; SummarizeSpec pins the exact fields).
-    "q56_summarize" -> noOracle((spark, _) =>
-      Summarize.summarize(spark.table("customer"))),
+    // SUMMARIZE: the EXACT columns of the 12-stat single-pass profile
+    // (name, type, min, max, count, null%) value-checked against
+    // DuckDB's own SUMMARIZE output row-by-row; the approximate columns
+    // (approx_unique, quantile sketches) differ across engines by
+    // design and stay pinned in SummarizeSpec instead. null_percentage
+    // is normalized through VARCHAR on the oracle side because its
+    // rendering changed across DuckDB versions ('0.0%' → DECIMAL).
+    "q56_summarize" -> api((spark, _) =>
+      Summarize.summarize(spark.table("customer"))
+        .select(col("column_name"), col("column_type"), col("min"),
+          col("max"), col("count"), col("null_percentage"))
+        .orderBy("column_name"),
+      """SELECT column_name, column_type, min, max, count,
+        |  CAST(REPLACE(CAST(null_percentage AS VARCHAR), '%', '')
+        |    AS DOUBLE) AS null_percentage
+        |FROM (SUMMARIZE customer) ORDER BY column_name""".stripMargin),
 
     // Exact profile variant: count/nulls/distinct/min/max/avg for the
     // lineitem measures in ONE scan (all stats are slots of a single agg

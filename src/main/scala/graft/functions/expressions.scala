@@ -373,6 +373,13 @@ case class CurrentSetting(key: Expression) extends LeafExpression
         else k match {
           case "threads" =>
             conf.getConfString("spark.sql.shuffle.partitions", "")
+          // engine ordering semantics, shared with DuckDB by
+          // construction: ORDER BY defaults ascending, and the dialect
+          // layer's sort-key rewrite gives NULLS LAST by default (the
+          // O6 inventory row) — so these are honest engine properties,
+          // not mirrored constants
+          case "default_order" => "asc"
+          case "default_null_order" => "nulls_last"
           case _ => null
         }
       if (v == null) null else UTF8String.fromString(v)
@@ -380,6 +387,23 @@ case class CurrentSetting(key: Expression) extends LeafExpression
   }
   override def eval(input: InternalRow): Any = value
   override def prettyName: String = "current_setting"
+}
+
+/** `correct_casing(sql)` — H11 SQL keyword-casing canonicalization
+  * (the reference's sqlglot roundtrip effect, eval/metric_utils.py:9-12);
+  * the scan itself lives in
+  * [[graft.operators.PromptOps.correctCasingString]] so the GoldSuite
+  * harness can apply it driver-side too. Per-row bulk string work ⇒
+  * eval-based expression (same pattern as the hash kernels). */
+case class SqlCorrectCasingExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.operators.PromptOps.correctCasingString(input.toString))
+  override protected def withNewChildInternal(newChild: Expression)
+      : SqlCorrectCasingExpr = copy(child = newChild)
+  override def prettyName: String = "correct_casing"
 }
 
 /** `pragma_version()` — engine version (reference dev.json:247

@@ -186,4 +186,66 @@ object PromptOps {
       .otherwise(lit(2.0) * prec * rec / (prec + rec))
     struct(prec.as("prec"), rec.as("recall"), f1.as("f1"))
   }
+
+  /** Keyword and builtin-function tokens the casing canonicalizer
+    * uppercases (the words sqlglot's renderer capitalizes in typical
+    * text-to-SQL output). */
+  private val sqlKeywords: Set[String] = Set(
+    "select", "from", "where", "group", "by", "order", "having", "limit",
+    "offset", "join", "inner", "left", "right", "full", "outer", "cross",
+    "on", "as", "and", "or", "not", "in", "like", "ilike", "between",
+    "is", "null", "distinct", "case", "when", "then", "else", "end",
+    "union", "all", "except", "intersect", "with", "insert", "into",
+    "values", "update", "set", "delete", "create", "table", "view", "if",
+    "exists", "drop", "alter", "asc", "desc", "using", "natural", "cast",
+    "any", "some", "true", "false",
+    "count", "sum", "avg", "min", "max", "abs", "round", "floor", "ceil",
+    "coalesce", "nullif", "substring", "replace", "trim", "lower",
+    "upper", "length", "concat", "position", "datediff", "date_trunc",
+    "extract", "split_part")
+
+  /** H11 — SQL keyword-casing canonicalization: the observable effect of
+    * the reference's sqlglot roundtrip on the optional
+    * `--correct-sql-casing` metric (eval/metric_utils.py:9-12, applied
+    * to gold and predicted SQL at eval/evaluate.py:326-329). One
+    * quote-aware scan: single-quoted literals (with `''` escapes) and
+    * double-quoted identifiers pass through verbatim; word tokens in
+    * the keyword/function set uppercase; everything else is untouched.
+    * Declared divergence from sqlglot: it re-renders whitespace and
+    * decides function-vs-identifier by grammar — this scan keeps
+    * spacing as-is (the evaluator collapses whitespace before the
+    * metric anyway, evaluate.py:316-325) and decides by token set, so
+    * it is a pure CASING transform: `out.equalsIgnoreCase(in)` always
+    * holds (pinned in PromptOpsSpec over every dev.json query). */
+  def correctCasingString(sql: String): String = {
+    if (sql == null) return null
+    val n = sql.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c
+        sb.append(c); i += 1
+        var open = true
+        while (i < n && open) {
+          val d = sql.charAt(i); sb.append(d); i += 1
+          if (d == q) {
+            if (i < n && sql.charAt(i) == q) { sb.append(q); i += 1 }
+            else open = false
+          }
+        }
+      } else if (Character.isLetter(c) || c == '_') {
+        val start = i
+        while (i < n && (Character.isLetterOrDigit(sql.charAt(i)) ||
+            sql.charAt(i) == '_')) i += 1
+        val w = sql.substring(start, i)
+        sb.append(
+          if (sqlKeywords(w.toLowerCase(java.util.Locale.ROOT)))
+            w.toUpperCase(java.util.Locale.ROOT)
+          else w)
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }

@@ -143,4 +143,43 @@ class PromptOpsSpec extends SparkSpecBase {
     assert(df(1) == ((0.0, 0.0, 0.0)))
     assert(df(2) == ((0.0, 0.0, 0.0)))
   }
+
+  test("correct_casing uppercases keywords, preserves quoted spans " +
+      "and escapes (pinned)") {
+    val f = PromptOps.correctCasingString _
+    assert(f("SELECT Max(datediff('minute', tpep_pickup_datetime, " +
+        "tpep_dropoff_datetime)) from nyc.taxi") ==
+      "SELECT MAX(DATEDIFF('minute', tpep_pickup_datetime, " +
+        "tpep_dropoff_datetime)) FROM nyc.taxi")
+    // single-quoted literal with '' escape: keywords inside stay put
+    assert(f("select '''select'' from where' as x") ==
+      "SELECT '''select'' from where' AS x")
+    // double-quoted identifier collides with a keyword: verbatim
+    assert(f("""select "select", t.a from t order by 1 desc""") ==
+      """SELECT "select", t.a FROM t ORDER BY 1 DESC""")
+    // identifiers merely containing keyword substrings are untouched
+    assert(f("select fromage, order_id from selections") ==
+      "SELECT fromage, order_id FROM selections")
+    assert(f(null) == null)
+  }
+
+  test("correct_casing is a pure casing transform and idempotent on " +
+      "every reference dev.json query") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val entries = mapper.readValue(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "/root/reference/eval/data/dev.json")),
+      classOf[java.util.List[Object]])
+    import scala.jdk.CollectionConverters._
+    val sqls = entries.asScala.toSeq
+      .map(_.asInstanceOf[java.util.Map[String, Any]].get("query").toString)
+    assert(sqls.length == 75)
+    sqls.foreach { s =>
+      val c = PromptOps.correctCasingString(s)
+      // only letter case may change — never content, spacing or quotes
+      assert(c.equalsIgnoreCase(s), s.take(60))
+      // idempotent: canonical form is a fixed point
+      assert(PromptOps.correctCasingString(c) == c, s.take(60))
+    }
+  }
 }

@@ -20,12 +20,9 @@ class QueriesSpec extends SparkSpecBase {
   }
 
   test("oracle SQL exists for every SQL-expressible query") {
-    // rows-only checks are the documented exceptions: nondeterministic
-    // sampling, engine-specific settings, hash-family-dependent dedup/ANN,
-    // approximate SUMMARIZE stats
-    val rowsOnly = Set("q29_sample", "q35_settings", "q43_dedup_simhash",
-      "q46_knn_ann_lsh", "q56_summarize",
-      "q66_knn_ann_ivf", "q67_validate_sql")
+    // the one remaining documented exception: the validator battery's
+    // verdict classification is engine-internal (ValidatorSpec pins it)
+    val rowsOnly = Set("q67_validate_sql")
     val missing =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
