@@ -98,6 +98,29 @@ object SystemQueries {
         |JOIN documents d ON e.media_id = d.doc_id
         |ORDER BY e.media_id""".stripMargin),
 
+    // Multimodal audio decode, REAL: RIFF/PCM16 WAV payloads (written
+    // by Python's stdlib wave module — tools/gen_audio_fixture.py)
+    // parsed with a pure byte-level chunk walk into integer-exact
+    // sample statistics. Same fixture-oracle convention as q54.
+    "q169_audio_features" -> api((spark, _) =>
+      MediaOps.audioFeatures(MediaOps.audioTable(spark))
+        .orderBy("media_id"),
+      """SELECT e.* FROM
+        |  read_parquet('/root/repo/fixtures/media/audio_expected.parquet') e
+        |JOIN documents d ON e.media_id = d.doc_id
+        |ORDER BY e.media_id""".stripMargin),
+
+    // The batched (mapPartitions) audio decode path — bit-identical to
+    // q169's Column path (SystemOpsSpec), checked against the same
+    // stats oracle.
+    "q170_audio_batched" -> api((spark, _) =>
+      MediaOps.audioFeaturesBatched(MediaOps.audioTable(spark))
+        .orderBy("media_id"),
+      """SELECT e.* FROM
+        |  read_parquet('/root/repo/fixtures/media/audio_expected.parquet') e
+        |JOIN documents d ON e.media_id = d.doc_id
+        |ORDER BY e.media_id""".stripMargin),
+
     // Skew-proof two-stage salted aggregation: rows spread over 8
     // sub-keys, partial per (key, salt), final per key. The oracle is
     // the PLAIN group-by — salting must be algebraically invisible.

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * expectation (tools/gen_media_fixture.py encodes the fixture PNGs in
   * pure Python; nothing JVM-side touches their production).
   *
+  * Audio decode is REAL too: [[decodeWavStats]] walks RIFF/WAVE chunks
+  * byte-by-byte (PCM16 — a container format, not a codec, so no
+  * dependency is even needed) and emits integer-exact sample statistics
+  * checked against tools/gen_audio_fixture.py's stdlib-`wave`-encoded
+  * fixture.
+  *
   * The byte-frame sampling path ([[sampleFrames]]/[[stubDecodeFeatures]])
   * models the video-frame shape: bounded deterministic frame slicing with
   * a pluggable per-frame kernel. Its default kernel is a deterministic
@@ -104,6 +110,101 @@ object MediaOps {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           val stats = batch.map(p => decodeImageStats(p._2))
+          batch.iterator.zip(stats.iterator).map { case ((id, _), s) =>
+            (id, s)
+          }
+        }
+      }
+      .select(col("_1").as("media_id"), col("_2.*"))
+  }
+
+  /** Integer-exact per-clip audio statistics (see
+    * tools/gen_audio_fixture.py for the shared definitions). Longs
+    * everywhere so schemas match the BIGINT oracle. */
+  final case class AudioStats(n_frames: Long, sample_rate: Long,
+      channels: Long, sum_abs: Long, peak: Long, energy: Long,
+      zero_cross: Long)
+
+  /** Decodes one RIFF/WAVE payload (PCM, 16-bit) with a pure byte-level
+    * chunk walk — no codec dependency at all — and computes
+    * [[AudioStats]]. Chunk sizes are word-aligned per the RIFF spec.
+    * Integer math only, so results are platform- and order-independent.
+    *
+    * zero_cross counts strict sign changes ((s[i-1] < 0) != (s[i] < 0))
+    * over channel 0 — the exact convention the fixture oracle uses. */
+  def decodeWavStats(payload: Array[Byte]): AudioStats = {
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+    def tag(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "payload is not a RIFF/WAVE file")
+    var off = 12
+    var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= payload.length) {
+      val id = tag(off); val sz = le32(off + 4)
+      if (id == "fmt ") {
+        require(le16(off + 8) == 1, "only PCM (format 1) supported")
+        channels = le16(off + 10)
+        sampleRate = le32(off + 12)
+        bits = le16(off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(bits == 16, s"only 16-bit PCM supported, got $bits")
+    require(dataOff >= 0 && channels > 0, "missing data or fmt chunk")
+    val nFrames = dataLen / (2 * channels)
+    var sumAbs = 0L; var peak = 0L; var energy = 0L; var zc = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val s = le16(dataOff + 2 * (i * channels + c)).toShort.toLong
+        val a = math.abs(s)
+        sumAbs += a; energy += s * s
+        if (a > peak) peak = a
+        if (c == 0) {
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+        }
+        c += 1
+      }
+      i += 1
+    }
+    AudioStats(nFrames, sampleRate, channels, sumAbs, peak, energy, zc)
+  }
+
+  /** The audio corpus: WAV payloads keyed by media_id, scoped to the
+    * documents present in the bound sf (same fixture convention as
+    * [[imageTable]]). */
+  def audioTable(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$MediaFix/wavs.parquet")
+      .join(broadcast(spark.table("documents").select(col("doc_id"))),
+        col("media_id") === col("doc_id"), "leftsemi")
+
+  /** Column-path audio featurization: one decode per row via a scalar
+    * UDF (same rationale as [[imageFeatures]]). */
+  def audioFeatures(audio: DataFrame): DataFrame = {
+    val decodeUdf = udf((b: Array[Byte]) => decodeWavStats(b))
+    audio.select(col("media_id"), decodeUdf(col("wav")).as("s"))
+      .select(col("media_id"), col("s.*"))
+  }
+
+  /** Batched audio featurization — the vectorized-codec call shape,
+    * mirroring [[imageFeaturesBatched]]: same per-clip function, so the
+    * two paths are bit-identical; no shuffle. */
+  def audioFeaturesBatched(audio: DataFrame, batchSize: Int = 32)
+      : DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col("media_id").cast("long"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val stats = batch.map(p => decodeWavStats(p._2))
           batch.iterator.zip(stats.iterator).map { case ((id, _), s) =>
             (id, s)
           }

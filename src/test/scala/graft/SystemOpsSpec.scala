@@ -91,6 +91,61 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("not a decodable image"))
   }
 
+  test("audio decode: RIFF/PCM stats match the independently computed " +
+      "fixture expectation") {
+    Queries.prep(spark, sfDir)
+    val got = MediaOps.audioFeatures(MediaOps.audioTable(spark))
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    val want = spark.read
+      .parquet("/root/repo/fixtures/media/audio_expected.parquet")
+      .join(broadcast(spark.table("documents").select(col("doc_id"))),
+        col("media_id") === col("doc_id"), "leftsemi")
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("audio decode: batched path is bit-identical to the Column path " +
+      "and invariant to batch size / partitioning") {
+    Queries.prep(spark, sfDir)
+    val audio = MediaOps.audioTable(spark)
+    val colPath = MediaOps.audioFeatures(audio)
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    def run(df: org.apache.spark.sql.DataFrame, bs: Int) =
+      MediaOps.audioFeaturesBatched(df, batchSize = bs)
+        .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(run(audio, 32) == colPath)
+    assert(run(audio, 7) == colPath)
+    assert(run(audio.repartition(13), 32) == colPath)
+  }
+
+  test("audio decode: hand-built WAV yields hand-computed stats") {
+    // 1 channel, 8000 Hz, 4 frames: samples 100, -200, 300, 0
+    val samples = Seq[Short](100, -200, 300, 0)
+    val dataLen = samples.size * 2
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    val s = MediaOps.decodeWavStats(bb.array())
+    assert(s == MediaOps.AudioStats(n_frames = 4, sample_rate = 8000,
+      channels = 1, sum_abs = 600, peak = 300,
+      energy = 100L * 100 + 200L * 200 + 300L * 300,
+      zero_cross = 2)) // 100→-200 and -200→300 flip; 300→0 does not
+  }
+
+  test("audio decode rejects non-WAV payloads loudly") {
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.decodeWavStats(Array[Byte](1, 2, 3, 4))
+    }
+    assert(e.getMessage.contains("not a RIFF/WAVE"))
+  }
+
   test("media features: fixed shape, bounded frames, deterministic") {
     Queries.prep(spark, sfDir)
     val media = MediaOps.mediaTable(spark.table("documents"))
