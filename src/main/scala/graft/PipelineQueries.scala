@@ -2290,6 +2290,191 @@ object PipelineQueries {
         |  || ' FROM tab_' || CAST(doc_id % 7 AS VARCHAR)
         |  || ' t WHERE id BETWEEN 1 AND ' || CAST(doc_id AS VARCHAR)
         |  || ' GROUP BY a ORDER BY a DESC LIMIT 5' AS canon
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Segment-level corpus dedup (the RefinedWeb/CCNet "line dedup"
+    // shape, over fixed 10-word segments since the synthetic corpus has
+    // no newlines): segment map-only via array slicing, count segments
+    // corpus-wide (one shuffle, partial agg), keep only the DUPLICATED
+    // segments as the banned set — far smaller than the corpus, so it
+    // broadcasts; beyond broadcast size flip the hint and the same plan
+    // runs as a shuffle join — then drop banned occurrences and
+    // reassemble each document in segment order (second shuffle).
+    // Per-doc output: segment count, dropped count, surviving text.
+    "q171_segment_dedup" -> sql(
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS words
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, s.i AS seg_id, s.t AS seg_text
+        |  FROM w LATERAL VIEW explode(transform(
+        |    sequence(0, CAST(ceil(size(words) / 10.0) AS INT) - 1),
+        |    i -> struct(i AS i,
+        |      array_join(slice(words, i * 10 + 1, 10), ' ') AS t))) e AS s),
+        |banned AS (
+        |  SELECT seg_text FROM seg GROUP BY seg_text
+        |  HAVING count(*) >= 2),
+        |k AS (
+        |  SELECT /*+ BROADCAST(b) */ s.doc_id, s.seg_id, s.seg_text,
+        |    b.seg_text IS NOT NULL AS is_dup
+        |  FROM seg s LEFT JOIN banned b ON s.seg_text = b.seg_text)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  count_if(is_dup) AS n_dropped,
+        |  array_join(transform(
+        |    filter(sort_array(collect_list(struct(seg_id, is_dup, seg_text))),
+        |      x -> NOT x.is_dup),
+        |    x -> x.seg_text), ' ') AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS word,
+        |    generate_subscripts(words, 1) AS ord FROM w),
+        |seg AS (
+        |  SELECT doc_id, (ord - 1) // 10 AS seg_id,
+        |    string_agg(word, ' ' ORDER BY ord) AS seg_text
+        |  FROM tok GROUP BY doc_id, (ord - 1) // 10),
+        |banned AS (
+        |  SELECT seg_text FROM seg GROUP BY seg_text
+        |  HAVING count(*) >= 2),
+        |k AS (
+        |  SELECT s.doc_id, s.seg_id, s.seg_text,
+        |    b.seg_text IS NOT NULL AS is_dup
+        |  FROM seg s LEFT JOIN banned b ON s.seg_text = b.seg_text)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  count(*) FILTER (is_dup) AS n_dropped,
+        |  coalesce(string_agg(seg_text, ' ' ORDER BY seg_id)
+        |    FILTER (NOT is_dup), '') AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    // that bounds the pairwise work by clustering first — assign every
+    // vector to its nearest centroid (q136's broadcast + partial-agg
+    // argmax shape), then compare ONLY within a cluster and drop any
+    // vector with an earlier same-cluster member above the cosine
+    // threshold. The pair join is keyed on cluster id, so its cost is
+    // sum of squared CLUSTER sizes, not corpus²; at scale nlist grows
+    // with n, holding cluster size — and per-cluster work — constant.
+    // Deterministic first-8 centroids keep the oracle SQL-expressible.
+    "q172_semdedup" -> api((spark, _) => {
+      val e = spark.table("embeddings")
+      val cents = e.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val asg = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          GraftFunctions.duckRound(
+            EmbeddingOps.cosine(col("embedding"), col("cvec")), 6).as("cos"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+      val withVec = asg
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val a = withVec.select(col("cid").as("cid_a"),
+        col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = withVec.select(col("cid").as("cid_b"),
+        col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val dropped = a
+        .join(b, col("cid_a") === col("cid_b") && col("id_a") < col("id_b"))
+        .where(GraftFunctions.duckRound(
+          EmbeddingOps.cosine(col("va"), col("vb")), 6) >= 0.4)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("d", lit(true))
+      asg.join(broadcast(dropped), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(col("d"), lit(false)).as("is_dup"))
+        .orderBy("vec_id")
+    },
+      s"""WITH n AS $duckNormEmbeddings,
+        |c AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+        |      FROM n ORDER BY vec_id LIMIT 8),
+        |s AS (SELECT n.vec_id, c.cid,
+        |    round((SELECT sum(x*y) FROM (SELECT unnest(n.embedding) AS x,
+        |        unnest(c.cvec) AS y) z) / (n.nrm * c.cnrm), 6) AS cos
+        |  FROM n CROSS JOIN c),
+        |b AS (SELECT vec_id, cid, cos, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM s),
+        |asg AS (SELECT vec_id, cid FROM b WHERE rn = 1),
+        |pair AS (SELECT bb.vec_id AS idb,
+        |    round((SELECT sum(x*y) FROM (SELECT unnest(na.embedding) AS x,
+        |        unnest(nb.embedding) AS y) z) / (na.nrm * nb.nrm), 6) AS cos
+        |  FROM asg a JOIN asg bb
+        |    ON a.cid = bb.cid AND a.vec_id < bb.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = bb.vec_id),
+        |dropped AS (SELECT DISTINCT idb FROM pair WHERE cos >= 0.4)
+        |SELECT a.vec_id, a.cid, d.idb IS NOT NULL AS is_dup
+        |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.idb
+        |ORDER BY vec_id""".stripMargin),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    // arXiv:1911.00359): score each document by its unigram
+    // cross-entropy under the corpus LM, then split the corpus into
+    // head/middle/tail terciles — the standard quality-stratified
+    // sampling gate. The LM is vocabulary-sized, so it broadcasts; the
+    // scoring pass is one explode + broadcast join + per-doc re-agg;
+    // the tercile is one window over doc-sized rows. Natural log on
+    // both engines (identical libm semantics), terciles by ntile with
+    // a deterministic (score, doc_id) tie-break.
+    "q173_ccnet_buckets" -> sql(
+      """WITH tok AS (
+        |  SELECT doc_id, explode(split(text, ' ')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
+        |tot AS (SELECT sum(n) AS t FROM wc),
+        |x AS (
+        |  SELECT /*+ BROADCAST(wc) */ tok.doc_id,
+        |    avg(-ln(CAST(wc.n AS DOUBLE) / t)) AS xent
+        |  FROM tok JOIN wc ON tok.word = wc.word CROSS JOIN tot
+        |  GROUP BY tok.doc_id)
+        |SELECT doc_id, CAST(round(xent, 6) AS DOUBLE) AS xent,
+        |  CAST(ntile(3) OVER (ORDER BY xent, doc_id) AS BIGINT) AS bucket
+        |FROM x ORDER BY doc_id""".stripMargin,
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
+        |tot AS (SELECT sum(n) AS t FROM wc),
+        |x AS (
+        |  SELECT tok.doc_id,
+        |    avg(-ln(CAST(wc.n AS DOUBLE) / t)) AS xent
+        |  FROM tok JOIN wc ON tok.word = wc.word CROSS JOIN tot
+        |  GROUP BY tok.doc_id)
+        |SELECT doc_id, round(xent, 6) AS xent,
+        |  ntile(3) OVER (ORDER BY xent, doc_id) AS bucket
+        |FROM x ORDER BY doc_id""".stripMargin),
+
+    // Tokenizer fertility report: tokens-per-word and chars-per-token
+    // by language, under the same BPE-ish regex tokenizer as q47 — the
+    // standard check that a tokenizer doesn't over-fragment some
+    // language before committing a training mix. Map-side counting
+    // into a lang-sized aggregate (one shuffle); ratios from corpus
+    // sums, not averaged per-doc ratios, so shards merge exactly.
+    "q174_tokenizer_fertility" -> sql(
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS ws,
+        |    CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0))
+        |      AS BIGINT) AS bpe,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(ws) AS ws_tokens,
+        |  sum(bpe) AS bpe_tokens,
+        |  CAST(round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS DOUBLE)
+        |    AS fertility,
+        |  CAST(round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 6) AS DOUBLE)
+        |    AS chars_per_token
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+      """WITH c AS (
+        |  SELECT lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS ws,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))
+        |      AS bpe,
+        |    length(replace(text, ' ', '')) AS chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility,
+        |  round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 6)
+        |    AS chars_per_token
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }
