@@ -2475,6 +2475,83 @@ object PipelineQueries {
         |  round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility,
         |  round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 6)
         |    AS chars_per_token
-        |FROM c GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // fastText-style linear quality classifier (the DataComp/Llama
+    // quality-gate shape): hashed bag-of-words features, a broadcast
+    // (here: closed-form) weight vector, sigmoid score, threshold keep.
+    // MAP-ONLY — the per-word fold runs inside the scan with zero
+    // shuffle, the shape a 100 TB scoring pass needs. Feature hash is
+    // the portable md5-prefix idiom (identical in both engines);
+    // weights w(b) = ((b*37) % 129 - 64) / 64 are exact 1/64-grid
+    // doubles, so the fold is bit-exact regardless of evaluation order.
+    "q175_quality_classifier" -> sql(
+      """SELECT doc_id,
+        |  CAST(round(1.0 / (1.0 + exp(-z)), 6) AS DOUBLE) AS score,
+        |  z >= 0 AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    aggregate(split(trim(lower(text)), '\\s+'), CAST(0.0 AS DOUBLE),
+        |      (a, w) -> a + CAST(
+        |        (pmod(CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT),
+        |          64) * 37) % 129 - 64 AS DOUBLE) / 64.0)
+        |      / size(split(trim(lower(text)), '\\s+')) AS z
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
+        |  z >= 0 AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      w -> CAST((('0x' || substr(md5(w), 1, 4))::BIGINT % 64 * 37)
+        |        % 129 - 64 AS DOUBLE) / 64.0))
+        |      / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS z
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin),
+
+    // Reciprocal-rank fusion (Cormack et al. 2009) of two retriever
+    // rankings — the standard hybrid-retrieval merge (BM25 + dense).
+    // Each ranker is a window over doc-sized rows with a deterministic
+    // tie-break; the fused score 1/(60+r_a) + 1/(60+r_b) is computed
+    // identically on both engines; top-20 via the rank-ordered limit.
+    "q176_rrf_fusion" -> sql(
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    size(filter(ts, x -> x = 'spark')) AS tf_a,
+        |    size(filter(ts, x -> x = 'join')) AS tf_b,
+        |    size(ts) AS dl
+        |  FROM (SELECT doc_id, split(trim(lower(text)), '\\s+') AS ts
+        |        FROM documents) t),
+        |r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY CAST(tf_a AS DOUBLE) / dl DESC,
+        |      doc_id) AS ra,
+        |    row_number() OVER (ORDER BY CAST(tf_b AS DOUBLE) / dl DESC,
+        |      doc_id) AS rb
+        |  FROM f)
+        |SELECT doc_id, ra, rb,
+        |  CAST(round(1.0 / (60 + ra) + 1.0 / (60 + rb), 6) AS DOUBLE)
+        |    AS rrf
+        |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ts, x -> x = 'spark')) AS tf_a,
+        |    len(list_filter(ts, x -> x = 'join')) AS tf_b,
+        |    len(ts) AS dl
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |        FROM documents) t),
+        |r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY CAST(tf_a AS DOUBLE) / dl DESC,
+        |      doc_id) AS ra,
+        |    row_number() OVER (ORDER BY CAST(tf_b AS DOUBLE) / dl DESC,
+        |      doc_id) AS rb
+        |  FROM f)
+        |SELECT doc_id, ra, rb,
+        |  round(1.0 / (60 + ra) + 1.0 / (60 + rb), 6) AS rrf
+        |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
   )
 }

@@ -158,6 +158,38 @@ object SystemQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
+    // Bucketed co-located join: both sides written bucketBy(8, key) +
+    // sortBy(key), so the sort-merge join consumes the bucket layout
+    // directly — NO exchange below the join (plan-asserted in
+    // SystemOpsSpec). This is the warehouse pattern that turns every
+    // recurring fact⋈fact join at 100 TB from a full shuffle into a
+    // map-side merge; the oracle is the plain join + agg (bucketing is
+    // pure physical layout, algebraically invisible).
+    "q177_bucketed_join" -> api((spark, _) => {
+      graft.operators.JoinOps.resetManagedTable(spark, "graft_li_bucketed")
+      graft.operators.JoinOps.resetManagedTable(spark, "graft_ord_bucketed")
+      spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
+      spark.table("orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("graft_ord_bucketed")
+      spark.table("graft_li_bucketed").hint("merge")
+        .join(spark.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty"))
+        .orderBy("o_orderpriority")
+    },
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     // DESCRIBE with DuckDB type names from the Spark schema.
     "q55_describe" -> api((spark, _) =>
       Summarize.describe(spark.table("lineitem"))

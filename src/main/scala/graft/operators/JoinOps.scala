@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps {
 
+  /** Drops a managed table AND deletes any orphaned warehouse location
+    * left by a previous session (a fresh session's catalog doesn't know
+    * the table, so saveAsTable(overwrite) alone trips
+    * LOCATION_ALREADY_EXISTS). Idempotent. */
+  def resetManagedTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Per-row salt in [0, saltFactor): seeded `rand` so byte-identical
     * duplicate rows (exactly the hot-key shape salting exists for) still
     * spread across sub-keys — a whole-row hash would send every copy of

@@ -146,6 +146,25 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("not a RIFF/WAVE"))
   }
 
+  test("bucketed join runs with no exchange below the sort-merge join") {
+    Queries.prep(spark, sfDir)
+    graft.operators.JoinOps.resetManagedTable(spark, "graft_li_bucketed")
+    graft.operators.JoinOps.resetManagedTable(spark, "graft_ord_bucketed")
+    spark.table("lineitem").select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
+    spark.table("orders").select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("graft_ord_bucketed")
+    val j = spark.table("graft_li_bucketed").hint("merge")
+      .join(spark.table("graft_ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(j.count() > 0)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("media features: fixed shape, bounded frames, deterministic") {
     Queries.prep(spark, sfDir)
     val media = MediaOps.mediaTable(spark.table("documents"))
