@@ -131,7 +131,7 @@ object PipelineQueries {
     * materializes the ANN result under `dir`, then scores per-query
     * overlap against the exact top-5 (q45's contract). The handoff is
     * guarded twice: rows go into a subdirectory KEYED by a corpus
-    * fingerprint (sum of per-vec_id md5-nibble hashes — the portable
+    * fingerprint (xor of per-vec_id md5-nibble hashes — the portable
     * hash both engines compute identically), and carry that tag plus
     * the row count as columns. Concurrent runs against different
     * corpora therefore write different subdirs (no clobber), and the
@@ -148,9 +148,13 @@ object PipelineQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     val emb = spark.table("embeddings")
     val nCorpus = emb.count()
-    val tag = emb.agg(sum(expr(
-        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 12), 16, 10)"
-          + " AS BIGINT)")))
+    // bit_xor, not sum: a sum of 48-bit hashes wraps signed 64-bit
+    // around ~65k vectors (silently on the Spark side only, so the
+    // engines' tags would diverge and drop every row); xor is
+    // order-independent and never overflows.
+    val tag = emb.agg(expr(
+        "bit_xor(CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 12),"
+          + " 16, 10) AS BIGINT))"))
       .first.getLong(0)
     ann.withColumn("n_corpus", lit(nCorpus))
       .withColumn("corpus_tag", lit(tag))
@@ -361,7 +365,7 @@ object PipelineQueries {
         |ann AS (SELECT qid, id
         |        FROM read_parquet('/tmp/graft_ann_lsh/*/*.parquet')
         |        WHERE n_corpus = (SELECT count(*) FROM embeddings)
-        |          AND corpus_tag = (SELECT sum(('0x' ||
+        |          AND corpus_tag = (SELECT bit_xor(('0x' ||
         |            substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT)
         |            FROM embeddings))
         |SELECT a.qid, count(*) AS n_ann,
@@ -408,7 +412,7 @@ object PipelineQueries {
         |ann AS (SELECT qid, id
         |        FROM read_parquet('/tmp/graft_ann_ivf/*/*.parquet')
         |        WHERE n_corpus = (SELECT count(*) FROM embeddings)
-        |          AND corpus_tag = (SELECT sum(('0x' ||
+        |          AND corpus_tag = (SELECT bit_xor(('0x' ||
         |            substring(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT)
         |            FROM embeddings))
         |SELECT a.qid, count(*) AS n_ann,
@@ -1339,25 +1343,27 @@ object PipelineQueries {
     // into the downstream grouped pass: one explode per basket, pairs
     // travel as ONE BIGINT (a*2^32 + b — primitive explode+agg keys
     // codegen cheaper than array<struct> rows). The packing is only
-    // valid while partkeys < 2^32 (TPC-H reaches that around SF~21,500);
-    // the basket build GUARDS it (items is sorted, so checking the last
-    // element is O(1) per basket) and fails loudly with the struct-key
-    // fallback named in the error, instead of silently colliding.
+    // valid while partkeys < 2^31 (x*2^32 must stay inside SIGNED
+    // 64-bit; TPC-H reaches 2^31 partkeys around SF~10,700); the basket
+    // build GUARDS it (items is sorted, so checking the last element is
+    // O(1) per basket) and fails loudly with the struct-key fallback
+    // named in the error, instead of silently colliding.
     // The pair/freq aggregations shuffle <1 MB at bench sf, so the
-    // reducer count is sized down (8) while the entry executes — at
-    // warehouse scale this knob is sized by volume, and the plan shape
-    // (broadcast joins on the item-cardinality freq table, no pair
-    // self-join) is unchanged. cache+count forces execution while the
-    // conf is armed (q153's pattern); the previous invocation's pinned
-    // result is released first. Oracle keeps the self-join formulation.
+    // reducer count is sized down (8) AFTER the heavy 3-table basket
+    // build has materialized at full parallelism — only the post-build
+    // sub-MB shuffles see the small knob; at warehouse scale this knob
+    // is sized by volume, and the plan shape (broadcast joins on the
+    // item-cardinality freq table, no pair self-join) is unchanged.
+    // cache+count forces execution while the conf is armed (q153's
+    // pattern); the previous invocation's pinned result is released
+    // first. Oracle keeps the self-join formulation.
     "q140_item_cooccur" -> api({ (spark, _) =>
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         checkpointView(spark, "graft_q140_baskets", spark.sql(
           """SELECT /*+ BROADCAST(part) */ o_custkey AS cust,
-            |  IF(element_at(items, -1) < 4294967296, items, raise_error(
-            |    'q140: l_partkey >= 2^32 breaks BIGINT pair packing — '
+            |  IF(element_at(items, -1) < 2147483648, items, raise_error(
+            |    'q140: l_partkey >= 2^31 breaks BIGINT pair packing — '
             |    || 'switch the pair key to struct(item_a, item_b)'))
             |    AS items
             |FROM (
@@ -1366,6 +1372,7 @@ object PipelineQueries {
             |  JOIN part ON p_partkey = l_partkey
             |  WHERE p_type = 'PROMO'
             |  GROUP BY o_custkey)""".stripMargin))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         val view = "graft_q140_cache"
         if (spark.catalog.tableExists(view)) {
           spark.table(view).unpersist()
@@ -1440,7 +1447,6 @@ object PipelineQueries {
     // executes (q140's pattern — cache+count while the conf is armed).
     "q141_trigram_lm" -> api({ (spark, _) =>
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         checkpointView(spark, "graft_q141_dtc", spark.sql(
           """SELECT doc_id, t, count(*) AS k FROM documents
@@ -1448,6 +1454,9 @@ object PipelineQueries {
             |  sequence(1, greatest(length(text) - 2, 1)),
             |  i -> substring(text, i, 3))) x AS t
             |GROUP BY doc_id, t""".stripMargin))
+        // small knob armed only now: the corpus-wide explode+agg above
+        // ran at full parallelism; what follows shuffles sub-MB tables
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         val view = "graft_q141_cache"
         if (spark.catalog.tableExists(view)) {
           spark.table(view).unpersist()
@@ -2358,13 +2367,18 @@ object PipelineQueries {
       val e = spark.table("embeddings")
       val cents = e.orderBy("vec_id").limit(8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val asg = e.crossJoin(broadcast(cents))
+      // materialized: asg feeds both self-join sides AND the final
+      // select — without a checkpoint the corpus×centroids cosine pass
+      // would re-run per consumer (branch subplans de-canonicalize, so
+      // exchange reuse never fires; same phenomenon as q140/q141)
+      checkpointView(spark, "graft_q172_asg", e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"),
           GraftFunctions.duckRound(
             EmbeddingOps.cosine(col("embedding"), col("cvec")), 6).as("cos"))
         .groupBy("vec_id")
         .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"))
-        .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+        .select(col("vec_id"), (-col("m.ncid")).as("cid")))
+      val asg = spark.table("graft_q172_asg")
       val withVec = asg
         .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       val a = withVec.select(col("cid").as("cid_a"),
@@ -2412,7 +2426,9 @@ object PipelineQueries {
     // scoring pass is one explode + broadcast join + per-doc re-agg;
     // the tercile is one window over doc-sized rows. Natural log on
     // both engines (identical libm semantics), terciles by ntile with
-    // a deterministic (score, doc_id) tie-break.
+    // a deterministic (score, doc_id) tie-break; the window orders by
+    // the ROUNDED score so a 1-ulp cross-engine libm difference near a
+    // tercile boundary cannot flip buckets.
     "q173_ccnet_buckets" -> sql(
       """WITH tok AS (
         |  SELECT doc_id, explode(split(text, ' ')) AS word
@@ -2425,7 +2441,8 @@ object PipelineQueries {
         |  FROM tok JOIN wc ON tok.word = wc.word CROSS JOIN tot
         |  GROUP BY tok.doc_id)
         |SELECT doc_id, CAST(round(xent, 6) AS DOUBLE) AS xent,
-        |  CAST(ntile(3) OVER (ORDER BY xent, doc_id) AS BIGINT) AS bucket
+        |  CAST(ntile(3) OVER (ORDER BY round(xent, 6), doc_id) AS BIGINT)
+        |    AS bucket
         |FROM x ORDER BY doc_id""".stripMargin,
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -2438,7 +2455,7 @@ object PipelineQueries {
         |  FROM tok JOIN wc ON tok.word = wc.word CROSS JOIN tot
         |  GROUP BY tok.doc_id)
         |SELECT doc_id, round(xent, 6) AS xent,
-        |  ntile(3) OVER (ORDER BY xent, doc_id) AS bucket
+        |  ntile(3) OVER (ORDER BY round(xent, 6), doc_id) AS bucket
         |FROM x ORDER BY doc_id""".stripMargin),
 
     // Tokenizer fertility report: tokens-per-word and chars-per-token

@@ -329,6 +329,11 @@ object CoreQueries {
     // validation of dev.json:559): each engine draws its own 10%
     // sample and reports size, key-distinctness and the expected size —
     // all three agree cross-engine even though the sampled rows differ.
+    // The size check is a ±1 CONTRACT, not raw counts: DuckDB's
+    // reservoir(10%) rounds to nearest (1,501 rows → 150) while this
+    // side takes ceil, so raw n_sample would diverge on any total not
+    // divisible by 10 — the tolerant predicate is what both samplers
+    // genuinely guarantee.
     "q29_sample" -> api((spark, sfDir) => {
       import org.apache.spark.sql.functions._
       val orders = Tables.load(spark, sfDir, "orders")
@@ -338,16 +343,24 @@ object CoreQueries {
           count(lit(1)).cast("long").as("n_sample"),
           countDistinct(col("o_orderkey")).cast("long").as("n_keys"))
         .crossJoin(orders.agg(
-          ceil(count(lit(1)) * 0.1).cast("long").as("n_expected")))
-        .select(col("n_sample"), col("n_keys"), col("n_expected"))
+          count(lit(1)).cast("long").as("n_total")))
+        .select(
+          (abs(col("n_sample").cast("double")
+            - col("n_total").cast("double") * 0.1) <= 1.0).as("size_ok"),
+          (col("n_keys") === col("n_sample")).as("keys_distinct"),
+          ceil(col("n_total").cast("double") * 0.1).cast("long")
+            .as("n_expected"))
     },
       """WITH s AS (SELECT * FROM orders
-        |           USING SAMPLE reservoir(10%) REPEATABLE (42))
-        |SELECT count(*) AS n_sample,
-        |  count(DISTINCT o_orderkey) AS n_keys,
-        |  (SELECT CAST(ceil(count(*) * 0.1) AS BIGINT) FROM orders)
+        |           USING SAMPLE reservoir(10%) REPEATABLE (42)),
+        |t AS (SELECT count(*) AS n_total FROM orders)
+        |SELECT
+        |  abs(CAST(count(*) AS DOUBLE)
+        |    - CAST(n_total AS DOUBLE) * 0.1) <= 1.0 AS size_ok,
+        |  count(DISTINCT o_orderkey) = count(*) AS keys_distinct,
+        |  CAST(ceil(CAST(n_total AS DOUBLE) * 0.1) AS BIGINT)
         |    AS n_expected
-        |FROM s""".stripMargin),
+        |FROM s, t GROUP BY n_total""".stripMargin),
 
     // P3 — * EXCLUDE through the dialect rewriter (oracle runs the DuckDB
     // text verbatim)

@@ -144,6 +144,9 @@ object MediaOps {
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= payload.length) {
       val id = tag(off); val sz = le32(off + 4)
+      // a crafted/corrupt negative size would make the walk
+      // non-advancing — fail loudly instead of hanging the task
+      require(sz >= 0, s"corrupt chunk '$id': negative size $sz")
       if (id == "fmt ") {
         require(le16(off + 8) == 1, "only PCM (format 1) supported")
         channels = le16(off + 10)
@@ -154,6 +157,8 @@ object MediaOps {
     }
     require(bits == 16, s"only 16-bit PCM supported, got $bits")
     require(dataOff >= 0 && channels > 0, "missing data or fmt chunk")
+    require(dataOff.toLong + dataLen <= payload.length,
+      "data chunk size exceeds payload")
     val nFrames = dataLen / (2 * channels)
     var sumAbs = 0L; var peak = 0L; var energy = 0L; var zc = 0L
     var prevNeg = false
