@@ -159,6 +159,17 @@ object PipelineQueries {
     ann.withColumn("n_corpus", lit(nCorpus))
       .withColumn("corpus_tag", lit(tag))
       .write.mode("overwrite").parquet(s"$dir/t$tag")
+    // prune sibling tag dirs: each distinct corpus (sf dir) writes its
+    // own t<tag> subdir, and without this the fixed handoff root grows
+    // one orphan per corpus ever benched. Stale-by-construction — the
+    // oracle's corpus_tag filter already ignores them — so deleting
+    // after the current write races nothing.
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("t") && n != s"t$tag") fs.delete(st.getPath, true)
+    }
     val view = "graft_knn_exact"
     if (!spark.catalog.tableExists(view) ||
         !spark.conf.getOption("graft.knn.built").contains(sfDir)) {
@@ -2079,14 +2090,15 @@ object PipelineQueries {
     // the identical chain in DuckDB ('g' flag: Spark regexp_replace is
     // global by default, DuckDB's is first-match).
     "q163_sql_postprocess" -> api({ (spark, _) =>
-      // the raw literal embeds U+00A0 (NBSP) + U+2003 (em space)
-      // after the tab, forcing the whitespace collapse to do real
-      // UNICODE work — Java's (?U)\s and the oracle's enumerated RE2
+      // the literal embeds U+00A0 (NBSP) + U+2003 (em space) after
+      // the tab — as visible \u escapes, not raw bytes, so an editor's
+      // whitespace normalization can't silently break oracle agreement
+      // — forcing the whitespace collapse to do real UNICODE work — Java's (?U)\s and the oracle's enumerated RE2
       // class must agree beyond ASCII (DuckDB: chr(160)||chr(8195))
       val raw = concat(lit("SELECT '"), substring(col("text"), 1, 30),
-        lit("' AS q,\t  \"col\" FROM t;\n-- explanation"))
+        lit("' AS q,\t\u00A0\u2003\"col\" FROM t;\n-- explanation"))
       val ques = concat(lit("what is "), substring(col("text"), 1, 20),
-        lit("'' ``\té  ?"))
+        lit("'' ``\t\u00E9  ?"))
       spark.table("documents").select(col("doc_id"),
         PromptOps.truncateAtStops(raw, Seq("\n", ";")).as("sql_out"),
         PromptOps.cleanWhitespace(raw).as("collapsed"),

@@ -4,8 +4,9 @@ import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, frame sampling, and feature extraction.
@@ -103,19 +104,20 @@ object MediaOps {
     * mapPartitions preserves the scan partitioning. */
   def imageFeaturesBatched(images: DataFrame, batchSize: Int = 32)
       : DataFrame = {
-    val spark = images.sparkSession
-    import spark.implicits._
-    images.select(col("media_id").cast("long"), col("png"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          val stats = batch.map(p => decodeImageStats(p._2))
-          batch.iterator.zip(stats.iterator).map { case ((id, _), s) =>
-            (id, s)
-          }
+    // the id column rides through the kernel as-is (Row-encoded) so the
+    // batched schema is identical to the Column path's — an unconditional
+    // long cast would silently null non-numeric ids
+    val in = images.select(col("media_id"), col("png"))
+    val outSchema = StructType(
+      in.schema.fields.head +: Encoders.product[ImageStats].schema.fields)
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val stats = batch.map(r => decodeImageStats(r.getAs[Array[Byte]](1)))
+        batch.iterator.zip(stats.iterator).map { case (r, s) =>
+          Row.fromSeq(r.get(0) +: s.productIterator.toSeq)
         }
       }
-      .select(col("_1").as("media_id"), col("_2.*"))
+    }(Encoders.row(outSchema))
   }
 
   /** Integer-exact per-clip audio statistics (see
@@ -139,34 +141,43 @@ object MediaOps {
       new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
       "payload is not a RIFF/WAVE file")
-    var off = 12
+    // the walk offset is a Long: RIFF sizes are unsigned 32-bit, and a
+    // crafted size near 2^31 would wrap an Int offset negative and turn
+    // the intended require() failures into raw IndexOutOfBounds
+    var off = 12L
     var channels = 0; var sampleRate = 0; var bits = 0
-    var dataOff = -1; var dataLen = 0
+    var dataOff = -1L; var dataLen = 0L
     while (off + 8 <= payload.length) {
-      val id = tag(off); val sz = le32(off + 4)
-      // a crafted/corrupt negative size would make the walk
-      // non-advancing — fail loudly instead of hanging the task
-      require(sz >= 0, s"corrupt chunk '$id': negative size $sz")
+      val o = off.toInt // off + 8 <= length, so the header fits in Int
+      val id = tag(o)
+      val sz = le32(o + 4) & 0xffffffffL // unsigned per the RIFF spec
+      // every declared chunk must fit the payload — a truncated or
+      // crafted file fails HERE with a clear message, before any field
+      // read can run off the end of the array
+      require(off + 8 + sz <= payload.length,
+        s"corrupt chunk '$id': declared size $sz exceeds payload")
       if (id == "fmt ") {
-        require(le16(off + 8) == 1, "only PCM (format 1) supported")
-        channels = le16(off + 10)
-        sampleRate = le32(off + 12)
-        bits = le16(off + 22)
+        // the PCM fmt fields span 16 bytes; reading them from a
+        // shorter chunk would alias the next chunk's header
+        require(sz >= 16, s"corrupt fmt chunk: size $sz < 16")
+        require(le16(o + 8) == 1, "only PCM (format 1) supported")
+        channels = le16(o + 10)
+        sampleRate = le32(o + 12)
+        bits = le16(o + 22)
       } else if (id == "data") { dataOff = off + 8; dataLen = sz }
       off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     require(bits == 16, s"only 16-bit PCM supported, got $bits")
     require(dataOff >= 0 && channels > 0, "missing data or fmt chunk")
-    require(dataOff.toLong + dataLen <= payload.length,
-      "data chunk size exceeds payload")
-    val nFrames = dataLen / (2 * channels)
+    val nFrames = (dataLen / (2 * channels)).toInt
+    val dOff = dataOff.toInt // fits: dataOff + dataLen <= payload.length
     var sumAbs = 0L; var peak = 0L; var energy = 0L; var zc = 0L
     var prevNeg = false
     var i = 0
     while (i < nFrames) {
       var c = 0
       while (c < channels) {
-        val s = le16(dataOff + 2 * (i * channels + c)).toShort.toLong
+        val s = le16(dOff + 2 * (i * channels + c)).toShort.toLong
         val a = math.abs(s)
         sumAbs += a; energy += s * s
         if (a > peak) peak = a
@@ -203,19 +214,18 @@ object MediaOps {
     * two paths are bit-identical; no shuffle. */
   def audioFeaturesBatched(audio: DataFrame, batchSize: Int = 32)
       : DataFrame = {
-    val spark = audio.sparkSession
-    import spark.implicits._
-    audio.select(col("media_id").cast("long"), col("wav"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          val stats = batch.map(p => decodeWavStats(p._2))
-          batch.iterator.zip(stats.iterator).map { case ((id, _), s) =>
-            (id, s)
-          }
+    // same Row-encoded id pass-through as [[imageFeaturesBatched]]
+    val in = audio.select(col("media_id"), col("wav"))
+    val outSchema = StructType(
+      in.schema.fields.head +: Encoders.product[AudioStats].schema.fields)
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val stats = batch.map(r => decodeWavStats(r.getAs[Array[Byte]](1)))
+        batch.iterator.zip(stats.iterator).map { case (r, s) =>
+          Row.fromSeq(r.get(0) +: s.productIterator.toSeq)
         }
       }
-      .select(col("_1").as("media_id"), col("_2.*"))
+    }(Encoders.row(outSchema))
   }
 
   /** Synthesizes a media table from the documents fixture: payload =
@@ -287,21 +297,22 @@ object MediaOps {
   def extractFeaturesBatched(media: DataFrame, batchSize: Int = 32,
       frameLen: Int = 64, stride: Int = 48, maxFrames: Int = 16)
       : DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("media_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // one kernel call per batch — where a vectorized decoder runs
-          val feats = stubKernelBatch(batch.map(_._2),
-            frameLen, stride, maxFrames)
-          batch.iterator.zip(feats.iterator).map { case ((id, _), f) =>
-            (id, f._1, f._2)
-          }
+    // same Row-encoded id pass-through as [[imageFeaturesBatched]]
+    val in = media.select(col("media_id"), col("payload"))
+    val outSchema = StructType(Seq(in.schema.fields.head,
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("embedding",
+        ArrayType(DoubleType, containsNull = false), nullable = true)))
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one kernel call per batch — where a vectorized decoder runs
+        val feats = stubKernelBatch(
+          batch.map(_.getAs[Array[Byte]](1)), frameLen, stride, maxFrames)
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row(r.get(0), f._1, f._2)
         }
       }
-      .toDF("media_id", "n_frames", "embedding")
+    }(Encoders.row(outSchema))
   }
 
   /** JVM stub kernel: per payload, the same frames → xxhash features →

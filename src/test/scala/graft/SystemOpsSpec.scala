@@ -146,6 +146,78 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("not a RIFF/WAVE"))
   }
 
+  /** A syntactically valid WAV header followed by `chunks`, for the
+    * malformed-payload negative tests. */
+  private def riff(chunks: Array[Byte]*): Array[Byte] = {
+    val body = chunks.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+
+  private def chunk(id: String, declaredSize: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("US-ASCII")).putInt(declaredSize).put(payload)
+    bb.array()
+  }
+
+  test("audio decode rejects a truncated chunk with a clear message, " +
+      "not an index error") {
+    // declared data size 1000 but only 4 bytes present
+    val bad = riff(chunk("data", 1000, Array[Byte](0, 0, 0, 0)))
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.decodeWavStats(bad)
+    }
+    assert(e.getMessage.contains("exceeds payload"), e.getMessage)
+  }
+
+  test("audio decode rejects a crafted near-2^31 chunk size loudly " +
+      "(no Int overflow in the walk)") {
+    val bad = riff(chunk("JUNK", Int.MaxValue - 4, Array[Byte](0, 0)))
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.decodeWavStats(bad)
+    }
+    assert(e.getMessage.contains("exceeds payload"), e.getMessage)
+  }
+
+  test("audio decode rejects an undersized fmt chunk loudly " +
+      "(no field reads past the declared length)") {
+    // fmt declares 4 bytes — too short for the 16-byte PCM field block
+    val bad = riff(
+      chunk("fmt ", 4, Array[Byte](1, 0, 1, 0)),
+      chunk("data", 2, Array[Byte](0, 0)))
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.decodeWavStats(bad)
+    }
+    assert(e.getMessage.contains("fmt chunk: size 4 < 16"), e.getMessage)
+  }
+
+  test("batched media paths preserve a non-numeric media_id type " +
+      "(schema parity with the Column path)") {
+    Queries.prep(spark, sfDir)
+    val img = MediaOps.imageTable(spark)
+      .withColumn("media_id", concat(lit("img-"), col("media_id")))
+    val colPath = MediaOps.imageFeatures(img)
+    val batched = MediaOps.imageFeaturesBatched(img, batchSize = 7)
+    assert(batched.schema.map(f => (f.name, f.dataType)) ==
+      colPath.schema.map(f => (f.name, f.dataType)))
+    assert(batched.orderBy("media_id").collect().map(_.toSeq).toSeq ==
+      colPath.orderBy("media_id").collect().map(_.toSeq).toSeq)
+
+    val aud = MediaOps.audioTable(spark)
+      .withColumn("media_id", concat(lit("wav-"), col("media_id")))
+    val aCol = MediaOps.audioFeatures(aud)
+    val aBat = MediaOps.audioFeaturesBatched(aud, batchSize = 7)
+    assert(aBat.schema.map(f => (f.name, f.dataType)) ==
+      aCol.schema.map(f => (f.name, f.dataType)))
+    assert(aBat.orderBy("media_id").collect().map(_.toSeq).toSeq ==
+      aCol.orderBy("media_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("bucketed join runs with no exchange below the sort-merge join") {
     Queries.prep(spark, sfDir)
     graft.operators.JoinOps.resetManagedTable(spark, "graft_li_bucketed")
