@@ -25,17 +25,37 @@ object Tables {
     Set("region", "nation", "supplier", "part", "customer")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects outright; read it as raw nanos (legacy conf) and convert to a
-    // micros timestamp in the plan. The cast is codegen'd arithmetic on the
-    // scan output — no UDF, pushdown/pruning on the other columns unaffected.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    // generations (which Spark's vectorized reader rejects outright — the
+    // legacy conf reads it as raw nanos LongType) and TIMESTAMP(MICROS,
+    // isAdjustedToUTC=0) in others (arrives as TIMESTAMP_NTZ). Dispatch on
+    // the type the scan actually produced instead of hardcoding one
+    // physical encoding; every branch is codegen'd arithmetic/cast on the
+    // scan output — no UDF, pushdown/pruning on other columns unaffected.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalizes `events.ts` to TimestampType whatever physical encoding the
+    * scan produced: TIMESTAMP(NANOS) arrives as raw-nanos LongType (under
+    * the legacy nanosAsLong conf), TIMESTAMP(MICROS, isAdjustedToUTC=0) as
+    * TIMESTAMP_NTZ, TIMESTAMP(MICROS, utc) as TimestampType already.
+    * Dispatching on the loaded type (not hardcoding one encoding) is what
+    * lets the engine survive a testdata regeneration. Every branch is
+    * codegen'd arithmetic/cast on the scan output — no UDF; pushdown and
+    * pruning on other columns unaffected. Works on batch and streaming
+    * DataFrames alike (use via `.transform(Tables.normalizeEventTs)`). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long (legacy conf) → micros timestamp
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // micros, no tz: align to session-tz type
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TIMESTAMP — no-op
+    }
   }
 
   /** Tables whose single-file testdata arrives as ONE parquet row group —
@@ -46,8 +66,13 @@ object Tables {
   private val hot: Set[String] =
     Set("lineitem", "orders", "events", "documents", "embeddings")
 
+  /** Per-session memo: (sf dir, the subset of `names` that actually
+    * registered). Tracking the subset (not just the dir) keeps the memo
+    * honest under degraded registration — a table whose load failed stays
+    * un-memoized-for without forcing every later prep to re-read all ten
+    * parquet footers. */
   private val registeredFor =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    new java.util.concurrent.ConcurrentHashMap[Int, (String, Seq[String])]()
 
   /** Registers every table as a temp view in the session, so queries can
     * be written in plain SQL. Idempotent and memoized per session:
@@ -61,34 +86,50 @@ object Tables {
     val id = System.identityHashCode(spark)
     // memo alone isn't enough: other components (GoldSuite) may drop the
     // session's temp views between calls — re-register unless all views
-    // are actually present (cheap driver-side catalog lookups)
-    if (sfDir == registeredFor.get(id) &&
-      names.forall(spark.catalog.tableExists)) return
+    // that registered last time are actually present (cheap driver-side
+    // catalog lookups)
+    def memoHit: Boolean = registeredFor.get(id) match {
+      case (dir, regd) if dir == sfDir => regd.forall(spark.catalog.tableExists)
+      case _ => false
+    }
+    if (memoHit) return
     // the whole remove→rebind→record sequence runs under ONE global
     // lock (the memo map's monitor): two threads registering different
     // dirs on one session must not interleave (views mixed between dirs
     // with a single dir memoized). Registration is rare and idempotent,
     // so serializing unrelated sessions too is an accepted cost.
     registeredFor.synchronized {
-      if (sfDir == registeredFor.get(id) &&
-        names.forall(spark.catalog.tableExists)) return
+      if (memoHit) return
       // memo is recorded only after ALL views rebind: a mid-loop load
       // failure must not leave the session claiming the new dir while
       // some views still serve the old one
       registeredFor.remove(id)
       val par = spark.sparkContext.defaultParallelism
-      names.foreach { n =>
+      // a single table's load failure (e.g. a testdata format change the
+      // loader doesn't yet handle) must degrade to per-query "table not
+      // found" errors for queries touching THAT table — not kill every
+      // entry in the catalog. Log it loudly, register the rest.
+      val registered = names.flatMap { n =>
         // release the previous dir's cached blocks before rebinding the view
         if (spark.catalog.tableExists(n))
           scala.util.Try(spark.table(n).unpersist())
-        val df0 = load(spark, sfDir, n)
-        val df =
-          if (hot(n) && df0.rdd.getNumPartitions < par)
-            df0.repartition(par).cache()
-          else df0
-        df.createOrReplaceTempView(n)
+        try {
+          val df0 = load(spark, sfDir, n)
+          val df =
+            if (hot(n) && df0.rdd.getNumPartitions < par)
+              df0.repartition(par).cache()
+            else df0
+          df.createOrReplaceTempView(n)
+          Some(n)
+        } catch { case scala.util.control.NonFatal(e) =>
+          // drop any stale view so queries fail with "not found", never
+          // silently serve the previous dir's data
+          scala.util.Try(spark.catalog.dropTempView(n))
+          System.err.println(s"[tables] load failed for $n at $sfDir: ${e.getMessage}")
+          None
+        }
       }
-      registeredFor.put(id, sfDir)
+      registeredFor.put(id, (sfDir, registered))
     }
   }
 }

@@ -55,7 +55,7 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       // DECIMAL sum: order-independent, so stream == batch bit-exactly
@@ -140,7 +140,7 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       .withColumn("__copy", explode(array(lit(1), lit(2))))
       .drop("__copy")
@@ -178,7 +178,7 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
       .where(col("event_type") === eventType)
       .select(col("user_id").as(s"${prefix}_user"),
         col("ts").as(s"${prefix}_ts"), col("event_id").as(s"${prefix}_id"))
@@ -225,7 +225,7 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
       .select(col("user_id"), col("ts"))
       .as[SessionEvent]
 
@@ -288,7 +288,7 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
       .withWatermark("ts", "1 hour")
       .select(col("ts"), col("user_id"),
         explode(array((0 to 3).map(lit(_)): _*)).as("j"))
