@@ -161,14 +161,20 @@ object PipelineQueries {
       .write.mode("overwrite").parquet(s"$dir/t$tag")
     // prune sibling tag dirs: each distinct corpus (sf dir) writes its
     // own t<tag> subdir, and without this the fixed handoff root grows
-    // one orphan per corpus ever benched. Stale-by-construction — the
-    // oracle's corpus_tag filter already ignores them — so deleting
-    // after the current write races nothing.
+    // one orphan per corpus ever benched. The root must stay FIXED (the
+    // DuckDB oracle is static SQL globbing this exact path from another
+    // process), so a per-session temp root isn't an option; instead the
+    // prune is age-gated — only dirs untouched for an hour go, so a
+    // concurrent bench's live handoff (written seconds ago) is never a
+    // casualty. Stale old dirs are ignorable anyway (the oracle's
+    // corpus_tag filter drops them); this just bounds disk growth.
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("t") && n != s"t$tag") fs.delete(st.getPath, true)
+      if (n.startsWith("t") && n != s"t$tag" &&
+        st.getModificationTime < cutoff) fs.delete(st.getPath, true)
     }
     val view = "graft_knn_exact"
     if (!spark.catalog.tableExists(view) ||
@@ -908,6 +914,48 @@ object PipelineQueries {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY id_a, id_b""".stripMargin, headline = true),
+
+    // Bounded sibling of q104: same banded candidate generation + exact
+    // Hamming verify, then keep only each document's top-2 nearest
+    // neighbors (smallest Hamming, id tiebreak). Output is O(k·n) rows
+    // no matter how dup-dense the corpus — the scale-safe formulation
+    // for a 100 TB corpus where q104's full pair list is output-bound
+    // Θ(n²) in the worst case. Cost: the banded shuffle plus ONE extra
+    // hash-partition window on doc_id; no all-pairs stage anywhere.
+    // The oracle recomputes the same top-k from the quadratic pair
+    // list, so banding AND the per-doc cap are both value-checked.
+    "q178_simhash_pairs_topk" -> api((spark, _) => {
+      val pairs = TextOps.simhashMd5DupPairs(spark.table("documents"),
+        "doc_id", "text", maxHamming = 3)
+      // symmetric view: a pair is a candidate neighbor of BOTH endpoints
+      val sym = pairs.select(col("id_a").as("doc_id"),
+          col("id_b").as("nbr"), col("hamming"))
+        .union(pairs.select(col("id_b").as("doc_id"),
+          col("id_a").as("nbr"), col("hamming")))
+      sym.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("hamming"), col("nbr"))))
+        .where(col("rk") <= 2)
+        .select(col("doc_id"), col("nbr"),
+          col("hamming").cast("long").as("hamming"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("doc_id", "rk")
+    },
+      s"""WITH s AS (
+         |  SELECT doc_id, $duckSimhashMd5 AS sig
+         |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_id, b.doc_id AS nbr,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+         |SELECT doc_id, nbr, hamming, rk FROM (
+         |  SELECT doc_id, nbr, hamming,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY hamming, nbr) AS BIGINT) AS rk
+         |  FROM p)
+         |WHERE rk <= 2
+         |ORDER BY doc_id, rk""".stripMargin, headline = true),
 
     // Gopher-style filter rules (Rae et al. 2021 §A1.1): mean word
     // length, symbol-to-word ratio, and the hash-fraction rule, with the

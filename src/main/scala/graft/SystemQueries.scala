@@ -121,6 +121,54 @@ object SystemQueries {
         |JOIN documents d ON e.media_id = d.doc_id
         |ORDER BY e.media_id""".stripMargin),
 
+    // Multimodal VIDEO decode, REAL: multi-frame GIF clips (encoded by
+    // a pure-Python GIF89a writer — tools/gen_video_fixture.py) decoded
+    // frame-by-frame with the JDK's javax.imageio GIF reader into
+    // integer-exact pixel statistics pooled over all frames. Same
+    // fixture-oracle convention as q54/q169; all-BIGINT ⇒ exact match.
+    "q179_video_features" -> api((spark, _) =>
+      MediaOps.videoFeatures(MediaOps.videoTable(spark))
+        .orderBy("media_id"),
+      """SELECT e.* FROM
+        |  read_parquet('/root/repo/fixtures/media/video_expected.parquet') e
+        |JOIN documents d ON e.media_id = d.doc_id
+        |ORDER BY e.media_id""".stripMargin),
+
+    // The batched (mapPartitions) video decode path — bit-identical to
+    // q179's Column path (SystemOpsSpec), checked against the same
+    // stats oracle.
+    "q180_video_batched" -> api((spark, _) =>
+      MediaOps.videoFeaturesBatched(MediaOps.videoTable(spark))
+        .orderBy("media_id"),
+      """SELECT e.* FROM
+        |  read_parquet('/root/repo/fixtures/media/video_expected.parquet') e
+        |JOIN documents d ON e.media_id = d.doc_id
+        |ORDER BY e.media_id""".stripMargin),
+
+    // End-to-end video featurization with the REAL per-frame kernel:
+    // frames → per-frame luma-histogram features → mean-pooled
+    // embedding — the extractFeatures pipeline with an actual codec in
+    // the kernel seam. The pooled embedding is derivable from the
+    // integer stats fixture (all frames of a clip share one size, so
+    // mean-of-fractions = pooled-hist / (n_frames·w·h)), which makes
+    // even the float embedding value-checked, not rows-only.
+    "q181_video_embedding" -> api((spark, _) =>
+      MediaOps.extractFeaturesVideo(MediaOps.videoTable(spark))
+        .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          col("embedding"))
+        .orderBy("media_id"),
+      """SELECT e.media_id, e.n_frames,
+        |  [round(h0 / px, 6), round(h1 / px, 6), round(h2 / px, 6),
+        |   round(h3 / px, 6), round(h4 / px, 6), round(h5 / px, 6),
+        |   round(h6 / px, 6), round(h7 / px, 6)] AS embedding
+        |FROM (
+        |  SELECT media_id, n_frames,
+        |    CAST(n_frames * width * height AS DOUBLE) AS px,
+        |    h0, h1, h2, h3, h4, h5, h6, h7
+        |  FROM read_parquet('/root/repo/fixtures/media/video_expected.parquet')) e
+        |JOIN documents d ON e.media_id = d.doc_id
+        |ORDER BY e.media_id""".stripMargin),
+
     // Skew-proof two-stage salted aggregation: rows spread over 8
     // sub-keys, partial per (key, salt), final per key. The oracle is
     // the PLAIN group-by — salting must be algebraically invisible.

@@ -25,12 +25,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructFie
   * checked against tools/gen_audio_fixture.py's stdlib-`wave`-encoded
   * fixture.
   *
+  * Video decode is REAL as well: [[decodeGifStats]]/[[gifFrameEmbedding]]
+  * run the JDK's builtin multi-frame GIF reader frame-by-frame (the one
+  * moving-picture format the JDK ships a codec for) and pool integer
+  * statistics / per-frame features across frames, fixture-checked against
+  * tools/gen_video_fixture.py's pure-Python GIF89a encoder.
+  *
   * The byte-frame sampling path ([[sampleFrames]]/[[stubDecodeFeatures]])
-  * models the video-frame shape: bounded deterministic frame slicing with
-  * a pluggable per-frame kernel. Its default kernel is a deterministic
-  * hash stand-in (video codecs genuinely are absent from the JDK), kept
-  * because the plumbing — slicing, pooling, batch shape — is the reusable
-  * part; [[extractFeaturesBatched]] shows the vectorized-codec call shape.
+  * models the codec-free frame shape: bounded deterministic frame slicing
+  * with a pluggable per-frame kernel. Its default kernel is a
+  * deterministic hash stand-in, kept because the plumbing — slicing,
+  * pooling, batch shape — is reusable for formats the JVM cannot decode;
+  * [[extractFeaturesVideo]] is the same pipeline with the real GIF codec
+  * plugged into that seam.
   *
   * Scale notes: decode and all transforms are per-row work (no shuffle,
   * no driver collection); frame explosion is bounded by `maxFrames` so a
@@ -223,6 +230,135 @@ object MediaOps {
         val stats = batch.map(r => decodeWavStats(r.getAs[Array[Byte]](1)))
         batch.iterator.zip(stats.iterator).map { case (r, s) =>
           Row.fromSeq(r.get(0) +: s.productIterator.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Integer-exact per-clip video statistics, pooled over all frames
+    * (see tools/gen_video_fixture.py for the shared definitions). Longs
+    * everywhere so schemas match the BIGINT oracle. */
+  final case class VideoStats(n_frames: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, h0: Long, h1: Long, h2: Long,
+      h3: Long, h4: Long, h5: Long, h6: Long, h7: Long)
+
+  /** Decodes one multi-frame GIF clip with the JDK's builtin
+    * `javax.imageio` GIF reader — REAL frame-by-frame video decode, no
+    * external codec dependency — and pools [[ImageStats]]-style integer
+    * statistics over every frame. Integer math only, so the result is
+    * independent of evaluation order and identical on every platform.
+    * The fixture's frames are full-size with no transparency, so each
+    * `reader.read(i)` is a complete frame (no disposal compositing
+    * needed — a general GIF player would composite here). */
+  def decodeGifStats(payload: Array[Byte]): VideoStats = {
+    ImageIO.setUseCache(false) // in-memory decode; no temp-file cache
+    val readers = ImageIO.getImageReadersByFormatName("gif")
+    require(readers.hasNext, "JDK GIF reader missing")
+    val reader = readers.next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true) // count frames (full scan)
+      require(n > 0, "payload is not a decodable GIF")
+      var w = 0L; var h = 0L
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Long](8)
+      var i = 0
+      while (i < n) {
+        val img = reader.read(i)
+        if (i == 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+        else require(img.getWidth == w && img.getHeight == h,
+          "frames must share the clip's dimensions")
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xff
+            val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            sr += r; sg += g; sb += b
+            hist(((r * 299 + g * 587 + b * 114) / 1000) / 32) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        i += 1
+      }
+      VideoStats(n, w, h, sr, sg, sb, hist(0), hist(1), hist(2), hist(3),
+        hist(4), hist(5), hist(6), hist(7))
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** REAL per-frame feature kernel over a GIF clip: the clip-pooled
+    * [[featureDim]]-bin luma histogram as fractions of total pixels
+    * (frames share the clip's dimensions — enforced — so this equals the
+    * mean of per-frame fractions), rounded with DuckDB's rounding rule.
+    * One integer-exact accumulation + ONE double division per bin keeps
+    * the unrounded double bit-identical to an oracle computing
+    * `h / (n_frames·w·h)` from the same integer stats — no accumulated
+    * float drift to straddle a rounding boundary. Returns (n_frames,
+    * pooled embedding). */
+  def gifFrameEmbedding(payload: Array[Byte]): (Int, Array[Double]) = {
+    val s = decodeGifStats(payload)
+    val px = (s.n_frames * s.width * s.height).toDouble
+    val hist = Array(s.h0, s.h1, s.h2, s.h3, s.h4, s.h5, s.h6, s.h7)
+    (s.n_frames.toInt,
+      hist.map(h => graft.functions.GraftVector.duckRound(h / px, 6)))
+  }
+
+  /** The video corpus: multi-frame GIF payloads keyed by media_id,
+    * scoped to the documents present in the bound sf (same fixture
+    * convention as [[imageTable]]). */
+  def videoTable(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$MediaFix/gifs.parquet")
+      .join(broadcast(spark.table("documents").select(col("doc_id"))),
+        col("media_id") === col("doc_id"), "leftsemi")
+
+  /** Column-path video featurization: one multi-frame decode per row via
+    * a scalar UDF (same rationale as [[imageFeatures]]). */
+  def videoFeatures(video: DataFrame): DataFrame = {
+    val decodeUdf = udf((b: Array[Byte]) => decodeGifStats(b))
+    video.select(col("media_id"), decodeUdf(col("gif")).as("s"))
+      .select(col("media_id"), col("s.*"))
+  }
+
+  /** Batched video featurization — the vectorized-codec call shape,
+    * mirroring [[imageFeaturesBatched]]: same per-clip function, so the
+    * two paths are bit-identical; no shuffle. */
+  def videoFeaturesBatched(video: DataFrame, batchSize: Int = 32)
+      : DataFrame = {
+    // same Row-encoded id pass-through as [[imageFeaturesBatched]]
+    val in = video.select(col("media_id"), col("gif"))
+    val outSchema = StructType(
+      in.schema.fields.head +: Encoders.product[VideoStats].schema.fields)
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val stats = batch.map(r => decodeGifStats(r.getAs[Array[Byte]](1)))
+        batch.iterator.zip(stats.iterator).map { case (r, s) =>
+          Row.fromSeq(r.get(0) +: s.productIterator.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** End-to-end video featurization with the REAL codec: GIF frames →
+    * per-frame luma-histogram features → mean-pooled embedding + frame
+    * count. Same output shape as [[extractFeaturesBatched]], with
+    * [[gifFrameEmbedding]] in place of the hash stub — the "replace with
+    * a real codec" seam, exercised. */
+  def extractFeaturesVideo(video: DataFrame, batchSize: Int = 32)
+      : DataFrame = {
+    val in = video.select(col("media_id"), col("gif"))
+    val outSchema = StructType(Seq(in.schema.fields.head,
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("embedding",
+        ArrayType(DoubleType, containsNull = false), nullable = true)))
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = batch.map(r => gifFrameEmbedding(r.getAs[Array[Byte]](1)))
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row(r.get(0), f._1, f._2)
         }
       }
     }(Encoders.row(outSchema))

@@ -146,6 +146,72 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("not a RIFF/WAVE"))
   }
 
+  test("video decode: multi-frame GIF stats match the independently " +
+      "computed fixture expectation") {
+    Queries.prep(spark, sfDir)
+    val got = MediaOps.videoFeatures(MediaOps.videoTable(spark))
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    val want = spark.read
+      .parquet("/root/repo/fixtures/media/video_expected.parquet")
+      .join(broadcast(spark.table("documents").select(col("doc_id"))),
+        col("media_id") === col("doc_id"), "leftsemi")
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // the fixture really is multi-frame: every clip has >= 2 frames
+    assert(got.forall(_(1).asInstanceOf[Long] >= 2L))
+  }
+
+  test("video decode: batched path is bit-identical to the Column path " +
+      "and invariant to batch size / partitioning") {
+    Queries.prep(spark, sfDir)
+    val video = MediaOps.videoTable(spark)
+    val colPath = MediaOps.videoFeatures(video)
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    def run(df: org.apache.spark.sql.DataFrame, bs: Int) =
+      MediaOps.videoFeaturesBatched(df, batchSize = bs)
+        .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(run(video, 32) == colPath)
+    assert(run(video, 7) == colPath)
+    assert(run(video.repartition(13), 32) == colPath)
+  }
+
+  test("video embedding: real per-frame kernel equals the pooled-hist " +
+      "fractions derived from the integer stats") {
+    Queries.prep(spark, sfDir)
+    val emb = MediaOps.extractFeaturesVideo(MediaOps.videoTable(spark))
+      .orderBy("media_id").collect()
+    assert(emb.nonEmpty)
+    val stats = MediaOps.videoFeatures(MediaOps.videoTable(spark))
+      .orderBy("media_id").collect()
+    emb.zip(stats).foreach { case (e, s) =>
+      assert(e.getAs[Long]("media_id") == s.getAs[Long]("media_id"))
+      val n = s.getAs[Long]("n_frames")
+      assert(e.getAs[Int]("n_frames").toLong == n)
+      val px = (n * s.getAs[Long]("width") * s.getAs[Long]("height")).toDouble
+      val want = (0 until 8).map(j =>
+        graft.functions.GraftVector.duckRound(
+          s.getAs[Long](s"h$j") / px, 6))
+      assert(e.getSeq[Double](e.fieldIndex("embedding")) == want)
+    }
+  }
+
+  test("video decode rejects non-GIF and truncated payloads loudly") {
+    val e = intercept[Exception] {
+      MediaOps.decodeGifStats(Array[Byte](1, 2, 3, 4))
+    }
+    assert(e.getMessage != null)
+    // a real clip truncated mid-stream must not decode silently to
+    // zero frames
+    val whole = spark.read
+      .parquet("/root/repo/fixtures/media/gifs.parquet")
+      .where(col("media_id") === 0).select("gif")
+      .head().getAs[Array[Byte]](0)
+    intercept[Exception] {
+      MediaOps.decodeGifStats(whole.take(20))
+    }
+  }
+
   /** A syntactically valid WAV header followed by `chunks`, for the
     * malformed-payload negative tests. */
   private def riff(chunks: Array[Byte]*): Array[Byte] = {
