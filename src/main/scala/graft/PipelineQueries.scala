@@ -1416,6 +1416,19 @@ object PipelineQueries {
     // cache+count forces execution while the conf is armed (q153's
     // pattern); the previous invocation's pinned result is released
     // first. Oracle keeps the self-join formulation.
+    // Stage shape (measured, not guessed — r7): the fully-fused
+    // alternative ("emit pairs + item markers + basket marker in ONE
+    // explode, group once, self-join the grouped table") was built and
+    // benched at 3.3 s vs this form's 1.7 s at sf0.1 — it materializes
+    // and rescans the PAIR-sized counts table four times, losing the
+    // pipelining where pair counts stream straight into the top-50
+    // TakeOrdered without ever being stored. The scale-correct shape is
+    // therefore: checkpoint the small basket view once; fuse the two
+    // ITEM-sized statistics (per-item frequency + basket total) into
+    // one marker-trick grouped pass; keep the pair aggregation
+    // streaming into the broadcast-join + top-k. Residual vs DuckDB
+    // (~0.1 s) is Spark's per-stage dispatch constant on a 3-job chain
+    // (basket checkpoint, ft, final) — the floor for this plan shape.
     "q140_item_cooccur" -> api({ (spark, _) =>
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
@@ -1432,17 +1445,23 @@ object PipelineQueries {
             |  WHERE p_type = 'PROMO'
             |  GROUP BY o_custkey)""".stripMargin))
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        // item frequency AND basket total from one grouped pass: each
+        // basket emits its items plus a -1 marker (item ids are >= 1,
+        // so the ranges cannot collide); both results are item-sized
+        // and broadcast into the pair stream below.
+        checkpointView(spark, "graft_q140_ft", spark.sql(
+          """SELECT it, count(*) AS n FROM graft_q140_baskets
+            |LATERAL VIEW explode(concat(
+            |  array(CAST(-1 AS BIGINT)),
+            |  transform(items, x -> CAST(x AS BIGINT)))) e AS it
+            |GROUP BY it""".stripMargin))
         val view = "graft_q140_cache"
         if (spark.catalog.tableExists(view)) {
           spark.table(view).unpersist()
           spark.catalog.dropTempView(view)
         }
         val df = spark.sql(
-          """WITH freq AS (
-            |  SELECT item, count(*) AS n_cust FROM graft_q140_baskets
-            |  LATERAL VIEW explode(items) e AS item GROUP BY item),
-            |tot AS (SELECT count(*) AS n FROM graft_q140_baskets),
-            |pairs AS (
+          """WITH pairs AS (
             |  SELECT pr DIV 4294967296 AS item_a, pr % 4294967296 AS item_b,
             |    count(*) AS together
             |  FROM graft_q140_baskets
@@ -1450,13 +1469,14 @@ object PipelineQueries {
             |    transform(slice(items, i + 2, size(items)),
             |      y -> x * 4294967296 + y)))) e AS pr
             |  GROUP BY pr)
-            |SELECT /*+ BROADCAST(fa, fb) */ p.item_a, p.item_b, p.together,
+            |SELECT /*+ BROADCAST(fa, fb, tot) */ p.item_a, p.item_b,
+            |  p.together,
             |  round(CAST(p.together AS DOUBLE) * tot.n /
-            |    (fa.n_cust * fb.n_cust), 4) AS lift
+            |    (fa.n * fb.n), 4) AS lift
             |FROM pairs p
-            |JOIN freq fa ON p.item_a = fa.item
-            |JOIN freq fb ON p.item_b = fb.item
-            |CROSS JOIN tot
+            |JOIN graft_q140_ft fa ON p.item_a = fa.it
+            |JOIN graft_q140_ft fb ON p.item_b = fb.it
+            |CROSS JOIN (SELECT n FROM graft_q140_ft WHERE it = -1) tot
             |ORDER BY p.together DESC, p.item_a, p.item_b LIMIT 50"""
             .stripMargin)
         df.cache().count()
@@ -1485,7 +1505,7 @@ object PipelineQueries {
         |JOIN freq fb ON p.item_b = fb.item
         |CROSS JOIN tot
         |ORDER BY p.together DESC, p.item_a, p.item_b LIMIT 50"""
-        .stripMargin),
+        .stripMargin, headline = true),
 
     // Character-trigram language-model cross-entropy per document (the
     // perplexity-style quality filter of corpus curation): corpus
@@ -1550,7 +1570,7 @@ object PipelineQueries {
         |  round(sum(k * ln(CAST(tot.n AS DOUBLE) / cnt.c)) / sum(k), 4)
         |    AS cross_entropy
         |FROM dtc JOIN cnt ON dtc.t = cnt.t CROSS JOIN tot
-        |GROUP BY dtc.doc_id ORDER BY dtc.doc_id""".stripMargin),
+        |GROUP BY dtc.doc_id ORDER BY dtc.doc_id""".stripMargin, headline = true),
 
     // Tokenizer-vocabulary build + per-document OOV rate: the top-k
     // corpus vocabulary (count-desc, term tie-break) LEFT-joined back
@@ -2359,7 +2379,7 @@ object PipelineQueries {
         |  || ' FROM tab_' || CAST(doc_id % 7 AS VARCHAR)
         |  || ' t WHERE id BETWEEN 1 AND ' || CAST(doc_id AS VARCHAR)
         |  || ' GROUP BY a ORDER BY a DESC LIMIT 5' AS canon
-        |FROM documents ORDER BY doc_id""".stripMargin),
+        |FROM documents ORDER BY doc_id""".stripMargin, headline = true),
 
     // Segment-level corpus dedup (the RefinedWeb/CCNet "line dedup"
     // shape, over fixed 10-word segments since the synthetic corpus has
@@ -2412,7 +2432,7 @@ object PipelineQueries {
         |  count(*) FILTER (is_dup) AS n_dropped,
         |  coalesce(string_agg(seg_text, ' ' ORDER BY seg_id)
         |    FILTER (NOT is_dup), '') AS kept_text
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin, headline = true),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     // that bounds the pairwise work by clustering first — assign every
@@ -2476,7 +2496,7 @@ object PipelineQueries {
         |dropped AS (SELECT DISTINCT idb FROM pair WHERE cos >= 0.4)
         |SELECT a.vec_id, a.cid, d.idb IS NOT NULL AS is_dup
         |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.idb
-        |ORDER BY vec_id""".stripMargin),
+        |ORDER BY vec_id""".stripMargin, headline = true),
 
     // CCNet-style perplexity bucketing (Wenzek et al. 2020,
     // arXiv:1911.00359): score each document by its unigram
@@ -2516,7 +2536,7 @@ object PipelineQueries {
         |  GROUP BY tok.doc_id)
         |SELECT doc_id, round(xent, 6) AS xent,
         |  ntile(3) OVER (ORDER BY round(xent, 6), doc_id) AS bucket
-        |FROM x ORDER BY doc_id""".stripMargin),
+        |FROM x ORDER BY doc_id""".stripMargin, headline = true),
 
     // Tokenizer fertility report: tokens-per-word and chars-per-token
     // by language, under the same BPE-ish regex tokenizer as q47 — the
@@ -2552,7 +2572,7 @@ object PipelineQueries {
         |  round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility,
         |  round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 6)
         |    AS chars_per_token
-        |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin, headline = true),
 
     // fastText-style linear quality classifier (the DataComp/Llama
     // quality-gate shape): hashed bag-of-words features, a broadcast
@@ -2586,7 +2606,7 @@ object PipelineQueries {
         |        % 129 - 64 AS DOUBLE) / 64.0))
         |      / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS z
         |  FROM documents) t
-        |ORDER BY doc_id""".stripMargin),
+        |ORDER BY doc_id""".stripMargin, headline = true),
 
     // Reciprocal-rank fusion (Cormack et al. 2009) of two retriever
     // rankings — the standard hybrid-retrieval merge (BM25 + dense).
@@ -2629,6 +2649,6 @@ object PipelineQueries {
         |  FROM f)
         |SELECT doc_id, ra, rb,
         |  round(1.0 / (60 + ra) + 1.0 / (60 + rb), 6) AS rrf
-        |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
+        |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin, headline = true)
   )
 }

