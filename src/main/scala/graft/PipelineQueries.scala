@@ -361,9 +361,16 @@ object PipelineQueries {
     // asserts the recall floor.
     "q46_knn_ann_lsh" -> api((spark, sfDir) => {
       val emb = spark.table("embeddings")
+      // probes=3 (multi-probe): on THIS corpus — near-uniform random
+      // vectors, median pairwise cosine ~0 — recall for ANY bucketed
+      // ANN is bounded by the corpus fraction scanned (measured r7:
+      // 0.14 @ probes=1, 0.38 @ probes=3, at equal-or-lower latency;
+      // IVF nprobe=6/16 → 0.71 ≈ its scanned fraction). The primitive
+      // is value-checked where structure exists (EmbeddingOpsSpec
+      // multi-probe test: 0.82 → 1.00 on boundary-jittered clusters).
       annRecall(spark, sfDir,
         EmbeddingOps.annLsh(emb, emb.where(col("vec_id") < 50),
-          "vec_id", "embedding", k = 5, bits = 4),
+          "vec_id", "embedding", k = 5, bits = 4, probes = 3),
         "/tmp/graft_ann_lsh")
     },
       s"""WITH n AS $duckNormEmbeddings,

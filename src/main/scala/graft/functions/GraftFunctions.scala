@@ -51,6 +51,10 @@ object GraftFunctions {
     toCol(MinHashSigExpr(toExpr(shingles), toExpr(k)))
   def rpSketch(vec: Column, bits: Column, seed: Column): Column =
     toCol(RpSketchExpr(toExpr(vec), toExpr(bits), toExpr(seed)))
+  def rpSketchProbes(vec: Column, bits: Column, seed: Column,
+      probes: Column): Column =
+    toCol(RpSketchProbesExpr(toExpr(vec), toExpr(bits), toExpr(seed),
+      toExpr(probes)))
   def duckDatediff(unit: Column, start: Column, end: Column): Column =
     toCol(DuckDateDiff(toExpr(unit), toExpr(start), toExpr(end)))
   def ivfProbe(vec: Column, cents: Column, nprobe: Column): Column =

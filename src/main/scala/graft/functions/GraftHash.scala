@@ -128,4 +128,41 @@ object GraftHash {
     }
     sig
   }
+
+  /** Multi-probe bucket sequence for [[rpSketch]] (Lv et al. 2007,
+    * VLDB — "Multi-Probe LSH", restricted to Hamming-1 perturbations):
+    * the vector's own bucket first, then buckets obtained by flipping
+    * one sketch bit in increasing order of |projection margin| — the
+    * bits most likely to have landed on the wrong side of their
+    * hyperplane for the vector's true neighbors. Probing `probes`
+    * buckets multiplies candidates by at most `probes` while recovering
+    * most of the recall lost to boundary effects, WITHOUT growing the
+    * corpus index (only the query side fans out). */
+  def rpSketchProbes(vec: ArrayData, bits: Int, seed: Long,
+      probes: Int): ArrayData = {
+    val d = vec.numElements()
+    val dots = new Array[Double](bits)
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < d) {
+        val r = splitmix64(seed + j.toLong * d + i)
+        val sign = if ((r & 1L) == 1L) 1.0 else -1.0
+        dot += vec.getFloat(i) * sign
+        i += 1
+      }
+      dots(j) = dot
+      if (dot > 0) sig |= (1L << j)
+      j += 1
+    }
+    val order = Array.range(0, bits).sortBy(b => math.abs(dots(b)))
+    val n = math.max(1, math.min(probes, bits + 1))
+    val out = new Array[Long](n)
+    out(0) = sig
+    var i = 1
+    while (i < n) { out(i) = sig ^ (1L << order(i - 1)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

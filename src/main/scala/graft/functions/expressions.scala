@@ -213,6 +213,31 @@ case class RpSketchExpr(child: Expression, bits: Expression,
     copy(newChildren(0), newChildren(1), newChildren(2))
 }
 
+/** Margin-ordered multi-probe bucket list for the random-hyperplane
+  * sketch ([[GraftHash.rpSketchProbes]]): own bucket plus Hamming-1
+  * flips of the smallest-|margin| bits; `bits`/`seed`/`probes` must be
+  * foldable. */
+case class RpSketchProbesExpr(child: Expression, bits: Expression,
+    seed: Expression, probes: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val in = if (child.dataType == ArrayType(FloatType)) child
+             else Cast(child, ArrayType(FloatType))
+    objects.StaticInvoke(GraftHash.getClass,
+      ArrayType(LongType, containsNull = false), "rpSketchProbes",
+      Seq(in, Cast(bits, IntegerType), Cast(seed, LongType),
+        Cast(probes, IntegerType)),
+      inputTypes = Seq(ArrayType(FloatType), IntegerType, LongType,
+        IntegerType),
+      returnNullable = false)
+  }
+  override def children: Seq[Expression] = Seq(child, bits, seed, probes)
+  override def prettyName: String = "rp_sketch_probes"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+}
+
 /** Fused cosine similarity of two float vectors
   * ([[GraftVector.cosine]]): dot and both norms in a single codegen'd
   * pass per pair — the `zip_with`+`aggregate` lambda formulation is

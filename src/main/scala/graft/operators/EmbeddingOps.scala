@@ -71,14 +71,25 @@ object EmbeddingOps {
 
   /** Approximate top-k: both sides keyed by an `bits`-wide random-
     * hyperplane sketch; candidates are corpus vectors in the query's
-    * bucket, ranked exactly within it. One shuffle on the sketch key. */
+    * probed buckets, ranked exactly within them. The corpus is indexed
+    * under its ONE bucket; only the (broadcast-small) query side fans
+    * out to `probes` buckets — its own plus Hamming-1 flips of the
+    * smallest-|margin| sketch bits (multi-probe LSH, Lv et al. 2007) —
+    * recovering the recall lost to hyperplane boundary effects at
+    * `probes`× candidate cost and ZERO index growth. Join stays
+    * broadcast (no shuffle of the corpus). */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8, seed: Long = 7L): DataFrame = {
-    def sketch(c: Column) = GraftFunctions.rpSketch(c, lit(bits), lit(seed))
+      vecCol: String, k: Int, bits: Int = 8, seed: Long = 7L,
+      probes: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sketch(col(vecCol)).as("bkt"))
+      GraftFunctions.rpSketch(col(vecCol), lit(bits), lit(seed)).as("bkt"))
     val q = broadcast(queries.select(col(idCol).as("qid"),
-      col(vecCol).as("qvec"), sketch(col(vecCol)).as("bkt")))
+      col(vecCol).as("qvec"),
+      explode(GraftFunctions.rpSketchProbes(col(vecCol), lit(bits),
+        lit(seed), lit(probes))).as("bkt")))
+    // no dedup needed: the corpus vector lives in exactly ONE bucket and
+    // a query's probed buckets are pairwise distinct, so a (qid, id)
+    // pair can match at most once
     rankTopK(c.join(q, Seq("bkt")).where(col("id") =!= col("qid")), k)
   }
 

@@ -63,6 +63,50 @@ class EmbeddingOpsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  /** Like [[clustered]] but with 3× jitter, pushing cluster members
+    * across hyperplane boundaries — the regime multi-probe LSH exists
+    * for (tight clusters land in one bucket and single-probe is already
+    * perfect; uniform data bounds recall by scanned fraction for ANY
+    * bucketing method). */
+  private lazy val boundaryClustered = {
+    import spark.implicits._
+    val d = 16
+    val rows = for {
+      c <- 0 until 10
+      m <- 0 until 20
+    } yield {
+      val v = Array.tabulate(d) { i =>
+        val jitter = (((c * 131 + m * 17 + i * 7) % 13) - 6) / 100.0f * 3
+        (if (i == c) 1.0f else 0.0f) + jitter
+      }
+      (c.toLong * 100 + m, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("multi-probe annLsh recovers the recall single-probe loses at " +
+      "hyperplane boundaries (>= 0.9, strictly above single-probe)") {
+    val queries = boundaryClustered.where(col("vec_id") % 100 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(EmbeddingOps.knnBruteForce(boundaryClustered,
+      queries, "vec_id", "embedding", k = 5))
+    def recall(p: Int) = {
+      val ann = pairs(EmbeddingOps.annLsh(boundaryClustered, queries,
+        "vec_id", "embedding", k = 5, bits = 8, probes = p))
+      (exact & ann).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    assert(r3 >= 0.9, s"multi-probe recall=$r3")
+    assert(r3 > r1, s"multi-probe $r3 must beat single-probe $r1")
+    // deterministic data + deterministic hashes: pin the single-probe
+    // baseline loosely so a recall regression in the sketch family is
+    // visible here, not just in the inequality
+    assert(r1 < 0.9, s"single-probe recall=$r1 — boundary fixture no " +
+      "longer discriminates; retune jitter")
+  }
+
   test("annLsh probes only the query's bucket (candidate bound)") {
     // with 8 bits over near-orthogonal clusters, candidates per query stay
     // well under the corpus size — the point of bucketing
