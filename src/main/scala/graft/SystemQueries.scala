@@ -636,10 +636,15 @@ object SystemQueries {
         |GROUP BY lk.hour, lk.user_id
         |ORDER BY lk.hour, exact_n DESC, lk.user_id""".stripMargin),
 
-    // H7 parse/bind validation over a fixed statement battery: verdicts
-    // are deterministic but the classification rules are engine-internal
-    // ⇒ rows-only; ValidatorSpec pins the semantics.
-    "q67_validate_sql" -> noOracle((spark, _) => {
+    // H7 parse/bind validation over a fixed statement battery, pinned to
+    // DuckDB's OWN classification of the same statements: the oracle
+    // fixture is produced by tools/validator_oracle.py running `EXPLAIN
+    // <stmt>` in DuckDB (parse + bind, no execution — a runtime-only
+    // failure like CAST('zzz' AS INT) is valid, syntax/catalog/column
+    // errors are invalid). The battery here and in the tool must stay in
+    // sync — drift fails this gate loudly. ValidatorSpec still pins the
+    // engine-side semantics.
+    "q67_validate_sql" -> api((spark, _) => {
       import spark.implicits._
       val engine = new Engine(spark)
       Tables.names.foreach(n => engine.register(n, spark.table(n)))
@@ -654,6 +659,9 @@ object SystemQueries {
         "s07_runtime_ok" -> "SELECT CAST('zzz' AS INT) FROM part")
       SqlValidator.validateAll(engine, battery)
         .toDF("stmt_id", "valid").orderBy("stmt_id")
-    })
+    },
+      """SELECT stmt_id, valid FROM
+        |  read_parquet('/root/repo/fixtures/validator_expected.parquet')
+        |ORDER BY stmt_id""".stripMargin)
   )
 }
