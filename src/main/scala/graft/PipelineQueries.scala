@@ -922,32 +922,23 @@ object PipelineQueries {
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY id_a, id_b""".stripMargin, headline = true),
 
-    // Bounded sibling of q104: same banded candidate generation + exact
-    // Hamming verify, then keep only each document's top-2 nearest
-    // neighbors (smallest Hamming, id tiebreak). Output is O(k·n) rows
-    // no matter how dup-dense the corpus — the scale-safe formulation
-    // for a 100 TB corpus where q104's full pair list is output-bound
-    // Θ(n²) in the worst case. Cost: the banded shuffle plus ONE extra
-    // hash-partition window on doc_id; no all-pairs stage anywhere.
-    // The oracle recomputes the same top-k from the quadratic pair
-    // list, so banding AND the per-doc cap are both value-checked.
-    "q178_simhash_pairs_topk" -> api((spark, _) => {
-      val pairs = TextOps.simhashMd5DupPairs(spark.table("documents"),
-        "doc_id", "text", maxHamming = 3)
-      // symmetric view: a pair is a candidate neighbor of BOTH endpoints
-      val sym = pairs.select(col("id_a").as("doc_id"),
-          col("id_b").as("nbr"), col("hamming"))
-        .union(pairs.select(col("id_b").as("doc_id"),
-          col("id_a").as("nbr"), col("hamming")))
-      sym.withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id").orderBy(col("hamming"), col("nbr"))))
-        .where(col("rk") <= 2)
-        .select(col("doc_id"), col("nbr"),
+    // Bounded sibling of q104: per-document top-2 nearest neighbors
+    // under the Hamming budget, computed WITHOUT materializing the pair
+    // list — identical signatures collapse first, banding runs over
+    // DISTINCT signatures, and only the k+1 smallest member ids of each
+    // neighboring group expand back per document (see
+    // TextOps.simhashMd5TopKNeighbors: the naive pairs+window variant
+    // measured 206 s at sf1 on the dup-dense corpus; this one is
+    // output- AND work-bounded at O(k·n)). The oracle recomputes the
+    // same top-k from the full quadratic pair list, so signature
+    // collapsing, banding, and the per-doc cap are all value-checked.
+    "q178_simhash_pairs_topk" -> api((spark, _) =>
+      TextOps.simhashMd5TopKNeighbors(spark.table("documents"),
+          "doc_id", "text", maxHamming = 3, k = 2)
+        .select(col("id").as("doc_id"), col("nbr"),
           col("hamming").cast("long").as("hamming"),
           col("rk").cast("long").as("rk"))
-        .orderBy("doc_id", "rk")
-    },
+        .orderBy("doc_id", "rk"),
       s"""WITH s AS (
          |  SELECT doc_id, $duckSimhashMd5 AS sig
          |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents)),

@@ -9,8 +9,10 @@ with input size. The driver data itself is read-only and stops at sf0.1.
 
 Deterministic (seed 42). Output goes under /root/repo/scaledata/
 (gitignored). Physical types mirror the driver files exactly, including
-events.ts as TIMESTAMP(NANOS) (Tables.load special-cases it) and
-orders/lineitem timestamps at millisecond resolution.
+events.ts as TIMESTAMP(MICROS, no tz) — the encoding the driver files
+carry since r6; Tables.normalizeEventTs dispatches on the loaded type,
+so either generation loads — and orders/lineitem timestamps at
+millisecond resolution.
 
 Usage: python3 tools/gen_scale.py 0.3 1
 """
@@ -139,15 +141,16 @@ def gen(sf: float) -> None:
             np.array(["F", "O"])[rng.integers(0, 2, n_li)]),
         "l_shipdate": day_ts_ms(rng, n_li, "1995-01-02", "2001-11-04")}))
 
-    # events: ascending nanosecond timestamps over 30 days (the driver
-    # file is TIMESTAMP(NANOS); Tables.load depends on that)
-    base = np.datetime64("2024-01-01").astype("datetime64[ns]")
-    offs = np.sort(rng.uniform(0, 30 * 86400 * 1e9, n_ev)).astype(np.int64)
+    # events: ascending microsecond timestamps over 30 days (the driver
+    # files are TIMESTAMP(MICROS, isAdjustedToUTC=0) since r6;
+    # Tables.normalizeEventTs also accepts the older NANOS encoding)
+    base = np.datetime64("2024-01-01").astype("datetime64[us]")
+    offs = np.sort(rng.uniform(0, 30 * 86400 * 1e6, n_ev)).astype(np.int64)
     n_users = max(1, n_cust // 10)
     write("events", pa.table({
         "event_id": pa.array(np.arange(n_ev), pa.int64()),
-        "ts": pa.array(base + offs.astype("timedelta64[ns]"),
-                       pa.timestamp("ns")),
+        "ts": pa.array(base + offs.astype("timedelta64[us]"),
+                       pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
         "event_type": pa.array(
             np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)]),
