@@ -22,10 +22,32 @@ class QueriesSpec extends SparkSpecBase {
   test("oracle SQL exists for every SQL-expressible query") {
     // the one remaining documented exception: the validator battery's
     // verdict classification is engine-internal (ValidatorSpec pins it)
-    val rowsOnly = Set("q67_validate_sql")
+    // r7: zero rows-only entries remain — q67's verdicts are pinned to
+    // DuckDB's own EXPLAIN classification via a generated fixture
     val missing =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("q178 top-k near-dup: broadcast signature joins, no cartesian, " +
+      "no pair-list materialization") {
+    val plan = SparkEntry.queries("q178_simhash_pairs_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the signature-level tables join into the doc stream as broadcasts
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q180 batched video decode is map-only after the scan " +
+      "(no exchange below the kernel)") {
+    val media = graft.operators.MediaOps.videoTable(spark)
+    val plan = graft.operators.MediaOps.videoFeaturesBatched(media)
+      .queryExecution.executedPlan.toString
+    // the mapPartitions kernel consumes the scan partitioning directly;
+    // the only join is the broadcast fixture-scoping semi-join
+    val afterKernel = plan.substring(0, plan.indexOf("SerializeFromObject")
+      .max(0))
+    assert(!afterKernel.contains("ShuffleExchange"), plan)
   }
 
   test("q01 pushes filter and projection into the parquet scan") {
