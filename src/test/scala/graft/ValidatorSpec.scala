@@ -44,4 +44,19 @@ class ValidatorSpec extends SparkSpecBase {
     // …and the real engine still has its rows
     assert(engine.table("orders").count() > 0)
   }
+
+  test("q67 battery verdicts equal DuckDB's own EXPLAIN classification " +
+      "(fixture by tools/validator_oracle.py), ids in sync") {
+    val expected = spark.read
+      .parquet("/root/repo/fixtures/validator_expected.parquet")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    val got = SparkEntry.queries("q67_validate_sql")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    // id-set sync first: a battery edit without regenerating the fixture
+    // must fail HERE with the differing ids, not as a gate hash mismatch
+    assert(got.keySet == expected.keySet,
+      s"battery drift: engine=${got.keySet} fixture=${expected.keySet}")
+    assert(got == expected,
+      got.toSeq.sorted.zip(expected.toSeq.sorted).mkString("\n"))
+  }
 }
