@@ -662,6 +662,44 @@ object SystemQueries {
     },
       """SELECT stmt_id, valid FROM
         |  read_parquet('/root/repo/fixtures/validator_expected.parquet')
-        |ORDER BY stmt_id""".stripMargin)
+        |ORDER BY stmt_id""".stripMargin),
+
+    // H5 — the LLM orchestration loop with the network transport
+    // replaced by the deterministic EchoClient: prompt construction
+    // (rajkumar formatter over the region schema), batched dispatch,
+    // stop-sequence truncation and character-usage accounting are ALL
+    // exercised and value-checked — the oracle rebuilds the exact
+    // prompt strings (the formatter's constants, newlines via chr(10))
+    // and the echo completion in plain SQL. Only a real HTTP transport
+    // remains out of engine by necessity (offline sandbox).
+    "q183_llm_orchestration" -> api((spark, _) =>
+      graft.operators.LlmOrchestrator.textToSql(
+        spark.table("documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", "rajkumar",
+        Seq(("region", spark.table("region").schema)),
+        new graft.operators.LlmOrchestrator.EchoClient())
+        .orderBy("doc_id"),
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'CREATE TABLE region (' || chr(10) ||
+        |    '    r_regionkey INTEGER,' || chr(10) ||
+        |    '    r_name VARCHAR' || chr(10) || ')' ||
+        |    chr(10) || chr(10) || chr(10) ||
+        |    '-- Using valid DuckDB SQL, answer the following question ' ||
+        |    'for the tables provided above.' || chr(10) || chr(10) ||
+        |    '-- ' || text || chr(10) AS prompt
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, prompt,
+        |    'SELECT ' || CAST(length(prompt) AS VARCHAR)
+        |      || ' AS prompt_len;' || chr(10)
+        |      || '-- max_tokens=300 beams=1' AS raw
+        |  FROM p)
+        |SELECT doc_id,
+        |  string_split(string_split(raw, ';')[1], chr(10))[1] AS sql,
+        |  CAST(length(prompt) AS BIGINT) AS prompt_chars,
+        |  CAST(length(raw) AS BIGINT) AS completion_chars,
+        |  CAST(length(prompt) + length(raw) AS BIGINT) AS total_chars
+        |FROM r ORDER BY doc_id""".stripMargin)
   )
 }
