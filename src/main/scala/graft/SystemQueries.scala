@@ -700,6 +700,6 @@ object SystemQueries {
         |  CAST(length(prompt) AS BIGINT) AS prompt_chars,
         |  CAST(length(raw) AS BIGINT) AS completion_chars,
         |  CAST(length(prompt) + length(raw) AS BIGINT) AS total_chars
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin, headline = true)
   )
 }
