@@ -700,6 +700,31 @@ object SystemQueries {
         |  CAST(length(prompt) AS BIGINT) AS prompt_chars,
         |  CAST(length(raw) AS BIGINT) AS completion_chars,
         |  CAST(length(prompt) + length(raw) AS BIGINT) AS total_chars
-        |FROM r ORDER BY doc_id""".stripMargin, headline = true)
+        |FROM r ORDER BY doc_id""".stripMargin, headline = true),
+
+    // H5, chat path — the reference's DuckDBChat message-list branch:
+    // 4-message conversation construction (system / schema-ask /
+    // assistant-summary / final question), batched dispatch through the
+    // injectable chat transport, stop truncation. The EchoChatClient
+    // derives its completion from the question text alone (extracted
+    // between the template's backticks), so the oracle needs no
+    // embedded template constants — it rebuilds the completion straight
+    // from documents.text.
+    "q184_llm_chat_orchestration" -> api((spark, _) =>
+      graft.operators.LlmOrchestrator.textToSqlChat(
+        spark.table("documents").select(col("doc_id"), col("text")),
+        "doc_id", "text",
+        Seq(("region", spark.table("region").schema)),
+        new graft.operators.LlmOrchestrator.EchoChatClient())
+        .orderBy("doc_id"),
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    'SELECT ' || CAST(length(text) AS VARCHAR)
+        |      || ' AS q_len;' || chr(10) || '-- chat beams=1' AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS n_messages,
+        |  string_split(string_split(raw, ';')[1], chr(10))[1] AS sql,
+        |  CAST(length(raw) AS BIGINT) AS completion_chars
+        |FROM r ORDER BY doc_id""".stripMargin)
   )
 }

@@ -54,6 +54,68 @@ object LlmOrchestrator {
         s"-- max_tokens=${params.maxTokens} beams=${params.numBeams}")
   }
 
+  /** Chat transport seam (the reference's DuckDBChat path hands the
+    * model a role/content message list instead of one string). */
+  trait ChatGenerationClient extends Serializable {
+    /** One completion per conversation; each conversation is a list of
+      * (role, content) messages. */
+    def generate(conversations: Seq[Seq[(String, String)]],
+        params: GenParams): Seq[String]
+  }
+
+  /** Deterministic offline chat transport: finds the question between
+    * the backticks the DuckDBChat template wraps it in (a property of
+    * the template, so this stub needs NO engine internals) and answers
+    * with SQL derived from the question text alone — reproducible in
+    * plain SQL for the oracle. */
+  final class EchoChatClient extends ChatGenerationClient {
+    def generate(conversations: Seq[Seq[(String, String)]],
+        params: GenParams): Seq[String] =
+      conversations.map { msgs =>
+        val last = msgs.last._2
+        val q = last.substring(last.indexOf('`') + 1,
+          last.indexOf('`', last.indexOf('`') + 1))
+        s"SELECT ${q.length} AS q_len;\n-- chat beams=${params.numBeams}"
+      }
+  }
+
+  /** The chat-style loop (text_to_sql.py's message-list branch):
+    * DuckDBChat message construction, batched dispatch, stop-sequence
+    * truncation. Output: (id, n_messages, sql, completion_chars). */
+  def textToSqlChat(questions: DataFrame, idCol: String,
+      questionCol: String,
+      tables: Seq[(String, org.apache.spark.sql.types.StructType)],
+      client: ChatGenerationClient, params: GenParams = GenParams(),
+      batchSize: Int = 16): DataFrame = {
+    val prompted = PromptOps.withChatPrompt(
+        questions.select(col(idCol), col(questionCol)),
+        questionCol, tables)
+      .select(col(idCol), col("messages"))
+    val outSchema = StructType(Seq(prompted.schema.fields.head,
+      StructField("n_messages",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("raw_output", StringType, nullable = true)))
+    val withRaw = prompted.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val convs = batch.map(_.getSeq[Row](1).map(m =>
+          (m.getString(0), m.getString(1))))
+        val outs = client.generate(convs, params)
+        require(outs.length == batch.length,
+          s"client returned ${outs.length} completions for ${batch.length} conversations")
+        batch.iterator.zip(outs.iterator)
+          .zip(convs.iterator).map { case ((r, raw), conv) =>
+            Row(r.get(0), conv.length, raw)
+          }
+      }
+    }(Encoders.row(outSchema))
+    withRaw.select(
+      col(idCol),
+      col("n_messages").cast("long").as("n_messages"),
+      PromptOps.truncateAtStops(col("raw_output"), params.stopSequences)
+        .as("sql"),
+      length(col("raw_output")).cast("long").as("completion_chars"))
+  }
+
   /** The reference's instruction→SQL loop: format prompts, dispatch in
     * batches through `client`, truncate at the stop sequences, account
     * usage. Usage is counted in characters (the reference reports the

@@ -62,4 +62,23 @@ class LlmOrchestratorSpec extends SparkSpecBase {
       assert(r.getAs[Long]("prompt_chars") > 0)
     }
   }
+
+  test("chat path: message construction + dispatch invariant to " +
+      "batching; echo derives from the question alone") {
+    import LlmOrchestrator.EchoChatClient
+    def run(df: org.apache.spark.sql.DataFrame, bs: Int) =
+      LlmOrchestrator.textToSqlChat(df, "doc_id", "text", tables,
+          new EchoChatClient(), batchSize = bs)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val base = run(questions, 16)
+    assert(base.nonEmpty)
+    assert(run(questions, 5) == base)
+    assert(run(questions.repartition(3), 16) == base)
+    // four messages per the DuckDBChat template; sql echoes the
+    // question length
+    val q0 = questions.orderBy("doc_id").head
+    val r0 = base.head
+    assert(r0(1) == 4L)
+    assert(r0(2) == s"SELECT ${q0.getString(1).length} AS q_len")
+  }
 }
