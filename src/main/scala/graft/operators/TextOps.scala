@@ -199,12 +199,48 @@ object TextOps {
     * (hash → candidate banding → exact-Hamming verify) is checked
     * against a quadratic DuckDB oracle, not just rows-only. */
   def simhashMd5DupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000000): DataFrame =
-    bandedHammingPairs(
-      parallelize(docs).select(col(idCol).as("id"),
-        graft.functions.GraftFunctions.simhashMd5(tokens(col(textCol)))
-          .as("sig")),
+      maxHamming: Int = 3, maxBucket: Int = 1000000): DataFrame = {
+    // Signature collapse (r7): banding DOCUMENTS degenerates on a
+    // signature-dense corpus — identical sigs form bucket-sized cross
+    // products inside the join and the mandatory distinct() then
+    // re-shuffles the full Θ(pairs) output (measured 175 s at sf1).
+    // Collapse to DISTINCT signatures first (28k sigs for 50k docs at
+    // sf1), run the pigeonhole banding there, and EMIT pairs from group
+    // combinations: each (id_a, id_b) appears exactly once by
+    // construction — no distinct over the pair list, work and output
+    // both proportional to the answer. Two-step explodes keep per-row
+    // arrays group-sized, never product-sized.
+    val sigs = parallelize(docs).select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhashMd5(tokens(col(textCol)))
+        .as("sig"))
+    val groups = sigs.groupBy("sig")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .localCheckpoint() // feeds the banding and both pair expansions
+    val gp = bandedHammingPairs(
+      groups.select(col("sig").as("id"), col("sig")),
       bits = 32, maxHamming = maxHamming, maxBucket = maxBucket)
+    // within-group pairs: Hamming 0, ids sorted so a < b
+    val within = groups
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    // across-group pairs: every member of A × every member of B, once;
+    // orientation normalized by value (groups are disjoint)
+    val across = gp
+      .join(groups.select(col("sig").as("id_a"), col("ids").as("ids_a")),
+        Seq("id_a"))
+      .join(groups.select(col("sig").as("id_b"), col("ids").as("ids_b")),
+        Seq("id_b"))
+      .select(explode(col("ids_a")).as("a"), col("ids_b"), col("hamming"))
+      .select(col("a"), explode(col("ids_b")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("hamming"))
+    within.unionByName(across)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("integer").as("hamming"))
+  }
 
   /** Per-document top-k nearest neighbors under a Hamming budget over
     * the portable md5-nibble simhash — the OUTPUT- and WORK-bounded
