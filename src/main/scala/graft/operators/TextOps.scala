@@ -181,12 +181,13 @@ object TextOps {
     * `maxHamming + 1` chunks — by pigeonhole, any pair within the
     * Hamming budget shares at least one INTACT chunk, whatever the
     * budget (a fixed 4-chunk split would silently lose recall for
-    * maxHamming > 3). Degenerate chunk buckets (short/boilerplate docs
-    * collapsing whole chunks to zero) are capped like the minhash
-    * paths. Verified by exact Hamming distance. */
+    * maxHamming > 3). Identical signatures (boilerplate dups) collapse
+    * BEFORE banding, so they can never blow a bucket; `maxBucket` caps
+    * chunk buckets of DISTINCT signatures — the remaining adversarial
+    * density case. Verified by exact Hamming distance. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
-    bandedHammingPairs(
+    collapsedHammingPairs(
       parallelize(docs).select(col(idCol).as("id"),
         graft.functions.GraftFunctions.simhash64(tokens(col(textCol)))
           .as("sig")),
@@ -199,26 +200,31 @@ object TextOps {
     * (hash → candidate banding → exact-Hamming verify) is checked
     * against a quadratic DuckDB oracle, not just rows-only. */
   def simhashMd5DupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000000): DataFrame = {
-    // Signature collapse (r7): banding DOCUMENTS degenerates on a
-    // signature-dense corpus — identical sigs form bucket-sized cross
-    // products inside the join and the mandatory distinct() then
-    // re-shuffles the full Θ(pairs) output (measured 175 s at sf1).
-    // Collapse to DISTINCT signatures first (28k sigs for 50k docs at
-    // sf1), run the pigeonhole banding there, and EMIT pairs from group
-    // combinations: each (id_a, id_b) appears exactly once by
-    // construction — no distinct over the pair list, work and output
-    // both proportional to the answer. Two-step explodes keep per-row
-    // arrays group-sized, never product-sized.
-    val sigs = parallelize(docs).select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.simhashMd5(tokens(col(textCol)))
-        .as("sig"))
+      maxHamming: Int = 3, maxBucket: Int = 1000000): DataFrame =
+    collapsedHammingPairs(
+      parallelize(docs).select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.simhashMd5(tokens(col(textCol)))
+          .as("sig")),
+      bits = 32, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** Signature-collapsed Hamming pair emission (r7): banding DOCUMENTS
+    * degenerates on a signature-dense corpus — identical sigs form
+    * bucket-sized cross products inside the join and the mandatory
+    * distinct() then re-shuffles the full Θ(pairs) output (measured
+    * 175 s at sf1). Collapse to DISTINCT signatures first (28k sigs for
+    * 50k docs at sf1), run the pigeonhole banding there, and EMIT pairs
+    * from group combinations: each (id_a, id_b) appears exactly once by
+    * construction — no distinct over the pair list, work and output
+    * both proportional to the answer (8.2 s at sf1). Two-step explodes
+    * keep per-row arrays group-sized, never product-sized. */
+  private def collapsedHammingPairs(sigs: DataFrame, bits: Int,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
     val groups = sigs.groupBy("sig")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .localCheckpoint() // feeds the banding and both pair expansions
     val gp = bandedHammingPairs(
       groups.select(col("sig").as("id"), col("sig")),
-      bits = 32, maxHamming = maxHamming, maxBucket = maxBucket)
+      bits = bits, maxHamming = maxHamming, maxBucket = maxBucket)
     // within-group pairs: Hamming 0, ids sorted so a < b
     val within = groups
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
