@@ -188,15 +188,25 @@ object SystemQueries {
     // integer stats fixture (all frames of a clip share one size, so
     // mean-of-fractions = pooled-hist / (n_frames·w·h)), which makes
     // even the float embedding value-checked, not rows-only.
+    //
+    // The gate row projects the 8-dim embedding to scalar e0..e7 DOUBLE
+    // columns: the driver's pandas canonicalizer cannot sort/hash an
+    // array-valued cell (CORRECTNESS_r07 `err` on the array form), and
+    // per-element scalars carry the identical information for a
+    // fixed-width embedding. The array-form output is asserted in
+    // SystemOpsSpec ("video embedding: real per-frame kernel ...").
     "q181_video_embedding" -> api((spark, _) =>
       MediaOps.extractFeaturesVideo(MediaOps.videoTable(spark))
-        .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
-          col("embedding"))
+        .select(Seq(col("media_id"),
+            col("n_frames").cast("long").as("n_frames")) ++
+          (0 until 8).map(i => graft.functions.GraftFunctions
+            .duckRound(col("embedding")(i), 6).as(s"e$i")): _*)
         .orderBy("media_id"),
       """SELECT e.media_id, e.n_frames,
-        |  [round(h0 / px, 6), round(h1 / px, 6), round(h2 / px, 6),
-        |   round(h3 / px, 6), round(h4 / px, 6), round(h5 / px, 6),
-        |   round(h6 / px, 6), round(h7 / px, 6)] AS embedding
+        |  round(h0 / px, 6) AS e0, round(h1 / px, 6) AS e1,
+        |  round(h2 / px, 6) AS e2, round(h3 / px, 6) AS e3,
+        |  round(h4 / px, 6) AS e4, round(h5 / px, 6) AS e5,
+        |  round(h6 / px, 6) AS e6, round(h7 / px, 6) AS e7
         |FROM (
         |  SELECT media_id, n_frames,
         |    CAST(n_frames * width * height AS DOUBLE) AS px,
