@@ -268,9 +268,31 @@ object TextOps {
     *
     * Matches the quadratic definition exactly (oracle-checked at q178):
     * for each doc, the k nearest others with Hamming ≤ `maxHamming`,
-    * ordered by (hamming, neighbor id). */
+    * ordered by (hamming, neighbor id).
+    *
+    * Join-strategy gate: the signature-level tables (`groups` and the
+    * pair list derived from them) are broadcast-joined into the doc
+    * stream only while the DISTINCT-signature count stays under
+    * `broadcastSigLimit`. Dup-dense corpora collapse to a tiny group
+    * table and take the broadcast path; a diverse corpus (the 100 TB
+    * default — the sf3 probe measured 99.8% distinct shingle sets) has
+    * distinct signatures ≈ docs, where a hard broadcast would ship the
+    * whole corpus to every task — those fall back to plain shuffle
+    * joins. The count is read off the already-materialized group
+    * checkpoint, so the gate costs one metadata-cheap job, not a
+    * recompute.
+    *
+    * @param maxBucket      cap on a (chunk, value) band bucket before the
+    *                       distinct-signature pairing — same skew guard
+    *                       as [[minhashDupPairs]], sized for signature
+    *                       (not document) multiplicity
+    * @param broadcastSigLimit distinct-signature count above which the
+    *                       candidate expansion switches from broadcast
+    *                       to shuffle joins */
   def simhashMd5TopKNeighbors(docs: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int = 3, k: Int = 2): DataFrame = {
+      textCol: String, maxHamming: Int = 3, k: Int = 2,
+      maxBucket: Int = 1 << 16,
+      broadcastSigLimit: Long = 1L << 20): DataFrame = {
     // materialize signatures once: the subplan feeds groups, the
     // signature pairing AND the per-doc candidate expansion — without
     // this the md5-per-token digest pass runs three times (measured
@@ -282,17 +304,27 @@ object TextOps {
         .as("sig"))
       .localCheckpoint()
     // one shuffle: distinct-signature groups with the k+1 smallest
-    // member ids and the group size. (A real 100 TB deployment would
-    // cap collect_list with a bounded top-k aggregate; the slice keeps
-    // the carried state k+1-sized from here on.)
+    // member ids and the group size. Checkpointed: the table feeds the
+    // banding, the self-group arm, the head_ids expansion AND the
+    // broadcast-gate count — one materialization serves all four. (A
+    // real 100 TB deployment would cap collect_list with a bounded
+    // top-k aggregate; the slice keeps the carried state k+1-sized.)
     val groups = sigs.groupBy("sig").agg(
       slice(sort_array(collect_list(col("id"))), 1, k + 1).as("head_ids"))
-    // Hamming pairs over DISTINCT signatures — tiny input, same
-    // pigeonhole banding; then orient both ways and add the self-group
-    // (Hamming 0) so every doc sees its own group's other members
+      .localCheckpoint()
+    val distinctSigs = groups.count()
+    val gate: DataFrame => DataFrame =
+      if (distinctSigs <= broadcastSigLimit) df => broadcast(df)
+      else df => df
+    // Hamming pairs over DISTINCT signatures — same pigeonhole banding,
+    // with the finite bucket cap (a degenerate band value shared by
+    // maxBucket+ distinct signatures is boilerplate collapsing to one
+    // band, and would cost a quadratic bucket expansion); then orient
+    // both ways and add the self-group (Hamming 0) so every doc sees
+    // its own group's other members
     val gp = bandedHammingPairs(
       groups.select(col("sig").as("id"), col("sig")),
-      bits = 32, maxHamming = maxHamming, maxBucket = Int.MaxValue)
+      bits = 32, maxHamming = maxHamming, maxBucket = maxBucket)
     val nbrGroups =
       gp.select(col("id_a").as("sig"), col("id_b").as("nbr_sig"),
           col("hamming"))
@@ -300,11 +332,12 @@ object TextOps {
           col("hamming")))
         .union(groups.select(col("sig"), col("sig").as("nbr_sig"),
           lit(0).as("hamming")))
-    // per-doc candidates: ≤ (k+1)·(1+2g) rows, joined via two
-    // broadcast-small signature-level tables; then one window on id
+    // per-doc candidates: ≤ (k+1)·(1+2g) rows, joined via the two
+    // signature-level tables (broadcast when dup-dense, shuffle when
+    // diverse — see the gate above); then one window on id
     val cand = sigs
-      .join(broadcast(nbrGroups), Seq("sig"))
-      .join(broadcast(groups.select(col("sig").as("nbr_sig"),
+      .join(gate(nbrGroups), Seq("sig"))
+      .join(gate(groups.select(col("sig").as("nbr_sig"),
         col("head_ids"))), Seq("nbr_sig"))
       .select(col("id"), explode(col("head_ids")).as("nbr"),
         col("hamming"))

@@ -43,11 +43,14 @@ class QueriesSpec extends SparkSpecBase {
     val media = graft.operators.MediaOps.videoTable(spark)
     val plan = graft.operators.MediaOps.videoFeaturesBatched(media)
       .queryExecution.executedPlan.toString
-    // the mapPartitions kernel consumes the scan partitioning directly;
-    // the only join is the broadcast fixture-scoping semi-join
-    val afterKernel = plan.substring(0, plan.indexOf("SerializeFromObject")
-      .max(0))
-    assert(!afterKernel.contains("ShuffleExchange"), plan)
+    // the mapPartitions kernel must be present (SerializeFromObject is
+    // its output boundary) and consume the scan partitioning directly:
+    // no shuffle exchange anywhere in the plan — the only exchange is
+    // the broadcast fixture-scoping semi-join, which prints as
+    // "BroadcastExchange", not "Exchange hashpartitioning"
+    assert(plan.contains("SerializeFromObject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
   test("q01 pushes filter and projection into the parquet scan") {

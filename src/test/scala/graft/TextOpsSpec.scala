@@ -170,4 +170,43 @@ class TextOpsSpec extends SparkSpecBase {
     assert(unrelated.forall(u => ham(100L, 101L) < ham(100L, u)),
       s"near-dup hamming ${ham(100L, 101L)} not separated")
   }
+
+  test("simhashMd5TopKNeighbors shuffle path (diverse corpus) equals " +
+      "the broadcast path and the quadratic truth") {
+    import spark.implicits._
+    // `planted` is the diverse regime in miniature: ~31 of 32 docs have
+    // distinct signatures, so the broadcast-gate limit of 0 models the
+    // 100 TB corpus where distinct signatures ≈ docs
+    val docs = planted
+    def run(limit: Long) = TextOps.simhashMd5TopKNeighbors(docs,
+        "doc_id", "text", maxHamming = 3, k = 2,
+        broadcastSigLimit = limit)
+      .select("id", "nbr", "hamming", "rk")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val viaBroadcast = run(Long.MaxValue)
+    val viaShuffle = run(0L)
+    assert(viaShuffle == viaBroadcast,
+      s"shuffle=$viaShuffle broadcast=$viaBroadcast")
+    // the gate is visible in the plan: hint present when dup-dense,
+    // absent when the distinct-signature count exceeds the limit
+    assert(!TextOps.simhashMd5TopKNeighbors(docs, "doc_id", "text",
+        broadcastSigLimit = 0L)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(TextOps.simhashMd5TopKNeighbors(docs, "doc_id", "text")
+      .queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // quadratic truth: per doc, the 2 nearest others within Hamming 3
+    val sigs = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.simhashMd5(
+          TextOps.tokens(col("text"))).as("sig"))
+      .as[(Long, Long)].collect()
+    val want = sigs.flatMap { case (ia, sa) =>
+      sigs.collect { case (ib, sb) if ib != ia =>
+          (ib, java.lang.Long.bitCount(sa ^ sb)) }
+        .filter(_._2 <= 3)
+        .sortBy { case (ib, h) => (h, ib) }
+        .take(2).zipWithIndex
+        .map { case ((ib, h), i) => (ia, ib, h, i + 1) }
+    }.toSet
+    assert(viaShuffle == want, s"got=$viaShuffle want=$want")
+  }
 }
