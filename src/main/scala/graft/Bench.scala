@@ -24,8 +24,10 @@ object Bench {
     // Every warm-up step is exception-guarded: a single bad table or a
     // failing first query must degrade to named per-query failures in the
     // artifact, not an rc=1 with zero timings (the r6 lesson).
+    // NonFatal only: an OutOfMemoryError or interrupt must crash the run
+    // (a half-dead JVM would otherwise produce misleading timings)
     def guard(what: String)(body: => Unit): Unit =
-      try body catch { case e: Throwable =>
+      try body catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up $what failed: ${e.getMessage}")
       }
     guard("prep")(Queries.prep(spark, sfDir))
@@ -41,7 +43,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { qs(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
@@ -58,17 +60,33 @@ object Bench {
     // a failed query reports -1, is listed under "failed", and is
     // excluded from the total so "value" always equals the sum of the ok
     // entries; "queries_max" exposes the worst pass so a spike window is
-    // visible in the artifact itself
+    // visible in the artifact itself; "noisy" self-identifies entries
+    // whose max/min spread exceeds 4x — a co-tenant load spike signature
+    // (observed 5-60x on this host), so a polluted min is flagged in the
+    // artifact rather than discovered by cross-referencing later
     val qjson = results.map { case (k, mn, _, ok) =>
       "\"" + k + "\":" + (if (ok) mn else -1) }
       .mkString("{", ",", "}")
     val qmax = results.map { case (k, _, mx, ok) =>
       "\"" + k + "\":" + (if (ok) mx else -1) }
       .mkString("{", ",", "}")
+    val noisy = results.collect {
+      case (k, mn, mx, true) if mn > 0 && mx / mn > 4 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, mn, _, true) => mn }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"queries_max":$qmax,"failed":$failed,"sf":"$sfDir"}""")
+    val nOk = results.count(_._4)
+    // the headline prints TWICE around the detail line: the driver's
+    // artifact keeps (a) a parse of a stdout JSON line and (b) the last
+    // few KB of stdout. r7's single long line overflowed both — parse
+    // failed and the tail cut mid-map, losing the total. A short
+    // summary line first parses whole; the same line repeated after the
+    // detail keeps the totals inside any tail window.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}"""
+    println(summary)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"queries_max":$qmax,"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }
