@@ -680,14 +680,16 @@ object SystemQueries {
     // stop-sequence truncation and character-usage accounting are ALL
     // exercised and value-checked — the oracle rebuilds the exact
     // prompt strings (the formatter's constants, newlines via chr(10))
-    // and the echo completion in plain SQL. Only a real HTTP transport
-    // remains out of engine by necessity (offline sandbox).
+    // and the echo completion in plain SQL. The real HTTP transport
+    // (HttpGenerationClient) exists behind spark.graft.llm.endpoint —
+    // clientFromConf resolves to EchoClient in this offline session, so
+    // the oracle stays deterministic.
     "q183_llm_orchestration" -> api((spark, _) =>
       graft.operators.LlmOrchestrator.textToSql(
         spark.table("documents").select(col("doc_id"), col("text")),
         "doc_id", "text", "rajkumar",
         Seq(("region", spark.table("region").schema)),
-        new graft.operators.LlmOrchestrator.EchoClient())
+        graft.operators.LlmOrchestrator.clientFromConf(spark))
         .orderBy("doc_id"),
       """WITH p AS (
         |  SELECT doc_id,
@@ -717,15 +719,18 @@ object SystemQueries {
     // assistant-summary / final question), batched dispatch through the
     // injectable chat transport, stop truncation. The EchoChatClient
     // derives its completion from the question text alone (extracted
-    // between the template's backticks), so the oracle needs no
-    // embedded template constants — it rebuilds the completion straight
-    // from documents.text.
+    // between the template's backticks — documents.text is
+    // backtick-free, the assumption EchoChatClient requires), so the
+    // oracle needs no embedded template constants — it rebuilds the
+    // completion straight from documents.text. chatClientFromConf picks
+    // the HTTP chat transport only when spark.graft.llm.chat_endpoint
+    // is set, never in this offline session.
     "q184_llm_chat_orchestration" -> api((spark, _) =>
       graft.operators.LlmOrchestrator.textToSqlChat(
         spark.table("documents").select(col("doc_id"), col("text")),
         "doc_id", "text",
         Seq(("region", spark.table("region").schema)),
-        new graft.operators.LlmOrchestrator.EchoChatClient())
+        graft.operators.LlmOrchestrator.chatClientFromConf(spark))
         .orderBy("doc_id"),
       """WITH r AS (
         |  SELECT doc_id,

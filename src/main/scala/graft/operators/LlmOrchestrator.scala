@@ -54,6 +54,117 @@ object LlmOrchestrator {
         s"-- max_tokens=${params.maxTokens} beams=${params.numBeams}")
   }
 
+  /** Real HTTP transport: one JSON POST per batch to `endpoint` — the
+    * reference's manifest-client shape (eval/get_manifest.py:6-33,
+    * eval/text_to_sql.py:144-155) — one completion per prompt back.
+    * Request body: `{"prompts":[…],"max_tokens":N,"temperature":T,
+    * "num_beams":B,"stop_sequences":[…]}`; accepted responses: a bare
+    * JSON array of strings, or an object with a `completions` array.
+    * Built on JDK java.net.http plus Spark-bundled Jackson (no added
+    * dependencies); connect and request timeouts bound a hung server.
+    * The HTTP client is @transient lazy, so the instance serializes
+    * into tasks and each executor builds its own connection pool.
+    * Catalog entries stay on [[EchoClient]] unless the session opts in
+    * via `spark.graft.llm.endpoint` ([[clientFromConf]]). */
+  final class HttpGenerationClient(endpoint: String,
+      connectTimeoutMs: Long = 5000, requestTimeoutMs: Long = 120000)
+      extends GenerationClient {
+    @transient private lazy val http =
+      Transport.newHttp(connectTimeoutMs)
+    def generate(prompts: Seq[String], params: GenParams): Seq[String] = {
+      val root = Transport.paramsNode(params)
+      val arr = root.putArray("prompts")
+      prompts.foreach(arr.add)
+      Transport.post(http, endpoint, requestTimeoutMs, root,
+        expect = prompts.length)
+    }
+  }
+
+  /** Chat flavor of [[HttpGenerationClient]]: the batch posts as
+    * `{"conversations":[[{"role":…,"content":…},…],…], …params}`. */
+  final class HttpChatGenerationClient(endpoint: String,
+      connectTimeoutMs: Long = 5000, requestTimeoutMs: Long = 120000)
+      extends ChatGenerationClient {
+    @transient private lazy val http =
+      Transport.newHttp(connectTimeoutMs)
+    def generate(conversations: Seq[Seq[(String, String)]],
+        params: GenParams): Seq[String] = {
+      val root = Transport.paramsNode(params)
+      val arr = root.putArray("conversations")
+      conversations.foreach { msgs =>
+        val conv = arr.addArray()
+        msgs.foreach { case (role, content) =>
+          val m = conv.addObject()
+          m.put("role", role); m.put("content", content)
+        }
+      }
+      Transport.post(http, endpoint, requestTimeoutMs, root,
+        expect = conversations.length)
+    }
+  }
+
+  /** Shared HTTP/JSON plumbing for the real transports. */
+  private object Transport {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    lazy val mapper = new ObjectMapper()
+    def newHttp(connectTimeoutMs: Long): java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+        .build()
+    def paramsNode(params: GenParams): ObjectNode = {
+      val root = mapper.createObjectNode()
+      root.put("max_tokens", params.maxTokens)
+      root.put("temperature", params.temperature)
+      root.put("num_beams", params.numBeams)
+      val stops = root.putArray("stop_sequences")
+      params.stopSequences.foreach(stops.add)
+      root
+    }
+    def post(http: java.net.http.HttpClient, endpoint: String,
+        requestTimeoutMs: Long, body: ObjectNode,
+        expect: Int): Seq[String] = {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers
+          .ofString(mapper.writeValueAsString(body)))
+        .build()
+      val resp = http.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"LLM endpoint $endpoint returned HTTP ${resp.statusCode()}")
+      val parsed = mapper.readTree(resp.body())
+      val comps: JsonNode =
+        if (parsed.isArray) parsed else parsed.get("completions")
+      require(comps != null && comps.isArray,
+        s"LLM endpoint $endpoint: response has no completions array")
+      require(comps.size() == expect,
+        s"LLM endpoint $endpoint returned ${comps.size()} completions " +
+          s"for $expect inputs")
+      (0 until comps.size()).map(i => comps.get(i).asText())
+    }
+  }
+
+  /** Transport selection for catalog entries: the deterministic
+    * [[EchoClient]] by default (offline sandbox, oracle-checkable), the
+    * real HTTP transport when the session sets
+    * `spark.graft.llm.endpoint`. */
+  def clientFromConf(
+      spark: org.apache.spark.sql.SparkSession): GenerationClient =
+    spark.conf.getOption("spark.graft.llm.endpoint")
+      .map(new HttpGenerationClient(_))
+      .getOrElse(new EchoClient)
+
+  /** Chat-path analogue of [[clientFromConf]], keyed on
+    * `spark.graft.llm.chat_endpoint`. */
+  def chatClientFromConf(
+      spark: org.apache.spark.sql.SparkSession): ChatGenerationClient =
+    spark.conf.getOption("spark.graft.llm.chat_endpoint")
+      .map(new HttpChatGenerationClient(_))
+      .getOrElse(new EchoChatClient)
+
   /** Chat transport seam (the reference's DuckDBChat path hands the
     * model a role/content message list instead of one string). */
   trait ChatGenerationClient extends Serializable {
@@ -73,8 +184,17 @@ object LlmOrchestrator {
         params: GenParams): Seq[String] =
       conversations.map { msgs =>
         val last = msgs.last._2
-        val q = last.substring(last.indexOf('`') + 1,
-          last.indexOf('`', last.indexOf('`') + 1))
+        // the question sits between the FIRST backtick pair the
+        // template emits; a backtick inside the question text itself
+        // would truncate the extraction (acceptable for this offline
+        // stub — q184's documents.text corpus is backtick-free), but a
+        // template without the pair is a caller bug worth naming
+        val open = last.indexOf('`')
+        val close = if (open < 0) -1 else last.indexOf('`', open + 1)
+        require(open >= 0 && close > open,
+          "EchoChatClient expects the DuckDBChat template's " +
+            s"backtick-wrapped question; got message: $last")
+        val q = last.substring(open + 1, close)
         s"SELECT ${q.length} AS q_len;\n-- chat beams=${params.numBeams}"
       }
   }

@@ -81,4 +81,110 @@ class LlmOrchestratorSpec extends SparkSpecBase {
     assert(r0(1) == 4L)
     assert(r0(2) == s"SELECT ${q0.getString(1).length} AS q_len")
   }
+
+  // --- real HTTP transport, exercised against a JDK loopback server ---
+
+  private def withServer(paths: (String,
+      com.sun.net.httpserver.HttpHandler)*)(body: Int => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    paths.foreach { case (p, h) => server.createContext(p, h) }
+    server.start()
+    try body(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  private def jsonHandler(
+      f: com.fasterxml.jackson.databind.JsonNode =>
+        com.fasterxml.jackson.databind.JsonNode)
+      : com.sun.net.httpserver.HttpHandler = { ex =>
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val bytes = mapper.writeValueAsBytes(
+      f(mapper.readTree(ex.getRequestBody)))
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  test("HTTP transport round-trips batches through a loopback server " +
+      "and matches the EchoClient result") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    val handler = jsonHandler { req =>
+      calls.incrementAndGet()
+      // loopback model speaking the EchoClient function, so the whole
+      // HTTP round trip is checkable against the in-process transport
+      val prompts = req.get("prompts")
+      val resp = mapper.createObjectNode()
+      val comps = resp.putArray("completions")
+      (0 until prompts.size()).foreach { i =>
+        comps.add(s"SELECT ${prompts.get(i).asText().length} " +
+          s"AS prompt_len;\n-- max_tokens=${req.get("max_tokens").asInt()} " +
+          s"beams=${req.get("num_beams").asInt()}")
+      }
+      resp
+    }
+    withServer("/generate" -> handler) { port =>
+      val http = new LlmOrchestrator.HttpGenerationClient(
+        s"http://127.0.0.1:$port/generate")
+      val got = LlmOrchestrator.textToSql(questions, "doc_id", "text",
+          "rajkumar", tables, http, batchSize = 8)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val echo = LlmOrchestrator.textToSql(questions, "doc_id", "text",
+          "rajkumar", tables, new EchoClient(), batchSize = 8)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got == echo)
+      // dispatch is batched: 40 questions at batchSize 8 must not cost
+      // anywhere near 40 requests
+      assert(calls.get() < questions.count(), s"calls=${calls.get()}")
+    }
+  }
+
+  test("HTTP chat transport posts conversations and matches " +
+      "EchoChatClient") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val handler = jsonHandler { req =>
+      val convs = req.get("conversations")
+      val resp = mapper.createObjectNode()
+      val comps = resp.putArray("completions")
+      (0 until convs.size()).foreach { i =>
+        val conv = convs.get(i)
+        val last = conv.get(conv.size() - 1).get("content").asText()
+        val open = last.indexOf('`')
+        val q = last.substring(open + 1, last.indexOf('`', open + 1))
+        comps.add(s"SELECT ${q.length} AS q_len;\n-- chat " +
+          s"beams=${req.get("num_beams").asInt()}")
+      }
+      resp
+    }
+    withServer("/chat" -> handler) { port =>
+      val http = new LlmOrchestrator.HttpChatGenerationClient(
+        s"http://127.0.0.1:$port/chat")
+      val got = LlmOrchestrator.textToSqlChat(questions, "doc_id",
+          "text", tables, http)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val echo = LlmOrchestrator.textToSqlChat(questions, "doc_id",
+          "text", tables, new LlmOrchestrator.EchoChatClient())
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got == echo)
+    }
+  }
+
+  test("clientFromConf: Echo offline by default, HTTP only when the " +
+      "endpoint conf is set") {
+    assert(LlmOrchestrator.clientFromConf(spark).isInstanceOf[EchoClient])
+    assert(LlmOrchestrator.chatClientFromConf(spark)
+      .isInstanceOf[LlmOrchestrator.EchoChatClient])
+    spark.conf.set("spark.graft.llm.endpoint", "http://127.0.0.1:9/x")
+    spark.conf.set("spark.graft.llm.chat_endpoint", "http://127.0.0.1:9/y")
+    try {
+      assert(LlmOrchestrator.clientFromConf(spark)
+        .isInstanceOf[LlmOrchestrator.HttpGenerationClient])
+      assert(LlmOrchestrator.chatClientFromConf(spark)
+        .isInstanceOf[LlmOrchestrator.HttpChatGenerationClient])
+    } finally {
+      spark.conf.unset("spark.graft.llm.endpoint")
+      spark.conf.unset("spark.graft.llm.chat_endpoint")
+    }
+  }
 }
