@@ -214,6 +214,16 @@ object PipelineQueries {
       |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z)) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** DuckDB-side construction of q185's boundary-clustered probe-gate
+    * corpus: element i of the 16-dim vector for `vec_id`. Mirrors the
+    * Spark-side expression exactly; every term is a small integer over
+    * 2^12, so DOUBLE here equals Spark's FLOAT bit-for-bit. */
+  private val duckProbeGateVec: String = (0 until 16).map(i =>
+    s"(CASE WHEN vec_id % 16 = $i THEN 1.0 ELSE 0.0 END + " +
+      s"(((vec_id % 16) * 131 + (vec_id // 16) * 37 + ${i * 101}) " +
+      "% 257 - 128) * 6.0 / 4096.0)")
+    .mkString("[", ", ", "]")
+
   /** DuckDB-side normalization fingerprint ([[TextOps.normFingerprint]]);
     * shared by q50 and q69. */
   private val duckFingerprint =
@@ -398,6 +408,52 @@ object PipelineQueries {
         |FROM ann a LEFT JOIN e ON a.qid = e.qid AND a.id = e.id
         |GROUP BY a.qid ORDER BY a.qid""".stripMargin,
       headline = true),
+
+    // Multi-probe ANN pinned to the EXACT answer: q46's oracle verifies
+    // the recall ACCOUNTING (both engines score the same materialized
+    // ANN rows), so a probe-ORDER regression that degrades recall would
+    // stay green there. This entry closes that gap: a deterministic
+    // boundary-clustered corpus (16-dim axis clusters keyed on vec_id,
+    // ±0.19 jitter exact in float AND double — every element is a small
+    // integer over 2^12, so Spark's FLOAT pipeline and DuckDB's DOUBLE
+    // build bit-identical vectors) is tuned so margin-ordered
+    // multi-probe at probes=4 reaches recall EXACTLY 1.0 while
+    // single-probe measures 0.964 (n=500) — the missed neighbors sit
+    // across precisely the lowest-|margin| sketch bits. Recall 1.0
+    // makes the ANN output equal the exact top-5, which DuckDB derives
+    // independently — so the driver hash pins the probe sequence: a
+    // regression in margin ordering or flip selection drops pairs and
+    // goes red here. Measured stable at n=500 and n=2000 (sf0.001-0.1).
+    "q185_ann_multiprobe_recall" -> api((spark, _) => {
+      val corpus = spark.table("embeddings").select(col("vec_id"),
+        array((0 until 16).map { i =>
+          ((when(pmod(col("vec_id"), lit(16)) === i, 1.0).otherwise(0.0)) +
+            (pmod(pmod(col("vec_id"), lit(16)) * 131 +
+              expr("vec_id div 16") * 37 + lit(i * 101), lit(257)) - 128) *
+              lit(6.0) / lit(4096.0)).cast("float")
+        }: _*).as("embedding"))
+      EmbeddingOps.annLsh(corpus, corpus.where(col("vec_id") < 50),
+          "vec_id", "embedding", k = 5, bits = 8, probes = 4)
+        .orderBy("qid", "rn")
+    },
+      s"""WITH v AS (SELECT vec_id, $duckProbeGateVec AS vec
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(vec) AS x) z))
+        |      AS nrm FROM v),
+        |q AS (SELECT vec_id AS qid, vec AS qv, nrm AS qn FROM n
+        |  WHERE vec_id < 50),
+        |p AS (SELECT q.qid, n.vec_id AS id,
+        |    round((SELECT sum(x*y) FROM
+        |        (SELECT unnest(q.qv) AS x, unnest(n.vec) AS y) z)
+        |      / (q.qn * n.nrm), 6) AS cos
+        |  FROM n, q WHERE n.vec_id <> q.qid),
+        |r AS (SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+        |      AS rn
+        |  FROM p)
+        |SELECT qid, id, cos, rn FROM r WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin),
 
     // ANN via IVF lists (the FAISS-style scale path): hash-seeded
     // centroids tightened by two distributed Lloyd iterations, map-only

@@ -169,4 +169,33 @@ class EmbeddingOpsSpec extends SparkSpecBase {
       .collect()(0)
     assert((top.getLong(0), top.getLong(1)) == (0L, 1L))
   }
+
+  test("q185 probe-gate corpus discriminates: probes=4 is exact while " +
+      "single-probe misses neighbors") {
+    import spark.implicits._
+    // identical construction to the q185_ann_multiprobe_recall entry
+    // (PipelineQueries) at the sf0.01 corpus size — this test is what
+    // keeps that gate entry non-vacuous: were single-probe already
+    // exact here, the driver hash would stop pinning the probe order
+    val corpus = (0 until 500).map(_.toLong).toDF("vec_id")
+      .select(col("vec_id"), array((0 until 16).map { i =>
+        ((when(pmod(col("vec_id"), lit(16)) === i, 1.0).otherwise(0.0)) +
+          (pmod(pmod(col("vec_id"), lit(16)) * 131 +
+            expr("vec_id div 16") * 37 + lit(i * 101), lit(257)) - 128) *
+            lit(6.0) / lit(4096.0)).cast("float")
+      }: _*).as("embedding"))
+    val queries = corpus.where(col("vec_id") < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(EmbeddingOps.knnBruteForce(corpus, queries,
+      "vec_id", "embedding", k = 5))
+    val p4 = pairs(EmbeddingOps.annLsh(corpus, queries, "vec_id",
+      "embedding", k = 5, bits = 8, probes = 4))
+    val p1 = pairs(EmbeddingOps.annLsh(corpus, queries, "vec_id",
+      "embedding", k = 5, bits = 8, probes = 1))
+    assert(p4 == exact, s"probes=4 not exact: missing ${exact -- p4}")
+    assert((exact -- p1).nonEmpty,
+      "single-probe is already exact — probe-gate corpus no longer " +
+        "discriminates; retune jitter")
+  }
 }
