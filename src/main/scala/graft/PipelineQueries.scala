@@ -164,13 +164,17 @@ object PipelineQueries {
     // one orphan per corpus ever benched. The root must stay FIXED (the
     // DuckDB oracle is static SQL globbing this exact path from another
     // process), so a per-session temp root isn't an option; instead the
-    // prune is age-gated — only dirs untouched for an hour go, so a
-    // concurrent bench's live handoff (written seconds ago) is never a
-    // casualty. Stale old dirs are ignorable anyway (the oracle's
-    // corpus_tag filter drops them); this just bounds disk growth.
+    // prune is age-gated — only dirs untouched for six hours go, so a
+    // concurrent bench's live handoff is never a casualty even when a
+    // long interleaved pass re-reads a dir written at pass start (the
+    // cutoff sits well past any observed whole-bench duration, ~10 min
+    // at sf1; one hour was uncomfortably close to a worst-case slow
+    // pass under co-tenant load). Stale old dirs are ignorable anyway
+    // (the oracle's corpus_tag filter drops them); this just bounds
+    // disk growth.
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    val cutoff = System.currentTimeMillis() - 6L * 60 * 60 * 1000
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("t") && n != s"t$tag" &&

@@ -88,8 +88,14 @@ object Tables {
     // session's temp views between calls — re-register unless all views
     // that registered last time are actually present (cheap driver-side
     // catalog lookups)
+    // a full hit needs ALL tables registered and present: a degraded
+    // subset (one load failed last time — e.g. testdata caught
+    // mid-regeneration) must NOT memo-stick for the whole session; the
+    // retry below reloads just the missing tables (one footer read
+    // each), leaving the surviving views untouched
     def memoHit: Boolean = registeredFor.get(id) match {
-      case (dir, regd) if dir == sfDir => regd.forall(spark.catalog.tableExists)
+      case (dir, regd) if dir == sfDir =>
+        regd.size == names.size && regd.forall(spark.catalog.tableExists)
       case _ => false
     }
     if (memoHit) return
@@ -100,6 +106,15 @@ object Tables {
     // so serializing unrelated sessions too is an accepted cost.
     registeredFor.synchronized {
       if (memoHit) return
+      // same-dir partial state (degraded registration or views dropped
+      // by another component): keep what's still bound and reload only
+      // the rest. A dir CHANGE keeps nothing — the old dir's views
+      // would silently serve stale data.
+      val keep: Seq[String] = registeredFor.get(id) match {
+        case (dir, regd) if dir == sfDir =>
+          regd.filter(spark.catalog.tableExists)
+        case _ => Seq.empty
+      }
       // memo is recorded only after ALL views rebind: a mid-loop load
       // failure must not leave the session claiming the new dir while
       // some views still serve the old one
@@ -109,7 +124,7 @@ object Tables {
       // loader doesn't yet handle) must degrade to per-query "table not
       // found" errors for queries touching THAT table — not kill every
       // entry in the catalog. Log it loudly, register the rest.
-      val registered = names.flatMap { n =>
+      val registered = keep ++ names.filterNot(keep.contains).flatMap { n =>
         // release the previous dir's cached blocks before rebinding the view
         if (spark.catalog.tableExists(n))
           scala.util.Try(spark.table(n).unpersist())

@@ -65,4 +65,28 @@ class TablesSpec extends SparkSpecBase {
     Tables.registerAll(s2, sfDir)
     assert(s2.table("lineitem").count() > 0)
   }
+
+  test("degraded registration retries the missing table on the next " +
+      "call once the transient failure clears") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_retry").toString
+    Tables.names.foreach { n =>
+      val src = Paths.get(s"$sfDir/$n.parquet")
+      if (n == "lineitem")
+        Files.write(Paths.get(s"$dir/$n.parquet"), "mid-write".getBytes)
+      else Files.copy(src, Paths.get(s"$dir/$n.parquet"))
+    }
+    val s2 = spark.newSession()
+    Tables.registerAll(s2, dir)
+    assert(!s2.catalog.tableExists("lineitem"))
+    // the "regeneration" completes; a SAME-dir registerAll must pick up
+    // the table instead of memo-sticking the degraded subset forever
+    Files.copy(Paths.get(s"$sfDir/lineitem.parquet"),
+      Paths.get(s"$dir/lineitem.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Tables.registerAll(s2, dir)
+    assert(s2.catalog.tableExists("lineitem"),
+      "degraded memo never retried the failed table")
+    assert(s2.table("lineitem").count() > 0)
+  }
 }
