@@ -1787,19 +1787,22 @@ object PipelineQueries {
     // shuffle matches train grams against it — no doc×doc comparison at
     // any scale. Complements q64 (whole-prefix fingerprints): this
     // catches partial copies a prefix fingerprint misses.
+    // Spark side shingles via the fused word_shingles kernel (one pass,
+    // distinct, no per-position re-slice of the token array — the
+    // interpreted transform(sequence, slice, array_join) chain it
+    // replaces cost ~2x the kernel at sf0.1) with the 32-byte md5
+    // fingerprint applied per exploded row (codegen'd), not inside a
+    // higher-order lambda.
     "q150_ngram_decontam" -> sql(
       s"""WITH tok AS (
          |  SELECT doc_id,
          |    CASE WHEN substring(md5(text), 1, 1) IN $trainNibbles
          |      THEN 'train' ELSE 'heldout' END AS split,
-         |    split(trim(text), ' ') AS w
+         |    word_shingles(text, 13) AS sh
          |  FROM documents),
          |ng AS (
-         |  SELECT doc_id, split,
-         |    explode(array_distinct(transform(
-         |      sequence(1, greatest(size(w) - 12, 1)),
-         |      i -> md5(array_join(slice(w, i, 13), ' '))))) AS g
-         |  FROM tok),
+         |  SELECT doc_id, split, md5(s) AS g
+         |  FROM tok LATERAL VIEW explode(sh) t AS s),
          |hg AS (SELECT DISTINCT g FROM ng WHERE split = 'heldout')
          |SELECT t.doc_id, count(*) AS n_shared_13grams
          |FROM ng t JOIN hg ON t.g = hg.g
@@ -1833,14 +1836,15 @@ object PipelineQueries {
     // the g-window and the doc rollup. Distinguishes in-doc repetition
     // (q85) from cross-doc boilerplate: this is the signal that strips
     // shared headers/footers at corpus scale.
+    // Spark side via the non-distinct fused kernel (word_shingles_all):
+    // occurrence counting needs every gram position, so the distinct
+    // word_shingles kernel q150 uses would undercount; md5 runs
+    // codegen'd per exploded row, not inside a higher-order lambda.
     "q151_dup_ngram_frac" -> sql(
-      """WITH tok AS (
-        |  SELECT doc_id, split(trim(text), ' ') AS w FROM documents),
-        |ng AS (
-        |  SELECT doc_id, explode(transform(
-        |    sequence(1, greatest(size(w) - 9, 1)),
-        |    i -> md5(array_join(slice(w, i, 10), ' ')))) AS g
-        |  FROM tok),
+      """WITH ng AS (
+        |  SELECT doc_id, md5(s) AS g
+        |  FROM documents
+        |  LATERAL VIEW explode(word_shingles_all(text, 10)) t AS s),
         |dgc AS (SELECT doc_id, g, count(*) AS k FROM ng
         |        GROUP BY doc_id, g),
         |dgd AS (SELECT doc_id, k,

@@ -159,6 +159,31 @@ object GraftVector {
     * to the `transform(sequence(...), slice ...)` SQL formulation (and the
     * DuckDB list-lambda oracle) including the empty-string token a blank
     * document yields. */
+  /** Non-distinct sibling of [[wordShingles]]: every n-gram occurrence,
+    * in position order — the shape corpus-level occurrence counting
+    * (q151's duplicated-n-gram fraction) needs, where a repeated gram
+    * must count once per position. Same single-pass fused loop, minus
+    * the dedup set. */
+  def wordShinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = ws.split(text.toString.trim, -1)
+    val last = math.max(toks.length - (n - 1), 1)
+    val out = new Array[AnyRef](last)
+    var i = 0
+    while (i < last) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     val toks = ws.split(text.toString.trim, -1)
     val last = math.max(toks.length - (n - 1), 1)

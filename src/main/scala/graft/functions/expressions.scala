@@ -315,6 +315,24 @@ case class WordShinglesExpr(text: Expression, n: Expression)
     copy(newChildren(0), newChildren(1))
 }
 
+/** Non-distinct fused word shingles ([[GraftVector.wordShinglesAll]]):
+  * every n-gram occurrence in position order — for occurrence counting,
+  * where [[WordShinglesExpr]]'s dedup would lose multiplicity. */
+case class WordShinglesAllExpr(text: Expression, n: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftVector.getClass,
+      ArrayType(StringType, containsNull = false), "wordShinglesAll",
+      Seq(Cast(text, StringType), Cast(n, IntegerType)),
+      inputTypes = Seq(StringType, IntegerType),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(text, n)
+  override def prettyName: String = "word_shingles_all"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
 /** Fused LSH band hashes ([[GraftVector.lshBandHashes]]): all b band
   * hashes of a minhash signature in one pass. `b`/`r` must be foldable. */
 case class LshBandsExpr(sig: Expression, b: Expression, r: Expression)
