@@ -57,9 +57,9 @@ def r2(rng, lo, hi, n):
     return np.round(rng.uniform(lo, hi, n), 2)
 
 
-def gen(sf: float) -> None:
+def gen(sf: float, scale_vocab: bool = False) -> None:
     rng = np.random.default_rng(42)
-    tag = ("%g" % sf)
+    tag = ("%g" % sf) + ("sv" if scale_vocab else "")
     out = f"{OUT}/sf{tag}"
     os.makedirs(out, exist_ok=True)
 
@@ -159,12 +159,34 @@ def gen(sf: float) -> None:
             [f'{{"k": {v}}}' for v in rng.integers(0, 100, n_ev)])}))
 
     # documents: 30-word vocab; ~1% near-dups (one word replaced by the
-    # 'dup' marker token) and ~0.2% exact dups, as in the driver corpus
-    vocab = np.array(VOCAB)
+    # 'dup' marker token) and ~0.2% exact dups, as in the driver corpus.
+    #
+    # scale_vocab mode: real corpora grow vocabulary with size (Heaps'
+    # law, V = K * N_tokens^beta — Heaps 1978; K=3, beta=0.6 here) with
+    # Zipf-distributed word frequencies, instead of the driver corpus's
+    # FIXED 30-word vocabulary, which saturates every shingle/band
+    # bucket as the corpus grows (the sf3 stress artifact measured in
+    # BASELINE.md). This mode exists to validate by contrast that the
+    # superlinear sf3 candidate growth is a property of the synthetic
+    # saturating vocabulary, not of the dedup kernels.
+    if scale_vocab:
+        n_tokens_est = n_doc * 56  # mean doc length ~56 tokens
+        v_size = max(len(VOCAB), int(3 * n_tokens_est ** 0.6))
+        vocab = np.array([f"w{i}" for i in range(v_size)])
+        zipf_w = 1.0 / np.arange(1, v_size + 1) ** 1.05
+        zipf_p = zipf_w / zipf_w.sum()
+        print(f"  scale-vocab: {v_size} words (Heaps), zipf 1.05")
+    else:
+        vocab = np.array(VOCAB)
+        zipf_p = None
     texts = []
     for i in range(n_doc):
         L = int(rng.integers(8, 106))
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), L)]))
+        if zipf_p is None:
+            idx = rng.integers(0, len(vocab), L)
+        else:
+            idx = rng.choice(len(vocab), L, p=zipf_p)
+        texts.append(" ".join(vocab[idx]))
     for i in rng.integers(1, n_doc, max(1, n_doc // 100)):
         words = texts[int(i) - 1].split(" ")
         words[int(rng.integers(0, len(words)))] = "dup"
@@ -188,10 +210,13 @@ def gen(sf: float) -> None:
 
 
 def main() -> None:
-    sfs = [float(a) for a in sys.argv[1:]] or [0.3, 1.0]
+    scale_vocab = "--scale-vocab" in sys.argv
+    sfs = [float(a) for a in sys.argv[1:]
+           if a != "--scale-vocab"] or [0.3, 1.0]
     for sf in sfs:
-        print(f"generating sf{sf:g} under {OUT} ...")
-        gen(sf)
+        suffix = "sv" if scale_vocab else ""
+        print(f"generating sf{sf:g}{suffix} under {OUT} ...")
+        gen(sf, scale_vocab)
 
 
 if __name__ == "__main__":
