@@ -88,6 +88,52 @@ object SystemQueries {
       """SELECT DISTINCT event_id, user_id, event_type, ts
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // Streaming MinHash near-dup pair detection (continuous-ingestion
+    // dedup): per-bucket flatMapGroupsWithState over the banded
+    // PORTABLE md5 MinHash signature, so the oracle reproduces the
+    // entire pipeline — signatures, banding, candidate generation and
+    // agreement verification — in plain SQL. q68 is the exact-dup
+    // streaming operator; this is its near-dup sibling, completing the
+    // batch q42 ↔ streaming axis.
+    "q186_stream_neardup" -> api(
+      (spark, sfDir) => StreamingOps.streamNearDupPairs(spark, sfDir)
+        .select(col("id_a"), col("id_b"),
+          col("n_agree").cast("long").as("n_agree"))
+        .orderBy("id_a", "id_b"),
+      """WITH w AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(w[i:i+2], ' ')))) AS s
+        |  FROM w),
+        |h AS (
+        |  SELECT doc_id, j,
+        |    min(('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || s),
+        |      1, 12))::BIGINT) AS m
+        |  FROM sh, range(16) r(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig
+        |        FROM h GROUP BY doc_id),
+        |band AS (
+        |  SELECT doc_id, i, sig[2*i+1] AS h0, sig[2*i+2] AS h1
+        |  FROM sig, range(8) r(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b
+        |    ON a.i = b.i AND a.h0 = b.h0 AND a.h1 = b.h1
+        |    AND a.doc_id < b.doc_id),
+        |agr AS (
+        |  SELECT c.id_a, c.id_b,
+        |    (SELECT count(*) FROM range(16) r(j)
+        |     WHERE sa.sig[j+1] = sb.sig[j+1]) AS n_agree
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree
+        |FROM agr WHERE n_agree >= 8
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // The same sessionization as pure batch SQL (gaps-and-islands) —
     // windows + lag on both engines.
     "q53_sessionize_batch" -> sql(

@@ -28,6 +28,7 @@ object GraftFunctions {
     ("simhash64", 1, args => SimHash64Expr(args(0))),
     ("simhash_md5", 1, args => SimHashMd5Expr(args(0))),
     ("minhash_sig", 2, args => MinHashSigExpr(args(0), args(1))),
+    ("minhash_md5", 2, args => MinHashMd5Expr(args(0), args(1))),
     ("rp_sketch", 3, args => RpSketchExpr(args(0), args(1), args(2))),
     ("duck_round", 2, args => DuckRoundExpr(args(0), args(1))),
     ("ivf_probe", 3, args => IvfProbeExpr(args(0), args(1), args(2))),
@@ -50,6 +51,8 @@ object GraftFunctions {
     toCol(SimHashMd5Expr(toExpr(tokens)))
   def minhashSig(shingles: Column, k: Column): Column =
     toCol(MinHashSigExpr(toExpr(shingles), toExpr(k)))
+  def minhashMd5(shingles: Column, k: Column): Column =
+    toCol(MinHashMd5Expr(toExpr(shingles), toExpr(k)))
   def rpSketch(vec: Column, bits: Column, seed: Column): Column =
     toCol(RpSketchExpr(toExpr(vec), toExpr(bits), toExpr(seed)))
   def rpSketchProbes(vec: Column, bits: Column, seed: Column,

@@ -66,6 +66,41 @@ object GraftHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Portable MinHash signature: position j is the minimum over the
+    * shingle set of the first 48 bits of md5("j|shingle"). The md5
+    * discipline (same as [[simhashMd5]]) makes every position
+    * reproducible in any SQL engine as
+    * `min(('0x' || substring(md5(j || '|' || s), 1, 12))::BIGINT)` —
+    * so MinHash-banded operators can be oracle-checked value-for-value,
+    * not just rows-only. k digests per shingle, one pass; an empty or
+    * all-null shingle set yields Long.MaxValue positions (the neutral
+    * min element, matching SQL `min()` over zero rows being absorbed by
+    * a COALESCE upper bound). */
+  def minhashMd5Sig(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i).toString
+        var j = 0
+        while (j < k) {
+          md.reset()
+          val d = md.digest((j.toString + "|" + s)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 6) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** Portable 32-bit SimHash: bit j is the majority vote of the MSB of
     * hex nibble j of each token's md5. Unlike [[simhash64]] (xxHash64,
     * engine-internal), every SQL engine with `md5()` + `substr()` can

@@ -174,6 +174,27 @@ case class SimHashMd5Expr(child: Expression)
     copy(child = newChildren(0))
 }
 
+/** Portable md5 MinHash signature ([[GraftHash.minhashMd5Sig]]):
+  * engine-reproducible positions (first 48 bits of md5("j|shingle")
+  * minimized over the set), for oracle-checkable MinHash operators. */
+case class MinHashMd5Expr(shingles: Expression, k: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val in = if (shingles.dataType == ArrayType(StringType)) shingles
+             else Cast(shingles, ArrayType(StringType))
+    objects.StaticInvoke(GraftHash.getClass,
+      ArrayType(LongType, containsNull = false), "minhashMd5Sig",
+      Seq(in, Cast(k, IntegerType)),
+      inputTypes = Seq(ArrayType(StringType), IntegerType),
+      returnNullable = false)
+  }
+  override def children: Seq[Expression] = Seq(shingles, k)
+  override def prettyName: String = "minhash_md5"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
 /** Fused MinHash signature kernel ([[GraftHash.minhashSig]]): one pass
   * over the shingle array for all k seeded minima. `k` must be foldable. */
 case class MinHashSigExpr(child: Expression, k: Expression)

@@ -162,6 +162,107 @@ object StreamingOps {
     drainSink(spark, name, Seq("event_id"))
   }
 
+  /** One LSH bucket's remembered members: (doc id, full signature). */
+  case class NearDupBucket(docs: Seq[(Long, Seq[Long])])
+
+  /** A verified near-duplicate pair (unordered, id_a < id_b). */
+  case class NearDupPair(id_a: Long, id_b: Long, n_agree: Int)
+
+  /** Streaming MinHash near-duplicate pair detection — continuous-
+    * ingestion dedup: as documents arrive, each is checked against every
+    * previously seen document that shares an LSH band bucket, and pairs
+    * whose signatures agree on at least `minAgree` of `k` positions are
+    * emitted. The batch q42 pipeline answers "which near-dup pairs exist
+    * in this corpus"; this answers the production question "is the
+    * arriving document a near-dup of ANYTHING seen so far" without
+    * re-scanning the corpus.
+    *
+    * Mechanics: the portable md5 MinHash signature
+    * ([[graft.functions.GraftHash.minhashMd5Sig]]) is banded into
+    * `bands` groups of k/bands positions; rows are keyed by
+    * (band, band-slice) and flatMapGroupsWithState keeps each bucket's
+    * (id, signature) members. A new member compares against remembered
+    * members plus earlier new members (id-sorted, so in-batch emission
+    * is deterministic), emitting the agreement count. A pair sharing
+    * several buckets is emitted from each — the entry's final
+    * `.distinct()` collapses them (the counts are identical by
+    * construction).
+    *
+    * Scale shape: state is per-bucket membership — proportional to the
+    * corpus, like any exact incremental dedup index (the batch analogue
+    * of a warehouse's persisted signature table). Hot boilerplate
+    * buckets are the quadratic risk exactly as in batch LSH; a
+    * production deployment caps per-bucket membership (dropping
+    * verification against boilerplate buckets, q42's maxBucket
+    * discipline) — kept exact here because the entry is oracle-checked
+    * against the full quadratic-within-bucket definition.
+    *
+    * The md5 signature discipline makes the WHOLE operator
+    * value-checkable in DuckDB (q186): signatures, banding, candidate
+    * generation and agreement verification all reproduce in plain SQL. */
+  def streamNearDupPairs(spark: SparkSession, sfDir: String,
+      k: Int = 16, bands: Int = 8, minAgree: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val banded = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id").as("id"),
+        graft.functions.GraftFunctions.minhashMd5(
+          graft.operators.TextOps.wordShingles(col("text"), 3), lit(k))
+          .as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), i -> slice(sig, i*$r + 1, $r))"))
+          .as(Seq("band", "bh")))
+      .as[(Long, Seq[Long], Int, Seq[Long])]
+
+    val pairs = banded
+      .groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[NearDupBucket, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          val out = Seq.newBuilder[NearDupPair]
+          var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          // id-sort the batch slice so in-batch pair emission does not
+          // depend on partition iteration order
+          rows.map { case (id, sig, _, _) => (id, sig) }
+            .toVector.sortBy(_._1)
+            .foreach { case (id, sig) =>
+              seen.foreach { case (oid, osig) =>
+                if (oid != id) {
+                  var n = 0; var j = 0
+                  while (j < sig.length) {
+                    if (sig(j) == osig(j)) n += 1
+                    j += 1
+                  }
+                  if (n >= minAgree)
+                    out += NearDupPair(math.min(id, oid),
+                      math.max(id, oid), n)
+                }
+              }
+              seen = seen :+ ((id, sig))
+            }
+          state.update(NearDupBucket(seen))
+          out.result().iterator
+      }
+
+    val name = s"stream_neardup_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = pairs.toDF().writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // a pair found in several bands surfaces once per band: collapse
+    drainSink(spark, name, Seq("id_a", "id_b")).distinct()
+  }
+
   /** Stream-stream interval join: purchases joined to the same user's
     * clicks from the preceding `windowMinutes` — the attribution window
     * (the batch dual is SparkEntry q75). Both sides are watermarked and

@@ -385,4 +385,80 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(d("embedding") == "FLOAT[]")
     assert(d("label") == "INTEGER")
   }
+
+  test("portable md5 minhash matches an independent per-position " +
+      "re-derivation") {
+    import spark.implicits._
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two"), (3L, "solo"))
+    val got = texts.toDF("id", "text")
+      .select(col("id"), graft.functions.GraftFunctions.minhashMd5(
+        graft.operators.TextOps.wordShingles(col("text"), 3), lit(4))
+        .as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // independent reference: hex-string md5 via MessageDigest + format,
+    // first 12 hex chars parsed — the DuckDB oracle's exact recipe
+    def ref(text: String, k: Int): Seq[Long] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val shingles = (0 until math.max(toks.length - 2, 1)).map { i =>
+        toks.slice(i, math.min(i + 3, toks.length)).mkString(" ")
+      }.distinct
+      (0 until k).map { j =>
+        shingles.map { s =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest((s"$j|$s").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.take(12), 16)
+        }.min
+      }
+    }
+    texts.foreach { case (id, t) =>
+      assert(got(id) == ref(t, 4), s"doc $id")
+    }
+  }
+
+  test("streaming near-dup pairs: planted near-dup detected, output " +
+      "matches the batch within-bucket quadratic answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus with one planted near-dup pair and distinct chaff, written
+    // to a temp dir so the file-stream source replays it
+    val base = (1 to 40).map(i =>
+      s"sentence $i of the planted corpus about topic-${i % 7}")
+      .mkString(" ")
+    val near = base.replace("topic-3", "topic-9")
+    val chaff = (1 to 20).map(i => (200L + i,
+      s"unrelated document $i with its own words alpha-$i beta-$i " +
+        s"gamma-$i delta-$i epsilon-$i zeta-$i eta-$i theta-$i"))
+    val docs = ((100L, base) +: (101L, near) +: chaff)
+      .toDF("doc_id", "text")
+    // documents.parquet must be a FILE (like the testdata layout — the
+    // stream source globs on the file name): write then move the part
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_neardup").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/_stage")
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val streamed = StreamingOps.streamNearDupPairs(spark, dir)
+      .select("id_a", "id_b", "n_agree")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed.exists(p => p._1 == 100L && p._2 == 101L),
+      s"planted pair missing: $streamed")
+    // batch reference: same portable signature, same banding, same
+    // agreement rule, computed with plain DataFrame ops
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.functions.GraftFunctions.minhashMd5(
+        graft.operators.TextOps.wordShingles(col("text"), 3), lit(16))
+        .as("sig"))
+      .as[(Long, Seq[Long])].collect()
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if (0 until 8).exists(band =>
+        sa.slice(band * 2, band * 2 + 2) == sb.slice(band * 2, band * 2 + 2))
+      n = (0 until 16).count(j => sa(j) == sb(j)) if n >= 8
+    } yield (ia, ib, n)).toSet
+    assert(streamed == want, s"streamed=$streamed want=$want")
+  }
 }
