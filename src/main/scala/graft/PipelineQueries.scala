@@ -1585,11 +1585,12 @@ object PipelineQueries {
     "q141_trigram_lm" -> api({ (spark, _) =>
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
+        // fused char_ngrams_all: the transform(sequence, substring)
+        // chain is a higher-order function — never codegen'd — and this
+        // explode is the entry's dominant pass
         checkpointView(spark, "graft_q141_dtc", spark.sql(
           """SELECT doc_id, t, count(*) AS k FROM documents
-            |LATERAL VIEW explode(transform(
-            |  sequence(1, greatest(length(text) - 2, 1)),
-            |  i -> substring(text, i, 3))) x AS t
+            |LATERAL VIEW explode(char_ngrams_all(text, 3)) x AS t
             |GROUP BY doc_id, t""".stripMargin))
         // small knob armed only now: the corpus-wide explode+agg above
         // ran at full parallelism; what follows shuffles sub-MB tables
@@ -1903,16 +1904,24 @@ object PipelineQueries {
     // normalizers ln(T+256) - ln(R+256) are doc-independent, so they
     // fold into one constant instead of a per-row division.
     "q154_dsir_weights" -> api({ (spark, _) =>
-      val tb = spark.table("documents")
+      // ONE tokenize+md5 pass: reduce straight to the (doc, bucket)
+      // count table (lang rides along — functionally dependent on
+      // doc_id) and derive the 256-bucket model FROM that table,
+      // instead of running the explode once for the model and again
+      // for the score pass (the branch-subplan re-run phenomenon of
+      // q140/q172; measured 1.29 s → ~0.8 s at sf0.1). Checkpointed:
+      // it feeds the model aggregation AND the score join.
+      checkpointView(spark, "graft_q154_dbc", spark.table("documents")
         .select(col("doc_id"), col("lang"),
           explode(TextOps.tokens(col("text"))).as("t"))
-        .select(col("doc_id"), col("lang"),
+        .groupBy(col("doc_id"), col("lang"),
           substring(md5(col("t")), 1, 2).as("b"))
-      val st = tb.groupBy("b").agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
-        count(lit(1)).as("rc"))
+        .agg(count(lit(1)).as("k")))
+      val dbc = spark.table("graft_q154_dbc")
+      val st = dbc.groupBy("b").agg(
+        sum(when(col("lang") === "en", col("k")).otherwise(0L)).as("tc"),
+        sum(col("k")).as("rc"))
       val tot = st.agg(sum("tc").as("t_tot"), sum("rc").as("r_tot"))
-      val dbc = tb.groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
       dbc.join(broadcast(st), "b").crossJoin(broadcast(tot))
         .withColumn("c", log((col("t_tot") + lit(256.0)) /
           (col("r_tot") + lit(256.0))))

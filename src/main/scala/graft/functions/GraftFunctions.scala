@@ -37,6 +37,7 @@ object GraftFunctions {
     ("vec_norm", 1, args => VecNormExpr(args(0))),
     ("word_shingles", 2, args => WordShinglesExpr(args(0), args(1))),
     ("word_shingles_all", 2, args => WordShinglesAllExpr(args(0), args(1))),
+    ("char_ngrams_all", 2, args => CharNgramsAllExpr(args(0), args(1))),
     ("lsh_band_hashes", 3, args => LshBandsExpr(args(0), args(1), args(2))),
     ("correct_casing", 1, args => SqlCorrectCasingExpr(args(0)))
   )

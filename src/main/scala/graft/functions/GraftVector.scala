@@ -159,6 +159,23 @@ object GraftVector {
     * to the `transform(sequence(...), slice ...)` SQL formulation (and the
     * DuckDB list-lambda oracle) including the empty-string token a blank
     * document yields. */
+  /** All character n-grams in position order (non-distinct) — the fused
+    * form of `transform(sequence(1, len-n+1), i -> substring(text, i,
+    * n))`, which as a higher-order function never enters whole-stage
+    * codegen. Positions are SQL-substring semantics (code points, like
+    * Spark's `substring`), so the DuckDB oracle's `substring` agrees. */
+  def charNgramsAll(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numChars()
+    val last = math.max(len - (n - 1), 1)
+    val out = new Array[AnyRef](last)
+    var i = 0
+    while (i < last) {
+      out(i) = text.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Non-distinct sibling of [[wordShingles]]: every n-gram occurrence,
     * in position order — the shape corpus-level occurrence counting
     * (q151's duplicated-n-gram fraction) needs, where a repeated gram

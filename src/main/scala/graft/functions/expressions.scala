@@ -336,6 +336,24 @@ case class WordShinglesExpr(text: Expression, n: Expression)
     copy(newChildren(0), newChildren(1))
 }
 
+/** Fused character n-grams ([[GraftVector.charNgramsAll]]): every
+  * position's n-gram in one pass, replacing the interpreted
+  * transform(sequence, substring) chain. */
+case class CharNgramsAllExpr(text: Expression, n: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftVector.getClass,
+      ArrayType(StringType, containsNull = false), "charNgramsAll",
+      Seq(Cast(text, StringType), Cast(n, IntegerType)),
+      inputTypes = Seq(StringType, IntegerType),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(text, n)
+  override def prettyName: String = "char_ngrams_all"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
 /** Non-distinct fused word shingles ([[GraftVector.wordShinglesAll]]):
   * every n-gram occurrence in position order — for occurrence counting,
   * where [[WordShinglesExpr]]'s dedup would lose multiplicity. */
