@@ -457,7 +457,7 @@ object PipelineQueries {
         |      AS rn
         |  FROM p)
         |SELECT qid, id, cos, rn FROM r WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin),
+        |ORDER BY qid, rn""".stripMargin, headline = true),
 
     // ANN via IVF lists (the FAISS-style scale path): hash-seeded
     // centroids tightened by two distributed Lloyd iterations, map-only

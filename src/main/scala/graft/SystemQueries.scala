@@ -132,7 +132,7 @@ object SystemQueries {
         |  JOIN sig sb ON sb.doc_id = c.id_b)
         |SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree
         |FROM agr WHERE n_agree >= 8
-        |ORDER BY id_a, id_b""".stripMargin),
+        |ORDER BY id_a, id_b""".stripMargin, headline = true),
 
     // The same sessionization as pure batch SQL (gaps-and-islands) —
     // windows + lag on both engines.
