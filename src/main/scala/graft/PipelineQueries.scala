@@ -2580,31 +2580,45 @@ object PipelineQueries {
     // a deterministic (score, doc_id) tie-break; the window orders by
     // the ROUNDED score so a 1-ulp cross-engine libm difference near a
     // tercile boundary cannot flip buckets.
-    "q173_ccnet_buckets" -> sql(
-      """WITH tok AS (
-        |  SELECT doc_id, explode(split(text, ' ')) AS word
-        |  FROM documents),
-        |wc AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
+    // One explode pass: the corpus reduces to a checkpointed
+    // (doc, word, k) count table that feeds BOTH the vocabulary LM and
+    // the scoring join (without the checkpoint, branch subplans re-run
+    // the explode — the q141/q154 phenomenon; 1.20 s → ~0.8 s at
+    // sf0.1). Scoring weights each distinct word by its in-doc count —
+    // identical math to the per-instance avg, mirrored verbatim in the
+    // oracle so both engines fold the same algebra.
+    "q173_ccnet_buckets" -> api({ (spark, _) =>
+      checkpointView(spark, "graft_q173_dwc", spark.sql(
+        """SELECT doc_id, word, count(*) AS k FROM documents
+          |LATERAL VIEW explode(split(text, ' ')) x AS word
+          |GROUP BY doc_id, word""".stripMargin))
+      spark.sql(
+        """WITH wc AS (SELECT word, sum(k) AS n FROM graft_q173_dwc
+          |            GROUP BY word),
+          |tot AS (SELECT sum(n) AS t FROM wc),
+          |x AS (
+          |  SELECT /*+ BROADCAST(wc) */ d.doc_id,
+          |    sum(k * -ln(CAST(wc.n AS DOUBLE) / t)) / sum(k) AS xent
+          |  FROM graft_q173_dwc d JOIN wc ON d.word = wc.word
+          |  CROSS JOIN tot
+          |  GROUP BY d.doc_id)
+          |SELECT doc_id, CAST(round(xent, 6) AS DOUBLE) AS xent,
+          |  CAST(ntile(3) OVER (ORDER BY round(xent, 6), doc_id) AS BIGINT)
+          |    AS bucket
+          |FROM x ORDER BY doc_id""".stripMargin)
+    },
+      """WITH dwc AS (
+        |  SELECT doc_id, word, count(*) AS k FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents) z
+        |  GROUP BY doc_id, word),
+        |wc AS (SELECT word, sum(k) AS n FROM dwc GROUP BY word),
         |tot AS (SELECT sum(n) AS t FROM wc),
         |x AS (
-        |  SELECT /*+ BROADCAST(wc) */ tok.doc_id,
-        |    avg(-ln(CAST(wc.n AS DOUBLE) / t)) AS xent
-        |  FROM tok JOIN wc ON tok.word = wc.word CROSS JOIN tot
-        |  GROUP BY tok.doc_id)
-        |SELECT doc_id, CAST(round(xent, 6) AS DOUBLE) AS xent,
-        |  CAST(ntile(3) OVER (ORDER BY round(xent, 6), doc_id) AS BIGINT)
-        |    AS bucket
-        |FROM x ORDER BY doc_id""".stripMargin,
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |  FROM documents),
-        |wc AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
-        |tot AS (SELECT sum(n) AS t FROM wc),
-        |x AS (
-        |  SELECT tok.doc_id,
-        |    avg(-ln(CAST(wc.n AS DOUBLE) / t)) AS xent
-        |  FROM tok JOIN wc ON tok.word = wc.word CROSS JOIN tot
-        |  GROUP BY tok.doc_id)
+        |  SELECT dwc.doc_id,
+        |    sum(k * -ln(CAST(wc.n AS DOUBLE) / t)) / sum(k) AS xent
+        |  FROM dwc JOIN wc ON dwc.word = wc.word CROSS JOIN tot
+        |  GROUP BY dwc.doc_id)
         |SELECT doc_id, round(xent, 6) AS xent,
         |  ntile(3) OVER (ORDER BY round(xent, 6), doc_id) AS bucket
         |FROM x ORDER BY doc_id""".stripMargin, headline = true),
