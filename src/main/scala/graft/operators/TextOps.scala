@@ -288,11 +288,18 @@ object TextOps {
     *                       (not document) multiplicity
     * @param broadcastSigLimit distinct-signature count above which the
     *                       candidate expansion switches from broadcast
-    *                       to shuffle joins */
+    *                       to shuffle joins. The default (2^16) is the
+    *                       measured crossover: broadcast wins at 28k/38k
+    *                       distinct signatures (12.2 vs 15.7 s, 9.2 vs
+    *                       10.6 s at sf1/sf1sv) but loses 2.3× by 67k
+    *                       (sf3: 141 vs 62 s; sf3sv: 87 vs 37 s,
+    *                       identical outputs) — the derived pair table,
+    *                       which grows superlinearly in signature count,
+    *                       is what gets shipped to every task */
   def simhashMd5TopKNeighbors(docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3, k: Int = 2,
       maxBucket: Int = 1 << 16,
-      broadcastSigLimit: Long = 1L << 20): DataFrame = {
+      broadcastSigLimit: Long = 1L << 16): DataFrame = {
     // materialize signatures once: the subplan feeds groups, the
     // signature pairing AND the per-doc candidate expansion — without
     // this the md5-per-token digest pass runs three times (measured
