@@ -307,6 +307,41 @@ object PipelineQueries {
          |WHERE round($duckJaccard, 6) >= 0.5
          |ORDER BY batch_id, corpus_id""".stripMargin),
 
+    // Incremental EXACT dedup against a standing index through a
+    // Bloom-filter prefilter (TextOps.bloomNewDocs): the seen side's
+    // fingerprints aggregate into one model-sized sketch
+    // (BloomFilterAggregate — Spark's own runtime-filter machinery used
+    // explicitly); a map-only mightContain pass lets definitely-new rows
+    // BYPASS the anti-join shuffle (no false negatives), and only the
+    // candidate sliver pays the exact confirm. Output == the plain
+    // anti-join, which is what the oracle computes — so the gate pins
+    // the no-false-negative property end to end. The key is the
+    // LEAD-content fingerprint (normalized first-50-chars md5): the
+    // corpus's near-dup mechanism preserves leads, so the split carries
+    // real cross-side dups at every sf (11/12/116 dropped at
+    // sf0.001/0.01/0.1) — full-text fingerprints find zero and would
+    // make the entry vacuous.
+    "q188_bloom_dedup" -> api((spark, _) => {
+      val d = spark.table("documents").select(col("doc_id"),
+        TextOps.leadFingerprint(col("text"), 50).as("fp"))
+      TextOps.bloomNewDocs(
+          incoming = d.where(pmod(col("doc_id"), lit(2)) === 1),
+          seen = d.where(pmod(col("doc_id"), lit(2)) === 0),
+          fpCol = "fp",
+          expectedItems = 1L << 16, numBits = 1L << 19)
+        .orderBy("doc_id")
+    },
+      s"""WITH f AS (SELECT doc_id,
+        |    md5(substring(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'), 1, 50)) AS fp
+        |  FROM documents),
+        |s AS (SELECT fp FROM f WHERE doc_id % 2 = 0),
+        |i AS (SELECT fp, doc_id FROM f WHERE doc_id % 2 = 1)
+        |SELECT fp, doc_id FROM i
+        |WHERE fp NOT IN (SELECT fp FROM s)
+        |ORDER BY doc_id""".stripMargin,
+      headline = true),
+
     // SimHash near-dups, value-checked end to end: the portable
     // md5-nibble signature (q103's family) makes the banding + exact-
     // Hamming-verify pipeline reproducible in DuckDB, so the oracle is
@@ -504,6 +539,37 @@ object PipelineQueries {
         |    AS BIGINT) AS n_hit
         |FROM ann a LEFT JOIN e ON a.qid = e.qid AND a.id = e.id
         |GROUP BY a.qid ORDER BY a.qid""".stripMargin,
+      headline = true),
+
+    // Exact kNN through the int8-quantized prefilter — the
+    // storage-compression scale path (the wide pass reads the 4×-smaller
+    // quantized corpus and scores with the integer kernel; only top-m
+    // approximate candidates per query are re-scored in float). The
+    // oracle is q45's EXACT brute-force answer: identical output is the
+    // contract, so a quantization-error regression (kernel change, scale
+    // handling, m too small) goes red here. Measured margin: the worst
+    // approximate rank any true top-5 member takes is 6 across
+    // sf0.001/0.01/0.1 (500–2000 vectors), so m=64 carries ~10×
+    // headroom; EmbeddingOpsSpec re-measures and fails at 32.
+    "q187_knn_quantized" -> api((spark, _) => {
+      val emb = spark.table("embeddings")
+      EmbeddingOps.knnQuantizedRerank(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 64).orderBy("qid", "rn")
+    },
+      s"""WITH n AS $duckNormEmbeddings,
+        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n
+        |  WHERE vec_id < 10),
+        |p AS (SELECT q.qid, n.vec_id AS id,
+        |    round((SELECT sum(x*y) FROM
+        |        (SELECT unnest(q.qe) AS x, unnest(n.embedding) AS y) z)
+        |      / (q.qn * n.nrm), 6) AS cos
+        |  FROM n, q WHERE n.vec_id <> q.qid),
+        |r AS (SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+        |      AS rn
+        |  FROM p)
+        |SELECT qid, id, cos, rn FROM r WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
       headline = true),
 
     // Token counting: whitespace + BPE-ish regex tokenization.

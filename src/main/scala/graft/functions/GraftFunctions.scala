@@ -34,6 +34,8 @@ object GraftFunctions {
     ("ivf_probe", 3, args => IvfProbeExpr(args(0), args(1), args(2))),
     ("vec_cosine", 2, args => VecCosineExpr(args(0), args(1))),
     ("vec_dot", 2, args => VecDotExpr(args(0), args(1))),
+    ("vec_quantize8", 1, args => VecQuantize8Expr(args(0))),
+    ("vec_cosine_q8", 2, args => VecCosineQ8Expr(args(0), args(1))),
     ("vec_norm", 1, args => VecNormExpr(args(0))),
     ("word_shingles", 2, args => WordShinglesExpr(args(0), args(1))),
     ("word_shingles_all", 2, args => WordShinglesAllExpr(args(0), args(1))),
@@ -72,6 +74,9 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column =
     toCol(VecDotExpr(toExpr(a), toExpr(b)))
   def vecNorm(a: Column): Column = toCol(VecNormExpr(toExpr(a)))
+  def vecQuantize8(a: Column): Column = toCol(VecQuantize8Expr(toExpr(a)))
+  def vecCosineQ8(a: Column, b: Column): Column =
+    toCol(VecCosineQ8Expr(toExpr(a), toExpr(b)))
   def wordShingles(text: Column, n: Column): Column =
     toCol(WordShinglesExpr(toExpr(text), toExpr(n)))
   def lshBandHashes(sig: Column, b: Column, r: Column): Column =

@@ -151,6 +151,53 @@ object GraftVector {
     new GenericArrayData(out)
   }
 
+  /** Symmetric int8 quantization: each element maps to
+    * round(x · 127 / max|x|), the standard storage/bandwidth compression
+    * for embedding corpora (4× smaller than float32, int-SIMD dot). The
+    * per-vector scale factor is NOT materialized: scales cancel in
+    * cosine, so quantized cosine needs no side table. All-zero input
+    * (no scale) quantizes to all zeros. */
+  def quantize8(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (m > 0.0) {
+      i = 0
+      while (i < n) {
+        val q = math.rint(a.getFloat(i).toDouble * 127.0 / m)
+        out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine over two int8-quantized vectors — pure integer accumulation
+    * (the SIMD-able inner loop), one fused pass. Approximates the float
+    * cosine to ~1e-2 worst-case (per-element error ≤ 1/254 of max|x|);
+    * used as a candidate PREFILTER whose survivors are re-scored with
+    * exact float cosine, never as the final score. Zero-norm policy
+    * matches [[cosine]] (0.0, not NaN). */
+  def cosineQ8(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var sab = 0L; var saa = 0L; var sbb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong
+      val y = b.getByte(i).toLong
+      sab += x * y; saa += x * x; sbb += y * y
+      i += 1
+    }
+    if (saa == 0L || sbb == 0L) 0.0
+    else sab.toDouble / (math.sqrt(saa.toDouble) * math.sqrt(sbb.toDouble))
+  }
+
   private val ws = "\\s+".r.pattern
 
   /** Distinct word n-gram shingles in one pass: trim → whitespace split →

@@ -316,6 +316,44 @@ case class VecNormExpr(child: Expression)
     copy(child = newChildren(0))
 }
 
+/** Symmetric int8 quantization of a float vector
+  * ([[GraftVector.quantize8]]) — the stored form of an embedding corpus
+  * at scale: 4× less scan bandwidth than float32, integer dot. Scale
+  * factors cancel in cosine, so no per-vector scale column is needed. */
+case class VecQuantize8Expr(child: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val in = if (child.dataType == ArrayType(FloatType)) child
+             else Cast(child, ArrayType(FloatType))
+    objects.StaticInvoke(GraftVector.getClass, ArrayType(ByteType),
+      "quantize8", Seq(in), inputTypes = Seq(ArrayType(FloatType)),
+      returnNullable = false)
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "vec_quantize8"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** Fused cosine over two int8-quantized vectors
+  * ([[GraftVector.cosineQ8]]) — integer accumulation, used as the
+  * candidate prefilter score in [[graft.operators.EmbeddingOps
+  * .knnQuantizedRerank]]. */
+case class VecCosineQ8Expr(left: Expression, right: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftVector.getClass, DoubleType, "cosineQ8",
+      Seq(left, right),
+      inputTypes = Seq(ArrayType(ByteType), ArrayType(ByteType)),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(left, right)
+  override def prettyName: String = "vec_cosine_q8"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
 /** Distinct word n-gram shingles in one fused pass
   * ([[GraftVector.wordShingles]]) — replaces the interpreted
   * `transform(sequence, slice, concat_ws)` + `array_distinct` chain that

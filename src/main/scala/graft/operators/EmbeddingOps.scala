@@ -176,6 +176,45 @@ object EmbeddingOps {
     rankTopK(c.join(q, Seq("cid")).where(col("id") =!= col("qid")), k)
   }
 
+  /** Exact top-k through an int8-quantized prefilter — the
+    * storage-compression scale path, complementary to the
+    * candidate-reduction paths ([[annLsh]]/[[annIvf]]): the wide scoring
+    * pass reads only the 4×-smaller symmetric-int8 form of the corpus
+    * (at 100 TB the embedding column IS the scan cost) and scores with
+    * the integer kernel; only the top `m` approximate candidates per
+    * query are re-joined to the float vectors and re-scored exactly.
+    * Output contract equals [[knnBruteForce]] whenever every true
+    * top-k member survives in the approximate top-m — int8 cosine error
+    * is ≤ ~1e-2 worst-case, so `m` buys the safety margin
+    * (EmbeddingOpsSpec pins equality plus the measured margin on the
+    * test corpus; q187 pins it to the DuckDB exact oracle).
+    *
+    * Plan shape: quantized corpus scan × broadcast quantized queries →
+    * per-query top-m window → candidate-sized join back to the float
+    * corpus → exact [[rankTopK]]. The corpus is never shuffled; the only
+    * exchanges carry ≤ m·|queries| candidate rows. */
+  def knnQuantizedRerank(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int): DataFrame = {
+    require(m >= k, s"prefilter width m=$m must be >= k=$k")
+    val q8 = GraftFunctions.vecQuantize8 _
+    val cq = corpus.select(col(idCol).as("id"), q8(col(vecCol)).as("qv"))
+    val qq = broadcast(queries.select(col(idCol).as("qid"),
+      q8(col(vecCol)).as("qqv")))
+    val cand = cq.join(qq, col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        GraftFunctions.vecCosineQ8(col("qv"), col("qqv")).as("acos"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("acos").desc, col("id"))))
+      .where(col("arn") <= m)
+      .select(col("qid"), col("id"))
+    val exact = cand
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"))), Seq("qid"))
+    rankTopK(exact, k)
+  }
+
   /** Global top-n most-similar pairs by exact cosine — the all-pairs
     * baseline (small data / oracle checking only; see class doc). */
   def nearestPairs(corpus: DataFrame, idCol: String, vecCol: String,

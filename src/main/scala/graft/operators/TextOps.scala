@@ -425,12 +425,80 @@ object TextOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Incremental dedup against an existing corpus through a Bloom-filter
+    * prefilter — the shuffle-avoidance pattern for "dedup today's crawl
+    * against the 100 TB index": a plain anti-join shuffles the ENTIRE
+    * incoming batch on the fingerprint key, but almost all incoming rows
+    * are new, so almost all of that shuffle is wasted. Instead:
+    *
+    *   1. aggregate the seen side's fingerprints into one Bloom filter
+    *      (Spark's own `BloomFilterAggregate` over `xxhash64` — the same
+    *      machinery the optimizer injects for runtime row-group
+    *      filtering, used here explicitly). The sketch is model-sized
+    *      state: `numBits/8` bytes regardless of corpus size, built by a
+    *      map-side-combining aggregate (partial filters OR-merge);
+    *   2. one map-only pass flags each incoming row via
+    *      `BloomFilterMightContain` against the broadcast-literal sketch:
+    *      `might = false` rows are DEFINITELY new (Bloom filters have no
+    *      false negatives) and bypass the shuffle entirely;
+    *   3. only the `might = true` candidates — true dups plus the ~fpp
+    *      false-positive sliver — pay the exact anti-join that removes
+    *      the real dups.
+    *
+    * Output is EXACTLY the plain anti-join (the filter only prunes, the
+    * join confirms), so the entry is oracle-checkable while the plan
+    * ships ≈ |dups| + fpp·|incoming| rows to the exchange instead of
+    * |incoming|. Both branches re-scan `incoming` (map-only, columnar);
+    * at warehouse scale the sketch would be persisted alongside the
+    * index rather than rebuilt per batch.
+    *
+    * @param fpCol         fingerprint column present on both inputs
+    *                      (e.g. [[normFingerprint]])
+    * @param expectedItems Bloom capacity; with `numBits` sets the
+    *                      false-positive rate (~0.03 at 5 bits/item)
+    * @param numBits       sketch size in bits (must stay under Spark's
+    *                      67,108,864-bit runtime-filter creation cap) */
+  def bloomNewDocs(incoming: DataFrame, seen: DataFrame, fpCol: String,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val fpHash = xxhash64(col(fpCol))
+    // the sketch rides as a SCALAR SUBQUERY — the same shape the
+    // optimizer's own runtime-filter injection emits — so the whole
+    // operator stays ONE declarative plan: no driver collect barrier,
+    // the subquery executes once per query and its (null on empty seen
+    // ⇒ might = null ⇒ filters false) result is shared by both branches
+    val bloomPlan = seen
+      .select(toCol(new BloomFilterAggregate(toExpr(fpHash),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .queryExecution.analyzed
+    def might = toCol(BloomFilterMightContain(
+      ScalarSubquery(bloomPlan), toExpr(fpHash)))
+    // null-safe negation: on an EMPTY seen side the subquery yields a
+    // null sketch, might_contain is null, and both branches must agree
+    // that everything is new
+    val definitelyNew = incoming.where(!coalesce(might, lit(false)))
+    val confirmedNew = incoming.where(coalesce(might, lit(false)))
+      .join(seen.select(col(fpCol)), Seq(fpCol), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+  }
+
   /** Content-normalization fingerprint: lowercase, strip non-alnum, collapse
     * whitespace, md5 — the standard "exact dup after normalization" key.
     * Deterministic and engine-portable (SQL-expressible in DuckDB too). */
   def normFingerprint(text: Column): Column =
     md5(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Lead-content fingerprint: [[normFingerprint]] over only the first
+    * `n` normalized characters — the coarser key for "same article,
+    * trailing edits differ" dedup (mirror/boilerplate detection keys on
+    * the lead, which survives tail edits). */
+  def leadFingerprint(text: Column, n: Int): Column =
+    md5(substring(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "), 1, n))
 
   /** Stopword tables for the n-gram-free language-ID heuristic. Tiny,
     * closed-class word lists — the standard cheap signal. */

@@ -170,6 +170,43 @@ class EmbeddingOpsSpec extends SparkSpecBase {
     assert((top.getLong(0), top.getLong(1)) == (0L, 1L))
   }
 
+  test("knnQuantizedRerank equals the exact brute-force answer") {
+    val queries = clustered.where(col("vec_id") % 100 === 0)
+    val exact = EmbeddingOps.knnBruteForce(clustered, queries, "vec_id",
+      "embedding", k = 5).orderBy("qid", "rn").collect().toSeq
+    val quant = EmbeddingOps.knnQuantizedRerank(clustered, queries,
+      "vec_id", "embedding", k = 5, m = 20).orderBy("qid", "rn")
+      .collect().toSeq
+    assert(quant == exact)
+  }
+
+  test("int8 prefilter margin on the real embeddings corpus: every true " +
+      "top-5 member sits well inside q187's m=64 approximate window") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = EmbeddingOps.knnBruteForce(emb, queries, "vec_id",
+      "embedding", k = 5).select("qid", "id")
+    val q8 = GraftFunctions.vecQuantize8 _
+    val cq = emb.select(col("vec_id").as("id"),
+      q8(col("embedding")).as("qv"))
+    val qq = broadcast(queries.select(col("vec_id").as("qid"),
+      q8(col("embedding")).as("qqv")))
+    val approx = cq.join(qq, col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        GraftFunctions.vecCosineQ8(col("qv"), col("qqv")).as("acos"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("acos").desc, col("id"))))
+    val worst = exact.join(approx, Seq("qid", "id"))
+      .agg(max("arn")).head.getInt(0)
+    // q187 runs with m=64; a failure here means int8 error now pushes a
+    // true neighbor past half the window — retune m BEFORE the gate
+    // entry starts silently depending on luck
+    assert(worst <= 32, s"worst approximate rank of a true top-5 " +
+      s"member is $worst; q187's m=64 margin has collapsed")
+  }
+
   test("q185 probe-gate corpus discriminates: probes=4 is exact while " +
       "single-probe misses neighbors") {
     import spark.implicits._

@@ -209,4 +209,46 @@ class TextOpsSpec extends SparkSpecBase {
     }.toSet
     assert(viaShuffle == want, s"got=$viaShuffle want=$want")
   }
+
+  test("bloomNewDocs equals the exact anti-join and keeps the Bloom " +
+      "prefilter in the executed plan") {
+    import spark.implicits._
+    // ids ending in 0/1 share boilerplate across the parity split, so
+    // the incoming (odd) side has true dups of seen (even) docs; the
+    // rest are unique and should bypass the anti-join via the filter.
+    // Round-tripped through parquet: a LocalRelation input would let
+    // ConvertToLocalRelation evaluate the might_contain filter at
+    // optimization time and vacate the plan assertion below.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_spec").toString
+    (0 until 200).map { i =>
+        (i.toLong, if (i % 10 <= 1) s"Shared boilerplate ${i % 40 / 10}"
+                   else s"unique text $i")
+      }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+      .select(col("doc_id"), TextOps.normFingerprint(col("text")).as("fp"))
+    val seen = docs.where(col("doc_id") % 2 === 0)
+    val incoming = docs.where(col("doc_id") % 2 === 1)
+    val got = TextOps.bloomNewDocs(incoming, seen, "fp",
+      expectedItems = 1L << 12, numBits = 1L << 16)
+    val want = incoming.join(seen.select("fp"), Seq("fp"), "left_anti")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(got) == ids(want))
+    // dup of an even doc ⇒ dropped; unique odd doc ⇒ kept
+    assert(!ids(got).contains(1L) && ids(got).contains(3L))
+    assert(got.queryExecution.executedPlan.toString
+      .contains("might_contain"), "Bloom prefilter fell out of the plan")
+  }
+
+  test("bloomNewDocs passes everything through when the seen side is " +
+      "empty") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"text $i"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.normFingerprint(col("text")).as("fp"))
+    val got = TextOps.bloomNewDocs(docs, docs.where(lit(false)), "fp")
+    assert(got.count() == 20)
+  }
 }
