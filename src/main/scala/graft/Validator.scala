@@ -70,9 +70,16 @@ object SqlValidator {
     val f = Future {
       sc.setJobGroup(group, "sql validation", interruptOnCancel = true)
       try {
-        // collect() forces full analysis AND (empty) execution, so
-        // analysis-time errors surface here rather than on first use
-        scratch.executeScript(sql).collect()
+        // Force parse + bind + optimize + physical planning WITHOUT
+        // launching a job — the exact surface DuckDB's EXPLAIN (the
+        // oracle) covers. Analysis/catalog errors throw here; so do
+        // optimizer-time errors (e.g. ANSI constant-folding a bad
+        // literal cast), which land in the runtime-class catch below
+        // exactly as they did when collect() forced them. Executing the
+        // empty plan bought no additional error surface — rows never
+        // exist in the scratch — but cost one scheduler round-trip per
+        // statement (the bulk of the battery's wall-clock).
+        scratch.executeScript(sql).queryExecution.executedPlan
         true
       } catch {
         // ParseException extends AnalysisException: parser, binder and
