@@ -322,8 +322,15 @@ object PipelineQueries {
     // sf0.001/0.01/0.1) — full-text fingerprints find zero and would
     // make the entry vacuous.
     "q188_bloom_dedup" -> api((spark, _) => {
-      val d = spark.table("documents").select(col("doc_id"),
-        TextOps.leadFingerprint(col("text"), 50).as("fp"))
+      // fingerprint materialized ONCE (the warehouse analogue: a
+      // persisted column computed at ingest) — the operator's plan
+      // reads the incoming side in both branches plus the seen side in
+      // the sketch subquery and the confirm join, and without the
+      // checkpoint each consumer re-runs the normalization kernel over
+      // the corpus
+      val d = checkpointView(spark, "graft_q188_fp",
+        spark.table("documents").select(col("doc_id"),
+          TextOps.leadFingerprint(col("text"), 50).as("fp")))
       TextOps.bloomNewDocs(
           incoming = d.where(pmod(col("doc_id"), lit(2)) === 1),
           seen = d.where(pmod(col("doc_id"), lit(2)) === 0),

@@ -35,6 +35,7 @@ object GraftFunctions {
     ("vec_cosine", 2, args => VecCosineExpr(args(0), args(1))),
     ("vec_dot", 2, args => VecDotExpr(args(0), args(1))),
     ("vec_quantize8", 1, args => VecQuantize8Expr(args(0))),
+    ("norm_prefix", 2, args => NormPrefixExpr(args(0), args(1))),
     ("vec_cosine_q8", 2, args => VecCosineQ8Expr(args(0), args(1))),
     ("vec_norm", 1, args => VecNormExpr(args(0))),
     ("word_shingles", 2, args => WordShinglesExpr(args(0), args(1))),
@@ -75,6 +76,8 @@ object GraftFunctions {
     toCol(VecDotExpr(toExpr(a), toExpr(b)))
   def vecNorm(a: Column): Column = toCol(VecNormExpr(toExpr(a)))
   def vecQuantize8(a: Column): Column = toCol(VecQuantize8Expr(toExpr(a)))
+  def normPrefix(text: Column, n: Column): Column =
+    toCol(NormPrefixExpr(toExpr(text), toExpr(n)))
   def vecCosineQ8(a: Column, b: Column): Column =
     toCol(VecCosineQ8Expr(toExpr(a), toExpr(b)))
   def wordShingles(text: Column, n: Column): Column =

@@ -316,6 +316,24 @@ case class VecNormExpr(child: Expression)
     copy(child = newChildren(0))
 }
 
+/** Fused content normalization with optional prefix truncation
+  * ([[GraftVector.normPrefix]]) — one byte-level pass replacing the
+  * `regexp_replace(regexp_replace(lower(text), …))` chain under every
+  * normalization fingerprint (measured ~20× the md5 it feeds at sf1).
+  * `n < 0` means no truncation. */
+case class NormPrefixExpr(text: Expression, n: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftVector.getClass, StringType, "normPrefix",
+      Seq(text, n), inputTypes = Seq(StringType, IntegerType),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(text, n)
+  override def prettyName: String = "norm_prefix"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
 /** Symmetric int8 quantization of a float vector
   * ([[GraftVector.quantize8]]) — the stored form of an embedding corpus
   * at scale: 4× less scan bandwidth than float32, integer dot. Scale

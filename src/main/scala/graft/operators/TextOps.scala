@@ -487,18 +487,19 @@ object TextOps {
 
   /** Content-normalization fingerprint: lowercase, strip non-alnum, collapse
     * whitespace, md5 — the standard "exact dup after normalization" key.
-    * Deterministic and engine-portable (SQL-expressible in DuckDB too). */
+    * Deterministic and engine-portable (SQL-expressible in DuckDB too —
+    * the oracles keep the regexp_replace formulation; the engine runs
+    * the fused single-pass [[graft.functions.GraftVector.normPrefix]]
+    * kernel, which the oracle gate proves equivalent). */
   def normFingerprint(text: Column): Column =
-    md5(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    md5(graft.functions.GraftFunctions.normPrefix(text, lit(-1)))
 
   /** Lead-content fingerprint: [[normFingerprint]] over only the first
     * `n` normalized characters — the coarser key for "same article,
     * trailing edits differ" dedup (mirror/boilerplate detection keys on
     * the lead, which survives tail edits). */
   def leadFingerprint(text: Column, n: Int): Column =
-    md5(substring(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "), 1, n))
+    md5(graft.functions.GraftFunctions.normPrefix(text, lit(n)))
 
   /** Stopword tables for the n-gram-free language-ID heuristic. Tiny,
     * closed-class word lists — the standard cheap signal. */

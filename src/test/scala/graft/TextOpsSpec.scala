@@ -210,6 +210,30 @@ class TextOpsSpec extends SparkSpecBase {
     assert(viaShuffle == want, s"got=$viaShuffle want=$want")
   }
 
+  test("norm_prefix kernel equals the regexp_replace chain it replaced, " +
+      "including unicode, space runs and the truncation boundary") {
+    import spark.implicits._
+    val cases = Seq(
+      "Hello, World!", "  leading and   trailing  ", "ALL CAPS 123",
+      "tabs\tand\nnewlines", "MiXeD-case_with.punct!", "",
+      "    ", "!!!", "中文字符 mixed with ascii", "éàüß ñ unicode folds",
+      "a" * 120, ("word " * 30).trim, "1234567890" * 6,
+      "exactly fifty chars needed here to hit the bound!!" + " tail")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaRegex = df.select(col("id"),
+      md5(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " ")).as("full"),
+      md5(substring(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " "), 1, 50)).as("lead"))
+      .orderBy("id").collect().toSeq
+    val viaKernel = df.select(col("id"),
+      TextOps.normFingerprint(col("text")).as("full"),
+      TextOps.leadFingerprint(col("text"), 50).as("lead"))
+      .orderBy("id").collect().toSeq
+    assert(viaKernel == viaRegex)
+  }
+
   test("bloomNewDocs equals the exact anti-join and keeps the Bloom " +
       "prefilter in the executed plan") {
     import spark.implicits._
