@@ -180,6 +180,23 @@ object SystemQueries {
         |JOIN documents d ON e.media_id = d.doc_id
         |ORDER BY e.media_id""".stripMargin),
 
+    // Multimodal RESIZE — the remaining verb of the
+    // decode/feature/resize/frame-sample quartet: stride-2 top-left
+    // nearest-neighbor downsample fused into the decode pass (resized
+    // pixels never materialize), integer-exact stats of the RESIZED
+    // image against an independently computed fixture
+    // (tools/gen_media_fixture.py pix[::2, ::2] — a different stack
+    // applying the same rule). Deterministic by construction: no
+    // interpolation arithmetic to drift across platforms.
+    "q189_media_resize" -> api((spark, _) =>
+      MediaOps.imageResizeFeatures(MediaOps.imageTable(spark))
+        .orderBy("media_id"),
+      """SELECT e.* FROM
+        |  read_parquet('/root/repo/fixtures/media/resize_expected.parquet') e
+        |JOIN documents d ON e.media_id = d.doc_id
+        |ORDER BY e.media_id""".stripMargin,
+      headline = true),
+
     // Multimodal audio decode, REAL: RIFF/PCM16 WAV payloads (written
     // by Python's stdlib wave module — tools/gen_audio_fixture.py)
     // parsed with a pure byte-level chunk walk into integer-exact

@@ -127,6 +127,50 @@ object MediaOps {
     }(Encoders.row(outSchema))
   }
 
+  /** Decode + stride-2 top-left nearest-neighbor downsample + stats in
+    * one pass: the resized image's pixel (X, Y) is the source's
+    * (2X, 2Y), output dims are ceil(in/2) — a deterministic integer-
+    * exact resize rule (no interpolation arithmetic to diverge across
+    * platforms), shared verbatim with the fixture oracle
+    * (tools/gen_media_fixture.py `pix[::2, ::2]`). The resized pixels
+    * are never materialized — the stats accumulate directly off the
+    * strided read, which is what a preprocessing pipeline fused to the
+    * decoder would do at scale. */
+  def decodeImageResizeStats(payload: Array[Byte]): ImageStats = {
+    ImageIO.setUseCache(false)
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff
+        val g = (p >> 8) & 0xff
+        val b = p & 0xff
+        sr += r; sg += g; sb += b
+        hist(((r * 299 + g * 587 + b * 114) / 1000) / 32) += 1L
+        x += 2
+      }
+      y += 2
+    }
+    ImageStats((w + 1) / 2, (h + 1) / 2, sr, sg, sb, hist(0), hist(1),
+      hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
+  }
+
+  /** Column-path resize featurization — the third multimodal verb
+    * (decode → RESIZE → feature-extract) with the same fixture-oracle
+    * convention as [[imageFeatures]]. */
+  def imageResizeFeatures(images: DataFrame): DataFrame = {
+    val decodeUdf = udf((b: Array[Byte]) => decodeImageResizeStats(b))
+    images.select(col("media_id"), decodeUdf(col("png")).as("s"))
+      .select(col("media_id"), col("s.*"))
+  }
+
   /** Integer-exact per-clip audio statistics (see
     * tools/gen_audio_fixture.py for the shared definitions). Longs
     * everywhere so schemas match the BIGINT oracle. */

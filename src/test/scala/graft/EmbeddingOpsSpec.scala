@@ -180,6 +180,19 @@ class EmbeddingOpsSpec extends SparkSpecBase {
     assert(quant == exact)
   }
 
+  test("knnQuantizedRerank keeps a partial WindowGroupLimit below the " +
+      "exchange (the wide pass never shuffles the full candidate stream)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = EmbeddingOps.knnQuantizedRerank(emb,
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, m = 64)
+      .queryExecution.executedPlan.toString
+    // two WindowGroupLimits per window when the partial pushdown fires
+    // (Partial below the exchange, Final above); losing the partial
+    // means every corpus×query approx score crosses the wire
+    val n = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(n >= 3, s"expected partial+final WindowGroupLimits, got $n:\n$plan")
+  }
+
   test("int8 prefilter margin on the real embeddings corpus: every true " +
       "top-5 member sits well inside q187's m=64 approximate window") {
     import graft.functions.GraftFunctions

@@ -69,6 +69,32 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("image resize: stride-2 downsample stats match the fixture and " +
+      "a hand-checkable JDK-encoded image") {
+    Queries.prep(spark, sfDir)
+    val got = MediaOps.imageResizeFeatures(MediaOps.imageTable(spark))
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    val want = spark.read
+      .parquet("/root/repo/fixtures/media/resize_expected.parquet")
+      .join(broadcast(spark.table("documents").select(col("doc_id"))),
+        col("media_id") === col("doc_id"), "leftsemi")
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // hand check: a 3x3 image keeps exactly its (0,0),(0,2),(2,0),(2,2)
+    // corners — dims ceil(3/2)=2 and sums over the four corner pixels
+    val img = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 3)
+      img.setRGB(x, y, (x * 10 + y) << 16 | 200 << 8 | 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val s = MediaOps.decodeImageResizeStats(bos.toByteArray)
+    assert((s.width, s.height) == (2L, 2L))
+    assert(s.sum_r == 0 + 20 + 2 + 22)
+    assert(s.sum_g == 4 * 200 && s.sum_b == 4 * 7)
+  }
+
   test("image decode: batched path is bit-identical to the Column path " +
       "and invariant to batch size / partitioning") {
     Queries.prep(spark, sfDir)

@@ -95,13 +95,17 @@ def stats(pix: np.ndarray) -> dict:
 def main() -> None:
     import os
     os.makedirs(OUT_DIR, exist_ok=True)
-    pngs, rows = [], []
+    pngs, rows, rrows = [], [], []
     for k in range(N_IMAGES):
         pix = pixels(k)
         png = png_encode(pix)
         assert np.array_equal(png_parse_back(png), pix), f"roundtrip k={k}"
         pngs.append(png)
         rows.append(dict(media_id=k, **stats(pix)))
+        # stride-2 top-left nearest-neighbor downsample (out[X,Y] =
+        # in[2X,2Y]; out dims = ceil(in/2)) — the deterministic resize
+        # rule MediaOps.decodeImageResizeStats must reproduce exactly
+        rrows.append(dict(media_id=k, **stats(pix[::2, ::2])))
 
     pq.write_table(pa.table({
         "media_id": pa.array(range(N_IMAGES), pa.int64()),
@@ -113,7 +117,10 @@ def main() -> None:
     pq.write_table(pa.table({
         c: pa.array([r[c] for r in rows], pa.int64()) for c in cols
     }), f"{OUT_DIR}/expected.parquet")
-    print(f"wrote {N_IMAGES} pngs + expected stats to {OUT_DIR}")
+    pq.write_table(pa.table({
+        c: pa.array([r[c] for r in rrows], pa.int64()) for c in cols
+    }), f"{OUT_DIR}/resize_expected.parquet")
+    print(f"wrote {N_IMAGES} pngs + expected (+resize) stats to {OUT_DIR}")
 
 
 if __name__ == "__main__":
