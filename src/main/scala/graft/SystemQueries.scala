@@ -209,6 +209,20 @@ object SystemQueries {
         |JOIN documents d ON e.media_id = d.doc_id
         |ORDER BY e.media_id""".stripMargin),
 
+    // Multimodal audio RESAMPLE — decimate-by-2 fused into the decode
+    // pass (every 2nd frame kept, rate halved by integer division; no
+    // filter arithmetic to drift), stats of the DECIMATED stream
+    // against a fixture applying the identical rule in numpy
+    // (samples[::2]). q189's image-resize sibling.
+    "q190_audio_resample" -> api((spark, _) =>
+      MediaOps.audioResampleFeatures(MediaOps.audioTable(spark))
+        .orderBy("media_id"),
+      """SELECT e.* FROM
+        |  read_parquet('/root/repo/fixtures/media/audio_resample_expected.parquet') e
+        |JOIN documents d ON e.media_id = d.doc_id
+        |ORDER BY e.media_id""".stripMargin,
+      headline = true),
+
     // The batched (mapPartitions) audio decode path — bit-identical to
     // q169's Column path (SystemOpsSpec), checked against the same
     // stats oracle.

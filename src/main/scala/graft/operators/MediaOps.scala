@@ -185,7 +185,23 @@ object MediaOps {
     *
     * zero_cross counts strict sign changes ((s[i-1] < 0) != (s[i] < 0))
     * over channel 0 — the exact convention the fixture oracle uses. */
-  def decodeWavStats(payload: Array[Byte]): AudioStats = {
+  def decodeWavStats(payload: Array[Byte]): AudioStats =
+    decodeWavStatsStrided(payload, 1)
+
+  /** Decode + decimate-by-`stride` in one pass: keeps every `stride`-th
+    * frame (all channels) and divides the declared sample rate by the
+    * stride (integer division) — the deterministic integer-exact
+    * resample rule (no filter/interpolation arithmetic to drift), shared
+    * verbatim with the fixture oracle (tools/gen_audio_fixture.py
+    * `samples[::2]`). Decimated frames are never materialized; the
+    * stats accumulate directly off the strided read, mirroring
+    * [[decodeImageResizeStats]]. zero_cross compares consecutive KEPT
+    * channel-0 samples. */
+  def decodeWavResampleStats(payload: Array[Byte]): AudioStats =
+    decodeWavStatsStrided(payload, 2)
+
+  private def decodeWavStatsStrided(payload: Array[Byte],
+      stride: Int): AudioStats = {
     def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
     def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
     def tag(o: Int): String =
@@ -224,6 +240,7 @@ object MediaOps {
     val dOff = dataOff.toInt // fits: dataOff + dataLen <= payload.length
     var sumAbs = 0L; var peak = 0L; var energy = 0L; var zc = 0L
     var prevNeg = false
+    var kept = 0L
     var i = 0
     while (i < nFrames) {
       var c = 0
@@ -234,14 +251,16 @@ object MediaOps {
         if (a > peak) peak = a
         if (c == 0) {
           val neg = s < 0
-          if (i > 0 && neg != prevNeg) zc += 1
+          if (kept > 0 && neg != prevNeg) zc += 1
           prevNeg = neg
         }
         c += 1
       }
-      i += 1
+      kept += 1
+      i += stride
     }
-    AudioStats(nFrames, sampleRate, channels, sumAbs, peak, energy, zc)
+    AudioStats(kept, sampleRate / stride, channels, sumAbs, peak, energy,
+      zc)
   }
 
   /** The audio corpus: WAV payloads keyed by media_id, scoped to the
@@ -256,6 +275,14 @@ object MediaOps {
     * UDF (same rationale as [[imageFeatures]]). */
   def audioFeatures(audio: DataFrame): DataFrame = {
     val decodeUdf = udf((b: Array[Byte]) => decodeWavStats(b))
+    audio.select(col("media_id"), decodeUdf(col("wav")).as("s"))
+      .select(col("media_id"), col("s.*"))
+  }
+
+  /** Column-path resample featurization — audio's decimation sibling of
+    * [[imageResizeFeatures]], same fixture-oracle convention. */
+  def audioResampleFeatures(audio: DataFrame): DataFrame = {
+    val decodeUdf = udf((b: Array[Byte]) => decodeWavResampleStats(b))
     audio.select(col("media_id"), decodeUdf(col("wav")).as("s"))
       .select(col("media_id"), col("s.*"))
   }

@@ -131,6 +131,42 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  /** Minimal PCM16 WAV builder (mono/stereo interleaved). */
+  private def buildWav(samples: Seq[Int], channels: Int,
+      rate: Int): Array[Byte] = {
+    val dataLen = samples.size * 2
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  test("audio resample: decimate-by-2 stats match the fixture and the " +
+      "stride rule on a hand-built WAV") {
+    Queries.prep(spark, sfDir)
+    val got = MediaOps.audioResampleFeatures(MediaOps.audioTable(spark))
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    val want = spark.read
+      .parquet("/root/repo/fixtures/media/audio_resample_expected.parquet")
+      .join(broadcast(spark.table("documents").select(col("doc_id"))),
+        col("media_id") === col("doc_id"), "leftsemi")
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // hand check on 5 mono frames [1, -2, 3, -4, 5]: kept = [1, 3, 5]
+    // (no sign changes), rate 8000 -> 4000
+    val s = MediaOps.decodeWavResampleStats(
+      buildWav(Seq(1, -2, 3, -4, 5), channels = 1, rate = 8000))
+    assert(s == MediaOps.AudioStats(3, 4000, 1, 9, 5, 35, 0))
+  }
+
   test("audio decode: batched path is bit-identical to the Column path " +
       "and invariant to batch size / partitioning") {
     Queries.prep(spark, sfDir)

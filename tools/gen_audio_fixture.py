@@ -91,7 +91,7 @@ def parse_back(wav: bytes):
 
 
 def main():
-    ids, wavs, rows = [], [], []
+    ids, wavs, rows, rrows = [], [], [], []
     for k in range(N_CLIPS):
         wav = wav_encode(k)
         s, rate = parse_back(wav)
@@ -101,16 +101,27 @@ def main():
         ids.append(k)
         wavs.append(wav)
         rows.append(expect)
+        # decimate-by-2 resample (keep every 2nd frame, halve the rate
+        # by integer division) — the deterministic rule
+        # MediaOps.decodeWavResampleStats must reproduce exactly
+        rrows.append(stats(samples(k)[::2], RATES[k % 4] // 2))
     pq.write_table(pa.table({"media_id": pa.array(ids, pa.int64()),
                              "wav": pa.array(wavs, pa.binary())}),
                    f"{OUT_DIR}/wavs.parquet")
+    names = ["n_frames", "sample_rate", "channels", "sum_abs",
+             "peak", "energy", "zero_cross"]
     cols = {"media_id": pa.array(ids, pa.int64())}
-    for name in ["n_frames", "sample_rate", "channels", "sum_abs",
-                 "peak", "energy", "zero_cross"]:
+    for name in names:
         cols[name] = pa.array([r[name] for r in rows], pa.int64())
     pq.write_table(pa.table(cols), f"{OUT_DIR}/audio_expected.parquet")
+    rcols = {"media_id": pa.array(ids, pa.int64())}
+    for name in names:
+        rcols[name] = pa.array([r[name] for r in rrows], pa.int64())
+    pq.write_table(pa.table(rcols),
+                   f"{OUT_DIR}/audio_resample_expected.parquet")
     print(f"wrote {N_CLIPS} wavs "
-          f"({sum(len(w) for w in wavs) / 1e6:.1f} MB) + expected stats")
+          f"({sum(len(w) for w in wavs) / 1e6:.1f} MB) + expected "
+          f"(+resample) stats")
 
 
 if __name__ == "__main__":
