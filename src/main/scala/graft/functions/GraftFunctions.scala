@@ -78,6 +78,10 @@ object GraftFunctions {
   def vecQuantize8(a: Column): Column = toCol(VecQuantize8Expr(toExpr(a)))
   def normPrefix(text: Column, n: Column): Column =
     toCol(NormPrefixExpr(toExpr(text), toExpr(n)))
+  /** Bounded "k smallest longs, sorted" aggregate — O(k) state per
+    * group vs collect_list's O(group). */
+  def boundedMinLongs(x: Column, k: Int): Column =
+    toCol(BoundedMinLongsAgg(toExpr(x), k).toAggregateExpression())
   def vecCosineQ8(a: Column, b: Column): Column =
     toCol(VecCosineQ8Expr(toExpr(a), toExpr(b)))
   def wordShingles(text: Column, n: Column): Column =

@@ -555,3 +555,76 @@ case class PragmaVersion() extends LeafExpression with CodegenFallback {
       s"graft-0.1.0 (spark ${org.apache.spark.SPARK_VERSION})")
   override def prettyName: String = "pragma_version"
 }
+
+/** Bounded "k smallest values, sorted ascending" aggregate — the
+  * O(k)-state replacement for `slice(sort_array(collect_list(x)), 1, k)`,
+  * whose aggregation buffer grows with the GROUP (a dup-dense signature
+  * group at corpus scale can hold millions of member ids; only k are
+  * ever used). Buffer is a sorted primitive array capped at k: update is
+  * a short insertion, merge is a bounded merge, partials are map-side
+  * combined like any TypedImperativeAggregate. Deterministic for any
+  * input order; null inputs are skipped (matching collect_list). */
+case class BoundedMinLongsAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(k > 0, s"k must be positive, got $k")
+  override def createAggregationBuffer()
+      : scala.collection.mutable.ArrayBuffer[Long] =
+    new scala.collection.mutable.ArrayBuffer[Long](k + 1)
+  private def insert(buf: scala.collection.mutable.ArrayBuffer[Long],
+      v: Long): Unit = {
+    if (buf.length == k && v >= buf.last) return
+    var i = buf.length
+    while (i > 0 && buf(i - 1) > v) i -= 1
+    buf.insert(i, v)
+    if (buf.length > k) buf.remove(k)
+  }
+  override def update(buf: scala.collection.mutable.ArrayBuffer[Long],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(buf: scala.collection.mutable.ArrayBuffer[Long],
+      other: scala.collection.mutable.ArrayBuffer[Long])
+      : scala.collection.mutable.ArrayBuffer[Long] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Long])
+      : Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte])
+      : scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](n + 1)
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"bounded_min_longs needs a BIGINT child, got ${child.dataType}")
+  override def prettyName: String = "bounded_min_longs"
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : BoundedMinLongsAgg = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : BoundedMinLongsAgg = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : BoundedMinLongsAgg = copy(child = newChild)
+}

@@ -320,11 +320,15 @@ object TextOps {
     // one shuffle: distinct-signature groups with the k+1 smallest
     // member ids and the group size. Checkpointed: the table feeds the
     // banding, the self-group arm, the head_ids expansion AND the
-    // broadcast-gate count — one materialization serves all four. (A
-    // real 100 TB deployment would cap collect_list with a bounded
-    // top-k aggregate; the slice keeps the carried state k+1-sized.)
+    // broadcast-gate count — one materialization serves all four. The
+    // aggregate is the BOUNDED k+1-smallest kernel (BoundedMinLongsAgg,
+    // O(k) buffer, map-side combined): collect_list+sort+slice computes
+    // the same value but carries the whole member list per signature
+    // through the aggregation — on a dup-dense 100 TB corpus a hot
+    // signature group holds millions of ids of which only k+1 are used.
     val groups = sigs.groupBy("sig").agg(
-      slice(sort_array(collect_list(col("id"))), 1, k + 1).as("head_ids"))
+      graft.functions.GraftFunctions.boundedMinLongs(col("id"), k + 1)
+        .as("head_ids"))
       .localCheckpoint()
     val distinctSigs = groups.count()
     val gate: DataFrame => DataFrame =

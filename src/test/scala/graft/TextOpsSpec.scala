@@ -210,6 +210,26 @@ class TextOpsSpec extends SparkSpecBase {
     assert(viaShuffle == want, s"got=$viaShuffle want=$want")
   }
 
+  test("boundedMinLongs equals slice(sort_array(collect_list)) across " +
+      "partitionings (the O(k)-state aggregate the top-k kernel rides)") {
+    import spark.implicits._
+    val rows = (0 until 5000).map(i =>
+      ((i * 2654435761L) % 97, (i * 48271L) % 100000))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(graft.functions.GraftFunctions
+          .boundedMinLongs(col("v"), 4).as("ids"))
+        .orderBy("g").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      val want = df.groupBy("g")
+        .agg(slice(sort_array(collect_list(col("v"))), 1, 4).as("ids"))
+        .orderBy("g").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("norm_prefix kernel equals the regexp_replace chain it replaced, " +
       "including unicode, space runs and the truncation boundary") {
     import spark.implicits._
