@@ -82,6 +82,10 @@ object GraftFunctions {
     * group vs collect_list's O(group). */
   def boundedMinLongs(x: Column, k: Int): Column =
     toCol(BoundedMinLongsAgg(toExpr(x), k).toAggregateExpression())
+  /** collect_list capped at cap+1 elements — exact for groups within
+    * the cap, flag-sized for groups the caller drops anyway. */
+  def cappedCollectLongs(x: Column, cap: Int): Column =
+    toCol(CappedCollectLongsAgg(toExpr(x), cap).toAggregateExpression())
   def vecCosineQ8(a: Column, b: Column): Column =
     toCol(VecCosineQ8Expr(toExpr(a), toExpr(b)))
   def wordShingles(text: Column, n: Column): Column =

@@ -628,3 +628,74 @@ case class BoundedMinLongsAgg(child: Expression, k: Int,
   override protected def withNewChildInternal(newChild: Expression)
       : BoundedMinLongsAgg = copy(child = newChild)
 }
+
+/** Capped `collect_list` for long keys: collects at most `cap + 1`
+  * elements per group and then stops accumulating. For consumers that
+  * DROP over-cap groups (the LSH `maxBucket` skew guard: buckets over
+  * the cap forfeit their candidates), output is exactly collect_list's —
+  * a group within the cap is collected completely; a group over it
+  * yields cap+1 elements, which the existing `size(ids) <= maxBucket`
+  * filter removes — while the aggregation buffer and partial-agg wire
+  * format stay O(cap) instead of O(group). A pathological 100M-doc
+  * boilerplate bucket costs 8·(cap+1) bytes, not gigabytes. The content
+  * of an over-cap group's cap+1 elements is partition-order dependent,
+  * which is immaterial: every such group is filtered out unseen. */
+case class CappedCollectLongsAgg(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(cap > 0, s"cap must be positive, got $cap")
+  override def createAggregationBuffer()
+      : scala.collection.mutable.ArrayBuffer[Long] =
+    new scala.collection.mutable.ArrayBuffer[Long](8)
+  override def update(buf: scala.collection.mutable.ArrayBuffer[Long],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    if (buf.length <= cap) {
+      val v = child.eval(input)
+      if (v != null) buf += v.asInstanceOf[Long]
+    }
+    buf
+  }
+  override def merge(buf: scala.collection.mutable.ArrayBuffer[Long],
+      other: scala.collection.mutable.ArrayBuffer[Long])
+      : scala.collection.mutable.ArrayBuffer[Long] = {
+    val room = cap + 1 - buf.length
+    if (room > 0) buf ++= other.take(room)
+    buf
+  }
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Long])
+      : Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte])
+      : scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](n + 1)
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"capped_collect_longs needs a BIGINT child, got ${child.dataType}")
+  override def prettyName: String = "capped_collect_longs"
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : CappedCollectLongsAgg = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : CappedCollectLongsAgg = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : CappedCollectLongsAgg = copy(child = newChild)
+}

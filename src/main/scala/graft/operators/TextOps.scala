@@ -103,11 +103,20 @@ object TextOps {
 
     // one shuffle to the buckets; pairs expand from the grouped id list
     // (no self-join). Skew guard: buckets over maxBucket are dropped
-    // before the quadratic expansion — the collect_list buffer itself
-    // stays bounded (ids are longs; even a 100k-doc boilerplate bucket
-    // is <1 MB before the filter drops it).
+    // before the quadratic expansion, and for long ids the COLLECTION
+    // itself is capped (CappedCollectLongsAgg stops at maxBucket+1
+    // elements, which the size filter then drops) so the aggregation
+    // buffer is O(maxBucket) even against a pathological boilerplate
+    // bucket; a doc appears once per (band, bh), so a within-cap bucket
+    // is collected completely and the output is exactly collect_list's.
+    val idIsLong = banded.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType
+    val collected =
+      if (idIsLong)
+        graft.functions.GraftFunctions.cappedCollectLongs(col("id"), maxBucket)
+      else collect_list(col("id"))
     val candidates = banded.groupBy("band", "bh")
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(collected.as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

@@ -230,6 +230,30 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("cappedCollectLongs: within-cap groups collect completely, " +
+      "over-cap groups exceed the size filter, across partitionings") {
+    import spark.implicits._
+    // group sizes 1, 3, 5, ..., 19 under cap 10: sizes 11+ must yield
+    // exactly cap+1 elements; sizes <= 10 must equal collect_list as a
+    // multiset
+    val rows = for (g <- 0 until 10; i <- 0 until (2 * g + 1))
+      yield (g.toLong, (g * 1000 + i).toLong)
+    for (parts <- Seq(1, 5, 32)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(graft.functions.GraftFunctions
+          .cappedCollectLongs(col("v"), 10).as("ids"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      for (g <- 0L until 10L) {
+        val trueSize = 2 * g + 1
+        if (trueSize <= 10)
+          assert(got(g).sorted ==
+            (0L until trueSize).map(g * 1000 + _), s"g=$g parts=$parts")
+        else assert(got(g).length == 11, s"g=$g parts=$parts")
+      }
+    }
+  }
+
   test("norm_prefix kernel equals the regexp_replace chain it replaced, " +
       "including unicode, space runs and the truncation boundary") {
     import spark.implicits._
