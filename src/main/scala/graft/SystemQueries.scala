@@ -88,6 +88,26 @@ object SystemQueries {
       """SELECT DISTINCT event_id, user_id, event_type, ts
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // Streaming Bloom-prefiltered ingestion dedup — q188's continuous
+    // form: the index sketch is computed offline, arriving docs pass a
+    // STATELESS might-contain filter (definitely-new rows bypass any
+    // join), only candidates take the stream-static confirm. Drained
+    // with AvailableNow the output equals the batch anti-join, which is
+    // exactly what the oracle computes — so the no-false-negative
+    // property is gate-pinned in the streaming path too.
+    "q191_stream_bloom_dedup" -> api(
+      (spark, sfDir) => StreamingOps.streamBloomDedup(spark, sfDir),
+      """WITH f AS (SELECT doc_id,
+        |    md5(substring(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'), 1, 50)) AS fp
+        |  FROM documents),
+        |s AS (SELECT fp FROM f WHERE doc_id % 2 = 0),
+        |i AS (SELECT fp, doc_id FROM f WHERE doc_id % 2 = 1)
+        |SELECT doc_id, fp FROM i
+        |WHERE fp NOT IN (SELECT fp FROM s)
+        |ORDER BY doc_id""".stripMargin,
+      headline = true),
+
     // Streaming MinHash near-dup pair detection (continuous-ingestion
     // dedup): per-bucket flatMapGroupsWithState over the banded
     // PORTABLE md5 MinHash signature, so the oracle reproduces the

@@ -437,4 +437,62 @@ object StreamingOps {
         |GROUP BY lk.hour, lk.user_id
         |ORDER BY lk.hour, exact_n DESC, lk.user_id""".stripMargin)
   }
+
+  /** Streaming Bloom-prefiltered ingestion dedup — the continuous form
+    * of [[graft.operators.TextOps.bloomNewDocs]]: the standing index's
+    * fingerprint sketch is computed OFFLINE on the static side (the
+    * deployment shape: the sketch ships with the index) and applied to
+    * the arriving stream as a STATELESS map filter, so definitely-new
+    * documents flow through with zero state and zero join; only the
+    * might-contain sliver takes the stream-static confirm join. Spark
+    * supports stream-static inner/left-outer/left-semi but not
+    * left-anti, so the exact confirm is a left-outer against the
+    * DISTINCT seen-fingerprint table with a null-marker filter —
+    * identical semantics, and the distinct() keeps the join from
+    * multiplying candidates. Drained with AvailableNow the output
+    * equals the batch anti-join (q188's oracle). */
+  def streamBloomDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def fp(c: org.apache.spark.sql.Column) =
+      graft.operators.TextOps.leadFingerprint(c, 50)
+    val seenFps = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(fp(col("text")).as("fp")).distinct()
+      .localCheckpoint() // index-side state: computed once, reused by
+                         // the sketch build and every micro-batch's join
+    val bloomBytes = seenFps
+      .select(toCol(new BloomFilterAggregate(toExpr(xxhash64(col("fp"))),
+        Literal(1L << 16), Literal(1L << 19)).toAggregateExpression())
+        .as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), fp(col("text")).as("fp"))
+    val survivors =
+      if (bloomBytes == null) stream // empty index: everything is new
+      else {
+        val might = toCol(BloomFilterMightContain(
+          Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          toExpr(xxhash64(col("fp")))))
+        stream.where(!might).unionByName(
+          stream.where(might)
+            .join(seenFps.withColumn("__seen", lit(1)), Seq("fp"),
+              "left_outer")
+            .where(col("__seen").isNull).drop("__seen")
+            .select(col("doc_id"), col("fp")))
+      }
+    val name = s"stream_bloom_${System.nanoTime()}"
+    val q = survivors.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drainSink(spark, name, Seq("doc_id"))
+  }
 }

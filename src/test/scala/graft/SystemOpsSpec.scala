@@ -38,6 +38,23 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("streaming bloom dedup equals the batch bloom dedup (and the " +
+      "plain anti-join)") {
+    Queries.prep(spark, sfDir)
+    import graft.operators.TextOps
+    val streamed = graft.streaming.StreamingOps
+      .streamBloomDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val d = spark.table("documents").select(col("doc_id"),
+      TextOps.leadFingerprint(col("text"), 50).as("fp"))
+    val batch = TextOps.bloomNewDocs(
+        d.where(pmod(col("doc_id"), lit(2)) === 1),
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch range join") {
     Queries.prep(spark, sfDir)
     val streamed = StreamingOps.streamIntervalJoin(spark, sfDir, 30)
