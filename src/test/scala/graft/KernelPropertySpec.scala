@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, GraftVector}
+import graft.operators.TextOps
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** Seeded randomized sweeps over the fused kernels — the fixed-case
+  * parity specs catch known edge classes; these hammer the same
+  * contracts with 400+ generated inputs per property (deterministic
+  * seed, so a failure reproduces). */
+class KernelPropertySpec extends SparkSpecBase {
+
+  private def randomStrings(n: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val alphabets = Seq(
+      "abcdefghij XYZ 0123456789", // ascii + digits + case
+      "a b  c   d!?.,;:-_()[]",    // punctuation + space runs
+      "中文字符テストкирилл ñéü ß",  // multibyte
+      " \t\n aA1"             // whitespace variants
+    )
+    (0 until n).map { _ =>
+      val ab = alphabets(rnd.nextInt(alphabets.length))
+      val len = rnd.nextInt(120)
+      (0 until len).map(_ => ab(rnd.nextInt(ab.length))).mkString
+    }
+  }
+
+  test("norm_prefix equals the regexp chain on 400 seeded random " +
+      "strings over mixed alphabets, at three truncation lengths") {
+    import spark.implicits._
+    val df = randomStrings(400, 0xC0FFEE).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(-1, 1, 50)) {
+      val kernel =
+        if (n < 0) md5(GraftFunctions.normPrefix(col("text"), lit(-1)))
+        else md5(GraftFunctions.normPrefix(col("text"), lit(n)))
+      val regexNorm = regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " ")
+      val regex =
+        if (n < 0) md5(regexNorm) else md5(substring(regexNorm, 1, n))
+      val bad = df.select(col("id"), kernel.as("k"), regex.as("r"))
+        .where(col("k") =!= col("r")).count()
+      assert(bad == 0, s"n=$n: $bad mismatches")
+    }
+  }
+
+  test("int8 quantization bounds and cosine error on 200 seeded " +
+      "random vectors") {
+    val rnd = new scala.util.Random(0xBEEF)
+    val vecs = (0 until 200).map { i =>
+      val d = 1 + rnd.nextInt(96)
+      val scale = math.pow(10, rnd.nextInt(7) - 3).toFloat // 1e-3..1e3
+      Array.fill(d)((rnd.nextFloat() * 2 - 1) * scale)
+    } :+ Array.fill(8)(0.0f) // zero vector edge
+    for (v <- vecs) {
+      val q = GraftVector.quantize8(new GenericArrayData(v))
+      var i = 0
+      while (i < q.numElements()) {
+        assert(q.getByte(i) >= -127 && q.getByte(i) <= 127)
+        i += 1
+      }
+      if (v.forall(_ == 0.0f))
+        assert((0 until q.numElements()).forall(q.getByte(_) == 0))
+    }
+    // pairwise cosine error: the prefilter contract assumes ~1e-2
+    var worst = 0.0
+    for (i <- 0 until 60; j <- i + 1 until 60
+         if vecs(i).length == vecs(j).length) {
+      val a = new GenericArrayData(vecs(i))
+      val b = new GenericArrayData(vecs(j))
+      val exact = GraftVector.cosine(a, b)
+      val approx = GraftVector.cosineQ8(
+        GraftVector.quantize8(a), GraftVector.quantize8(b))
+      worst = math.max(worst, math.abs(exact - approx))
+    }
+    assert(worst < 0.02, s"int8 cosine error $worst exceeds the " +
+      "prefilter margin assumption")
+  }
+
+  test("normFingerprint/leadFingerprint agree with the DuckDB-side " +
+      "formulation on the real corpus (sampled)") {
+    Queries.prep(spark, sfDir)
+    val d = spark.table("documents").limit(200)
+    val bad = d.select(
+        TextOps.normFingerprint(col("text")).as("k"),
+        md5(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " ")).as("r"),
+        TextOps.leadFingerprint(col("text"), 50).as("kl"),
+        md5(substring(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " "), 1, 50)).as("rl"))
+      .where(col("k") =!= col("r") || col("kl") =!= col("rl")).count()
+    assert(bad == 0)
+  }
+}
