@@ -217,6 +217,24 @@ object SystemQueries {
         |ORDER BY e.media_id""".stripMargin,
       headline = true),
 
+    // Multimodal FILE ingestion: the same PNG corpus read as individual
+    // files through Spark's binaryFile source (path/content rows, file
+    // split per task, pathGlobFilter pruning at listing) — the
+    // filesystem/object-store ingestion path, with media_id recovered
+    // from the file name and the decode verified against the same
+    // independent stats fixture as q54. The file tree materializes once
+    // per JVM (harness scaffolding; production files simply exist).
+    "q192_media_binary_ingest" -> api((spark, _) =>
+      MediaOps.imageFeatures(
+        MediaOps.imageFilesTable(spark, "/tmp/graft_media_files")
+          .join(broadcast(spark.table("documents").select(col("doc_id"))),
+            col("media_id") === col("doc_id"), "leftsemi"))
+        .orderBy("media_id"),
+      """SELECT e.* FROM
+        |  read_parquet('/root/repo/fixtures/media/expected.parquet') e
+        |JOIN documents d ON e.media_id = d.doc_id
+        |ORDER BY e.media_id""".stripMargin),
+
     // Multimodal audio decode, REAL: RIFF/PCM16 WAV payloads (written
     // by Python's stdlib wave module — tools/gen_audio_fixture.py)
     // parsed with a pure byte-level chunk walk into integer-exact

@@ -171,6 +171,43 @@ object MediaOps {
       .select(col("media_id"), col("s.*"))
   }
 
+  /** The image corpus as individual FILES read through Spark's
+    * `binaryFile` source — the real ingestion path for media sitting on
+    * a filesystem/object store (one row per file: path, length,
+    * modificationTime, content), where [[imageTable]]'s parquet BLOB
+    * column is the post-ingest warehouse form. The file tree is
+    * materialized once per JVM from the fixture (harness scaffolding —
+    * in production the files simply exist); the read itself is the
+    * operator under test: binaryFile splits by file across the cluster,
+    * `pathGlobFilter` prunes non-PNGs at listing time, and media_id is
+    * recovered from the file name. */
+  def imageFilesTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(dir)
+    val marker = root.resolve("_graft_files_ready")
+    filesOnce.computeIfAbsent(dir, _ => {
+      java.nio.file.Files.createDirectories(root)
+      if (!java.nio.file.Files.exists(marker)) {
+        spark.read.parquet(s"$MediaFix/pngs.parquet").collect().foreach {
+          r =>
+            java.nio.file.Files.write(
+              root.resolve(f"${r.getLong(0)}%05d.png"),
+              r.getAs[Array[Byte]](1))
+        }
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+      java.lang.Boolean.TRUE
+    })
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.png$", 1).cast("long")
+          .as("media_id"),
+        col("content").as("png"))
+  }
+  private val filesOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** Integer-exact per-clip audio statistics (see
     * tools/gen_audio_fixture.py for the shared definitions). Longs
     * everywhere so schemas match the BIGINT oracle. */

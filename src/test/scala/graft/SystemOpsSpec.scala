@@ -112,6 +112,19 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(s.sum_g == 4 * 200 && s.sum_b == 4 * 7)
   }
 
+  test("binaryFile ingestion: file-sourced decode equals the parquet-" +
+      "sourced decode row for row") {
+    Queries.prep(spark, sfDir)
+    val viaFiles = MediaOps.imageFeatures(
+        MediaOps.imageFilesTable(spark, "/tmp/graft_media_files_spec")
+          .join(broadcast(spark.table("documents").select(col("doc_id"))),
+            col("media_id") === col("doc_id"), "leftsemi"))
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    val viaParquet = MediaOps.imageFeatures(MediaOps.imageTable(spark))
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(viaFiles.nonEmpty && viaFiles == viaParquet)
+  }
+
   test("image decode: batched path is bit-identical to the Column path " +
       "and invariant to batch size / partitioning") {
     Queries.prep(spark, sfDir)
