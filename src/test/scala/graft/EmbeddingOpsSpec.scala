@@ -220,6 +220,35 @@ class EmbeddingOpsSpec extends SparkSpecBase {
       s"member is $worst; q187's m=64 margin has collapsed")
   }
 
+  test("q193 incremental IVF discriminates: frozen old-corpus centroids " +
+      "+ nprobe=5 are exact while nprobe=4 misses a neighbor") {
+    import spark.implicits._
+    val corpus = (0 until 500).map(_.toLong).toDF("vec_id")
+      .select(col("vec_id"), array((0 until 16).map { i =>
+        ((when(pmod(col("vec_id"), lit(16)) === i, 1.0).otherwise(0.0)) +
+          (pmod(pmod(col("vec_id"), lit(16)) * 131 +
+            expr("vec_id div 16") * 37 + lit(i * 101), lit(257)) - 128) *
+            lit(6.0) / lit(4096.0)).cast("float")
+      }: _*).as("embedding"))
+    val old = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val queries = corpus.where(col("vec_id") < 50)
+    val cents = EmbeddingOps.ivfCentroids(old, "vec_id", "embedding",
+      nlist = 16, seed = 7L, trainIters = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(EmbeddingOps.knnBruteForce(corpus, queries,
+      "vec_id", "embedding", k = 5))
+    val p5 = pairs(EmbeddingOps.annIvf(corpus, queries, "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 5,
+      centroids = Some(cents)))
+    val p4 = pairs(EmbeddingOps.annIvf(corpus, queries, "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 4,
+      centroids = Some(cents)))
+    assert(p5 == exact, s"nprobe=5 not exact: missing ${exact -- p5}")
+    assert((exact -- p4).nonEmpty,
+      "nprobe=4 is already exact — the q193 gate no longer discriminates")
+  }
+
   test("q185 probe-gate corpus discriminates: probes=4 is exact while " +
       "single-probe misses neighbors") {
     import spark.implicits._
