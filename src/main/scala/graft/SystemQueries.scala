@@ -461,6 +461,41 @@ object SystemQueries {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
 
+    // Schema-evolution ingestion: two parquet generations of the same
+    // table — an old writer without l_returnflag and a new writer with
+    // it — read as ONE table via mergeSchema=true (the union-by-name
+    // read every long-lived 100 TB dataset eventually needs; listing
+    // merges footers, old files yield nulls for the added column). The
+    // Spark side REALLY writes both generations and re-reads them
+    // merged; the oracle re-derives the same aggregate from lineitem
+    // directly, so what's pinned is the merge SEMANTICS (null backfill,
+    // column alignment), not tmp-file plumbing.
+    "q194_merge_schema_read" -> api((spark, sfDir) => {
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+      val dir = s"/tmp/graft_q194/$tag"
+      val li = spark.table("lineitem")
+      li.where(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .write.mode("overwrite").parquet(s"$dir/gen_old")
+      li.where(pmod(col("l_orderkey"), lit(2)) === 1)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_returnflag"))
+        .write.mode("overwrite").parquet(s"$dir/gen_new")
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/gen_old", s"$dir/gen_new")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("qty"))
+        .orderBy(col("rf").asc_nulls_first)
+    },
+      """SELECT CASE WHEN l_orderkey % 2 = 0 THEN NULL
+        |  ELSE l_returnflag END AS rf,
+        |  count(*) AS n,
+        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY rf NULLS FIRST""".stripMargin),
+
     // Parquet write→read roundtrip (COPY TO / file-as-table, S11/S12).
     "q57_copy_parquet" -> api((spark, _) => {
       val dir = tmp("graft_copy_parquet") + "/part.parquet"
