@@ -17,7 +17,7 @@ class KernelPropertySpec extends SparkSpecBase {
       "abcdefghij XYZ 0123456789", // ascii + digits + case
       "a b  c   d!?.,;:-_()[]",    // punctuation + space runs
       "中文字符テストкирилл ñéü ß",  // multibyte
-      " \t\n aA1"             // whitespace variants
+      " \t\n\u00a0aA1"             // whitespace variants
     )
     (0 until n).map { _ =>
       val ab = alphabets(rnd.nextInt(alphabets.length))
