@@ -2187,6 +2187,64 @@ object PipelineQueries {
         |WHERE d.f * lc.c < CAST(m.mc AS DOUBLE)
         |ORDER BY d.doc_id""".stripMargin),
 
+    // Corpus snapshot DIFF — dataset versioning's core query: given two
+    // snapshots of the corpus (derived deterministically here: snapshot
+    // A drops every 7th doc, snapshot B drops every 5th and rewrites
+    // every 11th's text), report per doc_id whether it was added,
+    // removed, changed (content fingerprint differs) or unchanged. One
+    // full-outer hash join on the id with map-side fingerprints — the
+    // shape that scales to a 100 TB snapshot pair; at warehouse scale
+    // the fingerprints are persisted columns and the join is the whole
+    // cost. Unchanged rows are the overwhelming mass in practice, so
+    // the entry reports them as one aggregate row (status='same',
+    // count) and lists only the interesting ids.
+    "q195_corpus_diff" -> api((spark, _) => {
+      val d = spark.table("documents")
+      val fpA = TextOps.normFingerprint(col("text"))
+      val fpB = TextOps.normFingerprint(
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      val a = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id").as("id_a"), fpA.as("fp_a"))
+      val b = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id").as("id_b"), fpB.as("fp_b"))
+      val joined = a.join(b, col("id_a") === col("id_b"), "full_outer")
+        .select(coalesce(col("id_a"), col("id_b")).as("doc_id"),
+          when(col("id_a").isNull, "added")
+            .when(col("id_b").isNull, "removed")
+            .when(col("fp_a") =!= col("fp_b"), "changed")
+            .otherwise("same").as("status"))
+      joined.where(col("status") =!= "same")
+        .select(col("status"), col("doc_id"), lit(1L).as("n"))
+        .unionByName(joined.where(col("status") === "same")
+          .groupBy(col("status")).agg(lit(-1L).as("doc_id"),
+            count(lit(1)).as("n")))
+        .orderBy("status", "doc_id")
+    },
+      """WITH a AS (SELECT doc_id,
+        |    md5(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |b AS (SELECT doc_id,
+        |    md5(regexp_replace(regexp_replace(lower(
+        |      CASE WHEN doc_id % 11 = 0 THEN text || ' edited'
+        |           ELSE text END),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.fp <> b.fp THEN 'changed'
+        |         ELSE 'same' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT status, doc_id, CAST(1 AS BIGINT) AS n FROM j
+        |WHERE status <> 'same'
+        |UNION ALL
+        |SELECT status, CAST(-1 AS BIGINT) AS doc_id, count(*) AS n
+        |FROM j WHERE status = 'same' GROUP BY status
+        |ORDER BY status, doc_id""".stripMargin,
+      headline = true),
+
     // Canonical-document selection: q94's near-dup clusters +
     // survivorship — per connected component keep the highest-quality
     // member (rounded-quality desc, doc_id tie-break) and report the
