@@ -2214,11 +2214,14 @@ object PipelineQueries {
             .when(col("id_b").isNull, "removed")
             .when(col("fp_a") =!= col("fp_b"), "changed")
             .otherwise("same").as("status"))
-      joined.where(col("status") =!= "same")
-        .select(col("status"), col("doc_id"), lit(1L).as("n"))
-        .unionByName(joined.where(col("status") === "same")
-          .groupBy(col("status")).agg(lit(-1L).as("doc_id"),
-            count(lit(1)).as("n")))
+      // one pass: collapsing 'same' ids to the sentinel makes the mixed
+      // granularity (per-id rows + one aggregate row) a single groupBy —
+      // a union of two filters over `joined` would run the full-outer
+      // join twice
+      joined.select(col("status"),
+          when(col("status") === "same", lit(-1L)).otherwise(col("doc_id"))
+            .as("doc_id"))
+        .groupBy("status", "doc_id").agg(count(lit(1)).as("n"))
         .orderBy("status", "doc_id")
     },
       """WITH a AS (SELECT doc_id,
