@@ -496,6 +496,47 @@ object SystemQueries {
         |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty
         |FROM lineitem GROUP BY 1 ORDER BY rf NULLS FIRST""".stripMargin),
 
+    // Small-files COMPACTION — the operational sibling of q182's
+    // bucketed layout: streaming/micro-batch ingest leaves a table as
+    // hundreds of tiny files (here: a bounded lineitem slice
+    // deliberately fragmented into 64 parts), and the daily maintenance
+    // job rewrites it coalesced. coalesce() merges partitions WITHOUT a
+    // shuffle — each output task chains input splits — which is the
+    // point: compaction is IO-bound, a repartition() would pay an
+    // exchange for nothing. The oracle pins data equality through the
+    // fragment→compact→read cycle (row count + quantity sum + an
+    // order-independent bit_xor content checksum over the PK); the
+    // file-count collapse itself (64 → 2) is asserted in SystemOpsSpec,
+    // where the filesystem is visible.
+    "q196_compaction" -> api((spark, sfDir) => {
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+      val dir = s"/tmp/graft_q196/$tag"
+      spark.table("lineitem").where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$dir/fragmented")
+      spark.read.parquet(s"$dir/fragmented")
+        .coalesce(2)
+        .write.mode("overwrite").parquet(s"$dir/compacted")
+      spark.read.parquet(s"$dir/compacted")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("qty"),
+          expr("bit_xor(cast(conv(substring(md5(concat(" +
+            "cast(l_orderkey as string), '|', " +
+            "cast(l_linenumber as string), '|', " +
+            "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+            .as("content_xor"))
+    },
+      """SELECT count(*) AS n,
+        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  bit_xor(('0x' || substring(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |FROM lineitem WHERE l_orderkey <= 2000""".stripMargin),
+
     // Parquet write→read roundtrip (COPY TO / file-as-table, S11/S12).
     "q57_copy_parquet" -> api((spark, _) => {
       val dir = tmp("graft_copy_parquet") + "/part.parquet"

@@ -376,6 +376,26 @@ class SystemOpsSpec extends SparkSpecBase {
       aCol.orderBy("media_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("compaction collapses the fragmented file count and preserves " +
+      "content exactly") {
+    Queries.prep(spark, sfDir)
+    SparkEntry.queries("q196_compaction")(spark, sfDir).collect()
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val frag = parts(s"/tmp/graft_q196/$tag/fragmented")
+    val comp = parts(s"/tmp/graft_q196/$tag/compacted")
+    assert(frag >= 32, s"fragmented wrote only $frag files")
+    assert(comp <= 2, s"compacted still has $comp files")
+    // content equality beyond the entry's checksum: full row multiset
+    val a = spark.read.parquet(s"/tmp/graft_q196/$tag/fragmented")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = spark.read.parquet(s"/tmp/graft_q196/$tag/compacted")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("bucketed join runs with no exchange below the sort-merge join") {
     Queries.prep(spark, sfDir)
     graft.operators.JoinOps.resetManagedTable(spark, "graft_li_bucketed")
