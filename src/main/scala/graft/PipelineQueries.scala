@@ -156,9 +156,44 @@ object PipelineQueries {
         "bit_xor(CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 12),"
           + " 16, 10) AS BIGINT))"))
       .first.getLong(0)
+    // Atomic handoff protocol (r9): the DuckDB oracle globs
+    // `$dir/*/*.parquet` from ANOTHER process, so a t<tag> dir must
+    // only ever appear COMPLETE — an in-place overwrite deletes the
+    // old file set first and a mid-overwrite glob sees a partial one.
+    // Rows are therefore staged in a run-unique dir OUTSIDE the glob
+    // root (`${dir}_tmp`, which the oracle's glob never matches) and
+    // the whole dir is renamed into place only if no same-tag dir
+    // exists yet; directory rename on the local fs is one syscall, so
+    // the oracle observes either no dir or a complete one. Losing the
+    // rename race (or finding an existing t<tag>) is a no-op — the tag
+    // fingerprints the corpus, and the seeded ANN paths are
+    // deterministic, so a same-tag dir is row-identical; the staging
+    // copy is just dropped.
+    val destP = new org.apache.hadoop.fs.Path(dir, s"t$tag")
+    val stagingRoot = new org.apache.hadoop.fs.Path(dir + "_tmp")
+    val stagingP = new org.apache.hadoop.fs.Path(
+      stagingRoot, s"t$tag-${SystemQueries.runToken}")
     ann.withColumn("n_corpus", lit(nCorpus))
       .withColumn("corpus_tag", lit(tag))
-      .write.mode("overwrite").parquet(s"$dir/t$tag")
+      .write.mode("overwrite").parquet(stagingP.toString)
+    val sfs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sfs.mkdirs(destP.getParent)
+    if (sfs.exists(destP) || !sfs.rename(stagingP, destP))
+      sfs.delete(stagingP, true)
+    // exists-then-rename can interleave with another process's rename:
+    // Hadoop rename onto an existing dir moves the source INSIDE it.
+    // The nested leftover sits at depth 3 (never globbed by the
+    // oracle's 2-level pattern) but would confuse Spark's reader —
+    // sweep it.
+    val nested = new org.apache.hadoop.fs.Path(destP, stagingP.getName)
+    if (sfs.exists(nested)) sfs.delete(nested, true)
+    // prune staging leftovers from crashed runs, age-gated like the
+    // sibling-tag prune below
+    val stagingCutoff = System.currentTimeMillis() - 6L * 60 * 60 * 1000
+    if (sfs.exists(stagingRoot)) sfs.listStatus(stagingRoot).foreach { st =>
+      if (st.getPath.getName != stagingP.getName &&
+        st.getModificationTime < stagingCutoff) sfs.delete(st.getPath, true)
+    }
     // prune sibling tag dirs: each distinct corpus (sf dir) writes its
     // own t<tag> subdir, and without this the fixed handoff root grows
     // one orphan per corpus ever benched. The root must stay FIXED (the

@@ -18,6 +18,42 @@ object SystemQueries {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Per-JVM-unique run token. Two concurrent processes at the same sf
+    * dir (r8: the builder's final sweep and the driver's own Verify)
+    * must never share a scratch dir — r8's q194/q196 driver reds were
+    * exactly this race: both entries keyed their dirs on hash(sfDir)
+    * alone, so one process's overwrite interleaved with the other's
+    * read, drifting aggregate values without changing the output
+    * shape. pid + JVM-start nanos make the token unique across live
+    * processes and across a recycled pid. */
+  private[graft] val runToken: String =
+    java.lang.Long.toHexString(ProcessHandle.current().pid()) + "-" +
+      java.lang.Long.toHexString(System.nanoTime() & 0xffffffffL)
+
+  /** Run-scoped scratch dir under `root` for the given sf dir. The
+    * DuckDB oracles of entries using this never read these dirs (they
+    * re-derive from the base tables), so the path can be fully
+    * run-unique — unlike annRecall's handoff root, which must stay
+    * FIXED for the cross-process oracle glob and uses atomic renames
+    * instead. An age-gated prune of sibling run dirs bounds disk
+    * growth; 6 h sits well past any observed whole-run duration, so a
+    * concurrent live run's dir is never a casualty. */
+  private[graft] def runScopedDir(root: String, sfDir: String): String = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+    val mine = s"$tag-$runToken"
+    val cutoff = System.currentTimeMillis() - 6L * 60 * 60 * 1000
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName != mine && f.lastModified < cutoff)
+      .foreach(deleteRecursively)
+    s"$root/$mine"
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** Rebuilds the two bucketed tables (bucketBy(8, key) + sortBy) from
     * the currently registered sources and memoizes which sf dir they
     * were built from. Serialized: Verify/Bench may evaluate entries on
@@ -471,9 +507,7 @@ object SystemQueries {
     // directly, so what's pinned is the merge SEMANTICS (null backfill,
     // column alignment), not tmp-file plumbing.
     "q194_merge_schema_read" -> api((spark, sfDir) => {
-      val tag = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
-      val dir = s"/tmp/graft_q194/$tag"
+      val dir = runScopedDir("/tmp/graft_q194", sfDir)
       val li = spark.table("lineitem")
       li.where(pmod(col("l_orderkey"), lit(2)) === 0)
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
@@ -509,9 +543,7 @@ object SystemQueries {
     // file-count collapse itself (64 → 2) is asserted in SystemOpsSpec,
     // where the filesystem is visible.
     "q196_compaction" -> api((spark, sfDir) => {
-      val tag = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
-      val dir = s"/tmp/graft_q196/$tag"
+      val dir = runScopedDir("/tmp/graft_q196", sfDir)
       spark.table("lineitem").where(col("l_orderkey") <= 2000)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .repartition(64)

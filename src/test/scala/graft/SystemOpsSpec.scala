@@ -380,18 +380,17 @@ class SystemOpsSpec extends SparkSpecBase {
       "content exactly") {
     Queries.prep(spark, sfDir)
     SparkEntry.queries("q196_compaction")(spark, sfDir).collect()
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+    val dir = SystemQueries.runScopedDir("/tmp/graft_q196", sfDir)
     def parts(d: String) = new java.io.File(d).listFiles()
       .count(_.getName.endsWith(".parquet"))
-    val frag = parts(s"/tmp/graft_q196/$tag/fragmented")
-    val comp = parts(s"/tmp/graft_q196/$tag/compacted")
+    val frag = parts(s"$dir/fragmented")
+    val comp = parts(s"$dir/compacted")
     assert(frag >= 32, s"fragmented wrote only $frag files")
     assert(comp <= 2, s"compacted still has $comp files")
     // content equality beyond the entry's checksum: full row multiset
-    val a = spark.read.parquet(s"/tmp/graft_q196/$tag/fragmented")
+    val a = spark.read.parquet(s"$dir/fragmented")
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
-    val b = spark.read.parquet(s"/tmp/graft_q196/$tag/compacted")
+    val b = spark.read.parquet(s"$dir/compacted")
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(a == b)
   }
