@@ -77,15 +77,29 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, mn, _, true) => mn }.sum
     val nOk = results.count(_._4)
+    // run-level noise flag (r9): a UNIFORMLY loaded host inflates every
+    // min by a similar factor, producing a clean per-entry `noisy: []`
+    // story around numbers that are all 2-4x steady state (exactly the
+    // r8 q42/q178/q193 confusion). Per-entry spread can't see that; a
+    // comparison against the recorded quiet-host floor for the default
+    // headline set (BASELINE.md carries the measurement history) can.
+    // Only emitted for the full default set at the driver's sf — an
+    // args-selected subset has no recorded floor.
+    val quietFloorSec: Option[Double] =
+      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(34.0) else None
+    val runNoisy = quietFloorSec.map { floor =>
+      val flag = total > floor * 1.3
+      s""","quiet_floor_sec":$floor,"run_noisy":$flag"""
+    }.getOrElse("")
     // the headline prints TWICE around the detail line: the driver's
     // artifact keeps (a) a parse of a stdout JSON line and (b) the last
     // few KB of stdout. r7's single long line overflowed both — parse
     // failed and the tail cut mid-map, losing the total. A short
     // summary line first parses whole; the same line repeated after the
     // detail keeps the totals inside any tail window.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"failed":$failed$runNoisy,"sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"queries_max":$qmax,"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"queries_max":$qmax,"noisy":$noisy,"failed":$failed$runNoisy,"sf":"$sfDir"}""")
     println(summary)
     spark.stop()
   }
