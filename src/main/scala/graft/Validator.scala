@@ -71,14 +71,18 @@ object SqlValidator {
       sc.setJobGroup(group, "sql validation", interruptOnCancel = true)
       try {
         // Force parse + bind + optimize + physical planning WITHOUT
-        // launching a job — the exact surface DuckDB's EXPLAIN (the
-        // oracle) covers. Analysis/catalog errors throw here; so do
+        // launching a job — the surface DuckDB's EXPLAIN (the oracle)
+        // covers. Analysis/catalog errors throw here; so do
         // optimizer-time errors (e.g. ANSI constant-folding a bad
         // literal cast), which land in the runtime-class catch below
-        // exactly as they did when collect() forced them. Executing the
-        // empty plan bought no additional error surface — rows never
-        // exist in the scratch — but cost one scheduler round-trip per
-        // statement (the bulk of the battery's wall-clock).
+        // exactly as they did when collect() forced them. What this
+        // does NOT force is whole-stage codegen's janino compile
+        // (deferred to execute()) — but a janino failure falls back to
+        // interpreted execution rather than erroring, so it was never
+        // part of the validity verdict even under collect(); and
+        // calling execute() here is not an option, since under AQE it
+        // materializes query stages (real scheduler jobs), the exact
+        // per-statement cost this formulation removed (2.5 → 0.52 s).
         scratch.executeScript(sql).queryExecution.executedPlan
         true
       } catch {

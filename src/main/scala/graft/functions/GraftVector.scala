@@ -156,7 +156,16 @@ object GraftVector {
     * for embedding corpora (4× smaller than float32, int-SIMD dot). The
     * per-vector scale factor is NOT materialized: scales cancel in
     * cosine, so quantized cosine needs no side table. All-zero input
-    * (no scale) quantizes to all zeros. */
+    * (no scale) quantizes to all zeros.
+    *
+    * NaN policy: a NaN element quantizes to 0 (NaN fails the `v > m`
+    * max scan, and the clamped `NaN.toByte` is 0), while the exact
+    * float cosine used for re-scoring propagates NaN — so a NaN-bearing
+    * vector can rank differently in the int8 prefilter than in the
+    * rerank. This is deliberate: the prefilter contract is only "the
+    * true top-k survives the candidate window" for FINITE vectors;
+    * corpora with NaN embeddings must be cleaned upstream (a NaN cosine
+    * is meaningless in any ANN formulation). */
   def quantize8(a: ArrayData): ArrayData = {
     val n = a.numElements()
     var m = 0.0

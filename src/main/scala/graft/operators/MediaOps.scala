@@ -183,17 +183,44 @@ object MediaOps {
     * recovered from the file name. */
   def imageFilesTable(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Paths.get(dir)
-    val marker = root.resolve("_graft_files_ready")
-    filesOnce.computeIfAbsent(dir, _ => {
-      java.nio.file.Files.createDirectories(root)
+    // The ready-marker is keyed on a fingerprint of the fixture
+    // (per-file name/size/mtime): regenerating pngs.parquet changes
+    // the fingerprint, so a stale tree from a prior run is rebuilt
+    // instead of silently feeding old bytes. Cross-process safety
+    // comes from staging + atomic rename: the tree is built complete
+    // (marker included) in a run-unique sibling dir, the stale tree is
+    // moved aside, and one directory rename publishes the new one —
+    // another process never observes a partial tree, and losing the
+    // swap race just drops a byte-identical staging copy (the tree is
+    // deterministic from the fixture).
+    val fp = fixtureFingerprint(
+      java.nio.file.Paths.get(s"$MediaFix/pngs.parquet"))
+    val marker = root.resolve(s"_graft_files_ready_$fp")
+    filesOnce.computeIfAbsent(s"$dir#$fp", _ => {
       if (!java.nio.file.Files.exists(marker)) {
+        val staging = root.resolveSibling(
+          s"${root.getFileName}.tmp-${graft.SystemQueries.runToken}")
+        deleteTree(staging)
+        java.nio.file.Files.createDirectories(staging)
         spark.read.parquet(s"$MediaFix/pngs.parquet").collect().foreach {
           r =>
             java.nio.file.Files.write(
-              root.resolve(f"${r.getLong(0)}%05d.png"),
+              staging.resolve(f"${r.getLong(0)}%05d.png"),
               r.getAs[Array[Byte]](1))
         }
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
+        java.nio.file.Files.write(staging.resolve(marker.getFileName),
+          Array.emptyByteArray)
+        val aside = root.resolveSibling(
+          s"${root.getFileName}.old-${graft.SystemQueries.runToken}")
+        try {
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.move(root, aside,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch { case _: java.io.IOException => () }
+        try java.nio.file.Files.move(staging, root,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException => deleteTree(staging) }
+        deleteTree(aside)
       }
       java.lang.Boolean.TRUE
     })
@@ -207,6 +234,35 @@ object MediaOps {
   }
   private val filesOnce =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Order-independent fingerprint of a fixture file/tree: sorted
+    * relative names folded with per-file size and mtime. Cheap (stat
+    * only, no content read) yet changes whenever the fixture is
+    * regenerated. */
+  private def fixtureFingerprint(p: java.nio.file.Path): String = {
+    if (!java.nio.file.Files.exists(p)) return "absent"
+    val s = java.nio.file.Files.walk(p)
+    try {
+      val files = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(s.iterator()).asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .toSeq.sortBy(_.toString)
+      var h = 1125899906842597L
+      files.foreach { f =>
+        h = h * 31 + p.relativize(f).toString.hashCode
+        h = h * 31 + java.nio.file.Files.size(f)
+        h = h * 31 + java.nio.file.Files.getLastModifiedTime(f).toMillis
+      }
+      java.lang.Long.toHexString(h)
+    } finally s.close()
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val f = p.toFile
+    Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(c => deleteTree(c.toPath))
+    f.delete(): Unit
+  }
 
   /** Integer-exact per-clip audio statistics (see
     * tools/gen_audio_fixture.py for the shared definitions). Longs

@@ -480,15 +480,19 @@ object TextOps {
     // the sketch rides as a SCALAR SUBQUERY — the same shape the
     // optimizer's own runtime-filter injection emits — so the whole
     // operator stays ONE declarative plan: no driver collect barrier,
-    // the subquery executes once per query and its (null on empty seen
-    // ⇒ might = null ⇒ filters false) result is shared by both branches
+    // and its (null on empty seen ⇒ might = null ⇒ filters false)
+    // result feeds both branches. ONE ScalarSubquery instance is built
+    // and referenced from both branches, so sharing its single
+    // execution doesn't depend on ReuseSubquery re-deduplicating two
+    // canonicalized copies (it still would under the default config,
+    // but the single-instance plan doesn't need the rule to fire).
     val bloomPlan = seen
       .select(toCol(new BloomFilterAggregate(toExpr(fpHash),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
         .as("bf"))
       .queryExecution.analyzed
-    def might = toCol(BloomFilterMightContain(
-      ScalarSubquery(bloomPlan), toExpr(fpHash)))
+    val bloomSubquery = ScalarSubquery(bloomPlan)
+    def might = toCol(BloomFilterMightContain(bloomSubquery, toExpr(fpHash)))
     // null-safe negation: on an EMPTY seen side the subquery yields a
     // null sketch, might_contain is null, and both branches must agree
     // that everything is new
