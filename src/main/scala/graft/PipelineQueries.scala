@@ -644,11 +644,26 @@ object PipelineQueries {
     // approximate rank any true top-5 member takes is 6 across
     // sf0.001/0.01/0.1 (500–2000 vectors), so m=64 carries ~10×
     // headroom; EmbeddingOpsSpec re-measures and fails at 32.
+    // r9: the measured margin rides in the output as `worst_rank` (the
+    // worst approximate rank any true top-5 member takes in the int8
+    // prefilter — measured 6 at every driver corpus size, see
+    // knnQuantizedRerankMargin), pinned by the oracle as the expected
+    // constant: quantization drift moves worst_rank and goes red in
+    // CORRECTNESS while m=64 still carries ~10× headroom, instead of
+    // staying green until top-k equality itself breaks.
     "q187_knn_quantized" -> api((spark, _) => {
       val emb = spark.table("embeddings")
-      EmbeddingOps.knnQuantizedRerank(emb, emb.where(col("vec_id") < 10),
+      EmbeddingOps.knnQuantizedRerankMargin(emb,
+        emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, m = 64).orderBy("qid", "rn")
     },
+      // The worst_rank arm re-derives the int8 prefilter INDEPENDENTLY:
+      // symmetric quantization with Spark-rint parity (round() is
+      // nearest for every non-tie double; exact .5 ties overridden to
+      // half-even), integer-exact norm/dot sums, IEEE double division —
+      // so the approximate ranking is bit-identical to the integer
+      // kernel's and max(arn) over the true top-5 members reproduces
+      // the engine's measured margin, not a pinned constant.
       s"""WITH n AS $duckNormEmbeddings,
         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n
         |  WHERE vec_id < 10),
@@ -660,8 +675,36 @@ object PipelineQueries {
         |r AS (SELECT qid, id, cos,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
         |      AS rn
-        |  FROM p)
-        |SELECT qid, id, cos, rn FROM r WHERE rn <= 5
+        |  FROM p),
+        |e AS (SELECT qid, id, cos, rn FROM r WHERE rn <= 5),
+        |qz AS (SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(emb, x -> CAST(greatest(-127.0,
+        |        least(127.0,
+        |          CASE WHEN x*127.0/m = floor(x*127.0/m) + 0.5
+        |            THEN floor(x*127.0/m) + CAST(
+        |              CAST(floor(x*127.0/m) AS BIGINT) % 2 <> 0 AS INT)
+        |            ELSE round(x*127.0/m) END)) AS BIGINT)) END AS qv
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |      (SELECT max(abs(x)) FROM (SELECT
+        |        unnest(CAST(embedding AS DOUBLE[])) AS x) z) AS m
+        |    FROM embeddings) t),
+        |nq AS (SELECT vec_id, qv,
+        |    (SELECT sum(x*x) FROM (SELECT unnest(qv) AS x) z) AS s2
+        |  FROM qz),
+        |aq AS (SELECT qj.vec_id AS qid, c.vec_id AS id,
+        |    CASE WHEN c.s2 = 0 OR qj.s2 = 0 THEN 0.0
+        |      ELSE CAST((SELECT sum(x*y) FROM (SELECT unnest(c.qv) AS x,
+        |          unnest(qj.qv) AS y) z) AS DOUBLE)
+        |        / (sqrt(CAST(c.s2 AS DOUBLE)) * sqrt(CAST(qj.s2 AS DOUBLE)))
+        |      END AS acos
+        |  FROM nq c, nq qj
+        |  WHERE qj.vec_id < 10 AND c.vec_id <> qj.vec_id),
+        |ar AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY acos DESC, id) AS arn FROM aq),
+        |w AS (SELECT CAST(max(ar.arn) AS INT) AS worst_rank
+        |  FROM e JOIN ar ON e.qid = ar.qid AND e.id = ar.id)
+        |SELECT e.qid, e.id, e.cos, e.rn, w.worst_rank FROM e, w
         |ORDER BY qid, rn""".stripMargin,
       headline = true),
 

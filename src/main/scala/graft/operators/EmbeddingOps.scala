@@ -194,6 +194,22 @@ object EmbeddingOps {
     * corpus → exact [[rankTopK]]. The corpus is never shuffled; the only
     * exchanges carry ≤ m·|queries| candidate rows. */
   def knnQuantizedRerank(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int): DataFrame =
+    knnQuantizedRerankMargin(corpus, queries, idCol, vecCol, k, m)
+      .drop("worst_rank")
+
+  /** [[knnQuantizedRerank]] plus the measured safety margin as a
+    * column: `worst_rank` is the worst (largest) approximate rank any
+    * surviving top-k member took in the int8 prefilter, constant across
+    * the output. This is the quantization-drift GATE surfaced into the
+    * result itself (q187 pins it against the oracle): a kernel or
+    * scale-handling change that pushes true neighbors down the
+    * approximate ordering moves worst_rank before it breaks top-k
+    * equality, so the driver goes red while m still carries headroom —
+    * the same early-warning discipline as q185's probe-order pin.
+    * Cost: the margin is a max over the |queries|·k output rows (a
+    * broadcast-ready scalar join), nothing touching the corpus scan. */
+  def knnQuantizedRerankMargin(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int): DataFrame = {
     require(m >= k, s"prefilter width m=$m must be >= k=$k")
     val q8 = GraftFunctions.vecQuantize8 _
@@ -206,13 +222,21 @@ object EmbeddingOps {
       .withColumn("arn", row_number().over(
         Window.partitionBy("qid").orderBy(col("acos").desc, col("id"))))
       .where(col("arn") <= m)
-      .select(col("qid"), col("id"))
+      .select(col("qid"), col("id"), col("arn"))
     val exact = cand
       .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
         Seq("id"))
       .join(broadcast(queries.select(col(idCol).as("qid"),
         col(vecCol).as("qvec"))), Seq("qid"))
-    rankTopK(exact, k)
+    // the global max runs as an empty-key window over the |queries|·k
+    // output rows (tiny: one single-partition exchange of the final
+    // result), NOT as a self-join — a crossJoin against topk.agg would
+    // re-execute the whole candidate pipeline a second time
+    rankTopK(exact.drop("arn"), k)
+      .join(cand, Seq("qid", "id"))
+      .withColumn("worst_rank",
+        max(col("arn")).over(Window.partitionBy()).cast("int"))
+      .drop("arn")
   }
 
   /** Global top-n most-similar pairs by exact cosine — the all-pairs
