@@ -265,6 +265,10 @@ object PipelineQueries {
 
   /** DuckDB-side normalization fingerprint ([[TextOps.normFingerprint]]);
     * shared by q50 and q69. */
+  /** HTML fixture (tools/gen_html_fixture.py): generated pages plus the
+    * html.parser-stack expected extraction — q197/q198's oracle. */
+  private val HtmlFix = "/root/repo/fixtures/html/htmldocs.parquet"
+
   private val duckFingerprint =
     """md5(regexp_replace(regexp_replace(lower(text),
       |  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""".stripMargin
@@ -2324,6 +2328,79 @@ object PipelineQueries {
         |SELECT status, CAST(-1 AS BIGINT) AS doc_id, count(*) AS n
         |FROM j WHERE status = 'same' GROUP BY status
         |ORDER BY status, doc_id""".stripMargin,
+      headline = true),
+
+    // HTML main-content extraction (r9) — the crawl-ingestion front
+    // every 100 TB web corpus starts from, generalizing the reference's
+    // plain-file document loading (eval/doc_retriever.py:28-37). One
+    // fused codegen'd scan per page (GraftHtml.extractMain): tag strip,
+    // script/style + head/nav/header/footer/aside boilerplate removal,
+    // entity decode, main → article → whole-document scope choice,
+    // whitespace collapse. Oracle = the fixture's expected text,
+    // precomputed by a DIFFERENT stack (tools/gen_html_fixture.py,
+    // Python's event-driven html.parser over 5000 generated pages with
+    // nested boilerplate, quoted '>' in attributes, entities, comments
+    // containing tags) — byte-exact equality pins the shared spec.
+    "q197_html_extract" -> api((spark, _) =>
+      spark.read.parquet(HtmlFix)
+        .join(broadcast(spark.table("documents").select(col("doc_id"))),
+          Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.htmlExtractMain(col("html"))
+            .as("main_text"))
+        .orderBy("doc_id"),
+      s"""SELECT e.doc_id, e.main_text
+        |FROM read_parquet('$HtmlFix') e
+        |JOIN documents d ON e.doc_id = d.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
+      headline = true),
+
+    // The extraction COMPOSED in front of the curation chain (q69's
+    // shape): extract → normalization-fingerprint dedup → quality
+    // scoring on survivors only (the `when(rn = 1, ...)` guard keeps
+    // the expensive kernels off duplicate rows) → one-row corpus
+    // funnel summary. The oracle rebuilds the funnel from the
+    // fixture's independently extracted main_text with the SAME shared
+    // SQL fragments the q48/q50 oracles use, so extraction, dedup and
+    // scoring can't drift apart unnoticed.
+    "q198_html_curation_front" -> api((spark, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val extracted = spark.read.parquet(HtmlFix)
+        .join(broadcast(spark.table("documents").select(col("doc_id"))),
+          Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.htmlExtractMain(col("html"))
+            .as("text"))
+      extracted
+        .withColumn("fp", TextOps.normFingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .withColumn("q",
+          when(col("rn") === 1, TextOps.qualityScore(col("text"))))
+        .withColumn("toks", when(col("q") >= 0.5,
+          size(split(trim(col("text")), "\\s+")).cast("long")))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum("toks"), lit(0L)).as("kept_tokens"))
+    },
+      s"""WITH e AS (SELECT e.doc_id, e.main_text AS text
+        |  FROM read_parquet('$HtmlFix') e
+        |  JOIN documents d ON e.doc_id = d.doc_id),
+        |keyed AS (SELECT doc_id, text, $duckFingerprint AS fp FROM e),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY doc_id) AS rn FROM keyed),
+        |sc AS (SELECT *, CASE WHEN rn = 1 THEN $duckQuality END AS q
+        |  FROM dd)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN q >= 0.5 THEN
+        |    len(string_split_regex(trim(text), '\\s+')) END), 0)
+        |    AS BIGINT) AS kept_tokens
+        |FROM sc""".stripMargin,
       headline = true),
 
     // Canonical-document selection: q94's near-dup clusters +

@@ -42,7 +42,8 @@ object GraftFunctions {
     ("word_shingles_all", 2, args => WordShinglesAllExpr(args(0), args(1))),
     ("char_ngrams_all", 2, args => CharNgramsAllExpr(args(0), args(1))),
     ("lsh_band_hashes", 3, args => LshBandsExpr(args(0), args(1), args(2))),
-    ("correct_casing", 1, args => SqlCorrectCasingExpr(args(0)))
+    ("correct_casing", 1, args => SqlCorrectCasingExpr(args(0))),
+    ("html_extract_main", 1, args => HtmlExtractMainExpr(args(0)))
   )
 
   import org.apache.spark.sql.Column
@@ -78,6 +79,8 @@ object GraftFunctions {
   def vecQuantize8(a: Column): Column = toCol(VecQuantize8Expr(toExpr(a)))
   def normPrefix(text: Column, n: Column): Column =
     toCol(NormPrefixExpr(toExpr(text), toExpr(n)))
+  def htmlExtractMain(html: Column): Column =
+    toCol(HtmlExtractMainExpr(toExpr(html)))
   /** Bounded "k smallest longs, sorted" aggregate — O(k) state per
     * group vs collect_list's O(group). */
   def boundedMinLongs(x: Column, k: Int): Column =

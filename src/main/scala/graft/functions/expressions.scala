@@ -316,6 +316,25 @@ case class VecNormExpr(child: Expression)
     copy(child = newChildren(0))
 }
 
+/** Single-pass HTML main-content extraction ([[GraftHtml.extractMain]]):
+  * tag-strip + boilerplate removal + scope choice (main → article →
+  * whole document) as ONE fused scan — the crawl-ingestion front of a
+  * training-data pipeline. StaticInvoke keeps it inside whole-stage
+  * codegen (no UDF serialization); spec pinned byte-exact against the
+  * html.parser-stack fixture (tools/gen_html_fixture.py, q197). */
+case class HtmlExtractMainExpr(child: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftHtml.getClass, StringType, "extractMain",
+      Seq(child), inputTypes = Seq(StringType),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "html_extract_main"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** Fused content normalization with optional prefix truncation
   * ([[GraftVector.normPrefix]]) — one byte-level pass replacing the
   * `regexp_replace(regexp_replace(lower(text), …))` chain under every
