@@ -2403,6 +2403,45 @@ object PipelineQueries {
         |FROM sc""".stripMargin,
       headline = true),
 
+    // Exact-substring dedup at ≥8-token granularity (r9) — the
+    // distributed formulation of Lee et al.'s suffix-array ExactSubstr
+    // (see TextOps.exactSubstrDedup: union of duplicated 8-token
+    // windows == the maximal duplicated spans). The oracle derives the
+    // same spans INDEPENDENTLY: coverage via a correlated EXISTS range
+    // probe (dup start in [p-7, p]) instead of the engine's sliding-
+    // window max, so the two formulations cross-check each other.
+    "q199_exact_substr_dedup" -> api((spark, _) =>
+      TextOps.exactSubstrDedup(spark.table("documents"),
+        "doc_id", "text", n = 8).orderBy("doc_id"),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        |ex AS (SELECT doc_id, words,
+        |    unnest(range(1, len(words) - 6)) AS i FROM w),
+        |stf AS (SELECT doc_id, i AS s,
+        |    ('0x' || substring(md5(array_to_string(words[i:i+7], ' ')),
+        |      1, 12))::BIGINT AS fp
+        |  FROM ex),
+        |dup AS (SELECT fp FROM stf GROUP BY fp HAVING count(*) >= 2),
+        |ds AS (SELECT doc_id, s FROM stf JOIN dup USING (fp)),
+        |tok AS (SELECT doc_id, unnest(words) AS word,
+        |    generate_subscripts(words, 1) AS p FROM w),
+        |cov AS (SELECT t.doc_id, t.p, t.word,
+        |    EXISTS (SELECT 1 FROM ds WHERE ds.doc_id = t.doc_id
+        |      AND ds.s BETWEEN t.p - 7 AND t.p) AS c
+        |  FROM tok t),
+        |runs AS (SELECT doc_id, p, word, c,
+        |    CASE WHEN c AND NOT coalesce(
+        |      lag(c) OVER (PARTITION BY doc_id ORDER BY p), FALSE)
+        |    THEN 1 ELSE 0 END AS sp
+        |  FROM cov)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(count(*) FILTER (c) AS BIGINT) AS n_removed,
+        |  CAST(sum(sp) AS BIGINT) AS n_spans,
+        |  coalesce(string_agg(word, ' ' ORDER BY p) FILTER (NOT c), '')
+        |    AS kept_text
+        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      headline = true),
+
     // Canonical-document selection: q94's near-dup clusters +
     // survivorship — per connected component keep the highest-quality
     // member (rounded-quality desc, doc_id tie-break) and report the

@@ -502,6 +502,80 @@ object TextOps {
     definitelyNew.unionByName(confirmedNew)
   }
 
+  /** Exact-substring dedup at ≥`n`-token granularity — the sorted
+    * shingle-fingerprint formulation of Lee et al.'s suffix-array
+    * ExactSubstr (arXiv:2107.06499, "Deduplicating Training Data Makes
+    * Language Models Better"): any token-aligned duplicated substring
+    * of ≥ n tokens contains a duplicated n-token window, and the UNION
+    * of duplicated windows is exactly the maximal duplicated spans —
+    * so counting n-gram fingerprints replaces the (inherently
+    * sequential) suffix array with three shuffles, all of them
+    * key-partitioned and skew-free:
+    *
+    *   1. explode n-token shingle starts, fingerprint each (48-bit
+    *      md5-prefix here — the hash both engines compute identically;
+    *      at 100 TB widen to 128-bit), groupBy fp → starts whose
+    *      fingerprint occurs ≥ 2 times anywhere (including a repeat
+    *      inside the same document — Lee et al. remove self-repeats
+    *      too);
+    *   2. mark covered tokens WITHOUT exploding n rows per window: a
+    *      token p is inside some duplicated window iff a duplicated
+    *      start exists in [p-n+1, p] — a sliding-window MAX over the
+    *      per-position dup flag (`ROWS n-1 PRECEDING`), one window
+    *      pass per doc, O(1) state;
+    *   3. per-doc rollup: removed-token count, maximal-span count
+    *      (covered-run starts via lag), and the surviving text.
+    *
+    * vs q171's disjoint 10-token-segment dedup: this removes
+    * duplicated spans at ANY offset (q171 only aligned equal
+    * segments) and enforces a principled ≥n-token floor (q171's floor
+    * degenerates on final partial segments, banning duplicated tails
+    * as short as one token). Measured at sf0.01 the two remove
+    * similar token mass from different places — see the BASELINE.md
+    * r9 note for the numbers.
+    *
+    * Output: (doc_id, n_tokens, n_removed, n_spans, kept_text). */
+  def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"span granularity n=$n must be >= 2")
+    val w = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("words"))
+    // shingle starts (1-based), fingerprinted; len < n docs emit none
+    val starts = w.where(size(col("words")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(words) - ${n - 1}),
+           |  i -> struct(i AS s, CAST(conv(substring(
+           |    md5(array_join(slice(words, i, $n), ' ')),
+           |    1, 12), 16, 10) AS BIGINT) AS fp))""".stripMargin))
+        .as("st"))
+      .select(col("doc_id"), col("st.s").as("p"), col("st.fp").as("fp"))
+    val dupFp = starts.groupBy("fp")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select("fp")
+    val dupStarts = starts.join(dupFp, "fp")
+      .select(col("doc_id"), col("p"), lit(1).as("isdup"))
+    val toks = w.select(col("doc_id"),
+        posexplode(col("words")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("word"))
+    val slide = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val seq0 = Window.partitionBy("doc_id").orderBy("p")
+    toks.join(dupStarts, Seq("doc_id", "p"), "left")
+      .na.fill(0, Seq("isdup"))
+      .withColumn("cov", max("isdup").over(slide))
+      .withColumn("span_start", (col("cov") === 1 &&
+        coalesce(lag("cov", 1).over(seq0), lit(0)) === 0).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("cov").cast("long").as("n_removed"),
+        sum("span_start").cast("long").as("n_spans"),
+        concat_ws(" ", expr(
+          """transform(filter(
+            |  sort_array(collect_list(struct(p, cov, word))),
+            |  x -> x.cov = 0), x -> x.word)""".stripMargin))
+          .as("kept_text"))
+  }
+
   /** Content-normalization fingerprint: lowercase, strip non-alnum, collapse
     * whitespace, md5 — the standard "exact dup after normalization" key.
     * Deterministic and engine-portable (SQL-expressible in DuckDB too —

@@ -319,4 +319,55 @@ class TextOpsSpec extends SparkSpecBase {
     val got = TextOps.bloomNewDocs(docs, docs.where(lit(false)), "fp")
     assert(got.count() == 20)
   }
+
+  test("exactSubstrDedup removes cross-doc duplicated spans at any " +
+      "offset and merges overlapping windows") {
+    import spark.implicits._
+    def words(pre: String, shared: String, post: String) =
+      (pre + " " + shared + " " + post).trim
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ") // 10 tokens
+    val docs = Seq(
+      // shared block at different offsets in docs 1 and 2
+      (1L, words("alpha beta", shared, "omega one two")),
+      (2L, words("x", shared, "tail")),
+      (3L, "totally unique content with no repeats at all here now"),
+      (4L, "short doc")) // below n -> fully kept
+      .toDF("doc_id", "text")
+    val out = TextOps.exactSubstrDedup(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1: 2 + 10 + 3 tokens; exactly the 10 shared ones removed as
+    // ONE maximal span (overlapping 4-token windows merged)
+    assert(byId(1L) == ((15L, 10L, 1L, "alpha beta omega one two")))
+    assert(byId(2L) == ((12L, 10L, 1L, "x tail")))
+    assert(byId(3L)._2 == 0L && byId(3L)._3 == 0L)
+    assert(byId(4L) == ((2L, 0L, 0L, "short doc")))
+  }
+
+  test("exactSubstrDedup counts a within-doc self-repeat as duplicated") {
+    import spark.implicits._
+    val run = (1 to 6).map(i => s"r$i").mkString(" ")
+    val docs = Seq((1L, s"$run mid1 mid2 $run end")).toDF("doc_id", "text")
+    val out = TextOps.exactSubstrDedup(docs, "doc_id", "text", n = 6)
+      .collect().head
+    // both copies of the 6-token run are removed; the middle survives
+    assert(out.getLong(2) == 12L, out.toString)
+    assert(out.getString(4) == "mid1 mid2 end", out.toString)
+  }
+
+  test("exactSubstrDedup emits two spans when duplicated runs are " +
+      "separated by unique tokens") {
+    import spark.implicits._
+    val a = (1 to 5).map(i => s"a$i").mkString(" ")
+    val b = (1 to 5).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a gapone gaptwo gapthree $b"),
+      (2L, s"pre1 pre2 $a post $b post2")).toDF("doc_id", "text")
+    val out = TextOps.exactSubstrDedup(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(3) == 2L, out(0).toString)
+    assert(out(0).getString(4) == "gapone gaptwo gapthree")
+    assert(out(1).getString(4) == "pre1 pre2 post post2")
+  }
 }
