@@ -2442,6 +2442,66 @@ object PipelineQueries {
         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       headline = true),
 
+    // GPT-style concat-and-chunk sequence packing (r9): documents
+    // concatenate in doc_id order, the token stream cuts into 512-token
+    // training sequences, each doc reports its [chunk_first,
+    // chunk_last] span. The global running offset is a distributed
+    // TWO-PASS prefix sum (PackingOps.packChunks: per-partition
+    // partials + a #partitions-row offsets table broadcast back) — the
+    // oracle computes the same offsets with the naive single-window
+    // cumsum DuckDB can afford at sf, so the scalable formulation is
+    // pinned against the textbook definition.
+    "q200_sequence_packing" -> api((spark, _) =>
+      operators.PackingOps.packChunks(
+        spark.table("documents").select(col("doc_id"),
+          size(split(col("text"), " ")).as("toks")),
+        "doc_id", "toks", chunkLen = 512).orderBy("doc_id"),
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    CAST(coalesce(sum(toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS gstart
+        |  FROM t)
+        |SELECT doc_id, toks, gstart,
+        |  CAST(gstart // 512 AS BIGINT) AS chunk_first,
+        |  CAST((gstart + greatest(toks, 1) - 1) // 512 AS BIGINT)
+        |    AS chunk_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+      headline = true),
+
+    // Temperature-resampled language mixing (r9, the XLM-R-style
+    // α-sampling that up-weights low-resource slices; α = 0.5 = sqrt,
+    // the one power IEEE 754 rounds correctly in both engines). All
+    // remaining arithmetic is integer (quantized weight, 128-bit
+    // share), and the kept SET is pinned — selection is md5-of-id
+    // order (q92's portable sampling key) and kept_id_sum hashes it.
+    "q201_temperature_mix" -> api((spark, _) =>
+      operators.PackingOps.temperatureMix(
+        spark.table("documents"), "doc_id", "lang")
+        .orderBy("key"),
+      """WITH counts AS (SELECT lang AS key, count(*) AS n_docs,
+        |    CAST(round(sqrt(n_docs) * 1e6) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |targets AS (SELECT key, n_docs,
+        |    CAST(w::HUGEINT * (sum(n_docs) OVER ())::HUGEINT
+        |      // (sum(w) OVER ())::HUGEINT AS BIGINT) AS target_docs
+        |  FROM counts),
+        |ranked AS (SELECT lang AS key, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT t.key, t.n_docs, t.target_docs,
+        |  CAST(sum(CASE WHEN r.rk <= t.target_docs THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS kept_docs,
+        |  CAST(coalesce(sum(CASE WHEN r.rk <= t.target_docs
+        |    THEN r.doc_id END), 0) AS BIGINT) AS kept_id_sum
+        |FROM ranked r JOIN targets t USING (key)
+        |GROUP BY t.key, t.n_docs, t.target_docs
+        |ORDER BY t.key""".stripMargin,
+      headline = true),
+
     // Canonical-document selection: q94's near-dup clusters +
     // survivorship — per connected component keep the highest-quality
     // member (rounded-quality desc, doc_id tie-break) and report the
