@@ -2502,6 +2502,85 @@ object PipelineQueries {
         |ORDER BY t.key""".stripMargin,
       headline = true),
 
+    // T5-style span corruption (r9, Raffel et al. 2020 §3.1.4) in its
+    // deterministic form: fixed 3-token grid (spans cannot overlap →
+    // no sequential collision scan), portable md5 gate per (doc_id,
+    // grid cell) at rate 1/10, numbered sentinels via a doc-keyed
+    // window cumsum. Oracle rebuilds corrupted+target strings from the
+    // same spec in DuckDB — byte-exact string equality pins grid,
+    // gate, numbering and both reassemblies.
+    "q202_span_corruption" -> api((spark, _) =>
+      TextOps.spanCorrupt(spark.table("documents"), "doc_id", "text",
+        spanLen = 3, gateMod = 10).orderBy("doc_id"),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS word,
+        |    generate_subscripts(words, 1) AS p FROM w),
+        |g AS (SELECT doc_id, p, word,
+        |    p - ((p - 1) % 3) AS s FROM tok),
+        |m AS (SELECT doc_id, p, word, s,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(s AS VARCHAR)), 1, 12))::BIGINT % 10 = 0 AS masked
+        |  FROM g),
+        |k AS (SELECT doc_id, p, word, masked,
+        |    CASE WHEN masked AND p = s THEN 1 ELSE 0 END AS is_start,
+        |    sum(CASE WHEN masked AND p = s THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) - 1 AS sk
+        |  FROM m)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  CAST(sum(is_start) AS BIGINT) AS n_spans,
+        |  coalesce(string_agg(
+        |    CASE WHEN NOT masked THEN word
+        |         WHEN is_start = 1 THEN '<extra_id_' || sk || '>' END,
+        |    ' ' ORDER BY p) FILTER (NOT masked OR is_start = 1), '')
+        |    AS corrupted,
+        |  coalesce(string_agg(
+        |    CASE WHEN is_start = 1
+        |         THEN '<extra_id_' || sk || '> ' || word
+        |         ELSE word END,
+        |    ' ' ORDER BY p) FILTER (masked), '') AS target
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      headline = true),
+
+    // Length-outlier trim by exact interpolated percentiles (r9): the
+    // curation step that drops truncation-fodder and fragment docs.
+    // Spark's `percentile` and DuckDB's `quantile_cont` share the
+    // interpolated definition (the q152 precedent); bounds ride in the
+    // output so the driver pins them, and the kept set is the id-sum-
+    // checked complement of the tails.
+    "q203_length_trim" -> api((spark, _) => {
+      val d = spark.table("documents")
+        .select(col("doc_id"), col("n_chars").cast("double").as("len"))
+      val bounds = d.agg(
+        expr("percentile(len, 0.01)").as("p01"),
+        expr("percentile(len, 0.99)").as("p99"))
+      d.crossJoin(broadcast(bounds))
+        .groupBy("p01", "p99")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("len") >= col("p01") && col("len") <= col("p99"),
+            1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("len") >= col("p01") &&
+              col("len") <= col("p99"), col("doc_id"))), lit(0L))
+            .as("kept_id_sum"))
+        .select(round(col("p01"), 4).as("p01"),
+          round(col("p99"), 4).as("p99"),
+          col("n_docs"), col("n_kept"), col("kept_id_sum"))
+    },
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS len
+        |  FROM documents),
+        |b AS (SELECT CAST(quantile_cont(len, 0.01) AS DOUBLE) AS p01,
+        |    CAST(quantile_cont(len, 0.99) AS DOUBLE) AS p99 FROM d)
+        |SELECT round(b.p01, 4) AS p01, round(b.p99, 4) AS p99,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN d.len BETWEEN b.p01 AND b.p99
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN d.len BETWEEN b.p01 AND b.p99
+        |    THEN d.doc_id END), 0) AS BIGINT) AS kept_id_sum
+        |FROM d, b GROUP BY b.p01, b.p99""".stripMargin,
+      headline = true),
+
     // Canonical-document selection: q94's near-dup clusters +
     // survivorship — per connected component keep the highest-quality
     // member (rounded-quality desc, doc_id tie-break) and report the

@@ -576,6 +576,68 @@ object TextOps {
           .as("kept_text"))
   }
 
+  /** T5-style span-corruption training-example construction (Raffel et
+    * al. 2020, arXiv:1910.10683 §3.1.4): mask ~10% of tokens in short
+    * spans, replace each masked span with a numbered sentinel in the
+    * input and emit the spans behind their sentinels as the target.
+    *
+    * Where T5 samples spans stochastically, this is the DETERMINISTIC
+    * formulation a reproducible data pipeline needs: span starts live
+    * on a fixed `spanLen`-token grid (so spans can never overlap — no
+    * sequential scan to resolve collisions) and a grid cell is masked
+    * iff a portable 48-bit md5 hash of (doc_id, grid start) lands in
+    * 1/`gateMod` of the space. Every per-token decision is then a pure
+    * function of (doc_id, position): embarrassingly parallel, no state.
+    * The only ordered step is the per-doc sentinel NUMBERING (a
+    * doc-keyed window cumsum — scalable, the partition key is the doc).
+    *
+    * Output: (doc_id, n_tokens, n_masked, n_spans, corrupted, target);
+    * `corrupted` has each masked span replaced by `<extra_id_k>`,
+    * `target` is the concatenation of `<extra_id_k> span tokens…`. */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3, gateMod: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanLen >= 1 && gateMod >= 1)
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("words"))
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("word"))
+      // grid start of p's cell, and the portable hash gate on that cell
+      .withColumn("s", col("p") - pmod(col("p") - 1, lit(spanLen)))
+      .withColumn("masked", expr(
+        s"""CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+           |  CAST(s AS STRING))), 1, 12), 16, 10) AS BIGINT)
+           |  % $gateMod = 0""".stripMargin))
+    val perDoc = Window.partitionBy("doc_id").orderBy("p")
+    val marked = toks
+      .withColumn("is_start", (col("masked") && col("p") === col("s"))
+        .cast("int"))
+      // sentinel number = masked spans started up to here, minus one
+      .withColumn("k", sum("is_start").over(perDoc) - 1)
+      .withColumn("corrupted_tok",
+        when(!col("masked"), col("word"))
+          .when(col("is_start") === 1,
+            concat(lit("<extra_id_"), col("k"), lit(">"))))
+      .withColumn("target_tok",
+        when(col("masked") && col("is_start") === 1,
+          concat(lit("<extra_id_"), col("k"), lit("> "), col("word")))
+          .when(col("masked"), col("word")))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("masked").cast("long")).as("n_masked"),
+        sum("is_start").cast("long").as("n_spans"),
+        concat_ws(" ", expr(
+          """transform(filter(
+            |  sort_array(collect_list(struct(p, corrupted_tok))),
+            |  x -> x.corrupted_tok IS NOT NULL), x -> x.corrupted_tok)"""
+            .stripMargin)).as("corrupted"),
+        concat_ws(" ", expr(
+          """transform(filter(
+            |  sort_array(collect_list(struct(p, target_tok))),
+            |  x -> x.target_tok IS NOT NULL), x -> x.target_tok)"""
+            .stripMargin)).as("target"))
+  }
+
   /** Content-normalization fingerprint: lowercase, strip non-alnum, collapse
     * whitespace, md5 — the standard "exact dup after normalization" key.
     * Deterministic and engine-portable (SQL-expressible in DuckDB too —

@@ -356,6 +356,41 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out.getString(4) == "mid1 mid2 end", out.toString)
   }
 
+  test("spanCorrupt masks grid-aligned spans and corrupted+target " +
+      "reconstruct the original text exactly") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, (1 to 30).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.spanCorrupt(docs, "doc_id", "text",
+      spanLen = 3, gateMod = 4).orderBy("doc_id").collect()
+    val sentinel = "<extra_id_(\\d+)>".r
+    var sawMask = false
+    out.foreach { r =>
+      val (nTok, nMasked, nSpans) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTok == 30)
+      assert(nMasked == nSpans * 3, r.toString) // full 3-token spans
+      if (nSpans > 0) sawMask = true
+      // numbering is dense from 0 in both strings
+      val corr = r.getString(4)
+      val tgt = r.getString(5)
+      val ks = sentinel.findAllMatchIn(corr).map(_.group(1).toInt).toSeq
+      assert(ks == (0 until nSpans.toInt), r.toString)
+      // reconstruct: substitute each sentinel with its target span
+      val spans = if (tgt.isEmpty) Map.empty[Int, String] else
+        tgt.split("<extra_id_").filter(_.nonEmpty).map { s =>
+          val Array(k, rest) = s.split(">", 2)
+          k.toInt -> rest.trim
+        }.toMap
+      val rebuilt = sentinel.replaceAllIn(corr,
+        m => spans(m.group(1).toInt))
+      val original = docs.where(col("doc_id") === r.getLong(0))
+        .select("text").as[String].head()
+      assert(rebuilt == original, s"doc ${r.getLong(0)}")
+    }
+    assert(sawMask, "gateMod=4 over 50 docs should mask something")
+  }
+
   test("exactSubstrDedup emits two spans when duplicated runs are " +
       "separated by unique tokens") {
     import spark.implicits._
