@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EmbeddingOps, PromptOps, RetrievalOps, TextOps}
+import graft.operators.{EmbeddingOps, MediaOps, PromptOps, RetrievalOps, TextOps}
 import graft.functions.GraftFunctions
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -2579,6 +2579,73 @@ object PipelineQueries {
         |  CAST(coalesce(sum(CASE WHEN d.len BETWEEN b.p01 AND b.p99
         |    THEN d.doc_id END), 0) AS BIGINT) AS kept_id_sum
         |FROM d, b GROUP BY b.p01, b.p99""".stripMargin,
+      headline = true),
+
+    // Lexical BM25 top-10 retrieval (r9) — the sparse complement to
+    // the dense retrieval entries (q60/q61): Okapi BM25 with the
+    // Lucene idf, k1=1.2 b=0.75, natural log. The tf shuffle carries
+    // only query-term postings (isin filter below the aggregation);
+    // scores round to 6dp BEFORE ranking so cross-engine 1-ulp ln
+    // drift cannot flip the doc_id tie-break; the corpus-wide top-10
+    // runs as TakeOrderedAndProject, not a global window.
+    "q204_bm25_topn" -> api((spark, _) =>
+      operators.RetrievalOps.bm25TopN(spark.table("documents"),
+        "doc_id", "text", Seq("hash", "join", "merge", "filter"),
+        n = 10).orderBy("rn"),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl
+        |  FROM w),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl
+        |  FROM lens),
+        |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(words) AS t FROM w)
+        |  WHERE t IN ('hash', 'join', 'merge', 'filter')
+        |  GROUP BY doc_id, t),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (SELECT tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+        |        / (CAST(df.df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) /
+        |        (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          CAST(lens.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+        |          / CAST(s.sum_dl AS DOUBLE))))), 6) AS score,
+        |    count(*) AS n_terms_hit
+        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score, n_terms_hit,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      headline = true),
+
+    // Image near-dup dedup via perceptual hashing (r9) — the
+    // multimodal sibling of the text near-dup kernels: REAL JDK PNG
+    // decode → integer-exact dHash (9×8 nearest-neighbor downsample,
+    // luma gradient sign bits) → the SAME banded Hamming kernel the
+    // simhash paths use (TextOps.hammingPairs), threshold 6. The
+    // fixture's 300 pages contain 100 phase-shifted companion pairs
+    // (tools/gen_dhash_fixture.py — hashes computed from RAW pixel
+    // arrays, never the JVM decoder, so decode+hash is cross-stack);
+    // the oracle re-derives the pairs quadratically from the expected
+    // hashes: 88 companions land within the threshold, 0 accidental
+    // collisions, and a decode or hash regression moves the pair set.
+    "q205_image_dhash_dedup" -> api((spark, _) =>
+      TextOps.hammingPairs(
+        MediaOps.imageDHash(
+          spark.read.parquet("/root/repo/fixtures/dhash/pngs.parquet")),
+        "media_id", "dhash", bits = 64, maxHamming = 6)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      """SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM read_parquet('/root/repo/fixtures/dhash/expected.parquet') a
+        |JOIN read_parquet('/root/repo/fixtures/dhash/expected.parquet') b
+        |  ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
       headline = true),
 
     // Canonical-document selection: q94's near-dup clusters +

@@ -171,6 +171,48 @@ object MediaOps {
       .select(col("media_id"), col("s.*"))
   }
 
+  /** Difference-hash (dHash) of one encoded image — the standard
+    * perceptual fingerprint for image near-dup dedup: 9×8 integer
+    * nearest-neighbor downsample (x_i = i·w/9, y_j = j·h/8), integer
+    * luma, bit j·8+i set iff luma(x_{i+1},y_j) > luma(x_i,y_j). All
+    * integer math, so the hash is bit-identical across platforms and
+    * matches tools/gen_dhash_fixture.py's raw-pixel-array computation
+    * (a different stack — the fixture never touches the JVM decoder).
+    * Robust to re-encoding and small edits; Hamming distance between
+    * hashes is the near-dup metric (fed to the banded Hamming kernel,
+    * q205). */
+  def decodeImageDHash(payload: Array[Byte]): Long = {
+    ImageIO.setUseCache(false)
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    def luma(x: Int, yy: Int): Int = {
+      val p = img.getRGB(x, yy)
+      (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+        (p & 0xff) * 114) / 1000
+    }
+    var out = 0L
+    var j = 0
+    while (j < 8) {
+      val yj = j * h / 8
+      var i = 0
+      while (i < 8) {
+        if (luma((i + 1) * w / 9, yj) > luma(i * w / 9, yj))
+          out |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Column-path dHash over an image table (media_id, png). */
+  def imageDHash(images: DataFrame): DataFrame = {
+    val u = udf((b: Array[Byte]) => decodeImageDHash(b))
+    images.select(col("media_id"), u(col("png")).as("dhash"))
+  }
+
   /** The image corpus as individual FILES read through Spark's
     * `binaryFile` source — the real ingestion path for media sitting on
     * a filesystem/object store (one row per file: path, length,

@@ -137,4 +137,60 @@ object RetrievalOps {
           .orderBy(col("score").desc +: corpusKeys.map(col): _*)))
       .where(col("rn") <= n)
   }
+
+  /** Lexical BM25 top-n retrieval (Robertson/Okapi; the Lucene idf
+    * variant ln(1 + (N - df + 0.5)/(df + 0.5))) — the standard sparse
+    * complement to [[retrieveTopN]]'s dense scoring.
+    *
+    * Plan shape for a corpus-scale index: one explode+groupBy builds
+    * per-(doc, term) tf restricted to the query's terms (the filter is
+    * pushed INTO the aggregation input, so the shuffle carries only
+    * query-term postings — the inverted-list slice, not the corpus);
+    * df/idf derive from that same slice; doc lengths ride in a
+    * broadcast-sized per-doc table only for matching docs. All float
+    * steps are IEEE-deterministic given identical inputs; the final
+    * score is rounded (duck_round) BEFORE ranking so cross-engine
+    * 1-ulp log/division drift cannot flip the doc_id tie-break.
+    *
+    * k1 = 1.2, b = 0.75 (the standard defaults). Scores use natural
+    * log; avgdl is the exact integer-sum ratio. */
+  def bm25TopN(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], n: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("words"))
+    val lens = toks.select(col("doc_id"), size(col("words")).cast("long")
+      .as("dl"))
+    // N and avgdl as exact scalars via an empty-key window over the
+    // tiny (doc, len) aggregate — no driver collect
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("words")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("norm", col("tf").cast("double") * (k1 + 1.0) /
+        (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) *
+          col("dl").cast("double") * col("n_docs").cast("double") /
+          col("sum_dl").cast("double"))))
+      .groupBy("doc_id")
+      .agg(GraftFunctions.duckRound(sum(col("idf") * col("norm")), 6)
+          .as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    // top-n FIRST (TakeOrderedAndProject — distributed per-partition
+    // top-n, no global sort), then rank the n survivors; the global
+    // window runs over n rows, not the corpus
+    scored.orderBy(col("score").desc, col("doc_id")).limit(n)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+  }
 }

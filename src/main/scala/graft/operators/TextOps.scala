@@ -392,6 +392,18 @@ object TextOps {
       .where(col("rk") <= k)
   }
 
+  /** Generic banded Hamming-pair search over an arbitrary signature
+    * column — the same pigeonhole kernel the simhash text paths use,
+    * exposed for non-text fingerprints (perceptual image hashes, q205).
+    * Returns (id_a, id_b, hamming) with id_a < id_b, hamming ≤
+    * `maxHamming`. */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int = 64, maxHamming: Int = 3,
+      maxBucket: Int = 1 << 16): DataFrame =
+    bandedHammingPairs(
+      sigs.select(col(idCol).as("id"), col(sigCol).as("sig")),
+      bits, maxHamming, maxBucket)
+
   private def bandedHammingPairs(sigs: DataFrame, bits: Int,
       maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,

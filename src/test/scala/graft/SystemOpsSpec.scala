@@ -455,6 +455,39 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(run(media.repartition(13), 32) == base)
   }
 
+  test("dHash: known-value on a constructed gradient, full fixture " +
+      "parity, and banded pairs equal the quadratic definition") {
+    // hand-checkable: left-to-right luma ramp -> every horizontal
+    // comparison is "brighter", all 64 bits set
+    val img = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18) {
+      val v = x * 14
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    assert(MediaOps.decodeImageDHash(baos.toByteArray) == -1L) // all 64 bits
+    // decode+hash parity against the raw-pixel-array fixture stack
+    val pngs = spark.read.parquet("/root/repo/fixtures/dhash/pngs.parquet")
+    val got = MediaOps.imageDHash(pngs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = spark.read
+      .parquet("/root/repo/fixtures/dhash/expected.parquet").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // banded kernel == quadratic pairs at the q205 threshold
+    val banded = graft.operators.TextOps.hammingPairs(
+        MediaOps.imageDHash(pngs), "media_id", "dhash",
+        bits = 64, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quad = (for {
+      (a, ha) <- want; (b, hb) <- want if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)).toSet
+    assert(banded == quad && quad.nonEmpty)
+  }
+
   test("media payload survives the binary column (roundtrip)") {
     Queries.prep(spark, sfDir)
     val back = MediaOps.mediaTable(spark.table("documents"))
