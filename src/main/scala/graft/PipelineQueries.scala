@@ -2648,6 +2648,52 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin,
       headline = true),
 
+    // Chunk-to-document embedding mean-pooling (r9): the aggregation
+    // step between chunk-level embedding (q61's pipeline) and
+    // doc-level similarity (q65/q172 consume doc vectors). Pure
+    // built-in higher-order functions — `aggregate` folding `zip_with`
+    // element-wise sums, `transform` for the divide — no UDF, no
+    // custom expression. Order-safety is by construction, not luck:
+    // the stub embeddings are small integers, so the double sums are
+    // EXACT in any collect_list order; division and rounding then
+    // can't drift. Oracle re-derives per-element means by exploding in
+    // DuckDB (generate_subscripts — a different aggregation shape).
+    "q206_embed_mean_pool" -> api((spark, _) => {
+      val chunks = RetrievalOps.chunkDocuments(
+        spark.table("documents"), "doc_id", "text")
+      chunks
+        .select(col("doc_id"), RetrievalOps.stubEmbed(col("chunk"))
+          .as("emb"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          collect_list(col("emb")).as("embs"))
+        .select(col("doc_id"), col("n_chunks"), posexplode(expr(
+          """transform(
+            |  aggregate(embs, array_repeat(0.0D, 16),
+            |    (acc, x) -> zip_with(acc, x, (a, b) -> a + b)),
+            |  s -> s / n_chunks)""".stripMargin)).as(Seq("i", "v")))
+        .select(col("doc_id"), col("n_chunks"), col("i"),
+          graft.functions.GraftFunctions.duckRound(col("v"), 6).as("v"))
+        .orderBy("doc_id", "i")
+    },
+      """WITH c AS (
+        |  SELECT doc_id, u.i AS chunk_idx,
+        |    substring(text, u.i*450 + 1, 500) AS chunk
+        |  FROM documents, unnest(range(0, greatest(
+        |     CAST(ceil((length(text) - 50) / 450.0) AS BIGINT), 1))) AS u(i)
+        |), e AS (
+        |  SELECT doc_id, chunk_idx, list_transform(range(0,16), i ->
+        |    CAST((ascii(substring(chunk, i*7 + 1, 1)) * (i+1)) % 97
+        |      AS DOUBLE)) AS emb
+        |  FROM c
+        |), x AS (
+        |  SELECT doc_id, generate_subscripts(emb, 1) - 1 AS i,
+        |    unnest(emb) AS v
+        |  FROM e)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(i AS INT) AS i, round(sum(v) / count(*), 6) AS v
+        |FROM x GROUP BY doc_id, i ORDER BY doc_id, i""".stripMargin),
+
     // Canonical-document selection: q94's near-dup clusters +
     // survivorship — per connected component keep the highest-quality
     // member (rounded-quality desc, doc_id tie-break) and report the
