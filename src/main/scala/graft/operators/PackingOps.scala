@@ -39,10 +39,17 @@ object PackingOps {
   def packChunks(docs: DataFrame, idCol: String, tokCol: String,
       chunkLen: Int): DataFrame = {
     require(chunkLen > 0, "chunkLen must be positive")
+    // materialized ONCE (localCheckpoint): the per-row branch and the
+    // offsets branch must see the SAME pid assignment — two separate
+    // repartitionByRange exchanges each sample their own boundaries,
+    // and a boundary that lands differently between the branches would
+    // silently shift every downstream offset. Materializing also cuts
+    // the corpus scan count from two to one.
     val d = docs
       .select(col(idCol).as("doc_id"), col(tokCol).cast("long").as("toks"))
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     // exclusive prefix over the tiny per-partition totals table; the
     // unpartitioned window is deliberate — it carries #partitions rows
     val offsets = d.groupBy("pid").agg(sum("toks").as("ptoks"))

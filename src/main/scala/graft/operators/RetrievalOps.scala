@@ -160,16 +160,20 @@ object RetrievalOps {
     require(queryTerms.nonEmpty, "empty query")
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("words"))
+    // lens and tf are each consumed twice (lens by stats + the scoring
+    // join, tf by df + scoring); materializing them caps the corpus at
+    // TWO text scans instead of four — the plan-audited shape
     val lens = toks.select(col("doc_id"), size(col("words")).cast("long")
-      .as("dl"))
-    // N and avgdl as exact scalars via an empty-key window over the
-    // tiny (doc, len) aggregate — no driver collect
+      .as("dl")).localCheckpoint()
+    // N and avgdl as exact scalars broadcast from the tiny aggregate —
+    // no driver collect
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("sum_dl"))
     val tf = toks
       .select(col("doc_id"), explode(col("words")).as("term"))
       .where(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df), "term")
