@@ -2694,6 +2694,32 @@ object PipelineQueries {
         |  CAST(i AS INT) AS i, round(sum(v) / count(*), 6) AS v
         |FROM x GROUP BY doc_id, i ORDER BY doc_id, i""".stripMargin),
 
+    // Audio near-dup dedup via temporal energy-delta fingerprints (r9)
+    // — q205's audio sibling, completing the text/image/audio near-dup
+    // axis: REAL byte-level WAV decode → integer-exact 64-bit
+    // fingerprint (65 time-bin energies, gradient sign bits) → the
+    // shared banded Hamming kernel, threshold 6. Fixture: 240 clips
+    // with 80 level-nudged companions (tools/gen_audio_fp_fixture.py —
+    // fingerprints computed from raw samples, stdlib-wave encoded, so
+    // decode+hash is cross-stack); all 80 land within the threshold,
+    // 0 accidental collisions, min unrelated distance 20.
+    "q207_audio_fp_dedup" -> api((spark, _) =>
+      TextOps.hammingPairs(
+        MediaOps.audioFingerprint(
+          spark.read.parquet("/root/repo/fixtures/afp/wavs.parquet")),
+        "media_id", "afp", bits = 64, maxHamming = 6)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      """SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        |FROM read_parquet('/root/repo/fixtures/afp/expected.parquet') a
+        |JOIN read_parquet('/root/repo/fixtures/afp/expected.parquet') b
+        |  ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+      headline = true),
+
     // Canonical-document selection: q94's near-dup clusters +
     // survivorship — per connected component keep the highest-quality
     // member (rounded-quality desc, doc_id tie-break) and report the

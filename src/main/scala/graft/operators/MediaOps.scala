@@ -335,8 +335,10 @@ object MediaOps {
   def decodeWavResampleStats(payload: Array[Byte]): AudioStats =
     decodeWavStatsStrided(payload, 2)
 
-  private def decodeWavStatsStrided(payload: Array[Byte],
-      stride: Int): AudioStats = {
+  /** Parsed PCM16 layout of a RIFF/WAVE payload: (channels,
+    * sampleRate, dataOff, nFrames). All the defensive chunk-walk
+    * checks live here, shared by the stats and fingerprint decoders. */
+  private def wavPcmLayout(payload: Array[Byte]): (Int, Int, Int, Int) = {
     def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
     def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
     def tag(o: Int): String =
@@ -372,7 +374,13 @@ object MediaOps {
     require(bits == 16, s"only 16-bit PCM supported, got $bits")
     require(dataOff >= 0 && channels > 0, "missing data or fmt chunk")
     val nFrames = (dataLen / (2 * channels)).toInt
-    val dOff = dataOff.toInt // fits: dataOff + dataLen <= payload.length
+    (channels, sampleRate, dataOff.toInt, nFrames)
+  }
+
+  private def decodeWavStatsStrided(payload: Array[Byte],
+      stride: Int): AudioStats = {
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    val (channels, sampleRate, dOff, nFrames) = wavPcmLayout(payload)
     var sumAbs = 0L; var peak = 0L; var energy = 0L; var zc = 0L
     var prevNeg = false
     var kept = 0L
@@ -396,6 +404,48 @@ object MediaOps {
     }
     AudioStats(kept, sampleRate / stride, channels, sumAbs, peak, energy,
       zc)
+  }
+
+  /** Temporal energy-delta fingerprint of one WAV clip — the audio
+    * analogue of [[decodeImageDHash]] (a Shazam-style descriptor
+    * simplified to one band): channel 0 splits into 65 equal time bins
+    * (bin b covers frames [b·n/65, (b+1)·n/65), integer division),
+    * bin energy is the exact Σs² (long), and bit b (0..63) is set iff
+    * energy(b+1) > energy(b). All integer math — bit-identical across
+    * platforms and equal to tools/gen_audio_fp_fixture.py's raw-sample
+    * computation (stdlib-`wave`-encoded fixture, so decode+hash is
+    * cross-stack). Robust to amplitude/phase nudges, which only flip
+    * near-tie comparisons; Hamming distance is the near-dup metric
+    * (fed to the banded kernel, q207). */
+  def decodeAudioFingerprint(payload: Array[Byte]): Long = {
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    val (channels, _, dOff, nFrames) = wavPcmLayout(payload)
+    val energies = new Array[Long](65)
+    var b = 0
+    while (b < 65) {
+      var i = b * nFrames / 65
+      val end = (b + 1) * nFrames / 65
+      while (i < end) {
+        val s = le16(dOff + 2 * i * channels).toShort.toLong
+        energies(b) += s * s
+        i += 1
+      }
+      b += 1
+    }
+    var out = 0L
+    b = 0
+    while (b < 64) {
+      if (energies(b + 1) > energies(b)) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  /** Column-path audio fingerprinting over an audio table
+    * (media_id, wav). */
+  def audioFingerprint(audio: DataFrame): DataFrame = {
+    val u = udf((b: Array[Byte]) => decodeAudioFingerprint(b))
+    audio.select(col("media_id"), u(col("wav")).as("afp"))
   }
 
   /** The audio corpus: WAV payloads keyed by media_id, scoped to the

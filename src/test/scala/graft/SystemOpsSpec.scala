@@ -488,6 +488,38 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(banded == quad && quad.nonEmpty)
   }
 
+  test("audio fingerprint: known-value on a constructed ramp and full " +
+      "fixture parity") {
+    // hand-checkable: amplitude grows with time -> every bin-energy
+    // comparison is "louder", all 64 bits set
+    val n = 6500
+    val samples = Array.tabulate(n)(t => ((t / 100) * (if (t % 2 == 0) 1
+      else -1)).toShort)
+    val bos = new java.io.ByteArrayOutputStream()
+    val data = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(data.putShort)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    bos.write("RIFF".getBytes); bos.write(le32(36 + n * 2))
+    bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); bos.write(le32(16))
+    bos.write(le16(1)); bos.write(le16(1)); bos.write(le32(8000))
+    bos.write(le32(16000)); bos.write(le16(2)); bos.write(le16(16))
+    bos.write("data".getBytes); bos.write(le32(n * 2))
+    bos.write(data.array())
+    assert(MediaOps.decodeAudioFingerprint(bos.toByteArray) == -1L)
+    // decode+fingerprint parity against the raw-sample fixture stack
+    val got = MediaOps.audioFingerprint(spark.read
+        .parquet("/root/repo/fixtures/afp/wavs.parquet")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = spark.read
+      .parquet("/root/repo/fixtures/afp/expected.parquet").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("media payload survives the binary column (roundtrip)") {
     Queries.prep(spark, sfDir)
     val back = MediaOps.mediaTable(spark.table("documents"))
