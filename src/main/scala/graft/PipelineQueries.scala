@@ -2720,6 +2720,56 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin,
       headline = true),
 
+    // Incremental exact-substring dedup (r9): a new batch (doc_id % 5
+    // == 0) dedupes against the standing corpus's distinct
+    // shingle-fingerprint INDEX — corpus-side artifact + batch-side
+    // join work only, never a corpus re-dedup. Completes the
+    // incremental axis: q99 (MinHash), q188 (exact), q208 (substring).
+    // Oracle mirrors the split and uses the EXISTS range probe, as
+    // q199.
+    "q208_exact_substr_incremental" -> api((spark, _) => {
+      val d = spark.table("documents")
+      TextOps.exactSubstrDedupAgainst(
+        d.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", n = 8).orderBy("doc_id")
+    },
+      """WITH cw AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |bw AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |cex AS (SELECT doc_id, words,
+        |    unnest(range(1, len(words) - 6)) AS i FROM cw),
+        |idx AS (SELECT DISTINCT
+        |    ('0x' || substring(md5(array_to_string(words[i:i+7], ' ')),
+        |      1, 12))::BIGINT AS fp
+        |  FROM cex),
+        |bex AS (SELECT doc_id, words,
+        |    unnest(range(1, len(words) - 6)) AS i FROM bw),
+        |bst AS (SELECT doc_id, i AS s,
+        |    ('0x' || substring(md5(array_to_string(words[i:i+7], ' ')),
+        |      1, 12))::BIGINT AS fp
+        |  FROM bex),
+        |ds AS (SELECT doc_id, s FROM bst JOIN idx USING (fp)),
+        |tok AS (SELECT doc_id, unnest(words) AS word,
+        |    generate_subscripts(words, 1) AS p FROM bw),
+        |cov AS (SELECT t.doc_id, t.p, t.word,
+        |    EXISTS (SELECT 1 FROM ds WHERE ds.doc_id = t.doc_id
+        |      AND ds.s BETWEEN t.p - 7 AND t.p) AS c
+        |  FROM tok t),
+        |runs AS (SELECT doc_id, p, word, c,
+        |    CASE WHEN c AND NOT coalesce(
+        |      lag(c) OVER (PARTITION BY doc_id ORDER BY p), FALSE)
+        |    THEN 1 ELSE 0 END AS sp
+        |  FROM cov)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(count(*) FILTER (c) AS BIGINT) AS n_removed,
+        |  CAST(sum(sp) AS BIGINT) AS n_spans,
+        |  coalesce(string_agg(word, ' ' ORDER BY p) FILTER (NOT c), '')
+        |    AS kept_text
+        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      headline = true),
+
     // Canonical-document selection: q94's near-dup clusters +
     // survivorship — per connected component keep the highest-quality
     // member (rounded-quality desc, doc_id tie-break) and report the

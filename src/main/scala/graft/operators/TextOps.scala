@@ -549,12 +549,47 @@ object TextOps {
     * Output: (doc_id, n_tokens, n_removed, n_spans, kept_text). */
   def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 2, s"span granularity n=$n must be >= 2")
     val w = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("words"))
-    // shingle starts (1-based), fingerprinted; len < n docs emit none
-    val starts = w.where(size(col("words")) >= n)
+    val starts = shingleStarts(w, n)
+    val dupFp = starts.groupBy("fp")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select("fp")
+    val dupStarts = starts.join(dupFp, "fp")
+      .select(col("doc_id"), col("p"), lit(1).as("isdup"))
+    spanRollup(w, dupStarts, n)
+  }
+
+  /** Incremental [[exactSubstrDedup]]: remove from `batch` every
+    * ≥n-token span that appears ANYWHERE in the standing `corpus` —
+    * the form a warehouse actually runs daily (the corpus's distinct
+    * shingle-fingerprint set is the persisted index; the batch joins
+    * against it, the corpus is never re-deduped). Same contract family
+    * as q99 (incremental MinHash) and q188 (incremental exact):
+    * corpus-side artifact + batch-side map/join work only.
+    *
+    * Note the deliberate contract difference from the batch form:
+    * duplication WITHIN the batch alone does not remove (count ≥ 1 in
+    * the corpus is the test), so a batch is always deduped against the
+    * same index state regardless of how ingestion was micro-batched. */
+  def exactSubstrDedupAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, s"span granularity n=$n must be >= 2")
+    def toWords(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("words"))
+    val indexFp = shingleStarts(toWords(corpus), n)
+      .select("fp").distinct()
+    val bw = toWords(batch)
+    val dupStarts = shingleStarts(bw, n)
+      .join(indexFp, "fp")
+      .select(col("doc_id"), col("p"), lit(1).as("isdup"))
+    spanRollup(bw, dupStarts, n)
+  }
+
+  /** Shingle starts (1-based) with the portable 48-bit fingerprint;
+    * docs shorter than n emit none. */
+  private def shingleStarts(w: DataFrame, n: Int): DataFrame =
+    w.where(size(col("words")) >= n)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(words) - ${n - 1}),
            |  i -> struct(i AS s, CAST(conv(substring(
@@ -562,10 +597,12 @@ object TextOps {
            |    1, 12), 16, 10) AS BIGINT) AS fp))""".stripMargin))
         .as("st"))
       .select(col("doc_id"), col("st.s").as("p"), col("st.fp").as("fp"))
-    val dupFp = starts.groupBy("fp")
-      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select("fp")
-    val dupStarts = starts.join(dupFp, "fp")
-      .select(col("doc_id"), col("p"), lit(1).as("isdup"))
+
+  /** Sliding-window coverage + per-doc span/survivor rollup shared by
+    * the batch and incremental forms (see [[exactSubstrDedup]]). */
+  private def spanRollup(w: DataFrame, dupStarts: DataFrame, n: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = w.select(col("doc_id"),
         posexplode(col("words")).as(Seq("p0", "word")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("word"))
