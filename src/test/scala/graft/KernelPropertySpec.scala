@@ -92,4 +92,71 @@ class KernelPropertySpec extends SparkSpecBase {
       .where(col("k") =!= col("r") || col("kl") =!= col("rl")).count()
     assert(bad == 0)
   }
+
+  /** Generated dup-heavy corpus: word sequences with planted shared
+    * runs, so the span kernels have real work at every seed. */
+  private def dupCorpus(n: Int, seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val runs = (0 until 8).map(r =>
+      (0 until 10 + rnd.nextInt(6)).map(i => s"run${r}w$i").mkString(" "))
+    (0 until n).map { i =>
+      val parts = (0 until 1 + rnd.nextInt(4)).flatMap { _ =>
+        if (rnd.nextBoolean()) Seq(runs(rnd.nextInt(runs.length)))
+        else (0 until 5 + rnd.nextInt(20)).map(_ => s"u${rnd.nextInt(5000)}")
+      }
+      (i.toLong, parts.mkString(" "))
+    }
+  }
+
+  test("exactSubstrDedup is invariant to input partitioning and " +
+      "shuffle-partition count on a seeded dup-heavy corpus") {
+    import spark.implicits._
+    val data = dupCorpus(300, 0xD00D)
+    def run(parts: Int, shuffle: String): Map[Long, (Long, Long, String)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+        TextOps.exactSubstrDedup(
+            data.toDF("doc_id", "text").repartition(parts),
+            "doc_id", "text", n = 8)
+          .collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val base = run(4, "8")
+    assert(base.exists(_._2._1 > 0), "corpus should contain dup spans")
+    assert(run(1, "8") == base)
+    assert(run(32, "3") == base)
+  }
+
+  test("spanCorrupt is invariant to input partitioning and " +
+      "reconstruction holds on 300 seeded docs") {
+    import spark.implicits._
+    val data = dupCorpus(300, 0xFACE)
+    def run(parts: Int): Map[Long, (Long, Long, String, String)] =
+      TextOps.spanCorrupt(
+          data.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text", spanLen = 3, gateMod = 5)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+        .toMap
+    val base = run(4)
+    assert(base.exists(_._2._1 > 0))
+    assert(run(17) == base)
+    // reconstruction on every doc (same invariant as the fixed spec,
+    // here across the random corpus)
+    val sentinel = "<extra_id_(\\d+)>".r
+    data.foreach { case (id, text) =>
+      val (_, _, corr, tgt) = base(id)
+      val spans = if (tgt.isEmpty) Map.empty[Int, String] else
+        tgt.split("<extra_id_").filter(_.nonEmpty).map { s =>
+          val Array(k, rest) = s.split(">", 2)
+          k.toInt -> rest.trim
+        }.toMap
+      val rebuilt = sentinel.replaceAllIn(corr, m => spans(m.group(1).toInt))
+      assert(rebuilt == text, s"doc $id")
+    }
+  }
 }
