@@ -253,6 +253,22 @@ object PipelineQueries {
       |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z)) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** Spark-side construction of the boundary-clustered probe-gate
+    * corpus (the [[duckProbeGateVec]] mirror): 16-dim axis clusters
+    * keyed on vec_id with ±0.19 jitter exact in float AND double.
+    * Shared by q185 (multi-probe exactness), q193 (incremental IVF)
+    * and q209 (PQ) — each pins a different ANN path to the same
+    * independently derived exact answer. */
+  private def probeGateCorpus(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    spark.table("embeddings").select(col("vec_id"),
+      array((0 until 16).map { i =>
+        ((when(pmod(col("vec_id"), lit(16)) === i, 1.0).otherwise(0.0)) +
+          (pmod(pmod(col("vec_id"), lit(16)) * 131 +
+            expr("vec_id div 16") * 37 + lit(i * 101), lit(257)) - 128) *
+            lit(6.0) / lit(4096.0)).cast("float")
+      }: _*).as("embedding"))
+
   /** DuckDB-side construction of q185's boundary-clustered probe-gate
     * corpus: element i of the 16-dim vector for `vec_id`. Mirrors the
     * Spark-side expression exactly; every term is a small integer over
@@ -510,13 +526,7 @@ object PipelineQueries {
     // regression in margin ordering or flip selection drops pairs and
     // goes red here. Measured stable at n=500 and n=2000 (sf0.001-0.1).
     "q185_ann_multiprobe_recall" -> api((spark, _) => {
-      val corpus = spark.table("embeddings").select(col("vec_id"),
-        array((0 until 16).map { i =>
-          ((when(pmod(col("vec_id"), lit(16)) === i, 1.0).otherwise(0.0)) +
-            (pmod(pmod(col("vec_id"), lit(16)) * 131 +
-              expr("vec_id div 16") * 37 + lit(i * 101), lit(257)) - 128) *
-              lit(6.0) / lit(4096.0)).cast("float")
-        }: _*).as("embedding"))
+      val corpus = probeGateCorpus(spark)
       EmbeddingOps.annLsh(corpus, corpus.where(col("vec_id") < 50),
           "vec_id", "embedding", k = 5, bits = 8, probes = 4)
         .orderBy("qid", "rn")
@@ -553,13 +563,7 @@ object PipelineQueries {
     // independently: a centroid-training or assignment regression goes
     // red here.
     "q193_ann_ivf_incremental" -> api((spark, sfDir) => {
-      val corpus = spark.table("embeddings").select(col("vec_id"),
-        array((0 until 16).map { i =>
-          ((when(pmod(col("vec_id"), lit(16)) === i, 1.0).otherwise(0.0)) +
-            (pmod(pmod(col("vec_id"), lit(16)) * 131 +
-              expr("vec_id div 16") * 37 + lit(i * 101), lit(257)) - 128) *
-              lit(6.0) / lit(4096.0)).cast("float")
-        }: _*).as("embedding"))
+      val corpus = probeGateCorpus(spark)
       val old = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
       val fresh = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
       val (nlist, seed, iters) = (16, 7L, 4)
@@ -2769,6 +2773,43 @@ object PipelineQueries {
         |    AS kept_text
         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       headline = true),
+
+    // Exact kNN through a PRODUCT-QUANTIZATION prefilter (r9) — the
+    // compression step past q187's int8: 4 codebook indices per vector
+    // (16× less scan bandwidth than float32), ADC scoring over a
+    // broadcast per-query LUT, top-m rerank in float. On the
+    // near-uniform random corpus ANY coarse bucketer is recall-bound
+    // by scanned fraction (measured and documented at q46), so — like
+    // q185/q193 — the exactness contract runs on the deterministic
+    // probe-gate corpus, where PQ's top-64 provably retains the true
+    // top-5 and the output EQUALS the independent DuckDB exact answer:
+    // a codebook, encoding or ADC regression goes red here. The
+    // first-16-by-id codebook covers each of the 16 clusters exactly
+    // once (q172's deterministic-centroids convention).
+    "q209_knn_pq" -> api((spark, _) => {
+      val corpus = probeGateCorpus(spark)
+      EmbeddingOps.knnPqRerank(corpus, corpus.where(col("vec_id") < 50),
+        "vec_id", "embedding", k = 5, m = 64, dim = 16)
+        .orderBy("qid", "rn")
+    },
+      s"""WITH v AS (SELECT vec_id, $duckProbeGateVec AS vec
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(vec) AS x) z))
+        |      AS nrm FROM v),
+        |q AS (SELECT vec_id AS qid, vec AS qv, nrm AS qn FROM n
+        |  WHERE vec_id < 50),
+        |p AS (SELECT q.qid, n.vec_id AS id,
+        |    round((SELECT sum(x*y) FROM
+        |        (SELECT unnest(q.qv) AS x, unnest(n.vec) AS y) z)
+        |      / (q.qn * n.nrm), 6) AS cos
+        |  FROM n, q WHERE n.vec_id <> q.qid),
+        |r AS (SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+        |      AS rn
+        |  FROM p)
+        |SELECT qid, id, cos, rn FROM r WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin, headline = true),
 
     // Canonical-document selection: q94's near-dup clusters +
     // survivorship — per connected component keep the highest-quality

@@ -239,6 +239,82 @@ object EmbeddingOps {
       .drop("arn")
   }
 
+  /** Exact top-k through a PRODUCT-QUANTIZATION prefilter — the
+    * next compression step past [[knnQuantizedRerank]]'s int8: each
+    * vector stores only `nsub` codebook indices (4 bytes here vs 64
+    * for float32 — 16× less scan bandwidth), the wide pass scores by
+    * asymmetric distance (ADC: per-query LUT of subspace distances to
+    * every centroid, summed over the stored codes), and only the top
+    * `m` candidates per query re-join the float vectors for exact
+    * re-scoring. Output contract equals [[knnBruteForce]] whenever
+    * every true top-k member survives the approximate top-m
+    * (EmbeddingOpsSpec measures the margin; q209 pins equality to the
+    * DuckDB exact oracle).
+    *
+    * The codebook is the first `ncent` corpus vectors by id sliced
+    * into `nsub` subspaces (q172's deterministic-centroids convention
+    * — reproducible, engine-independent); encoding takes argmin of
+    * fixed-order double L2 sums with index tie-break, so codes are
+    * deterministic. ADC sums 4 doubles per candidate whose order is
+    * not pinned — harmless 1-ulp candidate-boundary wiggle far inside
+    * the margin, never in the exact rerank.
+    *
+    * Plan shape: corpus × broadcast codebook → one shuffle to argmin
+    * codes; queries × codebook LUT broadcast; candidate scoring joins
+    * the 4-bytes-per-vector code table only; exchanges carry ≤
+    * m·|queries| rows into the rerank. */
+  def knnPqRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, dim: Int, nsub: Int = 4,
+      ncent: Int = 16): DataFrame = {
+    require(m >= k, s"prefilter width m=$m must be >= k=$k")
+    require(dim % nsub == 0, s"dim=$dim must divide into nsub=$nsub")
+    val dsub = dim / nsub
+    def sub(c: Column, s: Int): Column = slice(c, s * dsub + 1, dsub)
+    // fixed-order double L2 over one subspace: reduce-left keeps the
+    // fold order identical everywhere, so argmin codes never drift
+    def d2(a: Column, b: Column): Column = (0 until dsub).map { i =>
+      val d = element_at(a, i + 1).cast("double") -
+        element_at(b, i + 1).cast("double")
+      d * d
+    }.reduce(_ + _)
+    val cb = broadcast(corpus.orderBy(col(idCol)).limit(ncent)
+      .select(row_number().over(Window.orderBy(col(idCol))).cast("int")
+        .as("j"), col(vecCol).as("cvec")))
+    val codes = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(cb)
+      .select(col("id") +: (0 until nsub).map(s =>
+        struct(d2(sub(col("vec"), s), sub(col("cvec"), s)).as("d"),
+          col("j")).as(s"c$s")): _*)
+      .groupBy("id")
+      .agg(min(s"c0").as("m0"),
+        (1 until nsub).map(s => min(col(s"c$s")).as(s"m$s")): _*)
+      .select(col("id"), explode(array((0 until nsub).map(s =>
+        struct(lit(s).as("s"), col(s"m$s.j").as("j"))): _*)).as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.j").as("j"))
+    val qlut = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(cb)
+      .select(col("qid"), col("j"), explode(array((0 until nsub).map(s =>
+        struct(lit(s).as("s"),
+          d2(sub(col("qvec"), s), sub(col("cvec"), s)).as("d2"))): _*))
+        .as("e"))
+      .select(col("qid"), col("e.s").as("s"), col("j"), col("e.d2")
+        .as("d2")))
+    val cand = codes.join(qlut, Seq("s", "j"))
+      .where(col("id") =!= col("qid"))
+      .groupBy("qid", "id").agg(sum("d2").as("adist"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist").asc, col("id"))))
+      .where(col("arn") <= m)
+      .select(col("qid"), col("id"))
+    val exact = cand
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        Seq("id"))
+      .join(broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"))), Seq("qid"))
+    rankTopK(exact, k)
+  }
+
   /** Global top-n most-similar pairs by exact cosine — the all-pairs
     * baseline (small data / oracle checking only; see class doc). */
   def nearestPairs(corpus: DataFrame, idCol: String, vecCol: String,

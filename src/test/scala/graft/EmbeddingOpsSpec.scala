@@ -180,6 +180,26 @@ class EmbeddingOpsSpec extends SparkSpecBase {
     assert(quant == exact)
   }
 
+  test("knnPqRerank equals the exact answer on clustered data and at " +
+      "a thin prefilter width") {
+    // re-key so consecutive ids CYCLE through clusters: the
+    // first-16-by-id codebook then covers every cluster (the same
+    // property vec_id % 16 gives the probe-gate corpus); with the
+    // original c*100+m keys the first 16 ids are all cluster 0 and a
+    // one-cluster codebook cannot discriminate anything
+    val cycled = clustered.select(
+      (col("vec_id") % 100 * 10 + col("vec_id") / 100).as("vec_id"),
+      col("embedding"))
+    val queries = cycled.where(col("vec_id") < 10) // member 0 of each
+    val exact = EmbeddingOps.knnBruteForce(cycled, queries, "vec_id",
+      "embedding", k = 5).orderBy("qid", "rn").collect().toSeq
+    // m = 20 keeps the q209 margin claim non-vacuous
+    val pq = EmbeddingOps.knnPqRerank(cycled, queries, "vec_id",
+      "embedding", k = 5, m = 20, dim = 16).orderBy("qid", "rn")
+      .collect().toSeq
+    assert(pq == exact)
+  }
+
   test("knnQuantizedRerank keeps a partial WindowGroupLimit below the " +
       "exchange (the wide pass never shuffles the full candidate stream)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
