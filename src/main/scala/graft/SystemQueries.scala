@@ -569,6 +569,23 @@ object SystemQueries {
         |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
         |FROM lineitem WHERE l_orderkey <= 2000""".stripMargin),
 
+    // Streaming media ingestion (r9): PNG files in a drop-zone
+    // directory consumed by a binaryFile file STREAM, decoded with the
+    // real JDK codec per arriving file, corpus stats maintained as
+    // streaming state. Oracle = the different-stack fixture totals
+    // (tools/gen_media_fixture.py raw-pixel stats over all 5000
+    // images), so streamed ingestion is held to the same cross-stack
+    // bar as the batch paths (q54/q192).
+    "q210_stream_media_ingest" -> api((spark, _) =>
+      StreamingOps.streamMediaIngest(spark),
+      """SELECT count(*) AS n_files,
+        |  CAST(sum(sum_r) AS BIGINT) AS total_r,
+        |  CAST(sum(sum_g) AS BIGINT) AS total_g,
+        |  CAST(sum(sum_b) AS BIGINT) AS total_b,
+        |  CAST(sum(width * height) AS BIGINT) AS total_px
+        |FROM read_parquet('/root/repo/fixtures/media/expected.parquet')"""
+        .stripMargin),
+
     // Parquet write→read roundtrip (COPY TO / file-as-table, S11/S12).
     "q57_copy_parquet" -> api((spark, _) => {
       val dir = tmp("graft_copy_parquet") + "/part.parquet"

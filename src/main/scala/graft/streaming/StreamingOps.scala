@@ -495,4 +495,46 @@ object StreamingOps {
     q.awaitTermination()
     drainSink(spark, name, Seq("doc_id"))
   }
+
+  /** Streaming MEDIA ingestion: PNG files land in a directory (the
+    * object-store drop-zone shape) and a `binaryFile` file stream
+    * decodes each with the real JDK codec as it arrives — stateless
+    * per-file map work — then maintains corpus-level integer pixel
+    * statistics. The decode is the same kernel as the batch paths
+    * (q54/q192), so the drained AvailableNow result equals the
+    * independently precomputed fixture stats exactly: streaming
+    * ingestion is held to the identical cross-stack oracle as batch.
+    * File-level parallelism is the scan's (binaryFile splits by file);
+    * the only state is the global aggregate. */
+  def streamMediaIngest(spark: SparkSession): DataFrame = {
+    val dir = "/tmp/graft_media_files"
+    // materialize the file tree from the fixture (idempotent,
+    // fingerprint-keyed — see imageFilesTable)
+    graft.operators.MediaOps.imageFilesTable(spark, dir).count()
+    val schema = spark.read.format("binaryFile").load(dir).schema
+    val decodeUdf = org.apache.spark.sql.functions.udf(
+      (b: Array[Byte]) => graft.operators.MediaOps.decodeImageStats(b))
+    val stream = spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .schema(schema)
+      .load(dir)
+      .select(decodeUdf(col("content")).as("s"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("s.sum_r")).as("total_r"),
+        sum(col("s.sum_g")).as("total_g"),
+        sum(col("s.sum_b")).as("total_b"),
+        sum(col("s.width") * col("s.height")).as("total_px"))
+    val name = s"stream_media_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainSink(spark, name, Seq("n_files"))
+  }
 }
