@@ -586,6 +586,39 @@ object SystemQueries {
         |FROM read_parquet('/root/repo/fixtures/media/expected.parquet')"""
         .stripMargin),
 
+    // Z-ORDER layout rewrite (r9) — q196's compaction sibling for
+    // multi-dimensional pruning: lineitem rewritten into 16 files
+    // range-partitioned + sorted by the bit-interleave of (l_orderkey,
+    // l_partkey), so per-file min/max footer boxes are tight in BOTH
+    // dimensions. The oracle pins content equality through the
+    // rewrite (count + qty sum + order-independent bit_xor checksum,
+    // the q196 convention); the layout PROPERTY — a 2-d box query
+    // touching far fewer files than a linear sort allows — is
+    // measured in SystemOpsSpec, where the filesystem is visible.
+    "q211_zorder_layout" -> api((spark, sfDir) => {
+      val dir = runScopedDir("/tmp/graft_q211", sfDir)
+      graft.operators.LayoutOps.zorderWrite(
+        spark.table("lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        "l_orderkey", "l_partkey", s"$dir/zorder", nFiles = 16)
+      spark.read.parquet(s"$dir/zorder")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("qty"),
+          expr("bit_xor(cast(conv(substring(md5(concat(" +
+            "cast(l_orderkey as string), '|', " +
+            "cast(l_partkey as string), '|', " +
+            "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+            .as("content_xor"))
+    },
+      """SELECT count(*) AS n,
+        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  bit_xor(('0x' || substring(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_partkey AS VARCHAR) || '|' ||
+        |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |FROM lineitem""".stripMargin),
+
     // Parquet write→read roundtrip (COPY TO / file-as-table, S11/S12).
     "q57_copy_parquet" -> api((spark, _) => {
       val dir = tmp("graft_copy_parquet") + "/part.parquet"

@@ -520,6 +520,51 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("zorder layout prunes a 2-d box query harder than a linear " +
+      "sort, and the interleave is the textbook morton code") {
+    import graft.operators.LayoutOps
+    import spark.implicits._
+    // hand-checkable interleave: a=0b101, b=0b011 -> z=0b010111? no:
+    // bit i of a at 2i, of b at 2i+1: a bits (1,0,1), b bits (1,1,0)
+    // -> positions: a0=1@0, b0=1@1, a1=0@2, b1=1@3, a2=1@4, b2=0@5
+    // = 0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(LayoutOps.zOrder2(col("a"), col("b"), 3)).head.getLong(0)
+    assert(z == 27L)
+    // uniform 2-d grid: 256x256 keys, one row each
+    val grid = (for (a <- 0 until 256; b <- 0 until 256)
+      yield (a.toLong, b.toLong)).toDF("ka", "kb")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_zorder_spec").toString
+    LayoutOps.zorderWrite(grid, "ka", "kb", s"$base/z", nFiles = 64,
+      bits = 8)
+    grid.repartitionByRange(64, col("ka"), col("kb"))
+      .sortWithinPartitions("ka", "kb")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    def frac(dir: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long) =
+      LayoutOps.boxScanFraction(spark, dir, "ka", "kb",
+        aLo, aHi, bLo, bHi)
+    // shape 1: box on the LEADING dimension — linear's home game, it
+    // may win; zorder must still prune to a small fraction
+    val zA = frac(s"$base/z", 60, 70, 0, 255)
+    // shape 2: box on the SECOND dimension — linear cannot prune AT
+    // ALL (every file spans all kb); zorder's boxes are tight in both
+    val zB = frac(s"$base/z", 0, 255, 60, 70)
+    val lB = frac(s"$base/linear", 0, 255, 60, 70)
+    // shape 3: box in both dimensions
+    val zAB = frac(s"$base/z", 60, 70, 60, 70)
+    val lAB = frac(s"$base/linear", 60, 70, 60, 70)
+    val lA = frac(s"$base/linear", 60, 70, 0, 255)
+    assert(lB == 1.0, s"linear should be unable to prune kb, got $lB")
+    assert(zB < 0.5 * lB, s"zorder on kb: $zB")
+    assert(zAB <= 0.125, s"zorder on the 2-d box: $zAB")
+    assert(zA <= 0.5, s"zorder on ka alone: $zA")
+    // the mixed-shape workload (the case the layout exists for) is
+    // strictly cheaper under zorder
+    assert((zA + zB + zAB) / 3 < (lA + lB + lAB) / 3,
+      s"zorder (${(zA + zB + zAB) / 3}) vs linear (${(lA + lB + lAB) / 3})")
+  }
+
   test("media payload survives the binary column (roundtrip)") {
     Queries.prep(spark, sfDir)
     val back = MediaOps.mediaTable(spark.table("documents"))
