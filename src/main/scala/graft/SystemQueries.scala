@@ -619,6 +619,62 @@ object SystemQueries {
         |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
         |FROM lineitem""".stripMargin),
 
+    // Data-quality constraint suite (r9, the Deequ-shaped validation
+    // gate): seven constraints over lineitem/orders — five row-local
+    // predicates folded into ONE aggregate pass (completeness, range,
+    // two domain checks, a cross-column rule), uniqueness via its
+    // inherent key shuffle, referential integrity via a broadcast
+    // anti-join. Violation counts (not booleans) ride in the report.
+    // The oracle re-derives every count independently in SQL.
+    "q212_quality_constraints" -> api((spark, _) => {
+      import graft.operators.ConstraintOps._
+      val li = spark.table("lineitem")
+      report(Seq(
+        rowChecks(li, Seq(
+          "li_orderkey_complete" -> col("l_orderkey").isNotNull,
+          "li_quantity_range" -> col("l_quantity").between(1, 50),
+          "li_returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "li_linestatus_domain" -> col("l_linestatus").isin("O", "F"),
+          "li_price_positive" ->
+            (col("l_extendedprice") > lit(0)))),
+        uniqueCheck(li, "li_pk_unique",
+          Seq("l_orderkey", "l_linenumber")),
+        refCheck(li, "l_orderkey", spark.table("orders"), "o_orderkey",
+          "li_order_fk"))).orderBy("constraint")
+    },
+      """WITH t AS (
+        |  SELECT 'li_orderkey_complete' AS "constraint",
+        |    CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT)
+        |      AS violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_quantity_range',
+        |    CAST(count(*) FILTER (l_quantity NOT BETWEEN 1 AND 50
+        |      OR l_quantity IS NULL) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_returnflag_domain',
+        |    CAST(count(*) FILTER (l_returnflag NOT IN ('A','N','R')
+        |      OR l_returnflag IS NULL) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_linestatus_domain',
+        |    CAST(count(*) FILTER (l_linestatus NOT IN ('O','F')
+        |      OR l_linestatus IS NULL) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_price_positive',
+        |    CAST(count(*) FILTER (l_extendedprice <= 0
+        |      OR l_extendedprice IS NULL) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_pk_unique',
+        |    CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) FROM (
+        |      SELECT count(*) AS cnt FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'li_order_fk',
+        |    CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |)
+        |SELECT "constraint", violations, violations = 0 AS passed
+        |FROM t ORDER BY "constraint"""".stripMargin),
+
     // Parquet write→read roundtrip (COPY TO / file-as-table, S11/S12).
     "q57_copy_parquet" -> api((spark, _) => {
       val dir = tmp("graft_copy_parquet") + "/part.parquet"

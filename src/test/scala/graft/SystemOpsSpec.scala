@@ -565,6 +565,37 @@ class SystemOpsSpec extends SparkSpecBase {
       s"zorder (${(zA + zB + zAB) / 3}) vs linear (${(lA + lB + lAB) / 3})")
   }
 
+  test("constraint suite counts violations on dirty data and folds " +
+      "row checks into one aggregate pass") {
+    import graft.operators.ConstraintOps._
+    import spark.implicits._
+    val dirty = Seq(
+      (Some(1L), 10, "A"), (Some(2L), 99, "A"), // one range violation
+      (None, 5, "N"),                           // one null key
+      (Some(4L), 5, "X"), (Some(4L), 5, "X")    // domain x2 + dup key
+    ).toDF("k", "q", "f")
+    val got = report(Seq(
+      rowChecks(dirty, Seq(
+        "complete" -> col("k").isNotNull,
+        "range" -> col("q").between(1, 50),
+        "domain" -> col("f").isin("A", "N"))),
+      uniqueCheck(dirty, "unique", Seq("k")),
+      refCheck(dirty, "k", Seq(1L, 2L, 4L).toDF("pk"), "pk", "fk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got("complete") == ((1L, false)))
+    assert(got("range") == ((1L, false)))
+    assert(got("domain") == ((2L, false)))
+    assert(got("unique") == ((1L, false)))
+    // the null-key row has no parent but NOT IN-style anti-join drops
+    // null fk rows; left_anti keeps them — pin the chosen semantics
+    assert(got("fk") == ((1L, false)))
+    // single-scan claim: the row-check plan contains exactly one scan
+    val plan = rowChecks(dirty, Seq("a" -> col("k").isNotNull,
+      "b" -> (col("q") > 0))).queryExecution.optimizedPlan.toString
+    assert("LocalRelation|Relation".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("media payload survives the binary column (roundtrip)") {
     Queries.prep(spark, sfDir)
     val back = MediaOps.mediaTable(spark.table("documents"))
