@@ -3482,6 +3482,210 @@ object PipelineQueries {
         |  FROM f)
         |SELECT doc_id, ra, rb,
         |  round(1.0 / (60 + ra) + 1.0 / (60 + rb), 6) AS rrf
-        |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin, headline = true)
+        |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin, headline = true),
+
+    // Contrastive training-pair mining (r9): per labeled query, the
+    // most-similar same-label vector (positive) and most-similar
+    // different-label vector (hard negative) with the training margin
+    // pos_cos - neg_cos — the pair-construction step for contrastive
+    // embedding training. The per-(query, polarity) argmax runs as a
+    // map-side-combinable max over a (cos, -id) struct, NOT a window:
+    // only 2 rows per query per partition cross the shuffle, vs the
+    // full |corpus|x|queries| candidate set a window would move.
+    "q213_hard_negative_mining" -> api((spark, _) => {
+      val emb = spark.table("embeddings")
+      EmbeddingOps.hardNegatives(emb, emb.where(col("vec_id") < 25),
+        "vec_id", "embedding", "label").orderBy("qid")
+    },
+      """WITH n AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS embedding,
+        |    sqrt((SELECT sum(x*x) FROM
+        |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z))
+        |      AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe,
+        |    nrm AS qn FROM n WHERE vec_id < 25),
+        |p AS (SELECT q.qid, q.qlabel, n.vec_id AS id,
+        |    (n.label = q.qlabel) AS same,
+        |    round((SELECT sum(x*y) FROM
+        |        (SELECT unnest(q.qe) AS x, unnest(n.embedding) AS y) z)
+        |      / (q.qn * n.nrm), 6) AS cos
+        |  FROM n, q WHERE n.vec_id <> q.qid),
+        |r AS (SELECT qid, qlabel, id, same, cos,
+        |    row_number() OVER (PARTITION BY qid, same
+        |      ORDER BY cos DESC, id) AS rn
+        |  FROM p)
+        |SELECT qid, qlabel AS label,
+        |  max(CASE WHEN same THEN id END) AS pos_id,
+        |  max(CASE WHEN same THEN cos END) AS pos_cos,
+        |  max(CASE WHEN NOT same THEN id END) AS neg_id,
+        |  max(CASE WHEN NOT same THEN cos END) AS neg_cos,
+        |  round(max(CASE WHEN same THEN cos END)
+        |    - max(CASE WHEN NOT same THEN cos END), 6) AS margin
+        |FROM r WHERE rn = 1 GROUP BY qid, qlabel
+        |ORDER BY qid""".stripMargin,
+      headline = true),
+
+    // Leakage-safe train/val/test split (r9): q63 splits by content
+    // hash and q64 DETECTS near-dup leakage across its splits; this
+    // entry PREVENTS it by construction — near-dup connected components
+    // (q94's verified MinHash pair graph + min-label fixpoint,
+    // singletons keep their own id as cluster) are assigned to splits
+    // as whole units, keyed on md5 of the cluster id. No near-dup pair
+    // can ever span train and test. One fingerprint-graph fixpoint over
+    // the (tiny) pair set + a map-only assignment over the corpus.
+    "q214_cluster_safe_split" -> api({ (spark, _) =>
+      val docs = spark.table("documents")
+      val pairs = TextOps.minhashDupPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      val comp = graft.operators.IterativeOps
+        .connectedComponents(pairs, "id_a", "id_b")
+      val nib = substring(
+        md5(concat(lit("split:"), col("cluster").cast("string"))), 1, 1)
+      docs.select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+        .select(col("doc_id"), col("cluster"),
+          when(nib.isin(trainNibbleSeq: _*), "train")
+            .when(nib.isin(valNibbleSeq: _*), "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE round($duckJaccard, 6) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach(id, lab) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         |cl AS (SELECT doc.doc_id,
+         |    coalesce(comp.component, doc.doc_id) AS cluster
+         |  FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.id)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN substring(md5('split:' || CAST(cluster AS VARCHAR)),
+         |      1, 1) IN $trainNibbles THEN 'train'
+         |    WHEN substring(md5('split:' || CAST(cluster AS VARCHAR)),
+         |      1, 1) IN $valNibbles THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin),
+
+    // Deterministic epoch shuffle (r9): the last step before training —
+    // a seeded, reproducible permutation of the corpus into shards with
+    // a defined within-shard order (restartable data loading: any
+    // worker can recompute its shard's order from the seed alone).
+    // Shard assignment is map-only (md5 prefix mod n_shards); the
+    // within-shard position is a window keyed by shard. Shard count
+    // grows with corpus size at scale (shard ~= file), so the window's
+    // parallelism scales with the data; a fixed tiny shard count would
+    // instead use the q200 two-pass prefix-sum formulation.
+    "q215_epoch_shuffle" -> sql(
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(conv(substring(md5(concat('epoch7:',
+        |      CAST(doc_id AS STRING))), 1, 2), 16, 10) AS BIGINT) % 8
+        |      AS shard,
+        |    substring(md5(concat('epoch7:', CAST(doc_id AS STRING))),
+        |      3, 8) AS ok
+        |  FROM documents)
+        |SELECT shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+        |    AS pos,
+        |  doc_id
+        |FROM a ORDER BY shard, pos""".stripMargin,
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('epoch7:' || CAST(doc_id AS VARCHAR)),
+        |      1, 2))::BIGINT % 8 AS shard,
+        |    substring(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 3, 8)
+        |      AS ok
+        |  FROM documents)
+        |SELECT shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+        |    AS pos,
+        |  doc_id
+        |FROM a ORDER BY shard, pos""".stripMargin),
+
+    // Ranking-quality evaluation: nDCG@10 of the q204 BM25 ranking
+    // against graded relevance (r9) — the harness has set metrics
+    // (P/R/F1, H13) but no RANKING metric; nDCG is the standard one
+    // for retrieval stacks. Graded relevance = distinct query terms
+    // matched (0..4, integer — exact in both engines); DCG discounts
+    // by log2(rank+1); the ideal ranking re-ranks the whole corpus by
+    // relevance. Integer relevance grades mean only the final two
+    // 10-term sums are floating-point, rounded at 6 dp.
+    "q216_ndcg" -> api((spark, _) => {
+      val docs = spark.table("documents")
+      val terms = Seq("hash", "join", "merge", "filter")
+      val ranked = operators.RetrievalOps.bm25TopN(docs, "doc_id",
+        "text", terms, n = 10)
+      val rel = docs.select(col("doc_id"), expr(
+        """size(filter(array('hash','join','merge','filter'),
+          |  t -> array_contains(split(trim(lower(text)), '\\s+'), t)))
+          |""".stripMargin).cast("long").as("rel"))
+      val dcg = ranked.join(rel, "doc_id")
+        .agg(sum((pow(lit(2.0), col("rel")) - 1.0) /
+          log2(col("rn") + 1.0)).as("dcg"))
+      val idcg = rel
+        .withColumn("rn", row_number().over(org.apache.spark.sql
+          .expressions.Window.orderBy(col("rel").desc, col("doc_id"))))
+        .where(col("rn") <= 10)
+        .agg(sum((pow(lit(2.0), col("rel")) - 1.0) /
+          log2(col("rn") + 1.0)).as("idcg"))
+      dcg.crossJoin(idcg).select(
+        round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+    },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl
+        |  FROM w),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl
+        |  FROM lens),
+        |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(words) AS t FROM w)
+        |  WHERE t IN ('hash', 'join', 'merge', 'filter')
+        |  GROUP BY doc_id, t),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (SELECT tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+        |        / (CAST(df.df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) /
+        |        (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          CAST(lens.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+        |          / CAST(s.sum_dl AS DOUBLE))))), 6) AS score,
+        |    count(*) AS n_terms_hit
+        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY tf.doc_id),
+        |ranked AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+        |rel AS (SELECT doc_id, CAST(len(list_filter(
+        |    ['hash', 'join', 'merge', 'filter'],
+        |    t -> list_contains(string_split_regex(trim(lower(text)),
+        |      '\s+'), t))) AS BIGINT) AS rel
+        |  FROM documents),
+        |dcg AS (SELECT sum((pow(2.0, rel) - 1.0) / log2(rn + 1.0))
+        |    AS dcg
+        |  FROM ranked JOIN rel USING (doc_id)),
+        |ideal AS (SELECT rel, row_number() OVER
+        |    (ORDER BY rel DESC, doc_id) AS rn
+        |  FROM rel),
+        |idcg AS (SELECT sum((pow(2.0, rel) - 1.0) / log2(rn + 1.0))
+        |    AS idcg
+        |  FROM ideal WHERE rn <= 10)
+        |SELECT round(dcg.dcg, 6) AS dcg, round(idcg.idcg, 6) AS idcg,
+        |  round(dcg.dcg / idcg.idcg, 6) AS ndcg
+        |FROM dcg, idcg""".stripMargin,
+      headline = true)
   )
 }

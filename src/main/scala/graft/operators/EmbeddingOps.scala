@@ -69,6 +69,44 @@ object EmbeddingOps {
       .join(q, col("id") =!= col("qid")), k)
   }
 
+  /** Contrastive training-pair mining: for each labeled query vector,
+    * the most-similar SAME-label corpus vector (the positive) and the
+    * most-similar DIFFERENT-label one (the hard negative) — the pair
+    * construction step for embedding-model contrastive training
+    * (in-batch negatives are free; the HARD negative needs this
+    * corpus-wide argmax).
+    *
+    * Scale shape: the query batch broadcasts, the corpus streams once,
+    * and the per-(query, polarity) argmax is a plain `max` over a
+    * `(cos, -id)` struct — map-side combinable partial aggregation, so
+    * only 2 rows per query per partition reach the shuffle (a window
+    * over the candidate set would shuffle all |corpus|·|queries|
+    * candidate rows instead). Ties on the 6-dp-rounded cosine resolve
+    * to the smaller id via the negated-id struct field. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(labelCol).as("qlabel"), col(vecCol).as("qvec")))
+    corpus.select(col(idCol).as("id"), col(labelCol).as("clabel"),
+        col(vecCol).as("vec"))
+      .join(q, col("id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("id"),
+        (col("clabel") === col("qlabel")).as("same"),
+        GraftFunctions.duckRound(cosine(col("vec"), col("qvec")), 6)
+          .as("cos"))
+      .groupBy("qid", "qlabel")
+      .agg(
+        max(when(col("same"), struct(col("cos"), (-col("id")).as("nid"))))
+          .as("p"),
+        max(when(!col("same"), struct(col("cos"), (-col("id")).as("nid"))))
+          .as("n"))
+      .select(col("qid"), col("qlabel").as("label"),
+        (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
+        (-col("n.nid")).as("neg_id"), col("n.cos").as("neg_cos"),
+        GraftFunctions.duckRound(col("p.cos") - col("n.cos"), 6)
+          .as("margin"))
+  }
+
   /** Approximate top-k: both sides keyed by an `bits`-wide random-
     * hyperplane sketch; candidates are corpus vectors in the query's
     * probed buckets, ranked exactly within them. The corpus is indexed

@@ -297,4 +297,42 @@ class EmbeddingOpsSpec extends SparkSpecBase {
       "single-probe is already exact — probe-gate corpus no longer " +
         "discriminates; retune jitter")
   }
+
+  test("hardNegatives equals the window-ranked reference and the " +
+    "aggregation shape is partial-aggregable (no window)") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = clustered.withColumnRenamed("cluster", "label")
+    val queries = corpus.where(col("vec_id") % 100 < 3)
+    val got = EmbeddingOps.hardNegatives(corpus, queries, "vec_id",
+      "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    // reference: explicit per-(query, polarity) window over all pairs
+    val q = queries.select(col("vec_id").as("qid"),
+      col("label").as("qlabel"), col("embedding").as("qvec"))
+    val ref = corpus.select(col("vec_id").as("id"), col("label"),
+        col("embedding").as("vec"))
+      .join(q, col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (col("label") === col("qlabel")).as("same"),
+        graft.functions.GraftFunctions.duckRound(
+          EmbeddingOps.cosine(col("vec"), col("qvec")), 6).as("cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid", "same")
+        .orderBy(col("cos").desc, col("id"))))
+      .where(col("rn") === 1)
+      .groupBy("qid")
+      .agg(max(when(col("same"), col("id"))).as("pos_id"),
+        max(when(!col("same"), col("id"))).as("neg_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+    // every positive shares the query's cluster; every negative doesn't
+    assert(got.forall { case (qid, pos, neg) =>
+      pos / 100 == qid / 100 && neg / 100 != qid / 100 })
+    // scale shape: the plan must not contain a Window operator — the
+    // argmax is a plain aggregate (map-side combinable)
+    val plan = EmbeddingOps.hardNegatives(corpus, queries, "vec_id",
+      "embedding", "label").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

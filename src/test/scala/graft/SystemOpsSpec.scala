@@ -713,4 +713,68 @@ class SystemOpsSpec extends SparkSpecBase {
     } yield (ia, ib, n)).toSet
     assert(streamed == want, s"streamed=$streamed want=$want")
   }
+
+  test("cluster-safe split: no near-dup pair spans two splits, every " +
+    "doc is assigned, and the assignment is partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    Queries.prep(spark, sfDir)
+    val assign = SparkEntry.queries("q214_cluster_safe_split")(spark, sfDir)
+      .cache()
+    val docs = spark.table("documents")
+    assert(assign.count() == docs.count())
+    assert(assign.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // the governance property: members of one near-dup pair always land
+    // in the SAME split (q64 detects exactly this leak on the q63
+    // content-hash split; here it must be structurally impossible)
+    val pairs = graft.operators.TextOps.minhashDupPairs(docs,
+      "doc_id", "text", threshold = 0.5)
+    val leaked = pairs
+      .join(assign.select(col("doc_id").as("id_a"),
+        col("split").as("sa")), "id_a")
+      .join(assign.select(col("doc_id").as("id_b"),
+        col("split").as("sb")), "id_b")
+      .where(col("sa") =!= col("sb")).count()
+    assert(leaked == 0L)
+    assign.unpersist()
+  }
+
+  test("epoch shuffle: deterministic across runs, pos is dense per " +
+    "shard, and the permutation covers the corpus exactly once") {
+    import org.apache.spark.sql.functions._
+    val a = SparkEntry.queries("q215_epoch_shuffle")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q215_epoch_shuffle")(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+    val docs = a.map(_.getLong(2))
+    assert(docs.toSet.size == docs.length) // a permutation: no dup, no drop
+    val byShard = a.groupBy(_.getLong(0))
+    byShard.foreach { case (_, rows) =>
+      val ps = rows.map(r => r.getInt(1)).sorted
+      assert(ps.toSeq == (1 to rows.length).toSeq) // dense 1..n per shard
+    }
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+  }
+
+  test("nDCG: bounded by 1, and equals 1 when the ranking IS the ideal " +
+    "ranking") {
+    import org.apache.spark.sql.functions._
+    Queries.prep(spark, sfDir)
+    val row = SparkEntry.queries("q216_ndcg")(spark, sfDir).collect().head
+    val (dcg, idcg, ndcg) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(dcg > 0 && idcg >= dcg && ndcg > 0 && ndcg <= 1.0)
+    // self-consistency: scoring the ideal ordering against itself is 1
+    val rel = spark.table("documents").select(col("doc_id"), expr(
+      """size(filter(array('hash','join','merge','filter'),
+        |  t -> array_contains(split(trim(lower(text)), '\\s+'), t)))
+        |""".stripMargin).cast("long").as("rel"))
+    val ideal = rel.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rel").desc, col("doc_id"))))
+      .where(col("rn") <= 10)
+      .agg(sum((pow(lit(2.0), col("rel")) - 1.0) /
+        log2(col("rn") + 1.0)).as("s"))
+      .collect().head.getDouble(0)
+    assert(math.abs(ideal - idcg) < 1e-4)
+  }
 }
