@@ -3686,6 +3686,98 @@ object PipelineQueries {
         |SELECT round(dcg.dcg, 6) AS dcg, round(idcg.idcg, 6) AS idcg,
         |  round(dcg.dcg / idcg.idcg, 6) AS ndcg
         |FROM dcg, idcg""".stripMargin,
-      headline = true)
+      headline = true),
+
+    // SFT example assembly with loss-mask accounting (r9): each doc
+    // becomes an instruction-tuning example (12 template tokens +
+    // instruction body as the MASKED prompt span, an 8-token extractive
+    // stub as the trainable completion), packed into 512-token training
+    // sequences by q200's two-pass distributed prefix sum (never a
+    // single-partition window). The per-example report carries the
+    // packing-fragmentation signals that matter for SFT specifically:
+    // whether the COMPLETION (loss) span crosses a sequence boundary,
+    // and the example's loss fraction.
+    "q218_sft_pack_masks" -> api((spark, _) => {
+      val docs = spark.table("documents")
+      val ex = docs.select(col("doc_id"),
+        (size(split(col("text"), " ")) + lit(12)).cast("long")
+          .as("prompt_toks"),
+        least(size(split(col("text"), " ")), lit(8)).cast("long")
+          .as("completion_toks"))
+        .withColumn("example_toks",
+          col("prompt_toks") + col("completion_toks"))
+      operators.PackingOps.packChunks(ex, "doc_id", "example_toks", 512)
+        .join(ex, "doc_id")
+        .select(col("doc_id"), col("prompt_toks"), col("completion_toks"),
+          col("toks").as("example_toks"), col("gstart"),
+          col("chunk_first"), col("chunk_last"),
+          (expr("(gstart + prompt_toks) div 512") =!=
+            expr("(gstart + example_toks - 1) div 512"))
+            .as("completion_split"),
+          round(col("completion_toks").cast("double") /
+            col("example_toks"), 6).as("loss_frac"))
+        .orderBy("doc_id")
+    },
+      """WITH e AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) + 12 AS BIGINT)
+        |      AS prompt_toks,
+        |    CAST(least(len(string_split(text, ' ')), 8) AS BIGINT)
+        |      AS completion_toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, prompt_toks, completion_toks,
+        |    prompt_toks + completion_toks AS example_toks FROM e),
+        |c AS (SELECT *, CAST(coalesce(sum(example_toks) OVER (
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS gstart FROM x)
+        |SELECT doc_id, prompt_toks, completion_toks, example_toks,
+        |  gstart, gstart // 512 AS chunk_first,
+        |  (gstart + greatest(example_toks, 1) - 1) // 512 AS chunk_last,
+        |  ((gstart + prompt_toks) // 512)
+        |    <> ((gstart + example_toks - 1) // 512) AS completion_split,
+        |  round(CAST(completion_toks AS DOUBLE) / example_toks, 6)
+        |    AS loss_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
+      headline = true),
+
+    // Best-of-n candidate selection (r9): the rejection-sampling /
+    // distillation loop — n=4 candidate generations per prompt, a
+    // reward per candidate, argmax selection with the reward margin
+    // over the runner-up (the confidence signal that gates whether the
+    // winner enters the training set). The reward is a deterministic
+    // md5-derived stand-in at the same seam a real reward model would
+    // occupy (a batched scoring call, cf. q217's transport); selection
+    // is a single bounded aggregate — sort of an n-sized struct list
+    // per prompt, no window, no shuffle beyond the one groupBy.
+    "q219_best_of_n" -> api((spark, _) =>
+      spark.table("documents")
+        .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("i"))
+        .select(col("doc_id"), col("i"),
+          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING)," +
+            " ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+            .as("reward"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("reward"),
+          (-col("i")).as("ni"), col("i"))), asc = false).as("arr"))
+        .select(col("doc_id"),
+          col("arr")(0).getField("i").as("best_i"),
+          col("arr")(0).getField("reward").as("best_reward"),
+          (col("arr")(0).getField("reward") -
+            col("arr")(1).getField("reward")).as("margin"))
+        .orderBy("doc_id"),
+      """WITH cand AS (SELECT doc_id, i,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(i AS VARCHAR)), 1, 8))::BIGINT AS reward
+        |  FROM documents, unnest([0, 1, 2, 3]) AS u(i)),
+        |r AS (SELECT doc_id, i, reward,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY reward DESC, i) AS rn
+        |  FROM cand)
+        |SELECT doc_id,
+        |  max(CASE WHEN rn = 1 THEN i END) AS best_i,
+        |  max(CASE WHEN rn = 1 THEN reward END) AS best_reward,
+        |  CAST(max(CASE WHEN rn = 1 THEN reward END)
+        |    - max(CASE WHEN rn = 2 THEN reward END) AS BIGINT) AS margin
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1069,6 +1069,75 @@ object SystemQueries {
         |SELECT doc_id, CAST(4 AS BIGINT) AS n_messages,
         |  string_split(string_split(raw, ';')[1], chr(10))[1] AS sql,
         |  CAST(length(raw) AS BIGINT) AS completion_chars
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin),
+
+    // RAG rerank loop (r9): BM25 candidate retrieval (q204) → one LLM
+    // scoring call per candidate through the SAME injectable transport
+    // as q183 (EchoClient offline; HttpGenerationClient behind
+    // spark.graft.llm.endpoint) → parse the score out of the raw
+    // completion → rerank. Exercises the full retrieval→score→rerank
+    // plumbing with the model stubbed at the transport seam, the
+    // orchestration convention throughout (the echo score is the
+    // prompt length, so the oracle re-derives it from the prompt
+    // template + text). Candidate set is top-10, so the rerank window
+    // is trivially bounded; at scale the per-QUERY candidate list stays
+    // k-sized regardless of corpus size — rerank cost is queries×k
+    // calls, never corpus-sized.
+    "q217_llm_rerank" -> api((spark, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = spark.table("documents")
+      val cand = graft.operators.RetrievalOps.bm25TopN(docs, "doc_id",
+          "text", Seq("hash", "join", "merge", "filter"), n = 10)
+        .select(col("doc_id"), col("rn").cast("long").as("bm25_rn"))
+      val prompted = cand
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("bm25_rn"),
+          concat(lit("-- Rate the relevance of the passage to " +
+            "\"hash join merge filter\": "), col("text")).as("prompt"))
+      graft.operators.LlmOrchestrator.completePrompts(prompted, "prompt",
+          graft.operators.LlmOrchestrator.clientFromConf(spark))
+        .select(col("doc_id"), col("bm25_rn"),
+          regexp_extract(col("raw_output"), "SELECT (\\d+) AS prompt_len", 1)
+            .cast("long").as("llm_score"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("llm_score").desc, col("doc_id"))))
+        .orderBy("rn")
+    },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl
+        |  FROM w),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl
+        |  FROM lens),
+        |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(words) AS t FROM w)
+        |  WHERE t IN ('hash', 'join', 'merge', 'filter')
+        |  GROUP BY doc_id, t),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (SELECT tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+        |        / (CAST(df.df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) /
+        |        (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          CAST(lens.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+        |          / CAST(s.sum_dl AS DOUBLE))))), 6) AS score,
+        |    count(*) AS n_terms_hit
+        |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY tf.doc_id),
+        |top AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |      AS BIGINT) AS bm25_rn
+        |  FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+        |sc AS (SELECT t.doc_id, t.bm25_rn,
+        |    CAST(length('-- Rate the relevance of the passage to ' ||
+        |      '"hash join merge filter": ' || d.text) AS BIGINT)
+        |      AS llm_score
+        |  FROM top t JOIN documents d ON t.doc_id = d.doc_id)
+        |SELECT doc_id, bm25_rn, llm_score,
+        |  row_number() OVER (ORDER BY llm_score DESC, doc_id) AS rn
+        |FROM sc ORDER BY rn""".stripMargin,
+      headline = true)
   )
 }

@@ -243,6 +243,32 @@ object LlmOrchestrator {
     * counts are the deterministic analogue and keep the accounting
     * value-checked). Output: (id, sql, prompt_chars, completion_chars,
     * total_chars). */
+  /** Generic batched dispatch: every row's `promptCol` goes through the
+    * client, all other columns ride through untouched, and the raw
+    * completion lands in `raw_output`. The kernel [[textToSql]] wraps
+    * with prompt construction and SQL post-processing; rerank/score
+    * loops (q217) use this seam directly. Same batched-mapPartitions
+    * shape as the media codecs: one client call per `batchSize` rows
+    * per partition, in-flight requests bounded per task, no shuffle. */
+  def completePrompts(prompted: DataFrame, promptCol: String,
+      client: GenerationClient, params: GenParams = GenParams(),
+      batchSize: Int = 16): DataFrame = {
+    val outSchema = StructType(prompted.schema.fields :+
+      StructField("raw_output", StringType, nullable = true))
+    val pIdx = prompted.schema.fieldIndex(promptCol)
+    prompted.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val outs = client.generate(batch.map(_.getString(pIdx)), params)
+        require(outs.length == batch.length,
+          s"client returned ${outs.length} completions for " +
+            s"${batch.length} prompts")
+        batch.iterator.zip(outs.iterator).map { case (r, raw) =>
+          Row.fromSeq(r.toSeq :+ raw)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def textToSql(questions: DataFrame, idCol: String, questionCol: String,
       style: String,
       tables: Seq[(String, org.apache.spark.sql.types.StructType)],

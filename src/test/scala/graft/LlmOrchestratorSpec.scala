@@ -187,4 +187,36 @@ class LlmOrchestratorSpec extends SparkSpecBase {
       spark.conf.unset("spark.graft.llm.chat_endpoint")
     }
   }
+
+  test("completePrompts passes every non-prompt column through and is " +
+    "batch-size invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 37).map(i => (i.toLong, s"extra$i", s"prompt body $i"))
+      .toDF("id", "extra", "prompt")
+    def run(bs: Int) = LlmOrchestrator.completePrompts(df, "prompt",
+        new LlmOrchestrator.EchoClient, batchSize = bs)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    val a = run(16)
+    assert(a.length == 37)
+    // echo completion embeds the prompt length — per-row alignment holds
+    assert(a.forall { case (i, extra, raw) =>
+      extra == s"extra$i" && raw.startsWith(
+        s"SELECT ${s"prompt body $i".length} AS prompt_len;") })
+    assert(run(5).toSeq == a.toSeq) // batching is invisible to results
+  }
+
+  test("q217 rerank: a permutation of the BM25 top-10 with dense ranks") {
+    import org.apache.spark.sql.functions._
+    Queries.prep(spark, sfDir)
+    val rr = SparkEntry.queries("q217_llm_rerank")(spark, sfDir).collect()
+    assert(rr.length == 10)
+    assert(rr.map(_.getInt(3)).toSeq == (1 to 10))
+    val bm25 = graft.operators.RetrievalOps.bm25TopN(
+      spark.table("documents"), "doc_id", "text",
+      Seq("hash", "join", "merge", "filter"), n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(rr.map(_.getLong(0)).toSet == bm25)
+  }
 }

@@ -755,6 +755,47 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(byShard.keySet.subsetOf((0L until 8L).toSet))
   }
 
+  test("SFT packing: offsets chain exactly, and a completion_split " +
+    "example always crosses a chunk boundary") {
+    import org.apache.spark.sql.functions._
+    Queries.prep(spark, sfDir)
+    val rows = SparkEntry.queries("q218_sft_pack_masks")(spark, sfDir)
+      .collect()
+    // gstart is an exact exclusive prefix sum in doc_id order
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(4) == a.getLong(4) + a.getLong(3),
+          s"offset chain broke at doc ${b.getLong(0)}")
+      case _ =>
+    }
+    assert(rows.head.getLong(4) == 0L)
+    rows.foreach { r =>
+      if (r.getBoolean(7)) // completion_split ⇒ the example itself spans
+        assert(r.getLong(6) > r.getLong(5))
+    }
+  }
+
+  test("best-of-n: the winner has the maximum reward and the margin is " +
+    "positive vs the runner-up") {
+    import org.apache.spark.sql.functions._
+    Queries.prep(spark, sfDir)
+    val sel = SparkEntry.queries("q219_best_of_n")(spark, sfDir)
+      .limit(50).collect()
+    sel.foreach { r =>
+      val (docId, bestI, bestR, margin) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      val rewards = (0 to 3).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$docId:$i".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        i -> java.lang.Long.parseLong(h, 16)
+      }
+      val sorted = rewards.sortBy { case (i, rw) => (-rw, i) }
+      assert(sorted.head._1 == bestI && sorted.head._2 == bestR)
+      assert(margin == sorted.head._2 - sorted(1)._2 && margin > 0)
+    }
+  }
+
   test("nDCG: bounded by 1, and equals 1 when the ranking IS the ideal " +
     "ranking") {
     import org.apache.spark.sql.functions._
