@@ -3632,10 +3632,12 @@ object PipelineQueries {
       val dcg = ranked.join(rel, "doc_id")
         .agg(sum((pow(lit(2.0), col("rel")) - 1.0) /
           log2(col("rn") + 1.0)).as("dcg"))
-      val idcg = rel
+      // corpus-wide ideal top-10 as TakeOrderedAndProject (orderBy +
+      // limit), NOT an unpartitioned row_number window — the rank
+      // window then runs over the 10 surviving rows only
+      val idcg = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
         .withColumn("rn", row_number().over(org.apache.spark.sql
           .expressions.Window.orderBy(col("rel").desc, col("doc_id"))))
-        .where(col("rn") <= 10)
         .agg(sum((pow(lit(2.0), col("rel")) - 1.0) /
           log2(col("rn") + 1.0)).as("idcg"))
       dcg.crossJoin(idcg).select(
