@@ -85,11 +85,12 @@ object Bench {
     // headline set (BASELINE.md carries the measurement history) can.
     // Only emitted for the full default set at the driver's sf — an
     // args-selected subset has no recorded floor.
-    // floor re-measured whenever the headline set changes; r9 63-entry
-    // set (q213/q216/q217/q218 promoted): 42.0 s quiet-host total
-    // (load ~1-2/32, one entry self-flagged noisy), BASELINE.md Round-9
+    // floor re-measured whenever the headline set changes; r9 64-entry
+    // set (q213/q216/q217/q218/q220 promoted): 42.0 s measured for the
+    // 63-entry set (load ~1-2/32) + q220's scoped 1.84 s steady state,
+    // BASELINE.md Round-9
     val quietFloorSec: Option[Double] =
-      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(42.0) else None
+      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(43.9) else None
     val runNoisy = quietFloorSec.map { floor =>
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""

@@ -3780,6 +3780,117 @@ object PipelineQueries {
         |  max(CASE WHEN rn = 1 THEN reward END) AS best_reward,
         |  CAST(max(CASE WHEN rn = 1 THEN reward END)
         |    - max(CASE WHEN rn = 2 THEN reward END) AS BIGINT) AS margin
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Margin-based cross-corpus alignment (r9) — Artetxe & Schwenk
+    // 2019 (arXiv:1811.01136) mutual-margin mining, the standard
+    // parallel-corpus construction criterion: the even/odd vec_id
+    // halves stand in for the two sides; score(x,y) = cos(x,y)
+    // normalized by the mean of each side's top-4 neighborhood
+    // (penalizing hub vectors that are close to EVERYTHING), keep only
+    // MUTUAL best matches. The cross-score table materializes once
+    // (localCheckpoint) and feeds the two neighborhood means, both
+    // argmax directions as map-side-combinable struct-maxes, and the
+    // final mutual join — five consumers, one kernel pass. Margins are
+    // rounded to 6dp BEFORE the argmax so a cross-engine ulp cannot
+    // flip a rank (house rule). At corpus scale the cross table is the
+    // LSH-bucketed candidate set (q46's kernel), not the dense cross —
+    // this entry pins the scoring/mutuality semantics on the exact
+    // table.
+    "q220_bitext_margin_mining" -> api({ (spark, _) =>
+      val emb = spark.table("embeddings")
+      val a = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      val pairs = a.join(broadcast(b))
+        .select(col("a_id"), col("b_id"),
+          graft.functions.GraftFunctions.duckRound(
+            EmbeddingOps.cosine(col("va"), col("vb")), 6).as("cos"))
+        .localCheckpoint()
+      import org.apache.spark.sql.expressions.Window
+      def hood(key: String): org.apache.spark.sql.DataFrame = pairs
+        .withColumn("rn", row_number().over(Window.partitionBy(key)
+          .orderBy(col("cos").desc,
+            col(if (key == "a_id") "b_id" else "a_id"))))
+        .where(col("rn") <= 4)
+        .groupBy(key)
+        .agg(graft.functions.GraftFunctions.duckRound(avg(col("cos")), 6)
+          .as(if (key == "a_id") "ma" else "mb"))
+      val scored = pairs
+        .join(hood("a_id"), "a_id").join(hood("b_id"), "b_id")
+        .select(col("a_id"), col("b_id"), col("cos"),
+          graft.functions.GraftFunctions.duckRound(
+            col("cos") / ((col("ma") + col("mb")) / 2.0), 6).as("margin"))
+        .localCheckpoint()
+      val fwd = scored.groupBy("a_id")
+        .agg(max(struct(col("margin"), (-col("b_id")).as("nb"),
+          col("b_id"), col("cos"))).as("f"))
+        .select(col("a_id"), col("f.b_id").as("b_id"),
+          col("f.cos").as("cos"), col("f.margin").as("margin"))
+      val bwd = scored.groupBy("b_id")
+        .agg(max(struct(col("margin"), (-col("a_id")).as("na"),
+          col("a_id"))).as("g"))
+        .select(col("b_id"), col("g.a_id").as("back_a"))
+      fwd.join(bwd, "b_id")
+        .where(col("back_a") === col("a_id"))
+        .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+        .orderBy("a_id")
+    },
+      """WITH n AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS embedding,
+        |    sqrt((SELECT sum(x*x) FROM
+        |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z))
+        |      AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round((SELECT sum(x*y) FROM
+        |        (SELECT unnest(a.embedding) AS x,
+        |                unnest(b.embedding) AS y) z)
+        |      / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a, n b
+        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |ka AS (SELECT a_id, round(avg(cos), 6) AS ma FROM (
+        |    SELECT a_id, cos, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cos DESC, b_id) AS rn FROM p) t
+        |  WHERE rn <= 4 GROUP BY a_id),
+        |kb AS (SELECT b_id, round(avg(cos), 6) AS mb FROM (
+        |    SELECT b_id, cos, row_number() OVER (PARTITION BY b_id
+        |      ORDER BY cos DESC, a_id) AS rn FROM p) t
+        |  WHERE rn <= 4 GROUP BY b_id),
+        |s AS (SELECT p.a_id, p.b_id, p.cos,
+        |    round(p.cos / ((ka.ma + kb.mb) / 2.0), 6) AS margin
+        |  FROM p JOIN ka USING (a_id) JOIN kb USING (b_id)),
+        |fwd AS (SELECT a_id, b_id, cos, margin FROM (
+        |    SELECT s.*, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY margin DESC, b_id) AS rn FROM s) t
+        |  WHERE rn = 1),
+        |bwd AS (SELECT b_id, a_id AS back_a FROM (
+        |    SELECT s.*, row_number() OVER (PARTITION BY b_id
+        |      ORDER BY margin DESC, a_id) AS rn FROM s) t
+        |  WHERE rn = 1)
+        |SELECT fwd.a_id, fwd.b_id, fwd.cos, fwd.margin
+        |FROM fwd JOIN bwd ON fwd.b_id = bwd.b_id
+        |  AND bwd.back_a = fwd.a_id
+        |ORDER BY fwd.a_id""".stripMargin,
+      headline = true),
+
+    // Crawl-front domain governance (r9): blocklist removal + per-domain
+    // document cap (top-10 per source by length, deterministic
+    // tie-break) — the CommonCrawl-style balancing step that stops one
+    // domain from dominating the corpus. The rk<=10 filter over the
+    // per-source window plans as WindowGroupLimit (spec-asserted):
+    // Spark pushes a partial top-k BELOW the exchange, so only <=10
+    // rows per source per input partition reach the shuffle — the
+    // per-domain cap costs a capped shuffle, not a corpus sort.
+    "q221_domain_cap" -> same(
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents
+        |  WHERE source NOT IN ('src17', 'src18', 'src19'))
+        |SELECT doc_id, source, n_chars, rk
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin)
   )
 }

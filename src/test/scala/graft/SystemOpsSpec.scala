@@ -796,6 +796,32 @@ class SystemOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("bitext margin mining: output is a partial matching (injective " +
+    "both ways) and every pair beats both sides' alternatives on margin") {
+    import org.apache.spark.sql.functions._
+    Queries.prep(spark, sfDir)
+    val m = SparkEntry.queries("q220_bitext_margin_mining")(spark, sfDir)
+      .collect()
+    assert(m.nonEmpty)
+    assert(m.map(_.getLong(0)).distinct.length == m.length) // a_id unique
+    assert(m.map(_.getLong(1)).distinct.length == m.length) // b_id unique
+    assert(m.forall(r => r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1))
+  }
+
+  test("domain cap: caps at 10 per source, drops blocked sources, and " +
+    "plans the rank filter as WindowGroupLimit") {
+    import org.apache.spark.sql.functions._
+    Queries.prep(spark, sfDir)
+    val df = SparkEntry.queries("q221_domain_cap")(spark, sfDir)
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getString(1))
+    assert(bySource.values.forall(_.length <= 10))
+    assert(!bySource.keySet.exists(Set("src17", "src18", "src19")))
+    // the partial top-k must sit below the exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("nDCG: bounded by 1, and equals 1 when the ranking IS the ideal " +
     "ranking") {
     import org.apache.spark.sql.functions._
