@@ -3891,6 +3891,54 @@ object PipelineQueries {
         |  FROM documents
         |  WHERE source NOT IN ('src17', 'src18', 'src19'))
         |SELECT doc_id, source, n_chars, rk
-        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin)
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin),
+
+    // Semantic eval decontamination (r9): the embedding-space
+    // complement of the n-gram decontamination (q150) — flag every
+    // TRAINING vector whose cosine to ANY eval-set vector clears the
+    // threshold (the FineWeb/clean-room practice: n-grams catch copies,
+    // embeddings catch paraphrases). Eval side (vec_id % 50 = 0)
+    // broadcasts; the per-train argmax over eval candidates is the
+    // same map-side-combinable struct-max as q213 — one corpus pass,
+    // no window, no corpus shuffle.
+    "q222_semantic_decontam" -> api((spark, _) => {
+      val emb = spark.table("embeddings")
+      val eval_ = broadcast(emb.where(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ev")))
+      emb.where(pmod(col("vec_id"), lit(50)) =!= 0)
+        .select(col("vec_id"), col("embedding").as("tv"))
+        .join(eval_)
+        .select(col("vec_id"), col("eval_id"),
+          graft.functions.GraftFunctions.duckRound(
+            EmbeddingOps.cosine(col("tv"), col("ev")), 6).as("cos"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos"), (-col("eval_id")).as("ne"),
+          col("eval_id"))).as("m"))
+        .select(col("vec_id"),
+          col("m.eval_id").as("nearest_eval_id"),
+          col("m.cos").as("max_cos"),
+          (col("m.cos") >= 0.5).as("flagged"))
+        .orderBy("vec_id")
+    },
+      """WITH n AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS embedding,
+        |    sqrt((SELECT sum(x*x) FROM
+        |      (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z))
+        |      AS nrm
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, embedding AS e, nrm AS en
+        |  FROM n WHERE vec_id % 50 = 0),
+        |p AS (SELECT n.vec_id, ev.eval_id,
+        |    round((SELECT sum(x*y) FROM
+        |        (SELECT unnest(n.embedding) AS x, unnest(ev.e) AS y) z)
+        |      / (n.nrm * ev.en), 6) AS cos
+        |  FROM n, ev WHERE n.vec_id % 50 <> 0),
+        |r AS (SELECT vec_id, eval_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, eval_id) AS rn
+        |  FROM p)
+        |SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cos,
+        |  cos >= 0.5 AS flagged
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
   )
 }
