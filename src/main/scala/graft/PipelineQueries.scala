@@ -3788,15 +3788,21 @@ object PipelineQueries {
     // halves stand in for the two sides; score(x,y) = cos(x,y)
     // normalized by the mean of each side's top-4 neighborhood
     // (penalizing hub vectors that are close to EVERYTHING), keep only
-    // MUTUAL best matches. The cross-score table materializes once
-    // (localCheckpoint) and feeds the two neighborhood means, both
-    // argmax directions as map-side-combinable struct-maxes, and the
-    // final mutual join — five consumers, one kernel pass. Margins are
-    // rounded to 6dp BEFORE the argmax so a cross-engine ulp cannot
-    // flip a rank (house rule). At corpus scale the cross table is the
-    // LSH-bucketed candidate set (q46's kernel), not the dense cross —
-    // this entry pins the scoring/mutuality semantics on the exact
-    // table.
+    // MUTUAL best matches. Margins are rounded to 6dp BEFORE the
+    // argmax so a cross-engine ulp cannot flip a rank (house rule).
+    //
+    // Scale shape: the cross-score table is NEVER materialized,
+    // shuffled, or sorted — each consumer streams the fused cosine
+    // kernel. The per-side top-4 neighborhoods run as bounded_min_longs
+    // over an order-encoded long ((1e6 - cos·1e6) << 33 | otherId, so
+    // k-smallest == (cos DESC, id ASC) top-k exactly) — O(k) agg state,
+    // map-side combined, only ~k rows per key per partition reach the
+    // wire. The (tiny) neighborhood tables broadcast back onto the
+    // kernel, and both argmax directions are struct-maxes — partial-
+    // aggregable again. The only shuffles in the whole plan carry
+    // side-sized tables. At corpus scale the candidate pairs come from
+    // the LSH kernel (q46) instead of the dense cross; this entry pins
+    // the scoring/mutuality semantics on the exact table.
     "q220_bitext_margin_mining" -> api({ (spark, _) =>
       val emb = spark.table("embeddings")
       val a = emb.where(pmod(col("vec_id"), lit(2)) === 0)
@@ -3807,22 +3813,26 @@ object PipelineQueries {
         .select(col("a_id"), col("b_id"),
           graft.functions.GraftFunctions.duckRound(
             EmbeddingOps.cosine(col("va"), col("vb")), 6).as("cos"))
-        .localCheckpoint()
-      import org.apache.spark.sql.expressions.Window
-      def hood(key: String): org.apache.spark.sql.DataFrame = pairs
-        .withColumn("rn", row_number().over(Window.partitionBy(key)
-          .orderBy(col("cos").desc,
-            col(if (key == "a_id") "b_id" else "a_id"))))
-        .where(col("rn") <= 4)
-        .groupBy(key)
-        .agg(graft.functions.GraftFunctions.duckRound(avg(col("cos")), 6)
-          .as(if (key == "a_id") "ma" else "mb"))
+      def hood(key: String): org.apache.spark.sql.DataFrame = {
+        val other = if (key == "a_id") "b_id" else "a_id"
+        pairs
+          .select(col(key),
+            ((lit(1000000L) - round(col("cos") * 1e6, 0).cast("long")) *
+              lit(8589934592L) + col(other)).as("ek"))
+          .groupBy(key)
+          .agg(graft.functions.GraftFunctions.boundedMinLongs(
+            col("ek"), 4).as("eks"))
+          .select(col(key), graft.functions.GraftFunctions.duckRound(
+            expr("aggregate(eks, 0D, (s, x) -> " +
+              "s + (1000000 - (x div 8589934592)) / 1e6) / size(eks)"), 6)
+            .as(if (key == "a_id") "ma" else "mb"))
+      }
       val scored = pairs
-        .join(hood("a_id"), "a_id").join(hood("b_id"), "b_id")
+        .join(broadcast(hood("a_id")), "a_id")
+        .join(broadcast(hood("b_id")), "b_id")
         .select(col("a_id"), col("b_id"), col("cos"),
           graft.functions.GraftFunctions.duckRound(
             col("cos") / ((col("ma") + col("mb")) / 2.0), 6).as("margin"))
-        .localCheckpoint()
       val fwd = scored.groupBy("a_id")
         .agg(max(struct(col("margin"), (-col("b_id")).as("nb"),
           col("b_id"), col("cos"))).as("f"))
