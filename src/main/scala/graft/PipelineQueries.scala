@@ -3949,6 +3949,29 @@ object PipelineQueries {
         |  FROM p)
         |SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cos,
         |  cos >= 0.5 AS flagged
-        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+
+    // Join-key skew diagnosis + salt planning (r9): the measurement
+    // that decides between plain shuffle, broadcast, and salting
+    // (q101/q102 EXECUTE the salted shapes; this entry produces the
+    // numbers that justify them). Per-key counts are one partial-agg
+    // shuffle on the key; the corpus-wide stats ride as a broadcast
+    // scalar row; the skew head is a top-k reduction
+    // (TakeOrderedAndProject), never a global sort. salt_buckets =
+    // ceil(cnt / avg) is the replication factor that levels that key
+    // to the average — the input q102's salted join needs.
+    "q223_skew_report" -> same(
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+        |  GROUP BY user_id),
+        |s AS (SELECT count(*) AS n_keys, sum(cnt) AS n_rows,
+        |    avg(cnt) AS avg_cnt FROM c)
+        |SELECT c.user_id, c.cnt, s.n_keys,
+        |  CAST(s.n_rows AS BIGINT) AS n_rows,
+        |  round(c.cnt / s.avg_cnt, 6) AS skew_ratio,
+        |  round(c.cnt / CAST(s.n_rows AS DOUBLE), 6) AS share,
+        |  CAST(greatest(1, ceil(c.cnt / s.avg_cnt)) AS BIGINT)
+        |    AS salt_buckets
+        |FROM c CROSS JOIN s
+        |ORDER BY c.cnt DESC, c.user_id LIMIT 20""".stripMargin)
   )
 }
