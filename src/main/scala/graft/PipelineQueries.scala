@@ -3972,6 +3972,61 @@ object PipelineQueries {
         |  CAST(greatest(1, ceil(c.cnt / s.avg_cnt)) AS BIGINT)
         |    AS salt_buckets
         |FROM c CROSS JOIN s
-        |ORDER BY c.cnt DESC, c.user_id LIMIT 20""".stripMargin)
+        |ORDER BY c.cnt DESC, c.user_id LIMIT 20""".stripMargin),
+
+    // Streaming split routing (r9): q214's continuous admission path —
+    // the standing corpus (even ids) carries cluster-safe splits; an
+    // ARRIVING doc inherits its fingerprint-matched cluster's split via
+    // a stateless stream-static join, or becomes its own singleton
+    // cluster under the same md5 rule. The oracle rebuilds the whole
+    // routing table (components, fp index, inheritance, fresh-split
+    // fallback) in SQL; drained AvailableNow the stream equals it
+    // exactly. Completes the incremental governance axis alongside
+    // q188 (exact dedup) and q208 (substring dedup).
+    "q224_stream_split_routing" -> api((spark, sfDir) =>
+      graft.streaming.StreamingOps.streamSplitRouting(spark, sfDir,
+        trainNibbleSeq, valNibbleSeq),
+      s"""WITH RECURSIVE f AS (SELECT doc_id,
+         |    md5(substring(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'), 1, 50)) AS fp
+         |  FROM documents),
+         |d AS (SELECT doc_id, $duckShingles AS sh FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE round($duckJaccard, 6) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach(id, lab) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         |cl AS (SELECT f.doc_id, f.fp,
+         |    coalesce(comp.component, f.doc_id) AS cluster
+         |  FROM f LEFT JOIN comp ON f.doc_id = comp.id
+         |  WHERE f.doc_id % 2 = 0),
+         |idx AS (SELECT fp, min(cluster) AS cluster FROM cl GROUP BY fp),
+         |idxs AS (SELECT fp,
+         |    CASE WHEN substring(md5('split:' ||
+         |        CAST(cluster AS VARCHAR)), 1, 1) IN $trainNibbles
+         |      THEN 'train'
+         |    WHEN substring(md5('split:' ||
+         |        CAST(cluster AS VARCHAR)), 1, 1) IN $valNibbles
+         |      THEN 'val'
+         |    ELSE 'test' END AS inherited
+         |  FROM idx),
+         |arr AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 1)
+         |SELECT a.doc_id, (i.inherited IS NOT NULL) AS matched,
+         |  coalesce(i.inherited,
+         |    CASE WHEN substring(md5('split:' ||
+         |        CAST(a.doc_id AS VARCHAR)), 1, 1) IN $trainNibbles
+         |      THEN 'train'
+         |    WHEN substring(md5('split:' ||
+         |        CAST(a.doc_id AS VARCHAR)), 1, 1) IN $valNibbles
+         |      THEN 'val'
+         |    ELSE 'test' END) AS split
+         |FROM arr a LEFT JOIN idxs i ON a.fp = i.fp
+         |ORDER BY a.doc_id""".stripMargin)
   )
 }

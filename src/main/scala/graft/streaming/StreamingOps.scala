@@ -537,4 +537,67 @@ object StreamingOps {
     }
     drainSink(spark, name, Seq("n_files"))
   }
+
+  /** Streaming split ROUTING against a standing governance index —
+    * the continuous form of the q214 cluster-safe split: the standing
+    * corpus (even doc_ids) carries cluster-level split assignments
+    * (q94's verified near-dup components, singletons self-clustered);
+    * the routing index maps each standing doc's lead fingerprint to
+    * its cluster's split. An ARRIVING doc (odd ids, file stream) takes
+    * a stateless stream-static left join on its fingerprint: a hit
+    * inherits the matched cluster's split (it cannot land opposite its
+    * standing near-twin), a miss becomes its own singleton cluster
+    * under the same md5 rule. Routing is fingerprint-exact by design —
+    * the full pair-graph pass is the batch operator; this is the
+    * admission path that keeps the standing governance invariant
+    * without recomputing the graph per batch (q188/q208 convention:
+    * index-side artifact + batch-side join work only). */
+  def streamSplitRouting(spark: SparkSession, sfDir: String,
+      trainNibbles: Seq[String], valNibbles: Seq[String]): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def fp(c: org.apache.spark.sql.Column) =
+      graft.operators.TextOps.leadFingerprint(c, 50)
+    def splitOf(cluster: org.apache.spark.sql.Column) = {
+      val nib = substring(
+        md5(concat(lit("split:"), cluster.cast("string"))), 1, 1)
+      when(nib.isin(trainNibbles: _*), "train")
+        .when(nib.isin(valNibbles: _*), "val")
+        .otherwise("test")
+    }
+    val standing = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val pairs = graft.operators.TextOps.minhashDupPairs(standing,
+      "doc_id", "text", threshold = 0.5)
+    val comp = graft.operators.IterativeOps
+      .connectedComponents(pairs, "id_a", "id_b")
+    // one split per fingerprint: min cluster when several standing
+    // docs share a lead fingerprint (deterministic)
+    val index = standing
+      .select(col("doc_id"), fp(col("text")).as("fp"))
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("fp"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .groupBy("fp").agg(min("cluster").as("cluster"))
+      .select(col("fp"), splitOf(col("cluster")).as("inherited"))
+      .localCheckpoint()
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), fp(col("text")).as("fp"))
+    val routed = stream
+      .join(index, Seq("fp"), "left_outer")
+      .select(col("doc_id"),
+        col("inherited").isNotNull.as("matched"),
+        coalesce(col("inherited"), splitOf(col("doc_id"))).as("split"))
+    val name = s"stream_route_${System.nanoTime()}"
+    val q = routed.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drainSink(spark, name, Seq("doc_id"))
+  }
 }

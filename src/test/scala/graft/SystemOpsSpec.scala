@@ -822,6 +822,34 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("streaming split routing equals its batch dual, and a matched " +
+    "arrival never lands opposite its standing fingerprint-twin") {
+    import org.apache.spark.sql.functions._
+    Queries.prep(spark, sfDir)
+    val routed = SparkEntry.queries("q224_stream_split_routing")(
+      spark, sfDir).collect()
+    // batch dual: q214 assignment over the standing half, joined to
+    // the arriving half on the lead fingerprint
+    val docs = spark.table("documents")
+    def fp(c: org.apache.spark.sql.Column) =
+      graft.operators.TextOps.leadFingerprint(c, 50)
+    val standingSplit = SparkEntry.queries("q214_cluster_safe_split")(
+        spark, sfDir) // full-corpus assignment; standing = even subset
+    val evenSplit = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), fp(col("text")).as("fp"))
+    val arriving = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), fp(col("text")).as("fp"))
+    // every matched arrival shares a fingerprint with >=1 standing doc
+    val matchedIds = routed.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val fpHits = arriving.join(evenSplit.select("fp").distinct(), "fp")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(matchedIds == fpHits)
+    // output covers exactly the arriving half, split values legal
+    assert(routed.length == arriving.count())
+    assert(routed.map(_.getString(2)).toSet
+      .subsetOf(Set("train", "val", "test")))
+  }
+
   test("nDCG: bounded by 1, and equals 1 when the ranking IS the ideal " +
     "ranking") {
     import org.apache.spark.sql.functions._
