@@ -85,12 +85,12 @@ object Bench {
     // headline set (BASELINE.md carries the measurement history) can.
     // Only emitted for the full default set at the driver's sf — an
     // args-selected subset has no recorded floor.
-    // floor re-measured whenever the headline set changes; r9 64-entry
-    // set (q213/q216/q217/q218/q220 promoted): 42.0 s measured for the
-    // 63-entry set (load ~1-2/32) + q220's scoped 1.84 s steady state,
-    // BASELINE.md Round-9
+    // floor re-measured whenever the headline set changes; r9 65-entry
+    // set (q213/q216/q217/q218/q220/q225 promoted): 42.0 s measured for
+    // the 63-entry set (load ~1-2/32) + q220 (1.84-2.14 s scoped) +
+    // q225 (0.76 s scoped), BASELINE.md Round-9
     val quietFloorSec: Option[Double] =
-      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(43.9) else None
+      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(44.9) else None
     val runNoisy = quietFloorSec.map { floor =>
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""

@@ -4027,6 +4027,67 @@ object PipelineQueries {
          |      THEN 'val'
          |    ELSE 'test' END) AS split
          |FROM arr a LEFT JOIN idxs i ON a.fp = i.fp
-         |ORDER BY a.doc_id""".stripMargin)
+         |ORDER BY a.doc_id""".stripMargin),
+
+    // Late-interaction retrieval, ColBERT-style MaxSim (r9; Khattab &
+    // Zaharia 2020, arXiv:2004.12832): score(q, d) = Σ over q's chunk
+    // vectors of the MAX similarity against any of d's chunk vectors —
+    // the multi-vector middle ground between one-vector dense (q61) and
+    // token-sparse BM25 (q204). Chunk vectors are the q206 stub
+    // embeddings: INTEGER-valued, so every dot, max and sum is exact
+    // (BIGINT end to end — no float rounding anywhere in the score).
+    // Query chunks broadcast; per-(q-chunk, d) max and per-(q, d) sum
+    // are partial-aggregable groupBys; per-query top-5 ranks |corpus|
+    // candidates (ANN-prefiltered at real scale, the q187 pattern).
+    "q225_colbert_maxsim" -> api((spark, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = operators.RetrievalOps.chunkDocuments(
+          spark.table("documents"), "doc_id", "text")
+        .select(col("doc_id"), col("chunk_idx"),
+          operators.RetrievalOps.stubEmbed(col("chunk"))
+            .cast("array<float>").as("emb"))
+      val qs = broadcast(chunks.where(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("chunk_idx").as("qci"),
+          col("emb").as("qe")))
+      chunks.select(col("doc_id").as("did"), col("emb").as("de"))
+        .join(qs, col("did") =!= col("qid"))
+        .select(col("qid"), col("qci"), col("did"),
+          graft.functions.GraftFunctions.vecDot(col("qe"), col("de"))
+            .cast("long").as("dot"))
+        .groupBy("qid", "did", "qci").agg(max("dot").as("mx"))
+        .groupBy("qid", "did").agg(sum("mx").as("maxsim"))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("maxsim").desc, col("did"))))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("did"), col("maxsim"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+      """WITH c AS (
+        |  SELECT doc_id, u.i AS chunk_idx,
+        |    substring(text, u.i*450 + 1, 500) AS chunk
+        |  FROM documents, unnest(range(0, greatest(
+        |     CAST(ceil((length(text) - 50) / 450.0) AS BIGINT), 1))) AS u(i)
+        |), e AS (
+        |  SELECT doc_id, chunk_idx, list_transform(range(0,16), i ->
+        |    CAST((ascii(substring(chunk, i*7 + 1, 1)) * (i+1)) % 97
+        |      AS DOUBLE)) AS emb
+        |  FROM c
+        |), q AS (SELECT doc_id AS qid, chunk_idx AS qci, emb AS qe
+        |  FROM e WHERE doc_id < 3),
+        |dots AS (SELECT q.qid, q.qci, e.doc_id AS did,
+        |    CAST((SELECT sum(x*y) FROM
+        |      (SELECT unnest(q.qe) AS x, unnest(e.emb) AS y) z)
+        |      AS BIGINT) AS dot
+        |  FROM e, q WHERE e.doc_id <> q.qid),
+        |mx AS (SELECT qid, did, qci, max(dot) AS mx FROM dots
+        |  GROUP BY qid, did, qci),
+        |sc AS (SELECT qid, did, CAST(sum(mx) AS BIGINT) AS maxsim
+        |  FROM mx GROUP BY qid, did),
+        |r AS (SELECT qid, did, maxsim, row_number() OVER
+        |    (PARTITION BY qid ORDER BY maxsim DESC, did) AS rn
+        |  FROM sc)
+        |SELECT qid, did, maxsim, rn FROM r WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
+      headline = true)
   )
 }
