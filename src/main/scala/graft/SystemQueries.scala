@@ -569,6 +569,70 @@ object SystemQueries {
         |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
         |FROM lineitem WHERE l_orderkey <= 2000""".stripMargin),
 
+    // Manifest-pinned TIME-TRAVEL reads (r9): snapshot 1 writes three
+    // immutable partition files; snapshot 2 is a copy-on-write update
+    // of ONE partition (qty+1 on returnflag A) — a new file, the other
+    // two files REUSED byte-for-byte, exactly the Iceberg/Delta
+    // snapshot model. Reading "as of" a snapshot = selecting that
+    // manifest's file list; no data is rewritten or duplicated for the
+    // untouched partitions. Both snapshots' content is pinned by the
+    // q196 rolling-xor fingerprint, which the oracle re-derives from
+    // lineitem (v1 verbatim, v2 via the same +1 rule) — a wrong file
+    // list, a missed update, or a stale reuse all move the xor.
+    "q226_time_travel" -> api((spark, sfDir) => {
+      val dir = runScopedDir("/tmp/graft_q226", sfDir)
+      val base = spark.table("lineitem").where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+      Seq("A", "N", "R").foreach { f =>
+        base.where(col("l_returnflag") === f)
+          .write.mode("overwrite").parquet(s"$dir/part_${f}_v1")
+      }
+      base.where(col("l_returnflag") === "A")
+        .withColumn("l_quantity", col("l_quantity") + 1)
+        .write.mode("overwrite").parquet(s"$dir/part_A_v2")
+      val manifest = Seq(
+        1 -> Seq("part_A_v1", "part_N_v1", "part_R_v1"),
+        2 -> Seq("part_A_v2", "part_N_v1", "part_R_v1"))
+      manifest.map { case (sid, files) =>
+        spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("qty"),
+            expr("bit_xor(cast(conv(substring(md5(concat(" +
+              "cast(l_orderkey as string), '|', " +
+              "cast(l_linenumber as string), '|', " +
+              "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+              .as("content_xor"))
+          .select(lit(sid).cast("int").as("snapshot"), col("n"),
+            col("qty"), col("content_xor"))
+      }.reduce(_.unionByName(_)).orderBy("snapshot")
+    },
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_returnflag FROM lineitem WHERE l_orderkey <= 2000),
+        |v1 AS (SELECT 1 AS snapshot, count(*) AS n,
+        |    CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |    bit_xor(('0x' || substring(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT)
+        |      AS content_xor
+        |  FROM b),
+        |v2src AS (SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_returnflag = 'A' THEN l_quantity + 1
+        |      ELSE l_quantity END AS l_quantity
+        |  FROM b),
+        |v2 AS (SELECT 2 AS snapshot, count(*) AS n,
+        |    CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |    bit_xor(('0x' || substring(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT)
+        |      AS content_xor
+        |  FROM v2src)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |ORDER BY snapshot""".stripMargin),
+
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
     // real JDK codec per arriving file, corpus stats maintained as
