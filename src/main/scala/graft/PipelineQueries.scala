@@ -4088,6 +4088,50 @@ object PipelineQueries {
         |  FROM sc)
         |SELECT qid, did, maxsim, rn FROM r WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin,
-      headline = true)
+      headline = true),
+
+    // Incremental aggregate maintenance (r9) — materialized-view delta
+    // refresh: the standing aggregate (count/sum/min/max per group over
+    // the 80% base) absorbs a delta batch ALGEBRAICALLY (full-outer
+    // merge on the group key, ⊕ per measure) — delta-sized work, the
+    // base is never rescanned. The oracle aggregates the full table
+    // from scratch, so the refreshed view must equal a cold recompute
+    // exactly: a wrong merge identity (null handling, min/max of a
+    // group only in one side) goes red. All measures chosen
+    // decomposable; avg is derived sum/count at READ time (the
+    // standard IVM discipline — never maintain a non-decomposable
+    // measure directly).
+    "q227_incr_agg_refresh" -> api((spark, _) => {
+      val ev = spark.table("events")
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("value")).as(s"sum_$tag"),
+          min(col("value")).as(s"min_$tag"),
+          max(col("value")).as(s"max_$tag"))
+      val standing = agg(ev.where(pmod(col("event_id"), lit(5)) =!= 0),
+        "s")
+      val delta = agg(ev.where(pmod(col("event_id"), lit(5)) === 0), "d")
+      standing.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n"),
+          round(coalesce(col("sum_s"), lit(0.0)) +
+            coalesce(col("sum_d"), lit(0.0)), 6).as("total"),
+          least(coalesce(col("min_s"), col("min_d")),
+            coalesce(col("min_d"), col("min_s"))).as("mn"),
+          greatest(coalesce(col("max_s"), col("max_d")),
+            coalesce(col("max_d"), col("max_s"))).as("mx"),
+          round((coalesce(col("sum_s"), lit(0.0)) +
+            coalesce(col("sum_d"), lit(0.0))) /
+            (coalesce(col("n_s"), lit(0L)) +
+              coalesce(col("n_d"), lit(0L))), 6).as("avg_value"))
+        .orderBy("event_type")
+    },
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 6) AS total,
+        |  min(value) AS mn, max(value) AS mx,
+        |  round(sum(value) / count(*), 6) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }
