@@ -4132,6 +4132,68 @@ object PipelineQueries {
         |  round(sum(value), 6) AS total,
         |  min(value) AS mn, max(value) AS mx,
         |  round(sum(value) / count(*), 6) AS avg_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Matryoshka truncation evaluation (r9; Kusupati et al. 2022,
+    // arXiv:2205.13147): how much of the exact top-5 ranking survives
+    // when the 64-dim embeddings are truncated to their first 16
+    // dimensions — the measurement behind choosing a cheaper prefix
+    // dim for the ANN scan (the MRL deployment decision; q187/q209
+    // compress by quantization, this by truncation). Both rankings are
+    // exact brute kNN (shared rankTopK tail), the overlap join is
+    // per-query k-sized. Recall@5 of the truncated ranking rides per
+    // query, so a truncation-sensitivity regression is driver-visible.
+    "q228_matryoshka_overlap" -> api((spark, _) => {
+      val emb = spark.table("embeddings")
+      val trunc = emb.select(col("vec_id"),
+        expr("slice(embedding, 1, 16)").as("embedding"))
+      val full = EmbeddingOps.knnBruteForce(emb,
+        emb.where(col("vec_id") < 25), "vec_id", "embedding", k = 5)
+      val cut = EmbeddingOps.knnBruteForce(trunc,
+        trunc.where(col("vec_id") < 25), "vec_id", "embedding", k = 5)
+      full.select(col("qid"), col("id"))
+        .join(cut.select(col("qid"), col("id"), lit(1L).as("hit")),
+          Seq("qid", "id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum("hit"), lit(0L)).as("n_kept"))
+        .select(col("qid"), col("k"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("k"), 6)
+            .as("recall_at_5"))
+        .orderBy("qid")
+    },
+      """WITH n AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS e64,
+        |    CAST(embedding[1:16] AS DOUBLE[]) AS e16
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, e64, e16,
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(e64) AS x) z))
+        |      AS n64,
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(e16) AS x) z))
+        |      AS n16
+        |  FROM n),
+        |q AS (SELECT vec_id AS qid, e64 AS q64, e16 AS q16,
+        |    n64 AS qn64, n16 AS qn16 FROM m WHERE vec_id < 25),
+        |p AS (SELECT q.qid, m.vec_id AS id,
+        |    round((SELECT sum(x*y) FROM
+        |      (SELECT unnest(q.q64) AS x, unnest(m.e64) AS y) z)
+        |      / (q.qn64 * m.n64), 6) AS c64,
+        |    round((SELECT sum(x*y) FROM
+        |      (SELECT unnest(q.q16) AS x, unnest(m.e16) AS y) z)
+        |      / (q.qn16 * m.n16), 6) AS c16
+        |  FROM m, q WHERE m.vec_id <> q.qid),
+        |rf AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY c64 DESC, id) AS rn FROM p),
+        |rc AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY c16 DESC, id) AS rn FROM p),
+        |tf AS (SELECT qid, id FROM rf WHERE rn <= 5),
+        |tc AS (SELECT qid, id FROM rc WHERE rn <= 5)
+        |SELECT tf.qid, count(*) AS k,
+        |  CAST(sum(CASE WHEN tc.id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  round(sum(CASE WHEN tc.id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS recall_at_5
+        |FROM tf LEFT JOIN tc ON tf.qid = tc.qid AND tf.id = tc.id
+        |GROUP BY tf.qid ORDER BY tf.qid""".stripMargin)
   )
 }
