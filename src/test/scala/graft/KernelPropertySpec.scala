@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions, GraftVector}
 import graft.operators.TextOps
@@ -158,5 +159,49 @@ class KernelPropertySpec extends SparkSpecBase {
       val rebuilt = sentinel.replaceAllIn(corr, m => spans(m.group(1).toInt))
       assert(rebuilt == text, s"doc $id")
     }
+  }
+
+  test("hardNegatives is invariant to input partitioning and " +
+      "shuffle-partition count on 300 seeded labeled vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xABBA)
+    val data = (0 until 300).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextInt(200) - 100).toFloat),
+        i % 7)
+    }
+    def run(parts: Int, shuffle: String): Seq[Row] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+        val df = data.toDF("vec_id", "embedding", "label")
+          .repartition(parts)
+        graft.operators.EmbeddingOps.hardNegatives(df,
+            df.where(col("vec_id") < 20), "vec_id", "embedding", "label")
+          .orderBy("qid").collect().toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val base = run(4, "8")
+    assert(base.length == 20)
+    assert(run(1, "8") == base)
+    assert(run(23, "3") == base)
+  }
+
+  test("bitext margin mining encoded top-4 equals the window " +
+      "formulation and is partitioning-invariant (catalog entry on a " +
+      "seeded shuffle)") {
+    // the catalog kernel (q220) over the real embeddings table must
+    // produce identical rows regardless of how the source is split
+    Queries.prep(spark, sfDir)
+    def run(shuffle: String): Seq[Row] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+        SparkEntry.queries("q220_bitext_margin_mining")(spark, sfDir)
+          .collect().toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val base = run("8")
+    assert(base.nonEmpty)
+    assert(run("3") == base)
   }
 }
