@@ -332,6 +332,40 @@ object SystemQueries {
         |JOIN documents d ON e.media_id = d.doc_id
         |ORDER BY e.media_id""".stripMargin),
 
+    // Video scene-change detection (r9): per-frame mean-luma shifts
+    // over REAL JDK GIF frame decode, boundary when the shift clears
+    // 16/pixel — integer arithmetic end to end (the comparison is
+    // |Σluma_f − Σluma_{f−1}| >= 16·w·h, never a float mean). The
+    // fixture's pixels follow the analytic law v = (x·7 + y·11 + k·13
+    // + f·29) % 256 (tools/gen_video_fixture.py), so the oracle
+    // re-derives EVERY per-frame luma sum in SQL from the generative
+    // formula and runs the same boundary rule — decode, per-frame
+    // accounting and detection are all cross-stack pinned without a
+    // per-frame fixture column.
+    "q229_video_scenes" -> api((spark, _) =>
+      MediaOps.videoScenes(MediaOps.videoTable(spark))
+        .orderBy("media_id"),
+      """WITH m AS (SELECT g.media_id AS k,
+        |    2 + g.media_id % 4 AS n, 12 + g.media_id % 5 AS w,
+        |    12 + g.media_id % 3 AS h
+        |  FROM read_parquet('/root/repo/fixtures/media/gifs.parquet') g
+        |  JOIN documents d ON g.media_id = d.doc_id),
+        |fr AS (SELECT k, n, w, h, f.f,
+        |    (SELECT sum((x.x*7 + y.y*11 + k*13 + f.f*29) % 256)
+        |     FROM unnest(range(0, w)) x(x), unnest(range(0, h)) y(y))
+        |      AS sl
+        |  FROM m, unnest(range(0, n)) f(f)),
+        |d2 AS (SELECT k, n, w, h, f, sl,
+        |    abs(sl - lag(sl) OVER (PARTITION BY k ORDER BY f)) AS dl
+        |  FROM fr)
+        |SELECT k AS media_id, CAST(max(n) AS BIGINT) AS n_frames,
+        |  CAST(1 + sum(CASE WHEN dl >= 16*w*h THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_scenes,
+        |  CAST(coalesce(sum(CASE WHEN dl >= 16*w*h
+        |    THEN 1 << f ELSE 0 END), 0) AS BIGINT) AS boundaries_mask,
+        |  CAST(sum(sl) AS BIGINT) AS total_luma
+        |FROM d2 GROUP BY k, w, h ORDER BY media_id""".stripMargin),
+
     // End-to-end video featurization with the REAL per-frame kernel:
     // frames → per-frame luma-histogram features → mean-pooled
     // embedding — the extractFeatures pipeline with an actual codec in

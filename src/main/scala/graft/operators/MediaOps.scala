@@ -563,6 +563,71 @@ object MediaOps {
       hist.map(h => graft.functions.GraftVector.duckRound(h / px, 6)))
   }
 
+  /** Per-clip scene-change detection over REAL JDK GIF frame decode:
+    * a scene boundary sits before frame f when the mean-luma shift
+    * |Σluma_f − Σluma_{f−1}| clears `thresholdPerPx` per pixel —
+    * integer arithmetic throughout (the comparison is against
+    * threshold·w·h, never a float mean). Returns frame count, scene
+    * count (1 + boundaries), a bitmask of boundary frames (bit f set =
+    * a cut before frame f) and the total luma sum (ties the decode to
+    * the pooled-stats kernel). The fixture's frames follow an analytic
+    * pixel law, so the oracle re-derives every per-frame luma sum in
+    * SQL from the generative formula — decode and detection are
+    * cross-stack checked without a per-frame fixture column. */
+  final case class SceneStats(n_frames: Long, n_scenes: Long,
+      boundaries_mask: Long, total_luma: Long)
+
+  def decodeGifScenes(payload: Array[Byte],
+      thresholdPerPx: Long = 16L): SceneStats = {
+    ImageIO.setUseCache(false)
+    val readers = ImageIO.getImageReadersByFormatName("gif")
+    require(readers.hasNext, "JDK GIF reader missing")
+    val reader = readers.next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      require(n > 0, "payload is not a decodable GIF")
+      var w = 0L; var h = 0L
+      var prev = 0L; var total = 0L
+      var scenes = 1L; var mask = 0L
+      var i = 0
+      while (i < n) {
+        val img = reader.read(i)
+        if (i == 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+        else require(img.getWidth == w && img.getHeight == h,
+          "frames must share the clip's dimensions")
+        var sl = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sl += ((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+              (p & 0xff) * 114
+            x += 1
+          }
+          y += 1
+        }
+        sl /= 1000 // grayscale palette ⇒ exact: luma(v,v,v) = v
+        if (i > 0 && math.abs(sl - prev) >= thresholdPerPx * w * h) {
+          scenes += 1; mask |= 1L << i
+        }
+        prev = sl
+        total += sl
+        i += 1
+      }
+      SceneStats(n, scenes, mask, total)
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  def videoScenes(video: DataFrame, thresholdPerPx: Long = 16L)
+      : DataFrame = {
+    val decodeUdf = udf((b: Array[Byte]) => decodeGifScenes(b, thresholdPerPx))
+    video.select(col("media_id"), decodeUdf(col("gif")).as("s"))
+      .select(col("media_id"), col("s.*"))
+  }
+
   /** The video corpus: multi-frame GIF payloads keyed by media_id,
     * scoped to the documents present in the bound sf (same fixture
     * convention as [[imageTable]]). */
