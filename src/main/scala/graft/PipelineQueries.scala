@@ -3974,6 +3974,35 @@ object PipelineQueries {
         |FROM c CROSS JOIN s
         |ORDER BY c.cnt DESC, c.user_id LIMIT 20""".stripMargin),
 
+    // Cross-source overlap matrix (r9): which sources share content —
+    // the provenance forensic behind licensing audits and mirror
+    // detection ("who copied whom"). Lead fingerprints per doc (one
+    // map pass), distinct (source, fp) pairs, then a fp-keyed
+    // self-join emits source PAIRS that share a fingerprint — the join
+    // fans out per fp by its source count (bounded by the 20-source
+    // universe), never by doc count, and the matrix is |sources|²
+    // rows at most. Spark SQL and DuckDB share everything but the
+    // fingerprint normalization spelling.
+    "q230_source_overlap" -> sql(
+      """WITH f AS (SELECT DISTINCT source,
+        |    md5(substring(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ''), ' +', ' '), 1, 50)) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS shared_fps
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY shared_fps DESC, src_a, src_b""".stripMargin,
+      """WITH f AS (SELECT DISTINCT source,
+        |    md5(substring(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'), 1, 50)) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS shared_fps
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY shared_fps DESC, src_a, src_b""".stripMargin),
+
     // Streaming split routing (r9): q214's continuous admission path —
     // the standing corpus (even ids) carries cluster-safe splits; an
     // ARRIVING doc inherits its fingerprint-matched cluster's split via
