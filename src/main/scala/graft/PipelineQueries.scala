@@ -3974,6 +3974,131 @@ object PipelineQueries {
         |FROM c CROSS JOIN s
         |ORDER BY c.cnt DESC, c.user_id LIMIT 20""".stripMargin),
 
+    // Full RAG loop as ONE dataflow (r9 capstone composite): dense
+    // retrieval (q61's chunk→embed→top-3 kernel) → rank-ordered
+    // context assembly → prompt construction → LLM call through the
+    // injectable transport (q183's seam; EchoClient offline) → stop
+    // truncation and usage accounting. Every stage is a proven kernel;
+    // the entry pins their COMPOSITION — the oracle rebuilds the whole
+    // loop in SQL, so a drift anywhere (ranking, context order,
+    // prompt template, truncation) moves the hash. No corpus shuffle
+    // beyond the retrieval join; context assembly groups k-sized rows.
+    "q231_rag_pipeline" -> api((spark, _) => {
+      val docs = spark.table("documents")
+      val chunks = operators.RetrievalOps.chunkDocuments(docs, "doc_id",
+        "text")
+      val emb = chunks.select(col("doc_id"), col("chunk_idx"),
+        col("chunk"),
+        operators.RetrievalOps.stubEmbed(col("chunk")).as("emb"))
+      val queries = emb.where(col("chunk_idx") === 0 && col("doc_id") < 3)
+        .select(col("doc_id").as("qdoc"), col("chunk_idx").as("qidx"),
+          col("emb"))
+      val top = operators.RetrievalOps.retrieveTopN(
+        emb.select(col("doc_id"), col("chunk_idx"), col("emb")),
+        Seq("doc_id", "chunk_idx"), queries, Seq("qdoc", "qidx"),
+        "emb", 3)
+      val ctx = top
+        .join(chunks, Seq("doc_id", "chunk_idx"))
+        .groupBy("qdoc")
+        .agg(count(lit(1)).as("n_ctx"),
+          expr("array_join(transform(array_sort(" +
+            "collect_list(struct(rn, chunk))), x -> x.chunk), ' | ')")
+            .as("ctx"))
+      val prompted = ctx
+        .join(docs.select(col("doc_id").as("qdoc"),
+          col("text").as("question")), "qdoc")
+        .select(col("qdoc"), col("n_ctx"),
+          concat(lit("-- Context: "), col("ctx"),
+            lit("\n-- Question: "), col("question"), lit("\n"))
+            .as("prompt"))
+      operators.LlmOrchestrator.completePrompts(prompted, "prompt",
+          operators.LlmOrchestrator.clientFromConf(spark))
+        .select(col("qdoc"), col("n_ctx"),
+          operators.PromptOps.truncateAtStops(col("raw_output"),
+            Seq(";", "\n")).as("answer"),
+          length(col("prompt")).cast("long").as("prompt_chars"),
+          length(col("raw_output")).cast("long").as("completion_chars"))
+        .orderBy("qdoc")
+    },
+      """WITH c AS (
+        |  SELECT doc_id, u.i AS chunk_idx,
+        |    substring(text, u.i*450 + 1, 500) AS chunk
+        |  FROM documents, unnest(range(0, greatest(
+        |     CAST(ceil((length(text) - 50) / 450.0) AS BIGINT), 1))) AS u(i)
+        |), e AS (
+        |  SELECT doc_id, chunk_idx, list_transform(range(0,16), i ->
+        |    CAST((ascii(substring(chunk, i*7 + 1, 1)) * (i+1)) % 97
+        |      AS DOUBLE)) AS emb
+        |  FROM c
+        |), q AS (
+        |  SELECT doc_id AS qdoc, 0 AS qidx, emb AS qemb FROM e
+        |  WHERE chunk_idx = 0 AND doc_id < 3
+        |), s AS (
+        |  SELECT q.qdoc, e.doc_id, e.chunk_idx,
+        |    (SELECT sum(x*y) FROM
+        |      (SELECT unnest(e.emb) AS x, unnest(q.qemb) AS y) z) AS score
+        |  FROM e, q WHERE NOT (e.doc_id = q.qdoc AND e.chunk_idx = q.qidx)
+        |), r AS (
+        |  SELECT qdoc, doc_id, chunk_idx, score,
+        |    row_number() OVER (PARTITION BY qdoc
+        |      ORDER BY score DESC, doc_id, chunk_idx) AS rn
+        |  FROM s),
+        |top AS (SELECT qdoc, doc_id, chunk_idx, rn FROM r WHERE rn <= 3),
+        |ctx AS (SELECT t.qdoc, count(*) AS n_ctx,
+        |    string_agg(c.chunk, ' | ' ORDER BY t.rn) AS ctx
+        |  FROM top t JOIN c ON t.doc_id = c.doc_id
+        |    AND t.chunk_idx = c.chunk_idx
+        |  GROUP BY t.qdoc),
+        |p AS (SELECT ctx.qdoc, ctx.n_ctx,
+        |    '-- Context: ' || ctx.ctx || chr(10) || '-- Question: ' ||
+        |      d.text || chr(10) AS prompt
+        |  FROM ctx JOIN documents d ON ctx.qdoc = d.doc_id),
+        |rr AS (SELECT qdoc, n_ctx, prompt,
+        |    'SELECT ' || CAST(length(prompt) AS VARCHAR)
+        |      || ' AS prompt_len;' || chr(10)
+        |      || '-- max_tokens=300 beams=1' AS raw
+        |  FROM p)
+        |SELECT qdoc, CAST(n_ctx AS BIGINT) AS n_ctx,
+        |  string_split(string_split(raw, ';')[1], chr(10))[1] AS answer,
+        |  CAST(length(prompt) AS BIGINT) AS prompt_chars,
+        |  CAST(length(raw) AS BIGINT) AS completion_chars
+        |FROM rr ORDER BY qdoc""".stripMargin),
+
+    // Dataset card (r9): the per-source summary every corpus release
+    // ships — doc/char/token mass, language spread, mean quality
+    // (q48's formula, shared so the two oracles cannot drift) and
+    // exact-dup mass (docs minus distinct lead fingerprints). ONE
+    // groupBy over the corpus; every measure is a partial-aggregable
+    // count/sum/distinct. The distinct-heavy columns are per-source
+    // partial sketches at scale (count-distinct partials), never a
+    // second corpus pass.
+    "q232_data_card" -> api((spark, _) =>
+      spark.table("documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(trim(col("text")), " ")).cast("long").as("toks"),
+          TextOps.qualityScore(col("text")).as("q"),
+          TextOps.leadFingerprint(col("text"), 50).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          sum("toks").cast("long").as("total_tokens"),
+          countDistinct("lang").as("n_langs"),
+          graft.functions.GraftFunctions.duckRound(avg(col("q")), 6)
+            .as("mean_quality"),
+          (count(lit(1)) - countDistinct("fp")).as("dup_docs"))
+        .orderBy("source"),
+      s"""SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+        |    AS total_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  round(avg($duckQuality), 6) AS mean_quality,
+        |  CAST(count(*) - count(DISTINCT
+        |    md5(substring(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'), 1, 50)))
+        |    AS BIGINT) AS dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
     // Cross-source overlap matrix (r9): which sources share content —
     // the provenance forensic behind licensing audits and mirror
     // detection ("who copied whom"). Lead fingerprints per doc (one
