@@ -4099,6 +4099,49 @@ object PipelineQueries {
         |    AS BIGINT) AS dup_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
+    // Prefix-cache planning (r9): the inference-serving cost model
+    // behind vLLM-style prefix caching — per prompt group (here: one
+    // template per source), how long is the SHARED prefix every
+    // request re-sends, and how many characters a prefix cache saves
+    // ((n−1)·prefix per group). The group-wide common prefix is the
+    // common prefix of the lexicographic MIN and MAX prompt (the
+    // classic trick — any divergence inside the group moves one of
+    // the extremes), so the whole analysis is one groupBy carrying
+    // two strings per group; prefix length via a monotone
+    // filter-count over positions (equality holds on a prefix of the
+    // sequence, so count == max matching i).
+    "q233_prefix_cache_plan" -> sql(
+      """WITH p AS (SELECT source,
+        |    concat('[', source, '] instruction: ', text) AS prompt
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_prompts,
+        |    min(prompt) AS lo, max(prompt) AS hi
+        |  FROM p GROUP BY source),
+        |x AS (SELECT source, n_prompts,
+        |    size(filter(sequence(1, least(length(lo), length(hi))),
+        |      i -> substring(lo, 1, i) = substring(hi, 1, i)))
+        |      AS prefix_len
+        |  FROM g)
+        |SELECT source, n_prompts, CAST(prefix_len AS BIGINT)
+        |    AS prefix_len,
+        |  CAST((n_prompts - 1) * prefix_len AS BIGINT) AS chars_saved
+        |FROM x ORDER BY source""".stripMargin,
+      """WITH p AS (SELECT source,
+        |    '[' || source || '] instruction: ' || text AS prompt
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_prompts,
+        |    min(prompt) AS lo, max(prompt) AS hi
+        |  FROM p GROUP BY source),
+        |x AS (SELECT source, n_prompts,
+        |    len(list_filter(range(1, least(length(lo), length(hi)) + 1),
+        |      i -> substring(lo, 1, i) = substring(hi, 1, i)))
+        |      AS prefix_len
+        |  FROM g)
+        |SELECT source, n_prompts, CAST(prefix_len AS BIGINT)
+        |    AS prefix_len,
+        |  CAST((n_prompts - 1) * prefix_len AS BIGINT) AS chars_saved
+        |FROM x ORDER BY source""".stripMargin),
+
     // Cross-source overlap matrix (r9): which sources share content —
     // the provenance forensic behind licensing audits and mirror
     // detection ("who copied whom"). Lead fingerprints per doc (one
