@@ -95,16 +95,21 @@ object Bench {
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""
     }.getOrElse("")
-    // the headline prints TWICE around the detail line: the driver's
-    // artifact keeps (a) a parse of a stdout JSON line and (b) the last
-    // few KB of stdout. r7's single long line overflowed both — parse
-    // failed and the tail cut mid-map, losing the total. A short
-    // summary line first parses whole; the same line repeated after the
-    // detail keeps the totals inside any tail window.
+    // print order matters for the driver's artifact, which keeps (a) a
+    // parse of a stdout JSON line and (b) the last few KB of stdout.
+    // r7's single long line overflowed both; r8/r9 put the summary last
+    // but left the per-entry MIN map mid-stream, so the visible tail
+    // carried only queries_max — and both rounds' artifacts invited
+    // phantom-regression analysis from the max map. Now: short summary
+    // first (always parses whole), queries_max in the middle (spike
+    // visibility), and the FINAL line is the full total WITH the
+    // per-entry min map (~1.5 KB for 68 entries — well inside any tail
+    // window), so the map that means "steady state" is the one a tail
+    // read sees.
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"failed":$failed$runNoisy,"sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"queries_max":$qmax,"noisy":$noisy,"failed":$failed$runNoisy,"sf":"$sfDir"}""")
-    println(summary)
+    println(s"""{"metric":"detail_max","value":$total,"unit":"sec","queries_max":$qmax,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"queries":$qjson,"noisy":$noisy,"failed":$failed$runNoisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

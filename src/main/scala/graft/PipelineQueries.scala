@@ -3536,8 +3536,13 @@ object PipelineQueries {
     // the (tiny) pair set + a map-only assignment over the corpus.
     "q214_cluster_safe_split" -> api({ (spark, _) =>
       val docs = spark.table("documents")
+      // governance path: a MISSED pair here splits a near-dup cluster
+      // across train/test (leakage), so the banding is sized stricter
+      // than the reporting entries (q42/q94): 64 bands of 2 rows miss a
+      // jac=0.5 pair with prob (1-0.5^2)^64 ≈ 1e-8 (vs ~1e-4 at the
+      // default 32x2) — negligible at any target pair count
       val pairs = TextOps.minhashDupPairs(docs, "doc_id", "text",
-        threshold = 0.5)
+        threshold = 0.5, k = 128, b = 64)
       val comp = graft.operators.IterativeOps
         .connectedComponents(pairs, "id_a", "id_b")
       val nib = substring(
@@ -4329,7 +4334,8 @@ object PipelineQueries {
         |  round(sum(value), 6) AS total,
         |  min(value) AS mn, max(value) AS mx,
         |  round(sum(value) / count(*), 6) AS avg_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      headline = true),
 
     // Matryoshka truncation evaluation (r9; Kusupati et al. 2022,
     // arXiv:2205.13147): how much of the exact top-5 ranking survives

@@ -557,6 +557,13 @@ object SystemQueries {
           sum(col("l_quantity").cast("decimal(18,2)"))
             .cast("decimal(18,2)").as("qty"))
         .orderBy(col("rf").asc_nulls_first)
+        // Materialize the 4-row aggregate NOW (eager localCheckpoint)
+        // so the returned frame never lazily re-reads the scratch dir:
+        // run-unique dirs (r8) cover two processes, but a harness that
+        // invokes this fn twice in ONE JVM (retry, or parallel
+        // rows/schema/hash actions) shares runToken, and invocation
+        // B's overwrite would interleave with A's deferred read.
+        .localCheckpoint()
     },
       """SELECT CASE WHEN l_orderkey % 2 = 0 THEN NULL
         |  ELSE l_returnflag END AS rf,
@@ -594,6 +601,9 @@ object SystemQueries {
             "cast(l_linenumber as string), '|', " +
             "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
             .as("content_xor"))
+        // Eager 1-row materialization: sever the action-time read of
+        // the shared-within-JVM scratch dir (see q194).
+        .localCheckpoint()
     },
       """SELECT count(*) AS n,
         |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
@@ -641,6 +651,9 @@ object SystemQueries {
           .select(lit(sid).cast("int").as("snapshot"), col("n"),
             col("qty"), col("content_xor"))
       }.reduce(_.unionByName(_)).orderBy("snapshot")
+        // Eager 2-row materialization: sever the action-time read of
+        // the shared-within-JVM scratch dir (see q194).
+        .localCheckpoint()
     },
       """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
         |    l_returnflag FROM lineitem WHERE l_orderkey <= 2000),
@@ -665,7 +678,8 @@ object SystemQueries {
         |      AS content_xor
         |  FROM v2src)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2
-        |ORDER BY snapshot""".stripMargin),
+        |ORDER BY snapshot""".stripMargin,
+      headline = true),
 
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
@@ -708,6 +722,9 @@ object SystemQueries {
             "cast(l_partkey as string), '|', " +
             "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
             .as("content_xor"))
+        // Eager 1-row materialization: sever the action-time read of
+        // the shared-within-JVM scratch dir (see q194).
+        .localCheckpoint()
     },
       """SELECT count(*) AS n,
         |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
@@ -715,7 +732,8 @@ object SystemQueries {
         |    CAST(l_orderkey AS VARCHAR) || '|' ||
         |    CAST(l_partkey AS VARCHAR) || '|' ||
         |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
-        |FROM lineitem""".stripMargin),
+        |FROM lineitem""".stripMargin,
+      headline = true),
 
     // Data-quality constraint suite (r9, the Deequ-shaped validation
     // gate): seven constraints over lineitem/orders — five row-local

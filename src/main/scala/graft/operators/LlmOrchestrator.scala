@@ -236,13 +236,6 @@ object LlmOrchestrator {
       length(col("raw_output")).cast("long").as("completion_chars"))
   }
 
-  /** The reference's instruction→SQL loop: format prompts, dispatch in
-    * batches through `client`, truncate at the stop sequences, account
-    * usage. Usage is counted in characters (the reference reports the
-    * model server's token counts, which don't exist offline; character
-    * counts are the deterministic analogue and keep the accounting
-    * value-checked). Output: (id, sql, prompt_chars, completion_chars,
-    * total_chars). */
   /** Generic batched dispatch: every row's `promptCol` goes through the
     * client, all other columns ride through untouched, and the raw
     * completion lands in `raw_output`. The kernel [[textToSql]] wraps
@@ -269,6 +262,13 @@ object LlmOrchestrator {
     }(Encoders.row(outSchema))
   }
 
+  /** The reference's instruction→SQL loop: format prompts, dispatch in
+    * batches through `client`, truncate at the stop sequences, account
+    * usage. Usage is counted in characters (the reference reports the
+    * model server's token counts, which don't exist offline; character
+    * counts are the deterministic analogue and keep the accounting
+    * value-checked). Output: (id, sql, prompt_chars, completion_chars,
+    * total_chars). */
   def textToSql(questions: DataFrame, idCol: String, questionCol: String,
       style: String,
       tables: Seq[(String, org.apache.spark.sql.types.StructType)],

@@ -567,7 +567,10 @@ object MediaOps {
     * a scene boundary sits before frame f when the mean-luma shift
     * |Σluma_f − Σluma_{f−1}| clears `thresholdPerPx` per pixel —
     * integer arithmetic throughout (the comparison is against
-    * threshold·w·h, never a float mean). Returns frame count, scene
+    * threshold·w·h, never a float mean). Per-frame luma is the sum of
+    * per-PIXEL integer lumas (BT.601 weighted sum, truncated /1000 per
+    * pixel), so the definition is palette-independent; on a grayscale
+    * palette it is exact (luma(v,v,v) = v). Returns frame count, scene
     * count (1 + boundaries), a bitmask of boundary frames (bit f set =
     * a cut before frame f) and the total luma sum (ties the decode to
     * the pooled-stats kernel). The fixture's frames follow an analytic
@@ -603,13 +606,16 @@ object MediaOps {
           var x = 0
           while (x < img.getWidth) {
             val p = img.getRGB(x, y)
-            sl += ((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
-              (p & 0xff) * 114
+            // per-pixel integer luma (ITU-R BT.601 weights /1000): the
+            // truncation happens per PIXEL, so the semantics are
+            // palette-independent — on a grayscale palette this is
+            // exact, luma(v,v,v) = (299+587+114)v/1000 = v
+            sl += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+              (p & 0xff) * 114) / 1000
             x += 1
           }
           y += 1
         }
-        sl /= 1000 // grayscale palette ⇒ exact: luma(v,v,v) = v
         if (i > 0 && math.abs(sl - prev) >= thresholdPerPx * w * h) {
           scenes += 1; mask |= 1L << i
         }

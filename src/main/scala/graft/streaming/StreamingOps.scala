@@ -565,8 +565,11 @@ object StreamingOps {
         .otherwise("test")
     }
     val standing = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    // governance banding (see q214): 64x2 bands make the per-pair miss
+    // probability ~1e-8 at jac=0.5, so cluster-split leakage from an
+    // LSH miss is negligible at scale
     val pairs = graft.operators.TextOps.minhashDupPairs(standing,
-      "doc_id", "text", threshold = 0.5)
+      "doc_id", "text", threshold = 0.5, k = 128, b = 64)
     val comp = graft.operators.IterativeOps
       .connectedComponents(pairs, "id_a", "id_b")
     // one split per fingerprint: min cluster when several standing

@@ -395,6 +395,32 @@ class SystemOpsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("scratch-dir entries return MATERIALIZED frames: collect survives " +
+      "deleting the scratch dir (no lazy /tmp re-read at action time)") {
+    // r9 driver-red class: q194/q196/q211/q226 returned plans that
+    // lazily re-read parquet written inside the entry fn, so a second
+    // invocation in the same JVM (shared runToken) could overwrite the
+    // dir under the first invocation's deferred actions. The fix is an
+    // eager localCheckpoint before returning; this pins it by wiping
+    // the scratch root entirely and re-collecting — a lazy plan throws
+    // FileNotFound here, a materialized one is unaffected.
+    Queries.prep(spark, sfDir)
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete()
+    }
+    val entries = Seq("q194_merge_schema_read" -> "/tmp/graft_q194",
+      "q196_compaction" -> "/tmp/graft_q196",
+      "q211_zorder_layout" -> "/tmp/graft_q211",
+      "q226_time_travel" -> "/tmp/graft_q226")
+    entries.foreach { case (name, root) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val snap = df.collect().map(_.toSeq).toSeq
+      wipe(new java.io.File(root))
+      assert(df.collect().map(_.toSeq).toSeq == snap, name)
+    }
+  }
+
   test("bucketed join runs with no exchange below the sort-merge join") {
     Queries.prep(spark, sfDir)
     graft.operators.JoinOps.resetManagedTable(spark, "graft_li_bucketed")
@@ -792,7 +818,10 @@ class SystemOpsSpec extends SparkSpecBase {
       }
       val sorted = rewards.sortBy { case (i, rw) => (-rw, i) }
       assert(sorted.head._1 == bestI && sorted.head._2 == bestR)
-      assert(margin == sorted.head._2 - sorted(1)._2 && margin > 0)
+      // >= 0: two md5-derived 32-bit rewards for one doc can tie with
+      // probability ~n_docs·6/2^32 — negligible but sf-dependent, and a
+      // tie is a legitimate zero margin, not a kernel bug
+      assert(margin == sorted.head._2 - sorted(1)._2 && margin >= 0)
     }
   }
 
