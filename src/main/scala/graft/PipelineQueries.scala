@@ -3543,8 +3543,12 @@ object PipelineQueries {
       // default 32x2) — negligible at any target pair count
       val pairs = TextOps.minhashDupPairs(docs, "doc_id", "text",
         threshold = 0.5, k = 128, b = 64)
+      // star alternation (O(log n) rounds) over min-label (O(diameter)):
+      // the fixpoint's driver-sync count dominates this entry's wall
+      // time, so fewer rounds is the lever (r9 verdict #5; A/B at sf1
+      // recorded in BASELINE.md)
       val comp = graft.operators.IterativeOps
-        .connectedComponents(pairs, "id_a", "id_b")
+        .connectedComponentsStar(pairs, "id_a", "id_b")
       val nib = substring(
         md5(concat(lit("split:"), col("cluster").cast("string"))), 1, 1)
       docs.select(col("doc_id"))

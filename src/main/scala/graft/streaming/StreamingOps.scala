@@ -571,7 +571,7 @@ object StreamingOps {
     val pairs = graft.operators.TextOps.minhashDupPairs(standing,
       "doc_id", "text", threshold = 0.5, k = 128, b = 64)
     val comp = graft.operators.IterativeOps
-      .connectedComponents(pairs, "id_a", "id_b")
+      .connectedComponentsStar(pairs, "id_a", "id_b")
     // one split per fingerprint: min cluster when several standing
     // docs share a lead fingerprint (deterministic)
     val index = standing

@@ -68,6 +68,42 @@ class IterativeOpsSpec extends SparkSpecBase {
     assert((100 to 109).forall(comp(_) == 100))
   }
 
+  test("connectedComponentsStar matches min-label propagation on cliques, " +
+      "cycles, chains and a random graph") {
+    import spark.implicits._
+    val clique = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i, j)
+    val cycle = (10 until 18).map(i => (i, 10 + (i - 9) % 8))
+    val chain = (100 until 140).map(i => (i + 1, i)) // 41-node chain
+    val rnd = new scala.util.Random(7)
+    val random = (0 until 200).map(_ =>
+      (200 + rnd.nextInt(120), 200 + rnd.nextInt(120)))
+      .filter { case (a, b) => a != b }
+    val edges = (clique ++ cycle ++ chain ++ random).toDF("a", "b")
+    val star = IterativeOps.connectedComponentsStar(edges, "a", "b")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val label = IterativeOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(star == label)
+    // the 41-node chain converges in O(log n) star rounds — well inside
+    // a maxIter that the O(diameter) label algorithm would blow through
+    val chainOnly = chain.toDF("a", "b")
+    val starChain = IterativeOps
+      .connectedComponentsStar(chainOnly, "a", "b", maxIter = 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert((100 to 140).forall(starChain(_) == 100))
+  }
+
+  test("connectedComponentsStar handles empty input and a single edge") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Int)].toDF("a", "b")
+    assert(IterativeOps.connectedComponentsStar(empty, "a", "b")
+      .collect().isEmpty)
+    val one = Seq((9, 5)).toDF("a", "b")
+    assert(IterativeOps.connectedComponentsStar(one, "a", "b")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      Seq(5 -> 5, 9 -> 5))
+  }
+
   test("recursiveUnionAll raises after maxIter on a cycle") {
     import spark.implicits._
     val edges = Seq((1, 2), (2, 1)).toDF("src", "dst")
