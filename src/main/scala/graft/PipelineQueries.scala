@@ -69,6 +69,83 @@ object PipelineQueries {
   /** DuckDB-side whitespace tokens (same semantics as [[TextOps.tokens]]). */
   private val duckTokens = "string_split_regex(trim(text), '\\s+')"
 
+  /** DuckDB oracle for q235: the BPE training loop UNROLLED as chained
+    * CTEs, one (pair-count → argmax → merge-apply → symbol-count) block
+    * per step — mechanically generated so the oracle recomputes the
+    * full merge SEQUENCE, not just the final state. w0 is the
+    * canonical double-space word form (chars joined by '  ', padded);
+    * each step's replace pattern consumes one boundary space per side,
+    * which makes both engines' left-to-right non-overlapping replace
+    * exactly greedy BPE application. DuckDB INLINES every CTE
+    * reference, so the chain's expansion is exponential in references
+    * per step: the chosen pair rides into the rewrite as a one-row
+    * CROSS JOIN (not three scalar subqueries), holding each w_{k-1} to
+    * two references — ~2^k scan expansion (~10^2 scans at 8 steps)
+    * instead of the 4^k (~10^4, beyond the open-file limit) the
+    * scalar-subquery form costs. */
+  /** The shared CTE chain: w0 = canonical word forms (with the word
+    * itself carried along for downstream joins), then per step k a
+    * (pair-count p_k → argmax b_k → rewrite w_k) block, plus symbol
+    * counts v_k when the caller outputs them. */
+  private def bpeChainCtes(numMerges: Int,
+      withSymbolCounts: Boolean): String = {
+    val base =
+      """w0 AS (
+        |  SELECT w, ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))
+        |      || ' ' AS seq, f
+        |  FROM (SELECT t AS w, count(*) AS f
+        |        FROM (SELECT unnest(string_split_regex(
+        |            trim(lower(text)), '\s+')) AS t FROM documents) q
+        |        WHERE length(t) >= 1 GROUP BY t) wc)""".stripMargin
+    val steps = (1 to numMerges).map { k =>
+      val core =
+        s"""p$k AS (
+           |  SELECT l[i] AS lt, l[i+1] AS rt, CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(trim(seq), '  ') AS l, f
+           |        FROM w${k - 1}) t,
+           |       unnest(range(1, len(l))) AS u(i)
+           |  GROUP BY 1, 2),
+           |b$k AS (SELECT lt, rt, cnt FROM p$k
+           |  ORDER BY cnt DESC, lt, rt LIMIT 1),
+           |w$k AS (SELECT w, replace(seq,
+           |    ' ' || lt || '  ' || rt || ' ',
+           |    ' ' || lt || rt || ' ') AS seq, f
+           |  FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
+      if (!withSymbolCounts) core else core + ",\n" +
+        s"""v$k AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_symbols
+           |  FROM (SELECT unnest(string_split(trim(seq), '  ')) AS s
+           |        FROM w$k) q)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val rows = (1 to numMerges).map { k =>
+      s"""SELECT $k AS step, lt, rt, lt || rt AS merged, cnt,
+         |  (SELECT n_symbols FROM v$k) AS n_symbols FROM b$k""".stripMargin
+    }
+    "WITH " + bpeChainCtes(numMerges, withSymbolCounts = true) + "\n" +
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+  }
+
+  /** Oracle for q236: tokenize every document under the TRAINED merge
+    * list — per word, the subword count is the final chain state's
+    * symbol count for that word (BPE never crosses word boundaries),
+    * so a doc's count is one join against w_n. */
+  private def bpeTokenizeOracle(numMerges: Int): String =
+    "WITH " + bpeChainCtes(numMerges, withSymbolCounts = false) + s""",
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(
+       |    trim(lower(text)), '\\s+')) AS w FROM documents),
+       |wl AS (SELECT w,
+       |    CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n
+       |  FROM w$numMerges)
+       |SELECT dw.doc_id,
+       |  CAST(sum(wl.n) AS BIGINT) AS subword_tokens,
+       |  CAST(count(*) AS BIGINT) AS ws_tokens
+       |FROM dw JOIN wl ON dw.w = wl.w
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+
   /** DuckDB-side portable 32-bit SimHash over a token list column `tk`
     * (same bits as [[graft.functions.GraftHash.simhashMd5]]): for bit j,
     * the vote is the MSB of hex nibble j of each token's md5 — char
@@ -3113,6 +3190,46 @@ object PipelineQueries {
         |SELECT pr AS pair, CAST(sum(f) AS BIGINT) AS cnt
         |FROM pe GROUP BY pr
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
+
+    // ITERATED BPE vocabulary training (r10) — the fixpoint q165 is one
+    // step of: `numMerges` rounds of {frequency-weighted adjacent-pair
+    // count over the distinct-word table, merge the argmax pair
+    // everywhere}, per Sennrich et al. 2016. The oracle UNROLLS the
+    // same loop as chained DuckDB CTEs (one pair-count/argmax/replace
+    // block per step, mechanically generated below), so every per-step
+    // decision — counts, tie-breaks, the greedy left-to-right merge
+    // application, the surviving symbol count — is re-derived
+    // end-to-end by the second engine. Merge application is exact by
+    // construction: the canonical double-space word form makes plain
+    // `replace` (both engines: left-to-right, non-overlapping) equal
+    // greedy BPE (TextOps.bpeCanonical scaladoc).
+    "q235_bpe_train" -> api((spark, _) =>
+      TextOps.bpeTrain(spark.table("documents"), "text", 8)
+        .orderBy("step"),
+      bpeTrainOracle(8)),
+
+    // The TOKENIZER SEAM exercised end-to-end (r10): train the merge
+    // list (q235's loop), plug it into TextOps.BpeTokenizer — the
+    // pluggable GraftTokenizer the token ops accept in place of the
+    // whitespace contract — and tokenize the whole corpus with it.
+    // Pure Column algebra (per-word char expand → chained literal
+    // replaces → flatten): map-only over the corpus, the trained
+    // merges ride as literals (model-sized broadcast by construction).
+    // The oracle re-trains the chain in DuckDB and joins each doc's
+    // words against the final state's per-word symbol counts.
+    "q236_subword_token_stats" -> api((spark, _) => {
+      val merges = TextOps.bpeTrain(spark.table("documents"), "text", 8)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val tok = new TextOps.BpeTokenizer(merges)
+      spark.table("documents")
+        .select(col("doc_id"),
+          size(tok.tokenize(col("text"))).cast("long")
+            .as("subword_tokens"),
+          size(TextOps.WhitespaceTokenizer.tokenize(lower(col("text"))))
+            .cast("long").as("ws_tokens"))
+        .orderBy("doc_id")
+    }, bpeTokenizeOracle(8)),
 
     // Zipf-slope fit over the token frequency table: least-squares
     // slope/intercept of ln(freq) on ln(rank) — the power-law

@@ -772,4 +772,120 @@ object TextOps {
       graft.functions.GraftFunctions.duckRound(
         lenBand * 0.4 + wordBand * 0.2 + alphaRatio * 0.4, 6)
     })
+
+  // ---- tokenizer seam + iterated BPE training (r10) ----------------
+
+  /** CORPUS TOKENIZER CONTRACT: every token-level operator in this
+    * library (token counts, shingles, language ID, packing budgets,
+    * Zipf/vocab stats, the exact-substring kernels) tokenizes by
+    * `split(trim(text), "\\s+")` — whitespace words, a documented
+    * simplification that keeps the DuckDB oracles byte-exact
+    * (`string_split_regex(trim(text), '\s+')`). Operators that should
+    * work under a REAL subword vocabulary take a [[GraftTokenizer]]
+    * instead of calling [[tokens]] directly; [[WhitespaceTokenizer]]
+    * reproduces the contract above, [[BpeTokenizer]] applies a merge
+    * list trained by [[bpeTrain]]. Both are pure Column algebra —
+    * swapping tokenizers never changes an operator's plan shape. */
+  trait GraftTokenizer extends Serializable {
+    /** text column → array<string> of tokens. */
+    def tokenize(text: Column): Column
+  }
+
+  /** The default: the whitespace contract verbatim. */
+  object WhitespaceTokenizer extends GraftTokenizer {
+    def tokenize(text: Column): Column = tokens(text)
+  }
+
+  /** Canonical BPE word form: characters joined by DOUBLE spaces, one
+    * space padding each end (` a  b  c `). The doubled separator makes
+    * a single-space-delimited merge pattern (` a  b ` → ` ab `) consume
+    * exactly one boundary space per side, so left-to-right non-overlap
+    * `replace` — the semantics of both Spark's and DuckDB's replace —
+    * IS greedy BPE merge application, and consecutive/overlapping
+    * occurrences resolve exactly like Sennrich et al.'s reference
+    * (arXiv:1508.07909). */
+  private[graft] def bpeCanonical(word: Column): Column =
+    concat(lit(" "), rtrim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
+
+  /** Subword tokenizer from a trained merge list: each whitespace word
+    * expands to characters, the merges apply in training order, the
+    * merged symbols flatten back into one token array. Pure nested
+    * Column algebra (transform + chained literal replaces) — map-only,
+    * codegen'd, no UDF. */
+  final class BpeTokenizer(merges: Seq[(String, String)])
+      extends GraftTokenizer {
+    def tokenize(text: Column): Column =
+      flatten(transform(tokens(lower(text)), { w =>
+        val merged = merges.foldLeft(bpeCanonical(w)) { case (s, (l, r)) =>
+          replace(s, lit(s" $l  $r "), lit(s" $l$r "))
+        }
+        split(trim(merged), "  ")
+      }))
+  }
+
+  /** Iterated BPE vocabulary training (Sennrich et al. 2016,
+    * arXiv:1508.07909) — the fixpoint generalization of the one-step
+    * pair count (q165): repeat `numMerges` times {count adjacent
+    * symbol pairs frequency-weighted over the distinct-WORD table,
+    * merge the best pair everywhere}. Returns the merge list with
+    * per-step stats: (step, lt, rt, merged, cnt, n_symbols).
+    *
+    * Scale design: the corpus collapses to the word-frequency table
+    * before the loop (ONE corpus-sized shuffle; everything after is
+    * vocabulary-sized — the standard trick that makes BPE training
+    * tractable at any corpus size). Each round is two small jobs on
+    * that table (pair count + merge apply), the chosen pair is the
+    * only driver-side value (one 1-row collect — the merge decision is
+    * global by definition), and state re-anchors through
+    * [[org.apache.spark.sql.graft.PlanBridge.freshStats]] so neither
+    * plan lineage nor stats estimates compound across rounds.
+    * Tie-break: (cnt DESC, lt ASC, rt ASC) — binary string order,
+    * identical in Spark and DuckDB. */
+  def bpeTrain(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    var state = org.apache.spark.sql.graft.PlanBridge.freshStats(
+      wc.select(bpeCanonical(col("w")).as("seq"), col("f"))
+        .localCheckpoint(true))
+    val merges =
+      scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val toks = state
+        .select(split(trim(col("seq")), "  ").as("l"), col("f"))
+        .where(size(col("l")) >= 2)
+      val best = toks
+        .select(col("f"), explode(transform(
+          sequence(lit(1), size(col("l")) - 1),
+          i => struct(element_at(col("l"), i).as("lt"),
+            element_at(col("l"), i + 1).as("rt")))).as("p"))
+        .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("lt"), col("rt"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (lt, rt, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        state = org.apache.spark.sql.graft.PlanBridge.freshStats(
+          state.select(
+            replace(col("seq"), lit(s" $lt  $rt "), lit(s" $lt$rt "))
+              .as("seq"), col("f"))
+            .localCheckpoint(true))
+        val nSym = state
+          .select(explode(split(trim(col("seq")), "  ")).as("s"))
+          .agg(countDistinct("s")).head().getLong(0)
+        merges += ((k, lt, rt, lt + rt, cnt, nSym))
+        k += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lt", "rt", "merged", "cnt", "n_symbols")
+  }
 }

@@ -391,6 +391,78 @@ class TextOpsSpec extends SparkSpecBase {
     assert(sawMask, "gateMod=4 over 50 docs should mask something")
   }
 
+  test("bpeTrain merge sequence and BpeTokenizer match a plain-Scala " +
+      "reference BPE on a hand-checkable corpus") {
+    import spark.implicits._
+    // reference implementation: the Sennrich algorithm over
+    // driver-side maps — a different code path from the Column algebra
+    def refTrain(words: Map[String, Long], n: Int)
+        : Seq[(String, String)] = {
+      var seqs = words.map { case (w, f) => (w.toVector.map(_.toString), f) }
+      var merges = Vector.empty[(String, String)]
+      for (_ <- 1 to n) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        seqs.foreach { case (s, f) =>
+          s.zip(s.tail).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        if (counts.nonEmpty) {
+          val best = counts.toSeq
+            .minBy { case ((l, r), c) => (-c, l, r) }._1
+          merges :+= best
+          seqs = seqs.map { case (s, f) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && (s(i), s(i + 1)) == best) {
+                out += s(i) + s(i + 1); i += 2
+              } else { out += s(i); i += 1 }
+            }
+            (out.result(), f)
+          }
+        }
+      }
+      merges
+    }
+    val corpus = Seq("low low low low low", "lower lower newest newest",
+      "newest newest newest newest widest widest widest")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val wordFreq = corpus.flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val refMerges = refTrain(wordFreq, 6)
+    val got = TextOps.bpeTrain(docs, "text", 6).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got == refMerges)
+    // tokenizer: re-tokenize each word with the reference merges and
+    // compare the full flattened stream per doc
+    def refTok(w: String): Vector[String] = {
+      var s = w.toVector.map(_.toString)
+      refMerges.foreach { best =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && (s(i), s(i + 1)) == best) {
+            out += s(i) + s(i + 1); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+      s
+    }
+    val tok = new TextOps.BpeTokenizer(got)
+    val sparkToks = docs
+      .select(col("doc_id"), tok.tokenize(col("text")).as("t"))
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[String](1).toVector)
+    val refToks = corpus.map(_.split("\\s+").toVector.flatMap(refTok))
+    assert(sparkToks.toSeq == refToks)
+    // merged symbols really fuse: 'newest' (8 occurrences) should have
+    // collapsed below 6 chars of tokens
+    assert(refTok("newest").length < 6)
+  }
+
   test("exactSubstrDedup emits two spans when duplicated runs are " +
       "separated by unique tokens") {
     import spark.implicits._
