@@ -3206,7 +3206,7 @@ object PipelineQueries {
     "q235_bpe_train" -> api((spark, _) =>
       TextOps.bpeTrain(spark.table("documents"), "text", 8)
         .orderBy("step"),
-      bpeTrainOracle(8)),
+      bpeTrainOracle(8), headline = true),
 
     // The TOKENIZER SEAM exercised end-to-end (r10): train the merge
     // list (q235's loop), plug it into TextOps.BpeTokenizer — the
@@ -3229,7 +3229,7 @@ object PipelineQueries {
           size(TextOps.WhitespaceTokenizer.tokenize(lower(col("text"))))
             .cast("long").as("ws_tokens"))
         .orderBy("doc_id")
-    }, bpeTokenizeOracle(8)),
+    }, bpeTokenizeOracle(8), headline = true),
 
     // Zipf-slope fit over the token frequency table: least-squares
     // slope/intercept of ln(freq) on ln(rank) — the power-law

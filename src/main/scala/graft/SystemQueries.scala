@@ -744,6 +744,68 @@ object SystemQueries {
         |FROM fp GROUP BY version ORDER BY version""".stripMargin,
       headline = true),
 
+    // Maintenance UNDER the commit protocol (r10): the full operational
+    // lifecycle as one version chain — fragmented appends (v1, v2),
+    // compaction as a committed rewrite (v3: same rows, coalesced
+    // files — the oracle pins v3 ≡ v2 content), then a COW update over
+    // the compacted layout (v4). Time travel spans maintenance: v1/v2
+    // still read their original fragmented files after v3 replaced
+    // them in the live manifest. File-count collapse and vacuum GC
+    // (drop v1, delete newly-orphaned fragments, retained snapshots
+    // unaffected) are asserted in SnapshotOpsSpec where the
+    // filesystem is visible.
+    "q237_committed_maintenance" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q237", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val base = spark.table("lineitem").where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(col("l_orderkey") <= 1000).repartition(16))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(col("l_orderkey") > 1000).repartition(16))
+      SnapshotOps.commitCompact(spark, table, nFiles = 2)
+      SnapshotOps.commitRewrite(spark, table,
+        col("l_returnflag") === "A",
+        _.withColumn("l_quantity", col("l_quantity") + 1))
+      (1 to 4).map { v =>
+        SnapshotOps.readSnapshot(spark, table, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("qty"),
+            expr("bit_xor(cast(conv(substring(md5(concat(" +
+              "cast(l_orderkey as string), '|', " +
+              "cast(l_linenumber as string), '|', " +
+              "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+              .as("content_xor"))
+          .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
+            col("content_xor"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+        .localCheckpoint()
+    },
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_returnflag FROM lineitem WHERE l_orderkey <= 2000),
+        |fp AS (SELECT 1 AS version, l_orderkey, l_linenumber, l_quantity
+        |    FROM b WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT 2, l_orderkey, l_linenumber, l_quantity FROM b
+        |  UNION ALL
+        |  SELECT 3, l_orderkey, l_linenumber, l_quantity FROM b
+        |  UNION ALL
+        |  SELECT 4, l_orderkey, l_linenumber,
+        |    CASE WHEN l_returnflag = 'A' THEN l_quantity + 1
+        |      ELSE l_quantity END
+        |  FROM b)
+        |SELECT version, count(*) AS n,
+        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  bit_xor(('0x' || substring(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |FROM fp GROUP BY version ORDER BY version""".stripMargin,
+      headline = true),
+
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
     // real JDK codec per arriving file, corpus stats maintained as

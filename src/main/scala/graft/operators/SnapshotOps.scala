@@ -174,4 +174,58 @@ object SnapshotOps {
     throw new java.util.ConcurrentModificationException(
       s"commitRewrite lost $maxRetries version races on $tableDir")
   }
+
+  /** Committed compaction — q196's maintenance verb as a TRANSACTION:
+    * the current snapshot's files rewrite into `nFiles` coalesced
+    * files (coalesce, not repartition: compaction is IO-bound, no
+    * exchange) and the new manifest CAS-commits as the next version.
+    * Content is untouched (the q237 oracle pins it); prior snapshots
+    * keep reading the OLD files, so time travel spans maintenance. */
+  def commitCompact(spark: SparkSession, tableDir: String,
+      nFiles: Int, maxRetries: Int = 5): Committed = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      val files = snapshotFiles(tableDir, base)
+      require(files.nonEmpty, s"commitCompact on empty table $tableDir")
+      val dir = newDataDir(tableDir)
+      spark.read.parquet(files: _*).coalesce(nFiles).write.parquet(dir)
+      val written = parquetFilesIn(dir)
+      if (tryPublish(tableDir, base + 1, written))
+        return Committed(base + 1, 0, written.size, conflicts)
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commitCompact lost $maxRetries version races on $tableDir")
+  }
+
+  /** Orphan GC: drop every manifest older than the last
+    * `keepVersions`, then delete data files no RETAINED manifest
+    * references (lost-race leftovers, files only dropped snapshots
+    * used). Deletion order is the safe one — manifests first, so no
+    * reader can open a snapshot whose files are about to go; a crash
+    * between the two phases leaves only harmless extra data files.
+    * Returns (manifests dropped, data files deleted). */
+  def vacuum(tableDir: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val cur = currentVersion(tableDir)
+    val keepFrom = math.max(1, cur - keepVersions + 1)
+    val retained = (keepFrom to cur)
+      .flatMap(snapshotFiles(tableDir, _)).toSet
+    val dropped = (1 until keepFrom)
+      .count(v => Files.deleteIfExists(manifestPath(tableDir, v)))
+    val dataRoot = new java.io.File(s"$tableDir/data")
+    var deleted = 0
+    Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { d =>
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (!retained.contains(f.getPath) && f.isFile) {
+          val isData = f.getName.endsWith(".parquet")
+          if (f.delete() && isData) deleted += 1
+        }
+      }
+      // a writer dir whose files are all gone is itself garbage
+      if (Option(d.listFiles()).forall(_.isEmpty)) d.delete()
+    }
+    (dropped, deleted)
+  }
 }

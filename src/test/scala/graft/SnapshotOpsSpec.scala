@@ -89,6 +89,36 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(v2 == 100L)
   }
 
+  test("commitCompact collapses files transactionally; vacuum drops old " +
+      "manifests and exactly the newly-orphaned data files") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 40L).map(i => (i, i * 10)).toDF("id", "v").repartition(8))
+    SnapshotOps.commitAppend(spark, t,
+      (41L to 80L).map(i => (i, i * 10)).toDF("id", "v").repartition(8))
+    assert(SnapshotOps.snapshotFiles(t, 2).size >= 8)
+    val c = SnapshotOps.commitCompact(spark, t, nFiles = 2)
+    assert(c.version == 3 && c.written <= 2)
+    assert(SnapshotOps.snapshotFiles(t, 3).size <= 2)
+    // identical content through the compaction
+    def sig(v: Int) = SnapshotOps.readSnapshot(spark, t, v)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(sig(3) == sig(2))
+    // vacuum to the last 1 version: v1/v2 manifests go; their
+    // fragmented files (referenced by NO retained manifest) go; the
+    // compacted files stay readable
+    val before = SnapshotOps.snapshotFiles(t, 2).size
+    val (droppedManifests, deletedFiles) = SnapshotOps.vacuum(t, 1)
+    assert(droppedManifests == 2)
+    assert(deletedFiles == before, // v1 files ⊂ v2 files (append reuse)
+      s"expected $before orphans deleted, got $deletedFiles")
+    assert(SnapshotOps.currentVersion(t) == 3)
+    assert(SnapshotOps.readLatest(spark, t).count() == 80)
+    // dropped snapshots are really gone
+    assertThrows[Exception] { SnapshotOps.snapshotFiles(t, 2) }
+  }
+
   test("readSnapshot(0) is the empty table; commitRewrite on it refuses") {
     import spark.implicits._
     val t = freshTable()
