@@ -806,6 +806,138 @@ object SystemQueries {
         |FROM fp GROUP BY version ORDER BY version""".stripMargin,
       headline = true),
 
+    // Manifest-level DATA SKIPPING (r10): appends record per-file
+    // numeric min/max bounds in the manifest (statsCols — one pass
+    // over only the new files), and a range read prunes the file list
+    // BEFORE Spark lists or opens anything: range-partitioned appends
+    // give narrow per-file key bands, so a key-range query opens the
+    // handful of covering files, not the table — the Iceberg/Delta
+    // skip model ahead of parquet row-group pruning. The `pruned`
+    // column is computed from the actual manifest consultation (kept <
+    // total files); the oracle pins every range's content and that
+    // pruning really happened. Cross-append skipping is bounds-exact
+    // (disjoint key spans), not sampling-dependent.
+    "q238_stats_pruned_read" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q238", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val base = spark.table("lineitem").where(col("l_orderkey") <= 4000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(col("l_orderkey") <= 2000)
+          .repartitionByRange(8, col("l_orderkey")),
+        statsCols = Seq("l_orderkey"))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(col("l_orderkey") > 2000)
+          .repartitionByRange(8, col("l_orderkey")),
+        statsCols = Seq("l_orderkey"))
+      val v = SnapshotOps.currentVersion(table)
+      val total = SnapshotOps.snapshotEntries(table, v).size
+      Seq((1, 400), (1801, 2200), (3601, 4000)).map { case (lo, hi) =>
+        val kept = SnapshotOps.rangeFiles(table, v, "l_orderkey",
+          BigDecimal(lo), BigDecimal(hi)).size
+        SnapshotOps.readSnapshotRange(spark, table, v, "l_orderkey",
+          BigDecimal(lo), BigDecimal(hi))
+          .agg(count(col("l_orderkey")).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("qty"))
+          .select(lit(lo).cast("int").as("lo"), lit(hi).cast("int").as("hi"),
+            col("n"), col("qty"), lit(kept < total).as("pruned"))
+      }.reduce(_.unionByName(_)).orderBy("lo")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH b AS (SELECT l_orderkey, l_quantity FROM lineitem
+        |    WHERE l_orderkey <= 4000),
+        |r(lo, hi) AS (VALUES (1, 400), (1801, 2200), (3601, 4000))
+        |SELECT lo, hi, count(l_orderkey) AS n,
+        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  TRUE AS pruned
+        |FROM r LEFT JOIN b ON l_orderkey BETWEEN lo AND hi
+        |GROUP BY lo, hi ORDER BY lo""".stripMargin,
+      headline = true),
+
+    // Snapshot DIFF / CDC read (r10): the multiset row-level delta
+    // between two committed versions, reading ONLY the symmetric
+    // difference of the manifests' file sets — files reused across
+    // versions (append + file-granular COW leave most untouched)
+    // contribute identical multisets to both sides and are never
+    // scanned, so diff cost tracks the changed data, not the table.
+    // Inserts are rows v3 has more copies of than v1, deletes the
+    // reverse; the COW update surfaces as delete+insert. The oracle
+    // re-derives the same delta with EXCEPT ALL both ways.
+    "q239_snapshot_diff" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q239", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val base = spark.table("lineitem").where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(col("l_orderkey") <= 1000)
+          .repartitionByRange(3, col("l_returnflag")))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(col("l_orderkey") > 1000)
+          .repartitionByRange(3, col("l_returnflag")))
+      SnapshotOps.commitRewrite(spark, table,
+        col("l_returnflag") === "A",
+        _.withColumn("l_quantity", col("l_quantity") + 1))
+      SnapshotOps.snapshotDiff(spark, table, 1, 3)
+        .orderBy("change_type", "l_orderkey", "l_linenumber")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_returnflag FROM lineitem WHERE l_orderkey <= 2000),
+        |v1 AS (SELECT * FROM b WHERE l_orderkey <= 1000),
+        |v3 AS (SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_returnflag = 'A' THEN l_quantity + 1
+        |      ELSE l_quantity END AS l_quantity, l_returnflag FROM b),
+        |ins AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1),
+        |del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3)
+        |SELECT *, 'insert' AS change_type FROM ins
+        |UNION ALL
+        |SELECT *, 'delete' AS change_type FROM del
+        |ORDER BY change_type, l_orderkey, l_linenumber""".stripMargin,
+      headline = true),
+
+    // Exactly-once STREAMING ingestion into the snapshot table (r10):
+    // a file stream consumed one chunk per micro-batch, each batch
+    // CAS-committed as one snapshot version carrying a txn watermark
+    // (#txn.<stream>:<batchId>) — so the version history IS the batch
+    // history (3 chunks → 3 versions, pinned), a replayed epoch (the
+    // foreachBatch at-least-once case, simulated post-drain) skips
+    // without writing a byte (`replay_skipped` pinned TRUE), and the
+    // committed table is immediately range-prunable via the per-batch
+    // doc_id bounds (`n_range` read through manifest skipping).
+    "q240_stream_snapshot_sink" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val scratch = s"${runScopedDir("/tmp/graft_q240", sfDir)}/s-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val (table, versions, replaySkipped) =
+        StreamingOps.streamSnapshotSink(spark, sfDir, scratch, chunks = 3)
+      val nRange = SnapshotOps.readSnapshotRange(spark, table, versions,
+        "doc_id", BigDecimal(10), BigDecimal(59)).count()
+      SnapshotOps.readLatest(spark, table)
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("total_chars"),
+          count_distinct(col("lang")).as("langs"))
+        .select(lit(versions).cast("int").as("versions"), col("n"),
+          col("total_chars"), col("langs"),
+          lit(nRange).cast("bigint").as("n_range"),
+          lit(replaySkipped).as("replay_skipped"))
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """SELECT 3 AS versions, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+        |  CAST(count(CASE WHEN doc_id BETWEEN 10 AND 59 THEN 1 END)
+        |    AS BIGINT) AS n_range,
+        |  TRUE AS replay_skipped
+        |FROM documents""".stripMargin,
+      headline = true),
+
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
     // real JDK codec per arriving file, corpus stats maintained as

@@ -44,9 +44,27 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotOps {
 
-  /** Commit attempt outcome for one version slot. */
+  /** Commit attempt outcome for one version slot. `skipped` marks an
+    * idempotent no-op (the txn marker showed this batch already
+    * committed) — `version` is then the version that already contains
+    * the batch's rows. */
   final case class Committed(version: Int, reused: Int, written: Int,
-      conflicts: Int)
+      conflicts: Int, skipped: Boolean = false)
+
+  /** One manifest entry: an immutable data file plus optional per-file
+    * column bounds (numeric min/max captured at write time). Bounds
+    * power manifest-level FILE SKIPPING: a range read consults the
+    * manifest — a metadata operation — before Spark ever lists or
+    * opens a data file, the Iceberg/Delta data-skipping model. A file
+    * with no bounds for a column is never skipped on that column
+    * (absence is always safe). */
+  final case class FileEntry(path: String,
+      bounds: Map[String, (BigDecimal, BigDecimal)]) {
+    private[SnapshotOps] def line: String =
+      if (bounds.isEmpty) path
+      else path + "\t" + bounds.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }.mkString("\t")
+  }
 
   private def manifestDir(tableDir: String): Path =
     Paths.get(tableDir, "manifests")
@@ -63,11 +81,39 @@ object SnapshotOps {
       .maxOption.getOrElse(0)
   }
 
-  /** Data-file list of a committed snapshot (empty for version 0). */
-  def snapshotFiles(tableDir: String, version: Int): Seq[String] =
+  private def manifestLines(tableDir: String, version: Int): Seq[String] =
     if (version == 0) Seq.empty
     else new String(Files.readAllBytes(manifestPath(tableDir, version)),
       StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+
+  /** Manifest metadata (`#key:value` header lines) — carries the
+    * streaming txn watermarks across commits. */
+  def snapshotMeta(tableDir: String, version: Int): Map[String, String] =
+    manifestLines(tableDir, version).filter(_.startsWith("#"))
+      .map(_.drop(1).split(":", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+
+  /** File entries (path + per-file column bounds) of a snapshot. Plain
+    * path lines (pre-stats manifests) parse as entries with no bounds. */
+  def snapshotEntries(tableDir: String, version: Int): Seq[FileEntry] =
+    manifestLines(tableDir, version).filterNot(_.startsWith("#")).map { l =>
+      val fields = l.split("\t")
+      FileEntry(fields.head, fields.tail.flatMap { f =>
+        f.split("=", 2) match {
+          case Array(c, range) => range.split("\\.\\.", 2) match {
+            case Array(lo, hi) =>
+              Some(c -> (BigDecimal(lo), BigDecimal(hi)))
+            case _ => None
+          }
+          case _ => None
+        }
+      }.toMap)
+    }
+
+  /** Data-file list of a committed snapshot (empty for version 0). */
+  def snapshotFiles(tableDir: String, version: Int): Seq[String] =
+    snapshotEntries(tableDir, version).map(_.path)
 
   /** Read a committed snapshot as of `version` (manifest-pinned file
     * list, the q226 read path). Version 0 / an empty manifest reads as
@@ -90,16 +136,64 @@ object SnapshotOps {
     * a reader can never observe a partial manifest and two writers can
     * never both own one version. */
   private[graft] def tryPublish(tableDir: String, v: Int,
-      files: Seq[String]): Boolean = {
+      files: Seq[String]): Boolean =
+    tryPublishLines(tableDir, v, files)
+
+  private def tryPublishLines(tableDir: String, v: Int,
+      lines: Seq[String]): Boolean = {
     Files.createDirectories(manifestDir(tableDir))
     val tmp = manifestDir(tableDir).resolve(
       s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp,
-      files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try { Files.createLink(manifestPath(tableDir, v), tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
   }
+
+  private def metaLines(meta: Map[String, String]): Seq[String] =
+    meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k:$v" }
+
+  private def localPath(p: String): String =
+    if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString
+    else p
+
+  /** Per-file numeric min/max over freshly written files — ONE
+    * distributed pass over only the writer's own output (a metadata
+    * cost that tracks the commit's data, never the table), grouped by
+    * the parquet metadata file path. All-null files get no bounds for
+    * that column (absent bounds never skip). */
+  private def fileBounds(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): Map[String, Map[String, (BigDecimal, BigDecimal)]] = {
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c")))
+    spark.read.parquet(files: _*)
+      .groupBy(col("_metadata.file_path").as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val bounds = cols.flatMap { c =>
+          (Option(r.getAs[Any](s"_lo_$c")), Option(r.getAs[Any](s"_hi_$c"))) match {
+            case (Some(lo), Some(hi)) =>
+              Some(c -> (BigDecimal(lo.toString), BigDecimal(hi.toString)))
+            case _ => None
+          }
+        }.toMap
+        localPath(r.getAs[String]("_f")) -> bounds
+      }.toMap
+  }
+
+  private def entriesFor(spark: SparkSession, written: Seq[String],
+      statsCols: Seq[String]): Seq[FileEntry] = {
+    val bounds = fileBounds(spark, written, statsCols)
+    written.map(f => FileEntry(f, bounds.getOrElse(f, Map.empty)))
+  }
+
+  /** Stats columns a snapshot's manifest already tracks — rewrites and
+    * compactions recompute these for the files they produce, so bounds
+    * survive maintenance without the caller restating them. */
+  private def statsColsOf(entries: Seq[FileEntry]): Seq[String] =
+    entries.flatMap(_.bounds.keys).distinct.sorted
 
   /** One writer's immutable data-file directory for this table. */
   private def newDataDir(tableDir: String): String =
@@ -112,16 +206,44 @@ object SnapshotOps {
   /** Transactional append: write `df` once as immutable files, then
     * CAS-commit "current manifest + my files" — rebasing (re-reading
     * the new current manifest) and retrying on version conflicts. The
-    * data write never repeats; only the manifest union does. */
+    * data write never repeats; only the manifest union does.
+    *
+    * `statsCols` names numeric columns whose per-file min/max land in
+    * the manifest (one extra pass over ONLY the new files) — the
+    * bounds that [[readSnapshotRange]] prunes on.
+    *
+    * `txn = Some((streamId, batchId))` makes the append IDEMPOTENT per
+    * stream: the manifest records each stream's highest committed
+    * batchId as `#txn.<streamId>:<id>` metadata, and a replay of an
+    * already-committed batch (a restarted streaming query re-offering
+    * its last epoch) returns `skipped = true` without writing a byte.
+    * The check re-runs inside the CAS loop, so of two racing attempts
+    * of the SAME batch one wins and the other skips on rebase — the
+    * exactly-once foreachBatch sink contract. */
   def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame,
-      maxRetries: Int = 20): Committed = {
+      maxRetries: Int = 20, statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Committed = {
+    def alreadyIn(meta: Map[String, String]): Boolean = txn.exists {
+      case (sid, bid) => meta.get(s"txn.$sid").exists(_.toLong >= bid)
+    }
+    val pre = currentVersion(tableDir)
+    if (alreadyIn(snapshotMeta(tableDir, pre)))
+      return Committed(pre, 0, 0, 0, skipped = true)
     val dir = newDataDir(tableDir)
     df.write.parquet(dir)
-    val mine = parquetFilesIn(dir)
+    val mine = entriesFor(spark, parquetFilesIn(dir), statsCols)
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      if (tryPublish(tableDir, base + 1, snapshotFiles(tableDir, base) ++ mine))
+      val meta = snapshotMeta(tableDir, base)
+      if (alreadyIn(meta)) // lost the race to a twin of the same batch
+        return Committed(base, 0, 0, conflicts, skipped = true)
+      val newMeta = txn.fold(meta) { case (sid, bid) =>
+        meta + (s"txn.$sid" -> bid.toString)
+      }
+      val lines = metaLines(newMeta) ++
+        (snapshotEntries(tableDir, base) ++ mine).map(_.line)
+      if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, 0, mine.size, conflicts)
       conflicts += 1
     }
@@ -143,31 +265,31 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val files = snapshotFiles(tableDir, base)
+      val entries = snapshotEntries(tableDir, base)
+      val files = entries.map(_.path)
       require(files.nonEmpty, s"commitRewrite on empty table $tableDir")
       // job 1: which files contain matching rows (file-granularity
       // pruning via the metadata column — one distributed pass, a
       // manifest-sized collect)
-      def localPath(p: String): String =
-        if (p.startsWith("file:"))
-          Paths.get(java.net.URI.create(p)).toString
-        else p
       val touched = spark.read.parquet(files: _*)
         .where(cond)
         .select(col("_metadata.file_path").as("f"))
         .distinct().collect().map(r => localPath(r.getString(0))).toSet
-      val reused = files.filterNot(f => touched.contains(localPath(f)))
-      val toRewrite = files.diff(reused)
-      val written = if (toRewrite.isEmpty) Seq.empty[String] else {
+      val reused = entries.filterNot(e => touched.contains(localPath(e.path)))
+      val toRewrite = files.filterNot(f => reused.exists(_.path == f))
+      val written = if (toRewrite.isEmpty) Seq.empty[FileEntry] else {
         // job 2: rewrite ONLY the touched files; non-matching rows in
-        // them ride through unchanged
+        // them ride through unchanged; their bounds recompute so
+        // data skipping survives the update
         val dir = newDataDir(tableDir)
         val in = spark.read.parquet(toRewrite: _*)
         update(in.where(cond)).unionByName(in.where(!coalesce(cond,
           lit(false)))).write.parquet(dir)
-        parquetFilesIn(dir)
+        entriesFor(spark, parquetFilesIn(dir), statsColsOf(entries))
       }
-      if (tryPublish(tableDir, base + 1, reused ++ written))
+      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+        (reused ++ written).map(_.line)
+      if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, reused.size, written.size, conflicts)
       conflicts += 1
     }
@@ -186,12 +308,16 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val files = snapshotFiles(tableDir, base)
+      val entries = snapshotEntries(tableDir, base)
+      val files = entries.map(_.path)
       require(files.nonEmpty, s"commitCompact on empty table $tableDir")
       val dir = newDataDir(tableDir)
       spark.read.parquet(files: _*).coalesce(nFiles).write.parquet(dir)
-      val written = parquetFilesIn(dir)
-      if (tryPublish(tableDir, base + 1, written))
+      val written = entriesFor(spark, parquetFilesIn(dir),
+        statsColsOf(entries))
+      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+        written.map(_.line)
+      if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, 0, written.size, conflicts)
       conflicts += 1
     }
@@ -227,5 +353,70 @@ object SnapshotOps {
       if (Option(d.listFiles()).forall(_.isEmpty)) d.delete()
     }
     (dropped, deleted)
+  }
+
+  /** Manifest-level file skipping: the data files of `version` whose
+    * `[min,max]` bounds for `column` intersect `[lo,hi]`, plus every
+    * file with no recorded bounds (absence never skips). Pure metadata
+    * — no Spark job, no file listing. */
+  def rangeFiles(tableDir: String, version: Int, column: String,
+      lo: BigDecimal, hi: BigDecimal): Seq[String] =
+    snapshotEntries(tableDir, version).filter(_.bounds.get(column)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi }).map(_.path)
+
+  /** Range read with manifest pruning: only files surviving
+    * [[rangeFiles]] are handed to the scan, then the exact predicate
+    * applies as the residual filter (bounds are necessary, not
+    * sufficient). At 100 TB this is the difference between opening a
+    * sorted table's every file and opening the handful covering the
+    * key range — before parquet row-group pruning even starts. */
+  def readSnapshotRange(spark: SparkSession, tableDir: String,
+      version: Int, column: String, lo: BigDecimal, hi: BigDecimal): DataFrame = {
+    val files = rangeFiles(tableDir, version, column, lo, hi)
+    val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (files.nonEmpty) spark.read.parquet(files: _*).where(residual)
+    else readSnapshot(spark, tableDir, 0,
+      readSnapshot(spark, tableDir, version).schema)
+  }
+
+  /** Multiset row-level diff between two committed snapshots, the CDC
+    * read: `insert` rows appear in `to` more times than in `from`,
+    * `delete` rows the reverse; a COW update surfaces as delete+insert.
+    * Only the SYMMETRIC DIFFERENCE of the two manifests' file sets is
+    * read — files reused across versions (the common case: an append
+    * or a file-granular COW update touches few files) contribute
+    * identical multisets to both sides and are never scanned, so diff
+    * cost tracks the changed data, not the table. Append-only history
+    * diffs read strictly the appended files. */
+  def snapshotDiff(spark: SparkSession, tableDir: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    val from = snapshotFiles(tableDir, fromVersion).toSet
+    val to = snapshotFiles(tableDir, toVersion).toSet
+    val removed = (from -- to).toSeq.sorted
+    val added = (to -- from).toSeq.sorted
+    def side(files: Seq[String], sign: Int): Option[DataFrame] =
+      if (files.isEmpty) None
+      else {
+        val df = spark.read.parquet(files: _*)
+        Some(df.groupBy(df.columns.map(col): _*)
+          .agg((count(lit(1)) * sign).as("_delta")))
+      }
+    (side(added, 1), side(removed, -1)) match {
+      case (None, None) =>
+        val s = readSnapshot(spark, tableDir, toVersion).schema
+        readSnapshot(spark, tableDir, 0, s)
+          .withColumn("change_type", lit(""))
+      case (a, r) =>
+        val merged = (a.toSeq ++ r.toSeq).reduce(_.unionByName(_))
+        val keys = merged.columns.filterNot(_ == "_delta").map(col)
+        merged.groupBy(keys: _*)
+          .agg(sum(col("_delta")).as("_delta"))
+          .where(col("_delta") =!= 0)
+          .withColumn("_i",
+            explode(sequence(lit(1L), abs(col("_delta")))))
+          .withColumn("change_type",
+            when(col("_delta") > 0, lit("insert")).otherwise(lit("delete")))
+          .drop("_delta", "_i")
+    }
   }
 }

@@ -603,4 +603,47 @@ object StreamingOps {
     q.awaitTermination()
     drainSink(spark, name, Seq("doc_id"))
   }
+
+  /** Exactly-once streaming ingestion INTO the snapshot table — the
+    * foreachBatch sink over [[graft.operators.SnapshotOps]]: each
+    * micro-batch CAS-commits as one snapshot version carrying a
+    * `#txn.<streamId>:<batchId>` watermark, so the sink is idempotent
+    * under foreachBatch's at-least-once contract (a restarted query
+    * re-offering its last epoch skips without writing a byte — the
+    * Delta/Iceberg streaming-sink model). The source is chunked into
+    * `chunks` files and consumed one file per trigger, so the table's
+    * version history IS the batch history; per-file doc_id bounds land
+    * in each commit's manifest, so the committed table is immediately
+    * range-prunable. Returns (tableDir, versions, replaySkipped). */
+  def streamSnapshotSink(spark: SparkSession, sfDir: String,
+      scratch: String, chunks: Int): (String, Int, Boolean) = {
+    import graft.operators.SnapshotOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val srcDir = s"$scratch/chunks"
+    docs.repartitionByRange(chunks, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val table = s"$scratch/table"
+    val streamId = "docs_ingest"
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    var lastBatch = -1L
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        SnapshotOps.commitAppend(spark, table, batch.toDF(),
+          statsCols = Seq("doc_id"), txn = Some((streamId, id)))
+        lastBatch = math.max(lastBatch, id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // foreachBatch is at-least-once: simulate the restart that replays
+    // the final epoch — the txn watermark must swallow it
+    val replay = SnapshotOps.commitAppend(spark, table,
+      spark.read.parquet(srcDir), txn = Some((streamId, lastBatch)))
+    (table, SnapshotOps.currentVersion(table), replay.skipped)
+  }
 }

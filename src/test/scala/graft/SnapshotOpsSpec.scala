@@ -119,6 +119,95 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assertThrows[Exception] { SnapshotOps.snapshotFiles(t, 2) }
   }
 
+  test("statsCols bounds land in the manifest, prune range reads, and " +
+      "survive compaction and COW rewrite") {
+    import spark.implicits._
+    val t = freshTable()
+    // range-partitioned appends → disjoint per-file id bounds
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    SnapshotOps.commitAppend(spark, t,
+      (101L to 200L).map(i => (i, i * 2)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    val entries = SnapshotOps.snapshotEntries(t, 2)
+    assert(entries.size == 8 && entries.forall(_.bounds.contains("id")))
+    // metadata-only pruning: a 10-wide range hits 1-2 of 8 files
+    val kept = SnapshotOps.rangeFiles(t, 2, "id", 41, 50)
+    assert(kept.size < entries.size,
+      s"expected pruning, kept ${kept.size}/${entries.size}")
+    val pruned = SnapshotOps.readSnapshotRange(spark, t, 2, "id", 41, 50)
+    assert(pruned.agg(sum("v")).as[Long].head() ==
+      (41L to 50L).map(_ * 2).sum)
+    assert(pruned.count() == 10)
+    // compaction recomputes bounds for its output files
+    SnapshotOps.commitCompact(spark, t, nFiles = 2)
+    assert(SnapshotOps.snapshotEntries(t, 3).forall(_.bounds.contains("id")))
+    assert(SnapshotOps.readSnapshotRange(spark, t, 3, "id", 41, 50)
+      .count() == 10)
+    // COW rewrite: written files get fresh bounds, content stays pinned
+    SnapshotOps.commitRewrite(spark, t, col("id") <= 10,
+      _.withColumn("v", col("v") + 1000))
+    assert(SnapshotOps.snapshotEntries(t, 4).forall(_.bounds.contains("id")))
+    assert(SnapshotOps.readSnapshotRange(spark, t, 4, "id", 1, 10)
+      .agg(sum("v")).as[Long].head() == (1L to 10L).map(_ * 2 + 1000).sum)
+  }
+
+  test("snapshotDiff is a multiset CDC read over only the changed files: " +
+      "appends diff as inserts, a COW update as delete+insert") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 50L).map(i => (i, i * 10)).toDF("id", "v").repartition(4))
+    SnapshotOps.commitAppend(spark, t,
+      (51L to 60L).map(i => (i, i * 10)).toDF("id", "v").repartition(2))
+    // v1→v2 is append-only: the diff reads strictly the appended files
+    val d12 = SnapshotOps.snapshotDiff(spark, t, 1, 2)
+    assert(d12.where(col("change_type") =!= "insert").count() == 0)
+    assert(d12.select("id").as[Long].collect().sorted.toSeq ==
+      (51L to 60L))
+    SnapshotOps.commitRewrite(spark, t, col("id") === 7L,
+      _.withColumn("v", lit(777L)))
+    val d23 = SnapshotOps.snapshotDiff(spark, t, 2, 3)
+      .select("change_type", "id", "v").as[(String, Long, Long)]
+      .collect().toSet
+    assert(d23 == Set(("delete", 7L, 70L), ("insert", 7L, 777L)))
+    // empty diff: same version both sides
+    assert(SnapshotOps.snapshotDiff(spark, t, 3, 3).count() == 0)
+    // duplicate rows diff with multiplicity
+    SnapshotOps.commitAppend(spark, t,
+      Seq((99L, 9L), (99L, 9L)).toDF("id", "v"))
+    val d34 = SnapshotOps.snapshotDiff(spark, t, 3, 4)
+    assert(d34.where(col("id") === 99L).count() == 2)
+  }
+
+  test("txn-marked appends are idempotent per stream: a replayed batch " +
+      "skips without writing, a new batch commits") {
+    import spark.implicits._
+    val t = freshTable()
+    val b0 = Seq((1L, "a")).toDF("id", "s")
+    val c1 = SnapshotOps.commitAppend(spark, t, b0, txn = Some(("s1", 0L)))
+    assert(c1.version == 1 && !c1.skipped)
+    // restart replays the last epoch: same (stream, batch) → no-op
+    val replay = SnapshotOps.commitAppend(spark, t, b0, txn = Some(("s1", 0L)))
+    assert(replay.skipped && replay.version == 1)
+    assert(SnapshotOps.currentVersion(t) == 1)
+    assert(SnapshotOps.readLatest(spark, t).count() == 1)
+    // next batch commits; an unrelated stream's batch 0 also commits
+    val c2 = SnapshotOps.commitAppend(spark, t,
+      Seq((2L, "b")).toDF("id", "s"), txn = Some(("s1", 1L)))
+    assert(c2.version == 2 && !c2.skipped)
+    val c3 = SnapshotOps.commitAppend(spark, t,
+      Seq((3L, "c")).toDF("id", "s"), txn = Some(("s2", 0L)))
+    assert(c3.version == 3 && !c3.skipped)
+    assert(SnapshotOps.snapshotMeta(t, 3) ==
+      Map("txn.s1" -> "1", "txn.s2" -> "0"))
+    // txn watermarks survive maintenance commits
+    SnapshotOps.commitCompact(spark, t, nFiles = 1)
+    assert(SnapshotOps.snapshotMeta(t, 4)("txn.s1") == "1")
+    assert(SnapshotOps.readLatest(spark, t).count() == 3)
+  }
+
   test("readSnapshot(0) is the empty table; commitRewrite on it refuses") {
     import spark.implicits._
     val t = freshTable()
