@@ -3231,6 +3231,147 @@ object PipelineQueries {
         .orderBy("doc_id")
     }, bpeTokenizeOracle(8), headline = true),
 
+    // Corpus ROUGE-N (r10) — Lin 2004's clipped n-gram overlap, the
+    // standard summarization/eval metric, micro-averaged over the
+    // corpus: candidate = the lead-40 extractive summary shifted by 10
+    // tokens (tokens 11..50), reference = tokens 1..40, over docs with
+    // >= 50 whitespace tokens, so overlap is real but partial. Clipped
+    // counts (min of candidate/reference multiplicity per gram) make
+    // it the true ROUGE definition, not bag intersection.
+    //
+    // Scale shape: per-(doc, gram) counts shuffle on the (doc, gram)
+    // key — the natural partitioning; the join matching candidate to
+    // reference grams is co-keyed (no skew: grams are per-doc); the
+    // three corpus totals are map-side-combined scalar aggs broadcast
+    // back by scalar crossJoin. P/R are single divisions of exact
+    // integer sums (micro-averaging), so no float-accumulation drift
+    // can split the engines; F1 = 2o/(c+r) stays integer-derived.
+    "q241_rouge_eval" -> api((spark, _) => {
+      val docs = spark.table("documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 50)
+        .select(col("doc_id"),
+          expr("slice(w, 11, 40)").as("cand"),
+          expr("slice(w, 1, 40)").as("ref"))
+        .localCheckpoint() // two gram families per n read this once
+      def grams(side: String, n: Int) = expr(
+        s"transform(sequence(1, size($side) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice($side, i, $n)))")
+      Seq(1, 2).map { n =>
+        val cg = docs.select(col("doc_id"), explode(grams("cand", n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("ck"))
+        val rg = docs.select(col("doc_id"), explode(grams("ref", n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("rk"))
+        cg.agg(sum(col("ck")).as("cand_grams")).crossJoin(
+            rg.agg(sum(col("rk")).as("ref_grams")))
+          .crossJoin(cg.join(rg, Seq("doc_id", "g"))
+            .agg(sum(least(col("ck"), col("rk"))).as("overlap")))
+          .select(lit(n).cast("int").as("n"), col("cand_grams"),
+            col("ref_grams"), col("overlap"),
+            graft.functions.GraftFunctions.duckRound(
+              col("overlap").cast("double") / col("cand_grams"), 6)
+              .as("prec"),
+            graft.functions.GraftFunctions.duckRound(
+              col("overlap").cast("double") / col("ref_grams"), 6)
+              .as("rec"),
+            graft.functions.GraftFunctions.duckRound(
+              lit(2.0) * col("overlap") /
+                (col("cand_grams") + col("ref_grams")), 6).as("f1"))
+      }.reduce(_.unionByName(_)).orderBy("n")
+    },
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sl AS (SELECT doc_id, w[11:50] AS cand, w[1:40] AS ref
+        |  FROM tok WHERE len(w) >= 50),
+        |ns(n) AS (VALUES (1), (2)),
+        |cg AS (SELECT n, doc_id, unnest(list_transform(
+        |    range(1, len(cand) - n + 2),
+        |    i -> array_to_string(cand[i:i+n-1], ' '))) AS g
+        |  FROM sl, ns),
+        |rg AS (SELECT n, doc_id, unnest(list_transform(
+        |    range(1, len(ref) - n + 2),
+        |    i -> array_to_string(ref[i:i+n-1], ' '))) AS g
+        |  FROM sl, ns),
+        |cc AS (SELECT n, doc_id, g, count(*) AS ck FROM cg
+        |  GROUP BY n, doc_id, g),
+        |rc AS (SELECT n, doc_id, g, count(*) AS rk FROM rg
+        |  GROUP BY n, doc_id, g),
+        |ov AS (SELECT cc.n, sum(least(cc.ck, rc.rk)) AS o FROM cc
+        |  JOIN rc ON cc.n = rc.n AND cc.doc_id = rc.doc_id
+        |    AND cc.g = rc.g
+        |  GROUP BY cc.n),
+        |ct AS (SELECT n, sum(ck) AS c FROM cc GROUP BY n),
+        |rt AS (SELECT n, sum(rk) AS r FROM rc GROUP BY n)
+        |SELECT ov.n, CAST(ct.c AS BIGINT) AS cand_grams,
+        |  CAST(rt.r AS BIGINT) AS ref_grams, CAST(ov.o AS BIGINT)
+        |    AS overlap,
+        |  round(ov.o * 1.0 / ct.c, 6) AS prec,
+        |  round(ov.o * 1.0 / rt.r, 6) AS rec,
+        |  round(2.0 * ov.o / (ct.c + rt.r), 6) AS f1
+        |FROM ov JOIN ct ON ov.n = ct.n JOIN rt ON ov.n = rt.n
+        |ORDER BY ov.n""".stripMargin,
+      headline = true),
+
+    // DPO preference-pair construction (r10) — Rafailov et al. 2023's
+    // dataset-prep step: from q219's best-of-n candidate pool (4
+    // deterministic md5 rewards per doc), each prompt yields one
+    // (chosen, rejected) pair = reward argmax vs argmin; pairs below a
+    // margin floor are dropped (weak preferences teach nothing), then
+    // a per-language quota keeps the top-20 pairs by margin — the
+    // stratified capping every multilingual preference set applies.
+    //
+    // Scale shape: argmax AND argmin ride one groupBy as struct
+    // max/min (map-side combinable — 2 rows per prompt per partition
+    // reach the shuffle, never the n candidates); the quota window
+    // runs per-lang over only margin-surviving pairs. Tie order
+    // matches the oracle's (reward DESC, i ASC / reward ASC, i ASC)
+    // via the negated-i struct component, the q219 convention.
+    "q242_dpo_pairs" -> api((spark, _) =>
+      spark.table("documents")
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(0, 3)")).as("i"))
+        .select(col("doc_id"), col("lang"), col("i"),
+          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING)," +
+            " ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+            .as("reward"))
+        .groupBy("doc_id", "lang")
+        .agg(max(struct(col("reward"), (-col("i")).as("ni"), col("i")))
+            .as("best"),
+          min(struct(col("reward"), col("i"))).as("worst"))
+        .select(col("doc_id"), col("lang"),
+          col("best.i").as("chosen_i"), col("worst.i").as("rejected_i"),
+          (col("best.reward") - col("worst.reward")).as("margin"))
+        .where(col("margin") >= lit(2500000000L))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")
+            .orderBy(col("margin").desc, col("doc_id"))))
+        .where(col("rank") <= 20)
+        .orderBy("lang", "rank"),
+      """WITH cand AS (SELECT doc_id, lang, i,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(i AS VARCHAR)), 1, 8))::BIGINT AS reward
+        |  FROM documents, unnest([0, 1, 2, 3]) AS u(i)),
+        |r AS (SELECT doc_id, lang, i, reward,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY reward DESC, i) AS rn,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY reward ASC, i) AS wn
+        |  FROM cand),
+        |pairs AS (SELECT doc_id, lang,
+        |    max(CASE WHEN rn = 1 THEN i END) AS chosen_i,
+        |    max(CASE WHEN wn = 1 THEN i END) AS rejected_i,
+        |    CAST(max(CASE WHEN rn = 1 THEN reward END)
+        |      - max(CASE WHEN wn = 1 THEN reward END) AS BIGINT)
+        |      AS margin
+        |  FROM r GROUP BY doc_id, lang),
+        |kept AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY margin DESC, doc_id) AS BIGINT) AS rank
+        |  FROM pairs WHERE margin >= 2500000000)
+        |SELECT doc_id, lang, chosen_i, rejected_i, margin, rank
+        |FROM kept WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+      headline = true),
+
     // Zipf-slope fit over the token frequency table: least-squares
     // slope/intercept of ln(freq) on ln(rank) — the power-law
     // diagnostic that flags synthetic or template-heavy corpora
