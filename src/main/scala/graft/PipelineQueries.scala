@@ -3239,45 +3239,49 @@ object PipelineQueries {
     // counts (min of candidate/reference multiplicity per gram) make
     // it the true ROUGE definition, not bag intersection.
     //
-    // Scale shape: per-(doc, gram) counts shuffle on the (doc, gram)
-    // key — the natural partitioning; the join matching candidate to
-    // reference grams is co-keyed (no skew: grams are per-doc); the
-    // three corpus totals are map-side-combined scalar aggs broadcast
-    // back by scalar crossJoin. P/R are single divisions of exact
+    // Scale shape: ONE pass — both n values and both sides ride a
+    // single explode into per-(n, doc, gram, side) counts pivoted to
+    // (ck, rk) columns in the same map-side-combined aggregation, so
+    // the whole metric is one shuffle on the natural (n, doc, gram)
+    // key + a 2-row final agg. No join at all: the clipped overlap is
+    // least(ck, rk) per key. P/R are single divisions of exact
     // integer sums (micro-averaging), so no float-accumulation drift
     // can split the engines; F1 = 2o/(c+r) stays integer-derived.
     "q241_rouge_eval" -> api((spark, _) => {
-      val docs = spark.table("documents")
+      def grams(side: String, n: Int) = expr(
+        s"transform(sequence(1, size($side) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice($side, i, $n)))")
+      val counts = spark.table("documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
         .where(size(col("w")) >= 50)
         .select(col("doc_id"),
           expr("slice(w, 11, 40)").as("cand"),
           expr("slice(w, 1, 40)").as("ref"))
-        .localCheckpoint() // two gram families per n read this once
-      def grams(side: String, n: Int) = expr(
-        s"transform(sequence(1, size($side) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice($side, i, $n)))")
-      Seq(1, 2).map { n =>
-        val cg = docs.select(col("doc_id"), explode(grams("cand", n)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("ck"))
-        val rg = docs.select(col("doc_id"), explode(grams("ref", n)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("rk"))
-        cg.agg(sum(col("ck")).as("cand_grams")).crossJoin(
-            rg.agg(sum(col("rk")).as("ref_grams")))
-          .crossJoin(cg.join(rg, Seq("doc_id", "g"))
-            .agg(sum(least(col("ck"), col("rk"))).as("overlap")))
-          .select(lit(n).cast("int").as("n"), col("cand_grams"),
-            col("ref_grams"), col("overlap"),
-            graft.functions.GraftFunctions.duckRound(
-              col("overlap").cast("double") / col("cand_grams"), 6)
-              .as("prec"),
-            graft.functions.GraftFunctions.duckRound(
-              col("overlap").cast("double") / col("ref_grams"), 6)
-              .as("rec"),
-            graft.functions.GraftFunctions.duckRound(
-              lit(2.0) * col("overlap") /
-                (col("cand_grams") + col("ref_grams")), 6).as("f1"))
-      }.reduce(_.unionByName(_)).orderBy("n")
+        .select(col("doc_id"), explode(array(
+          Seq(1, 2).flatMap(n => Seq(
+            struct(lit(n).as("n"), lit("c").as("side"),
+              grams("cand", n).as("gs")),
+            struct(lit(n).as("n"), lit("r").as("side"),
+              grams("ref", n).as("gs")))): _*)).as("x"))
+        .select(col("doc_id"), col("x.n").as("n"), col("x.side").as("side"),
+          explode(col("x.gs")).as("g"))
+        .groupBy("n", "doc_id", "g")
+        .agg(count(when(col("side") === "c", 1)).as("ck"),
+          count(when(col("side") === "r", 1)).as("rk"))
+      counts.groupBy("n")
+        .agg(sum(col("ck")).as("cand_grams"), sum(col("rk")).as("ref_grams"),
+          sum(least(col("ck"), col("rk"))).as("overlap"))
+        .select(col("n"), col("cand_grams"), col("ref_grams"), col("overlap"),
+          graft.functions.GraftFunctions.duckRound(
+            col("overlap").cast("double") / col("cand_grams"), 6)
+            .as("prec"),
+          graft.functions.GraftFunctions.duckRound(
+            col("overlap").cast("double") / col("ref_grams"), 6)
+            .as("rec"),
+          graft.functions.GraftFunctions.duckRound(
+            lit(2.0) * col("overlap") /
+              (col("cand_grams") + col("ref_grams")), 6).as("f1"))
+        .orderBy("n")
     },
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
