@@ -3376,6 +3376,126 @@ object PipelineQueries {
         |FROM kept WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
       headline = true),
 
+    // GRPO group-relative advantages (r10) — Shao et al. 2024
+    // (arXiv:2402.03300): the PPO-critic-free baseline where each
+    // prompt's n sampled candidates are standardized against their own
+    // group: adv_i = (r_i - mean) / std. The exactness trick: with
+    // integer rewards, d_i = n·r_i - Σr is an exact integer and
+    // adv_i = d_i / sqrt(Σd²/n), so both engines reach the SAME double
+    // through one sqrt and one division of exact integers — no
+    // mean-of-floats accumulation drift anywhere. Rewards are 16-bit
+    // so Σd² stays exactly representable.
+    //
+    // Scale shape: one shuffle on doc_id; both group moments are
+    // window sums over the same 8-row partitions (Catalyst shares the
+    // exchange), no join, no second pass over the candidates.
+    "q243_grpo_advantages" -> api((spark, _) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      spark.table("documents")
+        .where(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("i"))
+        .select(col("doc_id"), col("i"),
+          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING)," +
+            " ':', CAST(i AS STRING))), 1, 4), 16, 10) AS BIGINT)")
+            .as("reward"))
+        .withColumn("d", lit(8) * col("reward") - sum("reward").over(w))
+        .withColumn("ssq", sum(col("d") * col("d")).over(w))
+        .select(col("doc_id"), col("i"), col("reward"),
+          graft.functions.GraftFunctions.duckRound(
+            when(col("ssq") === 0, lit(0.0)).otherwise(
+              col("d") / sqrt(col("ssq") / lit(8.0))), 6).as("advantage"))
+        .orderBy("doc_id", "i")
+    },
+      """WITH cand AS (SELECT doc_id, i,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(i AS VARCHAR)), 1, 4))::BIGINT AS reward
+        |  FROM documents, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(i)
+        |  WHERE doc_id % 4 = 0),
+        |d AS (SELECT doc_id, i, reward,
+        |    8 * reward - sum(reward) OVER (PARTITION BY doc_id) AS d
+        |  FROM cand),
+        |s AS (SELECT *, sum(d * d) OVER (PARTITION BY doc_id) AS ssq
+        |  FROM d)
+        |SELECT doc_id, i, reward,
+        |  round(CASE WHEN ssq = 0 THEN 0.0
+        |    ELSE d / sqrt(ssq / 8.0) END, 6) AS advantage
+        |FROM s ORDER BY doc_id, i""".stripMargin,
+      headline = true),
+
+    // Bootstrap confidence interval for a corpus eval metric (r10) —
+    // the POISSON bootstrap (Chamandy et al. 2012, the distributed
+    // form: resample counts are independent Poisson(1) draws, so no
+    // resample is ever materialized and the whole B=200 ensemble is
+    // ONE pass): per (resample, doc) the count is the inverse-CDF
+    // bucket of a 32-bit md5 draw against precomputed INTEGER
+    // thresholds (floor(2^32·P[X<=k]) for k=0..4, else 5) — no float
+    // compare anywhere in the sampling. Each resample's estimate is
+    // one division of exact integer sums (metric = mean n_chars), the
+    // CI is order statistics (5th / 196th of 200, ties by resample
+    // id), so every value is cross-engine deterministic.
+    //
+    // Scale shape: explode by B then ONE map-side-combined groupBy(b)
+    // — B×partitions partials on the wire, never the corpus×B rows;
+    // the ranking window orders 200 rows; the point estimate is a
+    // broadcast scalar crossJoin.
+    "q244_bootstrap_ci" -> api((spark, _) => {
+      val ests = spark.table("documents")
+        .select(col("n_chars"), col("doc_id"),
+          explode(expr("sequence(0, 199)")).as("b"))
+        .withColumn("u",
+          expr("CAST(conv(substring(md5(concat('boot:', " +
+            "CAST(b AS STRING), ':', CAST(doc_id AS STRING))), 1, 8), " +
+            "16, 10) AS BIGINT)"))
+        .withColumn("w",
+          when(col("u") < 1580030168L, 0)
+            .when(col("u") < 3160060337L, 1)
+            .when(col("u") < 3950075421L, 2)
+            .when(col("u") < 4213413783L, 3)
+            .when(col("u") < 4279248373L, 4).otherwise(5))
+        .groupBy("b")
+        .agg((sum(col("w") * col("n_chars")).cast("double") /
+          sum(col("w"))).as("est"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("est"), col("b")))) // 200 rows — driver-safe
+      spark.table("documents")
+        .agg((sum(col("n_chars")).cast("double") /
+          count(lit(1))).as("point"))
+        .crossJoin(ests.agg(
+          max(when(col("rn") === 5, col("est"))).as("lo"),
+          max(when(col("rn") === 196, col("est"))).as("hi")))
+        .select(lit(200).cast("int").as("n_resamples"),
+          graft.functions.GraftFunctions.duckRound(col("point"), 6)
+            .as("point"),
+          graft.functions.GraftFunctions.duckRound(col("lo"), 6)
+            .as("ci_lo"),
+          graft.functions.GraftFunctions.duckRound(col("hi"), 6)
+            .as("ci_hi"))
+    },
+      """WITH bt AS (SELECT b, doc_id, n_chars,
+        |    ('0x' || substring(md5('boot:' || CAST(b AS VARCHAR) || ':'
+        |      || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        |  FROM documents, range(0, 200) AS r(b)),
+        |ws AS (SELECT b, n_chars,
+        |    CASE WHEN u < 1580030168 THEN 0
+        |      WHEN u < 3160060337 THEN 1
+        |      WHEN u < 3950075421 THEN 2
+        |      WHEN u < 4213413783 THEN 3
+        |      WHEN u < 4279248373 THEN 4 ELSE 5 END AS w
+        |  FROM bt),
+        |est AS (SELECT b,
+        |    CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS est
+        |  FROM ws GROUP BY b),
+        |rk AS (SELECT est, row_number() OVER (ORDER BY est, b) AS rn
+        |  FROM est),
+        |pt AS (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) AS point
+        |  FROM documents)
+        |SELECT 200 AS n_resamples, round(pt.point, 6) AS point,
+        |  round(max(CASE WHEN rn = 5 THEN est END), 6) AS ci_lo,
+        |  round(max(CASE WHEN rn = 196 THEN est END), 6) AS ci_hi
+        |FROM rk, pt GROUP BY pt.point""".stripMargin,
+      headline = true),
+
     // Zipf-slope fit over the token frequency table: least-squares
     // slope/intercept of ln(freq) on ln(rank) — the power-law
     // diagnostic that flags synthetic or template-heavy corpora

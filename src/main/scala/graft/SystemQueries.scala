@@ -938,6 +938,74 @@ object SystemQueries {
         |FROM documents""".stripMargin,
       headline = true),
 
+    // Schema EVOLUTION under the commit protocol (r10): v1 appends the
+    // 3-column shape, v2 appends an EVOLVED 4-column batch (pure
+    // append — the old files are untouched, the new column exists only
+    // in the new files), the merged read surfaces pre-evolution rows
+    // with the new column null (reader-side defaults, zero rewrite —
+    // the q194 read generalized to the versioned table), and v3
+    // BACKFILLS via the file-granular COW (only the null-bearing v1
+    // files rewrite, schema-anchored so they pick up the column). The
+    // oracle pins every version's row count, null/backfill accounting,
+    // and a content fingerprint over the ORIGINAL columns proving
+    // evolution and backfill never disturbed existing data.
+    "q245_schema_evolution_commits" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q245", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val base = spark.table("lineitem").where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(col("l_orderkey") <= 1000)
+          .drop("l_returnflag").repartition(4))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(col("l_orderkey") > 1000).repartition(4))
+      SnapshotOps.commitRewrite(spark, table,
+        col("l_returnflag").isNull,
+        _.withColumn("l_returnflag", lit("?")),
+        mergeSchema = true)
+      (1 to 3).map { v =>
+        val snap = SnapshotOps.readSnapshot(spark, table, v,
+          mergeSchema = true)
+        val withFlag = if (snap.columns.contains("l_returnflag")) snap
+          else snap.withColumn("l_returnflag", lit(null).cast("string"))
+        withFlag.agg(count(lit(1)).as("n"),
+          count(when(col("l_returnflag").isNull, 1)).as("flag_nulls"),
+          count(when(col("l_returnflag") === "?", 1)).as("backfilled"),
+          expr("bit_xor(cast(conv(substring(md5(concat(" +
+            "cast(l_orderkey as string), '|', " +
+            "cast(l_linenumber as string), '|', " +
+            "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+            .as("content_xor"))
+          .select(lit(v).cast("int").as("version"), col("n"),
+            col("flag_nulls"), col("backfilled"), col("content_xor"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity
+        |    FROM lineitem WHERE l_orderkey <= 2000),
+        |lo AS (SELECT * FROM b WHERE l_orderkey <= 1000),
+        |fp AS (SELECT 1 AS version, l_orderkey, l_linenumber,
+        |    l_quantity, 1 AS has_null, 0 AS backfilled_row
+        |  FROM lo
+        |  UNION ALL
+        |  SELECT 2, l_orderkey, l_linenumber, l_quantity,
+        |    CASE WHEN l_orderkey <= 1000 THEN 1 ELSE 0 END, 0 FROM b
+        |  UNION ALL
+        |  SELECT 3, l_orderkey, l_linenumber, l_quantity, 0,
+        |    CASE WHEN l_orderkey <= 1000 THEN 1 ELSE 0 END FROM b)
+        |SELECT version, count(*) AS n,
+        |  CAST(sum(has_null) AS BIGINT) AS flag_nulls,
+        |  CAST(sum(backfilled_row) AS BIGINT) AS backfilled,
+        |  bit_xor(('0x' || substring(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |FROM fp GROUP BY version ORDER BY version""".stripMargin,
+      headline = true),
+
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
     // real JDK codec per arriving file, corpus stats maintained as

@@ -117,12 +117,19 @@ object SnapshotOps {
 
   /** Read a committed snapshot as of `version` (manifest-pinned file
     * list, the q226 read path). Version 0 / an empty manifest reads as
-    * an empty frame of `schema`. */
+    * an empty frame of `schema`. `mergeSchema = true` unions the file
+    * schemas (the q194 evolution read): files predating an evolved
+    * append surface the newer columns as null — reader-side defaults,
+    * no data rewrite. */
   def readSnapshot(spark: SparkSession, tableDir: String, version: Int,
-      schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType = null,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = snapshotFiles(tableDir, version)
-    if (files.nonEmpty) spark.read.parquet(files: _*)
-    else spark.createDataFrame(
+    if (files.nonEmpty) {
+      val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+      r.parquet(files: _*)
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Option(schema).getOrElse(org.apache.spark.sql.types.StructType(Nil)))
   }
@@ -261,7 +268,8 @@ object SnapshotOps {
     * to any reader (no manifest names them), reclaimed by maintenance
     * GC in a real deployment. */
   def commitRewrite(spark: SparkSession, tableDir: String, cond: Column,
-      update: DataFrame => DataFrame, maxRetries: Int = 5): Committed = {
+      update: DataFrame => DataFrame, maxRetries: Int = 5,
+      mergeSchema: Boolean = false): Committed = {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
@@ -271,7 +279,9 @@ object SnapshotOps {
       // job 1: which files contain matching rows (file-granularity
       // pruning via the metadata column — one distributed pass, a
       // manifest-sized collect)
-      val touched = spark.read.parquet(files: _*)
+      val snap = readSnapshot(spark, tableDir, base,
+        mergeSchema = mergeSchema)
+      val touched = snap
         .where(cond)
         .select(col("_metadata.file_path").as("f"))
         .distinct().collect().map(r => localPath(r.getString(0))).toSet
@@ -280,9 +290,14 @@ object SnapshotOps {
       val written = if (toRewrite.isEmpty) Seq.empty[FileEntry] else {
         // job 2: rewrite ONLY the touched files; non-matching rows in
         // them ride through unchanged; their bounds recompute so
-        // data skipping survives the update
+        // data skipping survives the update. Under mergeSchema the
+        // read is anchored to the FULL snapshot schema so files
+        // predating an evolved append rewrite with the newer columns
+        // present (as null) — the backfill path.
         val dir = newDataDir(tableDir)
-        val in = spark.read.parquet(toRewrite: _*)
+        val in =
+          if (mergeSchema) spark.read.schema(snap.schema).parquet(toRewrite: _*)
+          else spark.read.parquet(toRewrite: _*)
         update(in.where(cond)).unionByName(in.where(!coalesce(cond,
           lit(false)))).write.parquet(dir)
         entriesFor(spark, parquetFilesIn(dir), statsColsOf(entries))

@@ -208,6 +208,33 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(SnapshotOps.readLatest(spark, t).count() == 3)
   }
 
+  test("schema evolution: evolved append leaves old files untouched, " +
+      "merged read defaults the new column, COW backfill rewrites only " +
+      "the null-bearing files") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 30L).map(i => (i, i * 2)).toDF("id", "v").repartition(2))
+    SnapshotOps.commitAppend(spark, t,
+      (31L to 40L).map(i => (i, i * 2, s"tag$i")).toDF("id", "v", "tag")
+        .repartition(2))
+    // merged read: pre-evolution rows surface tag as null
+    val v2 = SnapshotOps.readSnapshot(spark, t, 2, mergeSchema = true)
+    assert(v2.columns.toSeq == Seq("id", "v", "tag"))
+    assert(v2.where($"tag".isNull).count() == 30)
+    // backfill: only the 2 old files rewrite; the evolved files reuse
+    val c = SnapshotOps.commitRewrite(spark, t, $"tag".isNull,
+      _.withColumn("tag", lit("backfilled")), mergeSchema = true)
+    assert(c.reused == 2, s"expected 2 evolved files reused, got $c")
+    val v3 = SnapshotOps.readSnapshot(spark, t, 3, mergeSchema = true)
+    assert(v3.where($"tag".isNull).count() == 0)
+    assert(v3.where($"tag" === "backfilled").count() == 30)
+    assert(v3.where($"tag".startsWith("tag")).count() == 10)
+    // old snapshot unchanged: v1 still reads the original 2-col shape
+    assert(SnapshotOps.readSnapshot(spark, t, 1).columns.toSeq ==
+      Seq("id", "v"))
+  }
+
   test("readSnapshot(0) is the empty table; commitRewrite on it refuses") {
     import spark.implicits._
     val t = freshTable()
