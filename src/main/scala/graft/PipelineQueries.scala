@@ -3496,6 +3496,127 @@ object PipelineQueries {
         |FROM rk, pt GROUP BY pt.point""".stripMargin,
       headline = true),
 
+    // pass@k estimation (r10) — Chen et al. 2021 (arXiv:2107.03374)'s
+    // unbiased estimator for sampled code/task evals: per problem with
+    // n=10 samples and c observed successes, pass@k = 1 - C(n-c,k)/
+    // C(n,k), computed as the falling-factorial ratio — PURE INTEGER
+    // arithmetic per problem (numerators bounded by 10·9·8·7·6), and
+    // the corpus means are single divisions of exact integer sums
+    // (Σnum / (den·P)) so no float accumulation exists anywhere.
+    // Per-sample correctness is a deterministic md5 draw against a
+    // per-problem difficulty (the eval-harness seam stand-in, q219's
+    // reward convention).
+    //
+    // Scale shape: one map-side-combined groupBy(problem) for c, one
+    // scalar agg for the corpus sums — nothing else touches the wire.
+    "q246_passk_eval" -> api((spark, _) =>
+      spark.table("documents")
+        .select(col("doc_id"), explode(expr("sequence(0, 9)")).as("i"))
+        .select(col("doc_id"),
+          when(expr("CAST(conv(substring(md5(concat('pass:', " +
+            "CAST(doc_id AS STRING), ':', CAST(i AS STRING))), 1, 8), " +
+            "16, 10) AS BIGINT) % 100") < lit(20) + pmod(col("doc_id"),
+            lit(60)), 1L).otherwise(0L).as("ok"))
+        .groupBy("doc_id").agg(sum(col("ok")).as("c"))
+        .select(col("doc_id"), col("c"),
+          (lit(30240L) - (lit(10) - col("c")) * (lit(9) - col("c")) *
+            (lit(8) - col("c")) * (lit(7) - col("c")) *
+            (lit(6) - col("c"))).as("num5"))
+        .agg(count(lit(1)).as("p"), sum(col("c")).as("sum_c"),
+          sum(col("num5")).as("sum5"))
+        .select(col("p").cast("bigint").as("n_problems"),
+          col("sum_c").as("sum_correct"),
+          graft.functions.GraftFunctions.duckRound(
+            col("sum_c").cast("double") / (lit(10) * col("p")), 6)
+            .as("mean_pass1"),
+          graft.functions.GraftFunctions.duckRound(
+            col("sum5").cast("double") / (lit(30240) * col("p")), 6)
+            .as("mean_pass5")),
+      """WITH s AS (SELECT doc_id, i,
+        |    CASE WHEN ('0x' || substring(md5('pass:' ||
+        |        CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |        1, 8))::BIGINT % 100 < 20 + doc_id % 60
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM documents, unnest([0,1,2,3,4,5,6,7,8,9]) AS u(i)),
+        |pc AS (SELECT doc_id, sum(ok) AS c FROM s GROUP BY doc_id),
+        |n5 AS (SELECT doc_id, c, 30240 - (10 - c) * (9 - c) * (8 - c)
+        |    * (7 - c) * (6 - c) AS num5 FROM pc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_problems,
+        |  CAST(sum(c) AS BIGINT) AS sum_correct,
+        |  round(CAST(sum(c) AS DOUBLE) / (10 * count(*)), 6)
+        |    AS mean_pass1,
+        |  round(CAST(sum(num5) AS DOUBLE) / (30240 * count(*)), 6)
+        |    AS mean_pass5
+        |FROM n5""".stripMargin,
+      headline = true),
+
+    // Self-consistency / majority-vote eval (r10) — Wang et al. 2022
+    // (arXiv:2203.11171): per problem, 10 sampled answers over a
+    // 5-answer space (deterministic md5 draws; the true answer is
+    // doc_id-derived), the majority answer wins with ties broken
+    // toward the smaller answer id, and the corpus reports majority
+    // accuracy vs raw per-sample accuracy — the measurement behind
+    // "sample many, vote" inference. The vote argmax is a struct-max
+    // over (votes, -answer): map-side combinable, no window; all
+    // accuracies are divisions of exact integer counts.
+    "q247_self_consistency" -> api((spark, _) =>
+      spark.table("documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(5)).as("truth"),
+          explode(expr("sequence(0, 9)")).as("i"))
+        .select(col("doc_id"), col("truth"),
+          expr("CAST(conv(substring(md5(concat('vote:', " +
+            "CAST(doc_id AS STRING), ':', CAST(i AS STRING))), 1, 8), " +
+            "16, 10) AS BIGINT) % 5").as("answer"))
+        .groupBy("doc_id", "truth", "answer")
+        .agg(count(lit(1)).as("votes"))
+        .groupBy("doc_id", "truth")
+        .agg(max(struct(col("votes"), (-col("answer")).as("na"),
+            col("answer"))).as("m"),
+          sum(when(col("answer") === col("truth"), col("votes"))
+            .otherwise(0L)).as("correct_samples"))
+        .agg(count(lit(1)).as("p"),
+          sum(when(col("m.answer") === col("truth"), 1L).otherwise(0L))
+            .as("maj_ok"),
+          sum(col("correct_samples")).as("ok_samples"),
+          sum(col("m.votes")).as("sum_top_votes"))
+        .select(col("p").cast("bigint").as("n_problems"),
+          col("maj_ok").as("majority_correct"),
+          graft.functions.GraftFunctions.duckRound(
+            col("maj_ok").cast("double") / col("p"), 6)
+            .as("majority_acc"),
+          graft.functions.GraftFunctions.duckRound(
+            col("ok_samples").cast("double") / (lit(10) * col("p")), 6)
+            .as("sample_acc"),
+          graft.functions.GraftFunctions.duckRound(
+            col("sum_top_votes").cast("double") / (lit(10) * col("p")), 6)
+            .as("mean_agreement")),
+      """WITH s AS (SELECT doc_id, doc_id % 5 AS truth,
+        |    ('0x' || substring(md5('vote:' || CAST(doc_id AS VARCHAR)
+        |      || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 5
+        |      AS answer
+        |  FROM documents, unnest([0,1,2,3,4,5,6,7,8,9]) AS u(i)),
+        |v AS (SELECT doc_id, truth, answer, count(*) AS votes FROM s
+        |  GROUP BY doc_id, truth, answer),
+        |m0 AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY votes DESC, answer) AS rn FROM v),
+        |m AS (SELECT doc_id, truth,
+        |    max(CASE WHEN rn = 1 THEN votes END) AS top_votes,
+        |    max(CASE WHEN rn = 1 THEN answer END) AS maj_answer,
+        |    sum(CASE WHEN answer = truth THEN votes ELSE 0 END)
+        |      AS correct_samples
+        |  FROM m0 GROUP BY doc_id, truth)
+        |SELECT CAST(count(*) AS BIGINT) AS n_problems,
+        |  CAST(sum(CASE WHEN maj_answer = truth THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS majority_correct,
+        |  round(CAST(sum(CASE WHEN maj_answer = truth THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 6) AS majority_acc,
+        |  round(CAST(sum(correct_samples) AS DOUBLE) / (10 * count(*)),
+        |    6) AS sample_acc,
+        |  round(CAST(sum(top_votes) AS DOUBLE) / (10 * count(*)), 6)
+        |    AS mean_agreement
+        |FROM m""".stripMargin,
+      headline = true),
+
     // Zipf-slope fit over the token frequency table: least-squares
     // slope/intercept of ln(freq) on ln(rank) — the power-law
     // diagnostic that flags synthetic or template-heavy corpora

@@ -1006,6 +1006,114 @@ object SystemQueries {
         |FROM fp GROUP BY version ORDER BY version""".stripMargin,
       headline = true),
 
+    // Per-file BLOOM point index (r10): the equality complement of
+    // q238's min/max skipping — bounds need a sort order, blooms skip
+    // point probes on high-cardinality STRING keys in any layout.
+    // Appends record one small Bloom filter per file per bloomCol in
+    // the manifest (one pass over only the new files); a point read
+    // probes the manifest's blooms driver-side (pure metadata, the
+    // probe hash is the same Catalyst XxHash64 the build inserted) and
+    // opens only might-contain files. Probes are the clerks of the 3
+    // smallest custkeys (deterministic, re-derivable by the oracle);
+    // `pruned` is computed from the actual manifest consultation. A
+    // false positive costs one extra file scan, never a missed row —
+    // the oracle pins exactly that.
+    "q248_bloom_point_index" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q248", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val base = spark.table("customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(pmod(col("c_custkey"), lit(2)) === 0)
+          .repartition(8, col("c_name")), bloomCols = Seq("c_name"))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(pmod(col("c_custkey"), lit(2)) === 1)
+          .repartition(8, col("c_name")), bloomCols = Seq("c_name"))
+      val v = SnapshotOps.currentVersion(table)
+      val total = SnapshotOps.snapshotEntries(table, v).size
+      val probes = base.orderBy("c_custkey").limit(3)
+        .select("c_name").collect().map(_.getString(0)).distinct.sorted
+      probes.map { name =>
+        val kept = SnapshotOps.pointFiles(table, v, "c_name", name).size
+        SnapshotOps.readSnapshotPoint(spark, table, v, "c_name", name)
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("acctbal"))
+          .select(lit(name).as("name"), col("n"), col("acctbal"),
+            lit(kept < total).as("pruned"))
+      }.reduce(_.unionByName(_)).orderBy("name")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH p AS (SELECT DISTINCT c_name FROM (
+        |    SELECT c_name FROM customer ORDER BY c_custkey LIMIT 3))
+        |SELECT p.c_name AS name, count(c.c_custkey) AS n,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS acctbal,
+        |  TRUE AS pruned
+        |FROM p LEFT JOIN customer c ON c.c_name = p.c_name
+        |GROUP BY p.c_name ORDER BY name""".stripMargin,
+      headline = true),
+
+    // Small-file compaction POLICY (r10): the maintenance verb a
+    // warehouse schedules nightly — q196/q237's whole-table compaction
+    // generalized to bin-packing: files under target/2 first-fit-
+    // decreasing pack into ~target-sized bins (driver stat of the
+    // manifest's files — a metadata operation), each bin rewrites into
+    // one file, at-size files are REUSED byte-for-byte with their
+    // stats lines intact. Maintenance cost tracks the small-file mass,
+    // never the table. The target derives from the big file's actual
+    // size so the classification is sf-independent; the oracle pins
+    // every version's content (v3 ≡ v2 through the policy pass);
+    // reuse/bin structure is asserted in SnapshotOpsSpec where the
+    // filesystem is visible.
+    "q249_compaction_policy" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q249", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val base = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(pmod(col("l_orderkey"), lit(25)) < 24).repartition(1))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(pmod(col("l_orderkey"), lit(25)) === 24).repartition(12))
+      val target = new java.io.File(
+        SnapshotOps.snapshotFiles(table, 1).head).length()
+      SnapshotOps.commitCompactSmall(spark, table, target)
+      (1 to 3).map { v =>
+        SnapshotOps.readSnapshot(spark, table, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("qty"),
+            expr("bit_xor(cast(conv(substring(md5(concat(" +
+              "cast(l_orderkey as string), '|', " +
+              "cast(l_linenumber as string), '|', " +
+              "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+              .as("content_xor"))
+          .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
+            col("content_xor"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity
+        |    FROM lineitem),
+        |fp AS (SELECT 1 AS version, l_orderkey, l_linenumber, l_quantity
+        |    FROM b WHERE l_orderkey % 25 < 24
+        |  UNION ALL
+        |  SELECT 2, l_orderkey, l_linenumber, l_quantity FROM b
+        |  UNION ALL
+        |  SELECT 3, l_orderkey, l_linenumber, l_quantity FROM b)
+        |SELECT version, count(*) AS n,
+        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  bit_xor(('0x' || substring(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |FROM fp GROUP BY version ORDER BY version""".stripMargin,
+      headline = true),
+
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
     // real JDK codec per arriving file, corpus stats maintained as

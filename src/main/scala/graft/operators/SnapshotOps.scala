@@ -52,18 +52,26 @@ object SnapshotOps {
       conflicts: Int, skipped: Boolean = false)
 
   /** One manifest entry: an immutable data file plus optional per-file
-    * column bounds (numeric min/max captured at write time). Bounds
-    * power manifest-level FILE SKIPPING: a range read consults the
-    * manifest — a metadata operation — before Spark ever lists or
-    * opens a data file, the Iceberg/Delta data-skipping model. A file
-    * with no bounds for a column is never skipped on that column
+    * column statistics captured at write time — numeric min/max
+    * `bounds` and equality-lookup Bloom filters `blooms` (base64 in
+    * the manifest, `~col=` fields). Both power manifest-level FILE
+    * SKIPPING: a range or point read consults the manifest — a
+    * metadata operation — before Spark ever lists or opens a data
+    * file, the Iceberg/Delta data-skipping model. Bounds suit sorted/
+    * range-partitioned numeric keys; blooms suit equality probes on
+    * high-cardinality (incl. string) keys with no sort order. A file
+    * with no stats for a column is never skipped on that column
     * (absence is always safe). */
   final case class FileEntry(path: String,
-      bounds: Map[String, (BigDecimal, BigDecimal)]) {
+      bounds: Map[String, (BigDecimal, BigDecimal)],
+      blooms: Map[String, Array[Byte]] = Map.empty) {
     private[SnapshotOps] def line: String =
-      if (bounds.isEmpty) path
-      else path + "\t" + bounds.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }.mkString("\t")
+      (Seq(path) ++
+        bounds.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c=$lo..$hi" } ++
+        blooms.toSeq.sortBy(_._1).map { case (c, b) =>
+          s"~$c=${java.util.Base64.getEncoder.encodeToString(b)}"
+        }).mkString("\t")
   }
 
   private def manifestDir(tableDir: String): Path =
@@ -94,21 +102,30 @@ object SnapshotOps {
         case Array(k, v) => k -> v
       }.toMap
 
-  /** File entries (path + per-file column bounds) of a snapshot. Plain
-    * path lines (pre-stats manifests) parse as entries with no bounds. */
+  /** File entries (path + per-file column stats) of a snapshot. Plain
+    * path lines (pre-stats manifests) parse as entries with no stats. */
   def snapshotEntries(tableDir: String, version: Int): Seq[FileEntry] =
     manifestLines(tableDir, version).filterNot(_.startsWith("#")).map { l =>
       val fields = l.split("\t")
-      FileEntry(fields.head, fields.tail.flatMap { f =>
-        f.split("=", 2) match {
-          case Array(c, range) => range.split("\\.\\.", 2) match {
-            case Array(lo, hi) =>
-              Some(c -> (BigDecimal(lo), BigDecimal(hi)))
+      val (bloomFields, boundFields) = fields.tail.partition(_.startsWith("~"))
+      FileEntry(fields.head,
+        boundFields.flatMap { f =>
+          f.split("=", 2) match {
+            case Array(c, range) => range.split("\\.\\.", 2) match {
+              case Array(lo, hi) =>
+                Some(c -> (BigDecimal(lo), BigDecimal(hi)))
+              case _ => None
+            }
             case _ => None
           }
-          case _ => None
-        }
-      }.toMap)
+        }.toMap,
+        bloomFields.flatMap { f =>
+          f.drop(1).split("=", 2) match {
+            case Array(c, b64) =>
+              Some(c -> java.util.Base64.getDecoder.decode(b64))
+            case _ => None
+          }
+        }.toMap)
     }
 
   /** Data-file list of a committed snapshot (empty for version 0). */
@@ -165,35 +182,44 @@ object SnapshotOps {
     if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString
     else p
 
-  /** Per-file numeric min/max over freshly written files — ONE
-    * distributed pass over only the writer's own output (a metadata
-    * cost that tracks the commit's data, never the table), grouped by
-    * the parquet metadata file path. All-null files get no bounds for
-    * that column (absent bounds never skip). */
-  private def fileBounds(spark: SparkSession, files: Seq[String],
-      cols: Seq[String]): Map[String, Map[String, (BigDecimal, BigDecimal)]] = {
-    if (cols.isEmpty || files.isEmpty) return Map.empty
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c")))
-    spark.read.parquet(files: _*)
+  /** Per-file statistics over freshly written files — numeric min/max
+    * for `statsCols` and a Bloom filter of xxhash64 values for
+    * `bloomCols`, all in ONE distributed pass over only the writer's
+    * own output (a metadata cost that tracks the commit's data, never
+    * the table), grouped by the parquet metadata file path. All-null
+    * files get no bounds for that column (absent stats never skip). */
+  private def entriesFor(spark: SparkSession, written: Seq[String],
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+    if ((statsCols.isEmpty && bloomCols.isEmpty) || written.isEmpty)
+      return written.map(f => FileEntry(f, Map.empty))
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c"))) ++
+      bloomCols.map(c => toCol(new BloomFilterAggregate(
+        toExpr(xxhash64(col(c))), Literal(1L << 12), Literal(1L << 15))
+        .toAggregateExpression()).as(s"_bf_$c"))
+    val stats = spark.read.parquet(written: _*)
       .groupBy(col("_metadata.file_path").as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
-        val bounds = cols.flatMap { c =>
+        val bounds = statsCols.flatMap { c =>
           (Option(r.getAs[Any](s"_lo_$c")), Option(r.getAs[Any](s"_hi_$c"))) match {
             case (Some(lo), Some(hi)) =>
               Some(c -> (BigDecimal(lo.toString), BigDecimal(hi.toString)))
             case _ => None
           }
         }.toMap
-        localPath(r.getAs[String]("_f")) -> bounds
+        val blooms = bloomCols.flatMap(c =>
+          Option(r.getAs[Array[Byte]](s"_bf_$c")).map(c -> _)).toMap
+        localPath(r.getAs[String]("_f")) -> (bounds, blooms)
       }.toMap
-  }
-
-  private def entriesFor(spark: SparkSession, written: Seq[String],
-      statsCols: Seq[String]): Seq[FileEntry] = {
-    val bounds = fileBounds(spark, written, statsCols)
-    written.map(f => FileEntry(f, bounds.getOrElse(f, Map.empty)))
+    written.map { f =>
+      val (bounds, blooms) = stats.getOrElse(f, (Map.empty[String,
+        (BigDecimal, BigDecimal)], Map.empty[String, Array[Byte]]))
+      FileEntry(f, bounds, blooms)
+    }
   }
 
   /** Stats columns a snapshot's manifest already tracks — rewrites and
@@ -201,6 +227,9 @@ object SnapshotOps {
     * survive maintenance without the caller restating them. */
   private def statsColsOf(entries: Seq[FileEntry]): Seq[String] =
     entries.flatMap(_.bounds.keys).distinct.sorted
+
+  private def bloomColsOf(entries: Seq[FileEntry]): Seq[String] =
+    entries.flatMap(_.blooms.keys).distinct.sorted
 
   /** One writer's immutable data-file directory for this table. */
   private def newDataDir(tableDir: String): String =
@@ -229,7 +258,8 @@ object SnapshotOps {
     * exactly-once foreachBatch sink contract. */
   def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame,
       maxRetries: Int = 20, statsCols: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Committed = {
+      txn: Option[(String, Long)] = None,
+      bloomCols: Seq[String] = Nil): Committed = {
     def alreadyIn(meta: Map[String, String]): Boolean = txn.exists {
       case (sid, bid) => meta.get(s"txn.$sid").exists(_.toLong >= bid)
     }
@@ -238,7 +268,7 @@ object SnapshotOps {
       return Committed(pre, 0, 0, 0, skipped = true)
     val dir = newDataDir(tableDir)
     df.write.parquet(dir)
-    val mine = entriesFor(spark, parquetFilesIn(dir), statsCols)
+    val mine = entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
@@ -300,7 +330,8 @@ object SnapshotOps {
           else spark.read.parquet(toRewrite: _*)
         update(in.where(cond)).unionByName(in.where(!coalesce(cond,
           lit(false)))).write.parquet(dir)
-        entriesFor(spark, parquetFilesIn(dir), statsColsOf(entries))
+        entriesFor(spark, parquetFilesIn(dir), statsColsOf(entries),
+          bloomColsOf(entries))
       }
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         (reused ++ written).map(_.line)
@@ -329,7 +360,7 @@ object SnapshotOps {
       val dir = newDataDir(tableDir)
       spark.read.parquet(files: _*).coalesce(nFiles).write.parquet(dir)
       val written = entriesFor(spark, parquetFilesIn(dir),
-        statsColsOf(entries))
+        statsColsOf(entries), bloomColsOf(entries))
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         written.map(_.line)
       if (tryPublishLines(tableDir, base + 1, lines))
@@ -433,5 +464,93 @@ object SnapshotOps {
             when(col("_delta") > 0, lit("insert")).otherwise(lit("delete")))
           .drop("_delta", "_i")
     }
+  }
+
+  /** xxhash64 of a single value through the SAME expression the
+    * bloom-building aggregate hashes with, evaluated driver-side on
+    * the foldable literal — so the probe hash is bit-identical to the
+    * inserted hashes by construction, not by reimplementation. */
+  private def probeHash(value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal(value))).eval(null).asInstanceOf[Long]
+  }
+
+  /** Manifest-level point skipping: the data files of `version` whose
+    * Bloom filter for `column` might contain `value`, plus every file
+    * with no bloom (absence never skips). Pure metadata — the Bloom
+    * probe runs on the manifest's base64 bytes, no Spark job. The
+    * equality complement of [[rangeFiles]]: bounds need a sort order,
+    * blooms skip on high-cardinality (incl. string) keys in any
+    * layout; false positives only cost an extra file scan, never a
+    * missed row. */
+  def pointFiles(tableDir: String, version: Int, column: String,
+      value: Any): Seq[String] = {
+    val h = probeHash(value)
+    snapshotEntries(tableDir, version).filter(_.blooms.get(column)
+      .forall(b => org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b))
+        .mightContainLong(h))).map(_.path)
+  }
+
+  /** Point read with manifest Bloom pruning + the exact residual. */
+  def readSnapshotPoint(spark: SparkSession, tableDir: String,
+      version: Int, column: String, value: Any): DataFrame = {
+    val files = pointFiles(tableDir, version, column, value)
+    if (files.nonEmpty)
+      spark.read.parquet(files: _*).where(col(column) === lit(value))
+    else readSnapshot(spark, tableDir, 0,
+      readSnapshot(spark, tableDir, version).schema)
+  }
+
+  /** Small-file compaction POLICY — q196/commitCompact generalized to
+    * the maintenance verb a warehouse actually schedules: files under
+    * `targetBytes / 2` are first-fit-decreasing bin-packed into
+    * ~`targetBytes` bins and each bin rewrites into one file; files
+    * already at target size are REUSED byte-for-byte (their stats
+    * lines carry forward untouched). Sizing is a driver stat of the
+    * manifest's files — a metadata operation. Each bin's rewrite is an
+    * independent job over only that bin's files, so maintenance cost
+    * tracks the small-file mass, never the table; returns skipped=true
+    * when fewer than two small files exist (nothing to do — no commit
+    * burned). */
+  def commitCompactSmall(spark: SparkSession, tableDir: String,
+      targetBytes: Long, maxRetries: Int = 5): Committed = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      val entries = snapshotEntries(tableDir, base)
+      require(entries.nonEmpty, s"commitCompactSmall on empty $tableDir")
+      val sized = entries.map(e => e -> new java.io.File(e.path).length())
+      val (small, large) = sized.partition(_._2 < targetBytes / 2)
+      if (small.size <= 1)
+        return Committed(base, entries.size, 0, conflicts, skipped = true)
+      // first-fit decreasing: stable, deterministic bin assignment
+      val bins = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, scala.collection.mutable.ArrayBuffer[FileEntry])]
+      small.sortBy { case (e, sz) => (-sz, e.path) }.foreach { case (e, sz) =>
+        bins.find(_._1 + sz <= targetBytes) match {
+          case Some(bin) =>
+            val i = bins.indexOf(bin)
+            bins(i) = (bin._1 + sz, bin._2 += e)
+          case None =>
+            bins += ((sz, scala.collection.mutable.ArrayBuffer(e)))
+        }
+      }
+      val statsCols = statsColsOf(entries)
+      val bloomCols = bloomColsOf(entries)
+      val written = bins.toSeq.flatMap { case (_, binEntries) =>
+        val dir = newDataDir(tableDir)
+        spark.read.parquet(binEntries.map(_.path).toSeq: _*)
+          .coalesce(1).write.parquet(dir)
+        entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
+      }
+      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+        (large.map(_._1) ++ written).map(_.line)
+      if (tryPublishLines(tableDir, base + 1, lines))
+        return Committed(base + 1, large.size, written.size, conflicts)
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commitCompactSmall lost $maxRetries version races on $tableDir")
   }
 }

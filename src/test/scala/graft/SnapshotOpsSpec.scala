@@ -235,6 +235,63 @@ class SnapshotOpsSpec extends SparkSpecBase {
       Seq("id", "v"))
   }
 
+  test("bloomCols: per-file Bloom filters land in the manifest, prune " +
+      "point reads on a string key, and survive compaction") {
+    import spark.implicits._
+    val t = freshTable()
+    def batch(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (s"k$i", i.toLong)).toDF("k", "v")
+      .repartition(4, col("k"))
+    SnapshotOps.commitAppend(spark, t, batch(1, 40),
+      bloomCols = Seq("k"))
+    SnapshotOps.commitAppend(spark, t, batch(41, 80),
+      bloomCols = Seq("k"))
+    val entries = SnapshotOps.snapshotEntries(t, 2)
+    assert(entries.size == 8 && entries.forall(_.blooms.contains("k")))
+    // a present key keeps its (hash-partitioned) file + rare fps only
+    val kept = SnapshotOps.pointFiles(t, 2, "k", "k7")
+    assert(kept.size < entries.size,
+      s"expected bloom pruning, kept ${kept.size}/${entries.size}")
+    val hit = SnapshotOps.readSnapshotPoint(spark, t, 2, "k", "k7")
+    assert(hit.select("v").as[Long].collect().toSeq == Seq(7L))
+    // an absent key prunes (nearly) everything and reads zero rows
+    assert(SnapshotOps.pointFiles(t, 2, "k", "nope").size <= 2)
+    assert(SnapshotOps.readSnapshotPoint(spark, t, 2, "k", "nope")
+      .count() == 0)
+    // blooms recompute through compaction
+    SnapshotOps.commitCompact(spark, t, nFiles = 2)
+    assert(SnapshotOps.snapshotEntries(t, 3).forall(_.blooms.contains("k")))
+    assert(SnapshotOps.readSnapshotPoint(spark, t, 3, "k", "k55")
+      .select("v").as[Long].collect().toSeq == Seq(55L))
+  }
+
+  test("commitCompactSmall bin-packs only the small files, reuses " +
+      "at-size files byte-for-byte, and no-ops when nothing qualifies") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 10000L).map(i => (i, i * 3)).toDF("id", "v").repartition(1))
+    SnapshotOps.commitAppend(spark, t,
+      (10001L to 10060L).map(i => (i, i * 3)).toDF("id", "v")
+        .repartition(6))
+    val bigFile = SnapshotOps.snapshotFiles(t, 1).head
+    val target = new java.io.File(bigFile).length()
+    val c = SnapshotOps.commitCompactSmall(spark, t, target)
+    assert(!c.skipped && c.version == 3)
+    assert(c.reused == 1, s"big file should be reused: $c")
+    assert(c.written == 1, s"six small files should pack to one: $c")
+    // byte-for-byte reuse: the big file's manifest line survives
+    assert(SnapshotOps.snapshotFiles(t, 3).contains(bigFile))
+    // content identical through the policy pass
+    assert(SnapshotOps.readSnapshot(spark, t, 3).agg(sum("v"))
+      .head.getLong(0) ==
+      SnapshotOps.readSnapshot(spark, t, 2).agg(sum("v")).head.getLong(0))
+    assert(SnapshotOps.readSnapshot(spark, t, 3).count() == 10060)
+    // second pass: one small (merged) file left -> nothing to do
+    val c2 = SnapshotOps.commitCompactSmall(spark, t, target)
+    assert(c2.skipped && SnapshotOps.currentVersion(t) == 3)
+  }
+
   test("readSnapshot(0) is the empty table; commitRewrite on it refuses") {
     import spark.implicits._
     val t = freshTable()
