@@ -1073,13 +1073,17 @@ object SystemQueries {
       val table = s"${runScopedDir("/tmp/graft_q249", sfDir)}/t-" +
         java.util.UUID.randomUUID().toString.take(8)
       val base = spark.table("lineitem")
+        .where(pmod(col("l_orderkey"), lit(5)) === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       SnapshotOps.commitAppend(spark, table,
-        base.where(pmod(col("l_orderkey"), lit(25)) < 24).repartition(1))
+        base.where(pmod(col("l_orderkey"), lit(25)) < 20).repartition(4))
       SnapshotOps.commitAppend(spark, table,
-        base.where(pmod(col("l_orderkey"), lit(25)) === 24).repartition(12))
-      val target = new java.io.File(
-        SnapshotOps.snapshotFiles(table, 1).head).length()
+        base.where(pmod(col("l_orderkey"), lit(25)) === 20).repartition(12))
+      // target = 1.5x the largest at-size file, so the small/large
+      // classification (< target/2 = 0.75x big) holds at every sf even
+      // when parquet footer overhead dominates tiny test files
+      val target = SnapshotOps.snapshotFiles(table, 1)
+        .map(f => new java.io.File(f).length()).max * 3 / 2
       SnapshotOps.commitCompactSmall(spark, table, target)
       (1 to 3).map { v =>
         SnapshotOps.readSnapshot(spark, table, v)
@@ -1098,9 +1102,9 @@ object SystemQueries {
         .localCheckpoint()
     },
       """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity
-        |    FROM lineitem),
+        |    FROM lineitem WHERE l_orderkey % 5 = 0),
         |fp AS (SELECT 1 AS version, l_orderkey, l_linenumber, l_quantity
-        |    FROM b WHERE l_orderkey % 25 < 24
+        |    FROM b WHERE l_orderkey % 25 < 20
         |  UNION ALL
         |  SELECT 2, l_orderkey, l_linenumber, l_quantity FROM b
         |  UNION ALL
