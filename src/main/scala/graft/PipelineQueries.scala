@@ -87,6 +87,241 @@ object PipelineQueries {
     * itself carried along for downstream joins), then per step k a
     * (pair-count p_k → argmax b_k → rewrite w_k) block, plus symbol
     * counts v_k when the caller outputs them. */
+  /** q250 — unigram-LM (SentencePiece-family) tokenizer training as
+    * ONE generated SQL text instantiated for BOTH engines, so the
+    * kernel and the oracle share a single definition (the duckSimhash
+    * convention, scaled up). The algorithm (Kudo 2018,
+    * arXiv:1804.10959, reduced to its deterministic core):
+    *
+    *   1. word-frequency table (corpus collapses in ONE shuffle);
+    *      training words capped at 10 chars (longer tails — e.g.
+    *      unsegmented CJK runs — are out of the training set).
+    *   2. seed vocabulary: every substring of length 1-3, frequency-
+    *      weighted; ALL single chars (coverage guarantee: any word
+    *      stays segmentable) + the top-24 multi-char pieces.
+    *   3. piece costs as INTEGERS: round(ln(total/cnt), 6) · 1e6 —
+    *      one ln + one half-up round per piece, so the whole DP is
+    *      exact integer arithmetic afterwards.
+    *   4. Viterbi segmentation of each word under those costs — the
+    *      10-position DP unrolled into generated CTE levels (each
+    *      level = 3 broadcast lookups against the 40-ish-piece
+    *      vocabulary + an integer least(); ties break toward the
+    *      LONGER piece via the enc = cost·4 + (3-k) packing), then the
+    *      backtrack unrolled the same way.
+    *   5. EM refresh: piece usage (frequency-weighted path counts) +
+    *      add-one smoothing re-estimates the costs; a second Viterbi
+    *      pass reports usage under the refreshed model.
+    *
+    * Scale shape: the only corpus-sized operations are the word-freq
+    * groupBy and the substring-count groupBy; everything after runs on
+    * the VOCABULARY-sized word table (the q235 BPE property). The DP
+    * adds no shuffle at all — every level is a broadcast hash join
+    * against a ≤64-row table followed by map-side integer arithmetic. */
+  private object UnigramLm {
+    private val L = 10
+    private def len(duck: Boolean) = if (duck) "len" else "length"
+
+    /** Word-frequency table (the only corpus-sized shuffle). */
+    def wordsSql(duck: Boolean): String =
+      if (duck)
+        """SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+          |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          |  FROM documents) t
+          |WHERE len(w) BETWEEN 1 AND 10 GROUP BY w""".stripMargin
+      else
+        """SELECT w, count(*) AS f FROM (
+          |  SELECT explode(split(trim(lower(text)), '\\s+')) AS w
+          |  FROM documents) t
+          |WHERE length(w) BETWEEN 1 AND 10 GROUP BY w""".stripMargin
+
+    /** Seed vocabulary: all single chars + top-24 multi-char substrings
+      * by frequency-weighted count (cnt DESC, piece ASC ties). */
+    def vocabSql(duck: Boolean, wf: String): String = {
+      val sub =
+        if (duck)
+          s"""sub AS (SELECT substr(w, i, k) AS piece,
+             |    CAST(sum(f) AS BIGINT) AS cnt
+             |  FROM $wf, unnest(range(1, len(w) + 1)) AS u(i),
+             |       unnest([1, 2, 3]) AS q(k)
+             |  WHERE i + k - 1 <= len(w) GROUP BY 1)""".stripMargin
+        else
+          s"""sub AS (SELECT substr(w, i, k) AS piece, sum(f) AS cnt
+             |  FROM $wf
+             |  LATERAL VIEW explode(sequence(1, length(w))) ui AS i
+             |  LATERAL VIEW explode(sequence(1, 3)) uk AS k
+             |  WHERE i + k - 1 <= length(w)
+             |  GROUP BY substr(w, i, k))""".stripMargin
+      s"""WITH $sub
+         |SELECT piece, cnt FROM sub WHERE ${len(duck)}(piece) = 1
+         |UNION ALL
+         |SELECT piece, cnt FROM (
+         |  SELECT piece, cnt FROM sub WHERE ${len(duck)}(piece) >= 2
+         |  ORDER BY cnt DESC, piece LIMIT 24) m""".stripMargin
+    }
+
+    /** Integer piece costs: round(ln(total/cnt), 6) · 1e6 — the one
+      * float touchpoint; everything downstream is exact integers. */
+    def costSql(vTab: String): String =
+      s"""SELECT piece,
+         |  CAST(round(ln(CAST(t.tot AS DOUBLE) / cnt), 6) * 1000000
+         |    AS BIGINT) AS cost
+         |FROM $vTab, (SELECT sum(cnt) AS tot FROM $vTab) t""".stripMargin
+
+    /** The (position, pieceLen) pairs a 10-char word can host. */
+    private val slots: Seq[(Int, Int)] =
+      for (k <- 1 to 3; i <- 1 to L - k + 1) yield (i, k)
+
+    /** One Viterbi round. The cost table joins ONCE: every in-word
+      * piece position left-joins `cTab` and pivots into per-word
+      * c_<pos>_<len> columns, so the unrolled 10-position DP levels are
+      * pure projections — integer least() with enc = cost·4 + (3-k) so
+      * ties break toward the longer piece — and the backtrack unrolls
+      * the same way; then frequency-weighted piece usage. (First cut
+      * joined `cTab` once per (level, len) — 30 joins — which DuckDB's
+      * CTE inlining re-expanded into 30 cost-chain re-runs; the pivot
+      * form is one join on both engines.) */
+    def usageSql(duck: Boolean, r: Int, wf: String, cTab: String): String = {
+      val ln = len(duck)
+      val div = if (duck) "//" else "DIV"
+      val positions =
+        if (duck)
+          s"""ps$r AS (SELECT w, i, k, substr(w, i, k) AS piece
+             |  FROM $wf, unnest(range(1, len(w) + 1)) AS u(i),
+             |       unnest([1, 2, 3]) AS q(k)
+             |  WHERE i + k - 1 <= len(w))""".stripMargin
+        else
+          s"""ps$r AS (SELECT w, i, k, substr(w, i, k) AS piece
+             |  FROM $wf
+             |  LATERAL VIEW explode(sequence(1, length(w))) ui AS i
+             |  LATERAL VIEW explode(sequence(1, 3)) uk AS k
+             |  WHERE i + k - 1 <= length(w))""".stripMargin
+      val pivotCols = slots.map { case (i, k) =>
+        s"max(CASE WHEN i = $i AND k = $k THEN cost END) AS c_${i}_$k"
+      }.mkString(",\n    ")
+      val pivot =
+        s"""pv$r AS (SELECT ps$r.w,
+           |    $pivotCols
+           |  FROM ps$r LEFT JOIN $cTab ON $cTab.piece = ps$r.piece
+           |  GROUP BY ps$r.w)""".stripMargin
+      val costCols = slots.map { case (i, k) => s"pv$r.c_${i}_$k" }
+        .mkString(", ")
+      val d0 =
+        s"""d${r}_0 AS (SELECT f0.w, f0.f, CAST(0 AS BIGINT) AS b0,
+           |    $costCols
+           |  FROM $wf AS f0 JOIN pv$r ON f0.w = pv$r.w)""".stripMargin
+      val levels = (1 to L).map { j =>
+        val ks = 1 to math.min(3, j)
+        val cands = ks.map(k =>
+          s"coalesce((d.b${j - k} + d.c_${j - k + 1}_$k) * 4 + ${3 - k}, " +
+            "9000000000000000)")
+        val encExpr =
+          if (cands.size == 1) cands.head
+          else s"least(\n      ${cands.mkString(",\n      ")})"
+        s"""d${r}_$j AS (
+           |  SELECT q.*,
+           |    CASE WHEN $j <= $ln(q.w) THEN q.enc_$j $div 4 END AS b$j,
+           |    CASE WHEN $j <= $ln(q.w) THEN 3 - (q.enc_$j % 4) END AS k$j
+           |  FROM (
+           |    SELECT d.*, $encExpr AS enc_$j
+           |    FROM d${r}_${j - 1} AS d
+           |  ) AS q)""".stripMargin
+      }
+      // backtrack needs only (w, f, k1..k10): dropping the cost/enc/b
+      // columns here halves the width codegen carries through the 10
+      // backtrack levels
+      val kept = (1 to L).map(p => s"k$p").mkString(", ")
+      val bt0 = s"bt${r}_0 AS (SELECT w, f, $kept, $ln(w) AS pos0 " +
+        s"FROM d${r}_$L)"
+      val bts = (1 to L).map { i =>
+        val kcase = (1 to L).map(p => s"WHEN $p THEN b.k$p").mkString(" ")
+        s"""bt${r}_$i AS (
+           |  SELECT q.*,
+           |    CASE WHEN q.pos${i - 1} >= 1
+           |      THEN substr(q.w, q.pos${i - 1} - q.kk$i + 1, q.kk$i)
+           |      END AS piece$i,
+           |    q.pos${i - 1} - coalesce(q.kk$i, 0) AS pos$i
+           |  FROM (
+           |    SELECT b.*, CASE WHEN b.pos${i - 1} >= 1
+           |      THEN CASE b.pos${i - 1} $kcase END END AS kk$i
+           |    FROM bt${r}_${i - 1} AS b
+           |  ) AS q)""".stripMargin
+      }
+      val pieces = (1 to L).map(i => s"piece$i").mkString(", ")
+      val flat =
+        if (duck) s"unnest(list_value($pieces))"
+        else s"explode(array($pieces))"
+      s"WITH ${(Seq(positions, pivot, d0) ++ levels ++ Seq(bt0) ++ bts)
+        .mkString(",\n")}\n" +
+        s"""SELECT piece, CAST(sum(f) AS BIGINT) AS usage
+           |FROM (SELECT f, $flat AS piece FROM bt${r}_$L) z
+           |WHERE piece IS NOT NULL GROUP BY piece""".stripMargin
+    }
+
+    /** EM refresh: add-one-smoothed usage becomes the next round's
+      * count table (full vocabulary retained — coverage survives). */
+    def refreshSql(v1: String, u1: String): String =
+      s"""SELECT $v1.piece, coalesce($u1.usage, 0) + 1 AS cnt
+         |FROM $v1 LEFT JOIN $u1 ON $v1.piece = $u1.piece""".stripMargin
+
+    def finalSql(v1: String, u1: String, u2: String): String =
+      s"""SELECT CAST(rank AS INT) AS rank, piece, usage_r1, usage_r2
+         |FROM (
+         |  SELECT $v1.piece,
+         |    CAST(coalesce($u1.usage, 0) AS BIGINT) AS usage_r1,
+         |    CAST(coalesce($u2.usage, 0) AS BIGINT) AS usage_r2,
+         |    row_number() OVER (ORDER BY coalesce($u2.usage, 0) DESC,
+         |      $v1.piece) AS rank
+         |  FROM $v1 LEFT JOIN $u1 ON $v1.piece = $u1.piece
+         |    LEFT JOIN $u2 ON $v1.piece = $u2.piece) z
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+    /** The DuckDB oracle: the SAME fragments nested as CTEs under the
+      * SAME names the Spark side binds as views. */
+    def duckOracle: String = {
+      val frags = Seq(
+        "g250_wf" -> wordsSql(duck = true),
+        "g250_v1" -> vocabSql(duck = true, "g250_wf"),
+        "g250_c1" -> costSql("g250_v1"),
+        "g250_u1" -> usageSql(duck = true, 1, "g250_wf", "g250_c1"),
+        "g250_v2" -> refreshSql("g250_v1", "g250_u1"),
+        "g250_c2" -> costSql("g250_v2"),
+        "g250_u2" -> usageSql(duck = true, 2, "g250_wf", "g250_c2"))
+      "WITH " + frags.map { case (n, s) => s"$n AS (\n$s)" }
+        .mkString(",\n") + "\n" +
+        finalSql("g250_v1", "g250_u1", "g250_u2")
+    }
+
+    /** The Spark side: each stage materializes as a checkpointed view
+      * (vocabulary-sized frames), so the 30 cost lookups per round
+      * reference a LogicalRDD instead of re-inlining the corpus
+      * pipeline, and each statement's plan stays shallow. */
+    def run(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = {
+      val keys = Seq("spark.sql.analyzer.maxIterations",
+        "spark.sql.optimizer.maxIterations")
+      val prev = keys.map(k => k -> spark.conf.getOption(k))
+      keys.foreach(k => spark.conf.set(k, "1000"))
+      try {
+        checkpointView(spark, "g250_wf", spark.sql(wordsSql(duck = false)))
+        checkpointView(spark, "g250_v1",
+          spark.sql(vocabSql(duck = false, "g250_wf")))
+        checkpointView(spark, "g250_c1", spark.sql(costSql("g250_v1")))
+        checkpointView(spark, "g250_u1",
+          spark.sql(usageSql(duck = false, 1, "g250_wf", "g250_c1")))
+        checkpointView(spark, "g250_v2",
+          spark.sql(refreshSql("g250_v1", "g250_u1")))
+        checkpointView(spark, "g250_c2", spark.sql(costSql("g250_v2")))
+        checkpointView(spark, "g250_u2",
+          spark.sql(usageSql(duck = false, 2, "g250_wf", "g250_c2")))
+        spark.sql(finalSql("g250_v1", "g250_u1", "g250_u2"))
+          .localCheckpoint()
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   private def bpeChainCtes(numMerges: Int,
       withSymbolCounts: Boolean): String = {
     val base =
@@ -3616,6 +3851,24 @@ object PipelineQueries {
         |    AS mean_agreement
         |FROM m""".stripMargin,
       headline = true),
+
+    // Unigram-LM tokenizer training (r10) — the OTHER tokenizer family
+    // (Kudo 2018), completing the axis with q235's BPE: seed substring
+    // vocabulary → integer-cost Viterbi segmentation (10-position DP
+    // as generated CTE levels, ties toward the longer piece) → EM
+    // usage refresh → second Viterbi pass. ONE generated SQL text
+    // instantiated for both engines (see unigramTrainSql) — the kernel
+    // and the oracle cannot diverge structurally. Corpus-sized work is
+    // two groupBys; the DP itself is vocabulary-sized with broadcast
+    // lookups only.
+    // Each stage materializes as a checkpointed view (vocabulary-sized)
+    // so the DP's 30 cost lookups per round reference a LogicalRDD
+    // instead of re-inlining the corpus pipeline per reference — the
+    // single-statement form re-ran the word-frequency chain once per
+    // lookup and tripped the analyzer's fixpoint cap (measured, then
+    // restructured; the oracle nests the SAME fragments as CTEs).
+    "q250_unigram_lm_train" -> api((spark, _) => UnigramLm.run(spark),
+      UnigramLm.duckOracle, headline = true),
 
     // Zipf-slope fit over the token frequency table: least-squares
     // slope/intercept of ln(freq) on ln(rank) — the power-law
