@@ -1118,6 +1118,70 @@ object SystemQueries {
         |FROM fp GROUP BY version ORDER BY version""".stripMargin,
       headline = true),
 
+    // MERGE under the commit protocol (r10): q87's upsert semantics as
+    // a TRANSACTION on the versioned table — source rows sharing a
+    // (l_orderkey, l_linenumber) key replace their target rows, the
+    // rest append; copy-on-write finds the matched files with one
+    // broadcast semi-join and rewrites ONLY those (the v1 appends are
+    // range-partitioned on the key, so low-key files carry forward
+    // byte-for-byte — asserted in SnapshotOpsSpec), and v1 stays
+    // readable verbatim. The oracle re-derives both versions' count/
+    // sum/xor fingerprints from lineitem.
+    "q251_snapshot_merge" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q251", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val li = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      SnapshotOps.commitAppend(spark, table,
+        li.where(col("l_orderkey") <= 1000)
+          .repartitionByRange(4, col("l_orderkey")),
+        statsCols = Seq("l_orderkey"))
+      // the synthetic lineitem repeats (orderkey, linenumber) keys, so
+      // the source dedups to max-quantity per key — commitMerge itself
+      // REFUSES a key-duplicated source (order-dependent otherwise);
+      // matched target dup-copies all collapse to the one source row
+      SnapshotOps.commitMerge(spark, table,
+        li.where(col("l_orderkey") > 800 && col("l_orderkey") <= 1200)
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg((max(col("l_quantity")) + 100).as("l_quantity")),
+        Seq("l_orderkey", "l_linenumber"))
+      (1 to 2).map { v =>
+        SnapshotOps.readSnapshot(spark, table, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("qty"),
+            expr("bit_xor(cast(conv(substring(md5(concat(" +
+              "cast(l_orderkey as string), '|', " +
+              "cast(l_linenumber as string), '|', " +
+              "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+              .as("content_xor"))
+          .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
+            col("content_xor"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity
+        |    FROM lineitem),
+        |fp AS (SELECT 1 AS version, l_orderkey, l_linenumber, l_quantity
+        |    FROM li WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT 2, l_orderkey, l_linenumber, l_quantity FROM li
+        |    WHERE l_orderkey <= 800
+        |  UNION ALL
+        |  SELECT 2, l_orderkey, l_linenumber, max(l_quantity) + 100
+        |    FROM li WHERE l_orderkey > 800 AND l_orderkey <= 1200
+        |    GROUP BY l_orderkey, l_linenumber)
+        |SELECT version, count(*) AS n,
+        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  bit_xor(('0x' || substring(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |FROM fp GROUP BY version ORDER BY version""".stripMargin,
+      headline = true),
+
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
     // real JDK codec per arriving file, corpus stats maintained as

@@ -502,6 +502,76 @@ object SnapshotOps {
       readSnapshot(spark, tableDir, version).schema)
   }
 
+  /** Transactional MERGE (upsert): source rows REPLACE target rows
+    * sharing their key (every copy, across files); source rows with no
+    * match APPEND. Copy-on-write at file granularity like
+    * [[commitRewrite]]: one pass finds the files holding matched keys
+    * (broadcast semi-join of the source's distinct keys), only those
+    * rewrite — matched target rows drop, each matched source row lands
+    * exactly once — while untouched files carry forward byte-for-byte
+    * with their stats lines; unmatched source rows write as fresh
+    * files. Cost: two snapshot scans (match + insert anti-join) plus a
+    * rewrite of only the touched data — the index-free MERGE shape; a
+    * bounds-pruned variant would consult [[rangeFiles]] on the key
+    * column first. The source must be key-unique (enforced — a dup
+    * would make the merge order-dependent). */
+  def commitMerge(spark: SparkSession, tableDir: String,
+      source: DataFrame, keyCols: Seq[String],
+      maxRetries: Int = 5): Committed = {
+    require(keyCols.nonEmpty, "commitMerge needs key columns")
+    val src = source.localCheckpoint() // read once, reused four times
+    val keys = keyCols.map(col)
+    require(src.groupBy(keys: _*).count().where(col("count") > 1)
+      .isEmpty, s"commitMerge source not unique on $keyCols")
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      val entries = snapshotEntries(tableDir, base)
+      require(entries.nonEmpty, s"commitMerge on empty table $tableDir")
+      val snap = readSnapshot(spark, tableDir, base)
+      val srcKeys = broadcast(src.select(keys: _*).distinct())
+      // _metadata must project off the scan BEFORE the join (the
+      // hidden column doesn't survive join resolution)
+      val touched = snap
+        .select(keys :+ col("_metadata.file_path").as("f"): _*)
+        .join(srcKeys, keyCols, "left_semi")
+        .select(col("f"))
+        .distinct().collect().map(r => localPath(r.getString(0))).toSet
+      val reused = entries.filterNot(e => touched.contains(localPath(e.path)))
+      val toRewrite = entries.map(_.path)
+        .filterNot(f => reused.exists(_.path == f))
+      val statsCols = statsColsOf(entries)
+      val bloomCols = bloomColsOf(entries)
+      val written = {
+        val dir = newDataDir(tableDir)
+        val matchedKeys =
+          if (toRewrite.isEmpty) null
+          else spark.read.parquet(toRewrite: _*)
+            .select(keys: _*).distinct()
+        val replaced =
+          if (toRewrite.isEmpty) src.limit(0)
+          else {
+            val in = spark.read.parquet(toRewrite: _*)
+            in.join(srcKeys, keyCols, "left_anti")
+              .unionByName(src.join(broadcast(matchedKeys), keyCols,
+                "left_semi"))
+          }
+        // inserts: source keys matched NOWHERE in the snapshot
+        val inserts = src.join(snap.select(keys: _*).distinct(),
+          keyCols, "left_anti")
+        replaced.unionByName(inserts).write.parquet(dir)
+        entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
+      }
+      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+        (reused ++ written).map(_.line)
+      if (tryPublishLines(tableDir, base + 1, lines))
+        return Committed(base + 1, reused.size, written.size, conflicts)
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commitMerge lost $maxRetries version races on $tableDir")
+  }
+
   /** Small-file compaction POLICY — q196/commitCompact generalized to
     * the maintenance verb a warehouse actually schedules: files under
     * `targetBytes / 2` are first-fit-decreasing bin-packed into

@@ -292,6 +292,35 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(c2.skipped && SnapshotOps.currentVersion(t) == 3)
   }
 
+  test("commitMerge upserts copy-on-write: matched rows replace in only " +
+      "their files, unmatched source rows append, dup sources refuse") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 40L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    val src = ((35L to 40L).map(i => (i, i * 10 + 1000)) ++
+      (41L to 45L).map(i => (i, i * 100))).toDF("id", "v")
+    val c = SnapshotOps.commitMerge(spark, t, src, Seq("id"))
+    assert(c.version == 2)
+    assert(c.reused >= 1, s"low-id files should carry forward: $c")
+    val got = SnapshotOps.readLatest(spark, t)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 45)
+    assert(got(10L) == 100L)            // untouched
+    assert(got(38L) == 1380L)           // updated
+    assert(got(43L) == 4300L)           // inserted
+    // stats survive the merge (written files recompute bounds)
+    assert(SnapshotOps.snapshotEntries(t, 2).forall(_.bounds.contains("id")))
+    // v1 history intact
+    assert(SnapshotOps.readSnapshot(spark, t, 1).count() == 40)
+    // a key-duplicated source is refused (order-dependent otherwise)
+    assertThrows[IllegalArgumentException] {
+      SnapshotOps.commitMerge(spark, t,
+        Seq((1L, 2L), (1L, 3L)).toDF("id", "v"), Seq("id"))
+    }
+  }
+
   test("readSnapshot(0) is the empty table; commitRewrite on it refuses") {
     import spark.implicits._
     val t = freshTable()
