@@ -1182,6 +1182,56 @@ object SystemQueries {
         |FROM fp GROUP BY version ORDER BY version""".stripMargin,
       headline = true),
 
+    // OPTIMIZE ZORDER as a COMMIT (r10): q211's layout job unified
+    // with the table format — the snapshot rewrites sorted by the
+    // Morton interleave of (l_orderkey, l_partkey) and the manifest
+    // records per-file min/max on BOTH dimensions, so a two-sided box
+    // predicate prunes from metadata alone (q238 generalized to 2-D).
+    // The pre-cluster hash layout keeps every file's box wide —
+    // `pruned` certifies the clustered version consults strictly fewer
+    // files than the hash version for the same box; the oracle pins
+    // every box's content and the total (layout change moved no rows).
+    "q252_zorder_commit" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q252", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      SnapshotOps.commitAppend(spark, table,
+        spark.table("lineitem")
+          .select(col("l_orderkey"), col("l_partkey"),
+            col("l_extendedprice")).repartition(8),
+        statsCols = Seq("l_orderkey", "l_partkey"))
+      SnapshotOps.commitCluster(spark, table, "l_orderkey", "l_partkey",
+        nFiles = 8)
+      val boxes = Seq((100, 300, 0, 99), (500, 900, 100, 199))
+      boxes.map { case (oLo, oHi, pLo, pHi) =>
+        val box = Seq(
+          ("l_orderkey", BigDecimal(oLo), BigDecimal(oHi)),
+          ("l_partkey", BigDecimal(pLo), BigDecimal(pHi)))
+        val hashKept = SnapshotOps.boxFiles(table, 1, box).size
+        val zKept = SnapshotOps.boxFiles(table, 2, box).size
+        SnapshotOps.readSnapshotBox(spark, table, 2, box)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("price"))
+          .select(lit(oLo).cast("int").as("o_lo"),
+            lit(pLo).cast("int").as("p_lo"), col("n"), col("price"),
+            lit(zKept < hashKept).as("pruned"))
+      }.reduce(_.unionByName(_)).orderBy("o_lo")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH r(o_lo, o_hi, p_lo, p_hi) AS (
+        |  VALUES (100, 300, 0, 99), (500, 900, 100, 199))
+        |SELECT o_lo, p_lo, count(l_orderkey) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS price,
+        |  TRUE AS pruned
+        |FROM r LEFT JOIN lineitem
+        |  ON l_orderkey BETWEEN o_lo AND o_hi
+        |  AND l_partkey BETWEEN p_lo AND p_hi
+        |GROUP BY o_lo, p_lo ORDER BY o_lo""".stripMargin,
+      headline = true),
+
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
     // real JDK codec per arriving file, corpus stats maintained as

@@ -502,6 +502,61 @@ object SnapshotOps {
       readSnapshot(spark, tableDir, version).schema)
   }
 
+  /** Committed OPTIMIZE ZORDER — [[LayoutOps.zorderWrite]] as a
+    * transaction: the current snapshot rewrites range-partitioned and
+    * sorted by the Morton interleave of (`colA`, `colB`), and the new
+    * manifest records per-file min/max bounds on BOTH dimensions (plus
+    * whatever stats the table already tracked), so [[boxFiles]] prunes
+    * two-sided predicates from the manifest alone. Content untouched;
+    * prior snapshots keep their layout — time travel spans clustering. */
+  def commitCluster(spark: SparkSession, tableDir: String,
+      colA: String, colB: String, nFiles: Int, bits: Int = 21,
+      maxRetries: Int = 5): Committed = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      val entries = snapshotEntries(tableDir, base)
+      require(entries.nonEmpty, s"commitCluster on empty table $tableDir")
+      val dir = newDataDir(tableDir)
+      LayoutOps.zorderWrite(
+        spark.read.parquet(entries.map(_.path): _*),
+        colA, colB, dir, nFiles, bits)
+      val written = entriesFor(spark, parquetFilesIn(dir),
+        (statsColsOf(entries) ++ Seq(colA, colB)).distinct.sorted,
+        bloomColsOf(entries))
+      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+        written.map(_.line)
+      if (tryPublishLines(tableDir, base + 1, lines))
+        return Committed(base + 1, 0, written.size, conflicts)
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commitCluster lost $maxRetries version races on $tableDir")
+  }
+
+  /** Multi-dimensional manifest skipping: files whose recorded bounds
+    * intersect EVERY (column, lo, hi) constraint of the query box —
+    * what a Z-ordered layout makes tight in all clustered dimensions
+    * at once. Pure metadata; absent bounds never skip. */
+  def boxFiles(tableDir: String, version: Int,
+      box: Seq[(String, BigDecimal, BigDecimal)]): Seq[String] =
+    snapshotEntries(tableDir, version).filter(e => box.forall {
+      case (c, lo, hi) => e.bounds.get(c)
+        .forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }).map(_.path)
+
+  /** Box read with manifest pruning + the exact residual conjunction. */
+  def readSnapshotBox(spark: SparkSession, tableDir: String, version: Int,
+      box: Seq[(String, BigDecimal, BigDecimal)]): DataFrame = {
+    val files = boxFiles(tableDir, version, box)
+    val residual = box.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (files.nonEmpty) spark.read.parquet(files: _*).where(residual)
+    else readSnapshot(spark, tableDir, 0,
+      readSnapshot(spark, tableDir, version).schema)
+  }
+
   /** Transactional MERGE (upsert): source rows REPLACE target rows
     * sharing their key (every copy, across files); source rows with no
     * match APPEND. Copy-on-write at file granularity like

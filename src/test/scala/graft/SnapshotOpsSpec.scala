@@ -321,6 +321,34 @@ class SnapshotOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("commitCluster z-orders the snapshot: two-dim box reads prune " +
+      "strictly better than the hash layout, content is unchanged") {
+    import spark.implicits._
+    val t = freshTable()
+    // 32x32 grid in hash layout: every file spans both full ranges
+    SnapshotOps.commitAppend(spark, t,
+      (0L until 1024L).map(i => (i % 32, i / 32, i)).toDF("x", "y", "id")
+        .repartition(8), statsCols = Seq("x", "y"))
+    val box = Seq(("x", BigDecimal(4), BigDecimal(9)),
+      ("y", BigDecimal(4), BigDecimal(9)))
+    val before = SnapshotOps.boxFiles(t, 1, box).size
+    SnapshotOps.commitCluster(spark, t, "x", "y", nFiles = 8, bits = 6)
+    val entries = SnapshotOps.snapshotEntries(t, 2)
+    assert(entries.size == 8 &&
+      entries.forall(e => e.bounds.contains("x") && e.bounds.contains("y")))
+    val after = SnapshotOps.boxFiles(t, 2, box).size
+    assert(after < before,
+      s"z-order should prune the box: $after vs $before of 8")
+    // content identical through the layout change, box read exact
+    val ids = SnapshotOps.readSnapshotBox(spark, t, 2, box)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expect = (0L until 1024L)
+      .filter(i => (4 to 9).contains((i % 32).toInt) &&
+        (4 to 9).contains((i / 32).toInt))
+    assert(ids == expect)
+    assert(SnapshotOps.readSnapshot(spark, t, 2).count() == 1024)
+  }
+
   test("readSnapshot(0) is the empty table; commitRewrite on it refuses") {
     import spark.implicits._
     val t = freshTable()
