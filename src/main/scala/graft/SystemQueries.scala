@@ -1232,6 +1232,83 @@ object SystemQueries {
         |GROUP BY o_lo, p_lo ORDER BY o_lo""".stripMargin,
       headline = true),
 
+    // CDC-APPLY incremental refresh (r10) — q227's algebraic view
+    // maintenance fed by q239's snapshot diff: a standing per-flag
+    // aggregate materialized at v1 absorbs the v1→v3 row-level delta
+    // (insert = ⊕, delete = ⊖, the COW update arrives as both) WITHOUT
+    // rescanning the base — the diff reads only the symmetric
+    // difference of the manifests. The oracle is a cold recompute of
+    // the v3 state plus an independent derivation of the delta mass,
+    // so a wrong merge identity or a diff that read too much/little
+    // both go red.
+    "q253_cdc_apply_refresh" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q253", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val base = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+      SnapshotOps.commitAppend(spark, table,
+        base.where(col("l_orderkey") <= 1000)
+          .repartitionByRange(3, col("l_returnflag")))
+      // standing MV at v1 (decimal measures: exact merge algebra)
+      val mv = SnapshotOps.readSnapshot(spark, table, 1)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .localCheckpoint()
+      SnapshotOps.commitAppend(spark, table,
+        base.where(col("l_orderkey") > 1000 &&
+          col("l_orderkey") <= 1600).repartitionByRange(3,
+          col("l_returnflag")))
+      SnapshotOps.commitRewrite(spark, table,
+        col("l_returnflag") === "R",
+        _.withColumn("l_quantity", col("l_quantity") + 5))
+      val delta = SnapshotOps.snapshotDiff(spark, table, 1, 3)
+        .withColumn("sgn", when(col("change_type") === "insert", 1L)
+          .otherwise(-1L))
+        .groupBy("l_returnflag")
+        .agg(sum(col("sgn")).as("dn"),
+          sum(col("sgn") * col("l_quantity").cast("decimal(18,2)"))
+            .as("dqty"),
+          count(lit(1)).as("delta_rows"))
+      mv.join(delta, Seq("l_returnflag"), "full_outer")
+        .select(col("l_returnflag"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          (coalesce(col("qty"), lit(BigDecimal(0))) +
+            coalesce(col("dqty"), lit(BigDecimal(0))))
+            .cast("decimal(18,2)").as("qty"),
+          coalesce(col("delta_rows"), lit(0L)).as("delta_rows"))
+        .where(col("n") > 0)
+        .orderBy("l_returnflag")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_returnflag FROM lineitem WHERE l_orderkey <= 1600),
+        |v1r AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_returnflag FROM b WHERE l_orderkey <= 1000),
+        |v3r AS (SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_returnflag = 'R' THEN l_quantity + 5
+        |      ELSE l_quantity END AS l_quantity,
+        |    l_returnflag FROM b),
+        |cold AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS qty
+        |  FROM v3r GROUP BY l_returnflag),
+        |dm AS (SELECT l_returnflag FROM
+        |    (SELECT * FROM v3r EXCEPT ALL SELECT * FROM v1r) i
+        |  UNION ALL SELECT l_returnflag FROM
+        |    (SELECT * FROM v1r EXCEPT ALL SELECT * FROM v3r) d),
+        |dl AS (SELECT l_returnflag, CAST(count(*) AS BIGINT)
+        |    AS delta_rows FROM dm GROUP BY l_returnflag)
+        |SELECT cold.l_returnflag, cold.n, cold.qty,
+        |  coalesce(dl.delta_rows, 0) AS delta_rows
+        |FROM cold LEFT JOIN dl ON cold.l_returnflag = dl.l_returnflag
+        |ORDER BY cold.l_returnflag""".stripMargin,
+      headline = true),
+
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
     // real JDK codec per arriving file, corpus stats maintained as
