@@ -85,12 +85,13 @@ object Bench {
     // headline set (BASELINE.md carries the measurement history) can.
     // Only emitted for the full default set at the driver's sf — an
     // args-selected subset has no recorded floor.
-    // floor re-measured whenever the headline set changes; r9 65-entry
-    // set (q213/q216/q217/q218/q220/q225 promoted): 42.0 s measured for
-    // the 63-entry set (load ~1-2/32) + q220 (1.84-2.14 s scoped) +
-    // q225 (0.76 s scoped), BASELINE.md Round-9
+    // floor re-measured whenever the headline set changes; r10
+    // 88-entry set (q211/q226/q227 + q234-q253 promoted): r9's 65-entry
+    // floor 44.9 s + 32.4 s best-of-pass sum for the 23 additions
+    // (scoped interleaved runs, BASELINE.md Round-10) ≈ 77 s; rounded
+    // down to 76.0 as the recorded floor
     val quietFloorSec: Option[Double] =
-      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(44.9) else None
+      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(76.0) else None
     val runNoisy = quietFloorSec.map { floor =>
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""
