@@ -104,7 +104,7 @@ object Bench {
     // phantom-regression analysis from the max map. Now: short summary
     // first (always parses whole), queries_max in the middle (spike
     // visibility), and the FINAL line is the full total WITH the
-    // per-entry min map (~1.5 KB for 68 entries — well inside any tail
+    // per-entry min map (~2 KB for the r10 88-entry set — inside any tail
     // window), so the map that means "steady state" is the one a tail
     // read sees.
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"failed":$failed$runNoisy,"sf":"$sfDir"}"""

@@ -376,9 +376,10 @@ object PipelineQueries {
        |    CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n
        |  FROM w$numMerges)
        |SELECT dw.doc_id,
-       |  CAST(sum(wl.n) AS BIGINT) AS subword_tokens,
+       |  CAST(coalesce(sum(wl.n), count(*)) AS BIGINT)
+       |    AS subword_tokens,
        |  CAST(count(*) AS BIGINT) AS ws_tokens
-       |FROM dw JOIN wl ON dw.w = wl.w
+       |FROM dw LEFT JOIN wl ON dw.w = wl.w
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
 
   /** DuckDB-side portable 32-bit SimHash over a token list column `tk`

@@ -54,6 +54,16 @@ object SystemQueries {
     f.delete()
   }
 
+  /** Rolling content fingerprint shared by the snapshot/maintenance
+    * entries: order-independent bit_xor of a 48-bit md5 slice of the
+    * '|'-joined key columns. ONE definition so the entry family cannot
+    * silently diverge; every oracle re-derives the same expression in
+    * DuckDB syntax. */
+  private def contentXor(cols: String*) =
+    expr("bit_xor(cast(conv(substring(md5(concat(" +
+      cols.map(c => s"cast($c as string)").mkString(", '|', ") +
+      ")), 1, 12), 16, 10) as bigint))")
+
   /** Rebuilds the two bucketed tables (bucketBy(8, key) + sortBy) from
     * the currently registered sources and memoizes which sf dir they
     * were built from. Serialized: Verify/Bench may evaluate entries on
@@ -596,10 +606,7 @@ object SystemQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)"))
             .cast("decimal(18,2)").as("qty"),
-          expr("bit_xor(cast(conv(substring(md5(concat(" +
-            "cast(l_orderkey as string), '|', " +
-            "cast(l_linenumber as string), '|', " +
-            "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+          contentXor("l_orderkey", "l_linenumber", "l_quantity")
             .as("content_xor"))
         // Eager 1-row materialization: sever the action-time read of
         // the shared-within-JVM scratch dir (see q194).
@@ -643,10 +650,7 @@ object SystemQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
               .cast("decimal(18,2)").as("qty"),
-            expr("bit_xor(cast(conv(substring(md5(concat(" +
-              "cast(l_orderkey as string), '|', " +
-              "cast(l_linenumber as string), '|', " +
-              "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+            contentXor("l_orderkey", "l_linenumber", "l_quantity")
               .as("content_xor"))
           .select(lit(sid).cast("int").as("snapshot"), col("n"),
             col("qty"), col("content_xor"))
@@ -713,10 +717,7 @@ object SystemQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
               .cast("decimal(18,2)").as("qty"),
-            expr("bit_xor(cast(conv(substring(md5(concat(" +
-              "cast(l_orderkey as string), '|', " +
-              "cast(l_linenumber as string), '|', " +
-              "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+            contentXor("l_orderkey", "l_linenumber", "l_quantity")
               .as("content_xor"))
           .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
             col("content_xor"))
@@ -774,10 +775,7 @@ object SystemQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
               .cast("decimal(18,2)").as("qty"),
-            expr("bit_xor(cast(conv(substring(md5(concat(" +
-              "cast(l_orderkey as string), '|', " +
-              "cast(l_linenumber as string), '|', " +
-              "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+            contentXor("l_orderkey", "l_linenumber", "l_quantity")
               .as("content_xor"))
           .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
             col("content_xor"))
@@ -973,10 +971,7 @@ object SystemQueries {
         withFlag.agg(count(lit(1)).as("n"),
           count(when(col("l_returnflag").isNull, 1)).as("flag_nulls"),
           count(when(col("l_returnflag") === "?", 1)).as("backfilled"),
-          expr("bit_xor(cast(conv(substring(md5(concat(" +
-            "cast(l_orderkey as string), '|', " +
-            "cast(l_linenumber as string), '|', " +
-            "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+          contentXor("l_orderkey", "l_linenumber", "l_quantity")
             .as("content_xor"))
           .select(lit(v).cast("int").as("version"), col("n"),
             col("flag_nulls"), col("backfilled"), col("content_xor"))
@@ -1035,7 +1030,7 @@ object SystemQueries {
       val probes = base.orderBy("c_custkey").limit(3)
         .select("c_name").collect().map(_.getString(0)).distinct.sorted
       probes.map { name =>
-        val kept = SnapshotOps.pointFiles(table, v, "c_name", name).size
+        val kept = SnapshotOps.pointFiles(spark, table, v, "c_name", name).size
         SnapshotOps.readSnapshotPoint(spark, table, v, "c_name", name)
           .agg(count(lit(1)).as("n"),
             sum(col("c_acctbal").cast("decimal(18,2)"))
@@ -1090,10 +1085,7 @@ object SystemQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
               .cast("decimal(18,2)").as("qty"),
-            expr("bit_xor(cast(conv(substring(md5(concat(" +
-              "cast(l_orderkey as string), '|', " +
-              "cast(l_linenumber as string), '|', " +
-              "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+            contentXor("l_orderkey", "l_linenumber", "l_quantity")
               .as("content_xor"))
           .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
             col("content_xor"))
@@ -1151,10 +1143,7 @@ object SystemQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
               .cast("decimal(18,2)").as("qty"),
-            expr("bit_xor(cast(conv(substring(md5(concat(" +
-              "cast(l_orderkey as string), '|', " +
-              "cast(l_linenumber as string), '|', " +
-              "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+            contentXor("l_orderkey", "l_linenumber", "l_quantity")
               .as("content_xor"))
           .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
             col("content_xor"))
@@ -1345,10 +1334,7 @@ object SystemQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)"))
             .cast("decimal(18,2)").as("qty"),
-          expr("bit_xor(cast(conv(substring(md5(concat(" +
-            "cast(l_orderkey as string), '|', " +
-            "cast(l_partkey as string), '|', " +
-            "cast(l_quantity as string))), 1, 12), 16, 10) as bigint))")
+          contentXor("l_orderkey", "l_partkey", "l_quantity")
             .as("content_xor"))
         // Eager 1-row materialization: sever the action-time read of
         // the shared-within-JVM scratch dir (see q194).

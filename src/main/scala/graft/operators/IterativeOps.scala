@@ -137,6 +137,12 @@ object IterativeOps {
   def connectedComponentsStar(edges: DataFrame, srcCol: String,
       dstCol: String, maxIter: Int = 30): DataFrame = {
     import org.apache.spark.sql.functions._
+    // self-loop-only vertices carry no connectivity but ARE vertices
+    // under the shared contract ("every id appearing in an edge") —
+    // they re-enter as singletons after the fixpoint
+    val selfIds = materialize(
+      edges.where(col(srcCol) === col(dstCol))
+        .select(col(srcCol).as("id")).distinct())
     var e = materialize(
       edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
         .where(col("s") =!= col("d"))
@@ -187,10 +193,13 @@ object IterativeOps {
         s"connectedComponentsStar did not converge in $maxIter iterations")
     // at the fixpoint e is one star per component: (node, min); centers
     // appear only on the lo side and label themselves
-    e.select(col("hi").as("id"), col("lo").as("component"))
+    val comp = e.select(col("hi").as("id"), col("lo").as("component"))
       .unionByName(e.select(col("lo"), col("lo")).distinct()
         .toDF("id", "component"))
       .distinct()
+    comp.unionByName(
+      selfIds.join(comp.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
   }
 
   /** `WITH RECURSIVE … UNION` (set) semantics: the new frontier is

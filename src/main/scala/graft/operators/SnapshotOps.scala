@@ -377,8 +377,16 @@ object SnapshotOps {
     * used). Deletion order is the safe one — manifests first, so no
     * reader can open a snapshot whose files are about to go; a crash
     * between the two phases leaves only harmless extra data files.
+    *
+    * `graceMs` protects IN-FLIGHT writers: a concurrent commit writes
+    * its data files BEFORE winning the CAS, and during that window
+    * they are referenced by no manifest — indistinguishable from
+    * orphans by reference-counting alone. Files younger than the grace
+    * window are therefore never deleted (the Iceberg/Delta retention
+    * rule); pass 0 only when no writer can be live.
     * Returns (manifests dropped, data files deleted). */
-  def vacuum(tableDir: String, keepVersions: Int): (Int, Int) = {
+  def vacuum(tableDir: String, keepVersions: Int,
+      graceMs: Long = 10L * 60 * 1000): (Int, Int) = {
     require(keepVersions >= 1, "must retain at least the current version")
     val cur = currentVersion(tableDir)
     val keepFrom = math.max(1, cur - keepVersions + 1)
@@ -386,11 +394,13 @@ object SnapshotOps {
       .flatMap(snapshotFiles(tableDir, _)).toSet
     val dropped = (1 until keepFrom)
       .count(v => Files.deleteIfExists(manifestPath(tableDir, v)))
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new java.io.File(s"$tableDir/data")
     var deleted = 0
     Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { d =>
       Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (!retained.contains(f.getPath) && f.isFile) {
+        if (!retained.contains(f.getPath) && f.isFile &&
+            f.lastModified < cutoff) {
           val isData = f.getName.endsWith(".parquet")
           if (f.delete() && isData) deleted += 1
         }
@@ -440,10 +450,15 @@ object SnapshotOps {
     val to = snapshotFiles(tableDir, toVersion).toSet
     val removed = (from -- to).toSeq.sorted
     val added = (to -- from).toSeq.sorted
+    // mergeSchema + allowMissingColumns: a diff straddling a schema
+    // evolution (q245) compares pre-evolution rows with the newer
+    // columns as null on BOTH sides, so identical logical rows still
+    // cancel and the evolved column is never silently dropped
     def side(files: Seq[String], sign: Int): Option[DataFrame] =
       if (files.isEmpty) None
       else {
-        val df = spark.read.parquet(files: _*)
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(files: _*)
         Some(df.groupBy(df.columns.map(col): _*)
           .agg((count(lit(1)) * sign).as("_delta")))
       }
@@ -453,7 +468,8 @@ object SnapshotOps {
         readSnapshot(spark, tableDir, 0, s)
           .withColumn("change_type", lit(""))
       case (a, r) =>
-        val merged = (a.toSeq ++ r.toSeq).reduce(_.unionByName(_))
+        val merged = (a.toSeq ++ r.toSeq)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
         val keys = merged.columns.filterNot(_ == "_delta").map(col)
         merged.groupBy(keys: _*)
           .agg(sum(col("_delta")).as("_delta"))
@@ -469,23 +485,36 @@ object SnapshotOps {
   /** xxhash64 of a single value through the SAME expression the
     * bloom-building aggregate hashes with, evaluated driver-side on
     * the foldable literal — so the probe hash is bit-identical to the
-    * inserted hashes by construction, not by reimplementation. */
-  private def probeHash(value: Any): Long = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    new XxHash64(Seq(Literal(value))).eval(null).asInstanceOf[Long]
+    * inserted hashes by construction, not by reimplementation. The
+    * probe CASTS to the column's stored type first: XxHash64 hashes
+    * Int and Long (etc.) through different byte paths, so an
+    * un-widened `7: Int` probe against a LongType column would hash
+    * differently than every inserted value and silently prune ALL
+    * files — a false negative, the one failure mode a Bloom index
+    * must never have. */
+  private def probeHash(value: Any,
+      dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val raw = Literal(value)
+    val typed =
+      if (raw.dataType == dt) raw
+      else Literal.create(Cast(raw, dt).eval(null), dt)
+    new XxHash64(Seq(typed)).eval(null).asInstanceOf[Long]
   }
 
   /** Manifest-level point skipping: the data files of `version` whose
     * Bloom filter for `column` might contain `value`, plus every file
-    * with no bloom (absence never skips). Pure metadata — the Bloom
-    * probe runs on the manifest's base64 bytes, no Spark job. The
-    * equality complement of [[rangeFiles]]: bounds need a sort order,
-    * blooms skip on high-cardinality (incl. string) keys in any
-    * layout; false positives only cost an extra file scan, never a
-    * missed row. */
-  def pointFiles(tableDir: String, version: Int, column: String,
-      value: Any): Seq[String] = {
-    val h = probeHash(value)
+    * with no bloom (absence never skips). The Bloom probe runs on the
+    * manifest's base64 bytes — the only data touch is one schema read
+    * to type the probe correctly. The equality complement of
+    * [[rangeFiles]]: bounds need a sort order, blooms skip on
+    * high-cardinality (incl. string) keys in any layout; false
+    * positives only cost an extra file scan, never a missed row. */
+  def pointFiles(spark: SparkSession, tableDir: String, version: Int,
+      column: String, value: Any): Seq[String] = {
+    val dt = readSnapshot(spark, tableDir, version)
+      .schema.apply(column).dataType
+    val h = probeHash(value, dt)
     snapshotEntries(tableDir, version).filter(_.blooms.get(column)
       .forall(b => org.apache.spark.util.sketch.BloomFilter
         .readFrom(new java.io.ByteArrayInputStream(b))
@@ -495,7 +524,7 @@ object SnapshotOps {
   /** Point read with manifest Bloom pruning + the exact residual. */
   def readSnapshotPoint(spark: SparkSession, tableDir: String,
       version: Int, column: String, value: Any): DataFrame = {
-    val files = pointFiles(tableDir, version, column, value)
+    val files = pointFiles(spark, tableDir, version, column, value)
     if (files.nonEmpty)
       spark.read.parquet(files: _*).where(col(column) === lit(value))
     else readSnapshot(spark, tableDir, 0,

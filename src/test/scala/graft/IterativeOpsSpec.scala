@@ -93,6 +93,20 @@ class IterativeOpsSpec extends SparkSpecBase {
     assert((100 to 140).forall(starChain(_) == 100))
   }
 
+  test("connectedComponentsStar keeps self-loop-only vertices as " +
+      "singletons — the shared vertex contract with min-label") {
+    import spark.implicits._
+    // 9 is reflexive-only; 1-2 connect; 2 ALSO has a self-loop (must
+    // not double-report)
+    val edges = Seq((1, 2), (9, 9), (2, 2)).toDF("a", "b")
+    val star = IterativeOps.connectedComponentsStar(edges, "a", "b")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val label = IterativeOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(star == Seq((1, 1), (2, 1), (9, 9)))
+    assert(star == label)
+  }
+
   test("connectedComponentsStar handles empty input and a single edge") {
     import spark.implicits._
     val empty = Seq.empty[(Int, Int)].toDF("a", "b")

@@ -109,8 +109,13 @@ class SnapshotOpsSpec extends SparkSpecBase {
     // fragmented files (referenced by NO retained manifest) go; the
     // compacted files stay readable
     val before = SnapshotOps.snapshotFiles(t, 2).size
-    val (droppedManifests, deletedFiles) = SnapshotOps.vacuum(t, 1)
-    assert(droppedManifests == 2)
+    // default grace spares freshly-written files (in-flight-writer
+    // protection); graceMs = 0 is the no-live-writers mode this test's
+    // deterministic delete counts need
+    val (d0, f0) = SnapshotOps.vacuum(t, 1)
+    assert(d0 == 2 && f0 == 0, s"default grace must spare fresh files: $d0/$f0")
+    val (droppedManifests, deletedFiles) = SnapshotOps.vacuum(t, 1, graceMs = 0)
+    assert(droppedManifests == 0) // the grace-window pass above took them
     assert(deletedFiles == before, // v1 files ⊂ v2 files (append reuse)
       s"expected $before orphans deleted, got $deletedFiles")
     assert(SnapshotOps.currentVersion(t) == 3)
@@ -249,19 +254,30 @@ class SnapshotOpsSpec extends SparkSpecBase {
     val entries = SnapshotOps.snapshotEntries(t, 2)
     assert(entries.size == 8 && entries.forall(_.blooms.contains("k")))
     // a present key keeps its (hash-partitioned) file + rare fps only
-    val kept = SnapshotOps.pointFiles(t, 2, "k", "k7")
+    val kept = SnapshotOps.pointFiles(spark, t, 2, "k", "k7")
     assert(kept.size < entries.size,
       s"expected bloom pruning, kept ${kept.size}/${entries.size}")
     val hit = SnapshotOps.readSnapshotPoint(spark, t, 2, "k", "k7")
     assert(hit.select("v").as[Long].collect().toSeq == Seq(7L))
     // an absent key prunes (nearly) everything and reads zero rows
-    assert(SnapshotOps.pointFiles(t, 2, "k", "nope").size <= 2)
+    assert(SnapshotOps.pointFiles(spark, t, 2, "k", "nope").size <= 2)
     assert(SnapshotOps.readSnapshotPoint(spark, t, 2, "k", "nope")
       .count() == 0)
+    // a probe literal narrower than the column type must widen before
+    // hashing (Int 7 vs the LongType v column) — an unwidened probe
+    // hashes differently than every inserted value and would prune ALL
+    // files: the silent-false-negative case
+    assert(SnapshotOps.commitAppend(spark, t,
+      (81L to 90L).map(i => (s"x$i", i)).toDF("k", "v").repartition(2),
+      bloomCols = Seq("v")).version == 3)
+    assert(SnapshotOps.readSnapshotPoint(spark, t, 3, "v", 85)
+      .count() == 1)
+    assert(SnapshotOps.readSnapshotPoint(spark, t, 3, "v", 85L)
+      .count() == 1)
     // blooms recompute through compaction
     SnapshotOps.commitCompact(spark, t, nFiles = 2)
-    assert(SnapshotOps.snapshotEntries(t, 3).forall(_.blooms.contains("k")))
-    assert(SnapshotOps.readSnapshotPoint(spark, t, 3, "k", "k55")
+    assert(SnapshotOps.snapshotEntries(t, 4).forall(_.blooms.contains("k")))
+    assert(SnapshotOps.readSnapshotPoint(spark, t, 4, "k", "k55")
       .select("v").as[Long].collect().toSeq == Seq(55L))
   }
 
