@@ -1298,6 +1298,81 @@ object SystemQueries {
         |ORDER BY cold.l_returnflag""".stripMargin,
       headline = true),
 
+    // WRITE-AUDIT-PUBLISH (r10): the governance pattern every
+    // production ingestion runs — a batch stages on a BRANCH (invisible
+    // to main-line readers), the q212 constraint suite audits the
+    // branch VIEW (main + staged), and only a clean audit publishes
+    // (pure metadata, atomic CAS). The dirty attempt here carries
+    // out-of-range quantities: its audit reds, the branch drops, and
+    // main's content is BYTE-IDENTICAL to before the attempt (the xor
+    // pins that). The clean retry audits green and publishes as v2.
+    "q254_write_audit_publish" -> api((spark, sfDir) => {
+      import graft.operators.{ConstraintOps, SnapshotOps}
+      val table = s"${runScopedDir("/tmp/graft_q254", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val li = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val batch = li.where(col("l_orderkey") > 1000 &&
+        col("l_orderkey") <= 1200)
+      SnapshotOps.commitAppend(spark, table,
+        li.where(col("l_orderkey") <= 1000).repartition(4))
+      def audit(branch: String): Long =
+        ConstraintOps.rowChecks(
+          SnapshotOps.readBranch(spark, table, branch),
+          Seq("qty_range" -> col("l_quantity").between(1, 50)))
+          .agg(sum("violations")).head().getLong(0)
+      def mainState(phase: String, violations: Long) =
+        SnapshotOps.readLatest(spark, table)
+          .agg(count(lit(1)).as("n"),
+            contentXor("l_orderkey", "l_linenumber", "l_quantity")
+              .as("content_xor"))
+          .select(lit(phase).as("phase"),
+            lit(violations).cast("bigint").as("violations"),
+            lit(SnapshotOps.currentVersion(table)).cast("int")
+              .as("version"), col("n"), col("content_xor"))
+      // attempt 1: corrupted quantities (linenumber-1 rows shift out of
+      // the 1..50 domain) — audit reds, branch drops, main untouched
+      SnapshotOps.stageAppend(spark, table, "ingest",
+        batch.withColumn("l_quantity",
+          when(col("l_linenumber") === 1, col("l_quantity") + 100)
+            .otherwise(col("l_quantity"))))
+      val v1 = audit("ingest")
+      SnapshotOps.dropBranch(table, "ingest")
+      val rejected = mainState("rejected", v1)
+      // attempt 2: the clean batch — audit green, publish
+      SnapshotOps.stageAppend(spark, table, "ingest", batch)
+      val v2 = audit("ingest")
+      SnapshotOps.publishBranch(table, "ingest")
+      rejected.unionByName(mainState("published", v2))
+        .orderBy("phase")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity
+        |    FROM lineitem),
+        |base AS (SELECT * FROM li WHERE l_orderkey <= 1000),
+        |batch AS (SELECT * FROM li
+        |  WHERE l_orderkey > 1000 AND l_orderkey <= 1200),
+        |pub AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+        |dirty AS (SELECT CAST(count(*) AS BIGINT) AS v FROM batch
+        |  WHERE l_linenumber = 1)
+        |SELECT 'rejected' AS phase, dirty.v AS violations,
+        |  1 AS version, count(*) AS n,
+        |  bit_xor(('0x' || substring(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |FROM base, dirty GROUP BY dirty.v
+        |UNION ALL
+        |SELECT 'published', 0, 2, count(*),
+        |  bit_xor(('0x' || substring(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT)
+        |FROM pub
+        |ORDER BY phase""".stripMargin,
+      headline = true),
+
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
     // real JDK codec per arriving file, corpus stats maintained as

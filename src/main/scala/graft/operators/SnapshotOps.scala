@@ -102,31 +102,34 @@ object SnapshotOps {
         case Array(k, v) => k -> v
       }.toMap
 
+  private def parseEntry(l: String): FileEntry = {
+    val fields = l.split("\t")
+    val (bloomFields, boundFields) = fields.tail.partition(_.startsWith("~"))
+    FileEntry(fields.head,
+      boundFields.flatMap { f =>
+        f.split("=", 2) match {
+          case Array(c, range) => range.split("\\.\\.", 2) match {
+            case Array(lo, hi) =>
+              Some(c -> (BigDecimal(lo), BigDecimal(hi)))
+            case _ => None
+          }
+          case _ => None
+        }
+      }.toMap,
+      bloomFields.flatMap { f =>
+        f.drop(1).split("=", 2) match {
+          case Array(c, b64) =>
+            Some(c -> java.util.Base64.getDecoder.decode(b64))
+          case _ => None
+        }
+      }.toMap)
+  }
+
   /** File entries (path + per-file column stats) of a snapshot. Plain
     * path lines (pre-stats manifests) parse as entries with no stats. */
   def snapshotEntries(tableDir: String, version: Int): Seq[FileEntry] =
-    manifestLines(tableDir, version).filterNot(_.startsWith("#")).map { l =>
-      val fields = l.split("\t")
-      val (bloomFields, boundFields) = fields.tail.partition(_.startsWith("~"))
-      FileEntry(fields.head,
-        boundFields.flatMap { f =>
-          f.split("=", 2) match {
-            case Array(c, range) => range.split("\\.\\.", 2) match {
-              case Array(lo, hi) =>
-                Some(c -> (BigDecimal(lo), BigDecimal(hi)))
-              case _ => None
-            }
-            case _ => None
-          }
-        }.toMap,
-        bloomFields.flatMap { f =>
-          f.drop(1).split("=", 2) match {
-            case Array(c, b64) =>
-              Some(c -> java.util.Base64.getDecoder.decode(b64))
-            case _ => None
-          }
-        }.toMap)
-    }
+    manifestLines(tableDir, version).filterNot(_.startsWith("#"))
+      .map(parseEntry)
 
   /** Data-file list of a committed snapshot (empty for version 0). */
   def snapshotFiles(tableDir: String, version: Int): Seq[String] =
@@ -585,6 +588,85 @@ object SnapshotOps {
     else readSnapshot(spark, tableDir, 0,
       readSnapshot(spark, tableDir, version).schema)
   }
+
+  private def branchPath(tableDir: String, branch: String): Path = {
+    require(branch.matches("[A-Za-z0-9_-]+"), s"bad branch name: $branch")
+    manifestDir(tableDir).resolve(s"branch-$branch.manifest")
+  }
+
+  /** Write-Audit-Publish staging: the batch writes as immutable files
+    * recorded in a BRANCH manifest (`manifests/branch-<name>`), fully
+    * invisible to every main-line reader — manifests/v<N> never name
+    * staged files until [[publishBranch]]. Repeated stageAppend calls
+    * accumulate on the branch (atomic manifest replace; one writer per
+    * branch is the WAP contract). Returns the branch's staged file
+    * count. */
+  def stageAppend(spark: SparkSession, tableDir: String, branch: String,
+      df: DataFrame, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Int = {
+    val dir = newDataDir(tableDir)
+    df.write.parquet(dir)
+    val mine = entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
+    Files.createDirectories(manifestDir(tableDir))
+    val bp = branchPath(tableDir, branch)
+    val lines = (stagedEntries(tableDir, branch) ++ mine).map(_.line)
+    val tmp = manifestDir(tableDir).resolve(
+      s".branch-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, bp, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    lines.size
+  }
+
+  /** Branch lines reuse the main manifest entry format, stats included. */
+  def stagedEntries(tableDir: String, branch: String): Seq[FileEntry] = {
+    val bp = branchPath(tableDir, branch)
+    if (!Files.exists(bp)) Seq.empty
+    else new String(Files.readAllBytes(bp), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq.map(parseEntry)
+  }
+
+  /** The AUDIT view: current main plus the branch's staged rows — what
+    * main WILL look like if the branch publishes. Constraint suites
+    * (ConstraintOps) run against this, never against published data. */
+  def readBranch(spark: SparkSession, tableDir: String,
+      branch: String): DataFrame = {
+    val files = snapshotFiles(tableDir, currentVersion(tableDir)) ++
+      stagedEntries(tableDir, branch).map(_.path)
+    require(files.nonEmpty, s"readBranch on empty $tableDir/$branch")
+    spark.read.parquet(files: _*)
+  }
+
+  /** PUBLISH: the staged files join the main line as one atomic
+    * version (manifest union onto the CURRENT main — rebases over
+    * commits that landed since staging, the commitAppend discipline),
+    * then the branch pointer deletes. Zero data movement: publish is
+    * pure metadata. */
+  def publishBranch(tableDir: String, branch: String,
+      maxRetries: Int = 20): Committed = {
+    val bp = branchPath(tableDir, branch)
+    require(Files.exists(bp), s"no branch $branch on $tableDir")
+    val stagedLines = new String(Files.readAllBytes(bp),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+        snapshotEntries(tableDir, base).map(_.line) ++ stagedLines
+      if (tryPublishLines(tableDir, base + 1, lines)) {
+        Files.deleteIfExists(bp)
+        return Committed(base + 1, 0, stagedLines.size, conflicts)
+      }
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"publishBranch lost $maxRetries version races on $tableDir")
+  }
+
+  /** REJECT: drop the branch pointer; its files become unreferenced
+    * orphans for [[vacuum]] — dirty data never touched the main line. */
+  def dropBranch(tableDir: String, branch: String): Boolean =
+    Files.deleteIfExists(branchPath(tableDir, branch))
 
   /** Transactional MERGE (upsert): source rows REPLACE target rows
     * sharing their key (every copy, across files); source rows with no

@@ -365,6 +365,37 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(SnapshotOps.readSnapshot(spark, t, 2).count() == 1024)
   }
 
+  test("write-audit-publish: staged files are invisible on main, reject " +
+      "leaves main untouched, publish lands atomically, orphans vacuum") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"))
+    // stage a dirty batch (v <= 0 violates the audit rule)
+    SnapshotOps.stageAppend(spark, t, "ing",
+      (21L to 25L).map(i => (i, -1L)).toDF("id", "v"))
+    assert(SnapshotOps.readLatest(spark, t).count() == 20) // invisible
+    val branchView = SnapshotOps.readBranch(spark, t, "ing")
+    assert(branchView.count() == 25)
+    assert(branchView.where($"v" <= 0).count() == 5) // audit fails
+    assert(SnapshotOps.dropBranch(t, "ing"))
+    assert(SnapshotOps.currentVersion(t) == 1) // reject: main untouched
+    assert(SnapshotOps.readLatest(spark, t).count() == 20)
+    // second attempt, clean: audit passes, publish = pure metadata
+    SnapshotOps.stageAppend(spark, t, "ing",
+      (21L to 25L).map(i => (i, i)).toDF("id", "v"))
+    assert(SnapshotOps.readBranch(spark, t, "ing")
+      .where($"v" <= 0).count() == 0)
+    val c = SnapshotOps.publishBranch(t, "ing")
+    assert(c.version == 2)
+    assert(SnapshotOps.readLatest(spark, t).count() == 25)
+    assert(!SnapshotOps.dropBranch(t, "ing")) // pointer consumed
+    // the rejected batch's files are vacuum-able orphans
+    val (_, deleted) = SnapshotOps.vacuum(t, 2, graceMs = 0)
+    assert(deleted >= 1, "rejected staged files should vacuum")
+    assert(SnapshotOps.readLatest(spark, t).count() == 25)
+  }
+
   test("readSnapshot(0) is the empty table; commitRewrite on it refuses") {
     import spark.implicits._
     val t = freshTable()
