@@ -1373,6 +1373,40 @@ object SystemQueries {
         |ORDER BY phase""".stripMargin,
       headline = true),
 
+    // GOVERNED exactly-once streaming ingestion (r10) — q240's txn
+    // sink composed with q254's write-audit-publish gate: every
+    // micro-batch stages on a branch, the q212-style audit runs over
+    // just that batch, clean batches publish atomically under the
+    // per-stream batch watermark and the dirty batch's branch drops —
+    // its rows NEVER appear in any main manifest. One chunk (doc_id %
+    // 3 = 1, n_chars negated pre-ingest) is dirty by construction; the
+    // oracle pins the final main content to exactly the two clean
+    // chunks, publish/reject counts, and that the replayed epoch
+    // skipped.
+    "q255_stream_governed_ingest" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val scratch = s"${runScopedDir("/tmp/graft_q255", sfDir)}/s-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val (table, published, rejected, replaySkipped) =
+        StreamingOps.streamGovernedSink(spark, sfDir, scratch, chunks = 3)
+      SnapshotOps.readLatest(spark, table)
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("total_chars"),
+          count_distinct(col("lang")).as("langs"))
+        .select(lit(published).cast("int").as("published"),
+          lit(rejected).cast("int").as("rejected"), col("n"),
+          col("total_chars"), col("langs"),
+          lit(replaySkipped).as("replay_skipped"))
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """SELECT 2 AS published, 1 AS rejected, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+        |  TRUE AS replay_skipped
+        |FROM documents WHERE doc_id % 3 <> 1""".stripMargin,
+      headline = true),
+
     // Streaming media ingestion (r9): PNG files in a drop-zone
     // directory consumed by a binaryFile file STREAM, decoded with the
     // real JDK codec per arriving file, corpus stats maintained as

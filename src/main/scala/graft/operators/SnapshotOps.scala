@@ -641,17 +641,36 @@ object SnapshotOps {
     * version (manifest union onto the CURRENT main — rebases over
     * commits that landed since staging, the commitAppend discipline),
     * then the branch pointer deletes. Zero data movement: publish is
-    * pure metadata. */
+    * pure metadata. `txn` carries the same per-stream batch watermark
+    * as [[commitAppend]], making an audit-gated streaming sink's
+    * publish idempotent under replay (skipped = already published). */
   def publishBranch(tableDir: String, branch: String,
-      maxRetries: Int = 20): Committed = {
+      maxRetries: Int = 20,
+      txn: Option[(String, Long)] = None): Committed = {
+    def alreadyIn(meta: Map[String, String]): Boolean = txn.exists {
+      case (sid, bid) => meta.get(s"txn.$sid").exists(_.toLong >= bid)
+    }
     val bp = branchPath(tableDir, branch)
+    val pre = currentVersion(tableDir)
+    if (alreadyIn(snapshotMeta(tableDir, pre))) {
+      Files.deleteIfExists(bp) // replayed branch content is stale
+      return Committed(pre, 0, 0, 0, skipped = true)
+    }
     require(Files.exists(bp), s"no branch $branch on $tableDir")
     val stagedLines = new String(Files.readAllBytes(bp),
       StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+      val meta = snapshotMeta(tableDir, base)
+      if (alreadyIn(meta)) {
+        Files.deleteIfExists(bp)
+        return Committed(base, 0, 0, conflicts, skipped = true)
+      }
+      val newMeta = txn.fold(meta) { case (sid, bid) =>
+        meta + (s"txn.$sid" -> bid.toString)
+      }
+      val lines = metaLines(newMeta) ++
         snapshotEntries(tableDir, base).map(_.line) ++ stagedLines
       if (tryPublishLines(tableDir, base + 1, lines)) {
         Files.deleteIfExists(bp)

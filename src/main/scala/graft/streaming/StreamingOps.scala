@@ -646,4 +646,73 @@ object StreamingOps {
       spark.read.parquet(srcDir), txn = Some((streamId, lastBatch)))
     (table, SnapshotOps.currentVersion(table), replay.skipped)
   }
+
+  /** GOVERNED exactly-once streaming ingestion — the q240 txn sink
+    * composed with the q254 write-audit-publish gate: every
+    * micro-batch STAGES on a branch (invisible to main), an audit
+    * predicate runs over the staged rows, and only a clean batch
+    * publishes (atomic metadata CAS carrying the per-stream batch
+    * watermark, so replays skip); a dirty batch's branch drops — its
+    * rows never reach a main manifest and its files die as vacuum
+    * orphans. The per-batch cost over the plain sink is one branch
+    * manifest write + the audit scan of just that batch.
+    * Returns (tableDir, published, rejected, replaySkipped). */
+  def streamGovernedSink(spark: SparkSession, sfDir: String,
+      scratch: String, chunks: Int): (String, Int, Int, Boolean) = {
+    import graft.operators.SnapshotOps
+    // chunk by doc_id % chunks (deterministic, oracle-rederivable) and
+    // corrupt chunk 1's n_chars so exactly that batch fails the audit
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(chunks)) === 1,
+          -col("n_chars") - 1).otherwise(col("n_chars")).as("n_chars"))
+    val srcDir = s"$scratch/chunks"
+    // one file per chunk, written separately: a batch IS a chunk, so
+    // the audit verdict applies to exactly one doc_id class
+    (0 until chunks).foreach { c =>
+      docs.where(pmod(col("doc_id"), lit(chunks)) === c).coalesce(1)
+        .write.mode(if (c == 0) "overwrite" else "append")
+        .parquet(srcDir)
+    }
+    val table = s"$scratch/table"
+    val streamId = "governed_ingest"
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    var published = 0
+    var rejected = 0
+    var lastClean = -1L
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val branch = s"b$id"
+        SnapshotOps.stageAppend(spark, table, branch, batch.toDF(),
+          statsCols = Seq("doc_id"))
+        val dirty = graft.operators.ConstraintOps.rowChecks(
+          spark.read.parquet(SnapshotOps.stagedEntries(table, branch)
+            .map(_.path): _*),
+          Seq("chars_nonneg" -> (col("n_chars") >= 0)))
+          .agg(sum(col("violations"))).head().getLong(0)
+        if (dirty == 0) {
+          SnapshotOps.publishBranch(table, branch,
+            txn = Some((streamId, id)))
+          published += 1
+          lastClean = math.max(lastClean, id)
+        } else {
+          SnapshotOps.dropBranch(table, branch)
+          rejected += 1
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // at-least-once replay of the last published epoch: stage again,
+    // publish must skip on the txn watermark without appending
+    SnapshotOps.stageAppend(spark, table, "replay",
+      spark.read.parquet(srcDir).limit(1))
+    val replay = SnapshotOps.publishBranch(table, "replay",
+      txn = Some((streamId, lastClean)))
+    (table, published, rejected, replay.skipped)
+  }
 }

@@ -396,6 +396,29 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(SnapshotOps.readLatest(spark, t).count() == 25)
   }
 
+  test("publishBranch with a txn watermark is idempotent: a replayed " +
+      "epoch's publish skips, consumes the branch, appends nothing") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t, Seq((1L, 1L)).toDF("id", "v"))
+    SnapshotOps.stageAppend(spark, t, "b0",
+      Seq((2L, 2L)).toDF("id", "v"))
+    val c = SnapshotOps.publishBranch(t, "b0", txn = Some(("s", 0L)))
+    assert(c.version == 2 && !c.skipped)
+    // replay: stage the same epoch again, publish must skip
+    SnapshotOps.stageAppend(spark, t, "b0r",
+      Seq((2L, 2L)).toDF("id", "v"))
+    val r = SnapshotOps.publishBranch(t, "b0r", txn = Some(("s", 0L)))
+    assert(r.skipped && r.version == 2)
+    assert(SnapshotOps.currentVersion(t) == 2)
+    assert(SnapshotOps.readLatest(spark, t).count() == 2)
+    assert(!SnapshotOps.dropBranch(t, "b0r")) // pointer consumed
+    // the next epoch still publishes
+    SnapshotOps.stageAppend(spark, t, "b1", Seq((3L, 3L)).toDF("id", "v"))
+    assert(SnapshotOps.publishBranch(t, "b1",
+      txn = Some(("s", 1L))).version == 3)
+  }
+
   test("readSnapshot(0) is the empty table; commitRewrite on it refuses") {
     import spark.implicits._
     val t = freshTable()
