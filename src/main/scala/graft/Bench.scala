@@ -86,12 +86,12 @@ object Bench {
     // Only emitted for the full default set at the driver's sf — an
     // args-selected subset has no recorded floor.
     // floor re-measured whenever the headline set changes; r10
-    // 89-entry set (q211/q226/q227 + q234-q254 promoted): r9's 65-entry
+    // 90-entry set (q211/q226/q227 + q234-q255 promoted): r9's 65-entry
     // floor 44.9 s + 32.4 s best-of-pass sum for the first 23 additions
-    // + 1.9 s q254 (scoped interleaved runs, BASELINE.md Round-10)
-    // ≈ 79 s; rounded down to 78.0 as the recorded floor
+    // + 1.9 s q254 + 2.8 s q255 (scoped interleaved runs, BASELINE.md
+    // Round-10) ≈ 82 s; rounded down to 81.0 as the recorded floor
     val quietFloorSec: Option[Double] =
-      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(78.0) else None
+      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(81.0) else None
     val runNoisy = quietFloorSec.map { floor =>
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""
