@@ -831,6 +831,9 @@ object SystemQueries {
         statsCols = Seq("l_orderkey"))
       val v = SnapshotOps.currentVersion(table)
       val total = SnapshotOps.snapshotEntries(table, v).size
+      // metadata-only count(*): summed from the manifest's per-file
+      // row stats, no data file opened (oracle pins it to the scan)
+      val metaRows = SnapshotOps.snapshotRowCount(table, v).get
       Seq((1, 400), (1801, 2200), (3601, 4000)).map { case (lo, hi) =>
         val kept = SnapshotOps.rangeFiles(table, v, "l_orderkey",
           BigDecimal(lo), BigDecimal(hi)).size
@@ -840,7 +843,8 @@ object SystemQueries {
             sum(col("l_quantity").cast("decimal(18,2)"))
               .cast("decimal(18,2)").as("qty"))
           .select(lit(lo).cast("int").as("lo"), lit(hi).cast("int").as("hi"),
-            col("n"), col("qty"), lit(kept < total).as("pruned"))
+            col("n"), col("qty"), lit(kept < total).as("pruned"),
+            lit(metaRows).cast("bigint").as("meta_rows"))
       }.reduce(_.unionByName(_)).orderBy("lo")
         // materialized before return: q194's intra-JVM safety rule
         .localCheckpoint()
@@ -850,7 +854,8 @@ object SystemQueries {
         |r(lo, hi) AS (VALUES (1, 400), (1801, 2200), (3601, 4000))
         |SELECT lo, hi, count(l_orderkey) AS n,
         |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
-        |  TRUE AS pruned
+        |  TRUE AS pruned,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS meta_rows
         |FROM r LEFT JOIN b ON l_orderkey BETWEEN lo AND hi
         |GROUP BY lo, hi ORDER BY lo""".stripMargin,
       headline = true),

@@ -185,12 +185,19 @@ object SnapshotOps {
     if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString
     else p
 
+  /** Reserved bounds key carrying the file's ROW COUNT (lo = hi = n):
+    * rides the same manifest field format, powers metadata-only
+    * count(*) ([[snapshotRowCount]]), and is excluded from stats-col
+    * inference (it is not a data column). */
+  private val RowsKey = "_rows"
+
   /** Per-file statistics over freshly written files — numeric min/max
-    * for `statsCols` and a Bloom filter of xxhash64 values for
-    * `bloomCols`, all in ONE distributed pass over only the writer's
-    * own output (a metadata cost that tracks the commit's data, never
-    * the table), grouped by the parquet metadata file path. All-null
-    * files get no bounds for that column (absent stats never skip). */
+    * for `statsCols`, a Bloom filter of xxhash64 values for
+    * `bloomCols`, plus the per-file row count, all in ONE distributed
+    * pass over only the writer's own output (a metadata cost that
+    * tracks the commit's data, never the table), grouped by the
+    * parquet metadata file path. All-null files get no bounds for that
+    * column (absent stats never skip). */
   private def entriesFor(spark: SparkSession, written: Seq[String],
       statsCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     if ((statsCols.isEmpty && bloomCols.isEmpty) || written.isEmpty)
@@ -202,7 +209,8 @@ object SnapshotOps {
       Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c"))) ++
       bloomCols.map(c => toCol(new BloomFilterAggregate(
         toExpr(xxhash64(col(c))), Literal(1L << 12), Literal(1L << 15))
-        .toAggregateExpression()).as(s"_bf_$c"))
+        .toAggregateExpression()).as(s"_bf_$c")) :+
+      count(lit(1)).as("_nrows")
     val stats = spark.read.parquet(written: _*)
       .groupBy(col("_metadata.file_path").as("_f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -213,14 +221,21 @@ object SnapshotOps {
               Some(c -> (BigDecimal(lo.toString), BigDecimal(hi.toString)))
             case _ => None
           }
-        }.toMap
+        }.toMap + (RowsKey -> {
+          val n = BigDecimal(r.getAs[Long]("_nrows"))
+          (n, n)
+        })
         val blooms = bloomCols.flatMap(c =>
           Option(r.getAs[Array[Byte]](s"_bf_$c")).map(c -> _)).toMap
         localPath(r.getAs[String]("_f")) -> (bounds, blooms)
       }.toMap
     written.map { f =>
-      val (bounds, blooms) = stats.getOrElse(f, (Map.empty[String,
-        (BigDecimal, BigDecimal)], Map.empty[String, Array[Byte]]))
+      // a file absent from the grouped stats holds ZERO rows (the
+      // writer emitted a schema-only file for an empty partition): no
+      // bounds/bloom, but its row count is known exactly
+      val (bounds, blooms) = stats.getOrElse(f,
+        (Map(RowsKey -> (BigDecimal(0), BigDecimal(0))),
+          Map.empty[String, Array[Byte]]))
       FileEntry(f, bounds, blooms)
     }
   }
@@ -229,7 +244,18 @@ object SnapshotOps {
     * compactions recompute these for the files they produce, so bounds
     * survive maintenance without the caller restating them. */
   private def statsColsOf(entries: Seq[FileEntry]): Seq[String] =
-    entries.flatMap(_.bounds.keys).distinct.sorted
+    entries.flatMap(_.bounds.keys).filterNot(_ == RowsKey).distinct.sorted
+
+  /** Metadata-only count(*): the snapshot's row count summed from the
+    * manifest's per-file `_rows` stats — Iceberg's count pushdown, no
+    * data file opened. None when any file predates row-count stats
+    * (the honest answer beats a wrong fast one). */
+  def snapshotRowCount(tableDir: String, version: Int): Option[Long] = {
+    val entries = snapshotEntries(tableDir, version)
+    val counts = entries.flatMap(_.bounds.get(RowsKey))
+    if (counts.size == entries.size) Some(counts.map(_._1.toLong).sum)
+    else None
+  }
 
   private def bloomColsOf(entries: Seq[FileEntry]): Seq[String] =
     entries.flatMap(_.blooms.keys).distinct.sorted

@@ -156,6 +156,17 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(SnapshotOps.snapshotEntries(t, 4).forall(_.bounds.contains("id")))
     assert(SnapshotOps.readSnapshotRange(spark, t, 4, "id", 1, 10)
       .agg(sum("v")).as[Long].head() == (1L to 10L).map(_ * 2 + 1000).sum)
+    // metadata-only count(*): every version with stats answers from
+    // the manifest alone, surviving compaction and COW
+    (2 to 4).foreach { v =>
+      assert(SnapshotOps.snapshotRowCount(t, v).contains(200L),
+        s"v$v metadata count")
+    }
+    // a stats-free append cannot claim a metadata count
+    val t2 = freshTable()
+    SnapshotOps.commitAppend(spark, t2,
+      (1L to 5L).map(i => (i, i)).toDF("id", "v"))
+    assert(SnapshotOps.snapshotRowCount(t2, 1).isEmpty)
   }
 
   test("snapshotDiff is a multiset CDC read over only the changed files: " +
