@@ -419,8 +419,17 @@ object SnapshotOps {
     require(keepVersions >= 1, "must retain at least the current version")
     val cur = currentVersion(tableDir)
     val keepFrom = math.max(1, cur - keepVersions + 1)
-    val retained = (keepFrom to cur)
-      .flatMap(snapshotFiles(tableDir, _)).toSet
+    // live BRANCH manifests pin their staged files too: a batch parked
+    // on a branch awaiting audit must survive any number of vacuums
+    // until it publishes or drops
+    val staged = Option(manifestDir(tableDir).toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("^branch-[A-Za-z0-9_-]+\\.manifest$"))
+      .flatMap(f => new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+        .map(l => parseEntry(l).path))
+    val retained = ((keepFrom to cur)
+      .flatMap(snapshotFiles(tableDir, _)) ++ staged).toSet
     val dropped = (1 until keepFrom)
       .count(v => Files.deleteIfExists(manifestPath(tableDir, v)))
     val cutoff = System.currentTimeMillis() - graceMs

@@ -401,10 +401,18 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(c.version == 2)
     assert(SnapshotOps.readLatest(spark, t).count() == 25)
     assert(!SnapshotOps.dropBranch(t, "ing")) // pointer consumed
-    // the rejected batch's files are vacuum-able orphans
+    // a LIVE branch's staged files are pinned against vacuum — only
+    // the rejected batch's files (no pointer) are orphans
+    SnapshotOps.stageAppend(spark, t, "parked",
+      (26L to 28L).map(i => (i, i)).toDF("id", "v"))
     val (_, deleted) = SnapshotOps.vacuum(t, 2, graceMs = 0)
     assert(deleted >= 1, "rejected staged files should vacuum")
     assert(SnapshotOps.readLatest(spark, t).count() == 25)
+    assert(SnapshotOps.readBranch(spark, t, "parked").count() == 28,
+      "parked branch must survive vacuum intact")
+    val c2 = SnapshotOps.publishBranch(t, "parked")
+    assert(SnapshotOps.readLatest(spark, t).count() == 28 &&
+      c2.version == 3)
   }
 
   test("publishBranch with a txn watermark is idempotent: a replayed " +
