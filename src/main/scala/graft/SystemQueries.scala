@@ -565,7 +565,7 @@ object SystemQueries {
         .groupBy(col("l_returnflag").as("rf"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("qty"))
+            .cast("double").as("qty"))
         .orderBy(col("rf").asc_nulls_first)
         // Materialize the 4-row aggregate NOW (eager localCheckpoint)
         // so the returned frame never lazily re-reads the scratch dir:
@@ -578,7 +578,7 @@ object SystemQueries {
       """SELECT CASE WHEN l_orderkey % 2 = 0 THEN NULL
         |  ELSE l_returnflag END AS rf,
         |  count(*) AS n,
-        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY 1 ORDER BY rf NULLS FIRST""".stripMargin),
 
     // Small-files COMPACTION — the operational sibling of q182's
@@ -605,7 +605,7 @@ object SystemQueries {
       spark.read.parquet(s"$dir/compacted")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("qty"),
+            .cast("double").as("qty"),
           contentXor("l_orderkey", "l_linenumber", "l_quantity")
             .as("content_xor"))
         // Eager 1-row materialization: sever the action-time read of
@@ -613,7 +613,7 @@ object SystemQueries {
         .localCheckpoint()
     },
       """SELECT count(*) AS n,
-        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  bit_xor(('0x' || substring(md5(
         |    CAST(l_orderkey AS VARCHAR) || '|' ||
         |    CAST(l_linenumber AS VARCHAR) || '|' ||
@@ -649,7 +649,7 @@ object SystemQueries {
         spark.read.parquet(files.map(f => s"$dir/$f"): _*)
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("qty"),
+              .cast("double").as("qty"),
             contentXor("l_orderkey", "l_linenumber", "l_quantity")
               .as("content_xor"))
           .select(lit(sid).cast("int").as("snapshot"), col("n"),
@@ -662,7 +662,7 @@ object SystemQueries {
       """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
         |    l_returnflag FROM lineitem WHERE l_orderkey <= 2000),
         |v1 AS (SELECT 1 AS snapshot, count(*) AS n,
-        |    CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |    bit_xor(('0x' || substring(md5(
         |      CAST(l_orderkey AS VARCHAR) || '|' ||
         |      CAST(l_linenumber AS VARCHAR) || '|' ||
@@ -674,7 +674,7 @@ object SystemQueries {
         |      ELSE l_quantity END AS l_quantity
         |  FROM b),
         |v2 AS (SELECT 2 AS snapshot, count(*) AS n,
-        |    CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |    bit_xor(('0x' || substring(md5(
         |      CAST(l_orderkey AS VARCHAR) || '|' ||
         |      CAST(l_linenumber AS VARCHAR) || '|' ||
@@ -716,7 +716,7 @@ object SystemQueries {
         SnapshotOps.readSnapshot(spark, table, v)
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("qty"),
+              .cast("double").as("qty"),
             contentXor("l_orderkey", "l_linenumber", "l_quantity")
               .as("content_xor"))
           .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
@@ -737,7 +737,7 @@ object SystemQueries {
         |      ELSE l_quantity END
         |  FROM b)
         |SELECT version, count(*) AS n,
-        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  bit_xor(('0x' || substring(md5(
         |    CAST(l_orderkey AS VARCHAR) || '|' ||
         |    CAST(l_linenumber AS VARCHAR) || '|' ||
@@ -774,7 +774,7 @@ object SystemQueries {
         SnapshotOps.readSnapshot(spark, table, v)
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("qty"),
+              .cast("double").as("qty"),
             contentXor("l_orderkey", "l_linenumber", "l_quantity")
               .as("content_xor"))
           .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
@@ -796,7 +796,7 @@ object SystemQueries {
         |      ELSE l_quantity END
         |  FROM b)
         |SELECT version, count(*) AS n,
-        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  bit_xor(('0x' || substring(md5(
         |    CAST(l_orderkey AS VARCHAR) || '|' ||
         |    CAST(l_linenumber AS VARCHAR) || '|' ||
@@ -841,7 +841,7 @@ object SystemQueries {
           BigDecimal(lo), BigDecimal(hi))
           .agg(count(col("l_orderkey")).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("qty"))
+              .cast("double").as("qty"))
           .select(lit(lo).cast("int").as("lo"), lit(hi).cast("int").as("hi"),
             col("n"), col("qty"), lit(kept < total).as("pruned"),
             lit(metaRows).cast("bigint").as("meta_rows"))
@@ -853,7 +853,7 @@ object SystemQueries {
         |    WHERE l_orderkey <= 4000),
         |r(lo, hi) AS (VALUES (1, 400), (1801, 2200), (3601, 4000))
         |SELECT lo, hi, count(l_orderkey) AS n,
-        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  TRUE AS pruned,
         |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS meta_rows
         |FROM r LEFT JOIN b ON l_orderkey BETWEEN lo AND hi
@@ -1039,7 +1039,7 @@ object SystemQueries {
         SnapshotOps.readSnapshotPoint(spark, table, v, "c_name", name)
           .agg(count(lit(1)).as("n"),
             sum(col("c_acctbal").cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("acctbal"))
+              .cast("double").as("acctbal"))
           .select(lit(name).as("name"), col("n"), col("acctbal"),
             lit(kept < total).as("pruned"))
       }.reduce(_.unionByName(_)).orderBy("name")
@@ -1050,7 +1050,7 @@ object SystemQueries {
         |    SELECT c_name FROM customer ORDER BY c_custkey LIMIT 3))
         |SELECT p.c_name AS name, count(c.c_custkey) AS n,
         |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
-        |    AS DECIMAL(18,2)) AS acctbal,
+        |    AS DOUBLE) AS acctbal,
         |  TRUE AS pruned
         |FROM p LEFT JOIN customer c ON c.c_name = p.c_name
         |GROUP BY p.c_name ORDER BY name""".stripMargin,
@@ -1089,7 +1089,7 @@ object SystemQueries {
         SnapshotOps.readSnapshot(spark, table, v)
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("qty"),
+              .cast("double").as("qty"),
             contentXor("l_orderkey", "l_linenumber", "l_quantity")
               .as("content_xor"))
           .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
@@ -1107,7 +1107,7 @@ object SystemQueries {
         |  UNION ALL
         |  SELECT 3, l_orderkey, l_linenumber, l_quantity FROM b)
         |SELECT version, count(*) AS n,
-        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  bit_xor(('0x' || substring(md5(
         |    CAST(l_orderkey AS VARCHAR) || '|' ||
         |    CAST(l_linenumber AS VARCHAR) || '|' ||
@@ -1147,7 +1147,7 @@ object SystemQueries {
         SnapshotOps.readSnapshot(spark, table, v)
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity").cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("qty"),
+              .cast("double").as("qty"),
             contentXor("l_orderkey", "l_linenumber", "l_quantity")
               .as("content_xor"))
           .select(lit(v).cast("int").as("version"), col("n"), col("qty"),
@@ -1168,7 +1168,7 @@ object SystemQueries {
         |    FROM li WHERE l_orderkey > 800 AND l_orderkey <= 1200
         |    GROUP BY l_orderkey, l_linenumber)
         |SELECT version, count(*) AS n,
-        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  bit_xor(('0x' || substring(md5(
         |    CAST(l_orderkey AS VARCHAR) || '|' ||
         |    CAST(l_linenumber AS VARCHAR) || '|' ||
@@ -1206,7 +1206,7 @@ object SystemQueries {
         SnapshotOps.readSnapshotBox(spark, table, 2, box)
           .agg(count(lit(1)).as("n"),
             sum(col("l_extendedprice").cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("price"))
+              .cast("double").as("price"))
           .select(lit(oLo).cast("int").as("o_lo"),
             lit(pLo).cast("int").as("p_lo"), col("n"), col("price"),
             lit(zKept < hashKept).as("pruned"))
@@ -1218,7 +1218,7 @@ object SystemQueries {
         |  VALUES (100, 300, 0, 99), (500, 900, 100, 199))
         |SELECT o_lo, p_lo, count(l_orderkey) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |    AS DECIMAL(18,2)) AS price,
+        |    AS DOUBLE) AS price,
         |  TRUE AS pruned
         |FROM r LEFT JOIN lineitem
         |  ON l_orderkey BETWEEN o_lo AND o_hi
@@ -1272,7 +1272,7 @@ object SystemQueries {
             .as("n"),
           (coalesce(col("qty"), lit(BigDecimal(0))) +
             coalesce(col("dqty"), lit(BigDecimal(0))))
-            .cast("decimal(18,2)").as("qty"),
+            .cast("double").as("qty"),
           coalesce(col("delta_rows"), lit(0L)).as("delta_rows"))
         .where(col("n") > 0)
         .orderBy("l_returnflag")
@@ -1289,7 +1289,7 @@ object SystemQueries {
         |    l_returnflag FROM b),
         |cold AS (SELECT l_returnflag, count(*) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-        |      AS DECIMAL(18,2)) AS qty
+        |      AS DOUBLE) AS qty
         |  FROM v3r GROUP BY l_returnflag),
         |dm AS (SELECT l_returnflag FROM
         |    (SELECT * FROM v3r EXCEPT ALL SELECT * FROM v1r) i
@@ -1447,7 +1447,7 @@ object SystemQueries {
       spark.read.parquet(s"$dir/zorder")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("qty"),
+            .cast("double").as("qty"),
           contentXor("l_orderkey", "l_partkey", "l_quantity")
             .as("content_xor"))
         // Eager 1-row materialization: sever the action-time read of
@@ -1455,7 +1455,7 @@ object SystemQueries {
         .localCheckpoint()
     },
       """SELECT count(*) AS n,
-        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |  bit_xor(('0x' || substring(md5(
         |    CAST(l_orderkey AS VARCHAR) || '|' ||
         |    CAST(l_partkey AS VARCHAR) || '|' ||
