@@ -96,21 +96,34 @@ object Bench {
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""
     }.getOrElse("")
+    // casing-parity gate in the hard artifact (r10 verdict ask #8):
+    // replay the 75 gold entries with H11 casing canonicalization
+    // applied first (the reference's --correct-sql-casing analogue) and
+    // record pass/checked in the summary the driver parses. Untimed —
+    // runs after both measurement passes, so it cannot touch any number.
+    val goldCasing =
+      if (args.nonEmpty) ""
+      else try {
+        val rs = GoldSuite.run(spark, correctCasing = true)
+        val checked = rs.filterNot(_.skipped)
+        s""","gold_casing":"${checked.count(_.ok)}/${checked.length}""""
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] gold --casing replay failed: ${e.getMessage}")
+        s""","gold_casing":"error""""
+      }
     // print order matters for the driver's artifact, which keeps (a) a
     // parse of a stdout JSON line and (b) the last few KB of stdout.
-    // r7's single long line overflowed both; r8/r9 put the summary last
-    // but left the per-entry MIN map mid-stream, so the visible tail
-    // carried only queries_max — and both rounds' artifacts invited
-    // phantom-regression analysis from the max map. Now: short summary
-    // first (always parses whole), queries_max in the middle (spike
-    // visibility), and the FINAL line is the full total WITH the
-    // per-entry min map (~2 KB for the r10 88-entry set — inside any tail
-    // window), so the map that means "steady state" is the one a tail
-    // read sees.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"failed":$failed$runNoisy,"sf":"$sfDir"}"""
-    println(summary)
-    println(s"""{"metric":"detail_max","value":$total,"unit":"sec","queries_max":$qmax,"sf":"$sfDir"}""")
+    // r7's single long line overflowed both; r10 put the ~2.2 KB
+    // map-bearing total LAST and the driver's tail window truncated it
+    // mid-stream, so the round's parse came back null. Now: the fat
+    // per-entry MIN map first (still lands inside a few-KB tail window
+    // for the 90-entry set), queries_max second (spike visibility), and
+    // the FINAL line is the SHORT summary — small enough that no tail
+    // window can split it, so the driver's parse always gets a total.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"failed":$failed$runNoisy$goldCasing,"sf":"$sfDir"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"queries":$qjson,"noisy":$noisy,"failed":$failed$runNoisy,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail_max","value":$total,"unit":"sec","queries_max":$qmax,"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }

@@ -159,11 +159,18 @@ object PipelineQueries {
          |  ORDER BY cnt DESC, piece LIMIT 24) m""".stripMargin
     }
 
-    /** Integer piece costs: round(ln(total/cnt), 6) · 1e6 — the one
-      * float touchpoint; everything downstream is exact integers. */
+    /** Integer piece costs: ln(total/cnt) · 1e6, half-up — the one
+      * float touchpoint; everything downstream is exact integers.
+      * Derived as floor(x·1e6 + 0.5): Spark's round() is BigDecimal
+      * HALF_UP while DuckDB's is std::round on the scaled value, and
+      * Spark's double→BIGINT cast truncates while DuckDB's rounds —
+      * either pair can differ by 1 when x·1e6 lands one ulp off an
+      * integer, flipping a Viterbi near-tie. floor() of a
+      * positive value (tot ≥ cnt ⇒ ln ≥ 0) yields an exactly-integral
+      * double, which both engines cast to the same BIGINT. */
     def costSql(vTab: String): String =
       s"""SELECT piece,
-         |  CAST(round(ln(CAST(t.tot AS DOUBLE) / cnt), 6) * 1000000
+         |  CAST(floor(ln(CAST(t.tot AS DOUBLE) / cnt) * 1000000 + 0.5)
          |    AS BIGINT) AS cost
          |FROM $vTab, (SELECT sum(cnt) AS tot FROM $vTab) t""".stripMargin
 

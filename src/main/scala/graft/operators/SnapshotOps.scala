@@ -694,17 +694,28 @@ object SnapshotOps {
     require(Files.exists(bp), s"no branch $branch on $tableDir")
     val stagedLines = new String(Files.readAllBytes(bp),
       StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    // Content fingerprint of the staged lines, recorded in the
+    // published manifest's meta under publish.<branch>. Makes the
+    // NON-txn path crash-idempotent too: a crash after the manifest
+    // CAS won but before the branch pointer deleted leaves a stale
+    // branch whose files are already in main — a restart's re-publish
+    // finds its own fingerprint in the current meta and skips instead
+    // of appending every staged row a second time. (Staged paths are
+    // UUID-unique, so equal fingerprint ⇔ same staged content.)
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(stagedLines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
       val meta = snapshotMeta(tableDir, base)
-      if (alreadyIn(meta)) {
+      if (alreadyIn(meta) || meta.get(s"publish.$branch").contains(fp)) {
         Files.deleteIfExists(bp)
         return Committed(base, 0, 0, conflicts, skipped = true)
       }
       val newMeta = txn.fold(meta) { case (sid, bid) =>
         meta + (s"txn.$sid" -> bid.toString)
-      }
+      } + (s"publish.$branch" -> fp)
       val lines = metaLines(newMeta) ++
         snapshotEntries(tableDir, base).map(_.line) ++ stagedLines
       if (tryPublishLines(tableDir, base + 1, lines)) {

@@ -708,11 +708,18 @@ object StreamingOps {
       .start()
     q.awaitTermination()
     // at-least-once replay of the last published epoch: stage again,
-    // publish must skip on the txn watermark without appending
-    SnapshotOps.stageAppend(spark, table, "replay",
-      spark.read.parquet(srcDir).limit(1))
-    val replay = SnapshotOps.publishBranch(table, "replay",
-      txn = Some((streamId, lastClean)))
-    (table, published, rejected, replay.skipped)
+    // publish must skip on the txn watermark without appending. Only
+    // meaningful when something published: with lastClean = -1 no txn
+    // watermark exists in the manifest and publishBranch would PUBLISH
+    // the replay sample into main — so skip the simulation entirely
+    // (replaySkipped = false reports the truth: nothing was replayed).
+    val replaySkipped =
+      if (lastClean >= 0) {
+        SnapshotOps.stageAppend(spark, table, "replay",
+          spark.read.parquet(srcDir).limit(1))
+        SnapshotOps.publishBranch(table, "replay",
+          txn = Some((streamId, lastClean))).skipped
+      } else false
+    (table, published, rejected, replaySkipped)
   }
 }

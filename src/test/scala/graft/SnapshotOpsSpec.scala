@@ -438,6 +438,31 @@ class SnapshotOpsSpec extends SparkSpecBase {
       txn = Some(("s", 1L))).version == 3)
   }
 
+  test("publishBranch without a txn is crash-idempotent: re-publishing a " +
+      "branch whose files already joined main skips on the content " +
+      "fingerprint instead of appending twice") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t, Seq((1L, 1L)).toDF("id", "v"))
+    SnapshotOps.stageAppend(spark, t, "bx", Seq((2L, 2L)).toDF("id", "v"))
+    val bp = java.nio.file.Paths.get(t, "manifests", "branch-bx.manifest")
+    val staged = java.nio.file.Files.readAllBytes(bp)
+    assert(SnapshotOps.publishBranch(t, "bx").version == 2)
+    // crash window: the manifest CAS won but the branch pointer never
+    // deleted — restart sees the stale branch and re-publishes it
+    java.nio.file.Files.write(bp, staged)
+    val r = SnapshotOps.publishBranch(t, "bx")
+    assert(r.skipped && r.version == 2)
+    assert(SnapshotOps.currentVersion(t) == 2)
+    assert(SnapshotOps.readLatest(spark, t).count() == 2) // no dup rows
+    assert(!java.nio.file.Files.exists(bp)) // pointer consumed this time
+    // same branch NAME with fresh content is a different fingerprint
+    // and still publishes
+    SnapshotOps.stageAppend(spark, t, "bx", Seq((3L, 3L)).toDF("id", "v"))
+    assert(SnapshotOps.publishBranch(t, "bx").version == 3)
+    assert(SnapshotOps.readLatest(spark, t).count() == 3)
+  }
+
   test("readSnapshot(0) is the empty table; commitRewrite on it refuses") {
     import spark.implicits._
     val t = freshTable()
