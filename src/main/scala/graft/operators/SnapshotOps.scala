@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   *      rewrites a published file, so any committed snapshot stays
   *      readable forever (time travel is file-list selection).
   *   2. **Commit = one atomic metadata operation.** A snapshot is a
-  *      manifest file `manifests/v<N>.manifest` (one data-file path
-  *      per line). Publishing version N is a hard-link creation of
-  *      that name from a fully-written temp file — link creation is
+  *      manifest file `manifests/v<N>.manifest` whose lines are
+  *      manifest-GROUP references (`@` lines carrying aggregated
+  *      stats; the group file holds the per-file entries — the
+  *      Iceberg manifest-list level, see the groups section below) or
+  *      legacy flat file entries. Publishing version N is a hard-link
+  *      creation of that name from a fully-written temp file — link
+  *      creation is
   *      atomic in POSIX and FAILS if the name exists, which makes the
   *      version number a compare-and-swap slot: of two concurrent
   *      writers targeting v<N>, exactly one wins; the loser's data
@@ -80,6 +84,123 @@ object SnapshotOps {
   private def manifestPath(tableDir: String, v: Int): Path =
     manifestDir(tableDir).resolve(s"v$v.manifest")
 
+  // ---------------------------------------------------------------
+  // Manifest GROUPS — the manifest-list level (Iceberg's two-level
+  // metadata tree). A version manifest line is either a plain file
+  // entry (legacy/flat) or a GROUP reference:
+  //
+  //   @<groupFile>\t_files=n..n\t_rows=sum..sum\t<col>=lo..hi…\t~col=…
+  //
+  // i.e. the FileEntry line format with the path prefixed by `@`,
+  // where bounds are the AGGREGATED envelope over the group's files
+  // (per-column [min of los, max of his]; `_rows` the summed row
+  // count; blooms the bitwise UNION of the members' filters — legal
+  // because all filters are built with identical size/hash params).
+  // The group file itself (`manifests/groups/g-*.grp`, immutable)
+  // holds the per-file entry lines.
+  //
+  // Why: a flat manifest is O(table's files) of driver parse on EVERY
+  // read, commit, and vacuum — fine at 10³ files, a driver bottleneck
+  // at the 10⁵-10⁶ files a 100 TB table carries. With groups,
+  //   * commitAppend/publishBranch carry the base manifest's lines
+  //     forward VERBATIM and add one group line — commit metadata
+  //     cost tracks the commit, never the table;
+  //   * pruned reads (range/point/box) test the group envelope first
+  //     and parse only groups that may match — planning is
+  //     O(groups + surviving files), not O(files);
+  //   * partial rewrites are copy-on-write at GROUP granularity: a
+  //     group none of whose files is touched carries forward as its
+  //     one unparsed line.
+  // A column missing from ANY member's stats is omitted from the
+  // envelope (absence never skips, at either level). Group files are
+  // immutable, so they are shared across versions and cacheable; they
+  // are GC'd by [[vacuum]] alongside the data files.
+  // ---------------------------------------------------------------
+
+  /** Reserved group-bounds key carrying the member-file count. */
+  private val FilesKey = "_files"
+
+  private def groupsDir(tableDir: String): Path =
+    manifestDir(tableDir).resolve("groups")
+
+  /** Immutable-content cache of parsed group files: a group file is
+    * written once and never modified, so caching by path is safe; the
+    * bound only caps driver memory across many tables/tests. */
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+
+  private def groupEntries(path: String): Seq[FileEntry] = {
+    if (groupCache.size > 4096) groupCache.clear()
+    groupCache.computeIfAbsent(path, p =>
+      new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq.map(parseEntry))
+  }
+
+  private def unionBloom(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val merged = parts.map(b => org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Write `entries` as one immutable group file and return its
+    * manifest line (aggregated envelope stats, see above). */
+  private def groupLine(tableDir: String, entries: Seq[FileEntry]): String = {
+    require(entries.nonEmpty, "empty manifest group")
+    val gd = groupsDir(tableDir)
+    Files.createDirectories(gd)
+    val gp = gd.resolve(
+      s"g-${java.util.UUID.randomUUID().toString.take(12)}.grp")
+    Files.write(gp,
+      entries.map(_.line).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val cols = entries.flatMap(_.bounds.keys).distinct
+    val bounds = cols.flatMap { c =>
+      val bs = entries.map(_.bounds.get(c))
+      if (bs.exists(_.isEmpty)) None // a stat-less member poisons the col
+      else {
+        val vs = bs.flatten
+        Some(c -> (if (c == RowsKey) {
+          val s = vs.map(_._1).sum; (s, s)
+        } else (vs.map(_._1).min, vs.map(_._2).max)))
+      }
+    }.toMap + (FilesKey ->
+      (BigDecimal(entries.size), BigDecimal(entries.size)))
+    val blooms = entries.flatMap(_.blooms.keys).distinct
+      .filter(c => entries.forall(_.blooms.contains(c)))
+      .map(c => c -> unionBloom(entries.map(_.blooms(c)))).toMap
+    groupCache.put(gp.toString, entries)
+    "@" + FileEntry(gp.toString, bounds, blooms).line
+  }
+
+  /** One non-meta manifest line: a flat file entry or a group
+    * reference. `ref` is the line's own stats (the file's, or the
+    * group's aggregated envelope); `entries` expands to the per-file
+    * entries (parsing the group file only when called — pruned reads
+    * never expand skipped groups). */
+  private final case class ManifestUnit(raw: String) {
+    val isGroup: Boolean = raw.startsWith("@")
+    lazy val ref: FileEntry = parseEntry(if (isGroup) raw.drop(1) else raw)
+    lazy val entries: Seq[FileEntry] =
+      if (isGroup) groupEntries(ref.path) else Seq(ref)
+    /** May this unit hold rows inside the box? (absent bounds: yes) */
+    def mayMatch(box: Seq[(String, BigDecimal, BigDecimal)]): Boolean =
+      box.forall { case (c, lo, hi) =>
+        ref.bounds.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    /** May this unit hold `column == value(h)`? (absent bloom: yes) */
+    def mayContain(column: String, h: Long): Boolean =
+      ref.blooms.get(column).forall(b =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b))
+          .mightContainLong(h))
+  }
+
+  private def snapshotUnits(tableDir: String, version: Int): Seq[ManifestUnit] =
+    manifestLines(tableDir, version).filterNot(_.startsWith("#"))
+      .map(ManifestUnit)
+
   /** Highest committed version; 0 = the empty table (no manifest). */
   def currentVersion(tableDir: String): Int = {
     val d = manifestDir(tableDir).toFile
@@ -125,11 +246,11 @@ object SnapshotOps {
       }.toMap)
   }
 
-  /** File entries (path + per-file column stats) of a snapshot. Plain
-    * path lines (pre-stats manifests) parse as entries with no stats. */
+  /** File entries (path + per-file column stats) of a snapshot,
+    * group references expanded. Plain path lines (pre-stats manifests)
+    * parse as entries with no stats. */
   def snapshotEntries(tableDir: String, version: Int): Seq[FileEntry] =
-    manifestLines(tableDir, version).filterNot(_.startsWith("#"))
-      .map(parseEntry)
+    snapshotUnits(tableDir, version).flatMap(_.entries)
 
   /** Data-file list of a committed snapshot (empty for version 0). */
   def snapshotFiles(tableDir: String, version: Int): Seq[String] =
@@ -251,10 +372,20 @@ object SnapshotOps {
     * data file opened. None when any file predates row-count stats
     * (the honest answer beats a wrong fast one). */
   def snapshotRowCount(tableDir: String, version: Int): Option[Long] = {
-    val entries = snapshotEntries(tableDir, version)
-    val counts = entries.flatMap(_.bounds.get(RowsKey))
-    if (counts.size == entries.size) Some(counts.map(_._1.toLong).sum)
-    else None
+    // group lines carry the SUMMED row count in their envelope, so the
+    // common case is O(manifest lines) with no group file parsed; a
+    // group predating row stats (no _rows on its line) falls back to
+    // its per-file entries, and any file without a count → None.
+    val units = snapshotUnits(tableDir, version)
+    val perUnit = units.map { u =>
+      u.ref.bounds.get(RowsKey).map(_._1.toLong).orElse {
+        val counts = u.entries.flatMap(_.bounds.get(RowsKey))
+        if (counts.size == u.entries.size)
+          Some(counts.map(_._1.toLong).sum)
+        else None
+      }
+    }
+    if (perUnit.forall(_.isDefined)) Some(perUnit.flatten.sum) else None
   }
 
   private def bloomColsOf(entries: Seq[FileEntry]): Seq[String] =
@@ -298,6 +429,10 @@ object SnapshotOps {
     val dir = newDataDir(tableDir)
     df.write.parquet(dir)
     val mine = entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
+    // the group file is rebase-invariant: written once, reused across
+    // CAS retries (only the manifest line list rebases)
+    val mineLines =
+      if (mine.nonEmpty) Seq(groupLine(tableDir, mine)) else Nil
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
@@ -307,8 +442,12 @@ object SnapshotOps {
       val newMeta = txn.fold(meta) { case (sid, bid) =>
         meta + (s"txn.$sid" -> bid.toString)
       }
+      // append never parses the base manifest's entries: its lines
+      // (group refs or legacy flat entries) carry forward VERBATIM and
+      // the new files arrive as ONE group line — commit metadata cost
+      // tracks this commit's files, not the table's
       val lines = metaLines(newMeta) ++
-        (snapshotEntries(tableDir, base) ++ mine).map(_.line)
+        snapshotUnits(tableDir, base).map(_.raw) ++ mineLines
       if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, 0, mine.size, conflicts)
       conflicts += 1
@@ -332,9 +471,9 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val entries = snapshotEntries(tableDir, base)
-      val files = entries.map(_.path)
-      require(files.nonEmpty, s"commitRewrite on empty table $tableDir")
+      val units = snapshotUnits(tableDir, base)
+      val entries = units.flatMap(_.entries)
+      require(entries.nonEmpty, s"commitRewrite on empty table $tableDir")
       // job 1: which files contain matching rows (file-granularity
       // pruning via the metadata column — one distributed pass, a
       // manifest-sized collect)
@@ -344,8 +483,15 @@ object SnapshotOps {
         .where(cond)
         .select(col("_metadata.file_path").as("f"))
         .distinct().collect().map(r => localPath(r.getString(0))).toSet
-      val reused = entries.filterNot(e => touched.contains(localPath(e.path)))
-      val toRewrite = files.filterNot(f => reused.exists(_.path == f))
+      // copy-on-write at GROUP granularity: a unit none of whose files
+      // matches carries forward as its one unparsed line; only broken
+      // groups' survivors re-wrap
+      val (intact, broken) = units.partition(
+        _.entries.forall(e => !touched.contains(localPath(e.path))))
+      val survivors = broken.flatMap(_.entries)
+        .filterNot(e => touched.contains(localPath(e.path)))
+      val toRewrite = broken.flatMap(_.entries).map(_.path)
+        .filter(f => touched.contains(localPath(f)))
       val written = if (toRewrite.isEmpty) Seq.empty[FileEntry] else {
         // job 2: rewrite ONLY the touched files; non-matching rows in
         // them ride through unchanged; their bounds recompute so
@@ -363,9 +509,12 @@ object SnapshotOps {
           bloomColsOf(entries))
       }
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
-        (reused ++ written).map(_.line)
+        intact.map(_.raw) ++
+        (if (survivors.nonEmpty) Seq(groupLine(tableDir, survivors)) else Nil) ++
+        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)
       if (tryPublishLines(tableDir, base + 1, lines))
-        return Committed(base + 1, reused.size, written.size, conflicts)
+        return Committed(base + 1, entries.size - toRewrite.size,
+          written.size, conflicts)
       conflicts += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -391,7 +540,7 @@ object SnapshotOps {
       val written = entriesFor(spark, parquetFilesIn(dir),
         statsColsOf(entries), bloomColsOf(entries))
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
-        written.map(_.line)
+        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)
       if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, 0, written.size, conflicts)
       conflicts += 1
@@ -428,13 +577,24 @@ object SnapshotOps {
       .flatMap(f => new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
         .map(l => parseEntry(l).path))
-    val retained = ((keepFrom to cur)
-      .flatMap(snapshotFiles(tableDir, _)) ++ staged).toSet
+    val retainedUnits = (keepFrom to cur)
+      .flatMap(v => snapshotUnits(tableDir, v))
+    val retained = (retainedUnits.flatMap(_.entries.map(_.path)) ++
+      staged).toSet
+    // group files referenced by any retained manifest stay; the rest
+    // (dropped versions' groups, lost-race leftovers) are orphans
+    val retainedGroups = retainedUnits.filter(_.isGroup)
+      .map(_.ref.path).toSet
     val dropped = (1 until keepFrom)
       .count(v => Files.deleteIfExists(manifestPath(tableDir, v)))
     val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new java.io.File(s"$tableDir/data")
     var deleted = 0
+    Option(groupsDir(tableDir).toFile.listFiles())
+      .getOrElse(Array.empty).foreach { g =>
+        if (!retainedGroups.contains(g.getPath) && g.isFile &&
+            g.lastModified < cutoff) g.delete()
+      }
     Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { d =>
       Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
         if (!retained.contains(f.getPath) && f.isFile &&
@@ -454,9 +614,15 @@ object SnapshotOps {
     * file with no recorded bounds (absence never skips). Pure metadata
     * — no Spark job, no file listing. */
   def rangeFiles(tableDir: String, version: Int, column: String,
-      lo: BigDecimal, hi: BigDecimal): Seq[String] =
-    snapshotEntries(tableDir, version).filter(_.bounds.get(column)
-      .forall { case (mn, mx) => mx >= lo && mn <= hi }).map(_.path)
+      lo: BigDecimal, hi: BigDecimal): Seq[String] = {
+    val box = Seq((column, lo, hi))
+    // two-level prune: groups whose aggregated envelope misses the
+    // range are skipped WITHOUT parsing their group file — planning
+    // cost is O(groups + files of surviving groups), not O(files)
+    snapshotUnits(tableDir, version).filter(_.mayMatch(box))
+      .flatMap(_.entries).filter(_.bounds.get(column)
+        .forall { case (mn, mx) => mx >= lo && mn <= hi }).map(_.path)
+  }
 
   /** Range read with manifest pruning: only files surviving
     * [[rangeFiles]] are handed to the scan, then the exact predicate
@@ -484,8 +650,18 @@ object SnapshotOps {
     * diffs read strictly the appended files. */
   def snapshotDiff(spark: SparkSession, tableDir: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
-    val from = snapshotFiles(tableDir, fromVersion).toSet
-    val to = snapshotFiles(tableDir, toVersion).toSet
+    // unit-level prefilter: a group line present VERBATIM in both
+    // manifests names an identical file set on both sides (group files
+    // are immutable), so it cancels without even being parsed — the
+    // file-level symmetric difference then runs over changed units only
+    val fromUnits = snapshotUnits(tableDir, fromVersion)
+    val toUnits = snapshotUnits(tableDir, toVersion)
+    val common = fromUnits.map(_.raw).toSet
+      .intersect(toUnits.map(_.raw).toSet)
+    val from = fromUnits.filterNot(u => common.contains(u.raw))
+      .flatMap(_.entries.map(_.path)).toSet
+    val to = toUnits.filterNot(u => common.contains(u.raw))
+      .flatMap(_.entries.map(_.path)).toSet
     val removed = (from -- to).toSeq.sorted
     val added = (to -- from).toSeq.sorted
     // mergeSchema + allowMissingColumns: a diff straddling a schema
@@ -550,13 +726,22 @@ object SnapshotOps {
     * positives only cost an extra file scan, never a missed row. */
   def pointFiles(spark: SparkSession, tableDir: String, version: Int,
       column: String, value: Any): Seq[String] = {
-    val dt = readSnapshot(spark, tableDir, version)
-      .schema.apply(column).dataType
+    val units = snapshotUnits(tableDir, version)
+    // type the probe from the FIRST unit's files only — schemas are
+    // uniform across a snapshot (modulo evolution, where the plain
+    // non-merged read samples one file anyway), and expanding every
+    // group just to read a schema would defeat group-level pruning
+    val sample = units.headOption.map(_.entries.map(_.path)).getOrElse(Nil)
+    require(sample.nonEmpty, s"pointFiles on empty $tableDir v$version")
+    val dt = spark.read.parquet(sample: _*).schema.apply(column).dataType
     val h = probeHash(value, dt)
-    snapshotEntries(tableDir, version).filter(_.blooms.get(column)
-      .forall(b => org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(b))
-        .mightContainLong(h))).map(_.path)
+    // two-level prune: a group's UNION bloom missing the probe proves
+    // no member can contain it — the group file is never parsed
+    units.filter(_.mayContain(column, h))
+      .flatMap(_.entries).filter(_.blooms.get(column)
+        .forall(b => org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b))
+          .mightContainLong(h))).map(_.path)
   }
 
   /** Point read with manifest Bloom pruning + the exact residual. */
@@ -592,7 +777,7 @@ object SnapshotOps {
         (statsColsOf(entries) ++ Seq(colA, colB)).distinct.sorted,
         bloomColsOf(entries))
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
-        written.map(_.line)
+        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)
       if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, 0, written.size, conflicts)
       conflicts += 1
@@ -607,10 +792,11 @@ object SnapshotOps {
     * at once. Pure metadata; absent bounds never skip. */
   def boxFiles(tableDir: String, version: Int,
       box: Seq[(String, BigDecimal, BigDecimal)]): Seq[String] =
-    snapshotEntries(tableDir, version).filter(e => box.forall {
-      case (c, lo, hi) => e.bounds.get(c)
-        .forall { case (mn, mx) => mx >= lo && mn <= hi }
-    }).map(_.path)
+    snapshotUnits(tableDir, version).filter(_.mayMatch(box))
+      .flatMap(_.entries).filter(e => box.forall {
+        case (c, lo, hi) => e.bounds.get(c)
+          .forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }).map(_.path)
 
   /** Box read with manifest pruning + the exact residual conjunction. */
   def readSnapshotBox(spark: SparkSession, tableDir: String, version: Int,
@@ -705,6 +891,10 @@ object SnapshotOps {
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(stagedLines.mkString("\n").getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+    // rebase-invariant: the group file is written once across retries
+    val stagedGroup =
+      if (stagedLines.nonEmpty)
+        Seq(groupLine(tableDir, stagedLines.map(parseEntry))) else Nil
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
@@ -716,8 +906,11 @@ object SnapshotOps {
       val newMeta = txn.fold(meta) { case (sid, bid) =>
         meta + (s"txn.$sid" -> bid.toString)
       } + (s"publish.$branch" -> fp)
+      // base lines carry forward verbatim; the staged file entries
+      // publish as one group line — publish stays a pure-metadata
+      // operation whose cost tracks the batch, not the table
       val lines = metaLines(newMeta) ++
-        snapshotEntries(tableDir, base).map(_.line) ++ stagedLines
+        snapshotUnits(tableDir, base).map(_.raw) ++ stagedGroup
       if (tryPublishLines(tableDir, base + 1, lines)) {
         Files.deleteIfExists(bp)
         return Committed(base + 1, 0, stagedLines.size, conflicts)
@@ -757,7 +950,8 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val entries = snapshotEntries(tableDir, base)
+      val units = snapshotUnits(tableDir, base)
+      val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitMerge on empty table $tableDir")
       val snap = readSnapshot(spark, tableDir, base)
       val srcKeys = broadcast(src.select(keys: _*).distinct())
@@ -768,9 +962,13 @@ object SnapshotOps {
         .join(srcKeys, keyCols, "left_semi")
         .select(col("f"))
         .distinct().collect().map(r => localPath(r.getString(0))).toSet
-      val reused = entries.filterNot(e => touched.contains(localPath(e.path)))
-      val toRewrite = entries.map(_.path)
-        .filterNot(f => reused.exists(_.path == f))
+      // group-granular COW, as in commitRewrite
+      val (intact, broken) = units.partition(
+        _.entries.forall(e => !touched.contains(localPath(e.path))))
+      val survivors = broken.flatMap(_.entries)
+        .filterNot(e => touched.contains(localPath(e.path)))
+      val toRewrite = broken.flatMap(_.entries).map(_.path)
+        .filter(f => touched.contains(localPath(f)))
       val statsCols = statsColsOf(entries)
       val bloomCols = bloomColsOf(entries)
       val written = {
@@ -794,9 +992,12 @@ object SnapshotOps {
         entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
       }
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
-        (reused ++ written).map(_.line)
+        intact.map(_.raw) ++
+        (if (survivors.nonEmpty) Seq(groupLine(tableDir, survivors)) else Nil) ++
+        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)
       if (tryPublishLines(tableDir, base + 1, lines))
-        return Committed(base + 1, reused.size, written.size, conflicts)
+        return Committed(base + 1, entries.size - toRewrite.size,
+          written.size, conflicts)
       conflicts += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -819,12 +1020,19 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val entries = snapshotEntries(tableDir, base)
+      val units = snapshotUnits(tableDir, base)
+      val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitCompactSmall on empty $tableDir")
-      val sized = entries.map(e => e -> new java.io.File(e.path).length())
-      val (small, large) = sized.partition(_._2 < targetBytes / 2)
+      def isSmall(e: FileEntry): Boolean =
+        new java.io.File(e.path).length() < targetBytes / 2
+      val small = entries.map(e => e -> new java.io.File(e.path).length())
+        .filter(_._2 < targetBytes / 2)
       if (small.size <= 1)
         return Committed(base, entries.size, 0, conflicts, skipped = true)
+      // group-granular COW: all-large groups carry forward unparsed;
+      // large files stranded in broken groups re-wrap
+      val (intact, broken) = units.partition(_.entries.forall(!isSmall(_)))
+      val survivors = broken.flatMap(_.entries).filterNot(isSmall)
       // first-fit decreasing: stable, deterministic bin assignment
       val bins = scala.collection.mutable.ArrayBuffer
         .empty[(Long, scala.collection.mutable.ArrayBuffer[FileEntry])]
@@ -846,9 +1054,12 @@ object SnapshotOps {
         entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
       }
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
-        (large.map(_._1) ++ written).map(_.line)
+        intact.map(_.raw) ++
+        (if (survivors.nonEmpty) Seq(groupLine(tableDir, survivors)) else Nil) ++
+        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)
       if (tryPublishLines(tableDir, base + 1, lines))
-        return Committed(base + 1, large.size, written.size, conflicts)
+        return Committed(base + 1, entries.size - small.size,
+          written.size, conflicts)
       conflicts += 1
     }
     throw new java.util.ConcurrentModificationException(

@@ -463,6 +463,140 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(SnapshotOps.readLatest(spark, t).count() == 3)
   }
 
+  test("manifest groups: append carries the base manifest's lines " +
+      "forward verbatim and adds one @group line; commit metadata cost " +
+      "tracks the commit, not the table") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 100L).map(i => (i, i)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    SnapshotOps.commitAppend(spark, t,
+      (101L to 200L).map(i => (i, i)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    def bodyLines(v: Int): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "manifests", s"v$v.manifest")), "UTF-8")
+        .split("\n").filterNot(l => l.isEmpty || l.startsWith("#")).toSeq
+    val (v1, v2) = (bodyLines(1), bodyLines(2))
+    assert(v1.size == 1 && v1.head.startsWith("@"),
+      "a commit's files land as ONE group line")
+    assert(v2.size == 2 && v2.head == v1.head,
+      "the base group line carries forward byte-identical")
+    // the group line's envelope aggregates its members: 4 files,
+    // summed rows, id bounds spanning the commit
+    val env = SnapshotOps.snapshotEntries(t, 2)
+    assert(env.size == 8)
+    assert(v2.head.contains("_files=4..4"))
+    assert(v2.head.contains("_rows=100..100"))
+    // metadata-only count comes from the group lines alone
+    assert(SnapshotOps.snapshotRowCount(t, 2).contains(200L))
+  }
+
+  test("group-level pruning is lazy: a group whose envelope/bloom " +
+      "misses the predicate is never parsed (its group file may not " +
+      "even exist)") {
+    import spark.implicits._
+    val t = freshTable()
+    // one REAL group: two parquet files + a hand-built group file
+    val dataDir = s"$t/data/real"
+    (1L to 10L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(2, col("id")).write.parquet(dataDir)
+    val files = Option(new java.io.File(dataDir).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    val gd = java.nio.file.Paths.get(t, "manifests", "groups")
+    java.nio.file.Files.createDirectories(gd)
+    val g1 = gd.resolve("g-real.grp")
+    java.nio.file.Files.write(g1,
+      files.map(f => s"$f\tid=1..10\t_rows=5..5").mkString("\n").getBytes)
+    // a bloom admitting ONLY xxhash64(42L), for the bloom-prune leg
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1L << 12, 1L << 15)
+    bf.putLong(new XxHash64(Seq(Literal(42L))).eval(null).asInstanceOf[Long])
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    // PRUNABLE groups whose files deliberately DO NOT EXIST: if
+    // planning ever expanded one, the call would throw — absence of a
+    // throw IS the laziness proof (no parse cache can fake a file
+    // that was never written)
+    val realLine = s"@${g1}\tid=1..10\t_files=2..2\t_rows=10..10"
+    val ghostRange = s"@${gd.resolve("ghost-range.grp")}\tid=1000..2000\t_files=9..9"
+    assert(SnapshotOps.tryPublish(t, 1, Seq(realLine, ghostRange)))
+    // [1,10] intersects only the real group; ghost-range's envelope
+    // misses → never expanded → no NoSuchFileException
+    assert(SnapshotOps.rangeFiles(t, 1, "id", 1, 10).toSet == files.toSet)
+    assert(SnapshotOps.boxFiles(t, 1,
+      Seq(("id", BigDecimal(1), BigDecimal(10)))).toSet == files.toSet)
+    // bloom leg on a second table: the ghost's union bloom admits only
+    // xxhash64(42L); probing 7 prunes the group without expanding it
+    val t2 = freshTable()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(t2, "manifests", "groups"))
+    val ghostBloom = s"@${java.nio.file.Paths.get(t2, "manifests", "groups")
+      .resolve("ghost-bloom.grp")}\t_files=9..9\t~id=$b64"
+    assert(SnapshotOps.tryPublish(t2, 1, Seq(realLine, ghostBloom)))
+    assert(SnapshotOps.pointFiles(spark, t2, 1, "id", 7L).toSet ==
+      files.toSet)
+    // and the probe the bloom ADMITS does expand it → the ghost throws
+    intercept[Exception] {
+      SnapshotOps.pointFiles(spark, t2, 1, "id", 42L)
+    }
+    succeed
+  }
+
+  test("readSnapshotRange/Point hand the scan EXACTLY the kept files: " +
+      "pruned files are absent from the scan's file index (the q238/" +
+      "q248/q252 read path actually skips IO, not just manifest lines)") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 100L).map(i => (i, s"k$i")).toDF("id", "k")
+        .repartitionByRange(4, col("id")),
+      statsCols = Seq("id"), bloomCols = Seq("k"))
+    SnapshotOps.commitAppend(spark, t,
+      (101L to 200L).map(i => (i, s"k$i")).toDF("id", "k")
+        .repartitionByRange(4, col("id")),
+      statsCols = Seq("id"), bloomCols = Seq("k"))
+    val all = SnapshotOps.snapshotFiles(t, 2).toSet
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.toSeq
+            .map(p => if (p.startsWith("file:"))
+              java.nio.file.Paths.get(java.net.URI.create(p)).toString
+            else p)
+      }.flatten.toSet
+    val keptR = SnapshotOps.rangeFiles(t, 2, "id", 41, 50).toSet
+    assert(keptR.nonEmpty && keptR.size < all.size)
+    assert(scannedFiles(
+      SnapshotOps.readSnapshotRange(spark, t, 2, "id", 41, 50)) == keptR)
+    val keptP = SnapshotOps.pointFiles(spark, t, 2, "k", "k150").toSet
+    assert(keptP.nonEmpty && keptP.size < all.size)
+    assert(scannedFiles(
+      SnapshotOps.readSnapshotPoint(spark, t, 2, "k", "k150")) == keptP)
+  }
+
+  test("vacuum GCs group files: dropped versions' groups delete, the " +
+      "retained snapshot's groups survive") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 50L).map(i => (i, i)).toDF("id", "v"), statsCols = Seq("id"))
+    SnapshotOps.commitAppend(spark, t,
+      (51L to 100L).map(i => (i, i)).toDF("id", "v"), statsCols = Seq("id"))
+    SnapshotOps.commitCompact(spark, t, nFiles = 1) // v3 references only its own group
+    val gd = new java.io.File(s"$t/manifests/groups")
+    assert(gd.listFiles().length >= 3)
+    SnapshotOps.vacuum(t, keepVersions = 1, graceMs = 0)
+    val left = gd.listFiles().map(_.getPath).toSet
+    assert(left.size == 1, s"expected only v3's group, got $left")
+    // the survivor is exactly v3's group and the snapshot still reads
+    assert(SnapshotOps.readLatest(spark, t).count() == 100)
+    assert(SnapshotOps.snapshotRowCount(t, 3).contains(100L))
+  }
+
   test("readSnapshot(0) is the empty table; commitRewrite on it refuses") {
     import spark.implicits._
     val t = freshTable()
