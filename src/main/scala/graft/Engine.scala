@@ -121,10 +121,99 @@ class Engine(val spark: SparkSession) {
   def register(name: String, df: DataFrame): Unit = {
     val n = norm(name)
     tables(n) = df
+    // any direct re-register (CTAS, ALTER, CREATE) supersedes a
+    // snapshot-backed binding — the lazy DataFrame is authoritative
+    // again until the next DML materializes it
+    snapshotDirs.remove(n)
     // temp views are single-part; dotted (attached-catalog) names resolve
     // through the Engine's own map and an underscored alias view
     if (n.contains('.')) df.createOrReplaceTempView(n.replace('.', '_'))
     else df.createOrReplaceTempView(n)
+  }
+
+  // ---- snapshot-backed DML ----------------------------------------------
+  // UPDATE/DELETE/INSERT/MERGE route through the transactional snapshot
+  // layer (graft.operators.SnapshotOps) instead of lazy
+  // rematerialization: the first DML against a table materializes it as
+  // an immutable-file snapshot table, and each subsequent statement is a
+  // committed version — file-granular copy-on-write for UPDATE/DELETE,
+  // manifest-union append for INSERT, key-based upsert for MERGE. The
+  // regex front end is unchanged; only the execution story moves from
+  // "re-derive the DataFrame" to "commit against the table format",
+  // which is the shape that survives 100 TB (the rematerialization path
+  // remains only as the fallback for shapes the snapshot layer cannot
+  // hold: empty tables awaiting schema-only DDL, NullType columns).
+
+  private val snapshotDirs = mutable.Map.empty[String, String]
+
+  /** Last snapshot commit per table — spec-asserted (reuse/write/version
+    * counts prove DML is file-granular COW, not a table rewrite). */
+  val lastCommit: mutable.Map[String, graft.operators.SnapshotOps.Committed] =
+    mutable.Map.empty
+
+  /** The snapshot table directory backing `name`, when DML has
+    * materialized it. */
+  def snapshotDir(name: String): Option[String] =
+    snapshotDirs.get(norm(name))
+
+  /** Parquet cannot hold these — such tables stay on the lazy path. */
+  private def snapshotable(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.types._
+    def hasNull(dt: DataType): Boolean = dt match {
+      case NullType => true
+      case s: StructType => s.fields.exists(f => hasNull(f.dataType))
+      case a: ArrayType => hasNull(a.elementType)
+      case m: MapType => hasNull(m.keyType) || hasNull(m.valueType)
+      case _ => false
+    }
+    !df.schema.fields.exists(f => hasNull(f.dataType))
+  }
+
+  private def registerSnapshot(name: String, dir: String): Unit = {
+    register(name, graft.operators.SnapshotOps.readLatest(spark, dir))
+    snapshotDirs(norm(name)) = dir
+  }
+
+  /** INSERT: a transactional manifest-union append when the table can
+    * live in the snapshot layer (the aligned rows become version 1 of
+    * a previously-empty table); lazy union otherwise. */
+  private def appendRows(name: String, target: DataFrame,
+      rows: DataFrame): Unit =
+    ensureSnapshot(name, forAppend = true)
+      .filter(_ => snapshotable(rows)) match {
+      case Some(dir) =>
+        lastCommit(norm(name)) =
+          graft.operators.SnapshotOps.commitAppend(spark, dir, rows)
+        registerSnapshot(name, dir)
+      case None =>
+        register(name, target.unionByName(rows))
+    }
+
+  /** Materialize `name` into the snapshot layer on first mutation.
+    * None → the table must use the legacy rematerialization path
+    * (empty, or a schema parquet cannot carry). `forAppend` admits an
+    * empty table: the INSERT's own rows become version 1. */
+  private def ensureSnapshot(name: String,
+      forAppend: Boolean = false): Option[String] = {
+    val n = norm(name)
+    snapshotDirs.get(n).orElse {
+      val df = table(n)
+      if (!snapshotable(df)) None
+      else if (df.isEmpty && !forAppend) None
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_engine_tbl").toString + "/t"
+        // record the binding only once data is committed; an empty
+        // table's dir (forAppend) is provisional until the INSERT's
+        // own commit lands (appendRows calls registerSnapshot)
+        if (!df.isEmpty) {
+          lastCommit(n) =
+            graft.operators.SnapshotOps.commitAppend(spark, dir, df)
+          snapshotDirs(n) = dir
+        }
+        Some(dir)
+      }
+    }
   }
 
   def table(name: String): DataFrame =
@@ -346,15 +435,14 @@ class Engine(val spark: SparkSession) {
           col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
-      register(name, target.unionByName(rows.select(aligned.toIndexedSeq: _*),
-        allowMissingColumns = false))
+      appendRows(name, target, rows.select(aligned.toIndexedSeq: _*))
       empty()
     case InsertSelect(name, query) =>
       val target = table(name)
       val rows = executeDuck(query).toDF(target.columns.toIndexedSeq: _*)
       val casted = target.schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name))
-      register(name, target.unionByName(rows.select(casted.toIndexedSeq: _*)))
+      appendRows(name, target, rows.select(casted.toIndexedSeq: _*))
       empty()
     case c if """(?is)\s*UPDATE\b.*""".r.matches(c) =>
       // match the command shape on MASKED text: a ' WHERE ' inside a
@@ -377,14 +465,31 @@ class Engine(val spark: SparkSession) {
       // and the WHERE predicate see PRE-update values (sequential
       // withColumn would leak updated columns into later assignments —
       // UPDATE t SET a = b, b = a must swap)
-      val updated = target.select(target.schema.fields.map { f =>
-        sets.get(f.name.toLowerCase) match {
-          case Some(v) =>
-            when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }.toIndexedSeq: _*)
-      register(name, updated); empty()
+      def applySets(in: DataFrame): DataFrame =
+        in.select(target.schema.fields.map { f =>
+          sets.get(f.name.toLowerCase) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      ensureSnapshot(name) match {
+        case Some(dir) =>
+          // committed file-granular COW: files without a matching row
+          // carry forward untouched; commitRewrite applies the SETs to
+          // only cond-true rows (its non-matching side rides through)
+          lastCommit(norm(name)) = graft.operators.SnapshotOps
+            .commitRewrite(spark, dir, cond, applySets)
+          registerSnapshot(name, dir)
+        case None =>
+          register(name, target.select(target.schema.fields.map { f =>
+            sets.get(f.name.toLowerCase) match {
+              case Some(v) => when(cond, v.cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }.toIndexedSeq: _*))
+      }
+      empty()
     case c if """(?is)\s*DELETE\b.*""".r.matches(c) =>
       val (mskd, lits) = DuckRewriter.mask(c)
       val (name, whereOpt) = mskd match {
@@ -396,11 +501,22 @@ class Engine(val spark: SparkSession) {
       // delete only rows where the predicate is TRUE: a NULL predicate
       // keeps the row (SQL three-valued semantics; `!NULL` is NULL and
       // `.where` would have dropped it)
-      val keep = Option(whereOpt)
-        .map(w => !coalesce(expr(DuckRewriter.rewrite(w, schemaOf)),
-          lit(false)))
-        .getOrElse(lit(false))
-      register(name, target.where(keep)); empty()
+      val hit = Option(whereOpt)
+        .map(w => expr(DuckRewriter.rewrite(w, schemaOf)))
+        .getOrElse(lit(true))
+      ensureSnapshot(name) match {
+        case Some(dir) =>
+          // committed COW delete: matched rows rewrite to nothing;
+          // commitRewrite's own non-matching side (!coalesce(cond,
+          // false)) keeps NULL-predicate rows, matching the
+          // three-valued rule
+          lastCommit(norm(name)) = graft.operators.SnapshotOps
+            .commitRewrite(spark, dir, hit, _.limit(0))
+          registerSnapshot(name, dir)
+        case None =>
+          register(name, target.where(!coalesce(hit, lit(false))))
+      }
+      empty()
     case c if """(?is)\s*MERGE\b.*""".r.matches(c) =>
       // MERGE INTO t USING s ON cond
       //   WHEN MATCHED THEN UPDATE SET col = expr, …
@@ -452,8 +568,51 @@ class Engine(val spark: SparkSession) {
           col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
-      register(tName,
-        updated.unionByName(anti.select(alignedInserts.toIndexedSeq: _*)))
+      val insertRows = anti.select(alignedInserts.toIndexedSeq: _*)
+      // Snapshot route — MERGE maps onto the committed upsert
+      // (commitMerge) when it is key-shaped: ON is a pure equi-AND of
+      // target.col = source.col, the key is unique on both sides (a
+      // fan-out merge is order-dependent in any engine), and no SET
+      // rewrites a key column. The replacement rows (matched rows with
+      // their SETs applied ∪ aligned inserts) become commitMerge's
+      // source; anything else falls back to lazy rematerialization.
+      val keyPairs: Option[Seq[String]] = {
+        val eq = """(?is)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+        val conj = cond.split("(?i)\\s+AND\\s+").toSeq.map {
+          case eq(a1, c1, a2, c2)
+            if a1.equalsIgnoreCase(tA) && a2.equalsIgnoreCase(sA) =>
+              Some(norm(c1))
+          case eq(a1, _, a2, c2)
+            if a1.equalsIgnoreCase(sA) && a2.equalsIgnoreCase(tA) =>
+              Some(norm(c2))
+          case _ => None
+        }
+        if (conj.forall(_.isDefined)) Some(conj.flatten) else None
+      }
+      val routed = keyPairs.filterNot(ks =>
+        ks.exists(sets.contains)).flatMap { ks =>
+        ensureSnapshot(tName).flatMap { dir =>
+          val matchedRepl = joined.where(col("__m"))
+            .select(tgt.schema.fields.map { f =>
+              sets.get(f.name.toLowerCase) match {
+                case Some(v) => v.cast(f.dataType).as(f.name)
+                case None => col(s"$tA.${f.name}").as(f.name)
+              }
+            }.toIndexedSeq: _*)
+          val upsert = matchedRepl.unionByName(insertRows).localCheckpoint()
+          val kCols = ks.map(col)
+          def unique(df: DataFrame): Boolean = df.groupBy(kCols: _*)
+            .count().where(col("count") > 1).isEmpty
+          if (unique(tgt) && unique(upsert)) {
+            lastCommit(norm(tName)) = graft.operators.SnapshotOps
+              .commitMerge(spark, dir, upsert, ks)
+            registerSnapshot(tName, dir)
+            Some(())
+          } else None
+        }
+      }
+      if (routed.isEmpty)
+        register(tName, updated.unionByName(insertRows))
       empty()
     case AlterAdd(name, colName, typ) =>
       register(name, table(name).withColumn(colName,

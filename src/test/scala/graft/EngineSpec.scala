@@ -258,6 +258,55 @@ class EngineSpec extends SparkSpecBase {
       r.mkString(", "))
   }
 
+  test("DML routes through the snapshot layer: INSERT appends a " +
+      "version, UPDATE/DELETE are file-granular COW commits with " +
+      "untouched files reused, key-shaped MERGE is a committed upsert") {
+    import graft.operators.SnapshotOps
+    val e = engine
+    e.executeDuck("CREATE TABLE st (id int, v int)")
+    e.executeDuck("INSERT INTO st VALUES (1, 10)")
+    // first INSERT materializes the table: snapshot v1 holds the rows
+    val dir = e.snapshotDir("st").get
+    assert(SnapshotOps.currentVersion(dir) == 1)
+    e.executeDuck("INSERT INTO st VALUES (2, 20)")
+    assert(SnapshotOps.currentVersion(dir) == 2)
+    assert(e.lastCommit("st").written >= 1)
+    // v2 has ≥2 files (one per insert commit); an UPDATE touching only
+    // id=2 must REUSE every file of the first insert untouched
+    val filesBefore = SnapshotOps.snapshotFiles(dir, 2)
+    e.executeDuck("UPDATE st SET v = 99 WHERE id = 2")
+    val up = e.lastCommit("st")
+    assert(SnapshotOps.currentVersion(dir) == 3)
+    assert(up.reused >= 1, s"COW update reused nothing: $up")
+    assert(SnapshotOps.snapshotFiles(dir, 3)
+      .exists(filesBefore.contains), "untouched file carried forward")
+    // DELETE is a COW commit too
+    e.executeDuck("DELETE FROM st WHERE id = 1")
+    assert(SnapshotOps.currentVersion(dir) == 4)
+    assert(e.executeDuck("SELECT * FROM st").count() == 1)
+    // key-shaped MERGE lands as one committed upsert version
+    e.executeDuck("CREATE TABLE srcm (k int, nv int)")
+    e.executeDuck("INSERT INTO srcm VALUES (2, 7)")
+    e.executeDuck("INSERT INTO srcm VALUES (5, 50)")
+    e.executeDuck(
+      """MERGE INTO st USING srcm ON st.id = srcm.k
+        |WHEN MATCHED THEN UPDATE SET v = srcm.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (srcm.k, srcm.nv)"""
+        .stripMargin)
+    assert(e.snapshotDir("st").contains(dir))
+    assert(SnapshotOps.currentVersion(dir) == 5)
+    val r = e.executeDuck("SELECT id, v FROM st ORDER BY id").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(r == Seq((2, 7), (5, 50)), r.toString)
+    // the mutation HISTORY is committed: every prior version reads
+    assert(SnapshotOps.readSnapshot(spark, dir, 2).count() == 2)
+    // DDL (ALTER) demotes the table to the lazy path, by design
+    e.executeDuck("ALTER TABLE st ADD COLUMN w varchar")
+    assert(e.snapshotDir("st").isEmpty)
+    assert(e.executeDuck("SELECT * FROM st").columns.toSeq ==
+      Seq("id", "v", "w"))
+  }
+
   test("MERGE leaves non-SET columns of matched rows untouched") {
     val e = engine
     e.executeDuck("CREATE TABLE t2m (id int, a varchar, b varchar)")
