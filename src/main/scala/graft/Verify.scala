@@ -38,8 +38,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dev flag: `__oracle_only__` as the sole extra arg skips every
+    // query and dumps the FULL oracle map (tools/headtohead.py input)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
+      .filter { case (k, _) =>
+        only.isEmpty || only(k) || only("__oracle_only__") }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""DuckDB head-to-head timing (dev tool — evidence for the BENCH
+"within 2x of DuckDB at the same sf" contract, recorded in BASELINE.md).
+
+For every entry of a Bench per-entry-min map that has an oracle SQL,
+times the oracle in DuckDB (same parquet tables, same semantics) and
+reports per-entry ratios plus the aggregate over the ENGINE-COMPARABLE
+subset. Excluded from the aggregate, with the reason printed:
+
+  * streaming entries (micro-batch checkpoint floor; no batch analogue)
+  * commit/layout/maintenance entries (the oracle pins CONTENT equality
+    of a write lifecycle, it does not perform the writes)
+  * entries whose oracle is the intentionally-quadratic exact dual of a
+    sub-quadratic Spark path (the oracle is the rejected alternative,
+    not an implementation: comparing against it measures the oracle's
+    design, cf. q42's 418x)
+  * media-decode entries (the oracle checks fixture checksums; DuckDB
+    does not decode PNG/WAV/GIF)
+
+Usage:
+  python3 tools/headtohead.py <sfDir> <oracle_sql.json> <bench.json> [reps]
+
+bench.json = a Bench stdout line with the per-entry "queries" min map.
+"""
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# name-pattern → exclusion reason (aggregate skips these; they are
+# still timed and listed when DuckDB can run them)
+EXCLUDE = [
+    (r"stream", "streaming floor"),
+    (r"snapshot|commit|zorder|compact|vacuum|maintenance|time_travel"
+     r"|cdc|wap|write_audit|governed|bucket_layout|bucketed_join"
+     r"|merge_schema|evolution|incr_agg|stats_pruned|point_index",
+     "write/commit lifecycle"),
+    (r"dedup_pairs|near_dup|minhash|simhash_hamming|segment_dedup"
+     r"|bitext|cluster_safe|exact_substring|dup_clusters",
+     "quadratic-exact oracle (the rejected alternative)"),
+    (r"image|audio|gif|video|media|dhash|scene", "media decode fixture"),
+]
+
+
+def reason(name: str):
+    for pat, why in EXCLUDE:
+        if re.search(pat, name):
+            return why
+    return None
+
+
+def main():
+    sf_dir, oracle_path, bench_path = sys.argv[1:4]
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    oracles = json.loads(Path(oracle_path).read_text())
+    bench = json.loads(Path(bench_path).read_text())
+    queries = bench["queries"]
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 32")
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    rows = []
+    for name, graft_s in sorted(queries.items()):
+        sql = oracles.get(name)
+        if not sql or graft_s < 0:
+            continue
+        excl = reason(name)
+        if excl:  # excluded from the aggregate → don't burn time on it
+            rows.append({"name": name, "graft_s": round(graft_s, 3),
+                         "duck_s": None, "ratio": None,
+                         "excluded": excl, "err": None})
+            continue
+        print(f"timing {name}…", file=sys.stderr, flush=True)
+        times = []
+        err = None
+        for i in range(reps):
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as e:  # noqa: BLE001 - record and move on
+                err = f"{type(e).__name__}: {str(e)[:80]}"
+                break
+            times.append(time.time() - t0)
+            if times[-1] > 5:  # slow query: one measurement is enough
+                break
+        duck_s = sorted(times)[len(times) // 2] if times else None
+        rows.append({"name": name, "graft_s": round(graft_s, 3),
+                     "duck_s": round(duck_s, 3) if duck_s else None,
+                     "ratio": round(graft_s / duck_s, 2) if duck_s else None,
+                     "excluded": reason(name), "err": err})
+    comparable = [r for r in rows
+                  if r["duck_s"] and not r["excluded"] and not r["err"]]
+    g = sum(r["graft_s"] for r in comparable)
+    d = sum(r["duck_s"] for r in comparable)
+    out = {
+        "sf": sf_dir,
+        "n_timed": len([r for r in rows if r["duck_s"]]),
+        "n_comparable": len(comparable),
+        "graft_total_s": round(g, 2),
+        "duck_total_s": round(d, 2),
+        "aggregate_ratio": round(g / d, 2) if d else None,
+        "over_2x": sorted(
+            [{k: r[k] for k in ("name", "graft_s", "duck_s", "ratio")}
+             for r in comparable if r["ratio"] and r["ratio"] > 2],
+            key=lambda r: -r["ratio"]),
+        "graft_faster": sorted(
+            [{k: r[k] for k in ("name", "graft_s", "duck_s", "ratio")}
+             for r in comparable if r["ratio"] and r["ratio"] < 1],
+            key=lambda r: r["ratio"]),
+        "rows": rows,
+    }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
