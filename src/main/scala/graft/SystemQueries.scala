@@ -1982,6 +1982,122 @@ object SystemQueries {
         |SELECT doc_id, bm25_rn, llm_score,
         |  row_number() OVER (ORDER BY llm_score DESC, doc_id) AS rn
         |FROM sc ORDER BY rn""".stripMargin,
-      headline = true)
+      headline = true),
+
+    // MANIFEST-GROUP planning (r11) — the observable of the two-tier
+    // manifest (Iceberg's manifest-list level, SnapshotOps groups):
+    // three range-partitioned commits land as three GROUP lines whose
+    // aggregated envelopes cover disjoint key ranges, so a range read
+    // touching one commit's range expands exactly ONE group — the
+    // other two are skipped as single unparsed manifest lines. The
+    // oracle pins both the planning counts (3 groups, 1 expanded —
+    // deterministic from the commit structure) and the content of the
+    // pruned read; file-level laziness and scan-index equality are
+    // spec-asserted in SnapshotOpsSpec where the filesystem is
+    // visible.
+    "q256_manifest_group_planning" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q256", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val li = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      Seq((1L, 500L), (501L, 1000L), (1001L, 1500L)).foreach {
+        case (lo, hi) =>
+          SnapshotOps.commitAppend(spark, table,
+            li.where(col("l_orderkey").between(lo, hi))
+              .repartitionByRange(3, col("l_orderkey")),
+            statsCols = Seq("l_orderkey"))
+      }
+      val (groupsTotal, groupsExpanded, _, _) =
+        SnapshotOps.rangeStats(table, 3, "l_orderkey", 1, 500)
+      SnapshotOps.readSnapshotRange(spark, table, 3, "l_orderkey", 1, 500)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("qty"),
+          contentXor("l_orderkey", "l_linenumber", "l_quantity")
+            .as("content_xor"))
+        .select(lit(groupsTotal).cast("long").as("groups_total"),
+          lit(groupsExpanded).cast("long").as("groups_expanded"),
+          col("n"), col("qty"), col("content_xor"))
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over run-scoped scratch
+        .localCheckpoint()
+    },
+      """SELECT CAST(3 AS BIGINT) AS groups_total,
+        |  CAST(1 AS BIGINT) AS groups_expanded,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  bit_xor(('0x' || substring(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |FROM lineitem WHERE l_orderkey BETWEEN 1 AND 500""".stripMargin),
+
+    // SQL DML on the snapshot layer (r11) — the Engine's regex front
+    // end executing a full CREATE→INSERT→UPDATE→DELETE→MERGE lifecycle
+    // with every mutation a COMMITTED snapshot version underneath
+    // (INSERT = manifest-union append, UPDATE/DELETE = file-granular
+    // COW, key-shaped MERGE = committed upsert). The `versions` column
+    // is read from the table's own manifest chain — 4 statements, 4
+    // committed versions — and the final content is re-derived by the
+    // oracle from `customer` alone. Commit/reuse counts are
+    // spec-asserted in EngineSpec.
+    "q257_sql_dml_snapshot" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val e = new Engine(spark)
+      e.executeDuck(
+        "CREATE TABLE g257_acct (id INTEGER, bal DOUBLE, seg VARCHAR)")
+      e.executeDuck(
+        """INSERT INTO g257_acct
+          |SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+          |WHERE c_custkey <= 200""".stripMargin)
+      e.executeDuck(
+        "UPDATE g257_acct SET bal = bal + 100 WHERE seg = 'BUILDING'")
+      e.executeDuck("DELETE FROM g257_acct WHERE bal < 0")
+      e.executeDuck(
+        """CREATE TABLE g257_delta AS
+          |SELECT c_custkey AS id, c_acctbal AS nb, c_mktsegment AS ns
+          |FROM customer WHERE c_custkey BETWEEN 150 AND 250""".stripMargin)
+      e.executeDuck(
+        """MERGE INTO g257_acct USING g257_delta
+          |ON g257_acct.id = g257_delta.id
+          |WHEN MATCHED THEN UPDATE SET bal = g257_delta.nb
+          |WHEN NOT MATCHED THEN INSERT (id, bal, seg)
+          |VALUES (g257_delta.id, g257_delta.nb, g257_delta.ns)"""
+          .stripMargin)
+      val versions = e.snapshotDir("g257_acct")
+        .map(SnapshotOps.currentVersion).getOrElse(0)
+      e.executeDuck(
+        """SELECT seg, count(*) AS n FROM g257_acct GROUP BY seg""")
+        .select(col("seg"), col("n"))
+        .join(e.table("g257_acct")
+          .agg(sum(col("bal").cast("decimal(18,2)")).cast("double")
+            .as("bal_total")))
+        .select(col("seg"), col("n").cast("long").as("n"),
+          col("bal_total"), lit(versions).cast("long").as("versions"))
+        .orderBy("seg")
+        .localCheckpoint()
+    },
+      """WITH base AS (SELECT c_custkey AS id, c_acctbal AS bal,
+        |    c_mktsegment AS seg FROM customer WHERE c_custkey <= 200),
+        |upd AS (SELECT id, CASE WHEN seg = 'BUILDING' THEN bal + 100
+        |    ELSE bal END AS bal, seg FROM base),
+        |del AS (SELECT * FROM upd WHERE NOT (bal < 0)),
+        |delta AS (SELECT c_custkey AS id, c_acctbal AS nb,
+        |    c_mktsegment AS ns FROM customer
+        |  WHERE c_custkey BETWEEN 150 AND 250),
+        |merged AS (
+        |  SELECT d.id, coalesce(x.nb, d.bal) AS bal, d.seg
+        |  FROM del d LEFT JOIN delta x ON d.id = x.id
+        |  UNION ALL
+        |  SELECT x.id, x.nb AS bal, x.ns AS seg
+        |  FROM delta x LEFT JOIN del d ON d.id = x.id
+        |  WHERE d.id IS NULL),
+        |tot AS (SELECT CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS bal_total FROM merged)
+        |SELECT seg, count(*) AS n, tot.bal_total,
+        |  CAST(4 AS BIGINT) AS versions
+        |FROM merged CROSS JOIN tot
+        |GROUP BY seg, tot.bal_total ORDER BY seg""".stripMargin)
   )
 }

@@ -624,6 +624,24 @@ object SnapshotOps {
         .forall { case (mn, mx) => mx >= lo && mn <= hi }).map(_.path)
   }
 
+  /** Planning statistics for a range read, O(manifest lines):
+    * (units total, units expanded, files kept, files total) — files
+    * total from the group envelopes' `_files` count, never by
+    * expansion. The observable the q256 entry pins: how much metadata
+    * a pruned read actually touched. */
+  def rangeStats(tableDir: String, version: Int, column: String,
+      lo: BigDecimal, hi: BigDecimal): (Int, Int, Int, Int) = {
+    val units = snapshotUnits(tableDir, version)
+    val expanded = units.filter(_.mayMatch(Seq((column, lo, hi))))
+    val kept = expanded.flatMap(_.entries).filter(_.bounds.get(column)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val total = units.map(u =>
+      if (!u.isGroup) 1
+      else u.ref.bounds.get(FilesKey).map(_._1.toInt)
+        .getOrElse(u.entries.size)).sum
+    (units.size, expanded.size, kept.size, total)
+  }
+
   /** Range read with manifest pruning: only files surviving
     * [[rangeFiles]] are handed to the scan, then the exact predicate
     * applies as the residual filter (bounds are necessary, not
