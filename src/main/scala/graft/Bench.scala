@@ -106,7 +106,12 @@ object Bench {
       else try {
         val rs = GoldSuite.run(spark, correctCasing = true)
         val checked = rs.filterNot(_.skipped)
-        s""","gold_casing":"${checked.count(_.ok)}/${checked.length}""""
+        // r11: also the full parse->render round trip (normalize_sql) —
+        // the sqlglot-analogue execution-equivalence gate
+        val rn = GoldSuite.run(spark, normalized = true)
+        val cn = rn.filterNot(_.skipped)
+        s""","gold_casing":"${checked.count(_.ok)}/${checked.length}"""" +
+          s""","gold_normalized":"${cn.count(_.ok)}/${cn.length}""""
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] gold --casing replay failed: ${e.getMessage}")
         s""","gold_casing":"error""""

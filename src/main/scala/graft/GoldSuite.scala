@@ -193,9 +193,14 @@ object GoldSuite {
     * of the reference evaluator's optional `--correct-sql-casing` flag
     * (eval/evaluate.py:260-262, applied to the SQL strings at :326-329).
     * The canonicalized SQL must still produce every expected result:
-    * casing correction is metric plumbing, never a semantic change. */
+    * casing correction is metric plumbing, never a semantic change.
+    * With `normalized = true` the stronger transform runs instead —
+    * [[graft.dialect.SqlNormalizer.normalize]], the full parse→render
+    * round trip (comments dropped, whitespace re-rendered) — under the
+    * same execution-equivalence contract. */
   def run(spark: SparkSession,
-      correctCasing: Boolean = false): Seq[EntryResult] = {
+      correctCasing: Boolean = false,
+      normalized: Boolean = false): Seq[EntryResult] = {
     val mapper = new ObjectMapper()
     val entries = mapper.readValue(
       Files.readString(Paths.get(RefDev)), classOf[java.util.List[Object]])
@@ -206,7 +211,9 @@ object GoldSuite {
       classOf[java.util.Map[String, Object]]).asScala
     entries.zipWithIndex.map { case (e0, idx) =>
       val e =
-        if (correctCasing) e0.updated("query",
+        if (normalized) e0.updated("query",
+          graft.dialect.SqlNormalizer.normalize(e0("query").toString))
+        else if (correctCasing) e0.updated("query",
           graft.operators.PromptOps.correctCasingString(
             e0("query").toString))
         else e0
@@ -248,9 +255,13 @@ object GoldSuite {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val casing = args.contains("--casing")
+    val normalized = args.contains("--normalized")
     if (casing) println("casing mode: queries canonicalized via " +
       "correct_casing before execution (--correct-sql-casing analogue)")
-    val results = run(spark, correctCasing = casing)
+    if (normalized) println("normalized mode: queries re-rendered via " +
+      "normalize_sql (parse->render round trip) before execution")
+    val results = run(spark, correctCasing = casing,
+      normalized = normalized)
     results.foreach { r =>
       val mark = if (r.skipped) "SKIP" else if (r.ok) "PASS" else "FAIL"
       println(f"$mark ${r.idx}%3d [${r.mode}] ${r.detail}")

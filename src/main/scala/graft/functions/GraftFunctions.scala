@@ -43,6 +43,7 @@ object GraftFunctions {
     ("char_ngrams_all", 2, args => CharNgramsAllExpr(args(0), args(1))),
     ("lsh_band_hashes", 3, args => LshBandsExpr(args(0), args(1), args(2))),
     ("correct_casing", 1, args => SqlCorrectCasingExpr(args(0))),
+    ("normalize_sql", 1, args => SqlNormalizeExpr(args(0))),
     ("html_extract_main", 1, args => HtmlExtractMainExpr(args(0)))
   )
 

@@ -563,6 +563,22 @@ case class SqlCorrectCasingExpr(child: Expression) extends UnaryExpression
   override def prettyName: String = "correct_casing"
 }
 
+/** `normalize_sql(sql)` — the parse→render round trip
+  * ([[graft.dialect.SqlNormalizer]]): comments dropped, whitespace
+  * canonicalized, keywords uppercased. The full-strength form of
+  * `correct_casing` (which preserves the author's whitespace). Metric
+  * plumbing over eval-sized tables ⇒ eval-based expression. */
+case class SqlNormalizeExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.dialect.SqlNormalizer.normalize(input.toString))
+  override protected def withNewChildInternal(newChild: Expression)
+      : SqlNormalizeExpr = copy(child = newChild)
+  override def prettyName: String = "normalize_sql"
+}
+
 /** `pragma_version()` — engine version (reference dev.json:247
   * `CALL pragma_version()`). Foldable constant. */
 case class PragmaVersion() extends LeafExpression with CodegenFallback {

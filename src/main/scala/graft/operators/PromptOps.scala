@@ -15,10 +15,13 @@ import org.apache.spark.sql.types.StructType
   * shuffle, no UDF. Prompt construction over a training corpus is a scan,
   * exactly like the text-analysis operators.
   *
-  * Divergence from the reference, by design: format_all_tables shuffles
-  * table order (`random.shuffle`, prompt_formatters.py:39) and memoizes the
-  * shuffle — here table order is the caller's, deterministically
-  * (reproducibility rule; pass a pre-shuffled seq to emulate). The chat
+  * format_all_tables shuffles table order (`random.shuffle`,
+  * prompt_formatters.py:39) and memoizes the shuffle — here table order is
+  * the caller's by default (reproducibility rule), and
+  * [[formatAllTablesShuffled]] / `withPrompt(shuffleSeed = Some(n))`
+  * reproduce the reference's permutation bit-for-bit for a seeded RNG via
+  * [[graft.functions.PyRandom]] (CPython MT19937 fixtures pinned in
+  * PromptOpsSpec). The chat
   * formatter's schema-explanation call (prompt_formatters.py:160-185) is an
   * LLM-orchestration hook (SURVEY §7.4 H5): injectable here, with a
   * deterministic default.
@@ -41,6 +44,19 @@ object PromptOps {
   /** prompt_formatters.py:34-43 minus the cached shuffle (see class doc). */
   def formatAllTables(tables: Seq[(String, StructType)]): String =
     tables.map { case (n, s) => formatTable(n, s) }.mkString("\n\n")
+
+  /** format_all_tables WITH the reference's shuffle, reproducibly: the
+    * table texts are permuted exactly as CPython's
+    * `random.Random(seed).shuffle` would (prompt_formatters.py:39 runs
+    * the module-level RNG once per memoization key; seeding that RNG and
+    * rendering one prompt set is the replayable case this covers). The
+    * shuffle is driver-side over a model-sized list; the result folds
+    * into the same literal-concat plan as the deterministic path. */
+  def formatAllTablesShuffled(tables: Seq[(String, StructType)],
+      seed: Long): String =
+    new graft.functions.PyRandom(seed)
+      .shuffle(tables.map { case (n, s) => formatTable(n, s) })
+      .mkString("\n\n")
 
   /** Retrieved-context block per style (format_retrieved_context,
     * prompt_formatters.py:46-52, 96-102); empty context ⇒ empty block. */
@@ -96,8 +112,13 @@ object PromptOps {
     * one codegen'd concat per row. */
   def withPrompt(df: DataFrame, questionCol: String, style: String,
       tables: Seq[(String, StructType)], context: Seq[String] = Nil,
-      outCol: String = "prompt"): DataFrame = {
-    val (pre, post) = promptParts(style, formatAllTables(tables),
+      outCol: String = "prompt",
+      shuffleSeed: Option[Long] = None): DataFrame = {
+    val tableText = shuffleSeed match {
+      case Some(s) => formatAllTablesShuffled(tables, s)
+      case None => formatAllTables(tables)
+    }
+    val (pre, post) = promptParts(style, tableText,
       formatContext(style, context))
     df.withColumn(outCol, concat(lit(pre), col(questionCol), lit(post)))
   }
@@ -203,6 +224,11 @@ object PromptOps {
     "coalesce", "nullif", "substring", "replace", "trim", "lower",
     "upper", "length", "concat", "position", "datediff", "date_trunc",
     "extract", "split_part")
+
+  /** The shared uppercase-keyword convention, for the parse→render
+    * normalizer ([[graft.dialect.SqlNormalizer]]). */
+  private[graft] def isCasedKeyword(lowerWord: String): Boolean =
+    sqlKeywords(lowerWord)
 
   /** H11 — SQL keyword-casing canonicalization: the observable effect of
     * the reference's sqlglot roundtrip on the optional

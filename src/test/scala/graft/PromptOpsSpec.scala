@@ -182,4 +182,57 @@ class PromptOpsSpec extends SparkSpecBase {
       assert(PromptOps.correctCasingString(c) == c, s.take(60))
     }
   }
+
+  test("PyRandom reproduces CPython getrandbits(32) streams") {
+    // fixtures: python3 -c "random.Random(seed).getrandbits(32) x4"
+    val fixtures = Map(
+      0L -> Seq(3626764237L, 1654615998L, 3255389356L, 3823568514L),
+      1L -> Seq(577090037L, 2444712010L, 3639700191L, 3445702192L),
+      42L -> Seq(2746317213L, 478163327L, 107420369L, 3184935163L),
+      123456789L -> Seq(2754794679L, 1899526012L, 2328685183L,
+        3049235403L),
+      (1L << 40) + 7 -> Seq(2635837658L, 3209733218L, 3500038837L,
+        4028389051L))
+    fixtures.foreach { case (seed, expect) =>
+      val r = new graft.functions.PyRandom(seed)
+      assert(Seq.fill(4)(r.getrandbits(32)) == expect, s"seed=$seed")
+    }
+  }
+
+  test("PyRandom.shuffle matches random.Random(seed).shuffle") {
+    // fixtures: python3 — xs=list(range(n)); Random(seed).shuffle(xs)
+    val fixtures = Seq(
+      (0L, 10, Seq(7, 8, 1, 5, 3, 4, 2, 0, 9, 6)),
+      (1L, 10, Seq(6, 8, 9, 7, 5, 3, 0, 4, 1, 2)),
+      (42L, 10, Seq(7, 3, 2, 8, 5, 6, 9, 4, 0, 1)),
+      (123456789L, 10, Seq(0, 1, 9, 4, 3, 5, 2, 6, 8, 7)),
+      ((1L << 40) + 7, 10, Seq(0, 5, 2, 3, 6, 1, 8, 4, 7, 9)),
+      (0L, 5, Seq(2, 1, 0, 4, 3)),
+      (42L, 5, Seq(3, 1, 2, 4, 0)))
+    fixtures.foreach { case (seed, n, expect) =>
+      assert(new graft.functions.PyRandom(seed).shuffle(0 until n) ==
+        expect, s"seed=$seed n=$n")
+    }
+    // string payloads permute identically (Random(7) over 'ABCDEFG')
+    assert(new graft.functions.PyRandom(7).shuffle("ABCDEFG".map(_.toString))
+      == Seq("F", "G", "E", "A", "D", "B", "C"))
+  }
+
+  test("seeded withPrompt reorders the schema blocks like the reference") {
+    val t2 = StructType(Seq(StructField("x", IntegerType)))
+    val t3 = StructType(Seq(StructField("y", DoubleType)))
+    val three = Seq("a" -> schema, "b" -> t2, "c" -> t3)
+    // Random(0).shuffle over 3 items: [2, 1, 0] -> order c, b, a
+    val shuffled = PromptOps.formatAllTablesShuffled(three, 0L)
+    val expectOrder = new graft.functions.PyRandom(0L).shuffle(three)
+      .map { case (n, s) => PromptOps.formatTable(n, s) }
+      .mkString("\n\n")
+    assert(shuffled == expectOrder)
+    val prompt = PromptOps.withPrompt(Seq(q).toDF("question"), "question",
+      "rajkumar", three, shuffleSeed = Some(0L))
+      .select("prompt").as[String].collect().head
+    assert(prompt.contains(shuffled))
+    // default path is untouched: caller order, no shuffle
+    assert(PromptOps.formatAllTables(three).startsWith("CREATE TABLE a"))
+  }
 }

@@ -583,7 +583,9 @@ class SystemOpsSpec extends SparkSpecBase {
     val lA = frac(s"$base/linear", 60, 70, 0, 255)
     assert(lB == 1.0, s"linear should be unable to prune kb, got $lB")
     assert(zB < 0.5 * lB, s"zorder on kb: $zB")
-    assert(zAB <= 0.125, s"zorder on the 2-d box: $zAB")
+    // file boundaries come from RangePartitioner SAMPLING, so the box
+    // intersects 8 or occasionally 9 of the 64 files — bound at 10
+    assert(zAB <= 10.0 / 64, s"zorder on the 2-d box: $zAB")
     assert(zA <= 0.5, s"zorder on ka alone: $zA")
     // the mixed-shape workload (the case the layout exists for) is
     // strictly cheaper under zorder
