@@ -2098,6 +2098,71 @@ object SystemQueries {
         |SELECT seg, count(*) AS n, tot.bal_total,
         |  CAST(4 AS BIGINT) AS versions
         |FROM merged CROSS JOIN tot
-        |GROUP BY seg, tot.bal_total ORDER BY seg""".stripMargin)
+        |GROUP BY seg, tot.bal_total ORDER BY seg""".stripMargin),
+
+    // MERGE-ON-READ deletion vectors (r11) — the Iceberg-v2/Delta DV
+    // model: a selective delete on a large table writes O(matched
+    // rows) of (file, position) metadata instead of rewriting
+    // O(touched files' bytes) of data. The entry pins the THREE
+    // observables that define MOR: (stage 'mor') the delete's commit
+    // rewrote ZERO data files yet reads see the deletes and the
+    // metadata-only count agrees; (stage 'compacted') compaction pays
+    // the DV debt — zero `!` lines survive — with content unchanged.
+    // Consolidation and diff semantics are spec-asserted in
+    // SnapshotOpsSpec where the filesystem is visible.
+    "q258_mor_delete" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q258", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val li = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .where(col("l_orderkey") <= 1200)
+      SnapshotOps.commitAppend(spark, table,
+        li.repartitionByRange(4, col("l_orderkey")),
+        statsCols = Seq("l_orderkey"))
+      val del = SnapshotOps.commitDelete(spark, table,
+        col("l_quantity") <= 5.0)
+      val (_, dvRows) = SnapshotOps.deleteStats(table, del.version)
+      def content(stage: String, dv: Long, rewrote: Long) =
+        SnapshotOps.readLatest(spark, table)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("qty"),
+            contentXor("l_orderkey", "l_linenumber", "l_quantity")
+              .as("content_xor"))
+          .select(lit(stage).as("stage"), col("n"), col("qty"),
+            col("content_xor"), lit(dv).cast("long").as("dv_rows"),
+            lit(rewrote).cast("long").as("files_rewritten"))
+      val mor = content("mor", dvRows, del.written.toLong)
+      val cc = SnapshotOps.commitCompact(spark, table, 2)
+      val (_, dvAfter) = SnapshotOps.deleteStats(table, cc.version)
+      val compacted = content("compacted", dvAfter, cc.written.toLong)
+      mor.unionByName(compacted).orderBy("stage")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over run-scoped scratch
+        .localCheckpoint()
+    },
+      """WITH live AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |  WHERE l_orderkey <= 1200 AND NOT (l_quantity <= 5.0)),
+        |dv AS (
+        |  SELECT count(*) AS n_del FROM lineitem
+        |  WHERE l_orderkey <= 1200 AND l_quantity <= 5.0),
+        |agg AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    bit_xor(('0x' || substring(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |  FROM live)
+        |SELECT 'compacted' AS stage, n, qty, content_xor,
+        |  CAST(0 AS BIGINT) AS dv_rows, CAST(2 AS BIGINT) AS files_rewritten
+        |FROM agg
+        |UNION ALL
+        |SELECT 'mor' AS stage, n, qty, content_xor,
+        |  dv.n_del AS dv_rows, CAST(0 AS BIGINT) AS files_rewritten
+        |FROM agg CROSS JOIN dv
+        |ORDER BY stage""".stripMargin)
   )
 }

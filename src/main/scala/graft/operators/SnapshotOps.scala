@@ -181,9 +181,17 @@ object SnapshotOps {
     * never expand skipped groups). */
   private final case class ManifestUnit(raw: String) {
     val isGroup: Boolean = raw.startsWith("@")
-    lazy val ref: FileEntry = parseEntry(if (isGroup) raw.drop(1) else raw)
+    /** `!` lines are DELETION VECTORS (merge-on-read position deletes):
+      * the path is a parquet file of (_file, _pos) rows naming deleted
+      * positions of live data files; `_rows` carries the position
+      * count. A DV line is metadata ONLY — it contributes no data
+      * entries, so every file-listing consumer skips it structurally. */
+    val isDelete: Boolean = raw.startsWith("!")
+    lazy val ref: FileEntry =
+      parseEntry(if (isGroup || isDelete) raw.drop(1) else raw)
     lazy val entries: Seq[FileEntry] =
-      if (isGroup) groupEntries(ref.path) else Seq(ref)
+      if (isDelete) Seq.empty
+      else if (isGroup) groupEntries(ref.path) else Seq(ref)
     /** May this unit hold rows inside the box? (absent bounds: yes) */
     def mayMatch(box: Seq[(String, BigDecimal, BigDecimal)]): Boolean =
       box.forall { case (c, lo, hi) =>
@@ -200,6 +208,25 @@ object SnapshotOps {
   private def snapshotUnits(tableDir: String, version: Int): Seq[ManifestUnit] =
     manifestLines(tableDir, version).filterNot(_.startsWith("#"))
       .map(ManifestUnit)
+
+  private def dataUnits(tableDir: String, version: Int): Seq[ManifestUnit] =
+    snapshotUnits(tableDir, version).filterNot(_.isDelete)
+
+  /** Deletion-vector entries of a snapshot: path = a parquet file of
+    * (_file, _pos) deleted positions, `_rows` bound = position count.
+    * Every DV row references a data file LIVE in the same snapshot
+    * (rewrite-class commits consolidate DVs, dropping rows whose file
+    * they rewrote), so `sum(_rows)` is exactly the snapshot's invisible
+    * row count. */
+  def deleteEntries(tableDir: String, version: Int): Seq[FileEntry] =
+    snapshotUnits(tableDir, version).filter(_.isDelete).map(_.ref)
+
+  /** (DV file count, DV position count) of a snapshot — the
+    * merge-on-read debt a maintenance policy watches. */
+  def deleteStats(tableDir: String, version: Int): (Int, Long) = {
+    val dvs = deleteEntries(tableDir, version)
+    (dvs.size, dvs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum)
+  }
 
   /** Highest committed version; 0 = the empty table (no manifest). */
   def currentVersion(tableDir: String): Int = {
@@ -266,13 +293,239 @@ object SnapshotOps {
       schema: org.apache.spark.sql.types.StructType = null,
       mergeSchema: Boolean = false): DataFrame = {
     val files = snapshotFiles(tableDir, version)
-    if (files.nonEmpty) {
-      val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
-      else spark.read
-      r.parquet(files: _*)
-    } else spark.createDataFrame(
+    if (files.nonEmpty)
+      readFilesDv(spark, files, deleteEntries(tableDir, version),
+        mergeSchema = mergeSchema)
+    else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Option(schema).getOrElse(org.apache.spark.sql.types.StructType(Nil)))
+  }
+
+  // ---------------------------------------------------------------
+  // DELETION VECTORS (merge-on-read position deletes — the Iceberg v2
+  // / Delta DV model). A copy-on-write delete pays O(touched files'
+  // BYTES): one matching row in a 1 GB file rewrites the gigabyte. A
+  // merge-on-read delete pays O(MATCHED ROWS): the commit writes only
+  // a parquet of (_file, _pos) deleted positions — captured from the
+  // scan's `_metadata.file_path` / `_metadata.row_index`, so position
+  // identity comes from the format, not bookkeeping — and publishes a
+  // `!` manifest line. Readers anti-join the positions out; the DV
+  // frame is broadcast while small (it tracks deleted rows, not the
+  // table). Rewrite-class commits CONSOLIDATE: rows naming a file
+  // being rewritten are dropped (the rewrite bakes them in), the rest
+  // re-write as one DV — so every DV row always references a LIVE
+  // file, metadata-only count(*) stays exact (data rows minus DV
+  // rows), and full rewrites (compact / z-order) purge the debt.
+  // ---------------------------------------------------------------
+
+  /** DV parquet schema: the deleted row's file (as `_metadata.file_path`
+    * spells it) and its position in that file. */
+  private val DvFileCol = "_file"
+  private val DvPosCol = "_pos"
+
+  /** Above this many deleted positions the anti-join stops broadcasting
+    * and falls back to a shuffle join (a DV that large is compaction
+    * debt, not a broadcast candidate). */
+  private val DvBroadcastRows = 1L << 20
+
+  /** At or below this many positions the DV applies as a literal
+    * per-file `NOT IN` filter instead of an anti-join: the scan stays
+    * one whole-stage-codegen pipeline with no broadcast build, which is
+    * the common selective-delete case. */
+  private val DvLiteralRows = 1L << 16
+
+  private def dvFrame(spark: SparkSession,
+      dvs: Seq[FileEntry]): DataFrame = {
+    val df = spark.read.parquet(dvs.map(_.path): _*)
+      .select(col(DvFileCol), col(DvPosCol))
+    val rows = dvs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum
+    if (rows <= DvBroadcastRows) broadcast(df) else df
+  }
+
+  /** Driver cache of small DVs' collected positions, keyed by the
+    * (immutable) DV file list — repeated reads of a snapshot pay the
+    * DV collect once per JVM. */
+  private val dvLiteralCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[Long]]]()
+
+  private def dvPositions(spark: SparkSession,
+      dvs: Seq[FileEntry]): Map[String, Seq[Long]] = {
+    val key = dvs.map(_.path).sorted.mkString("\n")
+    val cached = dvLiteralCache.get(key)
+    if (cached != null) return cached
+    val m = spark.read.parquet(dvs.map(_.path): _*)
+      .select(col(DvFileCol), col(DvPosCol))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).toSeq }
+    if (dvLiteralCache.size > 256) dvLiteralCache.clear()
+    dvLiteralCache.put(key, m)
+    m
+  }
+
+  /** `_metadata.file_path` in the manifest's plain-path spelling — the
+    * one canonical file identity DV rows, manifest entries and the
+    * anti-join all share (URI-vs-plain mismatches hash/compare
+    * differently and would silently miss deletes). */
+  private def normFileCol(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^file:/+", "/")
+
+  private def plainReader(spark: SparkSession, mergeSchema: Boolean,
+      anchor: org.apache.spark.sql.types.StructType) =
+    if (anchor != null) spark.read.schema(anchor)
+    else if (mergeSchema) spark.read.option("mergeSchema", "true")
+    else spark.read
+
+  /** Read `files` with the snapshot's DV positions tagged out, keeping
+    * the scan's (file, position) identity as `__file`/`__pos` columns —
+    * the read every commit that needs row provenance builds on. */
+  private def readTagged(spark: SparkSession, files: Seq[String],
+      dvs: Seq[FileEntry], mergeSchema: Boolean = false,
+      anchor: org.apache.spark.sql.types.StructType = null): DataFrame = {
+    val tagged = plainReader(spark, mergeSchema, anchor)
+      .parquet(files: _*).select(col("*"),
+        normFileCol(col("_metadata.file_path")).as("__file"),
+        col("_metadata.row_index").as("__pos"))
+    if (dvs.isEmpty) tagged
+    else {
+      val rows = dvs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum
+      if (rows <= DvLiteralRows && rows > 0) {
+        // small DV: literal per-file position filter — no join, the
+        // scan stays one codegen pipeline (InSet per DV'd file)
+        val byFile = dvPositions(spark, dvs)
+        val deleted = byFile.toSeq.sortBy(_._1).map { case (f, ps) =>
+          col("__file") === lit(f) && col("__pos").isInCollection(ps)
+        }.reduce(_ || _)
+        tagged.where(!deleted)
+      } else {
+        val dv = dvFrame(spark, dvs)
+        tagged.join(dv, tagged("__file") === dv(DvFileCol) &&
+          tagged("__pos") === dv(DvPosCol), "left_anti")
+      }
+    }
+  }
+
+  /** Files whose path might appear in any of the DVs, by probing the
+    * `~_file=` Blooms on the DV manifest lines — pure metadata, no DV
+    * parquet opened. None ⇒ some DV predates the bloom (never skip). */
+  private def dvMaybeFiles(dvs: Seq[FileEntry],
+      files: Seq[String]): Option[Set[String]] = {
+    val blooms = dvs.flatMap(_.blooms.get(DvFileCol))
+    if (blooms.size != dvs.size) return None
+    val filters = blooms.map(b =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+    Some(files.filter { f =>
+      val h = probeHash(f, org.apache.spark.sql.types.StringType)
+      filters.exists(_.mightContainLong(h))
+    }.toSet)
+  }
+
+  /** Plain-schema read of `files` with DV positions removed; identical
+    * to a bare parquet read when the snapshot carries no DVs (no
+    * metadata projection, no join — existing plans are untouched).
+    * With DVs, the DV lines' `~_file` Blooms SCOPE the anti-join to
+    * files that might actually carry deletes — a selective delete on a
+    * 10⁵-file table taxes the scan of the handful of DV'd files, not
+    * the table. */
+  private def readFilesDv(spark: SparkSession, files: Seq[String],
+      dvs: Seq[FileEntry], mergeSchema: Boolean = false,
+      anchor: org.apache.spark.sql.types.StructType = null): DataFrame =
+    if (dvs.isEmpty) plainReader(spark, mergeSchema, anchor)
+      .parquet(files: _*)
+    else {
+      val maybe = dvMaybeFiles(dvs, files)
+        .getOrElse(files.toSet) // bloom-less DV: anti-join everything
+      val dvd = files.filter(maybe)
+      val clean = files.filterNot(maybe)
+      val rows = dvs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum
+      val dvdSide: Option[DataFrame] =
+        if (dvd.isEmpty) None
+        else if (rows > 0 && rows <= DvLiteralRows && dvd.size <= 32) {
+          // small DV, few files: each DV'd file filters on row_index
+          // alone — a long-typed InSet, no path string materialized,
+          // no join; the per-file frames union with the clean scan
+          val byFile = dvPositions(spark, dvs)
+          Some(dvd.map { f =>
+            val ps = byFile.getOrElse(localPath(f), Seq.empty)
+            val r = plainReader(spark, mergeSchema, anchor).parquet(f)
+            if (ps.isEmpty) r // bloom false positive
+            else r.where(!col("_metadata.row_index").isInCollection(ps))
+          }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema)))
+        } else Some(readTagged(spark, dvd, dvs, mergeSchema, anchor)
+          .drop("__file", "__pos"))
+      val sides = dvdSide.toSeq ++ (
+        if (clean.nonEmpty)
+          Some(plainReader(spark, mergeSchema, anchor).parquet(clean: _*))
+        else None)
+      sides.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    }
+
+  /** Transactional MERGE-ON-READ delete: rows matching `cond` vanish
+    * from the next snapshot without rewriting ANY data file — the
+    * commit writes a deletion vector of matched positions and carries
+    * every base manifest line forward verbatim. `reused` = every data
+    * file; `written` = 0 (the DV is metadata, not data). A no-match
+    * delete returns skipped=true and burns no version. The COW dual is
+    * [[commitRewrite]] with a filtering update; policy: MOR for small
+    * selective deletes on large files, COW when a file's deleted
+    * fraction is large enough to be worth rewriting now. */
+  def commitDelete(spark: SparkSession, tableDir: String, cond: Column,
+      maxRetries: Int = 5): Committed = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      val entries = dataUnits(tableDir, base).flatMap(_.entries)
+      require(entries.nonEmpty, s"commitDelete on empty table $tableDir")
+      val dvs = deleteEntries(tableDir, base)
+      val dir = newDataDir(tableDir)
+      // DV size tracks matched rows — a few output files is plenty of
+      // write parallelism, and keeps the manifest line count bounded
+      readTagged(spark, entries.map(_.path), dvs)
+        .where(cond)
+        .select(col("__file").as(DvFileCol), col("__pos").as(DvPosCol))
+        .coalesce(4)
+        .write.parquet(dir)
+      // the `~_file` bloom scopes future reads' anti-join to the files
+      // this DV actually names — see readFilesDv
+      val written = entriesFor(spark, parquetFilesIn(dir), Seq(DvPosCol),
+        bloomCols = Seq(DvFileCol))
+        .filter(_.bounds.get(RowsKey).exists(_._1 > 0))
+      if (written.isEmpty) // nothing matched: no version burned
+        return Committed(base, entries.size, 0, conflicts, skipped = true)
+      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+        snapshotUnits(tableDir, base).map(_.raw) ++
+        written.map("!" + _.line)
+      if (tryPublishLines(tableDir, base + 1, lines))
+        return Committed(base + 1, entries.size, 0, conflicts)
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commitDelete lost $maxRetries version races on $tableDir")
+  }
+
+  /** DV maintenance run by every rewrite-class commit: positions
+    * naming a file in `rewritten` are dropped (that rewrite reads
+    * DV-filtered input, baking the deletes in), survivors consolidate
+    * into one new DV. Returns the replacement `!` lines — all of them
+    * verbatim when the rewrite touches no DV'd file (zero IO), empty
+    * when the debt is fully paid. O(DV rows), never O(table). */
+  private def consolidateDvLines(spark: SparkSession, tableDir: String,
+      dvs: Seq[FileEntry], rewritten: Set[String]): Seq[String] = {
+    if (dvs.isEmpty) return Nil
+    val dv = spark.read.parquet(dvs.map(_.path): _*)
+    // DV distinct-file list is bounded by the live-file count — a
+    // manifest-sized driver collect, same scale as `touched`
+    val dvFiles = dv.select(col(DvFileCol)).distinct()
+      .collect().map(_.getString(0))
+    val drop = dvFiles.filter(v => rewritten.contains(localPath(v)))
+    if (drop.isEmpty) return dvs.map("!" + _.line)
+    val keep = dv.where(!col(DvFileCol).isin(drop.toSeq: _*))
+    val dir = newDataDir(tableDir)
+    keep.coalesce(4).write.parquet(dir)
+    entriesFor(spark, parquetFilesIn(dir), Seq(DvPosCol),
+      bloomCols = Seq(DvFileCol))
+      .filter(_.bounds.get(RowsKey).exists(_._1 > 0))
+      .map("!" + _.line)
   }
 
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
@@ -376,13 +629,20 @@ object SnapshotOps {
     // common case is O(manifest lines) with no group file parsed; a
     // group predating row stats (no _rows on its line) falls back to
     // its per-file entries, and any file without a count → None.
+    // deletion-vector lines SUBTRACT: every DV row references a live
+    // file (rewrite-class commits consolidate), so visible rows =
+    // data rows − DV rows, still metadata-only
     val units = snapshotUnits(tableDir, version)
     val perUnit = units.map { u =>
-      u.ref.bounds.get(RowsKey).map(_._1.toLong).orElse {
-        val counts = u.entries.flatMap(_.bounds.get(RowsKey))
-        if (counts.size == u.entries.size)
-          Some(counts.map(_._1.toLong).sum)
-        else None
+      val sign = if (u.isDelete) -1L else 1L
+      u.ref.bounds.get(RowsKey).map(_._1.toLong * sign).orElse {
+        if (u.isDelete) None // a DV without a count can't subtract
+        else {
+          val counts = u.entries.flatMap(_.bounds.get(RowsKey))
+          if (counts.size == u.entries.size)
+            Some(counts.map(_._1.toLong).sum)
+          else None
+        }
       }
     }
     if (perUnit.forall(_.isDefined)) Some(perUnit.flatten.sum) else None
@@ -471,17 +731,20 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val units = snapshotUnits(tableDir, base)
+      val units = dataUnits(tableDir, base)
+      val dvs = deleteEntries(tableDir, base)
       val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitRewrite on empty table $tableDir")
-      // job 1: which files contain matching rows (file-granularity
-      // pruning via the metadata column — one distributed pass, a
-      // manifest-sized collect)
-      val snap = readSnapshot(spark, tableDir, base,
+      // job 1: which files contain matching VISIBLE rows (file-
+      // granularity pruning via the scan's position identity — one
+      // distributed pass, a manifest-sized collect); DV'd positions
+      // are already filtered out, so a file whose only matches are
+      // deleted rows is not rewritten
+      val snap = readTagged(spark, entries.map(_.path), dvs,
         mergeSchema = mergeSchema)
       val touched = snap
         .where(cond)
-        .select(col("_metadata.file_path").as("f"))
+        .select(col("__file").as("f"))
         .distinct().collect().map(r => localPath(r.getString(0))).toSet
       // copy-on-write at GROUP granularity: a unit none of whose files
       // matches carries forward as its one unparsed line; only broken
@@ -500,9 +763,11 @@ object SnapshotOps {
         // predating an evolved append rewrite with the newer columns
         // present (as null) — the backfill path.
         val dir = newDataDir(tableDir)
-        val in =
-          if (mergeSchema) spark.read.schema(snap.schema).parquet(toRewrite: _*)
-          else spark.read.parquet(toRewrite: _*)
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          snap.schema.filterNot(f =>
+            f.name == "__file" || f.name == "__pos"))
+        val in = readFilesDv(spark, toRewrite, dvs,
+          anchor = if (mergeSchema) dataSchema else null)
         update(in.where(cond)).unionByName(in.where(!coalesce(cond,
           lit(false)))).write.parquet(dir)
         entriesFor(spark, parquetFilesIn(dir), statsColsOf(entries),
@@ -511,7 +776,8 @@ object SnapshotOps {
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         intact.map(_.raw) ++
         (if (survivors.nonEmpty) Seq(groupLine(tableDir, survivors)) else Nil) ++
-        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)
+        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil) ++
+        consolidateDvLines(spark, tableDir, dvs, touched)
       if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, entries.size - toRewrite.size,
           written.size, conflicts)
@@ -536,7 +802,11 @@ object SnapshotOps {
       val files = entries.map(_.path)
       require(files.nonEmpty, s"commitCompact on empty table $tableDir")
       val dir = newDataDir(tableDir)
-      spark.read.parquet(files: _*).coalesce(nFiles).write.parquet(dir)
+      // DV-filtered input: compaction PAYS the merge-on-read debt —
+      // deleted positions bake into the rewrite and no `!` line
+      // carries into the new manifest
+      readFilesDv(spark, files, deleteEntries(tableDir, base))
+        .coalesce(nFiles).write.parquet(dir)
       val written = entriesFor(spark, parquetFilesIn(dir),
         statsColsOf(entries), bloomColsOf(entries))
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
@@ -580,6 +850,7 @@ object SnapshotOps {
     val retainedUnits = (keepFrom to cur)
       .flatMap(v => snapshotUnits(tableDir, v))
     val retained = (retainedUnits.flatMap(_.entries.map(_.path)) ++
+      retainedUnits.filter(_.isDelete).map(_.ref.path) ++
       staged).toSet
     // group files referenced by any retained manifest stay; the rest
     // (dropped versions' groups, lost-race leftovers) are orphans
@@ -619,7 +890,7 @@ object SnapshotOps {
     // two-level prune: groups whose aggregated envelope misses the
     // range are skipped WITHOUT parsing their group file — planning
     // cost is O(groups + files of surviving groups), not O(files)
-    snapshotUnits(tableDir, version).filter(_.mayMatch(box))
+    dataUnits(tableDir, version).filter(_.mayMatch(box))
       .flatMap(_.entries).filter(_.bounds.get(column)
         .forall { case (mn, mx) => mx >= lo && mn <= hi }).map(_.path)
   }
@@ -631,7 +902,7 @@ object SnapshotOps {
     * a pruned read actually touched. */
   def rangeStats(tableDir: String, version: Int, column: String,
       lo: BigDecimal, hi: BigDecimal): (Int, Int, Int, Int) = {
-    val units = snapshotUnits(tableDir, version)
+    val units = dataUnits(tableDir, version)
     val expanded = units.filter(_.mayMatch(Seq((column, lo, hi))))
     val kept = expanded.flatMap(_.entries).filter(_.bounds.get(column)
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
@@ -652,7 +923,9 @@ object SnapshotOps {
       version: Int, column: String, lo: BigDecimal, hi: BigDecimal): DataFrame = {
     val files = rangeFiles(tableDir, version, column, lo, hi)
     val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
-    if (files.nonEmpty) spark.read.parquet(files: _*).where(residual)
+    if (files.nonEmpty)
+      readFilesDv(spark, files, deleteEntries(tableDir, version))
+        .where(residual)
     else readSnapshot(spark, tableDir, 0,
       readSnapshot(spark, tableDir, version).schema)
   }
@@ -680,21 +953,41 @@ object SnapshotOps {
       .flatMap(_.entries.map(_.path)).toSet
     val to = toUnits.filterNot(u => common.contains(u.raw))
       .flatMap(_.entries.map(_.path)).toSet
-    val removed = (from -- to).toSeq.sorted
-    val added = (to -- from).toSeq.sorted
+    // a CHANGED deletion-vector line alters row VISIBILITY of files
+    // both manifests may share verbatim: those files join both sides'
+    // read sets (each side applies its own DVs, so the surviving
+    // identical rows cancel and the delta is exactly the DV'd rows).
+    // A DV line common to both sides cancels like any other unit: it
+    // names the same invisible rows of the same (necessarily common —
+    // consolidation keeps DV refs live) files on both sides.
+    val changedDvs = (fromUnits ++ toUnits)
+      .filter(u => u.isDelete && !common.contains(u.raw))
+      .map(_.ref).distinct
+    val dvTouched: Set[String] =
+      if (changedDvs.isEmpty) Set.empty
+      else {
+        val fromAll = fromUnits.flatMap(_.entries.map(_.path)).toSet
+        val toAll = toUnits.flatMap(_.entries.map(_.path)).toSet
+        spark.read.parquet(changedDvs.map(_.path): _*)
+          .select(col(DvFileCol)).distinct()
+          .collect().map(r => localPath(r.getString(0))).toSet
+          .intersect(fromAll).intersect(toAll)
+      }
+    val removed = ((from -- to) ++ dvTouched).toSeq.sorted
+    val added = ((to -- from) ++ dvTouched).toSeq.sorted
     // mergeSchema + allowMissingColumns: a diff straddling a schema
     // evolution (q245) compares pre-evolution rows with the newer
     // columns as null on BOTH sides, so identical logical rows still
     // cancel and the evolved column is never silently dropped
-    def side(files: Seq[String], sign: Int): Option[DataFrame] =
+    def side(files: Seq[String], version: Int, sign: Int): Option[DataFrame] =
       if (files.isEmpty) None
       else {
-        val df = spark.read.option("mergeSchema", "true")
-          .parquet(files: _*)
+        val df = readFilesDv(spark, files,
+          deleteEntries(tableDir, version), mergeSchema = true)
         Some(df.groupBy(df.columns.map(col): _*)
           .agg((count(lit(1)) * sign).as("_delta")))
       }
-    (side(added, 1), side(removed, -1)) match {
+    (side(added, toVersion, 1), side(removed, fromVersion, -1)) match {
       case (None, None) =>
         val s = readSnapshot(spark, tableDir, toVersion).schema
         readSnapshot(spark, tableDir, 0, s)
@@ -744,7 +1037,7 @@ object SnapshotOps {
     * positives only cost an extra file scan, never a missed row. */
   def pointFiles(spark: SparkSession, tableDir: String, version: Int,
       column: String, value: Any): Seq[String] = {
-    val units = snapshotUnits(tableDir, version)
+    val units = dataUnits(tableDir, version)
     // type the probe from the FIRST unit's files only — schemas are
     // uniform across a snapshot (modulo evolution, where the plain
     // non-merged read samples one file anyway), and expanding every
@@ -767,7 +1060,8 @@ object SnapshotOps {
       version: Int, column: String, value: Any): DataFrame = {
     val files = pointFiles(spark, tableDir, version, column, value)
     if (files.nonEmpty)
-      spark.read.parquet(files: _*).where(col(column) === lit(value))
+      readFilesDv(spark, files, deleteEntries(tableDir, version))
+        .where(col(column) === lit(value))
     else readSnapshot(spark, tableDir, 0,
       readSnapshot(spark, tableDir, version).schema)
   }
@@ -788,8 +1082,10 @@ object SnapshotOps {
       val entries = snapshotEntries(tableDir, base)
       require(entries.nonEmpty, s"commitCluster on empty table $tableDir")
       val dir = newDataDir(tableDir)
+      // full rewrite ⇒ DV debt paid, like commitCompact
       LayoutOps.zorderWrite(
-        spark.read.parquet(entries.map(_.path): _*),
+        readFilesDv(spark, entries.map(_.path),
+          deleteEntries(tableDir, base)),
         colA, colB, dir, nFiles, bits)
       val written = entriesFor(spark, parquetFilesIn(dir),
         (statsColsOf(entries) ++ Seq(colA, colB)).distinct.sorted,
@@ -810,7 +1106,7 @@ object SnapshotOps {
     * at once. Pure metadata; absent bounds never skip. */
   def boxFiles(tableDir: String, version: Int,
       box: Seq[(String, BigDecimal, BigDecimal)]): Seq[String] =
-    snapshotUnits(tableDir, version).filter(_.mayMatch(box))
+    dataUnits(tableDir, version).filter(_.mayMatch(box))
       .flatMap(_.entries).filter(e => box.forall {
         case (c, lo, hi) => e.bounds.get(c)
           .forall { case (mn, mx) => mx >= lo && mn <= hi }
@@ -823,7 +1119,9 @@ object SnapshotOps {
     val residual = box.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
-    if (files.nonEmpty) spark.read.parquet(files: _*).where(residual)
+    if (files.nonEmpty)
+      readFilesDv(spark, files, deleteEntries(tableDir, version))
+        .where(residual)
     else readSnapshot(spark, tableDir, 0,
       readSnapshot(spark, tableDir, version).schema)
   }
@@ -870,10 +1168,18 @@ object SnapshotOps {
     * (ConstraintOps) run against this, never against published data. */
   def readBranch(spark: SparkSession, tableDir: String,
       branch: String): DataFrame = {
-    val files = snapshotFiles(tableDir, currentVersion(tableDir)) ++
-      stagedEntries(tableDir, branch).map(_.path)
-    require(files.nonEmpty, s"readBranch on empty $tableDir/$branch")
-    spark.read.parquet(files: _*)
+    val cur = currentVersion(tableDir)
+    val baseFiles = snapshotFiles(tableDir, cur)
+    val stagedFiles = stagedEntries(tableDir, branch).map(_.path)
+    require(baseFiles.nonEmpty || stagedFiles.nonEmpty,
+      s"readBranch on empty $tableDir/$branch")
+    val sides = Seq(
+      if (baseFiles.nonEmpty)
+        Some(readFilesDv(spark, baseFiles, deleteEntries(tableDir, cur)))
+      else None,
+      if (stagedFiles.nonEmpty) Some(spark.read.parquet(stagedFiles: _*))
+      else None).flatten
+    sides.reduce(_.unionByName(_))
   }
 
   /** PUBLISH: the staged files join the main line as one atomic
@@ -968,15 +1274,14 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val units = snapshotUnits(tableDir, base)
+      val units = dataUnits(tableDir, base)
+      val dvs = deleteEntries(tableDir, base)
       val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitMerge on empty table $tableDir")
-      val snap = readSnapshot(spark, tableDir, base)
+      val snap = readTagged(spark, entries.map(_.path), dvs)
       val srcKeys = broadcast(src.select(keys: _*).distinct())
-      // _metadata must project off the scan BEFORE the join (the
-      // hidden column doesn't survive join resolution)
       val touched = snap
-        .select(keys :+ col("_metadata.file_path").as("f"): _*)
+        .select(keys :+ col("__file").as("f"): _*)
         .join(srcKeys, keyCols, "left_semi")
         .select(col("f"))
         .distinct().collect().map(r => localPath(r.getString(0))).toSet
@@ -993,12 +1298,12 @@ object SnapshotOps {
         val dir = newDataDir(tableDir)
         val matchedKeys =
           if (toRewrite.isEmpty) null
-          else spark.read.parquet(toRewrite: _*)
+          else readFilesDv(spark, toRewrite, dvs)
             .select(keys: _*).distinct()
         val replaced =
           if (toRewrite.isEmpty) src.limit(0)
           else {
-            val in = spark.read.parquet(toRewrite: _*)
+            val in = readFilesDv(spark, toRewrite, dvs)
             in.join(srcKeys, keyCols, "left_anti")
               .unionByName(src.join(broadcast(matchedKeys), keyCols,
                 "left_semi"))
@@ -1012,7 +1317,8 @@ object SnapshotOps {
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         intact.map(_.raw) ++
         (if (survivors.nonEmpty) Seq(groupLine(tableDir, survivors)) else Nil) ++
-        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)
+        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil) ++
+        consolidateDvLines(spark, tableDir, dvs, touched)
       if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, entries.size - toRewrite.size,
           written.size, conflicts)
@@ -1038,7 +1344,8 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val units = snapshotUnits(tableDir, base)
+      val units = dataUnits(tableDir, base)
+      val dvs = deleteEntries(tableDir, base)
       val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitCompactSmall on empty $tableDir")
       def isSmall(e: FileEntry): Boolean =
@@ -1067,14 +1374,16 @@ object SnapshotOps {
       val bloomCols = bloomColsOf(entries)
       val written = bins.toSeq.flatMap { case (_, binEntries) =>
         val dir = newDataDir(tableDir)
-        spark.read.parquet(binEntries.map(_.path).toSeq: _*)
+        readFilesDv(spark, binEntries.map(_.path).toSeq, dvs)
           .coalesce(1).write.parquet(dir)
         entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
       }
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         intact.map(_.raw) ++
         (if (survivors.nonEmpty) Seq(groupLine(tableDir, survivors)) else Nil) ++
-        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)
+        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil) ++
+        consolidateDvLines(spark, tableDir, dvs,
+          small.map(s => localPath(s._1.path)).toSet)
       if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, entries.size - small.size,
           written.size, conflicts)

@@ -607,4 +607,99 @@ class SnapshotOpsSpec extends SparkSpecBase {
       SnapshotOps.commitRewrite(spark, t, lit(true), identity)
     }
   }
+
+  test("commitDelete is merge-on-read: no data file rewritten, reads " +
+      "and metadata count(*) see the deletes, history is immune") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "tag")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    val filesV1 = SnapshotOps.snapshotFiles(t, 1).toSet
+    val c = SnapshotOps.commitDelete(spark, t, col("id") % 10 === 0)
+    assert(c.version == 2 && c.written == 0 && !c.skipped)
+    assert(c.reused == filesV1.size, "every data file reused")
+    // the data-file set is UNCHANGED — that's the whole point
+    assert(SnapshotOps.snapshotFiles(t, 2).toSet == filesV1)
+    val (dvFiles, dvRows) = SnapshotOps.deleteStats(t, 2)
+    assert(dvFiles > 0 && dvRows == 10L)
+    // reads apply the DV; metadata-only count agrees; history intact
+    assert(SnapshotOps.readLatest(spark, t).count() == 90)
+    assert(SnapshotOps.readLatest(spark, t)
+      .where(col("id") % 10 === 0).isEmpty)
+    assert(SnapshotOps.snapshotRowCount(t, 2).contains(90L))
+    assert(SnapshotOps.readSnapshot(spark, t, 1).count() == 100)
+    // pruned reads apply it too
+    assert(SnapshotOps.readSnapshotRange(spark, t, 2, "id", 1, 30)
+      .count() == 27)
+    // a second delete stacks; a no-match delete burns no version
+    SnapshotOps.commitDelete(spark, t, col("id") === 7L)
+    assert(SnapshotOps.snapshotRowCount(t, 3).contains(89L))
+    val noop = SnapshotOps.commitDelete(spark, t, col("id") === 10L)
+    assert(noop.skipped && SnapshotOps.currentVersion(t) == 3)
+  }
+
+  test("rewrite-class commits consolidate DVs (rows for rewritten " +
+      "files drop) and full compaction pays the debt off entirely") {
+    import spark.implicits._
+    val t = freshTable()
+    // two range-separated files: deletes land in both
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 100L).map(i => (i, 0L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), statsCols = Seq("id"))
+    SnapshotOps.commitDelete(spark, t, col("id").isin(5L, 95L))
+    assert(SnapshotOps.snapshotRowCount(t, 2).contains(98L))
+    // COW update touching ONLY the low file: its DV rows bake into the
+    // rewrite; the high file's DV row survives consolidation
+    val r = SnapshotOps.commitRewrite(spark, t, col("id") === 10L,
+      _.withColumn("v", lit(1L)))
+    assert(!r.skipped)
+    val (_, dvRows) = SnapshotOps.deleteStats(t, r.version)
+    assert(dvRows == 1L, "only the untouched file's DV row survives")
+    assert(SnapshotOps.snapshotRowCount(t, r.version).contains(98L))
+    val live = SnapshotOps.readLatest(spark, t)
+    assert(live.count() == 98)
+    assert(live.where(col("id").isin(5L, 95L)).isEmpty)
+    assert(live.where(col("id") === 10L && col("v") === 1L).count() == 1)
+    // full compaction purges every DV line and bakes the deletes in
+    val cc = SnapshotOps.commitCompact(spark, t, 1)
+    assert(SnapshotOps.deleteStats(t, cc.version) == ((0, 0L)))
+    assert(SnapshotOps.readLatest(spark, t).count() == 98)
+    assert(SnapshotOps.snapshotRowCount(t, cc.version).contains(98L))
+  }
+
+  test("snapshotDiff across a MOR delete emits exactly the deleted " +
+      "rows, reading only DV-touched files") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 50L).map(i => (i, s"r$i")).toDF("id", "tag")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    SnapshotOps.commitDelete(spark, t, col("id").isin(3L, 40L))
+    val d = SnapshotOps.snapshotDiff(spark, t, 1, 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("tag"),
+        r.getAs[String]("change_type"))).sortBy(_._1).toSeq
+    assert(d == Seq((3L, "r3", "delete"), (40L, "r40", "delete")))
+    // and the reverse direction reports them as inserts
+    val rev = SnapshotOps.snapshotDiff(spark, t, 2, 1)
+      .select("change_type").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(rev == Seq("insert"))
+  }
+
+  test("vacuum retains DV files referenced by retained versions") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"), statsCols = Seq("id"))
+    SnapshotOps.commitDelete(spark, t, col("id") <= 5L)
+    val dvPaths = SnapshotOps.deleteEntries(t, 2).map(_.path)
+    assert(dvPaths.nonEmpty)
+    SnapshotOps.commitAppend(spark, t,
+      (21L to 25L).map(i => (i, i)).toDF("id", "v"), statsCols = Seq("id"))
+    // drop v1, keep v2..v3 (both reference the DV): files must survive
+    SnapshotOps.vacuum(t, keepVersions = 2, graceMs = 0)
+    assert(dvPaths.forall(p => new java.io.File(p).exists()))
+    assert(SnapshotOps.readLatest(spark, t).count() == 20)
+  }
 }
