@@ -506,12 +506,19 @@ class Engine(val spark: SparkSession) {
         .getOrElse(lit(true))
       ensureSnapshot(name) match {
         case Some(dir) =>
-          // committed COW delete: matched rows rewrite to nothing;
-          // commitRewrite's own non-matching side (!coalesce(cond,
-          // false)) keeps NULL-predicate rows, matching the
-          // three-valued rule
-          lastCommit(norm(name)) = graft.operators.SnapshotOps
-            .commitRewrite(spark, dir, hit, _.limit(0))
+          // `SET delete_mode = 'mor'` routes through the deletion-
+          // vector commit: O(matched rows) of position metadata, zero
+          // data files rewritten. Default stays copy-on-write. Both
+          // keep NULL-predicate rows (commitDelete's .where(cond)
+          // deletes only TRUE matches; commitRewrite's survivor side
+          // is !coalesce(cond, false)) — the three-valued rule.
+          val mor = spark.conf
+            .getOption("graft.setting.delete_mode").contains("mor")
+          lastCommit(norm(name)) =
+            if (mor) graft.operators.SnapshotOps
+              .commitDelete(spark, dir, hit)
+            else graft.operators.SnapshotOps
+              .commitRewrite(spark, dir, hit, _.limit(0))
           registerSnapshot(name, dir)
         case None =>
           register(name, target.where(!coalesce(hit, lit(false))))

@@ -307,6 +307,34 @@ class EngineSpec extends SparkSpecBase {
       Seq("id", "v", "w"))
   }
 
+  test("SET delete_mode='mor' routes SQL DELETE through deletion " +
+      "vectors: no data file rewritten, default COW is untouched") {
+    import graft.operators.SnapshotOps
+    val e = engine
+    e.executeDuck("CREATE TABLE morsql (id int, v int)")
+    e.executeDuck("INSERT INTO morsql VALUES " +
+      (1 to 20).map(i => s"($i, $i)").mkString(", "))
+    val dir = e.snapshotDir("morsql").get
+    val filesV1 = SnapshotOps.snapshotFiles(dir, 1).toSet
+    e.executeDuck("SET delete_mode = 'mor'")
+    try {
+      e.executeDuck("DELETE FROM morsql WHERE id <= 5")
+      val c = e.lastCommit("morsql")
+      assert(c.written == 0 && c.reused == filesV1.size,
+        s"MOR delete rewrote data: $c")
+      assert(SnapshotOps.snapshotFiles(dir, c.version).toSet == filesV1)
+      assert(SnapshotOps.deleteStats(dir, c.version)._2 == 5L)
+      assert(e.executeDuck("SELECT count(*) AS n FROM morsql")
+        .collect().head.getLong(0) == 15L)
+    } finally e.executeDuck("SET delete_mode = 'cow'")
+    // back to default: the next DELETE is a COW rewrite commit
+    e.executeDuck("DELETE FROM morsql WHERE id = 6")
+    val c2 = e.lastCommit("morsql")
+    assert(c2.written >= 1, s"expected COW rewrite, got $c2")
+    assert(e.executeDuck("SELECT count(*) AS n FROM morsql")
+      .collect().head.getLong(0) == 14L)
+  }
+
   test("MERGE leaves non-SET columns of matched rows untouched") {
     val e = engine
     e.executeDuck("CREATE TABLE t2m (id int, a varchar, b varchar)")
