@@ -552,8 +552,60 @@ object SnapshotOps {
     finally Files.deleteIfExists(tmp)
   }
 
+  /** Reserved meta key: the commit's wall-clock millis. Every commit
+    * path funnels through here, so each version carries its own stamp
+    * (the carried-forward base value is replaced) — what
+    * [[versionAsOf]] time travel resolves against. */
+  private val TsKey = "_ts"
+
   private def metaLines(meta: Map[String, String]): Seq[String] =
-    meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k:$v" }
+    (meta - TsKey + (TsKey -> System.currentTimeMillis().toString))
+      .toSeq.sortBy(_._1).map { case (k, v) => s"#$k:$v" }
+
+  /** Commit wall-clock of a version, when stamped. */
+  def snapshotTimestamp(tableDir: String, version: Int): Option[Long] =
+    snapshotMeta(tableDir, version).get(TsKey).map(_.toLong)
+
+  /** Iceberg/Delta `TIMESTAMP AS OF`: the highest version whose commit
+    * stamp is ≤ `tsMillis`. None when the table is empty or every
+    * commit is later (or predates stamping). O(versions) meta reads —
+    * header lines only, no entry parsed. */
+  def versionAsOf(tableDir: String, tsMillis: Long): Option[Int] =
+    (1 to currentVersion(tableDir))
+      .filter(v => snapshotTimestamp(tableDir, v).exists(_ <= tsMillis))
+      .maxOption
+
+  def readSnapshotAsOf(spark: SparkSession, tableDir: String,
+      tsMillis: Long,
+      schema: org.apache.spark.sql.types.StructType = null): DataFrame =
+    readSnapshot(spark, tableDir,
+      versionAsOf(tableDir, tsMillis).getOrElse(0), schema)
+
+  /** Incremental APPEND read — the fast path a pipeline consumer polls
+    * between runs: rows added in (`fromVersion`, `toVersion`], read
+    * from exactly the manifest units `to` has and `from` lacks (unit-
+    * raw cancellation, so carried-forward groups are never parsed),
+    * with `to`'s DVs applied so rows already deleted at `to` don't
+    * surface. Requires the span to be append-shaped: every `from` data
+    * unit must still be present in `to` (a rewrite in between means
+    * added-files ≠ added-rows — use [[snapshotDiff]] there). */
+  def readAppendsSince(spark: SparkSession, tableDir: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    val fromRaw = snapshotUnits(tableDir, fromVersion)
+      .filterNot(_.isDelete).map(_.raw).toSet
+    val toUnits = dataUnits(tableDir, toVersion)
+    val missing = fromRaw -- toUnits.map(_.raw).toSet
+    require(missing.isEmpty,
+      s"readAppendsSince: span v$fromVersion..v$toVersion is not " +
+        s"append-only (${missing.size} base units rewritten) — use " +
+        "snapshotDiff for the general CDC read")
+    val added = toUnits.filterNot(u => fromRaw.contains(u.raw))
+      .flatMap(_.entries.map(_.path))
+    if (added.isEmpty)
+      readSnapshot(spark, tableDir, 0,
+        readSnapshot(spark, tableDir, toVersion).schema)
+    else readFilesDv(spark, added, deleteEntries(tableDir, toVersion))
+  }
 
   private def localPath(p: String): String =
     if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString

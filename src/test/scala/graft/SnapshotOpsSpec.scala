@@ -216,7 +216,7 @@ class SnapshotOpsSpec extends SparkSpecBase {
     val c3 = SnapshotOps.commitAppend(spark, t,
       Seq((3L, "c")).toDF("id", "s"), txn = Some(("s2", 0L)))
     assert(c3.version == 3 && !c3.skipped)
-    assert(SnapshotOps.snapshotMeta(t, 3) ==
+    assert(SnapshotOps.snapshotMeta(t, 3) - "_ts" ==
       Map("txn.s1" -> "1", "txn.s2" -> "0"))
     // txn watermarks survive maintenance commits
     SnapshotOps.commitCompact(spark, t, nFiles = 1)
@@ -685,6 +685,43 @@ class SnapshotOpsSpec extends SparkSpecBase {
       .select("change_type").distinct()
       .collect().map(_.getString(0)).toSeq
     assert(rev == Seq("insert"))
+  }
+
+  test("versionAsOf resolves TIMESTAMP AS OF against per-commit " +
+      "stamps; readAppendsSince reads only the appended units and " +
+      "refuses non-append spans") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      Seq((1L, "a"), (2L, "a")).toDF("id", "tag"))
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    SnapshotOps.commitAppend(spark, t,
+      Seq((3L, "b")).toDF("id", "tag"))
+    assert(SnapshotOps.versionAsOf(t, between).contains(1))
+    assert(SnapshotOps.versionAsOf(t,
+      System.currentTimeMillis() + 1000).contains(2))
+    assert(SnapshotOps.versionAsOf(t,
+      SnapshotOps.snapshotTimestamp(t, 1).get - 1).isEmpty)
+    assert(SnapshotOps.readSnapshotAsOf(spark, t, between).count() == 2)
+    // incremental read: exactly the appended rows, not the base
+    val inc = SnapshotOps.readAppendsSince(spark, t, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(inc == Seq((3L, "b")))
+    assert(SnapshotOps.readAppendsSince(spark, t, 2, 2).isEmpty)
+    // a MOR delete between appends: deleted rows don't surface in the
+    // incremental read (to-side DVs apply)
+    SnapshotOps.commitDelete(spark, t, col("id") === 3L)
+    SnapshotOps.commitAppend(spark, t, Seq((4L, "c")).toDF("id", "tag"))
+    val inc2 = SnapshotOps.readAppendsSince(spark, t, 1, 4)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc2 == Seq(4L))
+    // a rewrite breaks append-shape: the fast path must refuse
+    SnapshotOps.commitRewrite(spark, t, col("id") === 1L,
+      _.withColumn("tag", lit("z")))
+    assertThrows[IllegalArgumentException] {
+      SnapshotOps.readAppendsSince(spark, t, 1, 5)
+    }
   }
 
   test("vacuum retains DV files referenced by retained versions") {
