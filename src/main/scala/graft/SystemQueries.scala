@@ -2031,7 +2031,8 @@ object SystemQueries {
         |    CAST(l_orderkey AS VARCHAR) || '|' ||
         |    CAST(l_linenumber AS VARCHAR) || '|' ||
         |    CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
-        |FROM lineitem WHERE l_orderkey BETWEEN 1 AND 500""".stripMargin),
+        |FROM lineitem WHERE l_orderkey BETWEEN 1 AND 500""".stripMargin,
+      headline = true),
 
     // SQL DML on the snapshot layer (r11) — the Engine's regex front
     // end executing a full CREATE→INSERT→UPDATE→DELETE→MERGE lifecycle
@@ -2098,7 +2099,8 @@ object SystemQueries {
         |SELECT seg, count(*) AS n, tot.bal_total,
         |  CAST(4 AS BIGINT) AS versions
         |FROM merged CROSS JOIN tot
-        |GROUP BY seg, tot.bal_total ORDER BY seg""".stripMargin),
+        |GROUP BY seg, tot.bal_total ORDER BY seg""".stripMargin,
+      headline = true),
 
     // MERGE-ON-READ deletion vectors (r11) — the Iceberg-v2/Delta DV
     // model: a selective delete on a large table writes O(matched
@@ -2163,6 +2165,6 @@ object SystemQueries {
         |SELECT 'mor' AS stage, n, qty, content_xor,
         |  dv.n_del AS dv_rows, CAST(0 AS BIGINT) AS files_rewritten
         |FROM agg CROSS JOIN dv
-        |ORDER BY stage""".stripMargin)
+        |ORDER BY stage""".stripMargin, headline = true)
   )
 }
