@@ -2165,6 +2165,47 @@ object SystemQueries {
         |SELECT 'mor' AS stage, n, qty, content_xor,
         |  dv.n_del AS dv_rows, CAST(0 AS BIGINT) AS files_rewritten
         |FROM agg CROSS JOIN dv
-        |ORDER BY stage""".stripMargin, headline = true)
+        |ORDER BY stage""".stripMargin, headline = true),
+
+    // STREAMING CDC-APPLY sink (r11) — the "merge a change stream into
+    // a table" pattern: two ordered change waves (initial balances,
+    // then a +50 correction for a key prefix) each land as ONE
+    // committed upsert version under a per-stream txn watermark; a
+    // replayed epoch skips before reading a byte. The oracle re-derives
+    // the final upserted state from `customer` alone; versions (2 =
+    // one per wave), file reuse during the merge wave, and the replay
+    // skip ride as pinned columns.
+    "q259_stream_upsert_sink" -> api((spark, sfDir) => {
+      val scratch = s"${runScopedDir("/tmp/graft_q259", sfDir)}/u-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val (table, versions, reusedAny, replaySkipped) =
+        StreamingOps.streamUpsertSink(spark, sfDir, scratch,
+          n = 250, updN = 100)
+      graft.operators.SnapshotOps.readLatest(spark, table)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double")
+            .as("bal_total"))
+        .select(col("seg"), col("n"), col("bal_total"),
+          lit(versions).cast("long").as("versions"),
+          lit(if (reusedAny) 1L else 0L).as("reused_any"),
+          lit(if (replaySkipped) 1L else 0L).as("replay_skipped"))
+        .orderBy("seg")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over run-scoped scratch
+        .localCheckpoint()
+    },
+      """WITH fin AS (
+        |  SELECT c_mktsegment AS seg,
+        |    c_acctbal + CASE WHEN c_custkey <= 100 THEN 50.0 ELSE 0.0
+        |      END AS bal
+        |  FROM customer WHERE c_custkey <= 250)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  CAST(2 AS BIGINT) AS versions,
+        |  CAST(1 AS BIGINT) AS reused_any,
+        |  CAST(1 AS BIGINT) AS replay_skipped
+        |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
+      headline = true)
   )
 }

@@ -1317,8 +1317,18 @@ object SnapshotOps {
     * would make the merge order-dependent). */
   def commitMerge(spark: SparkSession, tableDir: String,
       source: DataFrame, keyCols: Seq[String],
-      maxRetries: Int = 5): Committed = {
+      maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None): Committed = {
     require(keyCols.nonEmpty, "commitMerge needs key columns")
+    // same per-stream watermark as commitAppend: a replayed upsert
+    // batch (the streaming CDC-apply sink's at-least-once retry) must
+    // skip BEFORE reading or writing a byte
+    def alreadyIn(meta: Map[String, String]): Boolean = txn.exists {
+      case (sid, bid) => meta.get(s"txn.$sid").exists(_.toLong >= bid)
+    }
+    val pre = currentVersion(tableDir)
+    if (alreadyIn(snapshotMeta(tableDir, pre)))
+      return Committed(pre, 0, 0, 0, skipped = true)
     val src = source.localCheckpoint() // read once, reused four times
     val keys = keyCols.map(col)
     require(src.groupBy(keys: _*).count().where(col("count") > 1)
@@ -1326,6 +1336,8 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
+      if (alreadyIn(snapshotMeta(tableDir, base))) // twin won the race
+        return Committed(base, 0, 0, conflicts, skipped = true)
       val units = dataUnits(tableDir, base)
       val dvs = deleteEntries(tableDir, base)
       val entries = units.flatMap(_.entries)
@@ -1366,7 +1378,11 @@ object SnapshotOps {
         replaced.unionByName(inserts).write.parquet(dir)
         entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
       }
-      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+      val newMeta = txn.fold(snapshotMeta(tableDir, base)) {
+        case (sid, bid) =>
+          snapshotMeta(tableDir, base) + (s"txn.$sid" -> bid.toString)
+      }
+      val lines = metaLines(newMeta) ++
         intact.map(_.raw) ++
         (if (survivors.nonEmpty) Seq(groupLine(tableDir, survivors)) else Nil) ++
         (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil) ++

@@ -722,4 +722,77 @@ object StreamingOps {
       } else false
     (table, published, rejected, replaySkipped)
   }
+
+  /** Streaming CDC-APPLY (upsert) sink — the Delta/Iceberg "merge into
+    * from a change stream" pattern: each micro-batch of keyed changes
+    * lands as ONE committed upsert version (commitMerge: matched keys
+    * replace file-granularly, new keys append; the first batch on an
+    * empty table is a plain append commit), under the same per-stream
+    * txn watermark as the append sink, so an at-least-once replay of an
+    * epoch skips before reading a byte.
+    *
+    * The change source is two deterministic waves derived from
+    * `customer`: wave 1 = initial balances (id ≤ `n`), wave 2 = a
+    * +50.0 balance correction for id ≤ `updN`. Waves arrive in order —
+    * one file each with forced modification times, maxFilesPerTrigger=1
+    * (FileStreamSource schedules by mtime) — because upserts, unlike
+    * appends, do not commute. Returns (tableDir, versions,
+    * updatedFilesReusedSomewhere, replaySkipped). */
+  def streamUpsertSink(spark: SparkSession, sfDir: String,
+      scratch: String, n: Int, updN: Int): (String, Int, Boolean, Boolean) = {
+    import graft.operators.SnapshotOps
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val wave1 = cust.where(col("id") <= n)
+    val wave2 = cust.where(col("id") <= updN)
+      .withColumn("bal", col("bal") + lit(50.0))
+    val srcDir = s"$scratch/changes"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def writeWave(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$scratch/wave$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Option(new java.io.File(tmp).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, s"wave$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // mtime IS the arrival order contract
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L +
+          i * 60000L))
+    }
+    writeWave(wave1, 1)
+    writeWave(wave2, 2)
+    val table = s"$scratch/table"
+    val streamId = "cdc_upsert"
+    def upsert(batch: DataFrame, id: Long): SnapshotOps.Committed =
+      if (SnapshotOps.currentVersion(table) == 0)
+        // key-ranged layout so later waves' merges are file-granular
+        SnapshotOps.commitAppend(spark, table,
+          batch.repartitionByRange(4, col("id")),
+          statsCols = Seq("id"), txn = Some((streamId, id)))
+      else SnapshotOps.commitMerge(spark, table, batch, Seq("id"),
+        txn = Some((streamId, id)))
+    var lastBatch = -1L
+    var reusedSomewhere = false
+    val q = spark.readStream.schema(wave1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val c = upsert(batch.toDF(), id)
+        reusedSomewhere = reusedSomewhere || c.reused > 0
+        lastBatch = math.max(lastBatch, id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // replay the final epoch: the merge must skip on the watermark
+    val replay = upsert(
+      spark.read.parquet(s"$srcDir/wave2.parquet"), lastBatch)
+    (table, SnapshotOps.currentVersion(table), reusedSomewhere,
+      replay.skipped)
+  }
 }

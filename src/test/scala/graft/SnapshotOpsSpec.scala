@@ -724,6 +724,28 @@ class SnapshotOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("txn-marked commitMerge is idempotent: a replayed upsert batch " +
+      "skips before reading a byte, a newer batch commits") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), statsCols = Seq("id"))
+    val src = Seq((2L, 99L), (3L, 30L)).toDF("id", "v")
+    val c1 = SnapshotOps.commitMerge(spark, t, src, Seq("id"),
+      txn = Some(("cdc", 0L)))
+    assert(c1.version == 2 && !c1.skipped)
+    val replay = SnapshotOps.commitMerge(spark, t, src, Seq("id"),
+      txn = Some(("cdc", 0L)))
+    assert(replay.skipped && replay.version == 2)
+    assert(SnapshotOps.currentVersion(t) == 2)
+    val next = SnapshotOps.commitMerge(spark, t,
+      Seq((1L, 11L)).toDF("id", "v"), Seq("id"), txn = Some(("cdc", 1L)))
+    assert(next.version == 3 && !next.skipped)
+    val rows = SnapshotOps.readLatest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows == Seq((1L, 11L), (2L, 99L), (3L, 30L)))
+  }
+
   test("vacuum retains DV files referenced by retained versions") {
     import spark.implicits._
     val t = freshTable()
