@@ -724,6 +724,41 @@ class SnapshotOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("layout evolution (hidden partitioning): files from different " +
+      "layout eras prune independently, stat-less files never skip") {
+    import spark.implicits._
+    val t = freshTable()
+    val grid = (for (a <- 1L to 100L; b <- Seq(1L, 50L, 100L))
+      yield (a, b)).toDF("ka", "kb")
+    // era 1: ka-ranged layout; era 2: kb-ranged layout — the manifest
+    // records per-file bounds for BOTH, so pruning is per-file and
+    // layout-agnostic (Iceberg's partition-evolution property: old
+    // files keep their old layout, planning adapts)
+    SnapshotOps.commitAppend(spark, t,
+      grid.repartitionByRange(4, col("ka")), statsCols = Seq("ka", "kb"))
+    SnapshotOps.commitAppend(spark, t,
+      grid.withColumn("ka", col("ka") + 1000L)
+        .repartitionByRange(4, col("kb")), statsCols = Seq("ka", "kb"))
+    val all = SnapshotOps.snapshotFiles(t, 2)
+    // a ka-range inside era 1 keeps era-1 tightly and era-2 not at all
+    val kaKept = SnapshotOps.rangeFiles(t, 2, "ka", 1, 25)
+    assert(kaKept.nonEmpty && kaKept.size < all.size / 2,
+      s"ka prune kept ${kaKept.size}/${all.size}")
+    assert(SnapshotOps.readSnapshotRange(spark, t, 2, "ka", 1, 25)
+      .count() == 25 * 3)
+    // a kb-point range prunes era 2 tightly; era-1 files span all kb
+    // so they stay (bounds are per FILE, not per layout)
+    val kbKept = SnapshotOps.rangeFiles(t, 2, "kb", 100, 100)
+    assert(kbKept.size < all.size, s"kb prune kept ${kbKept.size}")
+    assert(SnapshotOps.readSnapshotRange(spark, t, 2, "kb", 100, 100)
+      .count() == 200)
+    // era 3: an append with NO kb stats — absence must never skip
+    SnapshotOps.commitAppend(spark, t,
+      Seq((5000L, 100L)).toDF("ka", "kb"), statsCols = Seq("ka"))
+    assert(SnapshotOps.readSnapshotRange(spark, t, 3, "kb", 100, 100)
+      .count() == 201)
+  }
+
   test("txn-marked commitMerge is idempotent: a replayed upsert batch " +
       "skips before reading a byte, a newer batch commits") {
     import spark.implicits._
