@@ -89,11 +89,12 @@ object Bench {
     // 90-entry set (q211/q226/q227 + q234-q255 promoted): r9's 65-entry
     // floor 44.9 s + 32.4 s best-of-pass sum for the first 23 additions
     // + 1.9 s q254 + 2.8 s q255 (scoped interleaved runs, BASELINE.md
-    // Round-10) ≈ 82 s; rounded down to 81.0. r11 94-entry set adds
-    // q256 2.6 s + q257 6.5 s + q258 4.2 s + q259 2.9 s (commit-latency
-    // lifecycle entries, scoped quiet runs, BASELINE.md Round-11) → 97.0
+    // Round-10) ≈ 82 s; rounded down to 81.0. r11 95-entry set adds
+    // q256 2.6 s + q257 6.5 s + q258 4.2 s + q259 2.9 s + q260 2.9 s
+    // (commit-latency lifecycle entries, scoped quiet runs, BASELINE.md
+    // Round-11) → 100.0
     val quietFloorSec: Option[Double] =
-      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(97.0) else None
+      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(100.0) else None
     val runNoisy = quietFloorSec.map { floor =>
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""
@@ -124,7 +125,7 @@ object Bench {
     // map-bearing total LAST and the driver's tail window truncated it
     // mid-stream, so the round's parse came back null. Now: the fat
     // per-entry MIN map first (still lands inside a few-KB tail window
-    // for the 94-entry set), queries_max second (spike visibility), and
+    // for the 95-entry set), queries_max second (spike visibility), and
     // the FINAL line is the SHORT summary — small enough that no tail
     // window can split it, so the driver's parse always gets a total.
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"failed":$failed$runNoisy$goldCasing,"sf":"$sfDir"}"""

@@ -476,9 +476,17 @@ class Engine(val spark: SparkSession) {
         case Some(dir) =>
           // committed file-granular COW: files without a matching row
           // carry forward untouched; commitRewrite applies the SETs to
-          // only cond-true rows (its non-matching side rides through)
-          lastCommit(norm(name)) = graft.operators.SnapshotOps
-            .commitRewrite(spark, dir, cond, applySets)
+          // only cond-true rows (its non-matching side rides through).
+          // `SET update_mode='mor'` switches to the merge-on-read
+          // shape: matched positions delete, updated rows append, no
+          // data file rewritten.
+          val mor = spark.conf
+            .getOption("graft.setting.update_mode").contains("mor")
+          lastCommit(norm(name)) =
+            if (mor) graft.operators.SnapshotOps
+              .commitUpdateMoR(spark, dir, cond, applySets)
+            else graft.operators.SnapshotOps
+              .commitRewrite(spark, dir, cond, applySets)
           registerSnapshot(name, dir)
         case None =>
           register(name, target.select(target.schema.fields.map { f =>

@@ -49,10 +49,20 @@ object MorAbProbe {
     val n2 = SnapshotOps.readLatest(spark, t2).count()
     val (_, plainRead) = time(SnapshotOps.readSnapshot(spark, t1, 1).count())
     val (_, dvRead) = time(SnapshotOps.readLatest(spark, t1).count())
+    // the UPDATE duals on fresh tables
+    val t3 = mk(); val t4 = mk()
+    val bump: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.withColumn("l_quantity", col("l_quantity") + lit(1.0))
+    val (u1, morUpdSec) = time(SnapshotOps.commitUpdateMoR(spark, t3,
+      cond, bump))
+    val (u2, cowUpdSec) = time(SnapshotOps.commitRewrite(spark, t4,
+      cond, bump))
     println(f"""{"mor_sec":$morSec%.2f,"cow_sec":$cowSec%.2f,""" +
       s""""mor_reused":${d1.reused},"cow_reused":${d2.reused},""" +
       s""""rows_mor":$n1,"rows_cow":$n2,""" +
-      f""""read_plain_sec":$plainRead%.2f,"read_dv_sec":$dvRead%.2f}""")
+      f""""read_plain_sec":$plainRead%.2f,"read_dv_sec":$dvRead%.2f,""" +
+      f""""mor_upd_sec":$morUpdSec%.2f,"cow_upd_sec":$cowUpdSec%.2f,""" +
+      s""""mor_upd_reused":${u1.reused},"cow_upd_reused":${u2.reused}}""")
     spark.stop()
   }
 }

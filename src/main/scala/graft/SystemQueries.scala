@@ -2206,6 +2206,74 @@ object SystemQueries {
         |  CAST(1 AS BIGINT) AS reused_any,
         |  CAST(1 AS BIGINT) AS replay_skipped
         |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
-      headline = true)
+      headline = true),
+
+    // MERGE-ON-READ update (r11) — q258's dual for UPDATE: matched
+    // rows' positions become a deletion vector and the updated rows
+    // append as new files in ONE commit, zero data files rewritten
+    // (base_files_kept pins that every v1 file is still in the v2
+    // manifest). Compaction folds the whole MOR state — DV plus
+    // appended updates — into plain files with content unchanged.
+    "q260_mor_update" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q260", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val li = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .where(col("l_orderkey") <= 1200)
+      SnapshotOps.commitAppend(spark, table,
+        li.repartitionByRange(4, col("l_orderkey")),
+        statsCols = Seq("l_orderkey"))
+      val filesV1 = SnapshotOps.snapshotFiles(table, 1).toSet
+      val up = SnapshotOps.commitUpdateMoR(spark, table,
+        col("l_quantity") <= 3.0,
+        _.withColumn("l_quantity", col("l_quantity") + lit(100.0)))
+      val (_, dvRows) = SnapshotOps.deleteStats(table, up.version)
+      val kept =
+        if (filesV1.subsetOf(
+          SnapshotOps.snapshotFiles(table, up.version).toSet)) 1L else 0L
+      def content(stage: String, dv: Long) =
+        SnapshotOps.readLatest(spark, table)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("qty"),
+            contentXor("l_orderkey", "l_linenumber", "l_quantity")
+              .as("content_xor"))
+          .select(lit(stage).as("stage"), col("n"), col("qty"),
+            col("content_xor"), lit(dv).cast("long").as("dv_rows"),
+            lit(kept).as("base_files_kept"))
+      val mor = content("mor", dvRows)
+      val cc = SnapshotOps.commitCompact(spark, table, 2)
+      val (_, dvAfter) = SnapshotOps.deleteStats(table, cc.version)
+      val compacted = content("compacted", dvAfter)
+      mor.unionByName(compacted).orderBy("stage")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over run-scoped scratch
+        .localCheckpoint()
+    },
+      """WITH upd AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_quantity <= 3.0 THEN l_quantity + 100.0
+        |      ELSE l_quantity END AS l_quantity
+        |  FROM lineitem WHERE l_orderkey <= 1200),
+        |dv AS (
+        |  SELECT count(*) AS n_upd FROM lineitem
+        |  WHERE l_orderkey <= 1200 AND l_quantity <= 3.0),
+        |agg AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    bit_xor(('0x' || substring(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(l_quantity AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |  FROM upd)
+        |SELECT 'compacted' AS stage, n, qty, content_xor,
+        |  CAST(0 AS BIGINT) AS dv_rows, CAST(1 AS BIGINT) AS base_files_kept
+        |FROM agg
+        |UNION ALL
+        |SELECT 'mor' AS stage, n, qty, content_xor,
+        |  dv.n_upd AS dv_rows, CAST(1 AS BIGINT) AS base_files_kept
+        |FROM agg CROSS JOIN dv
+        |ORDER BY stage""".stripMargin, headline = true)
   )
 }

@@ -503,6 +503,48 @@ object SnapshotOps {
       s"commitDelete lost $maxRetries version races on $tableDir")
   }
 
+  /** Transactional MERGE-ON-READ update — the Iceberg-v2 MOR update
+    * shape: matched rows' positions become a deletion vector AND
+    * `update` applied to them appends as new data files, both in ONE
+    * committed version. No existing data file is rewritten: cost is
+    * O(matched rows), not O(touched files' bytes) — the update dual of
+    * [[commitDelete]], with [[commitRewrite]] as the COW alternative
+    * when a file's updated fraction makes rewriting it worthwhile. */
+  def commitUpdateMoR(spark: SparkSession, tableDir: String, cond: Column,
+      update: DataFrame => DataFrame, maxRetries: Int = 5): Committed = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      val entries = dataUnits(tableDir, base).flatMap(_.entries)
+      require(entries.nonEmpty, s"commitUpdateMoR on empty table $tableDir")
+      val dvs = deleteEntries(tableDir, base)
+      // matched VISIBLE rows, read once (positions + update input)
+      val hits = readTagged(spark, entries.map(_.path), dvs)
+        .where(cond).localCheckpoint()
+      val dvDir = newDataDir(tableDir)
+      hits.select(col("__file").as(DvFileCol), col("__pos").as(DvPosCol))
+        .coalesce(4).write.parquet(dvDir)
+      val dvWritten = entriesFor(spark, parquetFilesIn(dvDir),
+        Seq(DvPosCol), bloomCols = Seq(DvFileCol))
+        .filter(_.bounds.get(RowsKey).exists(_._1 > 0))
+      if (dvWritten.isEmpty) // nothing matched: no version burned
+        return Committed(base, entries.size, 0, conflicts, skipped = true)
+      val dataDir = newDataDir(tableDir)
+      update(hits.drop("__file", "__pos")).write.parquet(dataDir)
+      val written = entriesFor(spark, parquetFilesIn(dataDir),
+        statsColsOf(entries), bloomColsOf(entries))
+      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+        snapshotUnits(tableDir, base).map(_.raw) ++
+        (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil) ++
+        dvWritten.map("!" + _.line)
+      if (tryPublishLines(tableDir, base + 1, lines))
+        return Committed(base + 1, entries.size, written.size, conflicts)
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commitUpdateMoR lost $maxRetries version races on $tableDir")
+  }
+
   /** DV maintenance run by every rewrite-class commit: positions
     * naming a file in `rewritten` are dropped (that rewrite reads
     * DV-filtered input, baking the deletes in), survivors consolidate

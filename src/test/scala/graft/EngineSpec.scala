@@ -333,6 +333,23 @@ class EngineSpec extends SparkSpecBase {
     assert(c2.written >= 1, s"expected COW rewrite, got $c2")
     assert(e.executeDuck("SELECT count(*) AS n FROM morsql")
       .collect().head.getLong(0) == 14L)
+    // SET update_mode='mor': UPDATE appends updated rows + positions,
+    // reusing every base data file
+    val before = SnapshotOps.snapshotFiles(dir,
+      SnapshotOps.currentVersion(dir)).toSet
+    e.executeDuck("SET update_mode = 'mor'")
+    try {
+      e.executeDuck("UPDATE morsql SET v = 0 WHERE id >= 18")
+      val cu = e.lastCommit("morsql")
+      assert(cu.reused == before.size, s"MOR update rewrote data: $cu")
+      assert(before.subsetOf(SnapshotOps.snapshotFiles(dir,
+        cu.version).toSet))
+      assert(e.executeDuck(
+        "SELECT count(*) AS n FROM morsql WHERE v = 0")
+        .collect().head.getLong(0) == 3L)
+      assert(e.executeDuck("SELECT count(*) AS n FROM morsql")
+        .collect().head.getLong(0) == 14L)
+    } finally e.executeDuck("SET update_mode = 'cow'")
   }
 
   test("MERGE leaves non-SET columns of matched rows untouched") {

@@ -724,6 +724,38 @@ class SnapshotOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("commitUpdateMoR updates without rewriting any file: positions " +
+      "delete + updated rows append in one version; compaction folds " +
+      "it all in") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 100L).map(i => (i, 0L)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    val filesV1 = SnapshotOps.snapshotFiles(t, 1).toSet
+    val c = SnapshotOps.commitUpdateMoR(spark, t, col("id") % 10 === 0,
+      _.withColumn("v", lit(7L)))
+    assert(c.version == 2 && !c.skipped)
+    assert(c.reused == filesV1.size, "every base file reused")
+    // base files all carried; only NEW files (the updated rows) added
+    assert(filesV1.subsetOf(SnapshotOps.snapshotFiles(t, 2).toSet))
+    val live = SnapshotOps.readLatest(spark, t)
+    assert(live.count() == 100)
+    assert(live.where(col("v") === 7L).count() == 10)
+    assert(live.where(col("id") % 10 === 0 && col("v") =!= 7L).isEmpty)
+    assert(SnapshotOps.snapshotRowCount(t, 2).contains(100L))
+    // old version unaffected; no-match update burns no version
+    assert(SnapshotOps.readSnapshot(spark, t, 1)
+      .where(col("v") === 7L).isEmpty)
+    assert(SnapshotOps.commitUpdateMoR(spark, t, col("id") > 999L,
+      identity).skipped)
+    // compaction pays the debt: DVs purge, content survives
+    val cc = SnapshotOps.commitCompact(spark, t, 1)
+    assert(SnapshotOps.deleteStats(t, cc.version) == ((0, 0L)))
+    assert(SnapshotOps.readLatest(spark, t)
+      .where(col("v") === 7L).count() == 10)
+  }
+
   test("layout evolution (hidden partitioning): files from different " +
       "layout eras prune independently, stat-less files never skip") {
     import spark.implicits._
