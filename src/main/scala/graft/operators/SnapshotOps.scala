@@ -404,6 +404,22 @@ object SnapshotOps {
     }
   }
 
+  /** Path→xxhash64 memo for the DV bloom probes: the probe is
+    * O(manifest files) driver work per DV read, and file paths repeat
+    * across every read of the table, so the hash is computed once per
+    * path per JVM (bounded; cleared when it outgrows the cap). */
+  private val pathHashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def pathHash(f: String): Long = {
+    val cached = pathHashCache.get(f)
+    if (cached != null) return cached
+    val h = probeHash(f, org.apache.spark.sql.types.StringType)
+    if (pathHashCache.size > 262144) pathHashCache.clear()
+    pathHashCache.put(f, h)
+    h
+  }
+
   /** Files whose path might appear in any of the DVs, by probing the
     * `~_file=` Blooms on the DV manifest lines — pure metadata, no DV
     * parquet opened. None ⇒ some DV predates the bloom (never skip). */
@@ -415,7 +431,7 @@ object SnapshotOps {
       org.apache.spark.util.sketch.BloomFilter
         .readFrom(new java.io.ByteArrayInputStream(b)))
     Some(files.filter { f =>
-      val h = probeHash(f, org.apache.spark.sql.types.StringType)
+      val h = pathHash(f)
       filters.exists(_.mightContainLong(h))
     }.toSet)
   }

@@ -668,6 +668,23 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(SnapshotOps.snapshotRowCount(t, cc.version).contains(98L))
   }
 
+  test("snapshotDiff across a MOR update emits delete(old)+insert(new) " +
+      "for exactly the updated rows") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 30L).map(i => (i, 0L)).toDF("id", "v")
+        .repartitionByRange(3, col("id")), statsCols = Seq("id"))
+    SnapshotOps.commitUpdateMoR(spark, t, col("id").isin(7L, 20L),
+      _.withColumn("v", lit(9L)))
+    val d = SnapshotOps.snapshotDiff(spark, t, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[String]("change_type")))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(d == Seq((7L, 0L, "delete"), (7L, 9L, "insert"),
+      (20L, 0L, "delete"), (20L, 9L, "insert")))
+  }
+
   test("snapshotDiff across a MOR delete emits exactly the deleted " +
       "rows, reading only DV-touched files") {
     import spark.implicits._
