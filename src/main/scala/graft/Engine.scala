@@ -259,6 +259,8 @@ class Engine(val spark: SparkSession) {
   private val PragmaTableInfo =
     """(?is)\s*PRAGMA\s+table_info\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
   private val PragmaDbList = """(?is)\s*PRAGMA\s+database_list\s*""".r
+  private val PragmaSnapshots =
+    """(?is)\s*PRAGMA\s+table_snapshots\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
   private val CallVersion =
     """(?is)\s*CALL\s+pragma_version\s*\(\s*\)\s*""".r
   private val SummarizeCmd = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
@@ -659,6 +661,24 @@ class Engine(val spark: SparkSession) {
     case PragmaShowTables() =>
       import spark.implicits._
       tables.keys.filterNot(_.contains('.')).toSeq.sorted.toDF("name")
+    case PragmaSnapshots(name) =>
+      // queryable table HISTORY (Iceberg's snapshots/Delta's DESCRIBE
+      // HISTORY): one row per committed version from the manifest
+      // chain alone — version, commit millis, data files, data rows,
+      // DV positions, visible rows (data − DV)
+      import spark.implicits._
+      val dir = snapshotDir(name).getOrElse(throw new IllegalArgumentException(
+        s"table_snapshots: '$name' has no committed snapshot history"))
+      import graft.operators.SnapshotOps
+      (1 to SnapshotOps.currentVersion(dir)).map { v =>
+        val files = SnapshotOps.snapshotFiles(dir, v).size.toLong
+        val (dvFiles, dvRows) = SnapshotOps.deleteStats(dir, v)
+        val visible = SnapshotOps.snapshotRowCount(dir, v)
+        (v.toLong, SnapshotOps.snapshotTimestamp(dir, v).getOrElse(-1L),
+          files, dvFiles.toLong, dvRows,
+          visible.map(_ + dvRows), visible)
+      }.toSeq.toDF("version", "committed_ms", "data_files", "dv_files",
+        "dv_rows", "data_rows", "visible_rows")
     case PragmaTableInfo(name) =>
       import spark.implicits._
       table(name).schema.fields.zipWithIndex.map { case (f, i) =>

@@ -684,8 +684,11 @@ object SnapshotOps {
     * column (absent stats never skip). */
   private def entriesFor(spark: SparkSession, written: Seq[String],
       statsCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
-    if ((statsCols.isEmpty && bloomCols.isEmpty) || written.isEmpty)
-      return written.map(f => FileEntry(f, Map.empty))
+    // the row count is ALWAYS recorded (Iceberg's rule): it powers
+    // metadata-only count(*) and the DV accounting, and its cost is
+    // one count pass over only the writer's own output
+    if (written.isEmpty)
+      return Seq.empty
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate

@@ -352,6 +352,31 @@ class EngineSpec extends SparkSpecBase {
     } finally e.executeDuck("SET update_mode = 'cow'")
   }
 
+  test("PRAGMA table_snapshots exposes the manifest chain as a table: " +
+      "one row per version with files/rows/DV accounting") {
+    val e = engine
+    e.executeDuck("CREATE TABLE hist (id int, v int)")
+    e.executeDuck("INSERT INTO hist VALUES " +
+      (1 to 10).map(i => s"($i, $i)").mkString(", "))
+    e.executeDuck("SET delete_mode = 'mor'")
+    try e.executeDuck("DELETE FROM hist WHERE id <= 3")
+    finally e.executeDuck("SET delete_mode = 'cow'")
+    val rows = e.executeDuck("PRAGMA table_snapshots('hist')")
+      .orderBy("version").collect()
+    assert(rows.length == 2)
+    val v1 = rows(0); val v2 = rows(1)
+    assert(v1.getAs[Long]("version") == 1L &&
+      v1.getAs[Long]("dv_rows") == 0L &&
+      v1.getAs[Long]("visible_rows") == 10L)
+    assert(v2.getAs[Long]("version") == 2L &&
+      v2.getAs[Long]("dv_rows") == 3L &&
+      v2.getAs[Long]("visible_rows") == 7L &&
+      v2.getAs[Long]("data_rows") == 10L)
+    assert(v2.getAs[Long]("committed_ms") > 0L)
+    assert(v1.getAs[Long]("data_files") ==
+      v2.getAs[Long]("data_files"), "MOR delete rewrote nothing")
+  }
+
   test("MERGE leaves non-SET columns of matched rows untouched") {
     val e = engine
     e.executeDuck("CREATE TABLE t2m (id int, a varchar, b varchar)")

@@ -162,11 +162,13 @@ class SnapshotOpsSpec extends SparkSpecBase {
       assert(SnapshotOps.snapshotRowCount(t, v).contains(200L),
         s"v$v metadata count")
     }
-    // a stats-free append cannot claim a metadata count
+    // row counts are recorded even without statsCols (Iceberg's rule:
+    // record counts are not optional) — a stats-free append still
+    // answers metadata-only count(*)
     val t2 = freshTable()
     SnapshotOps.commitAppend(spark, t2,
       (1L to 5L).map(i => (i, i)).toDF("id", "v"))
-    assert(SnapshotOps.snapshotRowCount(t2, 1).isEmpty)
+    assert(SnapshotOps.snapshotRowCount(t2, 1).contains(5L))
   }
 
   test("snapshotDiff is a multiset CDC read over only the changed files: " +
