@@ -316,6 +316,16 @@ object SnapshotOps {
   // re-write as one DV — so every DV row always references a LIVE
   // file, metadata-only count(*) stays exact (data rows minus DV
   // rows), and full rewrites (compact / z-order) purge the debt.
+  //
+  // Considered and rejected: EQUALITY deletes (Iceberg v2's second
+  // delete shape — key values instead of positions, no table scan at
+  // commit time). Correct application requires per-file sequence
+  // numbers (an eq-delete must apply only to files OLDER than it, or
+  // a later re-insert of the same key is silently swallowed); this
+  // manifest carries no per-entry sequence, and position deletes +
+  // [[commitUpdateMoR]] already cover the engine's delete/update
+  // semantics with one mechanism. Revisit only if commit-time scans
+  // ever dominate a real delete workload.
   // ---------------------------------------------------------------
 
   /** DV parquet schema: the deleted row's file (as `_metadata.file_path`
