@@ -39,7 +39,8 @@ EXCLUDE = [
     (r"stream", "streaming floor"),
     (r"snapshot|commit|zorder|compact|vacuum|maintenance|time_travel"
      r"|cdc|wap|write_audit|governed|bucket_layout|bucketed_join"
-     r"|merge_schema|evolution|incr_agg|stats_pruned|point_index",
+     r"|merge_schema|evolution|incr_agg|stats_pruned|point_index"
+     r"|manifest_group|mor_",
      "write/commit lifecycle"),
     (r"dedup_pairs|near_dup|minhash|simhash_hamming|segment_dedup"
      r"|bitext|cluster_safe|exact_substring|dup_clusters",
