@@ -743,6 +743,22 @@ class SnapshotOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("DVs compose with schema evolution: merged read applies the DV " +
+      "and surfaces pre-evolution rows with the new column null") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"), statsCols = Seq("id"))
+    SnapshotOps.commitDelete(spark, t, col("id") <= 5L)
+    SnapshotOps.commitAppend(spark, t,
+      Seq((21L, 21L, "w21")).toDF("id", "v", "w"), statsCols = Seq("id"))
+    val merged = SnapshotOps.readSnapshot(spark, t, 3, mergeSchema = true)
+    assert(merged.count() == 16)
+    assert(merged.where(col("id") <= 5L).isEmpty)
+    assert(merged.where(col("w").isNotNull).count() == 1)
+    assert(merged.columns.toSet == Set("id", "v", "w"))
+  }
+
   test("commitUpdateMoR updates without rewriting any file: positions " +
       "delete + updated rows append in one version; compaction folds " +
       "it all in") {
