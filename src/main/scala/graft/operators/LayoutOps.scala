@@ -29,6 +29,26 @@ object LayoutOps {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Bit-interleaved Z-value of k ≥ 2 non-negative integer columns —
+    * the n-dimensional generalization of [[zOrder2]] (bit i of column
+    * j lands at position k·i + j). Same pure codegen'd bitwise
+    * arithmetic; `k·bits ≤ 63` keeps the interleave in one long, so
+    * the bit budget per dimension shrinks as dimensions grow (21 bits
+    * ×2, 15 ×4, 9 ×7) — the usual lakehouse guidance that z-ordering
+    * beyond a handful of columns dilutes every dimension applies. */
+  def zOrderN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, "zOrderN needs at least two columns")
+    require(bits >= 1 && k * bits <= 63,
+      s"bits=$bits over $k dims out of range")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+          k * i + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Rewrites `df` into `nFiles` parquet files range-partitioned and
     * sorted by the Z-order of (`colA`, `colB`) — the OPTIMIZE ZORDER
     * maintenance job. Content is untouched (the oracle pins it);
@@ -36,7 +56,12 @@ object LayoutOps {
     * dimensions — is what the spec measures against a linear sort. */
   def zorderWrite(df: DataFrame, colA: String, colB: String,
       outDir: String, nFiles: Int, bits: Int = 21): Unit =
-    df.withColumn("__z", zOrder2(col(colA), col(colB), bits))
+    zorderWriteN(df, Seq(colA, colB), outDir, nFiles, bits)
+
+  /** n-dimensional OPTIMIZE ZORDER: sort-rewrite by [[zOrderN]]. */
+  def zorderWriteN(df: DataFrame, sortCols: Seq[String],
+      outDir: String, nFiles: Int, bits: Int = 21): Unit =
+    df.withColumn("__z", zOrderN(sortCols.map(col), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

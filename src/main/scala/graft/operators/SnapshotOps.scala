@@ -1198,6 +1198,17 @@ object SnapshotOps {
     * prior snapshots keep their layout — time travel spans clustering. */
   def commitCluster(spark: SparkSession, tableDir: String,
       colA: String, colB: String, nFiles: Int, bits: Int = 21,
+      maxRetries: Int = 5): Committed =
+    commitClusterN(spark, tableDir, Seq(colA, colB), nFiles, bits,
+      maxRetries)
+
+  /** n-dimensional committed OPTIMIZE ZORDER ([[LayoutOps.zOrderN]]):
+    * the manifest records per-file bounds on EVERY clustered dimension
+    * so [[boxFiles]] prunes k-sided predicates from metadata alone.
+    * The per-dimension bit budget is 63/k — clustering many columns
+    * dilutes all of them, so keep k small (the Delta/Iceberg guidance). */
+  def commitClusterN(spark: SparkSession, tableDir: String,
+      sortCols: Seq[String], nFiles: Int, bits: Int = 21,
       maxRetries: Int = 5): Committed = {
     var conflicts = 0
     while (conflicts <= maxRetries) {
@@ -1206,12 +1217,12 @@ object SnapshotOps {
       require(entries.nonEmpty, s"commitCluster on empty table $tableDir")
       val dir = newDataDir(tableDir)
       // full rewrite ⇒ DV debt paid, like commitCompact
-      LayoutOps.zorderWrite(
+      LayoutOps.zorderWriteN(
         readFilesDv(spark, entries.map(_.path),
           deleteEntries(tableDir, base)),
-        colA, colB, dir, nFiles, bits)
+        sortCols, dir, nFiles, bits)
       val written = entriesFor(spark, parquetFilesIn(dir),
-        (statsColsOf(entries) ++ Seq(colA, colB)).distinct.sorted,
+        (statsColsOf(entries) ++ sortCols).distinct.sorted,
         bloomColsOf(entries))
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)

@@ -743,6 +743,41 @@ class SnapshotOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("commitClusterN: 3-D z-order gives every dimension metadata " +
+      "pruning; zOrderN(k=2) is exactly zOrder2") {
+    import spark.implicits._
+    import graft.operators.LayoutOps
+    // equivalence of the generalization on the 2-D case
+    val z2 = Seq((5L, 3L)).toDF("a", "b")
+      .select(LayoutOps.zOrder2(col("a"), col("b"), 3),
+        LayoutOps.zOrderN(Seq(col("a"), col("b")), 3)).head()
+    assert(z2.getLong(0) == z2.getLong(1) && z2.getLong(0) == 27L)
+    val t = freshTable()
+    val cube = (for (a <- 0L until 16L; b <- 0L until 16L;
+      c <- 0L until 16L) yield (a, b, c)).toDF("ka", "kb", "kc")
+    SnapshotOps.commitAppend(spark, t, cube.repartition(4),
+      statsCols = Seq("ka"))
+    SnapshotOps.commitClusterN(spark, t, Seq("ka", "kb", "kc"),
+      nFiles = 16, bits = 4)
+    val all = SnapshotOps.snapshotFiles(t, 2)
+    assert(all.size > 8)
+    // each single-dimension slice prunes from the manifest alone
+    Seq("ka", "kb", "kc").foreach { c =>
+      val kept = SnapshotOps.rangeFiles(t, 2, c, 2, 5)
+      assert(kept.size < all.size, s"$c kept ${kept.size}/${all.size}")
+      assert(SnapshotOps.readSnapshotRange(spark, t, 2, c, 2, 5)
+        .count() == 4 * 16 * 16)
+    }
+    // and the 3-sided box prunes hardest
+    val box = Seq(("ka", BigDecimal(2), BigDecimal(5)),
+      ("kb", BigDecimal(2), BigDecimal(5)),
+      ("kc", BigDecimal(2), BigDecimal(5)))
+    val kept3 = SnapshotOps.boxFiles(t, 2, box)
+    assert(kept3.size <= all.size / 2,
+      s"3-D box kept ${kept3.size}/${all.size}")
+    assert(SnapshotOps.readSnapshotBox(spark, t, 2, box).count() == 64)
+  }
+
   test("DVs compose with schema evolution: merged read applies the DV " +
       "and surfaces pre-evolution rows with the new column null") {
     import spark.implicits._
