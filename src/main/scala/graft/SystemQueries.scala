@@ -2274,6 +2274,52 @@ object SystemQueries {
         |SELECT 'mor' AS stage, n, qty, content_xor,
         |  dv.n_upd AS dv_rows, CAST(1 AS BIGINT) AS base_files_kept
         |FROM agg CROSS JOIN dv
-        |ORDER BY stage""".stripMargin, headline = true)
+        |ORDER BY stage""".stripMargin, headline = true),
+
+    // n-D COMMITTED CLUSTERING (r11) — commitClusterN generalizes q252
+    // to three dimensions: the rewrite sorts by the 3-column Morton
+    // interleave and the manifest records per-file bounds on ALL three,
+    // so a 3-sided box read prunes from metadata and the residual
+    // conjunction pins exactness. The oracle re-derives the box content
+    // from lineitem; pruning effectiveness (sampling-dependent file
+    // counts) is spec-asserted in SnapshotOpsSpec, not oracle-pinned.
+    "q261_zorder_nd" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q261", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val li = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .where(col("l_orderkey") <= 1500)
+      SnapshotOps.commitAppend(spark, table, li.repartition(4),
+        statsCols = Seq("l_orderkey"))
+      SnapshotOps.commitClusterN(spark, table,
+        Seq("l_orderkey", "l_linenumber", "l_partkey"),
+        nFiles = 8, bits = 16)
+      val box = Seq(
+        ("l_orderkey", BigDecimal(100), BigDecimal(300)),
+        ("l_linenumber", BigDecimal(1), BigDecimal(3)),
+        ("l_partkey", BigDecimal(1), BigDecimal(100)))
+      SnapshotOps.readSnapshotBox(spark, table, 2, box)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_partkey").cast("decimal(18,0)"))
+            .cast("double").as("pk_sum"),
+          contentXor("l_orderkey", "l_linenumber", "l_partkey")
+            .as("content_xor"))
+        .select(lit(2L).as("versions"), col("n"), col("pk_sum"),
+          col("content_xor"))
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over run-scoped scratch
+        .localCheckpoint()
+    },
+      """SELECT CAST(2 AS BIGINT) AS versions, count(*) AS n,
+        |  CAST(sum(CAST(l_partkey AS DECIMAL(18,0))) AS DOUBLE) AS pk_sum,
+        |  bit_xor(('0x' || substring(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT) AS content_xor
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 300
+        |  AND l_linenumber BETWEEN 1 AND 3
+        |  AND l_partkey BETWEEN 1 AND 100""".stripMargin)
   )
 }
