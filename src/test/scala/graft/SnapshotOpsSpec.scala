@@ -641,6 +641,30 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(noop.skipped && SnapshotOps.currentVersion(t) == 3)
   }
 
+  test("two racing MOR deletes both land: the loser rebases and its " +
+      "recomputed positions exclude the winner's deletions") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 100L).map(i => (i, i)).toDF("id", "v"), statsCols = Seq("id"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def deleter(cond: org.apache.spark.sql.Column) = Future {
+      gate.countDown(); gate.await()
+      SnapshotOps.commitDelete(spark, t, cond)
+    }
+    val f1 = deleter(col("id") <= 10L)
+    val f2 = deleter(col("id") > 90L)
+    val c1 = Await.result(f1, 2.minutes)
+    val c2 = Await.result(f2, 2.minutes)
+    assert(Set(c1.version, c2.version) == Set(2, 3))
+    assert(SnapshotOps.readLatest(spark, t).count() == 80)
+    assert(SnapshotOps.deleteStats(t, 3)._2 == 20L)
+    assert(SnapshotOps.snapshotRowCount(t, 3).contains(80L))
+  }
+
   test("rewrite-class commits consolidate DVs (rows for rewritten " +
       "files drop) and full compaction pays the debt off entirely") {
     import spark.implicits._
