@@ -104,21 +104,23 @@ object Bench {
     // applied first (the reference's --correct-sql-casing analogue) and
     // record pass/checked in the summary the driver parses. Untimed —
     // runs after both measurement passes, so it cannot touch any number.
+    // each replay gate fails independently: a normalizer regression
+    // must not erase the casing gate's already-computed result
+    def goldGate(key: String)(run: => Seq[GoldSuite.EntryResult]): String =
+      try {
+        val checked = run.filterNot(_.skipped)
+        s""","$key":"${checked.count(_.ok)}/${checked.length}""""
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $key replay failed: ${e.getMessage}")
+        s""","$key":"error""""
+      }
     val goldCasing =
       if (args.nonEmpty) ""
-      else try {
-        val rs = GoldSuite.run(spark, correctCasing = true)
-        val checked = rs.filterNot(_.skipped)
-        // r11: also the full parse->render round trip (normalize_sql) —
+      else goldGate("gold_casing")(
+        GoldSuite.run(spark, correctCasing = true)) +
+        // r11: the full parse->render round trip (normalize_sql) —
         // the sqlglot-analogue execution-equivalence gate
-        val rn = GoldSuite.run(spark, normalized = true)
-        val cn = rn.filterNot(_.skipped)
-        s""","gold_casing":"${checked.count(_.ok)}/${checked.length}"""" +
-          s""","gold_normalized":"${cn.count(_.ok)}/${cn.length}""""
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] gold --casing replay failed: ${e.getMessage}")
-        s""","gold_casing":"error""""
-      }
+        goldGate("gold_normalized")(GoldSuite.run(spark, normalized = true))
     // print order matters for the driver's artifact, which keeps (a) a
     // parse of a stdout JSON line and (b) the last few KB of stdout.
     // r7's single long line overflowed both; r10 put the ~2.2 KB

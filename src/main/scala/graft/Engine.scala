@@ -179,8 +179,12 @@ class Engine(val spark: SparkSession) {
     * a previously-empty table); lazy union otherwise. */
   private def appendRows(name: String, target: DataFrame,
       rows: DataFrame): Unit =
-    ensureSnapshot(name, forAppend = true)
-      .filter(_ => snapshotable(rows)) match {
+    // check the INSERT's own rows BEFORE materializing: the other
+    // order would commit a full table copy and then abandon it when
+    // the rows can't live in parquet (orphaned snapshot, stale
+    // lastCommit)
+    (if (snapshotable(rows)) ensureSnapshot(name, forAppend = true)
+     else None) match {
       case Some(dir) =>
         lastCommit(norm(name)) =
           graft.operators.SnapshotOps.commitAppend(spark, dir, rows)
@@ -199,19 +203,22 @@ class Engine(val spark: SparkSession) {
     snapshotDirs.get(n).orElse {
       val df = table(n)
       if (!snapshotable(df)) None
-      else if (df.isEmpty && !forAppend) None
       else {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_engine_tbl").toString + "/t"
-        // record the binding only once data is committed; an empty
-        // table's dir (forAppend) is provisional until the INSERT's
-        // own commit lands (appendRows calls registerSnapshot)
-        if (!df.isEmpty) {
-          lastCommit(n) =
-            graft.operators.SnapshotOps.commitAppend(spark, dir, df)
-          snapshotDirs(n) = dir
+        val empty = df.isEmpty // one job, reused below
+        if (empty && !forAppend) None
+        else {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_engine_tbl").toString + "/t"
+          // record the binding only once data is committed; an empty
+          // table's dir (forAppend) is provisional until the INSERT's
+          // own commit lands (appendRows calls registerSnapshot)
+          if (!empty) {
+            lastCommit(n) =
+              graft.operators.SnapshotOps.commitAppend(spark, dir, df)
+            snapshotDirs(n) = dir
+          }
+          Some(dir)
         }
-        Some(dir)
       }
     }
   }
@@ -620,12 +627,24 @@ class Engine(val spark: SparkSession) {
           val kCols = ks.map(col)
           def unique(df: DataFrame): Boolean = df.groupBy(kCols: _*)
             .count().where(col("count") > 1).isEmpty
-          if (unique(tgt) && unique(upsert)) {
-            lastCommit(norm(tName)) = graft.operators.SnapshotOps
-              .commitMerge(spark, dir, upsert, ks)
-            registerSnapshot(tName, dir)
-            Some(())
-          } else None
+          // target uniqueness only among keys the merge touches:
+          // unmatched duplicate-key target rows are untouched either
+          // way, so the eligibility gate scans the table once but
+          // shuffles only the matched slice (not a full-table groupBy)
+          val tgtTouchedUnique = unique(tgt.join(
+            broadcast(upsert.select(kCols: _*).distinct()), ks,
+            "left_semi"))
+          val routedOk =
+            if (tgtTouchedUnique && unique(upsert)) {
+              lastCommit(norm(tName)) = graft.operators.SnapshotOps
+                .commitMerge(spark, dir, upsert, ks,
+                  sourceVerified = true)
+              registerSnapshot(tName, dir)
+              Some(())
+            } else None
+          // the eligibility checkpoint's blocks die with the statement
+          graft.operators.SnapshotOps.releaseCheckpoint(upsert)
+          routedOk
         }
       }
       if (routed.isEmpty)
@@ -639,6 +658,10 @@ class Engine(val spark: SparkSession) {
         col(colName).cast(normalizeType(typ)))); empty()
     case DropTable(name) =>
       tables.remove(norm(name))
+      // the snapshot binding dies with the table: a later PRAGMA
+      // table_snapshots / re-CREATE must not resurrect the history
+      snapshotDirs.remove(norm(name))
+      lastCommit.remove(norm(name))
       // dotted (attached-catalog) names are backed by an underscored
       // temp view (see register) — drop the view that actually exists
       spark.catalog.dropTempView(norm(name).replace('.', '_')); empty()

@@ -544,21 +544,28 @@ object SnapshotOps {
       val entries = dataUnits(tableDir, base).flatMap(_.entries)
       require(entries.nonEmpty, s"commitUpdateMoR on empty table $tableDir")
       val dvs = deleteEntries(tableDir, base)
-      // matched VISIBLE rows, read once (positions + update input)
+      // matched VISIBLE rows, read once (positions + update input);
+      // the checkpoint's blocks release before every exit
       val hits = readTagged(spark, entries.map(_.path), dvs)
         .where(cond).localCheckpoint()
-      val dvDir = newDataDir(tableDir)
-      hits.select(col("__file").as(DvFileCol), col("__pos").as(DvPosCol))
-        .coalesce(4).write.parquet(dvDir)
-      val dvWritten = entriesFor(spark, parquetFilesIn(dvDir),
-        Seq(DvPosCol), bloomCols = Seq(DvFileCol))
-        .filter(_.bounds.get(RowsKey).exists(_._1 > 0))
+      val (dvWritten, written) = try {
+        val dvDir = newDataDir(tableDir)
+        hits.select(col("__file").as(DvFileCol),
+          col("__pos").as(DvPosCol))
+          .coalesce(4).write.parquet(dvDir)
+        val dvW = entriesFor(spark, parquetFilesIn(dvDir),
+          Seq(DvPosCol), bloomCols = Seq(DvFileCol))
+          .filter(_.bounds.get(RowsKey).exists(_._1 > 0))
+        if (dvW.isEmpty) (dvW, Seq.empty[FileEntry])
+        else {
+          val dataDir = newDataDir(tableDir)
+          update(hits.drop("__file", "__pos")).write.parquet(dataDir)
+          (dvW, entriesFor(spark, parquetFilesIn(dataDir),
+            statsColsOf(entries), bloomColsOf(entries)))
+        }
+      } finally releaseCheckpoint(hits)
       if (dvWritten.isEmpty) // nothing matched: no version burned
         return Committed(base, entries.size, 0, conflicts, skipped = true)
-      val dataDir = newDataDir(tableDir)
-      update(hits.drop("__file", "__pos")).write.parquet(dataDir)
-      val written = entriesFor(spark, parquetFilesIn(dataDir),
-        statsColsOf(entries), bloomColsOf(entries))
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         snapshotUnits(tableDir, base).map(_.raw) ++
         (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil) ++
@@ -625,6 +632,16 @@ object SnapshotOps {
     * (the carried-forward base value is replaced) — what
     * [[versionAsOf]] time travel resolves against. */
   private val TsKey = "_ts"
+
+  /** Release a localCheckpoint's blocks (the LogicalRDD's cache) —
+    * commit verbs checkpoint their matched/source rows per call, and a
+    * long-lived session (a streaming upsert sink committing every
+    * micro-batch) must not accumulate them. */
+  private[graft] def releaseCheckpoint(
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(r => scala.util.Try(r.unpersist(false)))
 
   private def metaLines(meta: Map[String, String]): Seq[String] =
     (meta - TsKey + (TsKey -> System.currentTimeMillis().toString))
@@ -1400,7 +1417,8 @@ object SnapshotOps {
   def commitMerge(spark: SparkSession, tableDir: String,
       source: DataFrame, keyCols: Seq[String],
       maxRetries: Int = 5,
-      txn: Option[(String, Long)] = None): Committed = {
+      txn: Option[(String, Long)] = None,
+      sourceVerified: Boolean = false): Committed = {
     require(keyCols.nonEmpty, "commitMerge needs key columns")
     // same per-stream watermark as commitAppend: a replayed upsert
     // batch (the streaming CDC-apply sink's at-least-once retry) must
@@ -1413,8 +1431,12 @@ object SnapshotOps {
       return Committed(pre, 0, 0, 0, skipped = true)
     val src = source.localCheckpoint() // read once, reused four times
     val keys = keyCols.map(col)
-    require(src.groupBy(keys: _*).count().where(col("count") > 1)
-      .isEmpty, s"commitMerge source not unique on $keyCols")
+    // sourceVerified: the caller already proved key uniqueness (the
+    // Engine's MERGE eligibility gate does) — don't re-shuffle for it
+    if (!sourceVerified)
+      require(src.groupBy(keys: _*).count().where(col("count") > 1)
+        .isEmpty, s"commitMerge source not unique on $keyCols")
+    try {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
@@ -1476,6 +1498,7 @@ object SnapshotOps {
     }
     throw new java.util.ConcurrentModificationException(
       s"commitMerge lost $maxRetries version races on $tableDir")
+    } finally releaseCheckpoint(src)
   }
 
   /** Small-file compaction POLICY — q196/commitCompact generalized to

@@ -375,6 +375,12 @@ class EngineSpec extends SparkSpecBase {
     assert(v2.getAs[Long]("committed_ms") > 0L)
     assert(v1.getAs[Long]("data_files") ==
       v2.getAs[Long]("data_files"), "MOR delete rewrote nothing")
+    // DROP kills the snapshot binding: no ghost history
+    e.executeDuck("DROP TABLE hist")
+    assert(e.snapshotDir("hist").isEmpty)
+    assertThrows[IllegalArgumentException] {
+      e.executeDuck("PRAGMA table_snapshots('hist')")
+    }
   }
 
   test("MERGE leaves non-SET columns of matched rows untouched") {

@@ -93,18 +93,25 @@ def main():
             times.append(time.time() - t0)
             if times[-1] > 5:  # slow query: one measurement is enough
                 break
-        duck_s = sorted(times)[len(times) // 2] if times else None
+        # floor at timer resolution so a sub-ms DuckDB time neither
+        # divides to an absurd ratio nor (the old falsy-zero bug)
+        # silently drops the entry from the comparable aggregate —
+        # dropped sub-ms entries are exactly graft's WORST ratios
+        duck_s = (max(sorted(times)[len(times) // 2], 1e-4)
+                  if times else None)
         rows.append({"name": name, "graft_s": round(graft_s, 3),
-                     "duck_s": round(duck_s, 3) if duck_s else None,
-                     "ratio": round(graft_s / duck_s, 2) if duck_s else None,
+                     "duck_s": round(duck_s, 4) if duck_s is not None
+                     else None,
+                     "ratio": round(graft_s / duck_s, 2)
+                     if duck_s is not None else None,
                      "excluded": reason(name), "err": err})
-    comparable = [r for r in rows
-                  if r["duck_s"] and not r["excluded"] and not r["err"]]
+    comparable = [r for r in rows if r["duck_s"] is not None
+                  and not r["excluded"] and not r["err"]]
     g = sum(r["graft_s"] for r in comparable)
     d = sum(r["duck_s"] for r in comparable)
     out = {
         "sf": sf_dir,
-        "n_timed": len([r for r in rows if r["duck_s"]]),
+        "n_timed": len([r for r in rows if r["duck_s"] is not None]),
         "n_comparable": len(comparable),
         "graft_total_s": round(g, 2),
         "duck_total_s": round(d, 2),
