@@ -641,6 +641,32 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(noop.skipped && SnapshotOps.currentVersion(t) == 3)
   }
 
+  test("a large DV (over the literal-filter threshold) applies through " +
+      "the anti-join path: counts, pruned reads and consolidation hold") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 150000L).map(i => (i, i % 7)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    // ~86k positions: past DvLiteralRows (64k), so reads take the
+    // broadcast anti-join branch instead of the literal InSet
+    val c = SnapshotOps.commitDelete(spark, t, col("id") % 7 =!= 0)
+    assert(!c.skipped && c.written == 0)
+    val (_, dvRows) = SnapshotOps.deleteStats(t, c.version)
+    val expectLive = 150000L / 7 // ids divisible by 7
+    assert(dvRows == 150000L - expectLive)
+    assert(SnapshotOps.readLatest(spark, t).count() == expectLive)
+    assert(SnapshotOps.snapshotRowCount(t, c.version)
+      .contains(expectLive))
+    // pruned range read through the join path stays exact
+    assert(SnapshotOps.readSnapshotRange(spark, t, c.version,
+      "id", 1, 700).count() == 100)
+    // compaction folds the large DV away
+    val cc = SnapshotOps.commitCompact(spark, t, 2)
+    assert(SnapshotOps.deleteStats(t, cc.version) == ((0, 0L)))
+    assert(SnapshotOps.readLatest(spark, t).count() == expectLive)
+  }
+
   test("two racing MOR deletes both land: the loser rebases and its " +
       "recomputed positions exclude the winner's deletions") {
     import spark.implicits._
