@@ -120,11 +120,18 @@ class Engine(val spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = {
     val n = norm(name)
-    tables(n) = df
     // any direct re-register (CTAS, ALTER, CREATE) supersedes a
     // snapshot-backed binding — the lazy DataFrame is authoritative
-    // again until the next DML materializes it
-    snapshotDirs.remove(n)
+    // again until the next DML materializes it. The superseded dir is
+    // RETIRED, not deleted: the incoming DataFrame may lazily derive
+    // from the old snapshot files (ALTER TABLE reads them), so the
+    // files must outlive this statement; [[close]] reclaims them.
+    snapshotDirs.remove(n).foreach(retiredDirs += _)
+    bind(n, df)
+  }
+
+  private def bind(n: String, df: DataFrame): Unit = {
+    tables(n) = df
     // temp views are single-part; dotted (attached-catalog) names resolve
     // through the Engine's own map and an underscored alias view
     if (n.contains('.')) df.createOrReplaceTempView(n.replace('.', '_'))
@@ -145,6 +152,40 @@ class Engine(val spark: SparkSession) {
   // hold: empty tables awaiting schema-only DDL, NullType columns).
 
   private val snapshotDirs = mutable.Map.empty[String, String]
+
+  /** Snapshot dirs superseded by a re-register — their files may still
+    * back live lazy DataFrames (an ALTER derives from the old files),
+    * so they are reclaimed only at [[close]], never mid-session. */
+  private val retiredDirs = mutable.ArrayBuffer.empty[String]
+
+  /** Recursively delete a first-DML materialization dir. Guarded to the
+    * engine's own temp naming so a mis-bound path can never delete user
+    * data. The dir is "graft_engine_tbl…/t" under the temp root — the
+    * root is what createTempDirectory made and what must go. */
+  private def deleteSnapshotDir(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir).getParent
+    if (root != null &&
+        root.getFileName.toString.startsWith("graft_engine_tbl") &&
+        java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
+
+  /** Reclaim every snapshot materialization this engine created (live
+    * bindings and retired ones). Long-lived sessions and per-entry
+    * engines (Bench/Verify running the SQL-DML entries) call this so
+    * first-DML table copies never accumulate in the temp dir. The
+    * engine stays usable — a later DML simply re-materializes. */
+  def close(): Unit = {
+    snapshotDirs.values.foreach(deleteSnapshotDir)
+    snapshotDirs.clear()
+    retiredDirs.foreach(deleteSnapshotDir)
+    retiredDirs.clear()
+    lastCommit.clear()
+  }
 
   /** Last snapshot commit per table — spec-asserted (reuse/write/version
     * counts prove DML is file-granular COW, not a table rewrite). */
@@ -170,7 +211,8 @@ class Engine(val spark: SparkSession) {
   }
 
   private def registerSnapshot(name: String, dir: String): Unit = {
-    register(name, graft.operators.SnapshotOps.readLatest(spark, dir))
+    // bind, not register: register would retire the very dir being bound
+    bind(norm(name), graft.operators.SnapshotOps.readLatest(spark, dir))
     snapshotDirs(norm(name)) = dir
   }
 
@@ -659,8 +701,10 @@ class Engine(val spark: SparkSession) {
     case DropTable(name) =>
       tables.remove(norm(name))
       // the snapshot binding dies with the table: a later PRAGMA
-      // table_snapshots / re-CREATE must not resurrect the history
-      snapshotDirs.remove(norm(name))
+      // table_snapshots / re-CREATE must not resurrect the history,
+      // and a DROP invalidates readers (DuckDB semantics) — the
+      // materialization dir is reclaimed immediately
+      snapshotDirs.remove(norm(name)).foreach(deleteSnapshotDir)
       lastCommit.remove(norm(name))
       // dotted (attached-catalog) names are backed by an underscored
       // temp view (see register) — drop the view that actually exists

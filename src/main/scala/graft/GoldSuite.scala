@@ -136,7 +136,7 @@ object GoldSuite {
           vdf.columns.find(_.equalsIgnoreCase(n)).get)): _*)
       else vdf
 
-    mode match {
+    val entryResult = mode match {
       case "project" =>
         val idxs = expected("proj").asInstanceOf[java.util.List[Integer]]
           .asScala.map(_.toInt).toSeq
@@ -185,6 +185,10 @@ object GoldSuite {
         EntryResult(idx, mode, vdf.count() > 0 == expNonempty, "")
       case other => EntryResult(idx, other, ok = false, "unknown mode")
     }
+    // every comparison above has consumed its frames — reclaim any
+    // first-DML snapshot materializations this entry's engine created
+    engine.close()
+    entryResult
   }
 
   /** Runs the suite; with `correctCasing = true` every dev.json query

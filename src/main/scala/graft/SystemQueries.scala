@@ -1719,7 +1719,10 @@ object SystemQueries {
           |WHEN MATCHED THEN UPDATE SET c_acctbal = delta.bal
           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
           |VALUES (delta.k, delta.nm, delta.bal)""".stripMargin)
-      e.table("acct").orderBy("c_custkey")
+      // materialize (the frame lazily reads the engine's snapshot
+      // files), then reclaim the first-DML materialization dir
+      val out = e.table("acct").orderBy("c_custkey").localCheckpoint()
+      try out finally e.close()
     },
       """WITH delta AS (
         |  SELECT c_custkey AS k, c_name AS nm,
@@ -2068,7 +2071,7 @@ object SystemQueries {
           .stripMargin)
       val versions = e.snapshotDir("g257_acct")
         .map(SnapshotOps.currentVersion).getOrElse(0)
-      e.executeDuck(
+      val out = e.executeDuck(
         """SELECT seg, count(*) AS n FROM g257_acct GROUP BY seg""")
         .select(col("seg"), col("n"))
         .join(e.table("g257_acct")
@@ -2078,6 +2081,10 @@ object SystemQueries {
           col("bal_total"), lit(versions).cast("long").as("versions"))
         .orderBy("seg")
         .localCheckpoint()
+      // the result is materialized — reclaim the engine's first-DML
+      // snapshot materializations (Bench runs this entry every pass;
+      // without close() each run leaks a table copy into the temp dir)
+      try out finally e.close()
     },
       """WITH base AS (SELECT c_custkey AS id, c_acctbal AS bal,
         |    c_mktsegment AS seg FROM customer WHERE c_custkey <= 200),

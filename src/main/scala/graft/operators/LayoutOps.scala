@@ -58,10 +58,13 @@ object LayoutOps {
       outDir: String, nFiles: Int, bits: Int = 21): Unit =
     zorderWriteN(df, Seq(colA, colB), outDir, nFiles, bits)
 
-  /** n-dimensional OPTIMIZE ZORDER: sort-rewrite by [[zOrderN]]. */
+  /** n-dimensional OPTIMIZE ZORDER: sort-rewrite by [[zOrderN]].
+    * `bits ≤ 0` auto-sizes the per-dimension budget to min(21, 63/k)
+    * so the interleave fits one long at any dimension count. */
   def zorderWriteN(df: DataFrame, sortCols: Seq[String],
-      outDir: String, nFiles: Int, bits: Int = 21): Unit =
-    df.withColumn("__z", zOrderN(sortCols.map(col), bits))
+      outDir: String, nFiles: Int, bits: Int = -1): Unit =
+    df.withColumn("__z", zOrderN(sortCols.map(col),
+        if (bits <= 0) math.min(21, 63 / sortCols.size) else bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -151,10 +151,14 @@ object SnapshotOps {
     require(entries.nonEmpty, "empty manifest group")
     val gd = groupsDir(tableDir)
     Files.createDirectories(gd)
-    val gp = gd.resolve(
-      s"g-${java.util.UUID.randomUUID().toString.take(12)}.grp")
+    // full UUID + CREATE_NEW: group files are immutable and referenced
+    // by published manifests with no CAS protection of their own, so a
+    // name collision must fail THIS commit loudly instead of silently
+    // overwriting an older snapshot's group
+    val gp = gd.resolve(s"g-${java.util.UUID.randomUUID()}.grp")
     Files.write(gp,
-      entries.map(_.line).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      entries.map(_.line).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     val cols = entries.flatMap(_.bounds.keys).distinct
     val bounds = cols.flatMap { c =>
       val bs = entries.map(_.bounds.get(c))
@@ -671,19 +675,58 @@ object SnapshotOps {
     * from exactly the manifest units `to` has and `from` lacks (unit-
     * raw cancellation, so carried-forward groups are never parsed),
     * with `to`'s DVs applied so rows already deleted at `to` don't
-    * surface. Requires the span to be append-shaped: every `from` data
-    * unit must still be present in `to` (a rewrite in between means
-    * added-files ≠ added-rows — use [[snapshotDiff]] there). */
+    * surface. Requires the span to be append-shaped, which means THREE
+    * things must all hold (any violation ⇒ use [[snapshotDiff]], the
+    * general CDC read):
+    *   1. every `from` data unit is still present in `to` (a missing
+    *      unit means a rewrite-class commit replaced base files);
+    *   2. every `from` DV line carries forward verbatim (a dropped DV
+    *      means a rewrite consolidated it);
+    *   3. no DV added within the span names a file already present at
+    *      `from` — a merge-on-read DELETE/UPDATE of base rows passes
+    *      checks 1-2 (base files all carry forward) yet silently
+    *      retracts rows the consumer already read; a MOR UPDATE would
+    *      additionally re-emit them as appends (double-count). The
+    *      check is metadata-first: the new DVs' `~_file` Blooms are
+    *      probed against the base file list, and only a possible hit
+    *      pays one read of the new DV files' distinct `_file` values. */
   def readAppendsSince(spark: SparkSession, tableDir: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
-    val fromRaw = snapshotUnits(tableDir, fromVersion)
-      .filterNot(_.isDelete).map(_.raw).toSet
-    val toUnits = dataUnits(tableDir, toVersion)
+    val fromUnits = snapshotUnits(tableDir, fromVersion)
+    val fromRaw = fromUnits.filterNot(_.isDelete).map(_.raw).toSet
+    val toAll = snapshotUnits(tableDir, toVersion)
+    val toUnits = toAll.filterNot(_.isDelete)
     val missing = fromRaw -- toUnits.map(_.raw).toSet
     require(missing.isEmpty,
       s"readAppendsSince: span v$fromVersion..v$toVersion is not " +
         s"append-only (${missing.size} base units rewritten) — use " +
         "snapshotDiff for the general CDC read")
+    val fromDvRaw = fromUnits.filter(_.isDelete).map(_.raw).toSet
+    val droppedDvs = fromDvRaw -- toAll.filter(_.isDelete).map(_.raw).toSet
+    require(droppedDvs.isEmpty,
+      s"readAppendsSince: span v$fromVersion..v$toVersion consolidated " +
+        s"${droppedDvs.size} deletion vectors (a rewrite-class commit " +
+        "ran inside the span) — use snapshotDiff for the general CDC read")
+    val newDvs = toAll
+      .filter(u => u.isDelete && !fromDvRaw.contains(u.raw)).map(_.ref)
+    if (newDvs.nonEmpty && fromRaw.nonEmpty) {
+      val baseFiles = fromUnits.filterNot(_.isDelete)
+        .flatMap(_.entries.map(_.path))
+      val mayHitBase = dvMaybeFiles(newDvs, baseFiles)
+        .map(_.nonEmpty).getOrElse(true)
+      if (mayHitBase) {
+        val named = spark.read.parquet(newDvs.map(_.path): _*)
+          .select(col(DvFileCol)).distinct()
+          .collect().map(r => localPath(r.getString(0))).toSet
+        val hit = named.intersect(baseFiles.map(localPath).toSet)
+        require(hit.isEmpty,
+          s"readAppendsSince: span v$fromVersion..v$toVersion added " +
+            s"deletion vectors naming ${hit.size} base data files (a " +
+            "merge-on-read delete/update of pre-span rows) — an " +
+            "incremental consumer would double-count or keep retracted " +
+            "rows; use snapshotDiff for the general CDC read")
+      }
+    }
     val added = toUnits.filterNot(u => fromRaw.contains(u.raw))
       .flatMap(_.entries.map(_.path))
     if (added.isEmpty)
@@ -791,9 +834,11 @@ object SnapshotOps {
   private def bloomColsOf(entries: Seq[FileEntry]): Seq[String] =
     entries.flatMap(_.blooms.keys).distinct.sorted
 
-  /** One writer's immutable data-file directory for this table. */
+  /** One writer's immutable data-file directory for this table. Full
+    * UUID: a truncated name colliding with an older commit's dir would
+    * fold that commit's files into this one via [[parquetFilesIn]]. */
   private def newDataDir(tableDir: String): String =
-    s"$tableDir/data/${java.util.UUID.randomUUID().toString.take(12)}"
+    s"$tableDir/data/${java.util.UUID.randomUUID()}"
 
   private def parquetFilesIn(dir: String): Seq[String] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -1178,13 +1223,20 @@ object SnapshotOps {
   def pointFiles(spark: SparkSession, tableDir: String, version: Int,
       column: String, value: Any): Seq[String] = {
     val units = dataUnits(tableDir, version)
-    // type the probe from the FIRST unit's files only — schemas are
-    // uniform across a snapshot (modulo evolution, where the plain
-    // non-merged read samples one file anyway), and expanding every
-    // group just to read a schema would defeat group-level pruning
+    // type the probe from the FIRST unit's files — schemas are uniform
+    // across a snapshot in the common case, and expanding every group
+    // just to read a schema would defeat group-level pruning. On a
+    // schema-EVOLVED table the probed column may exist only in later-
+    // appended units: fall back to a mergeSchema read of one file per
+    // unit (O(units) footer reads, fallback path only).
     val sample = units.headOption.map(_.entries.map(_.path)).getOrElse(Nil)
     require(sample.nonEmpty, s"pointFiles on empty $tableDir v$version")
-    val dt = spark.read.parquet(sample: _*).schema.apply(column).dataType
+    val dt = spark.read.parquet(sample: _*).schema
+      .find(_.name == column).map(_.dataType).getOrElse {
+        val onePerUnit = units.flatMap(_.entries.headOption.map(_.path))
+        spark.read.option("mergeSchema", "true").parquet(onePerUnit: _*)
+          .schema.apply(column).dataType
+      }
     val h = probeHash(value, dt)
     // two-level prune: a group's UNION bloom missing the probe proves
     // no member can contain it — the group file is never parsed
@@ -1214,7 +1266,7 @@ object SnapshotOps {
     * two-sided predicates from the manifest alone. Content untouched;
     * prior snapshots keep their layout — time travel spans clustering. */
   def commitCluster(spark: SparkSession, tableDir: String,
-      colA: String, colB: String, nFiles: Int, bits: Int = 21,
+      colA: String, colB: String, nFiles: Int, bits: Int = -1,
       maxRetries: Int = 5): Committed =
     commitClusterN(spark, tableDir, Seq(colA, colB), nFiles, bits,
       maxRetries)
@@ -1223,9 +1275,11 @@ object SnapshotOps {
     * the manifest records per-file bounds on EVERY clustered dimension
     * so [[boxFiles]] prunes k-sided predicates from metadata alone.
     * The per-dimension bit budget is 63/k — clustering many columns
-    * dilutes all of them, so keep k small (the Delta/Iceberg guidance). */
+    * dilutes all of them, so keep k small (the Delta/Iceberg guidance).
+    * `bits ≤ 0` (the default) auto-sizes to min(21, 63/k) so the
+    * interleave always fits one long at any dimension count. */
   def commitClusterN(spark: SparkSession, tableDir: String,
-      sortCols: Seq[String], nFiles: Int, bits: Int = 21,
+      sortCols: Seq[String], nFiles: Int, bits: Int = -1,
       maxRetries: Int = 5): Committed = {
     var conflicts = 0
     while (conflicts <= maxRetries) {

@@ -948,4 +948,67 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(dvPaths.forall(p => new java.io.File(p).exists()))
     assert(SnapshotOps.readLatest(spark, t).count() == 20)
   }
+
+  test("readAppendsSince refuses spans whose new DVs name BASE files: " +
+      "a MOR delete or MOR update of pre-span rows is a rewrite in " +
+      "append clothing") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 20L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    SnapshotOps.commitAppend(spark, t,
+      (21L to 30L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    // MOR delete of a BASE row (id=5 lives in v1's files): every base
+    // data unit still carries forward, so the old gate passed — but an
+    // incremental consumer of (1, 3] would never learn row 5 vanished
+    SnapshotOps.commitDelete(spark, t, col("id") === 5L)
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotOps.readAppendsSince(spark, t, 1, 3)
+    }
+    assert(e1.getMessage.contains("base data files"))
+    // from v0 the whole snapshot is the span — no base files, allowed
+    assert(SnapshotOps.readAppendsSince(spark, t, 0, 3).count() == 29)
+
+    // MOR UPDATE of base rows (the advice's double-count case): the
+    // updated copies surface as appends while the superseded originals
+    // are invisibly deletion-vectored — must refuse, not double-count
+    val t2 = freshTable()
+    SnapshotOps.commitAppend(spark, t2,
+      (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      statsCols = Seq("id"))
+    SnapshotOps.commitUpdateMoR(spark, t2, col("id") <= 3L,
+      _.withColumn("v", col("v") + lit(100.0)))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotOps.readAppendsSince(spark, t2, 1, 2)
+    }
+    assert(e2.getMessage.contains("base data files"))
+    // a rewrite-class commit CONSOLIDATES the DV away — the dropped-DV
+    // check refuses before any file-set reasoning
+    SnapshotOps.commitCompact(spark, t2, 1)
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotOps.readAppendsSince(spark, t2, 2, 3)
+    }
+    assert(e3.getMessage.contains("consolidated") ||
+      e3.getMessage.contains("rewritten"))
+  }
+
+  test("pointFiles types its probe on a schema-evolved table whose " +
+      "probed column exists only in later units") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), statsCols = Seq("id"))
+    // evolved append introduces `extra`, with a bloom on it
+    SnapshotOps.commitAppend(spark, t,
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "tag", "extra"),
+      statsCols = Seq("id"), bloomCols = Seq("extra"))
+    // the FIRST unit's files lack `extra`; the fallback mergeSchema
+    // sampling must resolve it instead of throwing
+    val kept = SnapshotOps.pointFiles(spark, t, 2, "extra", 30L)
+    assert(kept.nonEmpty)
+    val rows = spark.read.option("mergeSchema", "true").parquet(kept: _*)
+    assert(rows.where(col("extra") === 30L).count() == 1)
+  }
 }
