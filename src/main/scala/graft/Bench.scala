@@ -50,10 +50,26 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val passes = Seq(1, 2).map(_ => names.map(once))
+    // transient-spike self-heal (r12): an entry whose two interleaved
+    // passes spread >4x was hit by a co-tenant load spike in at least
+    // one of them; ONE retry after the main passes gives its min a
+    // third, usually-quiet sample, so a transient spike cannot
+    // contaminate the entry mins that survive into the hard artifact.
+    // A uniformly loaded host still shows up via run_noisy (the retry
+    // is just as slow) — this heals spikes, it cannot hide load.
+    val retried: Map[Int, (Double, Boolean)] =
+      names.zipWithIndex.filter { case (_, i) =>
+        val ok = passes.map(_(i)).collect { case (t, true) => t }
+        ok.nonEmpty && ok.min > 0 && ok.max / ok.min > 4
+      }.map { case (name, i) =>
+        System.err.println(s"[bench] retrying noisy entry $name")
+        i -> once(name)
+      }.toMap
     val results = names.zipWithIndex.map { case (name, i) =>
       // only successful runs contribute: a failure's time-to-error must
       // not masquerade as a fast min
-      val okTimes = passes.map(_(i)).collect { case (t, true) => t }
+      val okTimes = (passes.map(_(i)) ++ retried.get(i).toSeq)
+        .collect { case (t, true) => t }
       (name, okTimes.minOption.getOrElse(-1.0),
         okTimes.maxOption.getOrElse(-1.0), okTimes.nonEmpty)
     }
@@ -92,9 +108,10 @@ object Bench {
     // Round-10) ≈ 82 s; rounded down to 81.0. r11 95-entry set adds
     // q256 2.6 s + q257 6.5 s + q258 4.2 s + q259 2.9 s + q260 2.9 s
     // (commit-latency lifecycle entries, scoped quiet runs, BASELINE.md
-    // Round-11) → 100.0
+    // Round-11) → 100.0. r12 96-entry set adds q262 5.0 s (three
+    // streaming drains + commits, scoped quiet run) → 105.0
     val quietFloorSec: Option[Double] =
-      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(100.0) else None
+      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(105.0) else None
     val runNoisy = quietFloorSec.map { floor =>
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""

@@ -2327,6 +2327,83 @@ object SystemQueries {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 100 AND 300
         |  AND l_linenumber BETWEEN 1 AND 3
-        |  AND l_partkey BETWEEN 1 AND 100""".stripMargin)
+        |  AND l_partkey BETWEEN 1 AND 100""".stripMargin),
+
+    // STREAMING SNAPSHOT SOURCE (r12) — the subscribe verb that closes
+    // the table-format axis: q240/q255/q259 write committed versions
+    // from streams; this entry READS them as a stream (Delta
+    // readStream / Iceberg incremental-scan streaming). Offsets are
+    // table versions, each micro-batch IS readAppendsSince(from, to),
+    // progress lives in the checkpoint offset log. Three contracts
+    // pinned in one pass: (1) version-granular batches under
+    // maxVersionsPerBatch=1 drain exactly the three append waves;
+    // (2) a MOR delete of already-consumed rows REFUSES the next span
+    // (fail-fast, never silently wrong — rewrite_refused pins it);
+    // (3) a fresh subscriber's first batch is the full VISIBLE
+    // snapshot, deletion vectors applied — whose content the oracle
+    // re-derives from customer.
+    "q262_stream_snapshot_source" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      import graft.streaming.SnapshotStream
+      val scratch = s"${runScopedDir("/tmp/graft_q262", sfDir)}/s-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val table = s"$scratch/table"
+      val cust = spark.table("customer")
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))
+      def wave(lo: Int, hi: Int) = // half-open: c_custkey starts at 0
+        cust.where(col("id") >= lo && col("id") < hi)
+      SnapshotOps.commitAppend(spark, table, wave(0, 50),
+        statsCols = Seq("id"))
+      SnapshotOps.commitAppend(spark, table, wave(50, 100),
+        statsCols = Seq("id"))
+      SnapshotOps.commitAppend(spark, table, wave(100, 150),
+        statsCols = Seq("id"))
+      // (1) subscribe from scratch, one version per micro-batch
+      val run1 = SnapshotStream.drainCollect(spark, table,
+        s"$scratch/ckpt1", maxVersionsPerBatch = 1)
+      val run1Batches = run1.size.toLong
+      val run1Rows = run1.map(_._2.size.toLong).sum
+      // (2) MOR delete of consumed base rows → the caught-up
+      // subscriber's next span must refuse, not double-read
+      SnapshotOps.commitDelete(spark, table, col("id") <= 10L)
+      val refused =
+        try { SnapshotStream.drainCollect(spark, table, s"$scratch/ckpt1"); 0L }
+        catch { case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if { def m(x: Throwable): Boolean = x != null &&
+                (Option(x.getMessage).exists(_.contains("snapshotDiff")) ||
+                  m(x.getCause))
+              m(e) } => 1L }
+      // (3) fresh subscriber: one batch = full visible content (DVs
+      // applied); its rows feed the oracle-checked aggregate
+      val run2 = SnapshotStream.drainCollect(spark, table,
+        s"$scratch/ckpt2")
+      import spark.implicits._
+      val seen = run2.flatMap(_._2)
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .toDF("id", "bal", "seg")
+      seen.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double")
+            .as("bal_total"))
+        .select(col("seg"), col("n"), col("bal_total"),
+          lit(run1Batches).as("run1_batches"),
+          lit(run1Rows).as("run1_rows"),
+          lit(refused).as("rewrite_refused"))
+        .orderBy("seg")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over run-scoped scratch
+        .localCheckpoint()
+    },
+      """WITH fin AS (
+        |  SELECT c_mktsegment AS seg, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey > 10 AND c_custkey < 150)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  CAST(3 AS BIGINT) AS run1_batches,
+        |  CAST(150 AS BIGINT) AS run1_rows,
+        |  CAST(1 AS BIGINT) AS rewrite_refused
+        |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
+      headline = true)
   )
 }

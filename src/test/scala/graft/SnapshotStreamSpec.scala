@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SnapshotOps
+import graft.streaming.SnapshotStream
+
+/** The snapshot-table streaming SOURCE: version-granular batches,
+  * checkpointed resume, DV application, and the rewrite-span refusal —
+  * the contracts the q262 entry's oracle can't see from row content
+  * alone. */
+class SnapshotStreamSpec extends SparkSpecBase {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("drains one batch per version under maxVersionsPerBatch=1 and " +
+      "resumes from the checkpoint after new commits") {
+    import spark.implicits._
+    val t = freshDir("graft_ss1")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss1_c").toString
+    def wave(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+    SnapshotOps.commitAppend(spark, t, wave(1 to 10, "w1"))
+    SnapshotOps.commitAppend(spark, t, wave(11 to 20, "w2"))
+    SnapshotOps.commitAppend(spark, t, wave(21 to 30, "w3"))
+    val run1 = SnapshotStream.drainCollect(spark, t, ckpt,
+      maxVersionsPerBatch = 1)
+    assert(run1.size == 3)
+    // batch k holds exactly wave k+1's rows (version-granular spans)
+    val tags = run1.map(_._2.map(_.getString(1)).distinct)
+    assert(tags == Seq(Seq("w1"), Seq("w2"), Seq("w3")))
+    assert(run1.map(_._2.size) == Seq(10, 10, 10))
+    // nothing new: an empty drain commits no batch
+    assert(SnapshotStream.drainCollect(spark, t, ckpt).isEmpty)
+    // resume: only the post-checkpoint span drains, and it re-reads
+    // the same immutable files a replay would
+    SnapshotOps.commitAppend(spark, t, wave(31 to 35, "w4"))
+    val run2 = SnapshotStream.drainCollect(spark, t, ckpt)
+    assert(run2.size == 1 && run2.head._2.map(_.getLong(0)).sorted ==
+      (31L to 35L))
+  }
+
+  test("first batch from version 0 is the full visible snapshot: " +
+      "deletion vectors of the end version apply") {
+    import spark.implicits._
+    val t = freshDir("graft_ss2")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss2_c").toString
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 40L).map(i => (i, s"r$i")).toDF("id", "tag"))
+    SnapshotOps.commitDelete(spark, t, col("id") <= 5L)
+    val run = SnapshotStream.drainCollect(spark, t, ckpt)
+    assert(run.size == 1)
+    assert(run.head._2.map(_.getLong(0)).sorted == (6L to 40L))
+  }
+
+  test("a rewrite span fails the batch loudly instead of emitting " +
+      "silently wrong rows") {
+    import spark.implicits._
+    val t = freshDir("graft_ss3")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss3_c").toString
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    // consumer catches up through v1
+    assert(SnapshotStream.drainCollect(spark, t, ckpt).size == 1)
+    // MOR update of base rows: an append-shaped consumer would
+    // double-count — the batch must fail with the snapshotDiff pointer
+    SnapshotOps.commitUpdateMoR(spark, t, col("id") <= 3L,
+      _.withColumn("v", col("v") + lit(100.0)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      SnapshotStream.drainCollect(spark, t, ckpt)
+    }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("snapshotDiff")))
+  }
+}
