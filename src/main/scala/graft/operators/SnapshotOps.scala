@@ -339,14 +339,36 @@ object SnapshotOps {
 
   /** Above this many deleted positions the anti-join stops broadcasting
     * and falls back to a shuffle join (a DV that large is compaction
-    * debt, not a broadcast candidate). */
-  private val DvBroadcastRows = 1L << 20
+    * debt, not a broadcast candidate). `private[graft] var` so the
+    * tier boundaries are injectable: SnapshotOpsSpec drives the
+    * shuffle tier at test scale and DvScaleProbe measures all three
+    * tiers' read tax at their real sizes. */
+  private[graft] var DvBroadcastRows = 1L << 20
 
   /** At or below this many positions the DV applies as a literal
     * per-file `NOT IN` filter instead of an anti-join: the scan stays
     * one whole-stage-codegen pipeline with no broadcast build, which is
-    * the common selective-delete case. */
-  private val DvLiteralRows = 1L << 16
+    * the common selective-delete case. Injectable like
+    * [[DvBroadcastRows]]. */
+  private[graft] var DvLiteralRows = 1L << 16
+
+  /** The literal tier additionally caps how many DV'd FILES it will
+    * split into per-file scans: each single-file frame pays its own
+    * listing/planning constant, so the shape only wins for genuinely
+    * selective deletes. DvScaleProbe (BASELINE.md round 12): a 1-file
+    * 2k-position DV reads fastest literal (321 ms vs 419 broadcast),
+    * but a DV spanning all 8 files loses 2-6x to broadcast at every
+    * position count — hence 4, not the r11 guess of 32. */
+  private[graft] var DvLiteralFiles = 4
+
+  /** Run `body` with the DV tier boundaries overridden (spec/probe
+    * scaffolding — production code never calls this). */
+  private[graft] def withDvThresholds[T](literal: Long, bcast: Long)
+      (body: => T): T = {
+    val (l0, b0) = (DvLiteralRows, DvBroadcastRows)
+    DvLiteralRows = literal; DvBroadcastRows = bcast
+    try body finally { DvLiteralRows = l0; DvBroadcastRows = b0 }
+  }
 
   private def dvFrame(spark: SparkSession,
       dvs: Seq[FileEntry]): DataFrame = {
@@ -470,7 +492,8 @@ object SnapshotOps {
       val rows = dvs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum
       val dvdSide: Option[DataFrame] =
         if (dvd.isEmpty) None
-        else if (rows > 0 && rows <= DvLiteralRows && dvd.size <= 32) {
+        else if (rows > 0 && rows <= DvLiteralRows &&
+            dvd.size <= DvLiteralFiles) {
           // small DV, few files: each DV'd file filters on row_index
           // alone — a long-typed InSet, no path string materialized,
           // no join; the per-file frames union with the clean scan

@@ -667,6 +667,44 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(SnapshotOps.readLatest(spark, t).count() == expectLive)
   }
 
+  test("past DvBroadcastRows the DV anti-join falls back to a shuffle " +
+      "join: no broadcast build on the compaction-debt path") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 20000L).map(i => (i, i % 3)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    // ~13.3k deleted positions; thresholds injected so this size sits
+    // ABOVE the broadcast tier — the shape a 100 TB table with heavy
+    // compaction debt takes, where the DV is no broadcast candidate
+    val c = SnapshotOps.commitDelete(spark, t, col("id") % 3 =!= 0)
+    val (_, dvRows) = SnapshotOps.deleteStats(t, c.version)
+    assert(dvRows > 4096)
+    SnapshotOps.withDvThresholds(literal = 64, bcast = 4096) {
+      // simulate at-scale planner conditions: no size-estimate auto-
+      // broadcast either (at real DV sizes the estimates forbid it)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val live = SnapshotOps.readLatest(spark, t)
+        assert(live.count() == 20000L / 3) // ids % 3 == 0: 6666
+        val plan = live.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastExchange"),
+          s"shuffle tier must not broadcast-build:\n$plan")
+        assert(plan.contains("SortMergeJoin") ||
+          plan.contains("ShuffledHashJoin"),
+          s"expected a shuffle join on the DV anti-join:\n$plan")
+        // pruned + point reads through the shuffle tier stay exact
+        assert(SnapshotOps.readSnapshotRange(spark, t, c.version,
+          "id", 1, 300).count() == 100)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    // same snapshot under production thresholds: the 13k-position DV
+    // is back under the literal tier and content is identical
+    assert(SnapshotOps.readLatest(spark, t).count() == 20000L / 3)
+  }
+
   test("two racing MOR deletes both land: the loser rebases and its " +
       "recomputed positions exclude the winner's deletions") {
     import spark.implicits._
