@@ -284,16 +284,11 @@ class Engine(val spark: SparkSession) {
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)""".r
   private val InsertSelect =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.+|FROM\b.+)""".r
-  private val Update =
-    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*""".r
-  private val Delete =
-    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*""".r
-  private val Merge =
-    ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+))?""" +
-      """\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)""" +
-      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)""" +
-      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)""" +
-      """\s*VALUES\s*\((.+)\)\s*""").r
+  // UPDATE/DELETE/MERGE shapes are parsed over the token stream (see
+  // `Stmt` below) — only the MERGE INSERT tail keeps a regex, applied
+  // to a token-delimited slice where no string literal precedes it
+  private val MergeInsertTail =
+    """(?is)\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""".r
   private val AlterAdd =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
   private val AlterType =
@@ -315,24 +310,78 @@ class Engine(val spark: SparkSession) {
   private val SummarizeCmd = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
   private val DescribeCmd = """(?is)\s*DESCRIBE\s+([\w.]+)\s*""".r
 
-  /** Runs a multi-statement script (';'-separated, quote-aware); returns
-    * the last statement's result. */
+  /** Runs a multi-statement script (';'-separated, token-aware: a `;`
+    * inside a string literal, quoted identifier, dollar string or
+    * comment never splits); returns the last statement's result. */
   def executeScript(script: String): DataFrame = {
     val stmts = splitStatements(script).filter(_.trim.nonEmpty)
     stmts.foldLeft(empty())((_, s) => executeDuck(s))
   }
 
   private def splitStatements(s: String): Seq[String] = {
-    val out = mutable.ArrayBuffer.empty[String]
-    var inStr = false; val cur = new StringBuilder
-    s.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      case ';' if !inStr => out += cur.result(); cur.clear()
-      case c => cur += c
+    import graft.dialect.SqlNormalizer
+    val cuts = SqlNormalizer.lex(s).collect {
+      case SqlNormalizer.Lexeme(SqlNormalizer.Op(";"), st, _) => st
     }
-    if (cur.result().trim.nonEmpty) out += cur.result()
-    out.toSeq
+    val out = mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    cuts.foreach { c => out += s.substring(pos, c); pos = c + 1 }
+    out += s.substring(pos)
+    out.filter(_.trim.nonEmpty).toSeq
   }
+
+  // ---- token-stream statement front end ----------------------------------
+  // Statement classification and DML clause splitting run over
+  // SqlNormalizer's lexer (the one that already handles doubled-quote
+  // escapes, dollar strings and nested comments), never over raw text:
+  // a keyword can only be recognized as a Word TOKEN at paren depth 0,
+  // so `WHERE`/`VALUES`/`;` inside a string literal or comment can
+  // never split a statement, and clause text is sliced from the
+  // original statement by lexeme span (byte-exact). The shape regexes
+  // below then parse only name-region slices and comment-free text.
+
+  private object Stmt {
+    import graft.dialect.SqlNormalizer._
+
+    def lexemes(sql: String): Vector[Lexeme] =
+      lex(sql).filterNot(_.tok.isInstanceOf[Comment]).toVector
+
+    /** Uppercased first word — the statement's verb. */
+    def head(ls: Seq[Lexeme]): String = ls.headOption.map(_.tok).collect {
+      case Word(w) => w.toUpperCase
+    }.getOrElse("")
+
+    /** Index of the first paren-depth-0 occurrence of the keyword
+      * sequence at or after `from`; -1 when absent. */
+    def findKw(ls: Vector[Lexeme], from: Int, kws: String*): Int = {
+      var depth = 0
+      var i = math.max(from, 0)
+      while (i < ls.length) {
+        ls(i).tok match {
+          case Op("(") => depth += 1
+          case Op(")") => depth -= 1
+          case Word(_) if depth == 0 &&
+              kws.indices.forall(j => i + j < ls.length &&
+                (ls(i + j).tok match {
+                  case Word(x) => x.equalsIgnoreCase(kws(j))
+                  case _ => false
+                })) => return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+
+    /** Text between lexeme `a`'s end and lexeme `b`'s start (b = -1 ⇒
+      * to end of statement). */
+    def slice(sql: String, ls: Vector[Lexeme], a: Int, b: Int): String =
+      sql.substring(ls(a).end, if (b < 0) sql.length else ls(b).start)
+  }
+
+  /** `name [AS alias]` in a token-delimited name region. */
+  private val NameAlias =
+    """(?is)\s*([\w.]+)(?:\s+AS\s+(\w+))?\s*""".r
 
   // ---- table-producing file functions & literals -------------------------
   private val readAutoRe =
@@ -454,8 +503,14 @@ class Engine(val spark: SparkSession) {
     }
 
   /** Executes one DuckDB-dialect statement; returns the result (commands
-    * return a small status/empty frame, like DuckDB). */
-  def executeDuck(sqlText: String): DataFrame = sqlText match {
+    * return a small status/empty frame, like DuckDB). Comments are
+    * stripped up front through the lexer (string literals untouched),
+    * so no shape pattern below can be confused by keyword-bearing
+    * comments anywhere in the statement. */
+  def executeDuck(sqlText: String): DataFrame =
+    executeStripped(graft.dialect.SqlNormalizer.stripComments(sqlText))
+
+  private def executeStripped(sqlText: String): DataFrame = sqlText match {
     case CreateTableAs(name, query) =>
       register(name, executeDuck(query)); empty()
     case CreateTable(name, colDefs) =>
@@ -495,16 +550,21 @@ class Engine(val spark: SparkSession) {
         col(f.name).cast(f.dataType).as(f.name))
       appendRows(name, target, rows.select(casted.toIndexedSeq: _*))
       empty()
-    case c if """(?is)\s*UPDATE\b.*""".r.matches(c) =>
-      // match the command shape on MASKED text: a ' WHERE ' inside a
-      // string literal must not split the statement
-      val (mskd, lits) = DuckRewriter.mask(c)
-      val (name, setList, whereOpt) = mskd match {
-        case Update(n, sl, w) =>
-          (n, DuckRewriter.unmask(sl, lits),
-            Option(w).map(DuckRewriter.unmask(_, lits)).orNull)
-        case _ => throw new IllegalArgumentException(s"UPDATE: cannot parse")
-      }
+    case c if {
+      val ls = Stmt.lexemes(c)
+      Stmt.head(ls) == "UPDATE" && Stmt.findKw(ls, 1, "SET") > 0
+    } =>
+      // clause splitting over the TOKEN stream: SET/WHERE recognized
+      // only as depth-0 word tokens, so a ' WHERE ' or ' SET ' inside
+      // a string literal can never split the statement
+      val ls = Stmt.lexemes(c)
+      val setIdx = Stmt.findKw(ls, 1, "SET")
+      val whereIdx = Stmt.findKw(ls, setIdx + 1, "WHERE")
+      val name = Stmt.slice(c, ls, 0, setIdx).trim
+      require(name.matches("""[\w."]+"""), s"UPDATE: cannot parse")
+      val setList = Stmt.slice(c, ls, setIdx, whereIdx)
+      val whereOpt =
+        if (whereIdx < 0) null else Stmt.slice(c, ls, whereIdx, -1)
       val target = table(name)
       val cond = Option(whereOpt)
         .map(w => expr(DuckRewriter.rewrite(w, schemaOf))).getOrElse(lit(true))
@@ -549,13 +609,16 @@ class Engine(val spark: SparkSession) {
           }.toIndexedSeq: _*))
       }
       empty()
-    case c if """(?is)\s*DELETE\b.*""".r.matches(c) =>
-      val (mskd, lits) = DuckRewriter.mask(c)
-      val (name, whereOpt) = mskd match {
-        case Delete(n, w) =>
-          (n, Option(w).map(DuckRewriter.unmask(_, lits)).orNull)
-        case _ => throw new IllegalArgumentException(s"DELETE: cannot parse")
-      }
+    case c if {
+      val ls = Stmt.lexemes(c)
+      Stmt.head(ls) == "DELETE" && Stmt.findKw(ls, 0, "DELETE", "FROM") == 0
+    } =>
+      val ls = Stmt.lexemes(c)
+      val whereIdx = Stmt.findKw(ls, 2, "WHERE")
+      val name = Stmt.slice(c, ls, 1, whereIdx).trim
+      require(name.matches("""[\w."]+"""), s"DELETE: cannot parse")
+      val whereOpt =
+        if (whereIdx < 0) null else Stmt.slice(c, ls, whereIdx, -1)
       val target = table(name)
       // delete only rows where the predicate is TRUE: a NULL predicate
       // keeps the row (SQL three-valued semantics; `!NULL` is NULL and
@@ -593,15 +656,33 @@ class Engine(val spark: SparkSession) {
       // MERGE practice): at most one source row matches a target row —
       // a fan-out source would duplicate target rows, as it does in any
       // engine without the cardinality check.
-      val (mskd, lits) = DuckRewriter.mask(c)
-      val (tName, tA, sName, sA, cond, setList, insCols, insVals) =
-        mskd match {
-          case Merge(tn, ta, sn, sa, on, sl, ic, iv) =>
-            (tn, Option(ta).getOrElse(tn), sn, Option(sa).getOrElse(sn),
-              DuckRewriter.unmask(on, lits), DuckRewriter.unmask(sl, lits),
-              ic, DuckRewriter.unmask(iv, lits))
-          case _ => throw new IllegalArgumentException("MERGE: cannot parse")
-        }
+      val ls = Stmt.lexemes(c)
+      val usingIdx = Stmt.findKw(ls, 2, "USING")
+      val onIdx = Stmt.findKw(ls, usingIdx + 1, "ON")
+      val matchedIdx = Stmt.findKw(ls, onIdx + 1,
+        "WHEN", "MATCHED", "THEN", "UPDATE", "SET")
+      val notIdx = Stmt.findKw(ls, matchedIdx + 1,
+        "WHEN", "NOT", "MATCHED", "THEN", "INSERT")
+      require(usingIdx > 0 && onIdx > 0 && matchedIdx > 0 && notIdx > 0,
+        "MERGE: cannot parse")
+      val (tName, tA) = Stmt.slice(c, ls, 1, usingIdx) match {
+        case NameAlias(n, a) => (n, Option(a).getOrElse(n))
+        case _ => throw new IllegalArgumentException("MERGE: bad target")
+      }
+      val (sName, sA) = Stmt.slice(c, ls, usingIdx, onIdx) match {
+        case NameAlias(n, a) => (n, Option(a).getOrElse(n))
+        case _ => throw new IllegalArgumentException("MERGE: bad source")
+      }
+      // ON condition runs to the WHEN MATCHED keywords; nested parens
+      // and string literals inside it are invisible to findKw
+      val cond = Stmt.slice(c, ls, onIdx, matchedIdx)
+      val setList = Stmt.slice(c, ls, matchedIdx + 4, notIdx)
+      // tail: INSERT (cols) VALUES (vals) — paren groups by lexeme
+      val insertTail = Stmt.slice(c, ls, notIdx + 4, -1)
+      val (insCols, insVals) = insertTail match {
+        case MergeInsertTail(ic, iv) => (ic, iv)
+        case _ => throw new IllegalArgumentException("MERGE: bad INSERT")
+      }
       val tgt = table(tName)
       val src = table(sName)
       val condE = expr(DuckRewriter.rewrite(cond, schemaOf))

@@ -46,13 +46,40 @@ object SqlNormalizer {
   private def isHex(c: Char): Boolean =
     c.isDigit || ('a' <= c && c <= 'f') || ('A' <= c && c <= 'F')
 
+  /** A token plus its [start, end) character span in the input — what
+    * the Engine's statement front end slices clauses out of the
+    * ORIGINAL text with (keyword matching over tokens can never be
+    * fooled by keywords inside string literals or comments; slicing by
+    * span keeps the extracted clause text byte-exact). */
+  final case class Lexeme(tok: Tok, start: Int, end: Int)
+
   /** Lex `sql` into tokens (whitespace dropped, comments kept as
     * [[Comment]] so callers can choose). Unterminated quotes/comments
     * lex to end-of-input rather than throwing: normalization must never
     * fail on malformed model output (the metric path feeds it
     * predictions). */
-  def tokenize(sql: String): Seq[Tok] = {
-    val out = ArrayBuffer.empty[Tok]
+  def tokenize(sql: String): Seq[Tok] = lex(sql).map(_.tok)
+
+  /** `sql` with comments removed (each span replaced by one space so
+    * token adjacency can't change) and string literals untouched. */
+  def stripComments(sql: String): String = {
+    val comments = lex(sql).collect {
+      case Lexeme(_: Comment, s, e) => (s, e)
+    }
+    if (comments.isEmpty) sql
+    else {
+      val sb = new java.lang.StringBuilder
+      var pos = 0
+      comments.foreach { case (s, e) =>
+        sb.append(sql, pos, s).append(' '); pos = e
+      }
+      sb.append(sql, pos, sql.length).toString
+    }
+  }
+
+  /** Position-aware lexing; [[tokenize]] is this minus the spans. */
+  def lex(sql: String): Seq[Lexeme] = {
+    val out = ArrayBuffer.empty[Lexeme]
     val n = sql.length
     var i = 0
     def quotedRun(q: Char, from: Int): Int = {
@@ -71,7 +98,7 @@ object SqlNormalizer {
       if (Character.isWhitespace(c)) i += 1
       else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         val e = sql.indexOf('\n', i) match { case -1 => n; case x => x }
-        out += Comment(sql.substring(i, e)); i = e
+        out += Lexeme(Comment(sql.substring(i, e)), i, e); i = e
       } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
         var depth = 1; var j = i + 2
         while (j < n && depth > 0) {
@@ -82,13 +109,13 @@ object SqlNormalizer {
             depth -= 1; j += 2
           } else j += 1
         }
-        out += Comment(sql.substring(i, j)); i = j
+        out += Lexeme(Comment(sql.substring(i, j)), i, j); i = j
       } else if (c == '\'') {
         val e = quotedRun('\'', i + 1)
-        out += Quoted(sql.substring(i, e)); i = e
+        out += Lexeme(Quoted(sql.substring(i, e)), i, e); i = e
       } else if (c == '"') {
         val e = quotedRun('"', i + 1)
-        out += Quoted(sql.substring(i, e)); i = e
+        out += Lexeme(Quoted(sql.substring(i, e)), i, e); i = e
       } else if (c == '$') {
         val tagEnd = {
           var j = i + 1
@@ -102,10 +129,10 @@ object SqlNormalizer {
           val tag = sql.substring(i, tagEnd + 1)
           val close = sql.indexOf(tag, tagEnd + 1)
           val e = if (close == -1) n else close + tag.length
-          out += Quoted(sql.substring(i, e)); i = e
+          out += Lexeme(Quoted(sql.substring(i, e)), i, e); i = e
         } else { // $1 / $name parameter
           val e = math.max(tagEnd, i + 1)
-          out += Word(sql.substring(i, e)); i = e
+          out += Lexeme(Word(sql.substring(i, e)), i, e); i = e
         }
       } else if (c.isDigit ||
           (c == '.' && i + 1 < n && sql.charAt(i + 1).isDigit)) {
@@ -127,7 +154,7 @@ object SqlNormalizer {
             }
           }
         }
-        out += Num(sql.substring(i, j)); i = j
+        out += Lexeme(Num(sql.substring(i, j)), i, j); i = j
       } else if (Character.isLetter(c) || c == '_') {
         var j = i
         while (j < n && (Character.isLetterOrDigit(sql.charAt(j)) ||
@@ -136,12 +163,14 @@ object SqlNormalizer {
         if (j == i + 1 && j < n && sql.charAt(j) == '\'' &&
             "eEbBxX".indexOf(c) >= 0) {
           val e = quotedRun('\'', j + 1)
-          out += Quoted(sql.substring(i, e)); i = e
-        } else { out += Word(sql.substring(i, j)); i = j }
+          out += Lexeme(Quoted(sql.substring(i, e)), i, e); i = e
+        } else { out += Lexeme(Word(sql.substring(i, j)), i, j); i = j }
       } else {
         multiOps.find(op => sql.startsWith(op, i)) match {
-          case Some(op) => out += Op(op); i += op.length
-          case None => out += Op(c.toString); i += 1
+          case Some(op) =>
+            out += Lexeme(Op(op), i, i + op.length); i += op.length
+          case None =>
+            out += Lexeme(Op(c.toString), i, i + 1); i += 1
         }
       }
     }

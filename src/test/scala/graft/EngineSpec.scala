@@ -398,4 +398,91 @@ class EngineSpec extends SparkSpecBase {
     assert(r.length == 1 && r(0).getString(0) == "keep"
       && r(0).getString(1) == "new")
   }
+
+  // ---- adversarial statement-lexing battery (r12): the front end
+  // classifies and clause-splits over SqlNormalizer's token stream, so
+  // keywords, semicolons and parens inside string literals or comments
+  // can never change how a statement parses ----------------------------
+
+  test("adversarial: ';' inside string literals and comments never " +
+      "splits a script") {
+    val e = engine
+    val r = e.executeScript(
+      "CREATE TABLE adv1 (id int, s varchar);" +
+        "INSERT INTO adv1 VALUES (1, 'a;b');" +
+        "SELECT 1 AS x -- note; DROP TABLE adv1\n;" +
+        "SELECT s FROM adv1").collect()
+    assert(r.length == 1 && r(0).getString(0) == "a;b")
+    // the commented-out DROP never ran
+    assert(e.executeDuck("SELECT count(*) AS n FROM adv1")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("adversarial: UPDATE with ' WHERE '/' SET ' inside string " +
+      "literals clause-splits correctly") {
+    val e = engine
+    e.executeDuck("CREATE TABLE adv2 (id int, tag varchar, v int)")
+    e.executeDuck("INSERT INTO adv2 VALUES (1, 'x', 10)")
+    e.executeDuck("INSERT INTO adv2 VALUES (2, ' SET v = 99 ', 20)")
+    e.executeDuck("UPDATE adv2 SET tag = 'x WHERE y' WHERE id = 1")
+    e.executeDuck("UPDATE adv2 SET v = 2 WHERE tag = ' SET v = 99 '")
+    val r = e.executeDuck("SELECT id, tag, v FROM adv2 ORDER BY id")
+      .collect()
+    assert(r(0).getString(1) == "x WHERE y" && r(0).getInt(2) == 10)
+    assert(r(1).getInt(2) == 2)
+  }
+
+  test("adversarial: comments inside DML (keyword-bearing, nested) " +
+      "are stripped, not parsed") {
+    val e = engine
+    e.executeDuck("CREATE TABLE adv3 (id int, v int)")
+    e.executeDuck("INSERT INTO adv3 VALUES (1, 10)")
+    e.executeDuck("INSERT INTO adv3 VALUES (2, 20)")
+    e.executeDuck("UPDATE /* WHERE not-a-clause */ adv3 " +
+      "SET v = 3 /* SET trap */ WHERE id = 2 -- trailing WHERE")
+    e.executeDuck(
+      "DELETE FROM adv3 /* nested /* comment */ WHERE */ WHERE id = 1")
+    val r = e.executeDuck("SELECT id, v FROM adv3").collect()
+    assert(r.map(x => (x.getInt(0), x.getInt(1))).toSeq == Seq((2, 3)))
+  }
+
+  test("adversarial: DELETE predicate containing statement keywords " +
+      "in a string deletes only true matches") {
+    val e = engine
+    e.executeDuck("CREATE TABLE adv4 (id int, tag varchar)")
+    e.executeDuck("INSERT INTO adv4 VALUES (1, '; DROP TABLE adv4; WHERE')")
+    e.executeDuck("INSERT INTO adv4 VALUES (2, 'keep')")
+    e.executeDuck("DELETE FROM adv4 WHERE tag = '; DROP TABLE adv4; WHERE'")
+    val r = e.executeDuck("SELECT id FROM adv4").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("adversarial: MERGE with 'WHEN MATCHED' in a string inside ON " +
+      "and nested parens in VALUES") {
+    val e = engine
+    e.executeDuck("CREATE TABLE adv5 (id int, v int, tag varchar)")
+    e.executeDuck("INSERT INTO adv5 VALUES (1, 10, 'a')")
+    e.executeDuck("CREATE TABLE adv5d (k int, nv int, nt varchar)")
+    e.executeDuck("INSERT INTO adv5d VALUES (1, 11, 'upd')")
+    e.executeDuck("INSERT INTO adv5d VALUES (2, 22, 'new')")
+    e.executeDuck(
+      """MERGE INTO adv5 USING adv5d
+        |ON adv5.id = adv5d.k AND adv5d.nt <> 'WHEN MATCHED THEN x'
+        |WHEN MATCHED THEN UPDATE SET v = adv5d.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v, tag)
+        |VALUES (adv5d.k, (adv5d.nv + (1 - 1)), adv5d.nt)""".stripMargin)
+    val r = e.executeDuck("SELECT id, v, tag FROM adv5 ORDER BY id")
+      .collect()
+    assert(r.map(x => (x.getInt(0), x.getInt(1), x.getString(2))).toSeq ==
+      Seq((1, 11, "a"), (2, 22, "new")))
+  }
+
+  test("adversarial: INSERT VALUES carrying 'VALUES'/';'/parens in " +
+      "strings lands verbatim") {
+    val e = engine
+    e.executeDuck("CREATE TABLE adv6 (id int, s varchar)")
+    e.executeDuck("INSERT INTO adv6 VALUES (4, 'VALUES; WHERE (x))')")
+    val r = e.executeDuck("SELECT s FROM adv6").collect()
+    assert(r(0).getString(0) == "VALUES; WHERE (x))")
+  }
 }
