@@ -178,18 +178,32 @@ object PipelineQueries {
     private val slots: Seq[(Int, Int)] =
       for (k <- 1 to 3; i <- 1 to L - k + 1) yield (i, k)
 
-    /** One Viterbi round. The cost table joins ONCE: every in-word
-      * piece position left-joins `cTab` and pivots into per-word
-      * c_<pos>_<len> columns, so the unrolled 10-position DP levels are
-      * pure projections — integer least() with enc = cost·4 + (3-k) so
-      * ties break toward the longer piece — and the backtrack unrolls
-      * the same way; then frequency-weighted piece usage. (First cut
-      * joined `cTab` once per (level, len) — 30 joins — which DuckDB's
-      * CTE inlining re-expanded into 30 cost-chain re-runs; the pivot
-      * form is one join on both engines.) */
-    def usageSql(duck: Boolean, r: Int, wf: String, cTab: String): String = {
+    /** One Viterbi round, split into TWO fragments — [[dpSql]] (cost
+      * pivot + unrolled forward levels, ending at (w, f, k1..k10)) and
+      * [[btSql]] (unrolled backtrack + usage count). The cost table
+      * joins ONCE: every in-word piece position left-joins `cTab` and
+      * pivots into per-word c_<pos>_<len> columns, so the unrolled
+      * 10-position DP levels are pure projections — integer least()
+      * with enc = cost·4 + (3-k) so ties break toward the longer piece
+      * — and the backtrack unrolls the same way. (First cut joined
+      * `cTab` once per (level, len) — 30 joins — which DuckDB's CTE
+      * inlining re-expanded into 30 cost-chain re-runs; the pivot form
+      * is one join on both engines. The r12 DP/backtrack split exists
+      * for the SPARK side: one fused 20-level plan was the catalog's
+      * largest analysis+codegen constant, and materializing the
+      * word-table-sized (w, f, k*) frame between the halves cuts each
+      * statement's plan depth in half — DuckDB nests the same two
+      * fragments as CTEs, referenced once each, so the oracle is
+      * unchanged.) */
+    def dpSql(duck: Boolean, r: Int, wf: String, vTab: String): String = {
       val ln = len(duck)
       val div = if (duck) "//" else "DIV"
+      // the cost table rides INSIDE this statement's WITH (referenced
+      // once, by the pivot join) instead of being its own materialized
+      // stage: at ~64 rows its value is nil and its per-statement
+      // dispatch constant is not (r12 stage timing, BASELINE.md)
+      val cTab = s"ct$r"
+      val costCte = s"$cTab AS (\n${costSql(vTab)})"
       val positions =
         if (duck)
           s"""ps$r AS (SELECT w, i, k, substr(w, i, k) AS piece
@@ -233,12 +247,21 @@ object PipelineQueries {
            |    FROM d${r}_${j - 1} AS d
            |  ) AS q)""".stripMargin
       }
-      // backtrack needs only (w, f, k1..k10): dropping the cost/enc/b
-      // columns here halves the width codegen carries through the 10
-      // backtrack levels
+      // the backtrack half needs only (w, f, k1..k10): dropping the
+      // cost/enc/b columns at the fragment boundary halves the width
+      // the second half's codegen carries
       val kept = (1 to L).map(p => s"k$p").mkString(", ")
-      val bt0 = s"bt${r}_0 AS (SELECT w, f, $kept, $ln(w) AS pos0 " +
-        s"FROM d${r}_$L)"
+      s"WITH ${(Seq(costCte, positions, pivot, d0) ++ levels)
+        .mkString(",\n")}\n" +
+        s"SELECT w, f, $kept FROM d${r}_$L"
+    }
+
+    /** Backtrack half of round `r` over [[dpSql]]'s output `dTab`. */
+    def btSql(duck: Boolean, r: Int, dTab: String): String = {
+      val ln = len(duck)
+      val bt0 = s"bt${r}_0 AS (SELECT w, f, " +
+        (1 to L).map(p => s"k$p").mkString(", ") +
+        s", $ln(w) AS pos0 FROM $dTab)"
       val bts = (1 to L).map { i =>
         val kcase = (1 to L).map(p => s"WHEN $p THEN b.k$p").mkString(" ")
         s"""bt${r}_$i AS (
@@ -257,8 +280,7 @@ object PipelineQueries {
       val flat =
         if (duck) s"unnest(list_value($pieces))"
         else s"explode(array($pieces))"
-      s"WITH ${(Seq(positions, pivot, d0) ++ levels ++ Seq(bt0) ++ bts)
-        .mkString(",\n")}\n" +
+      s"WITH ${(Seq(bt0) ++ bts).mkString(",\n")}\n" +
         s"""SELECT piece, CAST(sum(f) AS BIGINT) AS usage
            |FROM (SELECT f, $flat AS piece FROM bt${r}_$L) z
            |WHERE piece IS NOT NULL GROUP BY piece""".stripMargin
@@ -288,11 +310,11 @@ object PipelineQueries {
       val frags = Seq(
         "g250_wf" -> wordsSql(duck = true),
         "g250_v1" -> vocabSql(duck = true, "g250_wf"),
-        "g250_c1" -> costSql("g250_v1"),
-        "g250_u1" -> usageSql(duck = true, 1, "g250_wf", "g250_c1"),
+        "g250_d1" -> dpSql(duck = true, 1, "g250_wf", "g250_v1"),
+        "g250_u1" -> btSql(duck = true, 1, "g250_d1"),
         "g250_v2" -> refreshSql("g250_v1", "g250_u1"),
-        "g250_c2" -> costSql("g250_v2"),
-        "g250_u2" -> usageSql(duck = true, 2, "g250_wf", "g250_c2"))
+        "g250_d2" -> dpSql(duck = true, 2, "g250_wf", "g250_v2"),
+        "g250_u2" -> btSql(duck = true, 2, "g250_d2"))
       "WITH " + frags.map { case (n, s) => s"$n AS (\n$s)" }
         .mkString(",\n") + "\n" +
         finalSql("g250_v1", "g250_u1", "g250_u2")
@@ -308,18 +330,30 @@ object PipelineQueries {
         "spark.sql.optimizer.maxIterations")
       val prev = keys.map(k => k -> spark.conf.getOption(k))
       keys.foreach(k => spark.conf.set(k, "1000"))
+      val t0 = System.nanoTime()
+      def mark(s: String): Unit =
+        if (sys.env.contains("GRAFT_Q250_TIMING"))
+          System.err.println(f"[q250] $s at ${(System.nanoTime() - t0) / 1e9}%.2f s")
       try {
         checkpointView(spark, "g250_wf", spark.sql(wordsSql(duck = false)))
+        mark("wf")
         checkpointView(spark, "g250_v1",
           spark.sql(vocabSql(duck = false, "g250_wf")))
-        checkpointView(spark, "g250_c1", spark.sql(costSql("g250_v1")))
+        mark("v1")
+        checkpointView(spark, "g250_d1",
+          spark.sql(dpSql(duck = false, 1, "g250_wf", "g250_v1")))
+        mark("d1")
         checkpointView(spark, "g250_u1",
-          spark.sql(usageSql(duck = false, 1, "g250_wf", "g250_c1")))
+          spark.sql(btSql(duck = false, 1, "g250_d1")))
+        mark("u1")
         checkpointView(spark, "g250_v2",
           spark.sql(refreshSql("g250_v1", "g250_u1")))
-        checkpointView(spark, "g250_c2", spark.sql(costSql("g250_v2")))
+        checkpointView(spark, "g250_d2",
+          spark.sql(dpSql(duck = false, 2, "g250_wf", "g250_v2")))
+        mark("d2")
         checkpointView(spark, "g250_u2",
-          spark.sql(usageSql(duck = false, 2, "g250_wf", "g250_c2")))
+          spark.sql(btSql(duck = false, 2, "g250_d2")))
+        mark("u2")
         spark.sql(finalSql("g250_v1", "g250_u1", "g250_u2"))
           .localCheckpoint()
       } finally prev.foreach {
