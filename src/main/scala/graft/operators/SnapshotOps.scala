@@ -330,7 +330,47 @@ object SnapshotOps {
   // [[commitUpdateMoR]] already cover the engine's delete/update
   // semantics with one mechanism. Revisit only if commit-time scans
   // ever dominate a real delete workload.
+  //
+  // SEQUENCE-NUMBER DESIGN NOTE (r12, deliberate deferral). The
+  // sequence an explicit per-line field would record is ALREADY
+  // well-defined and derivable: seq(unit) := the lowest version whose
+  // manifest carries the unit's raw line (lines are immutable and
+  // carry forward verbatim, so this is stable — the invariant
+  // [[unitSequence]] exposes and SnapshotOpsSpec pins). Two facts
+  // hold by construction and matter for ordering semantics:
+  //   (1) monotonicity — once a line appears, its derived sequence
+  //       never changes in any later version that carries it;
+  //   (2) delete-after-data — a DV line's sequence is ≥ the sequence
+  //       of every data unit whose files it names (a delete can only
+  //       name files already committed).
+  // An EXPLICIT `_seq=<v>` field on group/DV lines becomes necessary
+  // exactly when derivation breaks or is too costly at read time:
+  // (a) [[vacuum]] drops old version manifests, destroying the
+  // history the derivation walks; (b) equality deletes must compare
+  // sequences file-by-file DURING a read, where walking O(versions)
+  // manifests per scan is the wrong cost shape. Neither path exists
+  // today — every reader is position-based and needs no ordering —
+  // so the field is deferred; when equality deletes land, stamp
+  // `_seq` at publish time in tryPublishLines (new lines get the
+  // version being published; carried lines keep theirs), which makes
+  // the derived and stored sequences identical by (1).
   // ---------------------------------------------------------------
+
+  /** Derived per-unit sequence numbers of a snapshot: for each
+    * non-meta line of `version`'s manifest, the lowest version whose
+    * manifest carries that exact line — the commit that created it.
+    * O(versions × lines) driver metadata walk; see the design note
+    * above for when this derivation must become an explicit field. */
+  def unitSequence(tableDir: String, version: Int): Map[String, Int] = {
+    val lines = manifestLines(tableDir, version)
+      .filterNot(_.startsWith("#"))
+    val seq = scala.collection.mutable.Map.empty[String, Int]
+    (1 to version).foreach { v =>
+      manifestLines(tableDir, v).filterNot(_.startsWith("#"))
+        .foreach(l => if (!seq.contains(l)) seq(l) = v)
+    }
+    lines.map(l => l -> seq(l)).toMap
+  }
 
   /** DV parquet schema: the deleted row's file (as `_metadata.file_path`
     * spells it) and its position in that file. */

@@ -1032,6 +1032,55 @@ class SnapshotOpsSpec extends SparkSpecBase {
       e3.getMessage.contains("rewritten"))
   }
 
+  test("derived per-unit sequence numbers: monotone across versions, " +
+      "and every DV's sequence >= the sequence of each data unit it " +
+      "names (the invariant an explicit _seq field would codify)") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 30L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    SnapshotOps.commitAppend(spark, t,
+      (31L to 60L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    SnapshotOps.commitDelete(spark, t, col("id").isin(5L, 40L))
+    SnapshotOps.commitAppend(spark, t,
+      (61L to 70L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    val cur = SnapshotOps.currentVersion(t)
+    assert(cur == 4)
+    // (1) monotonicity: a line's sequence is identical in every
+    // version that carries it
+    val seqs = (1 to cur).map(v => SnapshotOps.unitSequence(t, v))
+    seqs.sliding(2).foreach { case Seq(a, b) =>
+      a.keySet.intersect(b.keySet).foreach(l => assert(a(l) == b(l)))
+    case _ => }
+    // the four commits created units with sequences 1, 2, 3, 4
+    assert(seqs.last.values.toSet == Set(1, 2, 3, 4))
+    // (2) delete-after-data: the v3 DV names files from v1 AND v2
+    // units, both with lower sequence
+    val latest = seqs.last
+    val dvSeq = latest.collect { case (l, s) if l.startsWith("!") => s }
+    assert(dvSeq.nonEmpty && dvSeq.forall(_ == 3))
+    val dvFiles = spark.read.parquet(
+      SnapshotOps.deleteEntries(t, cur).map(_.path): _*)
+      .select(col("_file")).distinct().collect()
+      .map(_.getString(0)).toSet
+    // every data unit whose files the DV names was committed earlier:
+    // expand each group line ("@<groupFile>\t…") to its member paths
+    def unitPaths(line: String): Seq[String] =
+      if (line.startsWith("@"))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(line.drop(1).split("\t")(0))))
+          .split("\n").filter(_.nonEmpty).map(_.split("\t")(0)).toSeq
+      else Seq(line.split("\t")(0))
+    val named = latest.filter { case (l, _) => !l.startsWith("!") &&
+      unitPaths(l).exists(dvFiles.contains) }
+    assert(named.nonEmpty, "the DV names at least one data unit")
+    named.values.foreach(s => assert(s < 3,
+      s"DV (seq 3) must postdate the data it names (unit seq $s)"))
+  }
+
   test("pointFiles types its probe on a schema-evolved table whose " +
       "probed column exists only in later units") {
     import spark.implicits._
