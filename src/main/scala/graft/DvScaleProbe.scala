@@ -56,7 +56,12 @@ object DvScaleProbe {
     def probe(label: String, t: String, dvRows: Long,
         tiers: Seq[(String, (Long, Long))]): Unit =
       tiers.foreach { case (tier, (lit, bc)) =>
-        val ms = SnapshotOps.withDvThresholds(lit, bc) {
+        // forcing "literal" must also lift the DvLiteralFiles cap: the
+        // sweep's mod-deletes span all 8 files, and with the production
+        // cap (4) the literal branch would silently fall through to the
+        // broadcast anti-join — the probe would measure broadcast twice
+        val fileCap = if (tier == "literal") Int.MaxValue else 0
+        val ms = SnapshotOps.withDvThresholds(lit, bc, fileCap) {
           timeMs(3)(SnapshotOps.readLatest(spark, t).count())
         }
         println(s"""{"probe":"dv_read_tax","size":"$label",""" +

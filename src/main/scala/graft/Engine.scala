@@ -177,9 +177,20 @@ class Engine(val spark: SparkSession) {
   /** Reclaim every snapshot materialization this engine created (live
     * bindings and retired ones). Long-lived sessions and per-entry
     * engines (Bench/Verify running the SQL-DML entries) call this so
-    * first-DML table copies never accumulate in the temp dir. The
-    * engine stays usable — a later DML simply re-materializes. */
+    * first-DML table copies never accumulate in the temp dir.
+    *
+    * Call only when this engine's RESULTS are no longer needed: any
+    * DataFrame previously obtained from it may lazily read the
+    * reclaimed files. Snapshot-backed tables are unbound here so a
+    * later statement fails with a clear "table not found" instead of
+    * a FileNotFoundException deep inside a scan; lazily-bound tables
+    * (never touched by DML) remain usable. */
   def close(): Unit = {
+    snapshotDirs.keys.foreach { n =>
+      tables.remove(n)
+      spark.catalog.dropTempView(
+        if (n.contains('.')) n.replace('.', '_') else n)
+    }
     snapshotDirs.values.foreach(deleteSnapshotDir)
     snapshotDirs.clear()
     retiredDirs.foreach(deleteSnapshotDir)
@@ -510,7 +521,12 @@ class Engine(val spark: SparkSession) {
   def executeDuck(sqlText: String): DataFrame =
     executeStripped(graft.dialect.SqlNormalizer.stripComments(sqlText))
 
-  private def executeStripped(sqlText: String): DataFrame = sqlText match {
+  private def executeStripped(sqlText: String): DataFrame = {
+  // lexed at most once per statement: every token-stream guard and
+  // case body below shares this (a large INSERT payload would
+  // otherwise pay a full lex per guard on the dispatch path)
+  lazy val lexed = Stmt.lexemes(sqlText)
+  sqlText match {
     case CreateTableAs(name, query) =>
       register(name, executeDuck(query)); empty()
     case CreateTable(name, colDefs) =>
@@ -550,14 +566,12 @@ class Engine(val spark: SparkSession) {
         col(f.name).cast(f.dataType).as(f.name))
       appendRows(name, target, rows.select(casted.toIndexedSeq: _*))
       empty()
-    case c if {
-      val ls = Stmt.lexemes(c)
-      Stmt.head(ls) == "UPDATE" && Stmt.findKw(ls, 1, "SET") > 0
-    } =>
+    case c if Stmt.head(lexed) == "UPDATE" &&
+        Stmt.findKw(lexed, 1, "SET") > 0 =>
       // clause splitting over the TOKEN stream: SET/WHERE recognized
       // only as depth-0 word tokens, so a ' WHERE ' or ' SET ' inside
       // a string literal can never split the statement
-      val ls = Stmt.lexemes(c)
+      val ls = lexed
       val setIdx = Stmt.findKw(ls, 1, "SET")
       val whereIdx = Stmt.findKw(ls, setIdx + 1, "WHERE")
       val name = Stmt.slice(c, ls, 0, setIdx).trim
@@ -609,11 +623,9 @@ class Engine(val spark: SparkSession) {
           }.toIndexedSeq: _*))
       }
       empty()
-    case c if {
-      val ls = Stmt.lexemes(c)
-      Stmt.head(ls) == "DELETE" && Stmt.findKw(ls, 0, "DELETE", "FROM") == 0
-    } =>
-      val ls = Stmt.lexemes(c)
+    case c if Stmt.head(lexed) == "DELETE" &&
+        Stmt.findKw(lexed, 0, "DELETE", "FROM") == 0 =>
+      val ls = lexed
       val whereIdx = Stmt.findKw(ls, 2, "WHERE")
       val name = Stmt.slice(c, ls, 1, whereIdx).trim
       require(name.matches("""[\w."]+"""), s"DELETE: cannot parse")
@@ -782,10 +794,12 @@ class Engine(val spark: SparkSession) {
     case DropTable(name) =>
       tables.remove(norm(name))
       // the snapshot binding dies with the table: a later PRAGMA
-      // table_snapshots / re-CREATE must not resurrect the history,
-      // and a DROP invalidates readers (DuckDB semantics) — the
-      // materialization dir is reclaimed immediately
-      snapshotDirs.remove(norm(name)).foreach(deleteSnapshotDir)
+      // table_snapshots / re-CREATE must not resurrect the history.
+      // The FILES must outlive the statement, though — a live lazy
+      // binding may still derive from them (CTAS from this table
+      // reads its snapshot parquet lazily), so the dir is RETIRED
+      // for [[close]], exactly like a re-register supersession
+      snapshotDirs.remove(norm(name)).foreach(retiredDirs += _)
       lastCommit.remove(norm(name))
       // dotted (attached-catalog) names are backed by an underscored
       // temp view (see register) — drop the view that actually exists
@@ -865,6 +879,7 @@ class Engine(val spark: SparkSession) {
             .replaceAllIn(q, key.replace('.', '_'))
         }
       spark.sql(DuckRewriter.rewrite(bindFileTables(dotted), schemaOf))
+  }
   }
 
   // ---- COPY (balanced hand parser: the (query) form nests parens) --------

@@ -402,12 +402,18 @@ object SnapshotOps {
   private[graft] var DvLiteralFiles = 4
 
   /** Run `body` with the DV tier boundaries overridden (spec/probe
-    * scaffolding — production code never calls this). */
-  private[graft] def withDvThresholds[T](literal: Long, bcast: Long)
-      (body: => T): T = {
-    val (l0, b0) = (DvLiteralRows, DvBroadcastRows)
-    DvLiteralRows = literal; DvBroadcastRows = bcast
-    try body finally { DvLiteralRows = l0; DvBroadcastRows = b0 }
+    * scaffolding — production code never calls this). `files` defaults
+    * to the CURRENT [[DvLiteralFiles]] so row-threshold-only callers
+    * keep production file-cap behavior; DvScaleProbe lifts it
+    * explicitly when forcing the literal tier on an all-files DV
+    * (without that, "literal" silently measures the broadcast tier). */
+  private[graft] def withDvThresholds[T](literal: Long, bcast: Long,
+      files: Int = DvLiteralFiles)(body: => T): T = {
+    val (l0, b0, f0) = (DvLiteralRows, DvBroadcastRows, DvLiteralFiles)
+    DvLiteralRows = literal; DvBroadcastRows = bcast; DvLiteralFiles = files
+    try body finally {
+      DvLiteralRows = l0; DvBroadcastRows = b0; DvLiteralFiles = f0
+    }
   }
 
   private def dvFrame(spark: SparkSession,

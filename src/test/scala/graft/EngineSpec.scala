@@ -485,4 +485,48 @@ class EngineSpec extends SparkSpecBase {
     val r = e.executeDuck("SELECT s FROM adv6").collect()
     assert(r(0).getString(0) == "VALUES; WHERE (x))")
   }
+
+  // ---- materialization-dir lifetime (r12): files must outlive every
+  // statement that can lazily derive from them; reclamation happens
+  // only at close() ------------------------------------------------------
+
+  test("DROP TABLE keeps snapshot files alive for lazy bindings " +
+      "derived from the dropped table") {
+    val e = engine
+    e.executeDuck("CREATE TABLE src6 (id int, v int)")
+    e.executeDuck("INSERT INTO src6 VALUES (1, 10), (2, 20)")
+    val dir = e.snapshotDir("src6").get
+    // CTAS registers a LAZY frame whose plan reads src6's snapshot
+    // parquet; DROP must not delete those files out from under it
+    e.executeDuck("CREATE TABLE drv6 AS SELECT id, v * 2 AS w FROM src6")
+    e.executeDuck("DROP TABLE src6")
+    assert(e.snapshotDir("src6").isEmpty, "history must die with DROP")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      "DROP retired the dir; files survive for the derived binding")
+    val r = e.executeDuck("SELECT w FROM drv6 ORDER BY w").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(20, 40))
+    e.close()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      "close() reclaims the retired dir")
+  }
+
+  test("close() unbinds snapshot-backed tables; lazy tables stay " +
+      "usable") {
+    val e = engine
+    e.executeDuck("CREATE TABLE snap7 (id int)")
+    e.executeDuck("INSERT INTO snap7 VALUES (1)") // DML → snapshot-backed
+    e.register("lazy7", spark.range(3).toDF("id")) // never touched by DML
+    val dir = e.snapshotDir("snap7").get
+    e.close()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    // snapshot-backed: clear resolution error, not a
+    // FileNotFoundException from a scan over reclaimed files
+    val ex = intercept[Exception](
+      e.executeDuck("SELECT * FROM snap7").collect())
+    assert(ex.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"expected a resolution error, got $ex")
+    // lazily-bound tables are untouched by close()
+    assert(e.executeDuck("SELECT count(*) AS n FROM lazy7")
+      .collect()(0).getLong(0) == 3L)
+  }
 }
