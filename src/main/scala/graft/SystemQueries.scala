@@ -2404,6 +2404,77 @@ object SystemQueries {
         |  CAST(150 AS BIGINT) AS run1_rows,
         |  CAST(1 AS BIGINT) AS rewrite_refused
         |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
+      headline = true),
+
+    // CHANGE-FEED STREAM (r12) — mode=diff on the snapshot source:
+    // every micro-batch IS snapshotDiff(from, to) (rows tagged
+    // insert/delete), so the rewrite-class spans the append source
+    // refuses (q262 contract 2) stream as row-level deltas instead
+    // (Delta readChangeFeed). Gated properties: (1) one diff batch per
+    // version under maxVersionsPerBatch=1 — n_batches pins it, and the
+    // churn totals n_inserts/n_deletes pin each span's shape (append →
+    // inserts only, MOR delete → 20 deletes, COW update → 10
+    // delete+insert pairs — survivor rows of rewritten files cancel,
+    // so the counts are layout-independent); (2) net-applying all
+    // batches in order reconstructs the table's final visible content,
+    // whose per-segment aggregate the oracle re-derives from customer.
+    "q263_stream_change_feed" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      import graft.streaming.SnapshotStream
+      val scratch = s"${runScopedDir("/tmp/graft_q263", sfDir)}/s-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val table = s"$scratch/table"
+      val cust = spark.table("customer")
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))
+      def wave(lo: Int, hi: Int) = // half-open: c_custkey starts at 0
+        cust.where(col("id") >= lo && col("id") < hi)
+      SnapshotOps.commitAppend(spark, table, wave(0, 100),
+        statsCols = Seq("id"))
+      SnapshotOps.commitAppend(spark, table, wave(100, 150),
+        statsCols = Seq("id"))
+      SnapshotOps.commitDelete(spark, table, col("id") < 20L)   // MOR
+      SnapshotOps.commitRewrite(spark, table, col("id") >= 140L, // COW
+        _.withColumn("bal", col("bal") + lit(1000.0)))
+      val run = SnapshotStream.drainCollect(spark, table,
+        s"$scratch/ckpt", maxVersionsPerBatch = 1, mode = "diff")
+      val drained = run.flatMap(_._2)
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          r.getString(3)))
+      val nBatches = run.size.toLong
+      val nInserts = drained.count(_._4 == "insert").toLong
+      val nDeletes = drained.count(_._4 == "delete").toLong
+      // net-apply the feed: surviving (net = +1) rows ARE the table
+      import spark.implicits._
+      val net = drained.groupBy(t => (t._1, t._2, t._3))
+        .map { case (k, rs) =>
+          k -> rs.map(t => if (t._4 == "insert") 1 else -1).sum }
+        .collect { case ((id, bal, seg), n) if n > 0 => (id, bal, seg) }
+        .toSeq.toDF("id", "bal", "seg")
+      net.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double")
+            .as("bal_total"))
+        .select(col("seg"), col("n"), col("bal_total"),
+          lit(nBatches).as("n_batches"),
+          lit(nInserts).as("n_inserts"),
+          lit(nDeletes).as("n_deletes"))
+        .orderBy("seg")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over run-scoped scratch
+        .localCheckpoint()
+    },
+      """WITH fin AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CASE WHEN c_custkey >= 140 THEN c_acctbal + 1000.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey >= 20 AND c_custkey < 150)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  CAST(4 AS BIGINT) AS n_batches,
+        |  CAST(160 AS BIGINT) AS n_inserts,
+        |  CAST(30 AS BIGINT) AS n_deletes
+        |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
       headline = true)
   )
 }

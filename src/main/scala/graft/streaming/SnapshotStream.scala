@@ -31,10 +31,28 @@ object SnapshotStream {
   /** `spark.readStream` over a committed snapshot table. */
   def readAppendsStream(spark: SparkSession, tableDir: String,
       startingVersion: Int = 0, maxVersionsPerBatch: Int = 0): DataFrame =
+    stream(spark, tableDir, startingVersion, maxVersionsPerBatch, "appends")
+
+  /** The CHANGE FEED stream (Delta readChangeFeed analogue): each
+    * micro-batch is [[graft.operators.SnapshotOps.snapshotDiff]] over
+    * its version span — the table columns plus a `change_type` tag
+    * (`insert`/`delete`). Rewrite spans are legal here: a compaction
+    * nets to zero rows, a COW update to delete+insert pairs, a MOR
+    * delete to delete rows. Net-applying every batch in order
+    * reconstructs the table's visible content exactly — the property
+    * q263 gates against the batch diff oracle. */
+  def readChangeFeed(spark: SparkSession, tableDir: String,
+      startingVersion: Int = 0, maxVersionsPerBatch: Int = 0): DataFrame =
+    stream(spark, tableDir, startingVersion, maxVersionsPerBatch, "diff")
+
+  private def stream(spark: SparkSession, tableDir: String,
+      startingVersion: Int, maxVersionsPerBatch: Int,
+      mode: String): DataFrame =
     spark.readStream.format("graft-snapshot")
       .option("path", tableDir)
       .option("startingVersion", startingVersion.toString)
       .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .option("mode", mode)
       .load()
 
   /** One AvailableNow drain pass: every span committed before the call
@@ -43,10 +61,11 @@ object SnapshotStream {
     * more commits drains only the new spans. Test/measurement harness
     * for the source; production subscribers attach their own sink. */
   def drainAvailable(spark: SparkSession, tableDir: String,
-      checkpoint: String, maxVersionsPerBatch: Int = 0)
+      checkpoint: String, maxVersionsPerBatch: Int = 0,
+      mode: String = "appends")
       (onBatch: (Long, DataFrame) => Unit): Unit = {
-    val q = readAppendsStream(spark, tableDir,
-        maxVersionsPerBatch = maxVersionsPerBatch)
+    val q = stream(spark, tableDir, startingVersion = 0,
+        maxVersionsPerBatch = maxVersionsPerBatch, mode = mode)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         onBatch(id, batch.toDF()); ()
@@ -61,9 +80,10 @@ object SnapshotStream {
     * bounded test scaffolding only (a corpus-scale subscriber never
     * collects). Returns (batchId, rows) in batch order. */
   def drainCollect(spark: SparkSession, tableDir: String,
-      checkpoint: String, maxVersionsPerBatch: Int = 0): Seq[(Long, Seq[Row])] = {
+      checkpoint: String, maxVersionsPerBatch: Int = 0,
+      mode: String = "appends"): Seq[(Long, Seq[Row])] = {
     val got = ArrayBuffer.empty[(Long, Seq[Row])]
-    drainAvailable(spark, tableDir, checkpoint, maxVersionsPerBatch) {
+    drainAvailable(spark, tableDir, checkpoint, maxVersionsPerBatch, mode) {
       (id, df) => got.synchronized { got += ((id, df.collect().toSeq)) }
     }
     got.sortBy(_._1).toSeq

@@ -36,7 +36,10 @@ import graft.operators.SnapshotOps
   * miss retractions. readAppendsSince's three-clause gate throws with
   * the snapshotDiff pointer; the stream surfaces that as the batch
   * failure rather than emitting silently wrong rows (Delta's
-  * ignoreChanges-less default, the conservative choice).
+  * ignoreChanges-less default, the conservative choice). The escape
+  * hatch the error points at is `mode=diff` — the change-feed read,
+  * where rewrite spans are legal because batches carry row-level
+  * deltas, not appended files.
   *
   * Options:
   *  - `path` — the snapshot table directory (required);
@@ -45,7 +48,16 @@ import graft.operators.SnapshotOps
   *    Delta "initial snapshot" semantics;
   *  - `maxVersionsPerBatch` (default 0 = unbounded) — admission
   *    control: cap how many committed versions one micro-batch drains,
-  *    so a subscriber far behind catches up in bounded batches.
+  *    so a subscriber far behind catches up in bounded batches;
+  *  - `mode` (default `appends`) — `diff` switches every micro-batch
+  *    to [[SnapshotOps.snapshotDiff]](from, to): the CHANGE FEED read
+  *    (Delta readChangeFeed), rows = the span's net row-level delta
+  *    tagged with a `change_type` column (`insert`/`delete`). Rewrite
+  *    spans are LEGAL here — a compaction span nets to zero rows, a
+  *    COW update nets to delete+insert pairs, a MOR delete to delete
+  *    rows — because the diff compares row content, not file lineage.
+  *    Net-applying every drained batch in order reconstructs the
+  *    table's visible content exactly.
   *
   * Lives in the bridge namespace because the v1 `Source` contract and
   * the streaming-tagged DataFrame constructor
@@ -55,7 +67,7 @@ import graft.operators.SnapshotOps
   */
 class SnapshotStreamSource(sqlContext: SQLContext, tableDir: String,
     override val schema: StructType, startingVersion: Long,
-    maxVersionsPerBatch: Long) extends Source
+    maxVersionsPerBatch: Long, diffMode: Boolean = false) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val spark =
@@ -100,6 +112,8 @@ class SnapshotStreamSource(sqlContext: SQLContext, tableDir: String,
     val batch =
       if (to <= from)
         SnapshotOps.readSnapshot(spark, tableDir, 0, schema)
+      else if (diffMode)
+        SnapshotOps.snapshotDiff(spark, tableDir, from.toInt, to.toInt)
       else SnapshotOps.readAppendsSince(spark, tableDir, from.toInt, to.toInt)
     // pin column order to the source schema (the engine asserts the
     // batch plan's output matches), then re-tag the SAME lazy plan as
@@ -128,13 +142,38 @@ class SnapshotSourceProvider extends StreamSourceProvider
         "graft-snapshot source needs a 'path' option (the snapshot " +
           "table directory)"))
 
+  private def isDiff(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("mode", "appends").toLowerCase match {
+      case "appends" => false
+      case "diff" => true
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot source: unknown mode '$other' " +
+          "(expected 'appends' or 'diff')")
+    }
+
+  /** Memoized per provider instance: Spark resolves the schema in
+    * `sourceSchema` (analysis) and again in `createSource` without
+    * passing the first result back, and a full resolution walks the
+    * manifest chain + parquet footers — pay that once per query
+    * start, and pin ONE schema for both calls even if a commit lands
+    * between them. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   private def tableSchema(sqlContext: SQLContext,
       parameters: Map[String, String]): StructType = {
     val dir = dirOf(parameters)
-    val v = SnapshotOps.currentVersion(dir)
-    require(v > 0, s"graft-snapshot source: no committed snapshot at " +
-      s"$dir — commit version 1 first (the schema comes from the table)")
-    SnapshotOps.readSnapshot(sqlContext.sparkSession, dir, v).schema
+    val base = schemaMemo.computeIfAbsent(dir, { d =>
+      val v = SnapshotOps.currentVersion(d)
+      require(v > 0, s"graft-snapshot source: no committed snapshot at " +
+        s"$d — commit version 1 first (the schema comes from the table)")
+      SnapshotOps.readSnapshot(sqlContext.sparkSession, d, v).schema
+    })
+    // change-feed batches carry the diff's change_type tag column
+    if (isDiff(parameters))
+      base.add("change_type", org.apache.spark.sql.types.StringType,
+        nullable = true)
+    else base
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -148,5 +187,6 @@ class SnapshotSourceProvider extends StreamSourceProvider
     new SnapshotStreamSource(sqlContext, dirOf(parameters),
       schema.getOrElse(tableSchema(sqlContext, parameters)),
       parameters.getOrElse("startingVersion", "0").toLong,
-      parameters.getOrElse("maxVersionsPerBatch", "0").toLong)
+      parameters.getOrElse("maxVersionsPerBatch", "0").toLong,
+      diffMode = isDiff(parameters))
 }

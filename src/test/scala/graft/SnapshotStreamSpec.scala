@@ -73,4 +73,63 @@ class SnapshotStreamSpec extends SparkSpecBase {
       if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
     assert(messages(e).exists(_.contains("snapshotDiff")))
   }
+
+  // ---- change-feed mode (r12): mode=diff batches are snapshotDiff
+  // spans, so rewrite-class commits stream as row-level deltas -----------
+
+  test("change feed: each version-granular batch equals the batch " +
+      "snapshotDiff, including MOR-delete and COW-rewrite spans") {
+    import spark.implicits._
+    val t = freshDir("graft_ss4")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss4_c").toString
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    SnapshotOps.commitAppend(spark, t,
+      (21L to 30L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    SnapshotOps.commitDelete(spark, t, col("id") <= 3L)      // MOR span
+    SnapshotOps.commitRewrite(spark, t, col("id") >= 28L,    // COW span
+      _.withColumn("v", col("v") + lit(100.0)))
+    val run = SnapshotStream.drainCollect(spark, t, ckpt,
+      maxVersionsPerBatch = 1, mode = "diff")
+    assert(run.size == 4, s"one diff batch per version, got ${run.size}")
+    def canon(rows: Seq[org.apache.spark.sql.Row]): Seq[(Long, Double, String)] =
+      rows.map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+    (1 to 4).foreach { v =>
+      val oracle = SnapshotOps.snapshotDiff(spark, t, v - 1, v)
+        .select(col("id"), col("v"), col("change_type")).collect().toSeq
+      assert(canon(run(v - 1)._2) == canon(oracle),
+        s"batch $v != snapshotDiff(${v - 1}, $v)")
+    }
+    // the MOR span is pure deletes; the COW span is delete+insert pairs
+    assert(run(2)._2.map(_.getString(2)).distinct == Seq("delete"))
+    assert(run(3)._2.map(_.getString(2)).toSet == Set("delete", "insert"))
+    // net-applying all four batches reconstructs the visible table
+    val net = run.flatMap(_._2)
+      .groupBy(r => (r.getLong(0), r.getDouble(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => if (r.getString(2) == "insert") 1 else -1).sum }
+      .filter(_._2 != 0)
+    assert(net.values.forall(_ == 1), "net multiplicity is 0 or 1 here")
+    val visible = SnapshotOps.readLatest(spark, t)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(net.keySet == visible,
+      "net-applied change feed == the table's visible content")
+  }
+
+  test("change feed: resume drains only post-checkpoint spans; a " +
+      "compaction span nets to zero rows, not a failure") {
+    import spark.implicits._
+    val t = freshDir("graft_ss5")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss5_c").toString
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 15L).map(i => (i, s"r$i")).toDF("id", "tag"))
+    assert(SnapshotStream.drainCollect(spark, t, ckpt, mode = "diff")
+      .size == 1)
+    // a pure-layout rewrite: same rows, different files — the append
+    // source would refuse this span; the change feed nets it to zero
+    SnapshotOps.commitCompact(spark, t, nFiles = 1)
+    val run = SnapshotStream.drainCollect(spark, t, ckpt, mode = "diff")
+    assert(run.map(_._2.size).sum == 0,
+      s"compaction span must net to zero diff rows, got $run")
+  }
 }
