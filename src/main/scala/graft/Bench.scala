@@ -111,9 +111,11 @@ object Bench {
     // Round-11) → 100.0. r12 96-entry set adds q262 5.0 s (three
     // streaming drains + commits, scoped quiet run) → 105.0; r12
     // 97-entry set adds q263 5.9 s (four change-feed drains + a MOR +
-    // a COW commit, scoped quiet run) → 110.0
+    // a COW commit, scoped quiet run) → 110.0; r12 98-entry set adds
+    // q264 5.4 s (4-DML lifecycle + 4-span table_changes read,
+    // scoped quiet run) → 115.0
     val quietFloorSec: Option[Double] =
-      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(110.0) else None
+      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(115.0) else None
     val runNoisy = quietFloorSec.map { floor =>
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""

@@ -316,6 +316,9 @@ class Engine(val spark: SparkSession) {
   private val PragmaDbList = """(?is)\s*PRAGMA\s+database_list\s*""".r
   private val PragmaSnapshots =
     """(?is)\s*PRAGMA\s+table_snapshots\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
+  private val PragmaTableChanges =
+    ("""(?is)\s*PRAGMA\s+table_changes\s*\(\s*'?([\w.]+?)'?\s*,""" +
+      """\s*(\d+)\s*,\s*(\d+)\s*\)\s*""").r
   private val CallVersion =
     """(?is)\s*CALL\s+pragma_version\s*\(\s*\)\s*""".r
   private val SummarizeCmd = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
@@ -841,6 +844,28 @@ class Engine(val spark: SparkSession) {
           visible.map(_ + dvRows), visible)
       }.toSeq.toDF("version", "committed_ms", "data_files", "dv_files",
         "dv_rows", "data_rows", "visible_rows")
+    case PragmaTableChanges(name, fromS, toS) =>
+      // the CDC read at the SQL surface (Delta's table_changes): one
+      // row per net row-level change, per version — version v's rows
+      // are snapshotDiff(v-1, v) tagged with _commit_version = v.
+      // Cost scales with the CHANGED units of each span (unit-raw
+      // cancellation), never the table, so a 100 TB table's change
+      // feed reads only its churn. Bounds are validated against the
+      // manifest chain up front — a half-open read past the current
+      // version must fail loudly, not return a silent partial feed.
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(throw new IllegalArgumentException(
+        s"table_changes: '$name' has no committed snapshot history"))
+      val (from, to) = (fromS.toInt, toS.toInt)
+      val cur = SnapshotOps.currentVersion(dir)
+      require(from >= 1 && from <= to && to <= cur,
+        s"table_changes: span [$from, $to] outside committed " +
+          s"versions [1, $cur] of '$name'")
+      (from to to).map { v =>
+        SnapshotOps.snapshotDiff(spark, dir, v - 1, v)
+          .withColumn("_commit_version", lit(v.toLong))
+      }.reduce(_.unionByName(_))
+        .where(col("change_type") =!= lit(""))
     case PragmaTableInfo(name) =>
       import spark.implicits._
       table(name).schema.fields.zipWithIndex.map { case (f, i) =>

@@ -2475,6 +2475,63 @@ object SystemQueries {
         |  CAST(160 AS BIGINT) AS n_inserts,
         |  CAST(30 AS BIGINT) AS n_deletes
         |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
+      headline = true),
+
+    // TABLE_CHANGES AT THE SQL SURFACE (r12) — Delta's table_changes
+    // exposed through the Engine: PRAGMA table_changes(t, from, to)
+    // returns one row per net row-level change per version (version
+    // v's rows = snapshotDiff(v-1, v) tagged _commit_version = v), so
+    // a SQL user audits WHAT each committed DML changed without any
+    // API surface. The lifecycle mixes commit shapes deliberately —
+    // two appends, a MOR delete (deletion vectors, zero files
+    // rewritten), a COW update (delete+insert pairs) — and the oracle
+    // re-derives every span's churn from customer alone. Cost scales
+    // with each span's CHANGED units (unit-raw cancellation), never
+    // the table.
+    "q264_sql_table_changes" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck(
+        "CREATE TABLE g264_acct (id INTEGER, bal DOUBLE, seg VARCHAR)")
+      e.executeDuck(
+        """INSERT INTO g264_acct
+          |SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+          |WHERE c_custkey < 120""".stripMargin)                    // v1
+      e.executeDuck(
+        """INSERT INTO g264_acct
+          |SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+          |WHERE c_custkey >= 120 AND c_custkey < 150""".stripMargin) // v2
+      e.executeDuck("SET delete_mode = 'mor'")
+      try e.executeDuck("DELETE FROM g264_acct WHERE bal < 0")      // v3
+      finally e.executeDuck("SET delete_mode = 'cow'")
+      e.executeDuck(
+        "UPDATE g264_acct SET bal = bal + 50 WHERE seg = 'MACHINERY'") // v4
+      val out = e.executeDuck("PRAGMA table_changes('g264_acct', 1, 4)")
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double")
+            .as("bal_total"))
+        .orderBy("commit_version", "change_type")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over engine-scoped scratch
+        .localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH base AS (SELECT c_custkey AS id, c_acctbal AS bal,
+        |    c_mktsegment AS seg FROM customer WHERE c_custkey < 150),
+        |v4m AS (SELECT * FROM base
+        |  WHERE bal >= 0 AND seg = 'MACHINERY'),
+        |feed AS (
+        |  SELECT 1 AS v, 'insert' AS change_type, bal
+        |  FROM base WHERE id < 120
+        |  UNION ALL SELECT 2, 'insert', bal FROM base WHERE id >= 120
+        |  UNION ALL SELECT 3, 'delete', bal FROM base WHERE bal < 0
+        |  UNION ALL SELECT 4, 'delete', bal FROM v4m
+        |  UNION ALL SELECT 4, 'insert', bal + 50.0 FROM v4m)
+        |SELECT CAST(v AS BIGINT) AS commit_version, change_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       headline = true)
   )
 }

@@ -486,6 +486,45 @@ class EngineSpec extends SparkSpecBase {
     assert(r(0).getString(0) == "VALUES; WHERE (x))")
   }
 
+  test("PRAGMA table_changes: per-version insert/delete rows, with " +
+      "hard bounds validation") {
+    val e = engine
+    e.executeDuck("CREATE TABLE cf (id int, v int)")
+    e.executeDuck("INSERT INTO cf VALUES " +
+      (1 to 10).map(i => s"($i, $i)").mkString(", "))       // v1
+    e.executeDuck("INSERT INTO cf VALUES (11, 11), (12, 12)") // v2
+    e.executeDuck("SET delete_mode = 'mor'")
+    try e.executeDuck("DELETE FROM cf WHERE id <= 3")         // v3
+    finally e.executeDuck("SET delete_mode = 'cow'")
+    e.executeDuck("UPDATE cf SET v = v + 100 WHERE id = 12")  // v4 (COW)
+    val rows = e.executeDuck("PRAGMA table_changes('cf', 1, 4)")
+      .collect().map(r => (r.getAs[Long]("_commit_version"),
+        r.getAs[String]("change_type"), r.getAs[Int]("id")))
+    def span(v: Long) = rows.filter(_._1 == v)
+    assert(span(1).length == 10 && span(1).forall(_._2 == "insert"))
+    assert(span(2).map(x => (x._2, x._3)).sorted.toSeq ==
+      Seq(("insert", 11), ("insert", 12)))
+    assert(span(3).map(x => (x._2, x._3)).sorted.toSeq ==
+      Seq(("delete", 1), ("delete", 2), ("delete", 3)))
+    // the COW update is a delete+insert pair for the same id
+    assert(span(4).map(x => (x._2, x._3)).sorted.toSeq ==
+      Seq(("delete", 12), ("insert", 12)))
+    // a sub-span reads only its versions
+    assert(e.executeDuck("PRAGMA table_changes('cf', 3, 3)")
+      .collect().length == 3)
+    // bounds: past the current version must fail loudly, not return
+    // a silent partial feed
+    val ex = intercept[IllegalArgumentException](
+      e.executeDuck("PRAGMA table_changes('cf', 1, 99)"))
+    assert(ex.getMessage.contains("outside committed versions"))
+    // no snapshot history (never touched by DML) is a clear error
+    e.executeDuck("CREATE TABLE cf_lazy AS SELECT 1 AS x")
+    val ex2 = intercept[IllegalArgumentException](
+      e.executeDuck("PRAGMA table_changes('cf_lazy', 1, 1)"))
+    assert(ex2.getMessage.contains("no committed snapshot history"))
+    e.close()
+  }
+
   // ---- materialization-dir lifetime (r12): files must outlive every
   // statement that can lazily derive from them; reclamation happens
   // only at close() ------------------------------------------------------
