@@ -808,6 +808,21 @@ object SnapshotOps {
     if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString
     else p
 
+  /** Metadata-only cost proxy of the span (`fromVersion`, `toVersion`]:
+    * total recorded rows of the manifest units `to` carries and `from`
+    * lacks — the added-side scan size of the incremental read (data
+    * rows of new units plus positions of new deletion vectors). Read
+    * entirely from manifest `_rows` bounds, no data file touched;
+    * drives the streaming source's row-capped admission control. */
+  def spanAddedRows(tableDir: String, fromVersion: Int,
+      toVersion: Int): Long = {
+    val fromRaw = snapshotUnits(tableDir, fromVersion).map(_.raw).toSet
+    snapshotUnits(tableDir, toVersion)
+      .filterNot(u => fromRaw.contains(u.raw))
+      .flatMap(_.entries)
+      .flatMap(_.bounds.get(RowsKey).map(_._1.toLong)).sum
+  }
+
   /** Reserved bounds key carrying the file's ROW COUNT (lo = hi = n):
     * rides the same manifest field format, powers metadata-only
     * count(*) ([[snapshotRowCount]]), and is excluded from stats-col

@@ -28,10 +28,14 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object SnapshotStream {
 
-  /** `spark.readStream` over a committed snapshot table. */
+  /** `spark.readStream` over a committed snapshot table.
+    * `maxRowsPerBatch` adds row-capped admission control (manifest
+    * metadata only; the first pending version always admits). */
   def readAppendsStream(spark: SparkSession, tableDir: String,
-      startingVersion: Int = 0, maxVersionsPerBatch: Int = 0): DataFrame =
-    stream(spark, tableDir, startingVersion, maxVersionsPerBatch, "appends")
+      startingVersion: Int = 0, maxVersionsPerBatch: Int = 0,
+      maxRowsPerBatch: Long = 0L): DataFrame =
+    stream(spark, tableDir, startingVersion, maxVersionsPerBatch,
+      "appends", maxRowsPerBatch)
 
   /** The CHANGE FEED stream (Delta readChangeFeed analogue): each
     * micro-batch is [[graft.operators.SnapshotOps.snapshotDiff]] over
@@ -42,16 +46,19 @@ object SnapshotStream {
     * reconstructs the table's visible content exactly — the property
     * q263 gates against the batch diff oracle. */
   def readChangeFeed(spark: SparkSession, tableDir: String,
-      startingVersion: Int = 0, maxVersionsPerBatch: Int = 0): DataFrame =
-    stream(spark, tableDir, startingVersion, maxVersionsPerBatch, "diff")
+      startingVersion: Int = 0, maxVersionsPerBatch: Int = 0,
+      maxRowsPerBatch: Long = 0L): DataFrame =
+    stream(spark, tableDir, startingVersion, maxVersionsPerBatch,
+      "diff", maxRowsPerBatch)
 
   private def stream(spark: SparkSession, tableDir: String,
       startingVersion: Int, maxVersionsPerBatch: Int,
-      mode: String): DataFrame =
+      mode: String, maxRowsPerBatch: Long = 0L): DataFrame =
     spark.readStream.format("graft-snapshot")
       .option("path", tableDir)
       .option("startingVersion", startingVersion.toString)
       .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .option("maxRowsPerBatch", maxRowsPerBatch.toString)
       .option("mode", mode)
       .load()
 
@@ -62,10 +69,11 @@ object SnapshotStream {
     * for the source; production subscribers attach their own sink. */
   def drainAvailable(spark: SparkSession, tableDir: String,
       checkpoint: String, maxVersionsPerBatch: Int = 0,
-      mode: String = "appends")
+      mode: String = "appends", maxRowsPerBatch: Long = 0L)
       (onBatch: (Long, DataFrame) => Unit): Unit = {
     val q = stream(spark, tableDir, startingVersion = 0,
-        maxVersionsPerBatch = maxVersionsPerBatch, mode = mode)
+        maxVersionsPerBatch = maxVersionsPerBatch, mode = mode,
+        maxRowsPerBatch = maxRowsPerBatch)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         onBatch(id, batch.toDF()); ()
@@ -81,9 +89,11 @@ object SnapshotStream {
     * collects). Returns (batchId, rows) in batch order. */
   def drainCollect(spark: SparkSession, tableDir: String,
       checkpoint: String, maxVersionsPerBatch: Int = 0,
-      mode: String = "appends"): Seq[(Long, Seq[Row])] = {
+      mode: String = "appends",
+      maxRowsPerBatch: Long = 0L): Seq[(Long, Seq[Row])] = {
     val got = ArrayBuffer.empty[(Long, Seq[Row])]
-    drainAvailable(spark, tableDir, checkpoint, maxVersionsPerBatch, mode) {
+    drainAvailable(spark, tableDir, checkpoint, maxVersionsPerBatch,
+        mode, maxRowsPerBatch) {
       (id, df) => got.synchronized { got += ((id, df.collect().toSeq)) }
     }
     got.sortBy(_._1).toSeq

@@ -49,6 +49,13 @@ import graft.operators.SnapshotOps
   *  - `maxVersionsPerBatch` (default 0 = unbounded) — admission
   *    control: cap how many committed versions one micro-batch drains,
   *    so a subscriber far behind catches up in bounded batches;
+  *  - `maxRowsPerBatch` (default 0 = unbounded) — row-capped admission
+  *    (Delta's maxBytesPerTrigger shape): the span stops before its
+  *    cumulative added-side rows (manifest `_rows` metadata — data
+  *    rows of new units + positions of new DVs, no file listed)
+  *    exceed the cap; the first pending version is always admitted so
+  *    one over-cap commit drains rather than starves. Composes with
+  *    `maxVersionsPerBatch` (version cap applies first);
   *  - `mode` (default `appends`) — `diff` switches every micro-batch
   *    to [[SnapshotOps.snapshotDiff]](from, to): the CHANGE FEED read
   *    (Delta readChangeFeed), rows = the span's net row-level delta
@@ -67,7 +74,8 @@ import graft.operators.SnapshotOps
   */
 class SnapshotStreamSource(sqlContext: SQLContext, tableDir: String,
     override val schema: StructType, startingVersion: Long,
-    maxVersionsPerBatch: Long, diffMode: Boolean = false) extends Source
+    maxVersionsPerBatch: Long, diffMode: Boolean = false,
+    maxRowsPerBatch: Long = 0L) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val spark =
@@ -94,9 +102,25 @@ class SnapshotStreamSource(sqlContext: SQLContext, tableDir: String,
       if (start == null) startingVersion else versionOf(start)
     val cap = math.min(
       SnapshotOps.currentVersion(tableDir).toLong, availableNowCap)
-    val end =
+    var end =
       if (maxVersionsPerBatch > 0) math.min(cap, from + maxVersionsPerBatch)
       else cap
+    // row-capped admission (the maxBytesPerTrigger shape): stop the
+    // span before its cumulative added-side rows exceed the cap —
+    // computed entirely from manifest `_rows` metadata, no data file
+    // listed. The FIRST pending version is always admitted (progress
+    // guarantee: a single over-cap commit must drain, not starve).
+    if (maxRowsPerBatch > 0 && end > from) {
+      var v = from + 1
+      var rows = SnapshotOps.spanAddedRows(tableDir, from.toInt, v.toInt)
+      while (v < end && {
+        val next =
+          SnapshotOps.spanAddedRows(tableDir, v.toInt, v.toInt + 1)
+        if (rows + next <= maxRowsPerBatch) { rows += next; true }
+        else false
+      }) v += 1
+      end = v
+    }
     LongOffset(math.max(end, from))
   }
 
@@ -188,5 +212,7 @@ class SnapshotSourceProvider extends StreamSourceProvider
       schema.getOrElse(tableSchema(sqlContext, parameters)),
       parameters.getOrElse("startingVersion", "0").toLong,
       parameters.getOrElse("maxVersionsPerBatch", "0").toLong,
-      diffMode = isDiff(parameters))
+      diffMode = isDiff(parameters),
+      maxRowsPerBatch =
+        parameters.getOrElse("maxRowsPerBatch", "0").toLong)
 }

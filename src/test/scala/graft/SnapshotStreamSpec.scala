@@ -116,6 +116,26 @@ class SnapshotStreamSpec extends SparkSpecBase {
       "net-applied change feed == the table's visible content")
   }
 
+  test("row-capped admission: spans stop before exceeding " +
+      "maxRowsPerBatch, and one over-cap commit still drains") {
+    import spark.implicits._
+    val t = freshDir("graft_ss6")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss6_c").toString
+    def wave(ids: Range) = ids.map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+    SnapshotOps.commitAppend(spark, t, wave(1 to 5))    // v1: 5 rows
+    SnapshotOps.commitAppend(spark, t, wave(6 to 10))   // v2: 5 rows
+    SnapshotOps.commitAppend(spark, t, wave(11 to 30))  // v3: 20 rows
+    SnapshotOps.commitAppend(spark, t, wave(31 to 34))  // v4: 4 rows
+    // cap 12: v1+v2 fit (10), v3 alone exceeds the cap but is the
+    // FIRST pending version of its batch — progress guarantee — and
+    // v4 cannot ride with it
+    val run = SnapshotStream.drainCollect(spark, t, ckpt,
+      maxRowsPerBatch = 12L)
+    assert(run.map(_._2.size) == Seq(10, 20, 4),
+      s"expected spans [v1+v2], [v3], [v4]; got ${run.map(_._2.size)}")
+    assert(run.flatMap(_._2.map(_.getLong(0))).sorted == (1L to 34L))
+  }
+
   test("change feed: resume drains only post-checkpoint spans; a " +
       "compaction span nets to zero rows, not a failure") {
     import spark.implicits._
