@@ -319,6 +319,9 @@ class Engine(val spark: SparkSession) {
   private val PragmaTableChanges =
     ("""(?is)\s*PRAGMA\s+table_changes\s*\(\s*'?([\w.]+?)'?\s*,""" +
       """\s*(\d+)\s*,\s*(\d+)\s*\)\s*""").r
+  private val PragmaRestore =
+    ("""(?is)\s*PRAGMA\s+restore_table\s*\(\s*'?([\w.]+?)'?\s*,""" +
+      """\s*(\d+)\s*\)\s*""").r
   private val CallVersion =
     """(?is)\s*CALL\s+pragma_version\s*\(\s*\)\s*""".r
   private val SummarizeCmd = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
@@ -866,6 +869,17 @@ class Engine(val spark: SparkSession) {
           .withColumn("_commit_version", lit(v.toLong))
       }.reduce(_.unionByName(_))
         .where(col("change_type") =!= lit(""))
+    case PragmaRestore(name, verS) =>
+      // Delta RESTORE at the SQL surface: rewind the table's CONTENT
+      // to a committed version as a NEW commit (pure manifest
+      // metadata — commitRestore writes no data file), preserving
+      // history and rebinding the table to the restored snapshot
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(throw new IllegalArgumentException(
+        s"restore_table: '$name' has no committed snapshot history"))
+      lastCommit(norm(name)) = SnapshotOps.commitRestore(dir, verS.toInt)
+      registerSnapshot(name, dir)
+      empty()
     case PragmaTableInfo(name) =>
       import spark.implicits._
       table(name).schema.fields.zipWithIndex.map { case (f, i) =>

@@ -985,6 +985,38 @@ object SnapshotOps {
       s"commitAppend lost $maxRetries version races on $tableDir")
   }
 
+  /** Delta RESTORE / Iceberg rollback-to-snapshot: a NEW committed
+    * version whose content is exactly `toVersion`'s — the restored
+    * units' manifest lines carry forward VERBATIM, so the operation
+    * is pure metadata (zero data files written, copied or even
+    * listed; no SparkSession in the signature because none is
+    * needed). History is preserved: the rolled-back versions stay
+    * queryable by version/timestamp travel and the restore itself is
+    * an auditable commit in `table_snapshots`. Current META carries
+    * forward — restore rewinds content, not transactional state, so
+    * streaming-sink txn watermarks survive a rollback and replayed
+    * epochs still skip. Downstream semantics follow from the span
+    * shape: an append-mode subscriber refuses a restore that dropped
+    * units (rewrite-class, correctly), the change feed emits it as
+    * row-level deltas. */
+  def commitRestore(tableDir: String, toVersion: Int,
+      maxRetries: Int = 5): Committed = {
+    val restored = snapshotUnits(tableDir, toVersion).map(_.raw)
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      require(toVersion >= 1 && toVersion <= base,
+        s"commitRestore: version $toVersion outside committed " +
+          s"versions [1, $base] of $tableDir")
+      val lines = metaLines(snapshotMeta(tableDir, base)) ++ restored
+      if (tryPublishLines(tableDir, base + 1, lines))
+        return Committed(base + 1, restored.size, 0, conflicts)
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commitRestore lost $maxRetries version races on $tableDir")
+  }
+
   /** Transactional copy-on-write update: rows of the current snapshot
     * matching `cond` are replaced by `update` applied to them; files
     * with NO matching row are reused byte-for-byte. An intervening

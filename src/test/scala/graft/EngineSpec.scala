@@ -525,6 +525,40 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("PRAGMA restore_table rewinds content to a version as a new " +
+      "commit; history and later reads stay consistent") {
+    val e = engine
+    e.executeDuck("CREATE TABLE rst (id int, v int)")
+    e.executeDuck("INSERT INTO rst VALUES " +
+      (1 to 8).map(i => s"($i, $i)").mkString(", "))          // v1
+    e.executeDuck("UPDATE rst SET v = v + 100 WHERE id <= 4") // v2
+    e.executeDuck("DELETE FROM rst WHERE id >= 7")            // v3
+    e.executeDuck("PRAGMA restore_table('rst', 1)")           // v4 = v1
+    val r = e.executeDuck("SELECT id, v FROM rst ORDER BY id").collect()
+    assert(r.map(x => (x.getInt(0), x.getInt(1))).toSeq ==
+      (1 to 8).map(i => (i, i)))
+    val versions = e.executeDuck("PRAGMA table_snapshots('rst')")
+      .collect().length
+    assert(versions == 4, "restore is an auditable commit, not a rewind")
+    // the restore span streams as deltas: table_changes(4,4) holds
+    // the rows the rollback resurrected/retracted
+    val span4 = e.executeDuck("PRAGMA table_changes('rst', 4, 4)")
+      .collect().map(x => (x.getAs[String]("change_type"),
+        x.getAs[Int]("id"), x.getAs[Int]("v"))).sorted.toSeq
+    assert(span4 == Seq(("delete", 1, 101), ("delete", 2, 102),
+      ("delete", 3, 103), ("delete", 4, 104),
+      ("insert", 1, 1), ("insert", 2, 2), ("insert", 3, 3),
+      ("insert", 4, 4), ("insert", 7, 7), ("insert", 8, 8)))
+    // DML after a restore builds on the restored content
+    e.executeDuck("DELETE FROM rst WHERE id = 1")             // v5
+    assert(e.executeDuck("SELECT count(*) AS n FROM rst")
+      .collect()(0).getLong(0) == 7L)
+    val ex = intercept[IllegalArgumentException](
+      e.executeDuck("PRAGMA restore_table('rst', 99)"))
+    assert(ex.getMessage.contains("outside committed versions"))
+    e.close()
+  }
+
   // ---- materialization-dir lifetime (r12): files must outlive every
   // statement that can lazily derive from them; reclamation happens
   // only at close() ------------------------------------------------------

@@ -1098,4 +1098,41 @@ class SnapshotOpsSpec extends SparkSpecBase {
     val rows = spark.read.option("mergeSchema", "true").parquet(kept: _*)
     assert(rows.where(col("extra") === 30L).count() == 1)
   }
+
+  test("commitRestore rewinds content as a new metadata-only commit: " +
+      "history preserved, zero files written, DV lines carried back " +
+      "verbatim") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 20L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))                                   // v1
+    SnapshotOps.commitDelete(spark, t, col("id") <= 5L)        // v2: MOR
+    SnapshotOps.commitAppend(spark, t,
+      (21L to 25L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))                                   // v3
+    val dataFilesBefore = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(t)).filter(_.toString.endsWith(".parquet"))
+      .count()
+    val c = SnapshotOps.commitRestore(t, 2)                    // v4 = v2
+    assert(c.version == 4 && c.written == 0)
+    // content == v2's: the MOR DV line carried back verbatim
+    assert(SnapshotOps.readLatest(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq == (6L to 20L))
+    // pure metadata: not one new data or DV file
+    val dataFilesAfter = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(t)).filter(_.toString.endsWith(".parquet"))
+      .count()
+    assert(dataFilesAfter == dataFilesBefore)
+    // history preserved: the rolled-back v3 still reads exactly
+    assert(SnapshotOps.readSnapshot(spark, t, 3)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((6L to 20L) ++ (21L to 25L)))
+    // restore is itself a commit: a later append builds on it
+    SnapshotOps.commitAppend(spark, t,
+      Seq((30L, "z")).toDF("id", "tag"), statsCols = Seq("id"))
+    assert(SnapshotOps.readLatest(spark, t).count() == 16)
+    // bounds validated against the chain
+    assertThrows[IllegalArgumentException](SnapshotOps.commitRestore(t, 99))
+  }
 }
