@@ -2532,6 +2532,71 @@ object SystemQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      headline = true),
+
+    // RESTORE AT THE SQL SURFACE (r13) — Delta RESTORE gated under the
+    // driver oracle: a 3-DML lifecycle, PRAGMA restore_table back to
+    // v1 (a pure-metadata NEW commit — zero data files written), a
+    // post-restore DML building on the restored content, and the
+    // restore span read back through the change feed. The oracle
+    // re-derives everything from customer alone: (a) final visible
+    // content = v1's rows with ONLY the post-restore update applied
+    // (the restore wiped v2's update and v3's delete); (b) the restore
+    // span's churn — inserts = rows the rollback resurrected
+    // (v3-deleted ids) or un-updated (MACHINERY originals), deletes =
+    // the updated MACHINERY forms it retracted; (c) history is
+    // preserved: 5 auditable versions, restore included.
+    "q265_sql_restore_table" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck(
+        "CREATE TABLE g265_acct (id INTEGER, bal DOUBLE, seg VARCHAR)")
+      e.executeDuck(
+        """INSERT INTO g265_acct
+          |SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+          |WHERE c_custkey < 120""".stripMargin)                     // v1
+      e.executeDuck(
+        "UPDATE g265_acct SET bal = bal + 50 WHERE seg = 'MACHINERY'") // v2
+      e.executeDuck("DELETE FROM g265_acct WHERE id >= 100")          // v3
+      e.executeDuck("PRAGMA restore_table('g265_acct', 1)")       // v4=v1
+      e.executeDuck(
+        "UPDATE g265_acct SET bal = bal - 25 WHERE seg = 'BUILDING'") // v5
+      val feed = e.executeDuck("PRAGMA table_changes('g265_acct', 4, 4)")
+      val restoreIns =
+        feed.where(col("change_type") === lit("insert")).count()
+      val restoreDel =
+        feed.where(col("change_type") === lit("delete")).count()
+      val nVersions =
+        e.executeDuck("PRAGMA table_snapshots('g265_acct')").count()
+      val out = e.executeDuck("SELECT seg, bal FROM g265_acct")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double")
+            .as("bal_total"))
+        .select(col("seg"), col("n"), col("bal_total"),
+          lit(restoreIns).as("restore_inserts"),
+          lit(restoreDel).as("restore_deletes"),
+          lit(nVersions).as("n_versions"))
+        .orderBy("seg")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over engine-scoped scratch
+        .localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH base AS (SELECT c_custkey AS id, c_acctbal AS bal,
+        |    c_mktsegment AS seg FROM customer WHERE c_custkey < 120),
+        |fin AS (SELECT seg,
+        |  CASE WHEN seg = 'BUILDING' THEN bal - 25.0 ELSE bal END AS bal
+        |  FROM base)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  CAST((SELECT count(*) FROM base
+        |        WHERE seg = 'MACHINERY' OR id >= 100) AS BIGINT)
+        |    AS restore_inserts,
+        |  CAST((SELECT count(*) FROM base
+        |        WHERE seg = 'MACHINERY' AND id < 100) AS BIGINT)
+        |    AS restore_deletes,
+        |  CAST(5 AS BIGINT) AS n_versions
+        |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
       headline = true)
   )
 }

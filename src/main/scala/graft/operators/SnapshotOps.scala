@@ -1001,6 +1001,14 @@ object SnapshotOps {
     * row-level deltas. */
   def commitRestore(tableDir: String, toVersion: Int,
       maxRetries: Int = 5): Committed = {
+    // Validate BEFORE touching the manifest: an out-of-range target
+    // must surface as the contract's IllegalArgumentException, not a
+    // NoSuchFileException from snapshotUnits (the loop re-checks
+    // against a fresh base for CAS races).
+    val initialBase = currentVersion(tableDir)
+    require(toVersion >= 1 && toVersion <= initialBase,
+      s"commitRestore: version $toVersion outside committed " +
+        s"versions [1, $initialBase] of $tableDir")
     val restored = snapshotUnits(tableDir, toVersion).map(_.raw)
     var conflicts = 0
     while (conflicts <= maxRetries) {
