@@ -2597,6 +2597,84 @@ object SystemQueries {
         |    AS restore_deletes,
         |  CAST(5 AS BIGINT) AS n_versions
         |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
+      headline = true),
+
+    // EQUALITY-DELETE LIFECYCLE (r13) — Iceberg v2's second delete
+    // shape, gated under the driver oracle: DELETE BY KEY with zero
+    // data files scanned at commit time (the commit writes only the
+    // key list; readers anti-join it out of data units with a strictly
+    // LOWER stamped _seq). The lifecycle exercises every ordering
+    // property the oracle can see: (a) v3 deletes ids 10..19 from both
+    // earlier appends; (b) v4 RE-INSERTS ids 10..14 (bal+500) — a
+    // higher sequence, so the v3 delete must NOT swallow them; (c) v5
+    // deletes by a DIFFERENT key (seg), applying to everything below
+    // it including the re-inserts; (d) v6 mixes in a positional MOR
+    // delete over the visible rows; (e) v7 compacts — both delete
+    // debts bake in and the `=` lines drop. The oracle re-derives the
+    // final content and the v3 time-travel count from customer alone.
+    "q266_eq_delete_lifecycle" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val scratch = s"${runScopedDir("/tmp/graft_q266", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val table = s"$scratch/table"
+      val cust = spark.table("customer")
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))
+      SnapshotOps.commitAppend(spark, table, cust.where(col("id") < 100),
+        statsCols = Seq("id"), bloomCols = Seq("id"))            // v1
+      SnapshotOps.commitAppend(spark, table,
+        cust.where(col("id") >= 100 && col("id") < 150),
+        statsCols = Seq("id"), bloomCols = Seq("id"))            // v2
+      // keys derived FROM the table's own column: identical types, so
+      // the anti-join needs no cast (the cross-engine hash rule)
+      SnapshotOps.commitDeleteByKey(spark, table,
+        cust.where(col("id") >= 10 && col("id") <= 19)
+          .select(col("id")))                                    // v3
+      val v3Visible = SnapshotOps.readSnapshot(spark, table, 3).count()
+      SnapshotOps.commitAppend(spark, table,
+        cust.where(col("id") >= 10 && col("id") <= 14)
+          .withColumn("bal", col("bal") + lit(500.0)))           // v4
+      SnapshotOps.commitDeleteByKey(spark, table,
+        cust.select(col("seg"))
+          .where(col("seg") === lit("AUTOMOBILE")).distinct())   // v5
+      SnapshotOps.commitDelete(spark, table, col("bal") < 0)     // v6
+      val (eqFilesBefore, eqKeys) = SnapshotOps.eqDeleteStats(table, 6)
+      SnapshotOps.commitCompact(spark, table, 2)                 // v7
+      val (eqFilesAfter, _) = SnapshotOps.eqDeleteStats(table, 7)
+      SnapshotOps.readLatest(spark, table)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double")
+            .as("bal_total"))
+        .select(col("seg"), col("n"), col("bal_total"),
+          lit(v3Visible).as("v3_visible"),
+          lit(eqKeys).as("eq_keys"),
+          lit(eqFilesBefore.toLong).as("eq_files_before"),
+          lit(eqFilesAfter.toLong).as("eq_files_after"),
+          lit(SnapshotOps.currentVersion(table).toLong).as("n_versions"))
+        .orderBy("seg")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over run-scoped scratch
+        .localCheckpoint()
+    },
+      """WITH base AS (SELECT c_custkey AS id, c_acctbal AS bal,
+        |    c_mktsegment AS seg FROM customer WHERE c_custkey < 150),
+        |v AS (
+        |  SELECT id, bal, seg FROM base WHERE id NOT BETWEEN 10 AND 19
+        |  UNION ALL
+        |  SELECT id, bal + 500.0, seg FROM base
+        |  WHERE id BETWEEN 10 AND 14),
+        |fin AS (SELECT * FROM v
+        |  WHERE seg <> 'AUTOMOBILE' AND bal >= 0)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  CAST((SELECT count(*) FROM base
+        |        WHERE id NOT BETWEEN 10 AND 19) AS BIGINT) AS v3_visible,
+        |  CAST(11 AS BIGINT) AS eq_keys,
+        |  CAST(2 AS BIGINT) AS eq_files_before,
+        |  CAST(0 AS BIGINT) AS eq_files_after,
+        |  CAST(7 AS BIGINT) AS n_versions
+        |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
       headline = true)
   )
 }

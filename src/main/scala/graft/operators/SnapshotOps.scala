@@ -191,11 +191,19 @@ object SnapshotOps {
       * count. A DV line is metadata ONLY — it contributes no data
       * entries, so every file-listing consumer skips it structurally. */
     val isDelete: Boolean = raw.startsWith("!")
+    /** `=` lines are EQUALITY DELETES (Iceberg v2's second delete
+      * shape): the path is a parquet file of key TUPLES (its schema IS
+      * the equality key), `_rows` the tuple count. Applies only to
+      * data units with a strictly LOWER `_seq` — a later re-insert of
+      * the same key survives. Metadata-only, like DVs. */
+    val isEqDelete: Boolean = raw.startsWith("=")
     lazy val ref: FileEntry =
-      parseEntry(if (isGroup || isDelete) raw.drop(1) else raw)
+      parseEntry(if (isGroup || isDelete || isEqDelete) raw.drop(1) else raw)
     lazy val entries: Seq[FileEntry] =
-      if (isDelete) Seq.empty
+      if (isDelete || isEqDelete) Seq.empty
       else if (isGroup) groupEntries(ref.path) else Seq(ref)
+    /** The unit's stamped sequence number, when published post-r13. */
+    def seqNo: Option[Int] = ref.bounds.get(SeqKey).map(_._1.toInt)
     /** May this unit hold rows inside the box? (absent bounds: yes) */
     def mayMatch(box: Seq[(String, BigDecimal, BigDecimal)]): Boolean =
       box.forall { case (c, lo, hi) =>
@@ -214,7 +222,8 @@ object SnapshotOps {
       .map(ManifestUnit)
 
   private def dataUnits(tableDir: String, version: Int): Seq[ManifestUnit] =
-    snapshotUnits(tableDir, version).filterNot(_.isDelete)
+    snapshotUnits(tableDir, version)
+      .filterNot(u => u.isDelete || u.isEqDelete)
 
   /** Deletion-vector entries of a snapshot: path = a parquet file of
     * (_file, _pos) deleted positions, `_rows` bound = position count.
@@ -230,6 +239,26 @@ object SnapshotOps {
   def deleteStats(tableDir: String, version: Int): (Int, Long) = {
     val dvs = deleteEntries(tableDir, version)
     (dvs.size, dvs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum)
+  }
+
+  /** Equality-delete entries of a snapshot with their stamped
+    * sequence numbers, ascending. An eq-delete line without `_seq`
+    * fails fast: the delete-after-data rule cannot be evaluated
+    * without an order, and guessing silently swallows re-inserts. */
+  private def eqDeleteUnits(tableDir: String,
+      version: Int): Seq[(FileEntry, Int)] =
+    snapshotUnits(tableDir, version).filter(_.isEqDelete).map { u =>
+      (u.ref, u.seqNo.getOrElse(throw new IllegalStateException(
+        s"equality-delete line without a stamped $SeqKey in " +
+          s"$tableDir v$version: ${u.raw.take(120)}")))
+    }.sortBy(_._2)
+
+  /** (eq-delete file count, key-tuple count) of a snapshot — the
+    * equality-delete debt, the dual of [[deleteStats]]. */
+  def eqDeleteStats(tableDir: String, version: Int): (Int, Long) = {
+    val eqs = snapshotUnits(tableDir, version).filter(_.isEqDelete)
+      .map(_.ref)
+    (eqs.size, eqs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum)
   }
 
   /** Highest committed version; 0 = the empty table (no manifest). */
@@ -298,8 +327,9 @@ object SnapshotOps {
       mergeSchema: Boolean = false): DataFrame = {
     val files = snapshotFiles(tableDir, version)
     if (files.nonEmpty)
-      readFilesDv(spark, files, deleteEntries(tableDir, version),
-        mergeSchema = mergeSchema)
+      readUnitsVisible(spark, tableDir, dataUnits(tableDir, version),
+        deleteEntries(tableDir, version),
+        eqDeleteUnits(tableDir, version), mergeSchema = mergeSchema)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Option(schema).getOrElse(org.apache.spark.sql.types.StructType(Nil)))
@@ -364,12 +394,18 @@ object SnapshotOps {
   def unitSequence(tableDir: String, version: Int): Map[String, Int] = {
     val lines = manifestLines(tableDir, version)
       .filterNot(_.startsWith("#"))
+    // explicit `_seq` stamps (r13, publish-time) answer without any
+    // manifest walk — and keep answering after vacuum drops the
+    // history the derivation below would need
+    val stamped = lines.flatMap(l =>
+      ManifestUnit(l).seqNo.map(l -> _)).toMap
+    if (stamped.size == lines.size) return stamped
     val seq = scala.collection.mutable.Map.empty[String, Int]
     (1 to version).foreach { v =>
       manifestLines(tableDir, v).filterNot(_.startsWith("#"))
         .foreach(l => if (!seq.contains(l)) seq(l) = v)
     }
-    lines.map(l => l -> seq(l)).toMap
+    lines.map(l => l -> stamped.getOrElse(l, seq(l))).toMap
   }
 
   /** DV parquet schema: the deleted row's file (as `_metadata.file_path`
@@ -559,6 +595,56 @@ object SnapshotOps {
       sides.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     }
 
+  /** The unit's sequence, REQUIRED whenever equality deletes are in
+    * play — the read-time delete-after-data assertion: without a
+    * stamped order, applying (or skipping) a delete is a guess that
+    * silently swallows re-inserts, so the read fails fast instead. */
+  private def seqRequired(u: ManifestUnit, tableDir: String): Int =
+    u.seqNo.getOrElse(throw new IllegalStateException(
+      s"data unit without a stamped $SeqKey read under equality " +
+        s"deletes in $tableDir (pre-stamping manifest line: " +
+        s"${u.raw.take(100)}) — compact or rewrite the table first"))
+
+  /** Visible read of data `units` (optionally file-pruned by `keep`):
+    * DV positions subtracted and equality deletes applied SEQ-AWARE —
+    * a delete's keys anti-join only out of units with a strictly
+    * lower sequence (Iceberg v2's rule: an equality delete applies to
+    * data files strictly older than itself, so a later re-insert of
+    * the same key survives). With no eq-deletes this is EXACTLY one
+    * readFilesDv/readTagged over all files — zero plan regression on
+    * eq-free tables. With them, units sharing an applicable-delete
+    * suffix (eqs ascend by seq) scan as ONE group with one chain of
+    * broadcast anti-joins: groups ≤ distinct delete seqs + 1, key
+    * frames are delete-sized (model-sized by the commit contract),
+    * the corpus never shuffles. */
+  private def readUnitsVisible(spark: SparkSession, tableDir: String,
+      units: Seq[ManifestUnit], dvs: Seq[FileEntry],
+      eqs: Seq[(FileEntry, Int)], mergeSchema: Boolean = false,
+      anchor: org.apache.spark.sql.types.StructType = null,
+      tagged: Boolean = false,
+      keep: FileEntry => Boolean = _ => true): DataFrame = {
+    def readPart(files: Seq[String]) =
+      if (tagged) readTagged(spark, files, dvs, mergeSchema, anchor)
+      else readFilesDv(spark, files, dvs, mergeSchema, anchor)
+    val kept = units.map(u => u -> u.entries.filter(keep).map(_.path))
+      .filter(_._2.nonEmpty)
+    if (eqs.isEmpty) readPart(kept.flatMap(_._2))
+    else kept
+      .groupBy { case (u, _) =>
+        eqs.count(_._2 > seqRequired(u, tableDir)) }
+      .toSeq.sortBy(_._1)
+      .map { case (nAppl, group) =>
+        // the applicable deletes are exactly the nAppl highest-seq
+        // ones (ascending order ⇒ a suffix)
+        eqs.takeRight(nAppl).foldLeft(readPart(group.flatMap(_._2))) {
+          case (d, (e, _)) =>
+            val keys = spark.read.parquet(e.path)
+            d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+        }
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+  }
+
   /** Transactional MERGE-ON-READ delete: rows matching `cond` vanish
     * from the next snapshot without rewriting ANY data file — the
     * commit writes a deletion vector of matched positions and carries
@@ -573,13 +659,17 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val entries = dataUnits(tableDir, base).flatMap(_.entries)
+      val units = dataUnits(tableDir, base)
+      val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitDelete on empty table $tableDir")
       val dvs = deleteEntries(tableDir, base)
       val dir = newDataDir(tableDir)
       // DV size tracks matched rows — a few output files is plenty of
-      // write parallelism, and keeps the manifest line count bounded
-      readTagged(spark, entries.map(_.path), dvs)
+      // write parallelism, and keeps the manifest line count bounded.
+      // The match scans VISIBLE rows only (eq-deletes applied), so a
+      // DV never re-names a row an equality delete already removed
+      readUnitsVisible(spark, tableDir, units, dvs,
+        eqDeleteUnits(tableDir, base), tagged = true)
         .where(cond)
         .select(col("__file").as(DvFileCol), col("__pos").as(DvPosCol))
         .coalesce(4)
@@ -602,6 +692,82 @@ object SnapshotOps {
       s"commitDelete lost $maxRetries version races on $tableDir")
   }
 
+  /** Survivor re-wrap for partial rewrites: untouched entries of
+    * BROKEN units re-group PER ORIGINAL UNIT, each new group line
+    * keeping that unit's stamped sequence. Re-wrapping is metadata
+    * packaging, not a rewrite — the files' rows still predate every
+    * equality delete that applied to their unit; letting the publish
+    * stamp them with the rewrite's version would rank them above the
+    * carried `=` lines and silently resurrect the deleted rows. */
+  private def survivorGroupLines(tableDir: String,
+      broken: Seq[ManifestUnit], keep: FileEntry => Boolean): Seq[String] =
+    broken.flatMap { u =>
+      val surv = u.entries.filter(keep)
+      if (surv.isEmpty) None
+      else Some(u.seqNo.fold(groupLine(tableDir, surv))(s =>
+        groupLine(tableDir, surv) + s"\t$SeqKey=$s..$s"))
+    }
+
+  /** Transactional EQUALITY DELETE — Iceberg v2's second delete shape,
+    * the one [[commitDelete]]'s positional DVs can't give you: DELETE
+    * BY KEY with **zero data files scanned at commit time**. The
+    * commit writes `keys` (distinct tuples; its columns ARE the
+    * equality key, and must match the table's column names and types)
+    * as one immutable parquet file and publishes a `=` manifest line —
+    * O(keys), never O(table), where a positional delete must first
+    * scan for matching positions. Readers anti-join the key tuples out
+    * of every data unit whose stamped `_seq` is STRICTLY LOWER than
+    * the delete's (stamped at publish by [[tryPublishLines]]), so a
+    * later re-insert of the same key is never swallowed — the
+    * delete-after-data rule, asserted at read time
+    * ([[seqRequired]]). Rewrite-class maintenance pays the debt:
+    * compact/cluster read eq-filtered input and drop the `=` lines;
+    * partial rewrites keep them for the files they didn't touch.
+    * `keys` must be broadcast-sized (it is a delete list, not data);
+    * stats+blooms on its columns land on the line for future
+    * metadata-level scoping. Empty keys ⇒ skipped, no version burned. */
+  def commitDeleteByKey(spark: SparkSession, tableDir: String,
+      keys: DataFrame, maxRetries: Int = 5): Committed = {
+    require(keys.columns.nonEmpty, "commitDeleteByKey needs key columns")
+    val pre = currentVersion(tableDir)
+    require(pre >= 1, s"commitDeleteByKey on empty table $tableDir")
+    // delete-after-data needs a total order: every existing data unit
+    // must already carry a stamp, or this publish would stamp the
+    // carried legacy lines with the SAME version as the new `=` line —
+    // a sequence tie that silently exempts exactly the rows being
+    // deleted. Fail here, where the fix (compact/rewrite once) is
+    // obvious, not at some later read.
+    require(dataUnits(tableDir, pre).forall(_.seqNo.isDefined),
+      s"commitDeleteByKey on $tableDir: base snapshot carries data " +
+        "units without a stamped _seq (pre-stamping manifest) — " +
+        "compact or rewrite the table once first")
+    val dir = newDataDir(tableDir)
+    // one small file: the key list is bounded by contract (a delete
+    // list, not a corpus) and readers broadcast it per scan group
+    keys.distinct().coalesce(1).write.parquet(dir)
+    val numericKeys = keys.schema.fields.filter(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).toSeq
+    val written = entriesFor(spark, parquetFilesIn(dir), numericKeys,
+      bloomCols = keys.columns.toSeq)
+      .filter(_.bounds.get(RowsKey).exists(_._1 > 0))
+    if (written.isEmpty)
+      return Committed(pre, 0, 0, 0, skipped = true)
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      val lines = metaLines(snapshotMeta(tableDir, base)) ++
+        snapshotUnits(tableDir, base).map(_.raw) ++
+        written.map("=" + _.line)
+      if (tryPublishLines(tableDir, base + 1, lines))
+        return Committed(base + 1, dataUnits(tableDir, base)
+          .flatMap(_.entries).size, 0, conflicts)
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commitDeleteByKey lost $maxRetries version races on $tableDir")
+  }
+
   /** Transactional MERGE-ON-READ update — the Iceberg-v2 MOR update
     * shape: matched rows' positions become a deletion vector AND
     * `update` applied to them appends as new data files, both in ONE
@@ -614,12 +780,15 @@ object SnapshotOps {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
-      val entries = dataUnits(tableDir, base).flatMap(_.entries)
+      val units = dataUnits(tableDir, base)
+      val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitUpdateMoR on empty table $tableDir")
       val dvs = deleteEntries(tableDir, base)
-      // matched VISIBLE rows, read once (positions + update input);
-      // the checkpoint's blocks release before every exit
-      val hits = readTagged(spark, entries.map(_.path), dvs)
+      // matched VISIBLE rows (eq-deletes applied — an update must
+      // never resurrect an equality-deleted row as new data), read
+      // once; the checkpoint's blocks release before every exit
+      val hits = readUnitsVisible(spark, tableDir, units, dvs,
+        eqDeleteUnits(tableDir, base), tagged = true)
         .where(cond).localCheckpoint()
       val (dvWritten, written) = try {
         val dvDir = newDataDir(tableDir)
@@ -688,13 +857,32 @@ object SnapshotOps {
       files: Seq[String]): Boolean =
     tryPublishLines(tableDir, v, files)
 
+  /** Reserved bounds key: the unit's SEQUENCE NUMBER — the version
+    * whose commit created the line (Iceberg's data sequence number).
+    * Stamped at publish time by [[tryPublishLines]]: a line arriving
+    * WITHOUT `_seq` is new to this commit and gets the version being
+    * published; a line that already carries one is a carry-forward
+    * (verbatim by the commit protocol) and keeps it — which makes the
+    * stored value identical to the derived one ([[unitSequence]]'s
+    * lowest-version-carrying-the-line walk) by construction, and keeps
+    * it available after [[vacuum]] drops the manifests the derivation
+    * would walk. Equality deletes ([[commitDeleteByKey]]) REQUIRE it:
+    * a delete applies only to data units strictly older than itself. */
+  private val SeqKey = "_seq"
+
+  private def stampSeq(lines: Seq[String], v: Int): Seq[String] =
+    lines.map { l =>
+      if (l.startsWith("#") || l.contains(s"\t$SeqKey=")) l
+      else l + s"\t$SeqKey=$v..$v"
+    }
+
   private def tryPublishLines(tableDir: String, v: Int,
       lines: Seq[String]): Boolean = {
     Files.createDirectories(manifestDir(tableDir))
     val tmp = manifestDir(tableDir).resolve(
       s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp,
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      stampSeq(lines, v).mkString("\n").getBytes(StandardCharsets.UTF_8))
     try { Files.createLink(manifestPath(tableDir, v), tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
@@ -770,6 +958,18 @@ object SnapshotOps {
       s"readAppendsSince: span v$fromVersion..v$toVersion is not " +
         s"append-only (${missing.size} base units rewritten) — use " +
         "snapshotDiff for the general CDC read")
+    // clause 4 (r13): the eq-delete line set must carry VERBATIM — a
+    // new `=` line retracts pre-span rows the consumer already read
+    // (like a MOR delete, but by key), and a dropped one (a restore to
+    // a pre-delete version, or a compaction that paid the debt inside
+    // a wider rewrite) resurrects them
+    val fromEqRaw = fromUnits.filter(_.isEqDelete).map(_.raw).toSet
+    val toEqRaw = toAll.filter(_.isEqDelete).map(_.raw).toSet
+    require(fromEqRaw == toEqRaw,
+      s"readAppendsSince: span v$fromVersion..v$toVersion changed the " +
+        s"equality-delete set (${(fromEqRaw diff toEqRaw).size} dropped, " +
+        s"${(toEqRaw diff fromEqRaw).size} added) — row visibility of " +
+        "pre-span data changed; use snapshotDiff for the general CDC read")
     val fromDvRaw = fromUnits.filter(_.isDelete).map(_.raw).toSet
     val droppedDvs = fromDvRaw -- toAll.filter(_.isDelete).map(_.raw).toSet
     require(droppedDvs.isEmpty,
@@ -885,7 +1085,9 @@ object SnapshotOps {
     * compactions recompute these for the files they produce, so bounds
     * survive maintenance without the caller restating them. */
   private def statsColsOf(entries: Seq[FileEntry]): Seq[String] =
-    entries.flatMap(_.bounds.keys).filterNot(_ == RowsKey).distinct.sorted
+    entries.flatMap(_.bounds.keys)
+      .filterNot(k => k == RowsKey || k == SeqKey || k == FilesKey)
+      .distinct.sorted
 
   /** Metadata-only count(*): the snapshot's row count summed from the
     * manifest's per-file `_rows` stats — Iceberg's count pushdown, no
@@ -900,6 +1102,10 @@ object SnapshotOps {
     // file (rewrite-class commits consolidate), so visible rows =
     // data rows − DV rows, still metadata-only
     val units = snapshotUnits(tableDir, version)
+    // an equality delete's row count is KEY TUPLES, not matched rows —
+    // the exact visible count needs a scan, so the metadata answer is
+    // honestly unknown (None) whenever one is present
+    if (units.exists(_.isEqDelete)) return None
     val perUnit = units.map { u =>
       val sign = if (u.isDelete) -1L else 1L
       u.ref.bounds.get(RowsKey).map(_._1.toLong * sign).orElse {
@@ -1042,15 +1248,16 @@ object SnapshotOps {
       val base = currentVersion(tableDir)
       val units = dataUnits(tableDir, base)
       val dvs = deleteEntries(tableDir, base)
+      val eqs = eqDeleteUnits(tableDir, base)
       val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitRewrite on empty table $tableDir")
       // job 1: which files contain matching VISIBLE rows (file-
       // granularity pruning via the scan's position identity — one
       // distributed pass, a manifest-sized collect); DV'd positions
-      // are already filtered out, so a file whose only matches are
-      // deleted rows is not rewritten
-      val snap = readTagged(spark, entries.map(_.path), dvs,
-        mergeSchema = mergeSchema)
+      // and eq-deleted rows are already filtered out, so a file whose
+      // only matches are deleted rows is not rewritten
+      val snap = readUnitsVisible(spark, tableDir, units, dvs, eqs,
+        mergeSchema = mergeSchema, tagged = true)
       val touched = snap
         .where(cond)
         .select(col("__file").as("f"))
@@ -1060,8 +1267,8 @@ object SnapshotOps {
       // groups' survivors re-wrap
       val (intact, broken) = units.partition(
         _.entries.forall(e => !touched.contains(localPath(e.path))))
-      val survivors = broken.flatMap(_.entries)
-        .filterNot(e => touched.contains(localPath(e.path)))
+      val survivorLines = survivorGroupLines(tableDir, broken,
+        e => !touched.contains(localPath(e.path)))
       val toRewrite = broken.flatMap(_.entries).map(_.path)
         .filter(f => touched.contains(localPath(f)))
       val written = if (toRewrite.isEmpty) Seq.empty[FileEntry] else {
@@ -1075,8 +1282,14 @@ object SnapshotOps {
         val dataSchema = org.apache.spark.sql.types.StructType(
           snap.schema.filterNot(f =>
             f.name == "__file" || f.name == "__pos"))
-        val in = readFilesDv(spark, toRewrite, dvs,
-          anchor = if (mergeSchema) dataSchema else null)
+        // the rewrite bakes applicable eq-deletes into its output
+        // (per-unit seq-aware): the new files carry THIS commit's
+        // sequence, so the carried `=` lines no longer apply to them —
+        // only to the files the rewrite didn't touch
+        val rewriteSet = toRewrite.map(localPath).toSet
+        val in = readUnitsVisible(spark, tableDir, units, dvs, eqs,
+          anchor = if (mergeSchema) dataSchema else null,
+          keep = e => rewriteSet.contains(localPath(e.path)))
         update(in.where(cond)).unionByName(in.where(!coalesce(cond,
           lit(false)))).write.parquet(dir)
         entriesFor(spark, parquetFilesIn(dir), statsColsOf(entries),
@@ -1084,9 +1297,10 @@ object SnapshotOps {
       }
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         intact.map(_.raw) ++
-        (if (survivors.nonEmpty) Seq(groupLine(tableDir, survivors)) else Nil) ++
+        survivorLines ++
         (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil) ++
-        consolidateDvLines(spark, tableDir, dvs, touched)
+        consolidateDvLines(spark, tableDir, dvs, touched) ++
+        snapshotUnits(tableDir, base).filter(_.isEqDelete).map(_.raw)
       if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, entries.size - toRewrite.size,
           written.size, conflicts)
@@ -1111,10 +1325,11 @@ object SnapshotOps {
       val files = entries.map(_.path)
       require(files.nonEmpty, s"commitCompact on empty table $tableDir")
       val dir = newDataDir(tableDir)
-      // DV-filtered input: compaction PAYS the merge-on-read debt —
-      // deleted positions bake into the rewrite and no `!` line
-      // carries into the new manifest
-      readFilesDv(spark, files, deleteEntries(tableDir, base))
+      // VISIBLE-row input: compaction PAYS the merge-on-read debt —
+      // DV positions and eq-delete matches bake into the rewrite and
+      // neither `!` nor `=` lines carry into the new manifest
+      readUnitsVisible(spark, tableDir, dataUnits(tableDir, base),
+        deleteEntries(tableDir, base), eqDeleteUnits(tableDir, base))
         .coalesce(nFiles).write.parquet(dir)
       val written = entriesFor(spark, parquetFilesIn(dir),
         statsColsOf(entries), bloomColsOf(entries))
@@ -1159,7 +1374,8 @@ object SnapshotOps {
     val retainedUnits = (keepFrom to cur)
       .flatMap(v => snapshotUnits(tableDir, v))
     val retained = (retainedUnits.flatMap(_.entries.map(_.path)) ++
-      retainedUnits.filter(_.isDelete).map(_.ref.path) ++
+      retainedUnits.filter(u => u.isDelete || u.isEqDelete)
+        .map(_.ref.path) ++
       staged).toSet
     // group files referenced by any retained manifest stay; the rest
     // (dropped versions' groups, lost-race leftovers) are orphans
@@ -1228,12 +1444,32 @@ object SnapshotOps {
     * sufficient). At 100 TB this is the difference between opening a
     * sorted table's every file and opening the handful covering the
     * key range — before parquet row-group pruning even starts. */
+  /** Eq-delete-aware variant of a PRUNED read: with no equality
+    * deletes this is exactly one readFilesDv over `files` (the
+    * pre-r13 plan, untouched); with them, the pruned files group by
+    * their owning unit's sequence so the applicable deletes anti-join
+    * per group (group re-expansion is paid only on eq-carrying
+    * tables). */
+  private def readPrunedVisible(spark: SparkSession, tableDir: String,
+      version: Int, files: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    val dvs = deleteEntries(tableDir, version)
+    val eqs = eqDeleteUnits(tableDir, version)
+    if (eqs.isEmpty) readFilesDv(spark, files, dvs, mergeSchema)
+    else {
+      val wanted = files.map(localPath).toSet
+      readUnitsVisible(spark, tableDir, dataUnits(tableDir, version),
+        dvs, eqs, mergeSchema = mergeSchema,
+        keep = e => wanted.contains(localPath(e.path)))
+    }
+  }
+
   def readSnapshotRange(spark: SparkSession, tableDir: String,
       version: Int, column: String, lo: BigDecimal, hi: BigDecimal): DataFrame = {
     val files = rangeFiles(tableDir, version, column, lo, hi)
     val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (files.nonEmpty)
-      readFilesDv(spark, files, deleteEntries(tableDir, version))
+      readPrunedVisible(spark, tableDir, version, files)
         .where(residual)
     else readSnapshot(spark, tableDir, 0,
       readSnapshot(spark, tableDir, version).schema)
@@ -1282,17 +1518,58 @@ object SnapshotOps {
           .collect().map(r => localPath(r.getString(0))).toSet
           .intersect(fromAll).intersect(toAll)
       }
-    val removed = ((from -- to) ++ dvTouched).toSeq.sorted
-    val added = ((to -- from) ++ dvTouched).toSeq.sorted
+    // a CHANGED equality-delete line (new `=` commit, or one dropped
+    // by a restore) alters row visibility of files both manifests may
+    // share verbatim — the eq analogue of the changed-DV case. The
+    // affected files are scoped by METADATA first: the changed
+    // deletes' key tuples (model-sized, collected once) probe each
+    // common file's column Blooms; a file lacking a bloom for a key
+    // column stays a candidate (absence never skips). Candidates read
+    // on BOTH sides, each side applying its own eq set, so unaffected
+    // rows cancel and the delta is exactly the visibility change.
+    val changedEqs = (fromUnits ++ toUnits)
+      .filter(u => u.isEqDelete && !common.contains(u.raw))
+      .map(_.ref).distinct
+    val eqTouched: Set[String] =
+      if (changedEqs.isEmpty) Set.empty
+      else {
+        val fromAll = fromUnits.flatMap(_.entries.map(_.path)).toSet
+        val toAll = toUnits.flatMap(_.entries.map(_.path)).toSet
+        val commonEntries = (fromUnits ++ toUnits).flatMap(_.entries)
+          .filter(e => fromAll.contains(e.path) && toAll.contains(e.path))
+          .groupBy(_.path).map(_._2.head).toSeq
+        changedEqs.flatMap { d =>
+          val keyDf = spark.read.parquet(d.path)
+          val fields = keyDf.schema.fields
+          val keyRows = keyDf.collect() // delete-sized by contract
+          commonEntries.filter { e =>
+            val filters = fields.map(f => f.name ->
+              e.blooms.get(f.name).map(b =>
+                org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(b)))).toMap
+            keyRows.exists { r =>
+              fields.zipWithIndex.forall { case (f, i) =>
+                val v = r.get(i)
+                v == null || filters(f.name).forall(
+                  _.mightContainLong(probeHash(v, f.dataType)))
+              }
+            }
+          }.map(_.path)
+        }.toSet
+      }
+    val removed = ((from -- to) ++ dvTouched ++ eqTouched).toSeq.sorted
+    val added = ((to -- from) ++ dvTouched ++ eqTouched).toSeq.sorted
     // mergeSchema + allowMissingColumns: a diff straddling a schema
     // evolution (q245) compares pre-evolution rows with the newer
     // columns as null on BOTH sides, so identical logical rows still
-    // cancel and the evolved column is never silently dropped
+    // cancel and the evolved column is never silently dropped.
+    // readPrunedVisible applies each side's own DV AND eq-delete sets
+    // (seq-aware), so only true visibility changes survive the delta.
     def side(files: Seq[String], version: Int, sign: Int): Option[DataFrame] =
       if (files.isEmpty) None
       else {
-        val df = readFilesDv(spark, files,
-          deleteEntries(tableDir, version), mergeSchema = true)
+        val df = readPrunedVisible(spark, tableDir, version, files,
+          mergeSchema = true)
         Some(df.groupBy(df.columns.map(col): _*)
           .agg((count(lit(1)) * sign).as("_delta")))
       }
@@ -1376,7 +1653,7 @@ object SnapshotOps {
       version: Int, column: String, value: Any): DataFrame = {
     val files = pointFiles(spark, tableDir, version, column, value)
     if (files.nonEmpty)
-      readFilesDv(spark, files, deleteEntries(tableDir, version))
+      readPrunedVisible(spark, tableDir, version, files)
         .where(col(column) === lit(value))
     else readSnapshot(spark, tableDir, 0,
       readSnapshot(spark, tableDir, version).schema)
@@ -1411,10 +1688,10 @@ object SnapshotOps {
       val entries = snapshotEntries(tableDir, base)
       require(entries.nonEmpty, s"commitCluster on empty table $tableDir")
       val dir = newDataDir(tableDir)
-      // full rewrite ⇒ DV debt paid, like commitCompact
+      // full rewrite ⇒ DV and eq-delete debt paid, like commitCompact
       LayoutOps.zorderWriteN(
-        readFilesDv(spark, entries.map(_.path),
-          deleteEntries(tableDir, base)),
+        readUnitsVisible(spark, tableDir, dataUnits(tableDir, base),
+          deleteEntries(tableDir, base), eqDeleteUnits(tableDir, base)),
         sortCols, dir, nFiles, bits)
       val written = entriesFor(spark, parquetFilesIn(dir),
         (statsColsOf(entries) ++ sortCols).distinct.sorted,
@@ -1449,7 +1726,7 @@ object SnapshotOps {
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     if (files.nonEmpty)
-      readFilesDv(spark, files, deleteEntries(tableDir, version))
+      readPrunedVisible(spark, tableDir, version, files)
         .where(residual)
     else readSnapshot(spark, tableDir, 0,
       readSnapshot(spark, tableDir, version).schema)
@@ -1622,34 +1899,41 @@ object SnapshotOps {
         return Committed(base, 0, 0, conflicts, skipped = true)
       val units = dataUnits(tableDir, base)
       val dvs = deleteEntries(tableDir, base)
+      val eqs = eqDeleteUnits(tableDir, base)
       val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitMerge on empty table $tableDir")
-      val snap = readTagged(spark, entries.map(_.path), dvs)
+      // VISIBLE rows only: an upsert must treat an eq-deleted key as
+      // absent (insert), never as a match to resurrect-and-replace
+      val snap = readUnitsVisible(spark, tableDir, units, dvs, eqs,
+        tagged = true)
       val srcKeys = broadcast(src.select(keys: _*).distinct())
       val touched = snap
         .select(keys :+ col("__file").as("f"): _*)
         .join(srcKeys, keyCols, "left_semi")
         .select(col("f"))
         .distinct().collect().map(r => localPath(r.getString(0))).toSet
-      // group-granular COW, as in commitRewrite
+      // group-granular COW, as in commitRewrite; survivors keep their
+      // original unit's sequence (see survivorGroupLines)
       val (intact, broken) = units.partition(
         _.entries.forall(e => !touched.contains(localPath(e.path))))
-      val survivors = broken.flatMap(_.entries)
-        .filterNot(e => touched.contains(localPath(e.path)))
+      val survivorLines = survivorGroupLines(tableDir, broken,
+        e => !touched.contains(localPath(e.path)))
       val toRewrite = broken.flatMap(_.entries).map(_.path)
         .filter(f => touched.contains(localPath(f)))
       val statsCols = statsColsOf(entries)
       val bloomCols = bloomColsOf(entries)
       val written = {
         val dir = newDataDir(tableDir)
+        val rewriteSet = toRewrite.map(localPath).toSet
+        def rewriteIn() = readUnitsVisible(spark, tableDir, units,
+          dvs, eqs, keep = e => rewriteSet.contains(localPath(e.path)))
         val matchedKeys =
           if (toRewrite.isEmpty) null
-          else readFilesDv(spark, toRewrite, dvs)
-            .select(keys: _*).distinct()
+          else rewriteIn().select(keys: _*).distinct()
         val replaced =
           if (toRewrite.isEmpty) src.limit(0)
           else {
-            val in = readFilesDv(spark, toRewrite, dvs)
+            val in = rewriteIn()
             in.join(srcKeys, keyCols, "left_anti")
               .unionByName(src.join(broadcast(matchedKeys), keyCols,
                 "left_semi"))
@@ -1666,9 +1950,10 @@ object SnapshotOps {
       }
       val lines = metaLines(newMeta) ++
         intact.map(_.raw) ++
-        (if (survivors.nonEmpty) Seq(groupLine(tableDir, survivors)) else Nil) ++
+        survivorLines ++
         (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil) ++
-        consolidateDvLines(spark, tableDir, dvs, touched)
+        consolidateDvLines(spark, tableDir, dvs, touched) ++
+        snapshotUnits(tableDir, base).filter(_.isEqDelete).map(_.raw)
       if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, entries.size - toRewrite.size,
           written.size, conflicts)
@@ -1697,6 +1982,7 @@ object SnapshotOps {
       val base = currentVersion(tableDir)
       val units = dataUnits(tableDir, base)
       val dvs = deleteEntries(tableDir, base)
+      val eqs = eqDeleteUnits(tableDir, base)
       val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitCompactSmall on empty $tableDir")
       def isSmall(e: FileEntry): Boolean =
@@ -1706,9 +1992,11 @@ object SnapshotOps {
       if (small.size <= 1)
         return Committed(base, entries.size, 0, conflicts, skipped = true)
       // group-granular COW: all-large groups carry forward unparsed;
-      // large files stranded in broken groups re-wrap
+      // large files stranded in broken groups re-wrap, keeping their
+      // original unit's sequence (see survivorGroupLines)
       val (intact, broken) = units.partition(_.entries.forall(!isSmall(_)))
-      val survivors = broken.flatMap(_.entries).filterNot(isSmall)
+      val survivorLines = survivorGroupLines(tableDir, broken,
+        e => !isSmall(e))
       // first-fit decreasing: stable, deterministic bin assignment
       val bins = scala.collection.mutable.ArrayBuffer
         .empty[(Long, scala.collection.mutable.ArrayBuffer[FileEntry])]
@@ -1725,16 +2013,22 @@ object SnapshotOps {
       val bloomCols = bloomColsOf(entries)
       val written = bins.toSeq.flatMap { case (_, binEntries) =>
         val dir = newDataDir(tableDir)
-        readFilesDv(spark, binEntries.map(_.path).toSeq, dvs)
+        // a bin can mix files of different sequences: the visible read
+        // applies each member's applicable eq-deletes before baking
+        // (the rewritten bin gets THIS commit's sequence)
+        val binSet = binEntries.map(e => localPath(e.path)).toSet
+        readUnitsVisible(spark, tableDir, units, dvs, eqs,
+          keep = e => binSet.contains(localPath(e.path)))
           .coalesce(1).write.parquet(dir)
         entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
       }
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         intact.map(_.raw) ++
-        (if (survivors.nonEmpty) Seq(groupLine(tableDir, survivors)) else Nil) ++
+        survivorLines ++
         (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil) ++
         consolidateDvLines(spark, tableDir, dvs,
-          small.map(s => localPath(s._1.path)).toSet)
+          small.map(s => localPath(s._1.path)).toSet) ++
+        snapshotUnits(tableDir, base).filter(_.isEqDelete).map(_.raw)
       if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, entries.size - small.size,
           written.size, conflicts)

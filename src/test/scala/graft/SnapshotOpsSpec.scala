@@ -1135,4 +1135,238 @@ class SnapshotOpsSpec extends SparkSpecBase {
     // bounds validated against the chain
     assertThrows[IllegalArgumentException](SnapshotOps.commitRestore(t, 99))
   }
+
+  test("commitDeleteByKey: DELETE by key with zero data files scanned; " +
+      "a later re-insert of the same key survives (delete-after-data)") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 20L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))                                   // v1
+    SnapshotOps.commitAppend(spark, t,
+      (21L to 30L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))                                   // v2
+    val c = SnapshotOps.commitDeleteByKey(spark, t,
+      Seq(5L, 25L, 99L).toDF("id"))                            // v3
+    assert(c.version == 3 && c.written == 0)
+    // zero data files touched: v3's data-file list IS v2's
+    assert(SnapshotOps.snapshotFiles(t, 3) == SnapshotOps.snapshotFiles(t, 2))
+    assert(SnapshotOps.readLatest(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((1L to 30L).toSet -- Set(5L, 25L)).toSeq.sorted)
+    // time travel predates the delete
+    assert(SnapshotOps.readSnapshot(spark, t, 2).count() == 30)
+    // re-insert of a deleted key at a HIGHER sequence survives
+    SnapshotOps.commitAppend(spark, t,
+      Seq((5L, "reborn")).toDF("id", "tag"), statsCols = Seq("id")) // v4
+    val reborn = SnapshotOps.readLatest(spark, t)
+      .where(col("id") === 5L).collect()
+    assert(reborn.map(_.getString(1)).toSeq == Seq("reborn"))
+    assert(SnapshotOps.readLatest(spark, t).count() == 29)
+    // debt is visible to maintenance; metadata count is honestly unknown
+    assert(SnapshotOps.eqDeleteStats(t, 4) == (1, 3L))
+    assert(SnapshotOps.snapshotRowCount(t, 4).isEmpty)
+    // an empty key list burns no version
+    assert(SnapshotOps.commitDeleteByKey(spark, t,
+      Seq.empty[Long].toDF("id")).skipped)
+    // pruned reads apply the delete too (seq-aware grouped scan)
+    assert(SnapshotOps.readSnapshotRange(spark, t, 4, "id",
+      BigDecimal(20), BigDecimal(30)).collect()
+      .map(_.getLong(0)).sorted.toSeq == ((20L to 30L).toSet - 25L)
+      .toSeq.sorted)
+  }
+
+  test("equality deletes compose with positional DVs; full rewrites " +
+      "(compact) pay both debts and drop the `=` lines") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 20L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))                                   // v1
+    SnapshotOps.commitDeleteByKey(spark, t,
+      Seq(1L, 2L, 3L).toDF("id"))                              // v2: eq
+    SnapshotOps.commitDelete(spark, t, col("id") === 10L)      // v3: DV
+    assert(SnapshotOps.readLatest(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((4L to 20L).toSet - 10L).toSeq.sorted)
+    val c = SnapshotOps.commitCompact(spark, t, 2)             // v4
+    assert(SnapshotOps.eqDeleteStats(t, c.version) == (0, 0L))
+    assert(SnapshotOps.deleteStats(t, c.version) == (0, 0L))
+    assert(SnapshotOps.readLatest(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((4L to 20L).toSet - 10L).toSeq.sorted)
+    // debt paid ⇒ the metadata count works again
+    assert(SnapshotOps.snapshotRowCount(t, c.version).contains(16L))
+    // and a deleted key re-inserted after compaction stays visible
+    SnapshotOps.commitAppend(spark, t, Seq((1L, "z")).toDF("id", "tag"))
+    assert(SnapshotOps.readLatest(spark, t)
+      .where(col("id") === 1L).count() == 1)
+  }
+
+  test("commitUpdateMoR and commitRewrite never resurrect " +
+      "equality-deleted rows; partial rewrites carry the `=` line for " +
+      "the files they did not touch") {
+    import spark.implicits._
+    val t = freshTable()
+    // two appends in separate units so a rewrite can be partial
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 10L).map(i => (i, i * 10L)).toDF("id", "v"),
+      statsCols = Seq("id"))                                   // v1
+    SnapshotOps.commitAppend(spark, t,
+      (11L to 20L).map(i => (i, i * 10L)).toDF("id", "v"),
+      statsCols = Seq("id"))                                   // v2
+    SnapshotOps.commitDeleteByKey(spark, t, Seq(1L, 2L).toDF("id")) // v3
+    // MOR update touching the deleted ids' range: only visible rows
+    // (3..5) update; 1 and 2 must NOT come back as new data
+    SnapshotOps.commitUpdateMoR(spark, t, col("id") <= 5L,
+      _.withColumn("v", col("v") + 1L))                        // v4
+    val afterMor = SnapshotOps.readLatest(spark, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(!afterMor.exists(r => r._1 == 1L || r._1 == 2L))
+    assert(afterMor.filter(_._1 <= 5L) ==
+      Seq((3L, 31L), (4L, 41L), (5L, 51L)))
+    // partial COW rewrite of only the SECOND unit's range: the `=`
+    // line must carry forward (it still guards the untouched unit)
+    SnapshotOps.commitRewrite(spark, t, col("id") >= 15L,
+      _.withColumn("v", col("v") + 1000L))                     // v5
+    val afterCow = SnapshotOps.readLatest(spark, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(!afterCow.exists(r => r._1 == 1L || r._1 == 2L))
+    assert(afterCow.filter(_._1 >= 15L).forall(_._2 > 1000L))
+    assert(SnapshotOps.eqDeleteStats(t,
+      SnapshotOps.currentVersion(t))._1 == 1)
+    // full rewrite through the touched files bakes the delete: even
+    // a rewrite matching EVERYTHING leaves 1 and 2 gone
+    SnapshotOps.commitRewrite(spark, t, col("v") >= 0L,
+      df => df)                                                // v6
+    assert(!SnapshotOps.readLatest(spark, t)
+      .collect().map(_.getLong(0)).toSet.exists(Set(1L, 2L)))
+  }
+
+  test("readAppendsSince refuses spans that change the equality-delete " +
+      "set, in both directions") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "tag"))     // v1
+    SnapshotOps.commitAppend(spark, t,
+      (11L to 15L).map(i => (i, s"r$i")).toDF("id", "tag"))    // v2
+    SnapshotOps.commitDeleteByKey(spark, t, Seq(2L).toDF("id")) // v3
+    // clean append span still works
+    assert(SnapshotOps.readAppendsSince(spark, t, 1, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq == (11L to 15L))
+    // a new `=` line inside the span retracts pre-span rows: refuse
+    val ex = intercept[IllegalArgumentException](
+      SnapshotOps.readAppendsSince(spark, t, 2, 3))
+    assert(ex.getMessage.contains("equality-delete"))
+    // appends AFTER the delete span cleanly (new units outrank it)
+    SnapshotOps.commitAppend(spark, t,
+      Seq((2L, "reborn")).toDF("id", "tag"))                   // v4
+    assert(SnapshotOps.readAppendsSince(spark, t, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "reborn")))
+    // a restore DROPPING the `=` line resurrects rows: refuse too
+    SnapshotOps.commitRestore(t, 2)                            // v5
+    val ex2 = intercept[IllegalArgumentException](
+      SnapshotOps.readAppendsSince(spark, t, 3, 5))
+    assert(ex2.getMessage.contains("equality-delete") ||
+      ex2.getMessage.contains("rewritten"))
+  }
+
+  test("snapshotDiff across an equality delete emits exactly the " +
+      "deleted rows; across a restore dropping it, the resurrections") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"), bloomCols = Seq("id"))            // v1
+    SnapshotOps.commitDeleteByKey(spark, t, Seq(2L, 3L).toDF("id")) // v2
+    val d12 = SnapshotOps.snapshotDiff(spark, t, 1, 2)
+      .collect().map(r => (r.getAs[String]("change_type"), r.getLong(0)))
+      .sorted.toSeq
+    assert(d12 == Seq(("delete", 2L), ("delete", 3L)))
+    SnapshotOps.commitRestore(t, 1)                            // v3 = v1
+    val d23 = SnapshotOps.snapshotDiff(spark, t, 2, 3)
+      .collect().map(r => (r.getAs[String]("change_type"), r.getLong(0)))
+      .sorted.toSeq
+    assert(d23 == Seq(("insert", 2L), ("insert", 3L)))
+    // full-span diff cancels: v3 == v1
+    assert(SnapshotOps.snapshotDiff(spark, t, 1, 3)
+      .where(col("change_type") =!= lit("")).count() == 0)
+  }
+
+  test("the read-time delete-after-data assertion: an unstamped data " +
+      "unit read under equality deletes fails fast, and " +
+      "commitDeleteByKey refuses a pre-stamping base") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 5L).map(i => (i, s"r$i")).toDF("id", "tag"))      // v1
+    SnapshotOps.commitDeleteByKey(spark, t, Seq(1L).toDF("id")) // v2
+    // simulate a pre-stamping manifest: strip _seq from v2's DATA lines
+    val m = java.nio.file.Paths.get(t, "manifests", "v2.manifest")
+    val stripped = new String(java.nio.file.Files.readAllBytes(m))
+      .split("\n").map(l =>
+        if (l.startsWith("=") || l.startsWith("#")) l
+        else l.replaceAll("\t_seq=\\d+\\.\\.\\d+", "")).mkString("\n")
+    java.nio.file.Files.write(m, stripped.getBytes)
+    val ex = intercept[IllegalStateException](
+      SnapshotOps.readLatest(spark, t).collect())
+    assert(ex.getMessage.contains("_seq"))
+    // and the commit-side guard: deleting by key over an unstamped
+    // base refuses (a publish-time stamp would tie with the delete)
+    val t2 = freshTable()
+    SnapshotOps.commitAppend(spark, t2,
+      Seq((1L, "a")).toDF("id", "tag"))
+    val m2 = java.nio.file.Paths.get(t2, "manifests", "v1.manifest")
+    java.nio.file.Files.write(m2,
+      new String(java.nio.file.Files.readAllBytes(m2))
+        .replaceAll("\t_seq=\\d+\\.\\.\\d+", "").getBytes)
+    val ex2 = intercept[IllegalArgumentException](
+      SnapshotOps.commitDeleteByKey(spark, t2, Seq(1L).toDF("id")))
+    assert(ex2.getMessage.contains("_seq"))
+  }
+
+  test("vacuum retains equality-delete files referenced by retained " +
+      "versions; stamped sequences answer after the history is gone") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "tag"))     // v1
+    SnapshotOps.commitDeleteByKey(spark, t, Seq(4L).toDF("id")) // v2
+    SnapshotOps.commitAppend(spark, t,
+      Seq((11L, "k")).toDF("id", "tag"))                       // v3
+    val (dropped, _) = SnapshotOps.vacuum(t, keepVersions = 2,
+      graceMs = 0)
+    assert(dropped == 1)
+    // the eq-delete file survived: the delete still applies
+    assert(SnapshotOps.readLatest(spark, t)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((1L to 11L).toSet - 4L).toSeq.sorted)
+    // unitSequence answers from stamps alone — the v1 manifest the
+    // derivation walk would read is deleted
+    val seqs = SnapshotOps.unitSequence(t, 3)
+    assert(seqs.values.toSet == Set(1, 2, 3))
+  }
+
+  test("eq-delete sequence semantics through multiple generations: " +
+      "each delete applies only below its own seq") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      Seq((1L, "g1")).toDF("id", "gen"))                       // v1
+    SnapshotOps.commitDeleteByKey(spark, t, Seq(1L).toDF("id")) // v2
+    SnapshotOps.commitAppend(spark, t,
+      Seq((1L, "g2")).toDF("id", "gen"))                       // v3
+    SnapshotOps.commitDeleteByKey(spark, t, Seq(1L).toDF("id")) // v4
+    SnapshotOps.commitAppend(spark, t,
+      Seq((1L, "g3")).toDF("id", "gen"))                       // v5
+    // only the THIRD generation survives: v2 killed g1, v4 killed g2
+    assert(SnapshotOps.readLatest(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "g3")))
+    // history: v3 shows exactly g2 (v2's delete applied, v4's not yet)
+    assert(SnapshotOps.readSnapshot(spark, t, 3)
+      .collect().map(_.getString(1)).toSeq == Seq("g2"))
+  }
 }
