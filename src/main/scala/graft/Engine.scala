@@ -864,10 +864,28 @@ class Engine(val spark: SparkSession) {
       require(from >= 1 && from <= to && to <= cur,
         s"table_changes: span [$from, $to] outside committed " +
           s"versions [1, $cur] of '$name'")
-      (from to to).map { v =>
+      val spans = (from to to).map { v =>
         SnapshotOps.snapshotDiff(spark, dir, v - 1, v)
           .withColumn("_commit_version", lit(v.toLong))
-      }.reduce(_.unionByName(_))
+          // Delta CDF parity: every change row carries its commit's
+          // wall-clock stamp (the manifest's _ts meta), so a consumer
+          // can window the feed by time without a version->time join
+          .withColumn("_commit_timestamp",
+            lit(SnapshotOps.snapshotTimestamp(dir, v).getOrElse(-1L)))
+      }
+      // bound the PLAN, not just the data: one per-version diff is an
+      // EXCEPT-ALL-shaped subplan, and unioning a 100-version span
+      // into a single tree makes Catalyst analysis cost dominate long
+      // before any byte is read. Groups of 16 materialize via
+      // localCheckpoint (each group's diffs are changed-units-only
+      // reads — span-sized, not table-sized), so plan depth stays
+      // bounded at ~16 subplans regardless of span length; short
+      // spans keep the original single lazy plan.
+      val grouped = spans.grouped(16).map { g =>
+        val u = g.reduce(_.unionByName(_))
+        if (spans.size > 16) u.localCheckpoint() else u
+      }.toSeq
+      grouped.reduce(_.unionByName(_))
         .where(col("change_type") =!= lit(""))
     case PragmaRestore(name, verS) =>
       // Delta RESTORE at the SQL surface: rewind the table's CONTENT

@@ -2505,12 +2505,25 @@ object SystemQueries {
       finally e.executeDuck("SET delete_mode = 'cow'")
       e.executeDuck(
         "UPDATE g264_acct SET bal = bal + 50 WHERE seg = 'MACHINERY'") // v4
-      val out = e.executeDuck("PRAGMA table_changes('g264_acct', 1, 4)")
+      val feed = e.executeDuck("PRAGMA table_changes('g264_acct', 1, 4)")
+        .localCheckpoint()
+      // r13: every change row carries its commit's wall-clock stamp
+      // (Delta CDF parity). Wall-clock can't be re-derived by the
+      // oracle, so pin its invariants instead: one positive stamp per
+      // version, nondecreasing with version.
+      val ts = feed.select(col("_commit_version"), col("_commit_timestamp"))
+        .distinct().orderBy("_commit_version")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val tsMono = ts.length == 4 && ts.forall(_._2 > 0) &&
+        ts.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+      val out = feed
         .groupBy(col("_commit_version").as("commit_version"),
           col("change_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("bal").cast("decimal(18,2)")).cast("double")
             .as("bal_total"))
+        .select(col("*"),
+          lit(if (tsMono) 1L else 0L).as("ts_monotone"))
         .orderBy("commit_version", "change_type")
         // q194's intra-JVM rule: materialize before returning a frame
         // over engine-scoped scratch
@@ -2530,7 +2543,8 @@ object SystemQueries {
         |  UNION ALL SELECT 4, 'insert', bal + 50.0 FROM v4m)
         |SELECT CAST(v AS BIGINT) AS commit_version, change_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  CAST(1 AS BIGINT) AS ts_monotone
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       headline = true),
 

@@ -137,13 +137,32 @@ class SnapshotStreamSource(sqlContext: SQLContext, tableDir: String,
       if (to <= from)
         SnapshotOps.readSnapshot(spark, tableDir, 0, schema)
       else if (diffMode)
+        // change-feed batches carry the span END's commit wall-clock
+        // (Delta CDF's _commit_timestamp): a multi-version batch is
+        // the net delta "as of `to`", so `to`'s stamp is its time
         SnapshotOps.snapshotDiff(spark, tableDir, from.toInt, to.toInt)
+          .withColumn("_commit_timestamp",
+            org.apache.spark.sql.functions.lit(
+              SnapshotOps.snapshotTimestamp(tableDir, to.toInt)
+                .getOrElse(-1L)))
       else SnapshotOps.readAppendsSince(spark, tableDir, from.toInt, to.toInt)
+    // schema-evolution guard: replaying history version-by-version on
+    // an evolved table makes early batches read pre-evolution files,
+    // where the pinned (current) schema's added columns don't exist
+    // yet — surface them as typed nulls (Delta's initial-snapshot
+    // semantics) instead of failing the select below on legal
+    // append-only history
+    val present = batch.columns.toSet
+    val padded = schema.fields.foldLeft(batch) { (df, f) =>
+      if (present.contains(f.name)) df
+      else df.withColumn(f.name,
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+    }
     // pin column order to the source schema (the engine asserts the
     // batch plan's output matches), then re-tag the SAME lazy plan as
     // streaming — rows stay distributed; copy() guards against
     // InternalRow reuse across the RDD boundary
-    val pinned = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val pinned = padded.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     spark.internalCreateDataFrame(
       pinned.queryExecution.toRdd.map(_.copy()), schema, isStreaming = true)
   }
@@ -193,10 +212,13 @@ class SnapshotSourceProvider extends StreamSourceProvider
         s"$d — commit version 1 first (the schema comes from the table)")
       SnapshotOps.readSnapshot(sqlContext.sparkSession, d, v).schema
     })
-    // change-feed batches carry the diff's change_type tag column
+    // change-feed batches carry the diff's change_type tag plus the
+    // span-end commit's wall-clock stamp (Delta CDF parity)
     if (isDiff(parameters))
       base.add("change_type", org.apache.spark.sql.types.StringType,
         nullable = true)
+        .add("_commit_timestamp", org.apache.spark.sql.types.LongType,
+          nullable = true)
     else base
   }
 

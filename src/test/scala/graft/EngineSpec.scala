@@ -559,6 +559,41 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("PRAGMA table_changes on a 100-version span: bounded plan depth " +
+      "(16-version groups materialize) and per-commit timestamps") {
+    val e = engine
+    e.executeDuck("CREATE TABLE longcf (id int, v int)")
+    (1 to 100).foreach(i =>
+      e.executeDuck(s"INSERT INTO longcf VALUES ($i, ${i * 10})"))
+    val feed = e.executeDuck("PRAGMA table_changes('longcf', 1, 100)")
+    // plan-depth bound: the 100 per-version EXCEPT-ALL diff subplans
+    // must NOT union into one analyzed tree — each 16-version group
+    // materialized as a LogicalRDD (ceil(100/16) = 7 of them)
+    val rdds = feed.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.size
+    assert(rdds == 7, s"expected 7 materialized span groups, got $rdds")
+    val rows = feed.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.getAs[String]("change_type") == "insert"))
+    // every row stamped with its own commit's wall-clock, monotone in
+    // version
+    val ts = rows.map(r => (r.getAs[Long]("_commit_version"),
+      r.getAs[Long]("_commit_timestamp"))).sortBy(_._1)
+    assert(ts.forall(_._2 > 0))
+    ts.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+    // a short span keeps the single lazy plan (no materialization)
+    val short = e.executeDuck("PRAGMA table_changes('longcf', 95, 100)")
+    assert(short.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.isEmpty)
+    assert(short.count() == 6)
+    e.close()
+  }
+
   // ---- materialization-dir lifetime (r12): files must outlive every
   // statement that can lazily derive from them; reclamation happens
   // only at close() ------------------------------------------------------

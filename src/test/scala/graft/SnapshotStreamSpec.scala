@@ -152,4 +152,68 @@ class SnapshotStreamSpec extends SparkSpecBase {
     assert(run.map(_._2.size).sum == 0,
       s"compaction span must net to zero diff rows, got $run")
   }
+
+  test("change-feed batches carry the span-end commit timestamp " +
+      "(Delta CDF's _commit_timestamp)") {
+    import spark.implicits._
+    val t = freshDir("graft_ss7")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss7_c").toString
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 5L).map(i => (i, s"r$i")).toDF("id", "tag"))
+    SnapshotOps.commitAppend(spark, t,
+      (6L to 8L).map(i => (i, s"r$i")).toDF("id", "tag"))
+    val run = SnapshotStream.drainCollect(spark, t, ckpt,
+      maxVersionsPerBatch = 1, mode = "diff")
+    assert(run.size == 2)
+    (1 to 2).foreach { v =>
+      val want = SnapshotOps.snapshotTimestamp(t, v).get
+      assert(run(v - 1)._2.nonEmpty &&
+        run(v - 1)._2.forall(
+          _.getAs[Long]("_commit_timestamp") == want),
+        s"batch $v rows must carry v$v's commit stamp")
+    }
+  }
+
+  test("append-mode replay over schema evolution: pre-evolution " +
+      "batches pad the added column with typed nulls instead of " +
+      "failing on legal history") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = freshDir("graft_ss8")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss8_c").toString
+    SnapshotOps.commitAppend(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))            // v1
+    SnapshotOps.commitAppend(spark, t,
+      Seq((3L, "c", 30L)).toDF("id", "tag", "extra"))         // v2 evolved
+    // pin the EVOLVED schema (what a query started today resolves)
+    // and replay history one version per batch: batch 1 reads files
+    // that predate `extra`
+    val evolved = new StructType()
+      .add("id", LongType).add("tag", StringType).add("extra", LongType)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[org.apache.spark.sql.Row])]
+    val q = spark.readStream.format("graft-snapshot")
+      .schema(evolved)
+      .option("path", t)
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          got.synchronized { got += ((id, b.collect().toSeq)) }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = got.sortBy(_._1).map(_._2).toSeq
+    assert(batches.size == 2)
+    assert(batches(0).map(r => (r.getLong(0), r.getString(1))).sorted ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(batches(0).forall(_.isNullAt(2)),
+      "pre-evolution rows surface the added column as null")
+    assert(batches(1).map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))) == Seq((3L, "c", 30L)))
+  }
 }
