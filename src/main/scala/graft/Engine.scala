@@ -322,6 +322,11 @@ class Engine(val spark: SparkSession) {
   private val PragmaRestore =
     ("""(?is)\s*PRAGMA\s+restore_table\s*\(\s*'?([\w.]+?)'?\s*,""" +
       """\s*(\d+)\s*\)\s*""").r
+  private val PragmaExpire =
+    ("""(?is)\s*PRAGMA\s+expire_snapshots\s*\(\s*'?([\w.]+?)'?\s*,""" +
+      """\s*(\d+)\s*\)\s*""").r
+  private val PragmaVacuum =
+    """(?is)\s*PRAGMA\s+vacuum\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
   private val CallVersion =
     """(?is)\s*CALL\s+pragma_version\s*\(\s*\)\s*""".r
   private val SummarizeCmd = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
@@ -838,7 +843,9 @@ class Engine(val spark: SparkSession) {
       val dir = snapshotDir(name).getOrElse(throw new IllegalArgumentException(
         s"table_snapshots: '$name' has no committed snapshot history"))
       import graft.operators.SnapshotOps
-      (1 to SnapshotOps.currentVersion(dir)).map { v =>
+      // surviving versions only: expire_snapshots may have dropped a
+      // prefix of the chain
+      SnapshotOps.availableVersions(dir).map { v =>
         val files = SnapshotOps.snapshotFiles(dir, v).size.toLong
         val (dvFiles, dvRows) = SnapshotOps.deleteStats(dir, v)
         val visible = SnapshotOps.snapshotRowCount(dir, v)
@@ -898,6 +905,34 @@ class Engine(val spark: SparkSession) {
       lastCommit(norm(name)) = SnapshotOps.commitRestore(dir, verS.toInt)
       registerSnapshot(name, dir)
       empty()
+    case PragmaExpire(name, keepS) =>
+      // Iceberg expireSnapshots / Delta retention at the SQL surface:
+      // drop all but the last N versions' manifests, then GC data/DV/
+      // eq-delete/group files no retained manifest references. The
+      // Engine executes statements sequentially and owns its tables,
+      // so the in-flight-writer grace window is 0 — files orphaned by
+      // the expired versions reclaim immediately. Time travel to an
+      // expired version is gone by design; table_snapshots and
+      // AS-OF resolution enumerate only surviving manifests.
+      import spark.implicits._
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(throw new IllegalArgumentException(
+        s"expire_snapshots: '$name' has no committed snapshot history"))
+      val (m, f) = SnapshotOps.vacuum(dir, keepVersions = keepS.toInt,
+        graceMs = 0L)
+      Seq((m.toLong, f.toLong)).toDF("manifests_dropped", "files_deleted")
+    case PragmaVacuum(name) =>
+      // orphan-only GC: keep every version (nothing expires), delete
+      // only files no manifest references — lost CAS races' leftovers
+      import spark.implicits._
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(throw new IllegalArgumentException(
+        s"vacuum: '$name' has no committed snapshot history"))
+      val keep = math.max(1,
+        SnapshotOps.availableVersions(dir).size)
+      val (m, f) = SnapshotOps.vacuum(dir, keepVersions = keep,
+        graceMs = 0L)
+      Seq((m.toLong, f.toLong)).toDF("manifests_dropped", "files_deleted")
     case PragmaTableInfo(name) =>
       import spark.implicits._
       table(name).schema.fields.zipWithIndex.map { case (f, i) =>

@@ -2071,6 +2071,15 @@ object SystemQueries {
           .stripMargin)
       val versions = e.snapshotDir("g257_acct")
         .map(SnapshotOps.currentVersion).getOrElse(0)
+      // r13: retention closes the lifecycle — expire all but the last
+      // 2 versions (a metadata drop + orphan-file GC), then prove the
+      // surviving chain is exactly 2 versions long and current content
+      // is untouched (the oracle re-derives it below)
+      val expired = e.executeDuck(
+        "PRAGMA expire_snapshots('g257_acct', 2)")
+        .collect()(0).getLong(0)
+      val retainedVersions = e.executeDuck(
+        "PRAGMA table_snapshots('g257_acct')").count()
       val out = e.executeDuck(
         """SELECT seg, count(*) AS n FROM g257_acct GROUP BY seg""")
         .select(col("seg"), col("n"))
@@ -2078,7 +2087,9 @@ object SystemQueries {
           .agg(sum(col("bal").cast("decimal(18,2)")).cast("double")
             .as("bal_total")))
         .select(col("seg"), col("n").cast("long").as("n"),
-          col("bal_total"), lit(versions).cast("long").as("versions"))
+          col("bal_total"), lit(versions).cast("long").as("versions"),
+          lit(expired).as("versions_expired"),
+          lit(retainedVersions).as("versions_retained"))
         .orderBy("seg")
         .localCheckpoint()
       // the result is materialized — reclaim the engine's first-DML
@@ -2104,7 +2115,9 @@ object SystemQueries {
         |tot AS (SELECT CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)
         |    AS bal_total FROM merged)
         |SELECT seg, count(*) AS n, tot.bal_total,
-        |  CAST(4 AS BIGINT) AS versions
+        |  CAST(4 AS BIGINT) AS versions,
+        |  CAST(2 AS BIGINT) AS versions_expired,
+        |  CAST(2 AS BIGINT) AS versions_retained
         |FROM merged CROSS JOIN tot
         |GROUP BY seg, tot.bal_total ORDER BY seg""".stripMargin,
       headline = true),

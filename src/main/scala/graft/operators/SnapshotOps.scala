@@ -261,14 +261,19 @@ object SnapshotOps {
     (eqs.size, eqs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum)
   }
 
-  /** Highest committed version; 0 = the empty table (no manifest). */
-  def currentVersion(tableDir: String): Int = {
-    val d = manifestDir(tableDir).toFile
-    Option(d.listFiles()).getOrElse(Array.empty)
+  /** Versions whose manifests still exist, ascending — [[vacuum]] may
+    * have dropped a prefix, so history enumeration must list, not
+    * count from 1 (reading a dropped version's manifest throws). */
+  def availableVersions(tableDir: String): Seq[Int] =
+    Option(manifestDir(tableDir).toFile.listFiles())
+      .getOrElse(Array.empty)
       .flatMap(f => "^v(\\d+)\\.manifest$".r
         .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .maxOption.getOrElse(0)
-  }
+      .sorted.toSeq
+
+  /** Highest committed version; 0 = the empty table (no manifest). */
+  def currentVersion(tableDir: String): Int =
+    availableVersions(tableDir).lastOption.getOrElse(0)
 
   private def manifestLines(tableDir: String, version: Int): Seq[String] =
     if (version == 0) Seq.empty
@@ -401,7 +406,7 @@ object SnapshotOps {
       ManifestUnit(l).seqNo.map(l -> _)).toMap
     if (stamped.size == lines.size) return stamped
     val seq = scala.collection.mutable.Map.empty[String, Int]
-    (1 to version).foreach { v =>
+    availableVersions(tableDir).filter(_ <= version).foreach { v =>
       manifestLines(tableDir, v).filterNot(_.startsWith("#"))
         .foreach(l => if (!seq.contains(l)) seq(l) = v)
     }
@@ -917,7 +922,7 @@ object SnapshotOps {
     * commit is later (or predates stamping). O(versions) meta reads —
     * header lines only, no entry parsed. */
   def versionAsOf(tableDir: String, tsMillis: Long): Option[Int] =
-    (1 to currentVersion(tableDir))
+    availableVersions(tableDir) // expired versions can't resolve
       .filter(v => snapshotTimestamp(tableDir, v).exists(_ <= tsMillis))
       .maxOption
 
@@ -1371,7 +1376,10 @@ object SnapshotOps {
       .flatMap(f => new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
         .map(l => parseEntry(l).path))
-    val retainedUnits = (keepFrom to cur)
+    // enumerate SURVIVING manifests only: a prior expire may already
+    // have dropped part of the [keepFrom, cur) range
+    val retainedUnits = availableVersions(tableDir)
+      .filter(_ >= keepFrom)
       .flatMap(v => snapshotUnits(tableDir, v))
     val retained = (retainedUnits.flatMap(_.entries.map(_.path)) ++
       retainedUnits.filter(u => u.isDelete || u.isEqDelete)

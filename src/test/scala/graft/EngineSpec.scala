@@ -559,6 +559,39 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("PRAGMA expire_snapshots drops all but the last N versions and " +
+      "GCs their orphaned files; PRAGMA vacuum is orphan-only") {
+    val e = engine
+    e.executeDuck("CREATE TABLE ret (id int, v int)")
+    e.executeDuck("INSERT INTO ret VALUES (1, 10), (2, 20)")   // v1
+    e.executeDuck("INSERT INTO ret VALUES (3, 30)")            // v2
+    e.executeDuck("UPDATE ret SET v = v + 1 WHERE id = 1")     // v3
+    e.executeDuck("INSERT INTO ret VALUES (4, 40)")            // v4
+    // orphan-only vacuum first: all four versions survive
+    val vac = e.executeDuck("PRAGMA vacuum('ret')").collect()(0)
+    assert(vac.getLong(0) == 0, "vacuum drops no manifests")
+    assert(e.executeDuck("PRAGMA table_snapshots('ret')").count() == 4)
+    // expire: keep the last 2
+    val exp = e.executeDuck("PRAGMA expire_snapshots('ret', 2)")
+      .collect()(0)
+    assert(exp.getLong(0) == 2, "v1 and v2 manifests dropped")
+    assert(e.executeDuck("PRAGMA table_snapshots('ret')").count() == 2)
+    // current content untouched; surviving span still readable
+    assert(e.executeDuck("SELECT sum(v) AS s FROM ret")
+      .collect()(0).getLong(0) == 101L)
+    assert(e.executeDuck("PRAGMA table_changes('ret', 4, 4)")
+      .count() == 1)
+    // expire is idempotent at the same retention
+    assert(e.executeDuck("PRAGMA expire_snapshots('ret', 2)")
+      .collect()(0).getLong(0) == 0)
+    // a table with no snapshot history is a clear error
+    e.executeDuck("CREATE TABLE ret_lazy AS SELECT 1 AS x")
+    val ex = intercept[IllegalArgumentException](
+      e.executeDuck("PRAGMA expire_snapshots('ret_lazy', 1)"))
+    assert(ex.getMessage.contains("no committed snapshot history"))
+    e.close()
+  }
+
   test("PRAGMA table_changes on a 100-version span: bounded plan depth " +
       "(16-version groups materialize) and per-commit timestamps") {
     val e = engine
