@@ -418,44 +418,44 @@ object SnapshotOps {
   private val DvFileCol = "_file"
   private val DvPosCol = "_pos"
 
-  /** Above this many deleted positions the anti-join stops broadcasting
-    * and falls back to a shuffle join (a DV that large is compaction
-    * debt, not a broadcast candidate). `private[graft] var` so the
-    * tier boundaries are injectable: SnapshotOpsSpec drives the
-    * shuffle tier at test scale and DvScaleProbe measures all three
-    * tiers' read tax at their real sizes. */
-  private[graft] var DvBroadcastRows = 1L << 20
+  /** DV read-tier boundaries (measured by DvScaleProbe, BASELINE.md
+    * round 12):
+    *  - `literal` — at or below this many positions the DV applies as
+    *    a literal per-file `NOT IN` filter (one whole-stage-codegen
+    *    pipeline, no broadcast build), the common selective-delete
+    *    case;
+    *  - `files` — the literal tier additionally caps how many DV'd
+    *    FILES it will split into per-file scans (each single-file
+    *    frame pays its own listing/planning constant; a 1-file 2k-DV
+    *    wins literal 321 vs 419 ms, an all-8-files DV loses 2-6x —
+    *    hence 4, not the r11 guess of 32);
+    *  - `bcast` — above this many positions the anti-join stops
+    *    broadcasting and falls back to a shuffle join (a DV that
+    *    large is compaction debt, not a broadcast candidate). */
+  private final case class DvTiers(literal: Long, bcast: Long, files: Int)
 
-  /** At or below this many positions the DV applies as a literal
-    * per-file `NOT IN` filter instead of an anti-join: the scan stays
-    * one whole-stage-codegen pipeline with no broadcast build, which is
-    * the common selective-delete case. Injectable like
-    * [[DvBroadcastRows]]. */
-  private[graft] var DvLiteralRows = 1L << 16
+  /** Thread-confined tier overrides (spec/probe scaffolding —
+    * production never overrides). A DynamicVariable, NOT a global var:
+    * plan construction reads the boundaries on the calling thread, so
+    * a concurrent reader in the same JVM can never plan its DV
+    * application with a probe's foreign thresholds (the r12 global-var
+    * data race the advisor flagged). */
+  private val dvTiers =
+    new scala.util.DynamicVariable[DvTiers](DvTiers(1L << 16, 1L << 20, 4))
 
-  /** The literal tier additionally caps how many DV'd FILES it will
-    * split into per-file scans: each single-file frame pays its own
-    * listing/planning constant, so the shape only wins for genuinely
-    * selective deletes. DvScaleProbe (BASELINE.md round 12): a 1-file
-    * 2k-position DV reads fastest literal (321 ms vs 419 broadcast),
-    * but a DV spanning all 8 files loses 2-6x to broadcast at every
-    * position count — hence 4, not the r11 guess of 32. */
-  private[graft] var DvLiteralFiles = 4
+  private[graft] def DvLiteralRows: Long = dvTiers.value.literal
+  private[graft] def DvBroadcastRows: Long = dvTiers.value.bcast
+  private[graft] def DvLiteralFiles: Int = dvTiers.value.files
 
-  /** Run `body` with the DV tier boundaries overridden (spec/probe
-    * scaffolding — production code never calls this). `files` defaults
-    * to the CURRENT [[DvLiteralFiles]] so row-threshold-only callers
-    * keep production file-cap behavior; DvScaleProbe lifts it
-    * explicitly when forcing the literal tier on an all-files DV
-    * (without that, "literal" silently measures the broadcast tier). */
+  /** Run `body` with the DV tier boundaries overridden ON THIS THREAD
+    * (restored on exit; invisible to concurrent work). `files`
+    * defaults to the current cap so row-threshold-only callers keep
+    * production file-cap behavior; DvScaleProbe lifts it explicitly
+    * when forcing the literal tier on an all-files DV. */
   private[graft] def withDvThresholds[T](literal: Long, bcast: Long,
-      files: Int = DvLiteralFiles)(body: => T): T = {
-    val (l0, b0, f0) = (DvLiteralRows, DvBroadcastRows, DvLiteralFiles)
-    DvLiteralRows = literal; DvBroadcastRows = bcast; DvLiteralFiles = files
-    try body finally {
-      DvLiteralRows = l0; DvBroadcastRows = b0; DvLiteralFiles = f0
-    }
-  }
+      files: Int = -1)(body: => T): T =
+    dvTiers.withValue(DvTiers(literal, bcast,
+      if (files >= 0) files else dvTiers.value.files))(body)
 
   private def dvFrame(spark: SparkSession,
       dvs: Seq[FileEntry]): DataFrame = {
