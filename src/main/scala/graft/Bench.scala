@@ -73,6 +73,28 @@ object Bench {
       (name, okTimes.minOption.getOrElse(-1.0),
         okTimes.maxOption.getOrElse(-1.0), okTimes.nonEmpty)
     }
+    // per-entry quiet floors (r13): the run-level floor check passes
+    // while individual entries run 1.6-3.4x their quiet times under
+    // uniform co-tenant load (the r12 adjudication). Floors are the
+    // recorded quiet-host per-entry mins (tools/bench_floors.json,
+    // regenerated whenever the headline set or an entry's shape
+    // changes); an entry whose min exceeds 2.5x its floor lands in
+    // "hot" — the artifact self-adjudicates per-entry inflation
+    // instead of leaving it to cross-referencing after the fact.
+    val floors: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_FLOORS", "tools/bench_floors.json"))
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p))
+        """"([\w]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val hot = results.collect {
+      case (k, mn, _, true) if floors.get(k).exists(f => mn > 2.5 * f) =>
+        "\"" + k + "\""
+    }.mkString("[", ",", "]")
     // a failed query reports -1, is listed under "failed", and is
     // excluded from the total so "value" always equals the sum of the ok
     // entries; "queries_max" exposes the worst pass so a spike window is
@@ -89,6 +111,15 @@ object Bench {
     val noisy = results.collect {
       case (k, mn, mx, true) if mn > 0 && mx / mn > 4 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // the spike-heal retry samples, emitted SEPARATELY so the artifact
+    // distinguishes 2-sample from 3-sample mins (the advisor's r12
+    // one-directional-bias note): a reader can recompute any entry's
+    // min under the fixed two-pass protocol from queries/queries_max
+    // alone, and sees exactly which entries got the third sample
+    val retryJson = names.zipWithIndex.flatMap { case (name, i) =>
+      retried.get(i).collect { case (t, true) =>
+        "\"" + name + "\":" + t }
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, mn, _, true) => mn }.sum
@@ -113,9 +144,12 @@ object Bench {
     // 97-entry set adds q263 5.9 s (four change-feed drains + a MOR +
     // a COW commit, scoped quiet run) → 110.0; r12 98-entry set adds
     // q264 5.4 s (4-DML lifecycle + 4-span table_changes read,
-    // scoped quiet run) → 115.0
+    // scoped quiet run) → 115.0; r13 100-entry set adds q265 3.0 s +
+    // q266 3.7 s and makes q257 (expire + retention read) and q264
+    // (timestamp pin) heavier — two full quiet runs measured 138.8 s
+    // (run 2, run_noisy false) and best-of-both 136.3 s → 130.0
     val quietFloorSec: Option[Double] =
-      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(115.0) else None
+      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(130.0) else None
     val runNoisy = quietFloorSec.map { floor =>
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""
@@ -151,9 +185,9 @@ object Bench {
     // for the 95-entry set), queries_max second (spike visibility), and
     // the FINAL line is the SHORT summary — small enough that no tail
     // window can split it, so the driver's parse always gets a total.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"failed":$failed$runNoisy$goldCasing,"sf":"$sfDir"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"queries":$qjson,"noisy":$noisy,"failed":$failed$runNoisy,"sf":"$sfDir"}""")
-    println(s"""{"metric":"detail_max","value":$total,"unit":"sec","queries_max":$qmax,"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"hot":$hot,"failed":$failed$runNoisy$goldCasing,"sf":"$sfDir"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"queries":$qjson,"noisy":$noisy,"hot":$hot,"failed":$failed$runNoisy,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail_max","value":$total,"unit":"sec","queries_max":$qmax,"queries_retry":$retryJson,"sf":"$sfDir"}""")
     println(summary)
     spark.stop()
   }

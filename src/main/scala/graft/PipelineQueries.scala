@@ -4607,16 +4607,45 @@ object PipelineQueries {
     // wire. The (tiny) neighborhood tables broadcast back onto the
     // kernel, and both argmax directions are struct-maxes — partial-
     // aggregable again. The only shuffles in the whole plan carry
-    // side-sized tables. At corpus scale the candidate pairs come from
-    // the LSH kernel (q46) instead of the dense cross; this entry pins
-    // the scoring/mutuality semantics on the exact table.
+    // side-sized tables.
+    //
+    // SF-GATED KERNEL (r13): the exact dense cross is BY CONTRACT
+    // quadratic — fine up to the oracle scales (sf0.01: 500 vecs,
+    // sf0.1: 2000 vecs, where it is gated and measured), ruinous past
+    // them (651.9 s of the r12 sf3sv row was this one entry). Above
+    // DenseBound vectors the candidate pairs come from the q46
+    // random-hyperplane LSH kernel instead (A-side multi-probes 4
+    // buckets, B-side indexes under its one bucket — a bucket join,
+    // never the cross); scoring, neighborhood normalization and
+    // mutuality are UNCHANGED within candidates. Recall contract: a
+    // pair is only visible if the sides share a probed bucket —
+    // mutual-best pairs are by construction high-cosine, exactly the
+    // pairs LSH recalls best (Artetxe & Schwenk mine from FAISS
+    // candidates the same way).
     "q220_bitext_margin_mining" -> api({ (spark, _) =>
       val emb = spark.table("embeddings")
       val a = emb.where(pmod(col("vec_id"), lit(2)) === 0)
         .select(col("vec_id").as("a_id"), col("embedding").as("va"))
       val b = emb.where(pmod(col("vec_id"), lit(2)) === 1)
         .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-      val pairs = a.join(broadcast(b))
+      val DenseBound = 4000L // covers every oracle sf; 2x headroom
+      val dense = emb.count() <= DenseBound
+      val rawPairs =
+        if (dense) a.join(broadcast(b))
+        else {
+          import graft.functions.GraftFunctions
+          val (bits, probes, seed) = (10, 4, 7L)
+          val ca = a.select(col("a_id"), col("va"),
+            explode(GraftFunctions.rpSketchProbes(col("va"), lit(bits),
+              lit(seed), lit(probes))).as("bkt"))
+          val cb = b.select(col("b_id"), col("vb"),
+            GraftFunctions.rpSketch(col("vb"), lit(bits), lit(seed))
+              .as("bkt"))
+          // one bucket per B vector, pairwise-distinct probes per A
+          // vector ⇒ a (a_id, b_id) pair matches at most once
+          ca.join(cb, Seq("bkt"))
+        }
+      val pairs = rawPairs
         .select(col("a_id"), col("b_id"),
           graft.functions.GraftFunctions.duckRound(
             EmbeddingOps.cosine(col("va"), col("vb")), 6).as("cos"))
