@@ -40,7 +40,7 @@ EXCLUDE = [
     (r"snapshot|commit|zorder|compact|vacuum|maintenance|time_travel"
      r"|cdc|wap|write_audit|governed|bucket_layout|bucketed_join"
      r"|merge_schema|evolution|incr_agg|stats_pruned|point_index"
-     r"|manifest_group|mor_",
+     r"|manifest_group|mor_|table_changes|restore_table|eq_delete",
      "write/commit lifecycle"),
     (r"dedup_pairs|near_dup|minhash|simhash_hamming|segment_dedup"
      r"|bitext|cluster_safe|exact_substring|dup_clusters",
@@ -84,12 +84,26 @@ def main():
         times = []
         err = None
         for i in range(reps):
+            # per-entry wall budget: some oracles are written for
+            # correctness clarity, not speed (correlated unnest per
+            # pair), and a pathological single-threaded plan at sf>=1
+            # can burn an hour on one entry. An interrupted entry is
+            # recorded as err (dropped from the aggregate) — honest in
+            # the conservative direction, since an absurdly slow
+            # DuckDB time would only flatter the graft ratio.
+            import threading
+            timer = threading.Timer(120.0, con.interrupt)
+            timer.start()
             t0 = time.time()
             try:
                 con.execute(sql).fetchall()
             except Exception as e:  # noqa: BLE001 - record and move on
                 err = f"{type(e).__name__}: {str(e)[:80]}"
+                if time.time() - t0 >= 119:
+                    err = "timeout>120s (interrupted)"
                 break
+            finally:
+                timer.cancel()
             times.append(time.time() - t0)
             if times[-1] > 5:  # slow query: one measurement is enough
                 break
