@@ -405,6 +405,57 @@ class Engine(val spark: SparkSession) {
   private val NameAlias =
     """(?is)\s*([\w.]+)(?:\s+AS\s+(\w+))?\s*""".r
 
+  /** The literal key shapes an equality-delete commit can record
+    * WITHOUT scanning: `col = lit` or `col IN (lit, …)` over the
+    * lexer's token stream (string literals with commas, comments and
+    * quoted identifiers all handled by the lexer, never by regex).
+    * Returns (column, literal SQL texts) or None when the predicate
+    * is any other shape. */
+  private def parseEqKeys(pred: String): Option[(String, Seq[String])] = {
+    import graft.dialect.SqlNormalizer.{Num, Op, Quoted, Word}
+    val ls = Stmt.lexemes(pred)
+    def lit(i: Int): Option[(String, Int)] = ls.lift(i).map(_.tok) match {
+      case Some(Num(t)) => Some((t, i + 1))
+      case Some(q: Quoted) if q.text.startsWith("'") => Some((q.text, i + 1))
+      case Some(Op("-")) => ls.lift(i + 1).map(_.tok) match {
+        case Some(Num(t)) => Some((s"-$t", i + 2))
+        case _ => None
+      }
+      case _ => None
+    }
+    val col = ls.headOption.map(_.tok) match {
+      case Some(Word(w)) => w
+      case Some(q: Quoted) if q.text.startsWith("\"") =>
+        q.text.drop(1).dropRight(1).replace("\"\"", "\"")
+      case _ => return None
+    }
+    ls.lift(1).map(_.tok) match {
+      case Some(Op("=")) =>
+        lit(2).collect { case (t, n) if n == ls.length => (col, Seq(t)) }
+      case Some(Word(in)) if in.equalsIgnoreCase("IN") =>
+        if (!ls.lift(2).map(_.tok).contains(Op("("))) return None
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 3
+        while (i < ls.length) {
+          lit(i) match {
+            case Some((t, n)) =>
+              acc += t
+              ls.lift(n).map(_.tok) match {
+                case Some(Op(",")) => i = n + 1
+                case Some(Op(")")) =>
+                  return if (n + 1 == ls.length && acc.nonEmpty)
+                    Some((col, acc.toSeq))
+                  else None
+                case _ => return None
+              }
+            case None => return None
+          }
+        }
+        None
+      case _ => None
+    }
+  }
+
   // ---- table-producing file functions & literals -------------------------
   private val readAutoRe =
     """(?is)read_(csv|json)_auto\s*\(""".r
@@ -653,17 +704,42 @@ class Engine(val spark: SparkSession) {
         case Some(dir) =>
           // `SET delete_mode = 'mor'` routes through the deletion-
           // vector commit: O(matched rows) of position metadata, zero
-          // data files rewritten. Default stays copy-on-write. Both
-          // keep NULL-predicate rows (commitDelete's .where(cond)
-          // deletes only TRUE matches; commitRewrite's survivor side
-          // is !coalesce(cond, false)) — the three-valued rule.
-          val mor = spark.conf
-            .getOption("graft.setting.delete_mode").contains("mor")
-          lastCommit(norm(name)) =
-            if (mor) graft.operators.SnapshotOps
+          // data files rewritten. `= 'eq'` routes through the
+          // EQUALITY-delete commit: the key literals themselves are
+          // the commit — zero data files even SCANNED — so the
+          // predicate must be literal-key-shaped (`col = lit` or
+          // `col IN (lits)`); anything else fails loudly with the
+          // contract rather than silently falling back to a scan.
+          // Default stays copy-on-write. All modes keep
+          // NULL-predicate rows (commitDelete's .where(cond) deletes
+          // only TRUE matches; commitRewrite's survivor side is
+          // !coalesce(cond, false); eq keys are non-NULL literals) —
+          // the three-valued rule.
+          val mode = spark.conf
+            .getOption("graft.setting.delete_mode").getOrElse("cow")
+          lastCommit(norm(name)) = mode match {
+            case "mor" => graft.operators.SnapshotOps
               .commitDelete(spark, dir, hit)
-            else graft.operators.SnapshotOps
+            case "eq" =>
+              val (kcol, lits) = parseEqKeys(Option(whereOpt)
+                .getOrElse("")).getOrElse(
+                throw new IllegalArgumentException(
+                  "delete_mode='eq': an equality delete records key " +
+                    "literals without scanning, so the predicate must " +
+                    "be `col = lit` or `col IN (lit, ...)`; got: " +
+                    Option(whereOpt).getOrElse("<none>").trim))
+              val field = target.schema.fields
+                .find(_.name.equalsIgnoreCase(kcol)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"delete_mode='eq': unknown key column '$kcol'"))
+              val keyDf = spark.sql(lits.map(v =>
+                s"SELECT CAST($v AS ${field.dataType.sql}) AS " +
+                  s"`${field.name}`").mkString(" UNION ALL "))
+              graft.operators.SnapshotOps
+                .commitDeleteByKey(spark, dir, keyDf)
+            case _ => graft.operators.SnapshotOps
               .commitRewrite(spark, dir, hit, _.limit(0))
+          }
           registerSnapshot(name, dir)
         case None =>
           register(name, target.where(!coalesce(hit, lit(false))))

@@ -559,6 +559,44 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("SET delete_mode='eq' routes DELETE through the equality-delete " +
+      "commit: literal keys only, no data file scanned, re-inserts " +
+      "survive") {
+    val e = engine
+    e.executeDuck("CREATE TABLE eqd (id int, seg varchar)")
+    e.executeDuck(
+      "INSERT INTO eqd VALUES (1,'a'), (2,'b'), (3,'a,b'), (4,'c')")
+    e.executeDuck("SET delete_mode = 'eq'")
+    try {
+      val before = e.snapshotDir("eqd")
+        .map(graft.operators.SnapshotOps.snapshotFiles(_, 1)).get
+      e.executeDuck("DELETE FROM eqd WHERE id IN (2, 4)")       // v2
+      // zero data files touched: v2's file list IS v1's
+      val after = e.snapshotDir("eqd")
+        .map(graft.operators.SnapshotOps.snapshotFiles(_, 2)).get
+      assert(after == before)
+      assert(e.executeDuck("SELECT id FROM eqd ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+      // a string literal key WITH a comma (the lexer, not a regex,
+      // splits the IN list)
+      e.executeDuck("DELETE FROM eqd WHERE seg IN ('a,b')")     // v3
+      assert(e.executeDuck("SELECT id FROM eqd").collect()
+        .map(_.getInt(0)).toSeq == Seq(1))
+      // single-key `=` shape; re-insert of a deleted key survives
+      e.executeDuck("DELETE FROM eqd WHERE id = 1")             // v4
+      e.executeDuck("INSERT INTO eqd VALUES (1, 'reborn')")     // v5
+      val r = e.executeDuck("SELECT id, seg FROM eqd").collect()
+      assert(r.map(x => (x.getInt(0), x.getString(1))).toSeq ==
+        Seq((1, "reborn")))
+      // a non-literal predicate must fail loudly with the contract,
+      // not silently scan
+      val ex = intercept[IllegalArgumentException](
+        e.executeDuck("DELETE FROM eqd WHERE id < 10"))
+      assert(ex.getMessage.contains("delete_mode='eq'"))
+    } finally e.executeDuck("SET delete_mode = 'cow'")
+    e.close()
+  }
+
   test("PRAGMA expire_snapshots drops all but the last N versions and " +
       "GCs their orphaned files; PRAGMA vacuum is orphan-only") {
     val e = engine
