@@ -95,6 +95,11 @@ object Bench {
       case (k, mn, _, true) if floors.get(k).exists(f => mn > 2.5 * f) =>
         "\"" + k + "\""
     }.mkString("[", ",", "]")
+    // floors_loaded makes an empty hot list self-describing: 0 means
+    // "no floors found (cwd/env), nothing was adjudicated", not
+    // "nothing was inflated"
+    val floorsLoaded = results.count { case (k, _, _, _) =>
+      floors.contains(k) }
     // a failed query reports -1, is listed under "failed", and is
     // excluded from the total so "value" always equals the sum of the ok
     // entries; "queries_max" exposes the worst pass so a spike window is
@@ -185,8 +190,8 @@ object Bench {
     // for the 95-entry set), queries_max second (spike visibility), and
     // the FINAL line is the SHORT summary — small enough that no tail
     // window can split it, so the driver's parse always gets a total.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"hot":$hot,"failed":$failed$runNoisy$goldCasing,"sf":"$sfDir"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"queries":$qjson,"noisy":$noisy,"hot":$hot,"failed":$failed$runNoisy,"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"noisy":$noisy,"hot":$hot,"floors_loaded":$floorsLoaded,"failed":$failed$runNoisy$goldCasing,"sf":"$sfDir"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$nOk,"n_queries":${results.size},"queries":$qjson,"noisy":$noisy,"hot":$hot,"floors_loaded":$floorsLoaded,"failed":$failed$runNoisy,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail_max","value":$total,"unit":"sec","queries_max":$qmax,"queries_retry":$retryJson,"sf":"$sfDir"}""")
     println(summary)
     spark.stop()

@@ -947,6 +947,15 @@ class Engine(val spark: SparkSession) {
       require(from >= 1 && from <= to && to <= cur,
         s"table_changes: span [$from, $to] outside committed " +
           s"versions [1, $cur] of '$name'")
+      // the span needs every manifest in [from-1, to] (version v's
+      // changes diff against v-1) — a retention-expired prefix must
+      // fail validated, not as a NoSuchFileException mid-read
+      val avail = SnapshotOps.availableVersions(dir).toSet
+      val missing = ((from - 1) to to).filter(v => v > 0 && !avail(v))
+      require(missing.isEmpty,
+        s"table_changes: span [$from, $to] of '$name' needs expired " +
+          s"versions ${missing.mkString(",")} (dropped by retention) — " +
+          "narrow the span to the surviving history")
       val spans = (from to to).map { v =>
         SnapshotOps.snapshotDiff(spark, dir, v - 1, v)
           .withColumn("_commit_version", lit(v.toLong))

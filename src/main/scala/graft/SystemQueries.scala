@@ -2588,6 +2588,7 @@ object SystemQueries {
       e.executeDuck(
         "UPDATE g265_acct SET bal = bal - 25 WHERE seg = 'BUILDING'") // v5
       val feed = e.executeDuck("PRAGMA table_changes('g265_acct', 4, 4)")
+        .localCheckpoint() // consumed twice below — diff runs once
       val restoreIns =
         feed.where(col("change_type") === lit("insert")).count()
       val restoreDel =

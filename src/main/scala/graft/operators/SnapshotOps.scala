@@ -634,20 +634,25 @@ object SnapshotOps {
     val kept = units.map(u => u -> u.entries.filter(keep).map(_.path))
       .filter(_._2.nonEmpty)
     if (eqs.isEmpty) readPart(kept.flatMap(_._2))
-    else kept
-      .groupBy { case (u, _) =>
-        eqs.count(_._2 > seqRequired(u, tableDir)) }
-      .toSeq.sortBy(_._1)
-      .map { case (nAppl, group) =>
-        // the applicable deletes are exactly the nAppl highest-seq
-        // ones (ascending order ⇒ a suffix)
-        eqs.takeRight(nAppl).foldLeft(readPart(group.flatMap(_._2))) {
-          case (d, (e, _)) =>
-            val keys = spark.read.parquet(e.path)
-            d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+    else {
+      // each delete's key file reads ONCE; the per-group folds reuse
+      // the same frame (and Spark reuses the identical broadcast
+      // exchange), instead of re-opening the file per group
+      val keyFrames = eqs.map { case (e, _) => spark.read.parquet(e.path) }
+      kept
+        .groupBy { case (u, _) =>
+          eqs.count(_._2 > seqRequired(u, tableDir)) }
+        .toSeq.sortBy(_._1)
+        .map { case (nAppl, group) =>
+          // the applicable deletes are exactly the nAppl highest-seq
+          // ones (ascending order ⇒ a suffix)
+          keyFrames.takeRight(nAppl)
+            .foldLeft(readPart(group.flatMap(_._2))) { (d, keys) =>
+              d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+            }
         }
-      }
-      .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+        .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    }
   }
 
   /** Transactional MERGE-ON-READ delete: rows matching `cond` vanish
@@ -929,8 +934,19 @@ object SnapshotOps {
   def readSnapshotAsOf(spark: SparkSession, tableDir: String,
       tsMillis: Long,
       schema: org.apache.spark.sql.types.StructType = null): DataFrame =
-    readSnapshot(spark, tableDir,
-      versionAsOf(tableDir, tsMillis).getOrElse(0), schema)
+    versionAsOf(tableDir, tsMillis) match {
+      case Some(v) => readSnapshot(spark, tableDir, v, schema)
+      case None =>
+        // distinguish "before the table existed" (legitimately empty)
+        // from "before the RETENTION horizon" (the answer existed and
+        // was expired — a silent 0-row result would be a wrong answer,
+        // so fail loudly, the Delta/Iceberg behaviour)
+        require(availableVersions(tableDir).headOption.forall(_ == 1),
+          s"TIMESTAMP AS OF $tsMillis predates the retention horizon " +
+            s"of $tableDir (earlier versions were expired) — the " +
+            "as-of snapshot no longer exists")
+        readSnapshot(spark, tableDir, 0, schema)
+    }
 
   /** Incremental APPEND read — the fast path a pipeline consumer polls
     * between runs: rows added in (`fromVersion`, `toVersion`], read
@@ -1220,6 +1236,12 @@ object SnapshotOps {
     require(toVersion >= 1 && toVersion <= initialBase,
       s"commitRestore: version $toVersion outside committed " +
         s"versions [1, $initialBase] of $tableDir")
+    // in-range is not enough: expire_snapshots may have dropped the
+    // target's manifest — fail validated, not with a NoSuchFileException
+    require(availableVersions(tableDir).contains(toVersion),
+      s"commitRestore: version $toVersion of $tableDir expired " +
+        "(its manifest was dropped by retention) — cannot restore " +
+        "past the retention horizon")
     val restored = snapshotUnits(tableDir, toVersion).map(_.raw)
     var conflicts = 0
     while (conflicts <= maxRetries) {

@@ -622,6 +622,16 @@ class EngineSpec extends SparkSpecBase {
     // expire is idempotent at the same retention
     assert(e.executeDuck("PRAGMA expire_snapshots('ret', 2)")
       .collect()(0).getLong(0) == 0)
+    // past-the-horizon operations fail VALIDATED, not with a raw
+    // NoSuchFileException: a change span needing an expired manifest
+    // (even v3's changes need v2's), and a restore to an expired
+    // version
+    val exSpan = intercept[IllegalArgumentException](
+      e.executeDuck("PRAGMA table_changes('ret', 3, 4)"))
+    assert(exSpan.getMessage.contains("expired"))
+    val exRestore = intercept[IllegalArgumentException](
+      e.executeDuck("PRAGMA restore_table('ret', 1)"))
+    assert(exRestore.getMessage.contains("expired"))
     // a table with no snapshot history is a clear error
     e.executeDuck("CREATE TABLE ret_lazy AS SELECT 1 AS x")
     val ex = intercept[IllegalArgumentException](

@@ -1347,6 +1347,14 @@ class SnapshotOpsSpec extends SparkSpecBase {
     // derivation walk would read is deleted
     val seqs = SnapshotOps.unitSequence(t, 3)
     assert(seqs.values.toSet == Set(1, 2, 3))
+    // TIMESTAMP AS OF before the retention horizon fails loudly (the
+    // v1 answer existed and was expired — a silent empty frame would
+    // be a wrong answer); as-of the surviving span still resolves
+    val v2ts = SnapshotOps.snapshotTimestamp(t, 2).get
+    assert(SnapshotOps.readSnapshotAsOf(spark, t, v2ts).count() == 9)
+    val ex = intercept[IllegalArgumentException](
+      SnapshotOps.readSnapshotAsOf(spark, t, v2ts - 10000).count())
+    assert(ex.getMessage.contains("retention horizon"))
   }
 
   test("eq-delete sequence semantics through multiple generations: " +
