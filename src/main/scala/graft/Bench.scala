@@ -87,8 +87,14 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val s = new String(java.nio.file.Files.readAllBytes(p))
+        // intersect with the timed entry set: the flat regex would
+        // otherwise treat any future numeric metadata key in the JSON
+        // (a version, a timestamp) as an entry floor and count it in
+        // floors_loaded
+        val entryNames = names.toSet
         """"([\w]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(s)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => entryNames.contains(k) }.toMap
       }
     }
     val hot = results.collect {

@@ -977,8 +977,18 @@ class Engine(val spark: SparkSession) {
         val u = g.reduce(_.unionByName(_))
         if (spans.size > 16) u.localCheckpoint() else u
       }.toSeq
-      grouped.reduce(_.unionByName(_))
+      val feed = grouped.reduce(_.unionByName(_))
         .where(col("change_type") =!= lit(""))
+      // long spans: the per-group checkpoints would otherwise pin
+      // span-sized executor storage for as long as the returned frame
+      // lives — materialize the final feed once (it's what the caller
+      // holds anyway) and release the intermediates eagerly
+      if (spans.size <= 16) feed
+      else {
+        val out = feed.localCheckpoint()
+        grouped.foreach(SnapshotOps.releaseCheckpoint)
+        out
+      }
     case PragmaRestore(name, verS) =>
       // Delta RESTORE at the SQL surface: rewind the table's CONTENT
       // to a committed version as a NEW commit (pure manifest

@@ -405,8 +405,23 @@ object SnapshotOps {
     val stamped = lines.flatMap(l =>
       ManifestUnit(l).seqNo.map(l -> _)).toMap
     if (stamped.size == lines.size) return stamped
+    // The unstamped fallback walks surviving manifests; if retention
+    // expired the early ones, first-seen would silently shift to the
+    // post-expire horizon instead of the true creation version. An
+    // introspection surface must not return a wrong answer that looks
+    // right — fail like readSnapshotAsOf does for expired as-of targets.
+    // (stampSeq takes the opposite trade at publish time: commits must
+    // proceed, and eq-deletes postdate stamping so a horizon-bounded
+    // stamp cannot mis-apply one.)
+    val avail = availableVersions(tableDir).filter(_ <= version)
+    require(avail.headOption.contains(1),
+      s"unitSequence($tableDir, $version): unstamped manifest lines " +
+        "need the full version history, but versions before " +
+        s"${avail.headOption.getOrElse(-1)} were expired by retention " +
+        "— the derived sequence would be a post-expire lower bound, " +
+        "not the creation version; compact or rewrite the table first")
     val seq = scala.collection.mutable.Map.empty[String, Int]
-    availableVersions(tableDir).filter(_ <= version).foreach { v =>
+    avail.foreach { v =>
       manifestLines(tableDir, v).filterNot(_.startsWith("#"))
         .foreach(l => if (!seq.contains(l)) seq(l) = v)
     }
@@ -880,11 +895,36 @@ object SnapshotOps {
     * a delete applies only to data units strictly older than itself. */
   private val SeqKey = "_seq"
 
-  private def stampSeq(lines: Seq[String], v: Int): Seq[String] =
-    lines.map { l =>
-      if (l.startsWith("#") || l.contains(s"\t$SeqKey=")) l
-      else l + s"\t$SeqKey=$v..$v"
+  private def stampSeq(tableDir: String, lines: Seq[String],
+      v: Int): Seq[String] = {
+    def unstamped(l: String) =
+      !l.startsWith("#") && !l.contains(s"\t$SeqKey=")
+    // Legacy carry-forwards (lines published before stamping existed)
+    // must be stamped with their TRUE creation version — the derived
+    // unitSequence walk, still available at publish time — not the
+    // version being published: stamping them `v` would make the stored
+    // stamp disagree with history (readAppendsSince spanning the
+    // boundary would see "base units rewritten", snapshotDiff would
+    // call every file changed). The walk runs only when a legacy line
+    // is present — post-stamping tables skip it entirely, and a line
+    // in no prior manifest is genuinely new to this commit (gets `v`).
+    // If retention already expired the early manifests, first-seen is
+    // the best remaining bound (eq-deletes are younger than stamping
+    // by construction, so correctness is unaffected — see unitSequence).
+    lazy val seen: Map[String, Int] = {
+      val m = scala.collection.mutable.Map.empty[String, Int]
+      availableVersions(tableDir).filter(_ < v).foreach { pv =>
+        manifestLines(tableDir, pv).filterNot(_.startsWith("#"))
+          .foreach(l => if (!m.contains(l)) m(l) = pv)
+      }
+      m.toMap
     }
+    if (!lines.exists(unstamped)) lines
+    else lines.map { l =>
+      if (!unstamped(l)) l
+      else { val s = seen.getOrElse(l, v); l + s"\t$SeqKey=$s..$s" }
+    }
+  }
 
   private def tryPublishLines(tableDir: String, v: Int,
       lines: Seq[String]): Boolean = {
@@ -892,7 +932,8 @@ object SnapshotOps {
     val tmp = manifestDir(tableDir).resolve(
       s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp,
-      stampSeq(lines, v).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      stampSeq(tableDir, lines, v).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
     try { Files.createLink(manifestPath(tableDir, v), tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)

@@ -1357,6 +1357,60 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("retention horizon"))
   }
 
+  test("publish-time stamping of a legacy carry-forward derives the " +
+      "TRUE creation version, not the publish version; and " +
+      "unitSequence refuses a derivation truncated by retention") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 5L).map(i => (i, s"a$i")).toDF("id", "tag"))      // v1
+    SnapshotOps.commitAppend(spark, t,
+      (6L to 9L).map(i => (i, s"b$i")).toDF("id", "tag"))      // v2
+    // simulate a pre-stamping table: strip _seq from both manifests
+    def strip(v: Int): Unit = {
+      val m = java.nio.file.Paths.get(t, "manifests", s"v$v.manifest")
+      java.nio.file.Files.write(m,
+        new String(java.nio.file.Files.readAllBytes(m))
+          .replaceAll("\t_seq=\\d+\\.\\.\\d+", "").getBytes)
+    }
+    strip(1); strip(2)
+    // the units v1/v2 created, identified by path (stable across the
+    // stamping the next publish applies)
+    def unitPaths(v: Int): Set[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "manifests", s"v$v.manifest")))
+        .split("\n").filterNot(_.startsWith("#"))
+        .map(_.split("\t")(0).stripPrefix("@")).toSet
+    val v1Paths = unitPaths(1)
+    SnapshotOps.commitAppend(spark, t,
+      Seq((10L, "c")).toDF("id", "tag"))                       // v3
+    // v3's publish stamped every carried legacy line with its DERIVED
+    // creation version (the lowest-version walk), so stored stamps
+    // match history: v1's units say 1, v2's say 2, the new unit 3 —
+    // NOT a blanket 3 (the pre-fix behavior the advisor flagged)
+    val seqs = SnapshotOps.unitSequence(t, 3).map { case (l, s) =>
+      l.split("\t")(0).stripPrefix("@") -> s }
+    assert(seqs.values.toSet == Set(1, 2, 3))
+    v1Paths.foreach(p => assert(seqs(p) == 1,
+      s"v1 unit $p stamped ${seqs(p)}"))
+    assert(seqs.count(_._2 == 3) == seqs.size - unitPaths(2).size,
+      "exactly the units new to v3 carry stamp 3")
+    // guard: an unstamped line whose derivation walk is truncated by
+    // retention must fail loudly, not return the post-expire horizon
+    val t2 = freshTable()
+    SnapshotOps.commitAppend(spark, t2, Seq((1L, "x")).toDF("id", "tag"))
+    SnapshotOps.commitAppend(spark, t2, Seq((2L, "y")).toDF("id", "tag"))
+    SnapshotOps.commitAppend(spark, t2, Seq((3L, "z")).toDF("id", "tag"))
+    val m3 = java.nio.file.Paths.get(t2, "manifests", "v3.manifest")
+    java.nio.file.Files.write(m3,
+      new String(java.nio.file.Files.readAllBytes(m3))
+        .replaceAll("\t_seq=\\d+\\.\\.\\d+", "").getBytes)
+    SnapshotOps.vacuum(t2, keepVersions = 2, graceMs = 0) // drops v1
+    val ex = intercept[IllegalArgumentException](
+      SnapshotOps.unitSequence(t2, 3))
+    assert(ex.getMessage.contains("expired"))
+  }
+
   test("eq-delete sequence semantics through multiple generations: " +
       "each delete applies only below its own seq") {
     import spark.implicits._
