@@ -82,6 +82,20 @@ object GraftFunctions {
     toCol(NormPrefixExpr(toExpr(text), toExpr(n)))
   def htmlExtractMain(html: Column): Column =
     toCol(HtmlExtractMainExpr(toExpr(html)))
+  /** Path → index in `paths` (-1 if absent), `file:` spelling
+    * normalized — the DV read path's integer file key. */
+  def pathOrdinal(path: Column, paths: Seq[String]): Column =
+    toCol(PathOrdinalExpr(toExpr(path),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        paths, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+  /** `key ∈ keys` via binary search (keys sorted here, once) — the
+    * allocation-free large-set membership probe. */
+  def inSortedLongs(key: Column, keys: Seq[Long]): Column =
+    toCol(LongInSortedExpr(toExpr(key),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        keys.sorted, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
   /** Bounded "k smallest longs, sorted" aggregate — O(k) state per
     * group vs collect_list's O(group). */
   def boundedMinLongs(x: Column, k: Int): Column =

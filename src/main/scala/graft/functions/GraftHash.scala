@@ -200,4 +200,78 @@ object GraftHash {
     while (i < n) { out(i) = sig ^ (1L << order(i - 1)); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** File-path → scan-ordinal interning for deletion-vector application
+    * (SnapshotOps.readTagged): the DV filter/anti-join keys on the
+    * scanned row's FILE identity, and a ~100-char path string as the
+    * per-row key is a measured 7.6× read tax (EqScaleProbe, round 13).
+    * `paths` is the scan's plain-spelled file list — a plan-time literal,
+    * ONE array object shared by every row — so the lookup map builds
+    * once per (thread, array object) and each row pays a single bounded
+    * hash probe; the join/InSet key downstream is an integer. Returns
+    * -1 for a path outside the list (a DV row naming a file this scan
+    * doesn't read — it can match nothing). */
+  private final class OrdCache(val paths: ArrayData,
+      val map: java.util.HashMap[UTF8String, Integer]) {
+    // last-hit memo: a scan's rows arrive file-by-file, so consecutive
+    // probes carry the same path — one memcmp replaces the hash probe
+    var lastPath: UTF8String = null
+    var lastOrd: Int = -1
+  }
+  private val ordCache = new ThreadLocal[OrdCache]()
+
+  /** Byte-wise dual of `regexp_replace(p, "^file:/+", "/")` — Spark's
+    * `_metadata.file_path` spells `file:///x`; manifests and DV rows
+    * spell `/x`. */
+  private def normPath(p: UTF8String): UTF8String = {
+    val n = p.numBytes
+    if (n < 6 || p.getByte(0) != 'f' || p.getByte(1) != 'i' ||
+        p.getByte(2) != 'l' || p.getByte(3) != 'e' ||
+        p.getByte(4) != ':' || p.getByte(5) != '/') return p
+    var i = 5
+    while (i < n && p.getByte(i) == '/') i += 1
+    // keep one leading slash; prefix is pure ASCII so char==byte offsets
+    p.substring(i - 1, n)
+  }
+
+  /** Membership of `key` in a SORTED long array — the DV literal tier's
+    * per-row probe. Binary search over the array: ~15 primitive compares
+    * for a 20k-position DV, no boxing, no per-row allocation — measured
+    * ~4× cheaper end-to-end than `InSet`'s immutable-set probe (which
+    * boxes every key) at that size. */
+  def inSortedLongs(key: Long, keys: ArrayData): Boolean = {
+    var lo = 0
+    var hi = keys.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = keys.getLong(mid)
+      if (v == key) return true
+      else if (v < key) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
+  def pathOrdinal(path: UTF8String, paths: ArrayData): Int = {
+    var c = ordCache.get()
+    if (c == null || (c.paths ne paths)) {
+      val n = paths.numElements()
+      val m = new java.util.HashMap[UTF8String, Integer](n * 2)
+      var i = 0
+      while (i < n) {
+        if (!paths.isNullAt(i)) m.put(paths.getUTF8String(i), i)
+        i += 1
+      }
+      c = new OrdCache(paths, m)
+      ordCache.set(c)
+    }
+    if (c.lastPath != null && c.lastPath.equals(path)) return c.lastOrd
+    val r = c.map.get(normPath(path))
+    val ord = if (r == null) -1 else r.intValue()
+    // memo the RAW spelling (what the next row carries); copy because a
+    // columnar reader may reuse the backing buffer across batches
+    c.lastPath = path.clone()
+    c.lastOrd = ord
+    ord
+  }
 }

@@ -174,6 +174,42 @@ case class SimHashMd5Expr(child: Expression)
     copy(child = newChildren(0))
 }
 
+/** Scan-file-path → integer ordinal interning ([[GraftHash.pathOrdinal]]):
+  * turns the deletion-vector key (`_metadata.file_path`, a ~100-char
+  * string) into the path's index in the plan-time scan file list, so DV
+  * filters/anti-joins key on integers. Codegen'd StaticInvoke — one
+  * bounded hash probe per row, no per-row regex, no string join key. */
+case class PathOrdinalExpr(path: Expression, paths: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftHash.getClass, IntegerType, "pathOrdinal",
+      Seq(path, paths),
+      inputTypes = Seq(StringType, ArrayType(StringType)),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(path, paths)
+  override def prettyName: String = "path_ordinal"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
+/** Sorted-long-array membership ([[GraftHash.inSortedLongs]]) — the
+  * allocation-free dual of `isInCollection` for large long key sets
+  * (InSet's immutable set boxes every probe). */
+case class LongInSortedExpr(key: Expression, keys: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    objects.StaticInvoke(GraftHash.getClass, BooleanType, "inSortedLongs",
+      Seq(key, keys),
+      inputTypes = Seq(LongType, ArrayType(LongType)),
+      returnNullable = false)
+  override def children: Seq[Expression] = Seq(key, keys)
+  override def prettyName: String = "in_sorted_longs"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
+
 /** Portable md5 MinHash signature ([[GraftHash.minhashMd5Sig]]):
   * engine-reproducible positions (first 48 bits of md5("j|shingle")
   * minimized over the set), for oracle-checkable MinHash operators. */

@@ -472,14 +472,6 @@ object SnapshotOps {
     dvTiers.withValue(DvTiers(literal, bcast,
       if (files >= 0) files else dvTiers.value.files))(body)
 
-  private def dvFrame(spark: SparkSession,
-      dvs: Seq[FileEntry]): DataFrame = {
-    val df = spark.read.parquet(dvs.map(_.path): _*)
-      .select(col(DvFileCol), col(DvPosCol))
-    val rows = dvs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum
-    if (rows <= DvBroadcastRows) broadcast(df) else df
-  }
-
   /** Driver cache of small DVs' collected positions, keyed by the
     * (immutable) DV file list — repeated reads of a snapshot pay the
     * DV collect once per JVM. */
@@ -513,32 +505,80 @@ object SnapshotOps {
     else if (mergeSchema) spark.read.option("mergeSchema", "true")
     else spark.read
 
+  /** A (file ordinal, position) pair packed into one long join/InSet
+    * key: position occupies the low 40 bits (a single parquet file
+    * cannot reach 2⁴⁰ rows), the ordinal the high 23 — the DV key a
+    * LongHashedRelation/InSet handles natively. */
+  private val PosBits = 40
+
   /** Read `files` with the snapshot's DV positions tagged out, keeping
     * the scan's (file, position) identity as `__file`/`__pos` columns —
-    * the read every commit that needs row provenance builds on. */
+    * the read every commit that needs row provenance builds on.
+    *
+    * DV application keys on the row's FILE identity; a ~100-char path
+    * STRING as the per-row key was a measured 7.6× read tax over the
+    * clean scan (EqScaleProbe, round 13 — string hash + memcmp per row
+    * in the join, an O(DV'd files) string-compare OR-chain in the
+    * literal tier). Both tiers now intern the path to its index in the
+    * plan-time scan file list ([[graft.functions.GraftHash.pathOrdinal]],
+    * one bounded hash probe per row, `file:` spelling normalized
+    * byte-wise — no per-row regex) and key on a single packed long, so
+    * the literal tier is one InSet probe regardless of DV'd-file count
+    * and the join tier builds a long-keyed relation. `__file` (the
+    * normalized string, for provenance consumers like commitDelete) is
+    * only materialized when a downstream plan actually selects it. */
   private def readTagged(spark: SparkSession, files: Seq[String],
       dvs: Seq[FileEntry], mergeSchema: Boolean = false,
       anchor: org.apache.spark.sql.types.StructType = null): DataFrame = {
-    val tagged = plainReader(spark, mergeSchema, anchor)
-      .parquet(files: _*).select(col("*"),
+    val scan = plainReader(spark, mergeSchema, anchor).parquet(files: _*)
+    if (dvs.isEmpty)
+      scan.select(col("*"),
         normFileCol(col("_metadata.file_path")).as("__file"),
         col("_metadata.row_index").as("__pos"))
-    if (dvs.isEmpty) tagged
     else {
+      val ordPaths = files.map(localPath)
+      val fkey = shiftleft(graft.functions.GraftFunctions
+        .pathOrdinal(col("_metadata.file_path"), ordPaths).cast("long"),
+        PosBits).bitwiseOR(col("_metadata.row_index"))
+      val tagged = scan.select(col("*"),
+        normFileCol(col("_metadata.file_path")).as("__file"),
+        col("_metadata.row_index").as("__pos"),
+        fkey.as("__fkey"))
       val rows = dvs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum
-      if (rows <= DvLiteralRows && rows > 0) {
-        // small DV: literal per-file position filter — no join, the
-        // scan stays one codegen pipeline (InSet per DV'd file)
-        val byFile = dvPositions(spark, dvs)
-        val deleted = byFile.toSeq.sortBy(_._1).map { case (f, ps) =>
-          col("__file") === lit(f) && col("__pos").isInCollection(ps)
-        }.reduce(_ || _)
-        tagged.where(!deleted)
-      } else {
-        val dv = dvFrame(spark, dvs)
-        tagged.join(dv, tagged("__file") === dv(DvFileCol) &&
-          tagged("__pos") === dv(DvPosCol), "left_anti")
-      }
+      val out =
+        if (rows <= DvLiteralRows && rows > 0) {
+          // small DV: one literal probe over sorted packed keys — no
+          // join, the scan stays one codegen pipeline, expression size
+          // O(1) in the DV'd-file count; binary search, not InSet,
+          // because InSet's immutable-set probe boxes every key
+          // (measured 3× the clean scan at 20k keys vs 1.6× for the
+          // search — TmpDvProbe decomposition, round 14)
+          val byFile = dvPositions(spark, dvs)
+          val ordOf = ordPaths.zipWithIndex.toMap
+          val keys = byFile.toSeq.flatMap { case (f, ps) =>
+            // a DV row naming a file outside this scan can match nothing
+            ordOf.get(f).toSeq.flatMap(o =>
+              ps.map(p => (o.toLong << PosBits) | p))
+          }
+          if (keys.isEmpty) tagged
+          else tagged.where(!graft.functions.GraftFunctions
+            .inSortedLongs(col("__fkey"), keys))
+        } else {
+          val dv = spark.read.parquet(dvs.map(_.path): _*)
+            .select(shiftleft(graft.functions.GraftFunctions
+              .pathOrdinal(col(DvFileCol), ordPaths).cast("long"), PosBits)
+              .bitwiseOR(col(DvPosCol)).as("__dkey"),
+              col(DvFileCol))
+            // prune DV rows naming files this scan doesn't read — they
+            // can't match, and they'd collide ordinal -1's key space
+            .where(graft.functions.GraftFunctions
+              .pathOrdinal(col(DvFileCol), ordPaths) >= 0)
+            .select(col("__dkey"))
+          val dvSized = if (rows <= DvBroadcastRows) broadcast(dv) else dv
+          tagged.join(dvSized, tagged("__fkey") === dvSized("__dkey"),
+            "left_anti")
+        }
+      out.drop("__fkey")
     }
   }
 
@@ -604,7 +644,8 @@ object SnapshotOps {
             val ps = byFile.getOrElse(localPath(f), Seq.empty)
             val r = plainReader(spark, mergeSchema, anchor).parquet(f)
             if (ps.isEmpty) r // bloom false positive
-            else r.where(!col("_metadata.row_index").isInCollection(ps))
+            else r.where(!graft.functions.GraftFunctions.inSortedLongs(
+              col("_metadata.row_index"), ps))
           }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema)))
         } else Some(readTagged(spark, dvd, dvs, mergeSchema, anchor)
           .drop("__file", "__pos"))
