@@ -4590,98 +4590,12 @@ object PipelineQueries {
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // Margin-based cross-corpus alignment (r9) — Artetxe & Schwenk
-    // 2019 (arXiv:1811.01136) mutual-margin mining, the standard
-    // parallel-corpus construction criterion: the even/odd vec_id
-    // halves stand in for the two sides; score(x,y) = cos(x,y)
-    // normalized by the mean of each side's top-4 neighborhood
-    // (penalizing hub vectors that are close to EVERYTHING), keep only
-    // MUTUAL best matches. Margins are rounded to 6dp BEFORE the
-    // argmax so a cross-engine ulp cannot flip a rank (house rule).
-    //
-    // Scale shape: the cross-score table is NEVER materialized,
-    // shuffled, or sorted — each consumer streams the fused cosine
-    // kernel. The per-side top-4 neighborhoods run as bounded_min_longs
-    // over an order-encoded long ((1e6 - cos·1e6) << 33 | otherId, so
-    // k-smallest == (cos DESC, id ASC) top-k exactly) — O(k) agg state,
-    // map-side combined, only ~k rows per key per partition reach the
-    // wire. The (tiny) neighborhood tables broadcast back onto the
-    // kernel, and both argmax directions are struct-maxes — partial-
-    // aggregable again. The only shuffles in the whole plan carry
-    // side-sized tables.
-    //
-    // SF-GATED KERNEL (r13): the exact dense cross is BY CONTRACT
-    // quadratic — fine up to the oracle scales (sf0.01: 500 vecs,
-    // sf0.1: 2000 vecs, where it is gated and measured), ruinous past
-    // them (651.9 s of the r12 sf3sv row was this one entry). Above
-    // DenseBound vectors the candidate pairs come from the q46
-    // random-hyperplane LSH kernel instead (A-side multi-probes 4
-    // buckets, B-side indexes under its one bucket — a bucket join,
-    // never the cross); scoring, neighborhood normalization and
-    // mutuality are UNCHANGED within candidates. Recall contract: a
-    // pair is only visible if the sides share a probed bucket —
-    // mutual-best pairs are by construction high-cosine, exactly the
-    // pairs LSH recalls best (Artetxe & Schwenk mine from FAISS
-    // candidates the same way).
+    // 2019 mutual-margin mining over the even/odd vec_id halves.
+    // Kernel (incl. the r13 sf-gated dense-vs-LSH candidate choice,
+    // now footer-count-gated and spec-pinned, r14) lives in
+    // EmbeddingOps.bitextMarginMining — design notes there.
     "q220_bitext_margin_mining" -> api({ (spark, _) =>
-      val emb = spark.table("embeddings")
-      val a = emb.where(pmod(col("vec_id"), lit(2)) === 0)
-        .select(col("vec_id").as("a_id"), col("embedding").as("va"))
-      val b = emb.where(pmod(col("vec_id"), lit(2)) === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-      val DenseBound = 4000L // covers every oracle sf; 2x headroom
-      val dense = emb.count() <= DenseBound
-      val rawPairs =
-        if (dense) a.join(broadcast(b))
-        else {
-          import graft.functions.GraftFunctions
-          val (bits, probes, seed) = (10, 4, 7L)
-          val ca = a.select(col("a_id"), col("va"),
-            explode(GraftFunctions.rpSketchProbes(col("va"), lit(bits),
-              lit(seed), lit(probes))).as("bkt"))
-          val cb = b.select(col("b_id"), col("vb"),
-            GraftFunctions.rpSketch(col("vb"), lit(bits), lit(seed))
-              .as("bkt"))
-          // one bucket per B vector, pairwise-distinct probes per A
-          // vector ⇒ a (a_id, b_id) pair matches at most once
-          ca.join(cb, Seq("bkt"))
-        }
-      val pairs = rawPairs
-        .select(col("a_id"), col("b_id"),
-          graft.functions.GraftFunctions.duckRound(
-            EmbeddingOps.cosine(col("va"), col("vb")), 6).as("cos"))
-      def hood(key: String): org.apache.spark.sql.DataFrame = {
-        val other = if (key == "a_id") "b_id" else "a_id"
-        pairs
-          .select(col(key),
-            ((lit(1000000L) - round(col("cos") * 1e6, 0).cast("long")) *
-              lit(8589934592L) + col(other)).as("ek"))
-          .groupBy(key)
-          .agg(graft.functions.GraftFunctions.boundedMinLongs(
-            col("ek"), 4).as("eks"))
-          .select(col(key), graft.functions.GraftFunctions.duckRound(
-            expr("aggregate(eks, 0D, (s, x) -> " +
-              "s + (1000000 - (x div 8589934592)) / 1e6) / size(eks)"), 6)
-            .as(if (key == "a_id") "ma" else "mb"))
-      }
-      val scored = pairs
-        .join(broadcast(hood("a_id")), "a_id")
-        .join(broadcast(hood("b_id")), "b_id")
-        .select(col("a_id"), col("b_id"), col("cos"),
-          graft.functions.GraftFunctions.duckRound(
-            col("cos") / ((col("ma") + col("mb")) / 2.0), 6).as("margin"))
-      val fwd = scored.groupBy("a_id")
-        .agg(max(struct(col("margin"), (-col("b_id")).as("nb"),
-          col("b_id"), col("cos"))).as("f"))
-        .select(col("a_id"), col("f.b_id").as("b_id"),
-          col("f.cos").as("cos"), col("f.margin").as("margin"))
-      val bwd = scored.groupBy("b_id")
-        .agg(max(struct(col("margin"), (-col("a_id")).as("na"),
-          col("a_id"))).as("g"))
-        .select(col("b_id"), col("g.a_id").as("back_a"))
-      fwd.join(bwd, "b_id")
-        .where(col("back_a") === col("a_id"))
-        .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
-        .orderBy("a_id")
+      EmbeddingOps.bitextMarginMining(spark.table("embeddings"))
     },
       """WITH n AS (SELECT vec_id,
         |    CAST(embedding AS DOUBLE[]) AS embedding,

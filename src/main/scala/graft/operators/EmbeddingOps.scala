@@ -355,6 +355,159 @@ object EmbeddingOps {
 
   /** Global top-n most-similar pairs by exact cosine — the all-pairs
     * baseline (small data / oracle checking only; see class doc). */
+  // ---------------------------------------------------------------
+  // Bitext margin mining (q220) — Artetxe & Schwenk 2019
+  // (arXiv:1811.01136) mutual-margin alignment over the even/odd
+  // vec_id halves: score(x,y) = cos(x,y) normalized by the mean of
+  // each side's top-4 neighborhood (penalizing hub vectors), keep
+  // only MUTUAL best matches. Margins round to 6dp BEFORE the argmax
+  // so a cross-engine ulp cannot flip a rank (house rule).
+  // ---------------------------------------------------------------
+
+  /** Vector count above which [[bitextMarginMining]] switches from the
+    * exact dense cross (by contract quadratic — fine at oracle scales,
+    * 651.9 s of the r12 sf3sv run past them) to LSH candidate
+    * generation. A DynamicVariable so a spec can FORCE the LSH branch
+    * at oracle scale and pin it to the dense kernel (the DvTiers
+    * pattern) — production never overrides. 4000 covers every oracle
+    * sf with 2× headroom. */
+  private val bitextDenseBound =
+    new scala.util.DynamicVariable[Long](4000L)
+
+  private[graft] def withBitextDenseBound[T](b: Long)(body: => T): T =
+    bitextDenseBound.withValue(b)(body)
+
+  /** Parquet-footer row counts, memoized per file per JVM (immutable
+    * files; bounded, cleared when it outgrows the cap). */
+  private val footerRowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Corpus cardinality WITHOUT a Spark job where the plan allows it:
+    * when `df` is (aliases/caching/repartition over) one bare parquet
+    * relation, the count is the sum of the files' footer row counts —
+    * pure driver metadata, the manifest-count dual for raw parquet
+    * dirs. Any other shape falls back to `df.count()`. Kernel gates
+    * (q220's dense-vs-LSH choice) must not cost a full corpus scan
+    * per invocation at 100 TB. */
+  private[graft] def metadataRowCount(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    @annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => unwrap(c)
+      case v: View => unwrap(v.child)
+      case r: Repartition => unwrap(r.child)
+      case r: RepartitionByExpression => unwrap(r.child)
+      case Project(ps, c) if ps.forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+        unwrap(c)
+      case other => other
+    }
+    unwrap(df.queryExecution.analyzed) match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val conf = df.sparkSession.sessionState.newHadoopConf()
+          if (footerRowCache.size > 65536) footerRowCache.clear()
+          fs.location.inputFiles.iterator.map { f =>
+            footerRowCache.computeIfAbsent(f, p => {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }).longValue
+          }.sum
+        case _ => df.count()
+      }
+      case _ => df.count()
+    }
+  }
+
+  /** Margin-based cross-corpus alignment. Scale shape: the cross-score
+    * table is NEVER materialized, shuffled, or sorted — each consumer
+    * streams the fused cosine kernel. The per-side top-4 neighborhoods
+    * run as bounded_min_longs over an order-encoded long
+    * ((1e6 - cos·1e6) << 33 | otherId, so k-smallest == (cos DESC,
+    * id ASC) top-k exactly) — O(k) agg state, map-side combined. Both
+    * argmax directions are struct-maxes — partial-aggregable again.
+    *
+    * KERNEL GATE: at or below [[bitextDenseBound]] vectors (counted
+    * from parquet footers — no count job) the candidate pairs are the
+    * exact dense cross and the side-sized neighborhood tables
+    * broadcast; above it candidates come from the q46 random-
+    * hyperplane LSH kernel (A-side multi-probes 4 buckets, B-side
+    * indexes under its one bucket — a bucket join, never the cross)
+    * and the neighborhood joins run SHUFFLED (hood tables are
+    * O(side) rows — a broadcast there is a driver OOM at 10⁹
+    * vectors). Scoring, neighborhood normalization and mutuality are
+    * IDENTICAL in both branches; recall contract: a pair is only
+    * visible if the sides share a probed bucket — mutual-best pairs
+    * are by construction high-cosine, exactly the pairs LSH recalls
+    * best (Artetxe & Schwenk mine from FAISS candidates the same
+    * way). The forced-LSH spec pins branch equality on a
+    * bucket-recall-1 corpus (EmbeddingOpsSpec). */
+  def bitextMarginMining(emb: DataFrame): DataFrame = {
+    val a = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val n = metadataRowCount(emb)
+    val dense = n <= bitextDenseBound.value
+    // artifacts are self-describing: the log names which kernel ran
+    System.err.println(s"[bitext] kernel=${if (dense) "dense" else "lsh"}" +
+      s" corpus_rows=$n bound=${bitextDenseBound.value}")
+    val rawPairs =
+      if (dense) a.join(broadcast(b))
+      else {
+        val (bits, probes, seed) = (10, 4, 7L)
+        val ca = a.select(col("a_id"), col("va"),
+          explode(GraftFunctions.rpSketchProbes(col("va"), lit(bits),
+            lit(seed), lit(probes))).as("bkt"))
+        val cb = b.select(col("b_id"), col("vb"),
+          GraftFunctions.rpSketch(col("vb"), lit(bits), lit(seed))
+            .as("bkt"))
+        // one bucket per B vector, pairwise-distinct probes per A
+        // vector ⇒ a (a_id, b_id) pair matches at most once
+        ca.join(cb, Seq("bkt"))
+      }
+    val pairs = rawPairs
+      .select(col("a_id"), col("b_id"),
+        GraftFunctions.duckRound(cosine(col("va"), col("vb")), 6).as("cos"))
+    def hood(key: String): DataFrame = {
+      val other = if (key == "a_id") "b_id" else "a_id"
+      pairs
+        .select(col(key),
+          ((lit(1000000L) - round(col("cos") * 1e6, 0).cast("long")) *
+            lit(8589934592L) + col(other)).as("ek"))
+        .groupBy(key)
+        .agg(GraftFunctions.boundedMinLongs(col("ek"), 4).as("eks"))
+        .select(col(key), GraftFunctions.duckRound(
+          expr("aggregate(eks, 0D, (s, x) -> " +
+            "s + (1000000 - (x div 8589934592)) / 1e6) / size(eks)"), 6)
+          .as(if (key == "a_id") "ma" else "mb"))
+    }
+    // side-sized tables: broadcast only at dense scale
+    def sized(df: DataFrame): DataFrame = if (dense) broadcast(df) else df
+    val scored = pairs
+      .join(sized(hood("a_id")), "a_id")
+      .join(sized(hood("b_id")), "b_id")
+      .select(col("a_id"), col("b_id"), col("cos"),
+        GraftFunctions.duckRound(
+          col("cos") / ((col("ma") + col("mb")) / 2.0), 6).as("margin"))
+    val fwd = scored.groupBy("a_id")
+      .agg(max(struct(col("margin"), (-col("b_id")).as("nb"),
+        col("b_id"), col("cos"))).as("f"))
+      .select(col("a_id"), col("f.b_id").as("b_id"),
+        col("f.cos").as("cos"), col("f.margin").as("margin"))
+    val bwd = scored.groupBy("b_id")
+      .agg(max(struct(col("margin"), (-col("a_id")).as("na"),
+        col("a_id"))).as("g"))
+      .select(col("b_id"), col("g.a_id").as("back_a"))
+    fwd.join(bwd, "b_id")
+      .where(col("back_a") === col("a_id"))
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+      .orderBy("a_id")
+  }
+
   def nearestPairs(corpus: DataFrame, idCol: String, vecCol: String,
       n: Int): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))

@@ -335,4 +335,72 @@ class EmbeddingOpsSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("bitext mining: the forced LSH candidate branch (the 100 TB " +
+      "path) reproduces the dense kernel exactly on a bucket-recall-1 " +
+      "corpus, and runs without corpus-sized broadcasts") {
+    import spark.implicits._
+    // 4 clusters of IDENTICAL-direction vectors (one-hot, positive
+    // scales): in-cluster cosine is exactly 1.0, cross-cluster exactly
+    // 0.0, and every vector in a cluster shares one rpSketch signature
+    // (sign pattern is scale-invariant) — so the LSH bucket join
+    // recalls every pair that can influence a top-4 neighborhood or a
+    // mutual-best choice, i.e. candidate recall is exactly 1 where it
+    // matters (the q185 probe-gate discipline). Ids mix parities per
+    // cluster: 5 even (A side) + 4 odd (B side) — both sides ≥ the
+    // top-4 neighborhood size, so no degenerate hoods.
+    val dim = 8
+    val rows = for {
+      c <- 0 until 4
+      j <- 0 until 9
+    } yield ((c * 100 + j).toLong,
+      Array.tabulate(dim)(i => if (i == c) 1f + j else 0f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val dense = EmbeddingOps.bitextMarginMining(emb)
+    val denseRows = dense.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // sanity: one mutual pair per cluster, the (min even, min odd)
+    // ids at cosine/margin exactly 1 (tie-break by id, both kernels)
+    assert(denseRows == (0 until 4).map(c =>
+      ((c * 100).toLong, (c * 100 + 1).toLong, 1.0, 1.0)))
+    val (lshRows, lshPlan) = EmbeddingOps.withBitextDenseBound(0L) {
+      val df = EmbeddingOps.bitextMarginMining(emb)
+      (df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(lshRows == denseRows,
+      s"LSH branch diverged from dense kernel:\n$lshRows\nvs\n$denseRows")
+    // scale shape: the LSH branch must not broadcast-build the
+    // neighborhood tables (O(side) rows — a driver OOM at 10⁹
+    // vectors); candidates come from the bucket join, not a cross
+    assert(!lshPlan.contains("BroadcastNestedLoopJoin"), lshPlan)
+  }
+
+  test("metadataRowCount answers from parquet footers (no Spark job) " +
+      "for bare, aliased, and repartitioned+cached parquet relations, " +
+      "and falls back to count() elsewhere") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("embmeta").toString +
+      "/t"
+    spark.range(1234).select(col("id").as("vec_id"))
+      .repartition(3).write.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    assert(EmbeddingOps.metadataRowCount(raw) == 1234L)
+    // the Tables.registerAll shape: repartitioned, cached, temp view
+    raw.repartition(4).cache().createOrReplaceTempView("embmeta_t")
+    try {
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(EmbeddingOps.metadataRowCount(spark.table("embmeta_t")) == 1234L)
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(jobsAfter == jobsBefore, "footer path must not run a job")
+    } finally spark.catalog.dropTempView("embmeta_t")
+    // non-relation plan (filter): falls back to an exact count()
+    assert(EmbeddingOps.metadataRowCount(
+      raw.where(col("vec_id") < 100)) == 100L)
+    // in-memory frame: fallback too
+    assert(EmbeddingOps.metadataRowCount(
+      Seq(1L, 2L, 3L).toDF("vec_id")) == 3L)
+  }
 }
