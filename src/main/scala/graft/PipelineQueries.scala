@@ -363,16 +363,28 @@ object PipelineQueries {
     }
   }
 
+  /** `seedWords` (q267): extra ZERO-FREQUENCY words unioned into the
+    * base word table so the trained merges also rewrite out-of-corpus
+    * words (a prompt template's) — f=0 contributes nothing to any pair
+    * count, so the merge SEQUENCE is bit-identical to the unseeded
+    * chain; consumers joining per-word symbol counts must GROUP BY w
+    * (a seed duplicating a corpus word yields two identical-seq rows). */
   private def bpeChainCtes(numMerges: Int,
-      withSymbolCounts: Boolean): String = {
+      withSymbolCounts: Boolean,
+      seedWords: Seq[String] = Nil): String = {
+    val seedUnion =
+      if (seedWords.isEmpty) ""
+      else seedWords.map(w => s"('${w.replace("'", "''")}', 0)")
+        .mkString("\n        UNION ALL SELECT * FROM (VALUES ",
+          ", ", ") s(w, f)")
     val base =
-      """w0 AS (
-        |  SELECT w, ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))
+      s"""w0 AS (
+        |  SELECT w, ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))
         |      || ' ' AS seq, f
         |  FROM (SELECT t AS w, count(*) AS f
         |        FROM (SELECT unnest(string_split_regex(
-        |            trim(lower(text)), '\s+')) AS t FROM documents) q
-        |        WHERE length(t) >= 1 GROUP BY t) wc)""".stripMargin
+        |            trim(lower(text)), '\\s+')) AS t FROM documents) q
+        |        WHERE length(t) >= 1 GROUP BY t$seedUnion) wc)""".stripMargin
     val steps = (1 to numMerges).map { k =>
       val core =
         s"""p$k AS (
@@ -422,6 +434,60 @@ object PipelineQueries {
        |  CAST(count(*) AS BIGINT) AS ws_tokens
        |FROM dw LEFT JOIN wl ON dw.w = wl.w
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+
+  /** q267's fixed prompt shape: the duckdbinst formatter over a small
+    * constant schema, question = the document text. Everything but the
+    * question is a driver-side constant, so the DuckDB oracle renders
+    * the same prompt as `'<prefix>' || text || '<suffix>'` and the
+    * template's words are enumerable for zero-frequency seeding. */
+  private object PromptTelemetry {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tables: Seq[(String, StructType)] = Seq("documents" ->
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val (prefix, suffix) = PromptOps.promptParts("duckdbinst",
+      PromptOps.formatAllTables(tables),
+      PromptOps.formatContext("duckdbinst", Nil))
+    /** Distinct whitespace-split lowercase template words — exactly the
+      * prompt words that are NOT document words (the prefix ends and
+      * the suffix starts with whitespace, so no word fuses with the
+      * text at either junction). */
+    val seedWords: Seq[String] = (prefix + " " + suffix)
+      .toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val budgets: Seq[Int] = Seq(512, 2048)
+  }
+
+  /** Oracle for q267: re-train the q235 chain with the template words
+    * seeded at f=0, render the same prompts literally, and count each
+    * prompt's subword tokens by one word-level join against the final
+    * chain state (GROUP BY w because a seed may duplicate a corpus
+    * word — identical seq either way). */
+  private def promptOverflowOracle(numMerges: Int): String = {
+    def q(s: String) = s.replace("'", "''")
+    val budgets = PromptTelemetry.budgets.mkString(", ")
+    "WITH " + bpeChainCtes(numMerges, withSymbolCounts = false,
+      seedWords = PromptTelemetry.seedWords) + s""",
+       |pr AS (SELECT doc_id,
+       |    '${q(PromptTelemetry.prefix)}' || text ||
+       |    '${q(PromptTelemetry.suffix)}' AS prompt FROM documents),
+       |pw AS (SELECT doc_id, unnest(string_split_regex(
+       |    trim(lower(prompt)), '\\s+')) AS w FROM pr),
+       |wl AS (SELECT w,
+       |    CAST(min(len(string_split(trim(seq), '  '))) AS BIGINT) AS n
+       |  FROM w$numMerges GROUP BY w),
+       |pt AS (SELECT pw.doc_id, CAST(sum(wl.n) AS BIGINT) AS toks
+       |  FROM pw JOIN wl ON pw.w = wl.w GROUP BY pw.doc_id)
+       |SELECT CAST(budget AS BIGINT) AS budget,
+       |  CAST(count(*) AS BIGINT) AS n_prompts,
+       |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+       |  CAST(max(toks) AS BIGINT) AS max_tokens,
+       |  CAST(sum(CASE WHEN toks > budget THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overflow,
+       |  round(CAST(sum(CASE WHEN toks > budget THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*), 6) AS overflow_frac
+       |FROM pt, (SELECT unnest([$budgets]) AS budget) b
+       |GROUP BY budget ORDER BY budget""".stripMargin
+  }
 
   /** DuckDB-side portable 32-bit SimHash over a token list column `tk`
     * (same bits as [[graft.functions.GraftHash.simhashMd5]]): for bit j,
@@ -3507,6 +3573,33 @@ object PipelineQueries {
             .cast("long").as("ws_tokens"))
         .orderBy("doc_id")
     }, bpeTokenizeOracle(8), headline = true),
+
+    // PROMPT-OVERFLOW TELEMETRY (r14) — the reference's only prompt-
+    // cost stat (eval/predict.py:324-341): tokenize every FINAL prompt
+    // with a real tokenizer, report the fraction over the context
+    // budget. Prompts are the REAL duckdbinst formatter output
+    // (PromptOps.withPrompt — byte-exact per PromptOpsSpec) with the
+    // document text as the per-row instruction (the context-stuffed
+    // shape doc retrieval produces); the tokenizer is the q235-trained
+    // BPE, so token counts are INTEGERS both engines derive exactly.
+    // The oracle re-trains the merge chain (q235's CTEs) with the
+    // prompt template's words seeded at frequency 0 — training is
+    // bit-identical, but the final state also rewrites the template
+    // words, so every prompt word resolves by one join. Budget 2048 is
+    // the reference's; 512 discriminates at oracle scales (sf0.01
+    // prompts run ~300-650 tokens).
+    "q267_prompt_overflow" -> api((spark, _) => {
+      val merges = TextOps.bpeTrain(spark.table("documents"), "text", 8)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val prompted = PromptOps.withPrompt(
+        spark.table("documents")
+          .select(col("doc_id"), col("text").as("question")),
+        "question", "duckdbinst", PromptTelemetry.tables)
+      graft.operators.LlmOrchestrator.promptOverflowStats(prompted,
+        "prompt", new TextOps.BpeTokenizer(merges),
+        budgets = PromptTelemetry.budgets)
+    }, promptOverflowOracle(8), headline = true),
 
     // Corpus ROUGE-N (r10) — Lin 2004's clipped n-gram overlap, the
     // standard summarization/eval metric, micro-averaged over the

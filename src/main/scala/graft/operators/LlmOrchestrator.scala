@@ -302,4 +302,41 @@ object LlmOrchestrator {
       (length(col("prompt")) + length(col("raw_output"))).cast("long")
         .as("total_chars"))
   }
+
+  /** The reference's prompt-cost telemetry (eval/predict.py:324-341):
+    * tokenize every FINAL prompt with a REAL trained tokenizer and
+    * report, per context budget, how many prompts exceed it — the
+    * "Overflow 2048 prompt" line the reference prints after a predict
+    * run. [[textToSql]]'s per-row usage stays character-based (the
+    * deterministic analogue of the model server's live token counts,
+    * see its doc); THIS is the tokenizer-true aggregate, taking any
+    * [[TextOps.GraftTokenizer]] — in practice the q235-trained
+    * [[TextOps.BpeTokenizer]], whose integer token counts are exact in
+    * both engines and hence oracle-checkable (q267).
+    *
+    * One map-only pass: tokenize once per prompt, explode the
+    * (model-sized) budget list, one partial-aggregated groupBy over
+    * |budgets| keys — no corpus shuffle, the stat costs a scan. */
+  def promptOverflowStats(prompted: DataFrame, promptCol: String,
+      tokenizer: TextOps.GraftTokenizer,
+      budgets: Seq[Int] = Seq(2048)): DataFrame = {
+    require(budgets.nonEmpty, "promptOverflowStats: no budgets")
+    prompted
+      .select(size(tokenizer.tokenize(col(promptCol))).cast("long")
+        .as("toks"))
+      .select(col("toks"),
+        explode(lit(budgets.map(_.toLong).toArray)).as("budget"))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_prompts"),
+        sum(col("toks")).as("total_tokens"),
+        max(col("toks")).as("max_tokens"),
+        sum(when(col("toks") > col("budget"), 1L).otherwise(0L))
+          .as("n_overflow"))
+      .select(col("budget"), col("n_prompts"), col("total_tokens"),
+        col("max_tokens"), col("n_overflow"),
+        graft.functions.GraftFunctions.duckRound(
+          col("n_overflow").cast("double") / col("n_prompts"), 6)
+          .as("overflow_frac"))
+      .orderBy("budget")
+  }
 }

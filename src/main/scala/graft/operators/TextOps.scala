@@ -815,7 +815,11 @@ object TextOps {
   final class BpeTokenizer(merges: Seq[(String, String)])
       extends GraftTokenizer {
     def tokenize(text: Column): Column =
-      flatten(transform(tokens(lower(text)), { w =>
+      // array_remove "": text with edge NON-SPACE whitespace (a prompt
+      // ending "\n") yields an empty edge word under the whitespace
+      // contract (trim strips spaces only; split keeps the trailing
+      // empty match) — a real subword tokenizer emits no token there
+      flatten(transform(array_remove(tokens(lower(text)), ""), { w =>
         val merged = merges.foldLeft(bpeCanonical(w)) { case (s, (l, r)) =>
           replace(s, lit(s" $l  $r "), lit(s" $l$r "))
         }

@@ -207,6 +207,30 @@ class LlmOrchestratorSpec extends SparkSpecBase {
     assert(run(5).toSeq == a.toSeq) // batching is invisible to results
   }
 
+  test("promptOverflowStats: tokenizer-true counts per budget, " +
+      "hand-checkable, one row per budget") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // no merges: every char is a token; trailing newline must NOT
+    // count as a token (the edge-word artifact BpeTokenizer drops)
+    val tok = new TextOps.BpeTokenizer(Nil)
+    val prompts = Seq("ab cd", "abcdef gh ij\n", "a")
+      .toDF("prompt") // 4, 10, 1 tokens
+    val got = LlmOrchestrator.promptOverflowStats(prompts, "prompt", tok,
+      budgets = Seq(4, 2048)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (4L, 3L, 15L, 10L, 1L, 0.333333),   // only the 10-token prompt > 4
+      (2048L, 3L, 15L, 10L, 0L, 0.0)))
+    // a trained merge shrinks counts: merge (a,b) on "ab" -> 1 token
+    val tok2 = new TextOps.BpeTokenizer(Seq(("a", "b")))
+    val one = LlmOrchestrator.promptOverflowStats(
+      Seq("ab ab").toDF("prompt"), "prompt", tok2, budgets = Seq(2048))
+      .collect().head
+    assert(one.getLong(2) == 2L) // 2 merged tokens, was 4 chars
+  }
+
   test("q217 rerank: a permutation of the BM25 top-10 with dense ranks") {
     import org.apache.spark.sql.functions._
     Queries.prep(spark, sfDir)
