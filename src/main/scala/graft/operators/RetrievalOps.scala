@@ -115,6 +115,79 @@ object RetrievalOps {
     }
   }
 
+  /** REAL embedding transport behind the [[Embedder]] seam — the dual
+    * of LlmOrchestrator.HttpGenerationClient for the reference's
+    * embedding API call (eval/doc_retriever.py:65-75, an OpenAI-style
+    * batch endpoint). Each [[BatchedEmbedder]] batch POSTs
+    * `{"texts":[…], "dim":d}` as JSON and expects
+    * `{"embeddings":[[…],…]}` (or a bare array) with exactly one
+    * `dim`-length numeric vector per text — count/length mismatches
+    * fail loudly (misaligned vectors would silently corrupt retrieval).
+    * Built on JDK java.net.http plus Spark-bundled Jackson, transient
+    * per-executor client. INERT OFFLINE: nothing constructs it unless
+    * `spark.graft.embed.endpoint` is set ([[embedderFromConf]]);
+    * loopback-spec'd in RetrievalOpsSpec. */
+  final class HttpEmbedder(endpoint: String, val dim: Int = 16,
+      batchSize: Int = 64, connectTimeoutMs: Long = 5000,
+      requestTimeoutMs: Long = 120000) extends Embedder with Serializable {
+    @transient private lazy val http: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+        .build()
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    private[operators] def encode(texts: Seq[String],
+        d: Int): Seq[Array[Double]] = {
+      val root = mapper.createObjectNode()
+      root.put("dim", d)
+      val arr = root.putArray("texts")
+      texts.foreach(t => if (t == null) arr.addNull() else arr.add(t))
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers
+          .ofString(mapper.writeValueAsString(root)))
+        .build()
+      val resp = http.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"embed endpoint $endpoint returned HTTP ${resp.statusCode()}")
+      val parsed = mapper.readTree(resp.body())
+      val embs = if (parsed.isArray) parsed else parsed.get("embeddings")
+      require(embs != null && embs.isArray,
+        s"embed endpoint $endpoint: response has no embeddings array")
+      require(embs.size() == texts.length,
+        s"embed endpoint $endpoint returned ${embs.size()} embeddings " +
+          s"for ${texts.length} texts")
+      (0 until embs.size()).map { i =>
+        val v = embs.get(i)
+        require(v.isArray && v.size() == d,
+          s"embed endpoint $endpoint: embedding $i has " +
+            s"${if (v.isArray) v.size() else -1} dims, expected $d")
+        Array.tabulate(d)(j => v.get(j).asDouble())
+      }
+    }
+
+    def embed(df: DataFrame, textCol: String,
+        outCol: String = "embedding"): DataFrame =
+      new BatchedEmbedder(dim, batchSize, encode).embed(df, textCol, outCol)
+  }
+
+  /** [[LlmOrchestrator.clientFromConf]]'s dual for the embedding seam:
+    * `spark.graft.embed.endpoint` set → [[HttpEmbedder]] (dim from
+    * `spark.graft.embed.dim`, default 16); unset → the deterministic
+    * [[BatchedEmbedder]] stub, so offline runs are bit-reproducible. */
+  def embedderFromConf(
+      spark: org.apache.spark.sql.SparkSession): Embedder = {
+    val dim = spark.conf.getOption("spark.graft.embed.dim")
+      .map(_.toInt).getOrElse(16)
+    spark.conf.getOption("spark.graft.embed.endpoint")
+      .map(new HttpEmbedder(_, dim))
+      .getOrElse(new BatchedEmbedder(dim))
+  }
+
   /** Dot-product top-n: ranks corpus rows against each broadcast query
     * vector (the reference's query_docs). `corpus`/`queries` carry key
     * columns + an embedding column; ties break on the key columns. */

@@ -78,6 +78,62 @@ class RetrievalOpsSpec extends SparkSpecBase {
     assert(colPath.nonEmpty && colPath.head._3.length == 16)
   }
 
+  test("HttpEmbedder round-trips batches through a loopback server, " +
+      "matches the stub bit-for-bit, batches calls, and rejects a " +
+      "miscounted response; embedderFromConf stays inert offline") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    def handler(drop: Boolean): com.sun.net.httpserver.HttpHandler = { ex =>
+      calls.incrementAndGet()
+      val req = mapper.readTree(ex.getRequestBody)
+      val texts = (0 until req.get("texts").size()).map { i =>
+        val t = req.get("texts").get(i)
+        if (t.isNull) null else t.asText()
+      }
+      // loopback model speaking the stub function, so the whole HTTP
+      // round trip is checkable against the in-process embedder
+      val embs = RetrievalOps.stubEncodeBatch(texts, req.get("dim").asInt())
+      val resp = mapper.createObjectNode()
+      val arr = resp.putArray("embeddings")
+      embs.take(if (drop) embs.size - 1 else embs.size).foreach { e =>
+        val v = arr.addArray(); e.foreach(v.add)
+      }
+      val bytes = mapper.writeValueAsBytes(resp)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/embed", handler(drop = false))
+    server.createContext("/bad", handler(drop = true))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val many = spark.range(40)
+        .select(col("id"), concat(lit("doc text "), col("id")).as("text"))
+      val http = new RetrievalOps.HttpEmbedder(
+        s"http://127.0.0.1:$port/embed", dim = 16, batchSize = 8)
+      val got = http.embed(many, "text").orderBy("id")
+        .collect().map(_.getSeq[Double](2)).toSeq
+      val stub = new RetrievalOps.BatchedEmbedder(16).embed(many, "text")
+        .orderBy("id").collect().map(_.getSeq[Double](2)).toSeq
+      assert(got == stub)
+      assert(calls.get() < 40, s"calls=${calls.get()} — not batched")
+      // a response with the wrong vector count must fail loudly
+      val bad = new RetrievalOps.HttpEmbedder(
+        s"http://127.0.0.1:$port/bad", dim = 16, batchSize = 8)
+      val ex = intercept[org.apache.spark.SparkException](
+        bad.embed(many, "text").collect())
+      assert(ex.getMessage.contains("embeddings") ||
+        ex.getCause != null)
+      // conf seam: unset endpoint → the deterministic stub (no HTTP)
+      assert(RetrievalOps.embedderFromConf(spark)
+        .isInstanceOf[RetrievalOps.BatchedEmbedder])
+    } finally server.stop(0)
+  }
+
   test("null text embeds identically (all zeros) on both paths") {
     val df = Seq((1L, Option("abc")), (2L, Option.empty[String]))
       .toDF("doc_id", "chunk")
