@@ -304,6 +304,10 @@ class Engine(val spark: SparkSession) {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
   private val AlterType =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*""".r
+  private val AlterRename =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterDropCol =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   private val AttachCmd =
@@ -878,6 +882,30 @@ class Engine(val spark: SparkSession) {
     case AlterType(name, colName, typ) =>
       register(name, table(name).withColumn(colName,
         col(colName).cast(normalizeType(typ)))); empty()
+    // RENAME/DROP COLUMN: zero-rewrite column-mapping commits at the
+    // snapshot layer (SnapshotOps.commitRenameColumn/commitDropColumn)
+    // when the table is snapshot-backed — data files untouched, time
+    // travel to the pre-evolution shape preserved; lazy tables take
+    // the plain plan-level rename/drop
+    case AlterRename(name, from, to) =>
+      ensureSnapshot(name) match {
+        case Some(dir) =>
+          lastCommit(norm(name)) = graft.operators.SnapshotOps
+            .commitRenameColumn(spark, dir, from, to)
+          registerSnapshot(name, dir)
+        case None =>
+          register(name, table(name).withColumnRenamed(from, to))
+      }
+      empty()
+    case AlterDropCol(name, colName) =>
+      ensureSnapshot(name) match {
+        case Some(dir) =>
+          lastCommit(norm(name)) = graft.operators.SnapshotOps
+            .commitDropColumn(spark, dir, colName)
+          registerSnapshot(name, dir)
+        case None => register(name, table(name).drop(colName))
+      }
+      empty()
     case DropTable(name) =>
       tables.remove(norm(name))
       // the snapshot binding dies with the table: a later PRAGMA

@@ -2703,6 +2703,87 @@ object SystemQueries {
         |  CAST(0 AS BIGINT) AS eq_files_after,
         |  CAST(7 AS BIGINT) AS n_versions
         |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
+      headline = true),
+
+    // COLUMN EVOLUTION AT THE SQL SURFACE (r14) — RENAME/DROP COLUMN
+    // as zero-rewrite column-mapping commits (Iceberg field-ids /
+    // Delta column-mapping shape; SnapshotOps.commitRenameColumn/
+    // commitDropColumn): physical names freeze into files at first
+    // write, renames and drops are pure manifest metadata, readers
+    // project live ids AS OF the version being read. The lifecycle:
+    // create+fill (v1), RENAME bal→balance (v2), DROP seg (v3), an
+    // evolved append under the NEW shape (v4), a COW UPDATE addressing
+    // the RENAMED column (v5) — then the final content, plus time
+    // travel to the pre-evolution (v1: id,bal,seg) and post-drop (v3:
+    // id,balance) shapes, all re-derived by the oracle from customer
+    // alone. meta_only pins the design point: both evolution commits
+    // wrote ZERO data files.
+    "q268_sql_column_evolution" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val e = new Engine(spark)
+      e.executeDuck(
+        "CREATE TABLE g268_acct (id INTEGER, bal DOUBLE, seg VARCHAR)")
+      e.executeDuck(
+        """INSERT INTO g268_acct
+          |SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+          |WHERE c_custkey < 100""".stripMargin)                  // v1
+      e.executeDuck("ALTER TABLE g268_acct RENAME COLUMN bal TO balance")
+      val renameMetaOnly = e.lastCommit("g268_acct").written == 0 // v2
+      e.executeDuck("ALTER TABLE g268_acct DROP COLUMN seg")
+      val dropMetaOnly = e.lastCommit("g268_acct").written == 0   // v3
+      e.executeDuck(
+        """INSERT INTO g268_acct
+          |SELECT c_custkey, c_acctbal + 1 FROM customer
+          |WHERE c_custkey >= 100 AND c_custkey < 140""".stripMargin) // v4
+      e.executeDuck(
+        "UPDATE g268_acct SET balance = balance + 50 WHERE id < 20") // v5
+      val dir = e.snapshotDir("g268_acct").get
+      def phaseRow(phase: String, df: org.apache.spark.sql.DataFrame,
+          balCol: String) =
+        df.agg(count(lit(1)).as("n"),
+            sum(col(balCol).cast("decimal(18,2)")).cast("double")
+              .as("bal_total"))
+          .select(lit(phase).as("phase"), col("n"), col("bal_total"),
+            lit(df.columns.mkString(",")).as("cols"))
+      val out = phaseRow("final", e.table("g268_acct"), "balance")
+        .unionByName(phaseRow("asof_v1",
+          SnapshotOps.readSnapshot(spark, dir, 1), "bal"))
+        .unionByName(phaseRow("asof_v3",
+          SnapshotOps.readSnapshot(spark, dir, 3), "balance"))
+        .select(col("*"),
+          lit(if (renameMetaOnly && dropMetaOnly) 1L else 0L)
+            .as("meta_only"))
+        .orderBy("phase")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over engine-scoped scratch
+        .localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH base AS (SELECT c_custkey AS id, c_acctbal AS bal
+        |    FROM customer WHERE c_custkey < 100),
+        |fin AS (
+        |  SELECT id,
+        |    CASE WHEN id < 20 THEN bal + 50 ELSE bal END AS balance
+        |  FROM base
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 1 FROM customer
+        |  WHERE c_custkey >= 100 AND c_custkey < 140),
+        |r AS (
+        |  SELECT 'final' AS phase, count(*) AS n,
+        |    CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS bal_total,
+        |    'id,balance' AS cols FROM fin
+        |  UNION ALL
+        |  SELECT 'asof_v1', count(*),
+        |    CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE),
+        |    'id,bal,seg' FROM base
+        |  UNION ALL
+        |  SELECT 'asof_v3', count(*),
+        |    CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE),
+        |    'id,balance' FROM base)
+        |SELECT phase, CAST(n AS BIGINT) AS n, bal_total, cols,
+        |  CAST(1 AS BIGINT) AS meta_only
+        |FROM r ORDER BY phase""".stripMargin,
       headline = true)
   )
 }

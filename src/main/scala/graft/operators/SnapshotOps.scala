@@ -331,11 +331,19 @@ object SnapshotOps {
       schema: org.apache.spark.sql.types.StructType = null,
       mergeSchema: Boolean = false): DataFrame = {
     val files = snapshotFiles(tableDir, version)
-    if (files.nonEmpty)
-      readUnitsVisible(spark, tableDir, dataUnits(tableDir, version),
-        deleteEntries(tableDir, version),
-        eqDeleteUnits(tableDir, version), mergeSchema = mergeSchema)
-    else spark.createDataFrame(
+    if (files.nonEmpty) {
+      // column-mapped (evolved) tables read under mergeSchema so every
+      // physical column surfaces across pre-/post-evolution files, then
+      // project live ids AS OF THIS VERSION (physical → logical): time
+      // travel to a pre-rename/pre-drop version reproduces that
+      // version's shape with its data, from the same unrewritten files
+      val mapping = columnMapping(tableDir, version)
+      val phys = readUnitsVisible(spark, tableDir,
+        dataUnits(tableDir, version), deleteEntries(tableDir, version),
+        eqDeleteUnits(tableDir, version),
+        mergeSchema = mergeSchema || mapping.nonEmpty)
+      logicalView(phys, mapping)
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Option(schema).getOrElse(org.apache.spark.sql.types.StructType(Nil)))
   }
@@ -733,9 +741,13 @@ object SnapshotOps {
       // DV size tracks matched rows — a few output files is plenty of
       // write parallelism, and keeps the manifest line count bounded.
       // The match scans VISIBLE rows only (eq-deletes applied), so a
-      // DV never re-names a row an equality delete already removed
-      readUnitsVisible(spark, tableDir, units, dvs,
-        eqDeleteUnits(tableDir, base), tagged = true)
+      // DV never re-names a row an equality delete already removed.
+      // `cond` references LOGICAL names — evaluate on the mapped view
+      // (identity for never-evolved tables).
+      logicalView(readUnitsVisible(spark, tableDir, units, dvs,
+          eqDeleteUnits(tableDir, base), tagged = true,
+          mergeSchema = columnMapping(tableDir, base).nonEmpty),
+          columnMapping(tableDir, base), extra = Seq("__file", "__pos"))
         .where(cond)
         .select(col("__file").as(DvFileCol), col("__pos").as(DvPosCol))
         .coalesce(4)
@@ -808,14 +820,18 @@ object SnapshotOps {
         "units without a stamped _seq (pre-stamping manifest) — " +
         "compact or rewrite the table once first")
     val dir = newDataDir(tableDir)
+    // key columns arrive LOGICAL; the key file (whose schema IS the
+    // equality key) must carry the frozen physical names the data
+    // files' anti-join resolves against
+    val physKeys = toPhysical(keys, columnMapping(tableDir, pre))
     // one small file: the key list is bounded by contract (a delete
     // list, not a corpus) and readers broadcast it per scan group
-    keys.distinct().coalesce(1).write.parquet(dir)
-    val numericKeys = keys.schema.fields.filter(f =>
+    physKeys.distinct().coalesce(1).write.parquet(dir)
+    val numericKeys = physKeys.schema.fields.filter(f =>
       f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(_.name).toSeq
     val written = entriesFor(spark, parquetFilesIn(dir), numericKeys,
-      bloomCols = keys.columns.toSeq)
+      bloomCols = physKeys.columns.toSeq)
       .filter(_.bounds.get(RowsKey).exists(_._1 > 0))
     if (written.isEmpty)
       return Committed(pre, 0, 0, 0, skipped = true)
@@ -850,11 +866,15 @@ object SnapshotOps {
       val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitUpdateMoR on empty table $tableDir")
       val dvs = deleteEntries(tableDir, base)
+      val mapping = columnMapping(tableDir, base)
       // matched VISIBLE rows (eq-deletes applied — an update must
       // never resurrect an equality-deleted row as new data), read
-      // once; the checkpoint's blocks release before every exit
-      val hits = readUnitsVisible(spark, tableDir, units, dvs,
-        eqDeleteUnits(tableDir, base), tagged = true)
+      // once; the checkpoint's blocks release before every exit.
+      // cond and `update` see the LOGICAL view (identity un-evolved).
+      val hits = logicalView(readUnitsVisible(spark, tableDir, units,
+          dvs, eqDeleteUnits(tableDir, base), tagged = true,
+          mergeSchema = mapping.nonEmpty),
+          mapping, extra = Seq("__file", "__pos"))
         .where(cond).localCheckpoint()
       val (dvWritten, written) = try {
         val dvDir = newDataDir(tableDir)
@@ -867,7 +887,8 @@ object SnapshotOps {
         if (dvW.isEmpty) (dvW, Seq.empty[FileEntry])
         else {
           val dataDir = newDataDir(tableDir)
-          update(hits.drop("__file", "__pos")).write.parquet(dataDir)
+          toPhysical(update(hits.drop("__file", "__pos")), mapping)
+            .write.parquet(dataDir)
           (dvW, entriesFor(spark, parquetFilesIn(dataDir),
             statsColsOf(entries), bloomColsOf(entries)))
         }
@@ -1264,9 +1285,21 @@ object SnapshotOps {
     val pre = currentVersion(tableDir)
     if (alreadyIn(snapshotMeta(tableDir, pre)))
       return Committed(pre, 0, 0, 0, skipped = true)
+    // column-mapped tables: the frame arrives under LOGICAL names —
+    // write its files under the frozen physical names, minting fresh
+    // ids/physical names for columns the mapping has never seen
+    val (physDf, newMapping) = appendPhysical(tableDir, pre, df)
+    val toPhysName: String => String = newMapping match {
+      case None => identity
+      case Some(m) =>
+        val byLogical = m.filter(_.live)
+          .map(c => c.logical -> c.physical).toMap
+        n => byLogical.getOrElse(n, n)
+    }
     val dir = newDataDir(tableDir)
-    df.write.parquet(dir)
-    val mine = entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
+    physDf.write.parquet(dir)
+    val mine = entriesFor(spark, parquetFilesIn(dir),
+      statsCols.map(toPhysName), bloomCols.map(toPhysName))
     // the group file is rebase-invariant: written once, reused across
     // CAS retries (only the manifest line list rebases)
     val mineLines =
@@ -1277,8 +1310,18 @@ object SnapshotOps {
       val meta = snapshotMeta(tableDir, base)
       if (alreadyIn(meta)) // lost the race to a twin of the same batch
         return Committed(base, 0, 0, conflicts, skipped = true)
-      val newMeta = txn.fold(meta) { case (sid, bid) =>
-        meta + (s"txn.$sid" -> bid.toString)
+      // the files were written under `pre`'s mapping — a concurrent
+      // rename/drop would silently misfile them, so fail loudly rather
+      // than publish under a mapping the data doesn't match
+      require(meta.get(ColsKey) ==
+        snapshotMeta(tableDir, pre).get(ColsKey) ||
+        base == pre,
+        s"commitAppend on $tableDir raced a column-evolution commit — " +
+          "retry the append against the new schema")
+      val metaWithCols = newMapping.fold(meta)(m =>
+        meta + (ColsKey -> colsValue(m)))
+      val newMeta = txn.fold(metaWithCols) { case (sid, bid) =>
+        metaWithCols + (s"txn.$sid" -> bid.toString)
       }
       // append never parses the base manifest's entries: its lines
       // (group refs or legacy flat entries) carry forward VERBATIM and
@@ -1340,6 +1383,175 @@ object SnapshotOps {
       s"commitRestore lost $maxRetries version races on $tableDir")
   }
 
+  // ---------------------------------------------------------------
+  // COLUMN MAPPING — RENAME/DROP COLUMN as zero-rewrite metadata
+  // (Iceberg v2 field-ids / Delta column-mapping shape). The manifest
+  // meta key `_cols` holds an ordered list `id=physical=logical`:
+  //   * `physical` is the name FROZEN into parquet files at the
+  //     column's first write and never changes — renames touch only
+  //     the logical name, so no data file is rewritten and files
+  //     written before and after a rename stay one coherent scan;
+  //   * `logical` is the user-facing name; `-` marks a DROPPED column
+  //     (a tombstone — kept so its physical name stays reserved and a
+  //     later re-add of the same logical name gets a FRESH physical
+  //     name, which is exactly what stops old files' data from
+  //     resurrecting under the re-added column);
+  //   * readers project live ids in mapping order (physical → logical)
+  //     as of the VERSION BEING READ, so time travel to a pre-rename/
+  //     pre-drop snapshot reproduces the old shape with its data.
+  // Tables that never evolve carry no `_cols` and take none of these
+  // paths — zero regression. The mapping materializes lazily at the
+  // first rename/drop (identity over the then-current schema).
+  // ---------------------------------------------------------------
+
+  private val ColsKey = "_cols"
+
+  final case class ColMap(id: Int, physical: String, logical: String) {
+    def live: Boolean = logical != "-"
+  }
+
+  private def parseCols(v: String): Seq[ColMap] =
+    v.split(",").iterator.filter(_.nonEmpty).map { e =>
+      val Array(i, p, l) = e.split("=", 3)
+      ColMap(i.toInt, p, l)
+    }.toSeq
+
+  private def colsValue(m: Seq[ColMap]): String =
+    m.map(c => s"${c.id}=${c.physical}=${c.logical}").mkString(",")
+
+  /** The column mapping a snapshot was committed under, if it has
+    * evolved (public: table_info-class introspection reads it). */
+  def columnMapping(tableDir: String, version: Int): Option[Seq[ColMap]] =
+    snapshotMeta(tableDir, version).get(ColsKey).map(parseCols)
+
+  /** Names land in manifest meta (`,`/`=`-separated) and parquet
+    * schemas — reject the separators and the tombstone marker. */
+  private def requireMappable(n: String): Unit =
+    require(n.nonEmpty && n != "-" &&
+      !n.exists(c => c == ',' || c == '=' || c == ':'),
+      s"column name '$n' cannot participate in column mapping " +
+        "(reserved characters , = : or tombstone marker)")
+
+  /** Physical frame → the mapping's logical view: live columns in
+    * mapping order under their logical names, plus `extra` passthrough
+    * columns (provenance tags like __file/__pos). Dropped columns'
+    * physical data is excluded here — that's the whole drop. */
+  private def logicalView(df: DataFrame, mapping: Option[Seq[ColMap]],
+      extra: Seq[String] = Nil): DataFrame = mapping match {
+    case None => df
+    case Some(m) =>
+      df.select(m.filter(_.live).map(c =>
+        col(c.physical).as(c.logical)) ++ extra.map(col): _*)
+  }
+
+  /** Logical frame → physical column names for a data-file write.
+    * Columns outside the mapping pass through unchanged (commitAppend
+    * extends the mapping for them before calling this). */
+  private def toPhysical(df: DataFrame, mapping: Option[Seq[ColMap]])
+      : DataFrame = mapping match {
+    case None => df
+    case Some(m) =>
+      val byLogical = m.filter(_.live).map(c => c.logical -> c.physical).toMap
+      df.select(df.columns.map(c =>
+        col(c).as(byLogical.getOrElse(c, c))).toIndexedSeq: _*)
+  }
+
+  /** Current mapping, materializing the lazy identity mapping from the
+    * snapshot's physical schema on first evolution. */
+  private def mappingOrIdentity(spark: SparkSession, tableDir: String,
+      base: Int): Seq[ColMap] =
+    columnMapping(tableDir, base).getOrElse {
+      val files = snapshotFiles(tableDir, base)
+      require(files.nonEmpty,
+        s"column evolution on $tableDir needs a committed schema " +
+          "(empty table — no physical columns to map)")
+      val phys = spark.read.option("mergeSchema", "true")
+        .parquet(files: _*).schema.fieldNames.toSeq
+      phys.foreach(requireMappable)
+      phys.zipWithIndex.map { case (p, i) => ColMap(i + 1, p, p) }
+    }
+
+  /** Publish a metadata-only commit carrying every base line verbatim
+    * with the `_cols` meta replaced — the shared shape of rename/drop
+    * (zero data files written, copied or listed). */
+  private def commitColsMeta(tableDir: String, base: Int,
+      mapping: Seq[ColMap], maxRetries: Int): Committed = {
+    var conflicts = 0
+    var at = base
+    while (conflicts <= maxRetries) {
+      val lines = metaLines(snapshotMeta(tableDir, at) +
+        (ColsKey -> colsValue(mapping))) ++
+        snapshotUnits(tableDir, at).map(_.raw)
+      if (tryPublishLines(tableDir, at + 1, lines))
+        return Committed(at + 1,
+          dataUnits(tableDir, at).flatMap(_.entries).size, 0, conflicts)
+      conflicts += 1
+      at = currentVersion(tableDir)
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"column-evolution commit lost $maxRetries version races on $tableDir")
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN from TO to` at the snapshot layer:
+    * pure metadata (the physical name stays frozen in every file). */
+  def commitRenameColumn(spark: SparkSession, tableDir: String,
+      from: String, to: String, maxRetries: Int = 5): Committed = {
+    requireMappable(to)
+    val base = currentVersion(tableDir)
+    val m = mappingOrIdentity(spark, tableDir, base)
+    require(m.exists(c => c.live && c.logical == from),
+      s"RENAME COLUMN: no live column '$from' in $tableDir")
+    require(!m.exists(c => c.live && c.logical == to),
+      s"RENAME COLUMN: target name '$to' already exists in $tableDir")
+    commitColsMeta(tableDir, base,
+      m.map(c => if (c.live && c.logical == from) c.copy(logical = to)
+                 else c),
+      maxRetries)
+  }
+
+  /** `ALTER TABLE … DROP COLUMN name`: the id becomes a tombstone —
+    * zero rewrite, data stays in files for time travel, and the
+    * reserved physical name keeps a later re-add from resurrecting it. */
+  def commitDropColumn(spark: SparkSession, tableDir: String,
+      name: String, maxRetries: Int = 5): Committed = {
+    val base = currentVersion(tableDir)
+    val m = mappingOrIdentity(spark, tableDir, base)
+    require(m.exists(c => c.live && c.logical == name),
+      s"DROP COLUMN: no live column '$name' in $tableDir")
+    require(m.count(_.live) > 1,
+      s"DROP COLUMN: '$name' is the last live column of $tableDir")
+    commitColsMeta(tableDir, base,
+      m.map(c => if (c.live && c.logical == name) c.copy(logical = "-")
+                 else c),
+      maxRetries)
+  }
+
+  /** commitAppend's mapping step: rename `df` to physical names,
+    * extending the mapping with FRESH ids/physical names for columns
+    * the mapping has never seen (the evolved-append path; a re-added
+    * previously-dropped name gets a new physical name — old data does
+    * not resurrect). Returns (physical df, updated mapping or None
+    * when the table has never evolved). */
+  private def appendPhysical(tableDir: String, base: Int, df: DataFrame)
+      : (DataFrame, Option[Seq[ColMap]]) =
+    columnMapping(tableDir, base) match {
+      case None => (df, None)
+      case Some(m) =>
+        val liveLogicals = m.filter(_.live).map(_.logical).toSet
+        val taken = scala.collection.mutable.Set.empty[String] ++=
+          m.map(_.physical)
+        var nextId = m.map(_.id).max
+        val added = df.columns.filterNot(liveLogicals.contains).map { c =>
+          requireMappable(c)
+          nextId += 1
+          val phys = if (taken.contains(c)) s"${c}_$nextId" else c
+          taken += phys
+          ColMap(nextId, phys, c)
+        }.toSeq
+        val updated = m ++ added
+        (toPhysical(df, Some(updated)), Some(updated))
+    }
+
   /** Transactional copy-on-write update: rows of the current snapshot
     * matching `cond` are replaced by `update` applied to them; files
     * with NO matching row are reused byte-for-byte. An intervening
@@ -1364,10 +1576,13 @@ object SnapshotOps {
       // granularity pruning via the scan's position identity — one
       // distributed pass, a manifest-sized collect); DV'd positions
       // and eq-deleted rows are already filtered out, so a file whose
-      // only matches are deleted rows is not rewritten
+      // only matches are deleted rows is not rewritten. cond and
+      // `update` see the LOGICAL view (identity for un-evolved tables).
+      val mapping = columnMapping(tableDir, base)
+      val merge = mergeSchema || mapping.nonEmpty
       val snap = readUnitsVisible(spark, tableDir, units, dvs, eqs,
-        mergeSchema = mergeSchema, tagged = true)
-      val touched = snap
+        mergeSchema = merge, tagged = true)
+      val touched = logicalView(snap, mapping, extra = Seq("__file"))
         .where(cond)
         .select(col("__file").as("f"))
         .distinct().collect().map(r => localPath(r.getString(0))).toSet
@@ -1396,11 +1611,13 @@ object SnapshotOps {
         // sequence, so the carried `=` lines no longer apply to them —
         // only to the files the rewrite didn't touch
         val rewriteSet = toRewrite.map(localPath).toSet
-        val in = readUnitsVisible(spark, tableDir, units, dvs, eqs,
-          anchor = if (mergeSchema) dataSchema else null,
-          keep = e => rewriteSet.contains(localPath(e.path)))
-        update(in.where(cond)).unionByName(in.where(!coalesce(cond,
-          lit(false)))).write.parquet(dir)
+        val in = logicalView(readUnitsVisible(spark, tableDir, units,
+          dvs, eqs,
+          anchor = if (merge) dataSchema else null,
+          keep = e => rewriteSet.contains(localPath(e.path))), mapping)
+        toPhysical(
+          update(in.where(cond)).unionByName(in.where(!coalesce(cond,
+            lit(false)))), mapping).write.parquet(dir)
         entriesFor(spark, parquetFilesIn(dir), statsColsOf(entries),
           bloomColsOf(entries))
       }
@@ -1576,13 +1793,24 @@ object SnapshotOps {
     }
   }
 
+  /** Logical → frozen physical column name at `version` (identity for
+    * never-evolved tables) — pruned reads consult manifest stats, and
+    * stats are keyed by the names actually written into files. */
+  private def physName(tableDir: String, version: Int,
+      column: String): String =
+    columnMapping(tableDir, version)
+      .flatMap(_.find(c => c.live && c.logical == column).map(_.physical))
+      .getOrElse(column)
+
   def readSnapshotRange(spark: SparkSession, tableDir: String,
       version: Int, column: String, lo: BigDecimal, hi: BigDecimal): DataFrame = {
-    val files = rangeFiles(tableDir, version, column, lo, hi)
-    val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val mapping = columnMapping(tableDir, version)
+    val phys = physName(tableDir, version, column)
+    val files = rangeFiles(tableDir, version, phys, lo, hi)
+    val residual = col(phys) >= lit(lo) && col(phys) <= lit(hi)
     if (files.nonEmpty)
-      readPrunedVisible(spark, tableDir, version, files)
-        .where(residual)
+      logicalView(readPrunedVisible(spark, tableDir, version, files,
+        mergeSchema = mapping.nonEmpty).where(residual), mapping)
     else readSnapshot(spark, tableDir, 0,
       readSnapshot(spark, tableDir, version).schema)
   }
@@ -1694,7 +1922,7 @@ object SnapshotOps {
         val merged = (a.toSeq ++ r.toSeq)
           .reduce(_.unionByName(_, allowMissingColumns = true))
         val keys = merged.columns.filterNot(_ == "_delta").map(col)
-        merged.groupBy(keys: _*)
+        val feed = merged.groupBy(keys: _*)
           .agg(sum(col("_delta")).as("_delta"))
           .where(col("_delta") =!= 0)
           .withColumn("_i",
@@ -1702,6 +1930,12 @@ object SnapshotOps {
           .withColumn("change_type",
             when(col("_delta") > 0, lit("insert")).otherwise(lit("delete")))
           .drop("_delta", "_i")
+        // the diff CANCELS at the physical level (physical names are
+        // frozen, so renames never break row identity); the FEED
+        // presents under `toVersion`'s logical shape — Delta CDF's
+        // latest-schema convention
+        logicalView(feed, columnMapping(tableDir, toVersion),
+          extra = Seq("change_type"))
     }
   }
 
@@ -1763,10 +1997,13 @@ object SnapshotOps {
   /** Point read with manifest Bloom pruning + the exact residual. */
   def readSnapshotPoint(spark: SparkSession, tableDir: String,
       version: Int, column: String, value: Any): DataFrame = {
-    val files = pointFiles(spark, tableDir, version, column, value)
+    val mapping = columnMapping(tableDir, version)
+    val phys = physName(tableDir, version, column)
+    val files = pointFiles(spark, tableDir, version, phys, value)
     if (files.nonEmpty)
-      readPrunedVisible(spark, tableDir, version, files)
-        .where(col(column) === lit(value))
+      logicalView(readPrunedVisible(spark, tableDir, version, files,
+        mergeSchema = mapping.nonEmpty)
+        .where(col(phys) === lit(value)), mapping)
     else readSnapshot(spark, tableDir, 0,
       readSnapshot(spark, tableDir, version).schema)
   }
@@ -1833,13 +2070,16 @@ object SnapshotOps {
   /** Box read with manifest pruning + the exact residual conjunction. */
   def readSnapshotBox(spark: SparkSession, tableDir: String, version: Int,
       box: Seq[(String, BigDecimal, BigDecimal)]): DataFrame = {
-    val files = boxFiles(tableDir, version, box)
-    val residual = box.map { case (c, lo, hi) =>
+    val mapping = columnMapping(tableDir, version)
+    val pbox = box.map { case (c, lo, hi) =>
+      (physName(tableDir, version, c), lo, hi) }
+    val files = boxFiles(tableDir, version, pbox)
+    val residual = pbox.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     if (files.nonEmpty)
-      readPrunedVisible(spark, tableDir, version, files)
-        .where(residual)
+      logicalView(readPrunedVisible(spark, tableDir, version, files,
+        mergeSchema = mapping.nonEmpty).where(residual), mapping)
     else readSnapshot(spark, tableDir, 0,
       readSnapshot(spark, tableDir, version).schema)
   }
@@ -2015,9 +2255,14 @@ object SnapshotOps {
       val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitMerge on empty table $tableDir")
       // VISIBLE rows only: an upsert must treat an eq-deleted key as
-      // absent (insert), never as a match to resurrect-and-replace
-      val snap = readUnitsVisible(spark, tableDir, units, dvs, eqs,
-        tagged = true)
+      // absent (insert), never as a match to resurrect-and-replace.
+      // source/keyCols are LOGICAL — snapshot frames read as the
+      // mapped view (identity for never-evolved tables), the final
+      // write translates back to the frozen physical names.
+      val mapping = columnMapping(tableDir, base)
+      val snap = logicalView(readUnitsVisible(spark, tableDir, units,
+        dvs, eqs, tagged = true, mergeSchema = mapping.nonEmpty),
+        mapping, extra = Seq("__file"))
       val srcKeys = broadcast(src.select(keys: _*).distinct())
       val touched = snap
         .select(keys :+ col("__file").as("f"): _*)
@@ -2037,8 +2282,9 @@ object SnapshotOps {
       val written = {
         val dir = newDataDir(tableDir)
         val rewriteSet = toRewrite.map(localPath).toSet
-        def rewriteIn() = readUnitsVisible(spark, tableDir, units,
-          dvs, eqs, keep = e => rewriteSet.contains(localPath(e.path)))
+        def rewriteIn() = logicalView(readUnitsVisible(spark, tableDir,
+          units, dvs, eqs, mergeSchema = mapping.nonEmpty,
+          keep = e => rewriteSet.contains(localPath(e.path))), mapping)
         val matchedKeys =
           if (toRewrite.isEmpty) null
           else rewriteIn().select(keys: _*).distinct()
@@ -2053,7 +2299,8 @@ object SnapshotOps {
         // inserts: source keys matched NOWHERE in the snapshot
         val inserts = src.join(snap.select(keys: _*).distinct(),
           keyCols, "left_anti")
-        replaced.unionByName(inserts).write.parquet(dir)
+        toPhysical(replaced.unionByName(inserts), mapping)
+          .write.parquet(dir)
         entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)
       }
       val newMeta = txn.fold(snapshotMeta(tableDir, base)) {

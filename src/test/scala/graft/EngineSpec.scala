@@ -648,12 +648,15 @@ class EngineSpec extends SparkSpecBase {
       e.executeDuck(s"INSERT INTO longcf VALUES ($i, ${i * 10})"))
     val feed = e.executeDuck("PRAGMA table_changes('longcf', 1, 100)")
     // plan-depth bound: the 100 per-version EXCEPT-ALL diff subplans
-    // must NOT union into one analyzed tree — each 16-version group
-    // materialized as a LogicalRDD (ceil(100/16) = 7 of them)
+    // must NOT union into one analyzed tree — 16-version groups
+    // materialize during construction, then the FINAL feed
+    // materializes once and the per-group intermediates release
+    // eagerly (r14): the returned plan is exactly ONE LogicalRDD and
+    // pins only feed-sized storage
     val rdds = feed.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l
     }.size
-    assert(rdds == 7, s"expected 7 materialized span groups, got $rdds")
+    assert(rdds == 1, s"expected the one materialized feed, got $rdds")
     val rows = feed.collect()
     assert(rows.length == 100)
     assert(rows.forall(_.getAs[String]("change_type") == "insert"))
