@@ -206,11 +206,19 @@ object StreamingOps {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    // the signature is ~600 md5 calls per doc and the corpus arrives
+    // as ONE parquet file (a single scan partition at any sf) — spread
+    // the rows across the session's cores BEFORE hashing, or the whole
+    // drain runs the hash single-threaded (measured 32.9 s → 6.5 s at
+    // sf3sv's 150k docs)
+    val par = spark.sparkContext.defaultParallelism
     val banded = spark.readStream
       .schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-      .select(col("doc_id").as("id"),
+      .select(col("doc_id").as("id"), col("text"))
+      .repartition(par)
+      .select(col("id"),
         graft.functions.GraftFunctions.minhashMd5(
           graft.operators.TextOps.wordShingles(col("text"), 3), lit(k))
           .as("sig"))
@@ -251,7 +259,10 @@ object StreamingOps {
       }
 
     val name = s"stream_neardup_${System.nanoTime()}"
-    withStatePartitions(spark, 8) {
+    // bucket-pair state work scales with the corpus — give it the
+    // session's parallelism (fresh memory sink per call: no sticky
+    // checkpointed partition count to respect)
+    withStatePartitions(spark, math.max(8, par)) {
       val q = pairs.toDF().writeStream
         .format("memory").queryName(name)
         .outputMode(OutputMode.Append())
