@@ -985,7 +985,12 @@ class Engine(val spark: SparkSession) {
           s"versions ${missing.mkString(",")} (dropped by retention) — " +
           "narrow the span to the surviving history")
       val spans = (from to to).map { v =>
-        SnapshotOps.snapshotDiff(spark, dir, v - 1, v)
+        // presentAs = the REQUESTED end version: every span shares one
+        // logical shape across column renames/drops inside the span
+        // (Delta CDF's latest-schema convention); pre-evolution spans
+        // may lack later-added columns — restored as null by the
+        // allowMissingColumns unions below
+        SnapshotOps.snapshotDiff(spark, dir, v - 1, v, presentAs = to)
           .withColumn("_commit_version", lit(v.toLong))
           // Delta CDF parity: every change row carries its commit's
           // wall-clock stamp (the manifest's _ts meta), so a consumer
@@ -1002,10 +1007,11 @@ class Engine(val spark: SparkSession) {
       // bounded at ~16 subplans regardless of span length; short
       // spans keep the original single lazy plan.
       val grouped = spans.grouped(16).map { g =>
-        val u = g.reduce(_.unionByName(_))
+        val u = g.reduce(_.unionByName(_, allowMissingColumns = true))
         if (spans.size > 16) u.localCheckpoint() else u
       }.toSeq
-      val feed = grouped.reduce(_.unionByName(_))
+      val feed = grouped.reduce(_.unionByName(_,
+          allowMissingColumns = true))
         .where(col("change_type") =!= lit(""))
       // long spans: the per-group checkpoints would otherwise pin
       // span-sized executor storage for as long as the returned frame

@@ -405,7 +405,8 @@ object EmbeddingOps {
     }
     unwrap(df.queryExecution.analyzed) match {
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
           val conf = df.sparkSession.sessionState.newHadoopConf()
           if (footerRowCache.size > 65536) footerRowCache.clear()
           fs.location.inputFiles.iterator.map { f =>

@@ -572,15 +572,20 @@ object SnapshotOps {
           else tagged.where(!graft.functions.GraftFunctions
             .inSortedLongs(col("__fkey"), keys))
         } else {
+          // ONE pathOrdinal instance feeds both the prune and the key:
+          // two separate calls would carry two distinct paths-array
+          // Literals, and once the optimizer interleaves the filter
+          // with the projection the per-thread ordinal cache (keyed on
+          // array identity) would rebuild per row
+          val dvOrd = graft.functions.GraftFunctions
+            .pathOrdinal(col(DvFileCol), ordPaths)
           val dv = spark.read.parquet(dvs.map(_.path): _*)
-            .select(shiftleft(graft.functions.GraftFunctions
-              .pathOrdinal(col(DvFileCol), ordPaths).cast("long"), PosBits)
+            .select(shiftleft(dvOrd.cast("long"), PosBits)
               .bitwiseOR(col(DvPosCol)).as("__dkey"),
               col(DvFileCol))
             // prune DV rows naming files this scan doesn't read — they
             // can't match, and they'd collide ordinal -1's key space
-            .where(graft.functions.GraftFunctions
-              .pathOrdinal(col(DvFileCol), ordPaths) >= 0)
+            .where(dvOrd >= 0)
             .select(col("__dkey"))
           val dvSized = if (rows <= DvBroadcastRows) broadcast(dv) else dv
           tagged.join(dvSized, tagged("__fkey") === dvSized("__dkey"),
@@ -1125,7 +1130,15 @@ object SnapshotOps {
     if (added.isEmpty)
       readSnapshot(spark, tableDir, 0,
         readSnapshot(spark, tableDir, toVersion).schema)
-    else readFilesDv(spark, added, deleteEntries(tableDir, toVersion))
+    else {
+      // mapped tables: the incremental read presents LOGICAL names like
+      // every other read surface (lenient — a live column absent from
+      // every gained file is null there by evolution semantics)
+      val mapping = columnMapping(tableDir, toVersion)
+      logicalView(readFilesDv(spark, added,
+        deleteEntries(tableDir, toVersion),
+        mergeSchema = mapping.nonEmpty), mapping, lenient = true)
+    }
   }
 
   private def localPath(p: String): String =
@@ -1435,13 +1448,47 @@ object SnapshotOps {
   /** Physical frame → the mapping's logical view: live columns in
     * mapping order under their logical names, plus `extra` passthrough
     * columns (provenance tags like __file/__pos). Dropped columns'
-    * physical data is excluded here — that's the whole drop. */
+    * physical data is excluded here — that's the whole drop.
+    * `lenient` is for PARTIAL-file reads (diff sides, incremental
+    * spans) where a live column can be physically absent from every
+    * file read — its values there are null by evolution semantics, so
+    * the column is skipped and the consumer restores it via
+    * `unionByName(allowMissingColumns = true)`; full-snapshot reads
+    * stay strict (a missing live column there is corruption and must
+    * fail loudly). */
   private def logicalView(df: DataFrame, mapping: Option[Seq[ColMap]],
-      extra: Seq[String] = Nil): DataFrame = mapping match {
-    case None => df
-    case Some(m) =>
-      df.select(m.filter(_.live).map(c =>
-        col(c.physical).as(c.logical)) ++ extra.map(col): _*)
+      extra: Seq[String] = Nil, lenient: Boolean = false): DataFrame =
+    mapping match {
+      case None => df
+      case Some(m) =>
+        val live = m.filter(_.live)
+        val have = df.columns.toSet
+        val kept = if (lenient) live.filter(c => have(c.physical)) else live
+        df.select(kept.map(c =>
+          col(c.physical).as(c.logical)) ++ extra.map(col): _*)
+    }
+
+  /** Visible read for FULL-REWRITE maintenance verbs (compact /
+    * cluster / bin-pack): under a mapping, mergeSchema surfaces every
+    * live physical column across pre-/post-evolution files and the
+    * rewrite PAYS the evolution debt — tombstoned (dropped) columns
+    * stay out of the new files, exactly like DV/eq-delete debt. The
+    * frame stays PHYSICAL (maintenance never changes user-facing
+    * names). Identity-shaped for never-evolved tables. */
+  private def maintenanceRead(spark: SparkSession, tableDir: String,
+      base: Int, keep: FileEntry => Boolean = _ => true): DataFrame = {
+    val mapping = columnMapping(tableDir, base)
+    val visible = readUnitsVisible(spark, tableDir,
+      dataUnits(tableDir, base), deleteEntries(tableDir, base),
+      eqDeleteUnits(tableDir, base), mergeSchema = mapping.nonEmpty,
+      keep = keep)
+    mapping match {
+      case Some(m) =>
+        val have = visible.columns.toSet
+        visible.select(m.filter(c => c.live && have(c.physical))
+          .map(c => col(c.physical)): _*)
+      case None => visible
+    }
   }
 
   /** Logical frame → physical column names for a data-file write.
@@ -1544,7 +1591,15 @@ object SnapshotOps {
         val added = df.columns.filterNot(liveLogicals.contains).map { c =>
           requireMappable(c)
           nextId += 1
-          val phys = if (taken.contains(c)) s"${c}_$nextId" else c
+          // mint a physical name free of EVERY recorded physical —
+          // including user columns that happen to be named like a
+          // suffixed mint (`x_3`): keep bumping the suffix until clear
+          var phys = c
+          var suffix = nextId
+          while (taken.contains(phys)) {
+            phys = s"${c}_$suffix"
+            suffix += 1
+          }
           taken += phys
           ColMap(nextId, phys, c)
         }.toSeq
@@ -1653,9 +1708,10 @@ object SnapshotOps {
       val dir = newDataDir(tableDir)
       // VISIBLE-row input: compaction PAYS the merge-on-read debt —
       // DV positions and eq-delete matches bake into the rewrite and
-      // neither `!` nor `=` lines carry into the new manifest
-      readUnitsVisible(spark, tableDir, dataUnits(tableDir, base),
-        deleteEntries(tableDir, base), eqDeleteUnits(tableDir, base))
+      // neither `!` nor `=` lines carry into the new manifest; under a
+      // column mapping, maintenanceRead also surfaces evolved columns
+      // (mergeSchema) and drops tombstoned ones
+      maintenanceRead(spark, tableDir, base)
         .coalesce(nFiles).write.parquet(dir)
       val written = entriesFor(spark, parquetFilesIn(dir),
         statsColsOf(entries), bloomColsOf(entries))
@@ -1825,7 +1881,7 @@ object SnapshotOps {
     * cost tracks the changed data, not the table. Append-only history
     * diffs read strictly the appended files. */
   def snapshotDiff(spark: SparkSession, tableDir: String,
-      fromVersion: Int, toVersion: Int): DataFrame = {
+      fromVersion: Int, toVersion: Int, presentAs: Int = -1): DataFrame = {
     // unit-level prefilter: a group line present VERBATIM in both
     // manifests names an identical file set on both sides (group files
     // are immutable), so it cancels without even being parsed — the
@@ -1932,10 +1988,16 @@ object SnapshotOps {
           .drop("_delta", "_i")
         // the diff CANCELS at the physical level (physical names are
         // frozen, so renames never break row identity); the FEED
-        // presents under `toVersion`'s logical shape — Delta CDF's
-        // latest-schema convention
-        logicalView(feed, columnMapping(tableDir, toVersion),
-          extra = Seq("change_type"))
+        // presents under `presentAs`'s (default: toVersion's) logical
+        // shape — Delta CDF's latest-schema convention; a multi-span
+        // consumer (table_changes) passes its END version so every
+        // span shares one shape across renames. Lenient: a live column
+        // can be physically absent from a changed-files-only read
+        // (null there by evolution semantics) — the consumer restores
+        // it via unionByName(allowMissingColumns = true).
+        logicalView(feed, columnMapping(tableDir,
+          if (presentAs > 0) presentAs else toVersion),
+          extra = Seq("change_type"), lenient = true)
     }
   }
 
@@ -2037,13 +2099,14 @@ object SnapshotOps {
       val entries = snapshotEntries(tableDir, base)
       require(entries.nonEmpty, s"commitCluster on empty table $tableDir")
       val dir = newDataDir(tableDir)
-      // full rewrite ⇒ DV and eq-delete debt paid, like commitCompact
-      LayoutOps.zorderWriteN(
-        readUnitsVisible(spark, tableDir, dataUnits(tableDir, base),
-          deleteEntries(tableDir, base), eqDeleteUnits(tableDir, base)),
-        sortCols, dir, nFiles, bits)
+      // full rewrite ⇒ DV, eq-delete AND evolution debt paid, like
+      // commitCompact; sortCols arrive LOGICAL — the physical frame
+      // sorts/records stats under the frozen physical names
+      val physSort = sortCols.map(physName(tableDir, base, _))
+      LayoutOps.zorderWriteN(maintenanceRead(spark, tableDir, base),
+        physSort, dir, nFiles, bits)
       val written = entriesFor(spark, parquetFilesIn(dir),
-        (statsColsOf(entries) ++ sortCols).distinct.sorted,
+        (statsColsOf(entries) ++ physSort).distinct.sorted,
         bloomColsOf(entries))
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)
@@ -2260,9 +2323,16 @@ object SnapshotOps {
       // mapped view (identity for never-evolved tables), the final
       // write translates back to the frozen physical names.
       val mapping = columnMapping(tableDir, base)
-      val snap = logicalView(readUnitsVisible(spark, tableDir, units,
-        dvs, eqs, tagged = true, mergeSchema = mapping.nonEmpty),
-        mapping, extra = Seq("__file"))
+      val snapPhys = readUnitsVisible(spark, tableDir, units,
+        dvs, eqs, tagged = true, mergeSchema = mapping.nonEmpty)
+      // the rewrite reads a file SUBSET — anchor it to the full
+      // physical snapshot schema so files predating an evolved append
+      // surface the newer columns (as null) instead of failing the
+      // logical projection
+      val physSchema = org.apache.spark.sql.types.StructType(
+        snapPhys.schema.filterNot(f =>
+          f.name == "__file" || f.name == "__pos"))
+      val snap = logicalView(snapPhys, mapping, extra = Seq("__file"))
       val srcKeys = broadcast(src.select(keys: _*).distinct())
       val touched = snap
         .select(keys :+ col("__file").as("f"): _*)
@@ -2283,7 +2353,8 @@ object SnapshotOps {
         val dir = newDataDir(tableDir)
         val rewriteSet = toRewrite.map(localPath).toSet
         def rewriteIn() = logicalView(readUnitsVisible(spark, tableDir,
-          units, dvs, eqs, mergeSchema = mapping.nonEmpty,
+          units, dvs, eqs,
+          anchor = if (mapping.nonEmpty) physSchema else null,
           keep = e => rewriteSet.contains(localPath(e.path))), mapping)
         val matchedKeys =
           if (toRewrite.isEmpty) null
@@ -2376,7 +2447,7 @@ object SnapshotOps {
         // applies each member's applicable eq-deletes before baking
         // (the rewritten bin gets THIS commit's sequence)
         val binSet = binEntries.map(e => localPath(e.path)).toSet
-        readUnitsVisible(spark, tableDir, units, dvs, eqs,
+        maintenanceRead(spark, tableDir, base,
           keep = e => binSet.contains(localPath(e.path)))
           .coalesce(1).write.parquet(dir)
         entriesFor(spark, parquetFilesIn(dir), statsCols, bloomCols)

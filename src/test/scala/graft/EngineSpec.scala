@@ -640,6 +640,26 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("PRAGMA table_changes spanning a RENAME COLUMN presents every " +
+      "span under the end version's shape; the rename itself is a " +
+      "zero-change version") {
+    val e = engine
+    e.executeDuck("CREATE TABLE cfev (id int, bal double)")
+    e.executeDuck("INSERT INTO cfev VALUES (1, 10.0), (2, 20.0)") // v1
+    e.executeDuck("ALTER TABLE cfev RENAME COLUMN bal TO balance") // v2
+    e.executeDuck("INSERT INTO cfev VALUES (3, 30.0)")             // v3
+    val feed = e.executeDuck("PRAGMA table_changes('cfev', 1, 3)")
+    assert(feed.columns.contains("balance") &&
+      !feed.columns.contains("bal"),
+      s"feed must present the end version's shape: ${feed.columns.toSeq}")
+    val rows = feed.collect().map(r => (r.getAs[Long]("_commit_version"),
+      r.getAs[String]("change_type"), r.getAs[Int]("id")))
+    assert(rows.count(_._1 == 1L) == 2 && rows.count(_._1 == 3L) == 1)
+    assert(rows.forall(_._2 == "insert"))
+    assert(!rows.exists(_._1 == 2L), "a rename commit changes no rows")
+    e.close()
+  }
+
   test("PRAGMA table_changes on a 100-version span: bounded plan depth " +
       "(16-version groups materialize) and per-commit timestamps") {
     val e = engine

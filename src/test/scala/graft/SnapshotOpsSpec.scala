@@ -1524,6 +1524,71 @@ class SnapshotOpsSpec extends SparkSpecBase {
       SnapshotOps.readLatest(spark, t).select("bal").collect())
   }
 
+  test("evolution debt paid by maintenance: compaction of a mapped " +
+      "table keeps evolved columns, drops tombstoned ones; merge " +
+      "anchors pre-evolution files; mint collisions bump the suffix") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "bal"))     // v1
+    SnapshotOps.commitRenameColumn(spark, t, "bal", "balance")  // v2
+    // evolved append minting a new column under the mapping
+    SnapshotOps.commitAppend(spark, t,
+      Seq((11L, 11.0, "n11"), (12L, 12.0, "n12"))
+        .toDF("id", "balance", "note"))                          // v3
+    // merge whose keys touch ONLY pre-evolution (v1) files: the
+    // rewrite read must anchor to the full physical schema, not fail
+    // the logical projection on the missing evolved column
+    SnapshotOps.commitMerge(spark, t,
+      Seq((5L, 555.0, null.asInstanceOf[String]),
+        (20L, 20.0, "n20")).toDF("id", "balance", "note"),
+      Seq("id"))                                                 // v4
+    val afterMerge = SnapshotOps.readLatest(spark, t)
+    assert(afterMerge.columns.toSeq == Seq("id", "balance", "note"))
+    val byId = afterMerge.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), Option(r.getString(2)))))
+      .toMap
+    assert(byId(5L) == ((555.0, None)))
+    assert(byId(20L) == ((20.0, Some("n20"))))
+    assert(byId(11L) == ((11.0, Some("n11"))))
+    assert(byId(1L)._2.isEmpty, "pre-evolution rows carry null note")
+    // compaction: must SURFACE the evolved column across file
+    // generations (a schema-from-one-footer read would silently drop
+    // it and corrupt the table for every later read)
+    SnapshotOps.commitCompact(spark, t, 2)                       // v5
+    val compacted = SnapshotOps.readLatest(spark, t)
+    assert(compacted.columns.toSeq == Seq("id", "balance", "note"))
+    assert(compacted.where(col("note").isNotNull).count() == 3)
+    assert(compacted.count() == 13) // 10 base + 2 evolved + 1 merge insert
+    // drop + compact: the tombstoned column's data leaves the NEW
+    // files (evolution debt paid), while time travel still reads it
+    // from the prior version's untouched files
+    SnapshotOps.commitDropColumn(spark, t, "note")               // v6
+    SnapshotOps.commitCompact(spark, t, 1)                       // v7
+    assert(SnapshotOps.readLatest(spark, t).columns.toSeq ==
+      Seq("id", "balance"))
+    val v7files = SnapshotOps.snapshotFiles(t, 7)
+    val physCols = spark.read.option("mergeSchema", "true")
+      .parquet(v7files: _*).columns.toSet
+    assert(!physCols.exists(_.startsWith("note")),
+      s"tombstoned data must not be rewritten into new files: $physCols")
+    assert(SnapshotOps.readSnapshot(spark, t, 5)
+      .where(col("note").isNotNull).count() == 3)
+    // mint collision: a user column literally named like the suffixed
+    // mint — the fresh physical name must bump past it
+    val t2 = freshTable()
+    SnapshotOps.commitAppend(spark, t2,
+      Seq((1L, "old", "user")).toDF("id", "x", "x_4"))          // v1
+    SnapshotOps.commitDropColumn(spark, t2, "x")                 // v2
+    SnapshotOps.commitAppend(spark, t2,
+      Seq((2L, "fresh", "user2")).toDF("id", "x_4", "x"))        // v3
+    val got = SnapshotOps.readLatest(spark, t2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq((1L, "user", None),
+      (2L, "fresh", Some("user2"))),
+      s"x_4 must keep user data, re-added x must not bleed: ${got.toSeq}")
+  }
+
   test("eq-delete sequence semantics through multiple generations: " +
       "each delete applies only below its own seq") {
     import spark.implicits._
