@@ -158,9 +158,13 @@ object Bench {
     // scoped quiet run) → 115.0; r13 100-entry set adds q265 3.0 s +
     // q266 3.7 s and makes q257 (expire + retention read) and q264
     // (timestamp pin) heavier — two full quiet runs measured 138.8 s
-    // (run 2, run_noisy false) and best-of-both 136.3 s → 130.0
+    // (run 2, run_noisy false) and best-of-both 136.3 s → 130.0;
+    // r14 102-entry set adds q267 1.2 s + q268 2.0 s — two full quiet
+    // runs 125.9/133.4 s, best-of-both per-entry sum 121.4 s → 118.0
+    // (the set also got FASTER: the near-dup drain parallelization and
+    // the count-gate removal outweigh the two additions)
     val quietFloorSec: Option[Double] =
-      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(130.0) else None
+      if (args.isEmpty && sfDir.endsWith("sf0.1")) Some(118.0) else None
     val runNoisy = quietFloorSec.map { floor =>
       val flag = total > floor * 1.3
       s""","quiet_floor_sec":$floor,"run_noisy":$flag"""
