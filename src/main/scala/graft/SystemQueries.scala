@@ -2784,6 +2784,131 @@ object SystemQueries {
         |SELECT phase, CAST(n AS BIGINT) AS n, bal_total, cols,
         |  CAST(1 AS BIGINT) AS meta_only
         |FROM r ORDER BY phase""".stripMargin,
+      headline = true),
+
+    // STRING data skipping (r14): manifest min/max bounds over a
+    // STRING key — stored through the order-preserving 12-byte
+    // truncation encoding (SnapshotOps.encodeBound, Iceberg's
+    // truncate(L) bound semantics) — so range AND prefix (LIKE 'x%')
+    // predicates on sorted string keys (URLs, ISO-date strings,
+    // id-prefixed names) prune the FILE LIST from metadata alone,
+    // the way numeric keys already did in q238. Blooms can't serve
+    // either shape (no order). Truncation collisions only ADMIT
+    // extra files — the typed residual filter keeps results exact —
+    // and the oracle pins every probe's content plus that pruning
+    // really happened (`pruned` = kept < total files).
+    "q269_string_stats_skipping" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q269", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val base = spark.table("lineitem").where(col("l_orderkey") <= 4000)
+        .select(concat(col("l_returnflag"), lit("-"),
+          lpad(col("l_orderkey").cast("string"), 8, "0")).as("skey"),
+          col("l_quantity"))
+      SnapshotOps.commitAppend(spark, table,
+        base.repartitionByRange(8, col("skey")),
+        statsCols = Seq("skey"))
+      val v = SnapshotOps.currentVersion(table)
+      val total = SnapshotOps.snapshotEntries(table, v).size
+      def probeRow(probe: String, df: org.apache.spark.sql.DataFrame,
+          kept: Int) =
+        df.agg(count(col("skey")).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("qty"))
+          .select(lit(probe).as("probe"), col("n"), col("qty"),
+            lit(kept < total).as("pruned"))
+      val ranges = Seq(
+        ("a_mid", "A-00000500", "A-00001500"),
+        ("cross_flag", "N-00003000", "R-00000100")).map {
+        case (probe, lo, hi) =>
+          val kept = SnapshotOps.rangeFiles(table, v, "skey",
+            SnapshotOps.encodeBound(lo), SnapshotOps.encodeBound(hi)).size
+          probeRow(probe,
+            SnapshotOps.readSnapshotRangeOf(spark, table, v, "skey", lo, hi),
+            kept)
+      }
+      val prefKept = SnapshotOps.rangeFiles(table, v, "skey",
+        SnapshotOps.encodeBound("R-"),
+        SnapshotOps.prefixUpperBound("R-")).size
+      val prefix = probeRow("prefix_r",
+        SnapshotOps.readSnapshotPrefix(spark, table, v, "skey", "R-"),
+        prefKept)
+      (ranges :+ prefix).reduce(_.unionByName(_)).orderBy("probe")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH b AS (SELECT l_returnflag || '-' ||
+        |    lpad(CAST(l_orderkey AS VARCHAR), 8, '0') AS skey,
+        |    l_quantity
+        |  FROM lineitem WHERE l_orderkey <= 4000),
+        |r(probe, lo, hi) AS (VALUES
+        |  ('a_mid', 'A-00000500', 'A-00001500'),
+        |  ('cross_flag', 'N-00003000', 'R-00000100')),
+        |ranges AS (
+        |  SELECT probe, count(skey) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS qty, TRUE AS pruned
+        |  FROM r LEFT JOIN b ON skey BETWEEN lo AND hi
+        |  GROUP BY probe),
+        |pref AS (
+        |  SELECT 'prefix_r' AS probe, count(skey) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS qty, TRUE AS pruned
+        |  FROM b WHERE skey LIKE 'R-%')
+        |SELECT * FROM ranges UNION ALL SELECT * FROM pref
+        |ORDER BY probe""".stripMargin,
+      headline = true),
+
+    // TIMESTAMP data skipping (r14): manifest bounds over a
+    // timestamp key (epoch-micros encoding — exact integers, total-
+    // ordered), making time-window reads over an event log prune to
+    // the covering files before Spark lists anything — THE canonical
+    // 100 TB skip: time-range queries over append-mostly logs whose
+    // files are naturally time-clustered. Probe values are
+    // java.time.Instant on the Spark side and naive TIMESTAMP
+    // literals in DuckDB — identical under the UTC session tz both
+    // engines run with.
+    "q270_time_stats_skipping" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val table = s"${runScopedDir("/tmp/graft_q270", sfDir)}/t-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val base = spark.table("events")
+        .select(col("ts"), col("event_type"), col("value"))
+      SnapshotOps.commitAppend(spark, table,
+        base.repartitionByRange(8, col("ts")),
+        statsCols = Seq("ts"))
+      val v = SnapshotOps.currentVersion(table)
+      val total = SnapshotOps.snapshotEntries(table, v).size
+      Seq(
+        ("jan_05_10", "2024-01-05T00:00:00Z", "2024-01-10T00:00:00Z"),
+        ("jan_20_21", "2024-01-20T00:00:00Z", "2024-01-21T00:00:00Z"))
+        .map { case (probe, loS, hiS) =>
+          val (lo, hi) =
+            (java.time.Instant.parse(loS), java.time.Instant.parse(hiS))
+          val kept = SnapshotOps.rangeFiles(table, v, "ts",
+            SnapshotOps.encodeBound(lo), SnapshotOps.encodeBound(hi)).size
+          SnapshotOps.readSnapshotRangeOf(spark, table, v, "ts", lo, hi)
+            .agg(count(col("ts")).as("n"),
+              sum(col("value").cast("decimal(18,4)"))
+                .cast("double").as("val_total"),
+              countDistinct(col("event_type")).as("types"))
+            .select(lit(probe).as("probe"), col("n"), col("val_total"),
+              col("types"), lit(kept < total).as("pruned"))
+        }.reduce(_.unionByName(_)).orderBy("probe")
+        // materialized before return: q194's intra-JVM safety rule
+        .localCheckpoint()
+    },
+      """WITH r(probe, lo, hi) AS (VALUES
+        |  ('jan_05_10', TIMESTAMP '2024-01-05 00:00:00',
+        |    TIMESTAMP '2024-01-10 00:00:00'),
+        |  ('jan_20_21', TIMESTAMP '2024-01-20 00:00:00',
+        |    TIMESTAMP '2024-01-21 00:00:00'))
+        |SELECT probe, count(ts) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS val_total,
+        |  count(DISTINCT event_type) AS types, TRUE AS pruned
+        |FROM r LEFT JOIN events e ON e.ts BETWEEN lo AND hi
+        |GROUP BY probe ORDER BY probe""".stripMargin,
       headline = true)
   )
 }

@@ -62,8 +62,10 @@ object SnapshotOps {
     * SKIPPING: a range or point read consults the manifest — a
     * metadata operation — before Spark ever lists or opens a data
     * file, the Iceberg/Delta data-skipping model. Bounds suit sorted/
-    * range-partitioned numeric keys; blooms suit equality probes on
-    * high-cardinality (incl. string) keys with no sort order. A file
+    * range-partitioned keys — numeric natively, string/date/timestamp
+    * through the order-preserving [[encodeBound]] map (r14); blooms
+    * suit equality probes on high-cardinality keys with no sort
+    * order. A file
     * with no stats for a column is never skipped on that column
     * (absence is always safe). */
   final case class FileEntry(path: String,
@@ -1166,13 +1168,91 @@ object SnapshotOps {
     * inference (it is not a data column). */
   private val RowsKey = "_rows"
 
-  /** Per-file statistics over freshly written files — numeric min/max
-    * for `statsCols`, a Bloom filter of xxhash64 values for
-    * `bloomCols`, plus the per-file row count, all in ONE distributed
-    * pass over only the writer's own output (a metadata cost that
-    * tracks the commit's data, never the table), grouped by the
-    * parquet metadata file path. All-null files get no bounds for that
-    * column (absent stats never skip). */
+  // ---------------------------------------------------------------
+  // Typed bounds (r14). The manifest's bounds field holds BigDecimal
+  // pairs; non-numeric stats columns ride the SAME field through an
+  // ORDER-PRESERVING encoding, so mayMatch/rangeFiles/boxFiles need
+  // no second code path and old manifests parse unchanged:
+  //   * strings → the first [[StrBoundBytes]] UTF-8 bytes as an
+  //     unsigned big-endian integer, zero-padded on the right. This
+  //     is Iceberg's truncate(L) bound semantics: truncation is
+  //     monotone non-decreasing under Spark's string order (unsigned
+  //     UTF-8 byte comparison), so `enc(v) < enc(fileMin)` proves
+  //     `v < fileMin` and pruning stays SAFE — collisions beyond the
+  //     prefix only keep extra files, never skip a matching one;
+  //   * dates → epoch days; timestamps → epoch micros (both exact
+  //     integers, total-ordered by construction);
+  //   * booleans → 0/1; numbers → themselves (bit-identical with the
+  //     pre-r14 encoding, so existing manifests keep their meaning).
+  // Query-side values go through the same [[encodeBound]] before
+  // every comparison against stored bounds — the one invariant the
+  // scheme rests on.
+  // ---------------------------------------------------------------
+
+  /** String-bound truncation width (UTF-8 bytes). 12 bytes keep the
+    * encoded integer < 2^96 — exact in BigDecimal — while separating
+    * realistic sorted keys (URLs, ISO dates, id-prefixed names). */
+  private val StrBoundBytes = 12
+
+  /** Order-preserving BigDecimal encoding of a stats value — see the
+    * design note above. Public: pruned-read callers must encode
+    * probe values with the SAME map the manifest bounds used. */
+  def encodeBound(v: Any): BigDecimal = v match {
+    case n: java.math.BigDecimal => BigDecimal(n)
+    case n: BigDecimal => n
+    case n: Number => BigDecimal(n.toString)
+    case s: String => encodeStringBound(s)
+    case d: java.sql.Date => BigDecimal(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => BigDecimal(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      BigDecimal(i.getEpochSecond) * 1000000 + i.getNano / 1000
+    case t: java.time.Instant =>
+      BigDecimal(t.getEpochSecond) * 1000000 + t.getNano / 1000
+    case b: Boolean => if (b) BigDecimal(1) else BigDecimal(0)
+    case other => throw new IllegalArgumentException(
+      s"encodeBound: unsupported stats value type " +
+        s"${other.getClass.getName} ($other)")
+  }
+
+  private def encodeStringBound(s: String): BigDecimal = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var acc = BigInt(0)
+    var i = 0
+    while (i < StrBoundBytes) {
+      acc = (acc << 8) | (if (i < bytes.length) BigInt(bytes(i) & 0xff)
+        else BigInt(0))
+      i += 1
+    }
+    BigDecimal(acc)
+  }
+
+  /** Upper end of the encoded interval covering every string with
+    * `prefix`: the prefix's first [[StrBoundBytes]] bytes padded with
+    * 0xFF. With [[encodeStringBound]]`(prefix)` as the lower end this
+    * brackets a LIKE-'prefix%' probe in bound space (a prefix longer
+    * than the truncation width degenerates to lo == hi — every
+    * matching string shares the stored 12-byte bound). */
+  def prefixUpperBound(prefix: String): BigDecimal = {
+    val bytes = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var acc = BigInt(0)
+    var i = 0
+    while (i < StrBoundBytes) {
+      acc = (acc << 8) | (if (i < bytes.length) BigInt(bytes(i) & 0xff)
+        else BigInt(0xff))
+      i += 1
+    }
+    BigDecimal(acc)
+  }
+
+  /** Per-file statistics over freshly written files — min/max for
+    * `statsCols` (numeric, string, date/timestamp or boolean — stored
+    * through the order-preserving [[encodeBound]] map), a Bloom
+    * filter of xxhash64 values for `bloomCols`, plus the per-file row
+    * count, all in ONE distributed pass over only the writer's own
+    * output (a metadata cost that tracks the commit's data, never the
+    * table), grouped by the parquet metadata file path. All-null
+    * files get no bounds for that column (absent stats never skip). */
   private def entriesFor(spark: SparkSession, written: Seq[String],
       statsCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     // the row count is ALWAYS recorded (Iceberg's rule): it powers
@@ -1196,7 +1276,7 @@ object SnapshotOps {
         val bounds = statsCols.flatMap { c =>
           (Option(r.getAs[Any](s"_lo_$c")), Option(r.getAs[Any](s"_hi_$c"))) match {
             case (Some(lo), Some(hi)) =>
-              Some(c -> (BigDecimal(lo.toString), BigDecimal(hi.toString)))
+              Some(c -> (encodeBound(lo), encodeBound(hi)))
             case _ => None
           }
         }.toMap + (RowsKey -> {
@@ -1276,9 +1356,11 @@ object SnapshotOps {
     * the new current manifest) and retrying on version conflicts. The
     * data write never repeats; only the manifest union does.
     *
-    * `statsCols` names numeric columns whose per-file min/max land in
+    * `statsCols` names columns (numeric, string, date/timestamp or
+    * boolean — see [[encodeBound]]) whose per-file min/max land in
     * the manifest (one extra pass over ONLY the new files) — the
-    * bounds that [[readSnapshotRange]] prunes on.
+    * bounds that [[readSnapshotRange]]/[[readSnapshotRangeOf]]/
+    * [[readSnapshotPrefix]] prune on.
     *
     * `txn = Some((streamId, batchId))` makes the append IDEMPOTENT per
     * stream: the manifest records each stream's highest committed
@@ -1858,12 +1940,58 @@ object SnapshotOps {
       .flatMap(_.find(c => c.live && c.logical == column).map(_.physical))
       .getOrElse(column)
 
+  /** Public logical→physical translation (r14): what external pruned
+    * reads ([[predFiles]] callers) must key manifest stats with. */
+  def physicalName(tableDir: String, version: Int, column: String): String =
+    physName(tableDir, version, column)
+
   def readSnapshotRange(spark: SparkSession, tableDir: String,
       version: Int, column: String, lo: BigDecimal, hi: BigDecimal): DataFrame = {
     val mapping = columnMapping(tableDir, version)
     val phys = physName(tableDir, version, column)
     val files = rangeFiles(tableDir, version, phys, lo, hi)
     val residual = col(phys) >= lit(lo) && col(phys) <= lit(hi)
+    if (files.nonEmpty)
+      logicalView(readPrunedVisible(spark, tableDir, version, files,
+        mergeSchema = mapping.nonEmpty).where(residual), mapping)
+    else readSnapshot(spark, tableDir, 0,
+      readSnapshot(spark, tableDir, version).schema)
+  }
+
+  /** TYPED range read (r14): like [[readSnapshotRange]] but `lo`/`hi`
+    * are values of the column's own type (string, date, timestamp,
+    * boolean or numeric). Pruning compares in [[encodeBound]] space —
+    * the same map the manifest bounds were stored through — while the
+    * residual filter applies the ORIGINAL typed values, so truncated
+    * string bounds can only admit extra files, never alter results. */
+  def readSnapshotRangeOf(spark: SparkSession, tableDir: String,
+      version: Int, column: String, lo: Any, hi: Any): DataFrame = {
+    val mapping = columnMapping(tableDir, version)
+    val phys = physName(tableDir, version, column)
+    val files = rangeFiles(tableDir, version, phys,
+      encodeBound(lo), encodeBound(hi))
+    val residual = col(phys) >= lit(lo) && col(phys) <= lit(hi)
+    if (files.nonEmpty)
+      logicalView(readPrunedVisible(spark, tableDir, version, files,
+        mergeSchema = mapping.nonEmpty).where(residual), mapping)
+    else readSnapshot(spark, tableDir, 0,
+      readSnapshot(spark, tableDir, version).schema)
+  }
+
+  /** PREFIX read (r14): rows of a string column matching
+    * LIKE 'prefix%', file-pruned from manifest bounds alone. In bound
+    * space the probe is the interval [enc(prefix·0x00…),
+    * enc(prefix·0xFF…)] ([[prefixUpperBound]]); blooms cannot serve
+    * prefix predicates, and this is the read that makes sorted string
+    * keys (URLs, ISO-date strings, id-prefixed names) skippable at
+    * 100 TB the way numeric keys already were. */
+  def readSnapshotPrefix(spark: SparkSession, tableDir: String,
+      version: Int, column: String, prefix: String): DataFrame = {
+    val mapping = columnMapping(tableDir, version)
+    val phys = physName(tableDir, version, column)
+    val files = rangeFiles(tableDir, version, phys,
+      encodeStringBound(prefix), prefixUpperBound(prefix))
+    val residual = col(phys).startsWith(prefix)
     if (files.nonEmpty)
       logicalView(readPrunedVisible(spark, tableDir, version, files,
         mergeSchema = mapping.nonEmpty).where(residual), mapping)
@@ -2116,6 +2244,47 @@ object SnapshotOps {
     }
     throw new java.util.ConcurrentModificationException(
       s"commitCluster lost $maxRetries version races on $tableDir")
+  }
+
+  /** Generalized manifest skipping for SQL scans (r14): files whose
+    * bounds intersect every (column, lo?, hi?) constraint — each side
+    * OPTIONAL, so one-sided predicates (`k >= x`, `ts < y`) prune too.
+    * Values must arrive through [[encodeBound]]. Pure metadata, two-
+    * level (group envelopes first); absent bounds never skip. */
+  def predFiles(tableDir: String, version: Int,
+      preds: Seq[(String, Option[BigDecimal], Option[BigDecimal])]): Seq[String] = {
+    def hit(bounds: Map[String, (BigDecimal, BigDecimal)]): Boolean =
+      preds.forall { case (c, lo, hi) =>
+        bounds.get(c).forall { case (mn, mx) =>
+          lo.forall(mx >= _) && hi.forall(mn <= _) }
+      }
+    dataUnits(tableDir, version).filter(u => hit(u.ref.bounds))
+      .flatMap(_.entries).filter(e => hit(e.bounds)).map(_.path)
+  }
+
+  /** Data-file count of a snapshot WITHOUT expanding group lines —
+    * from the group envelopes' `_files` counts (the [[rangeStats]]
+    * discipline). What a pruned scan compares its kept-list against. */
+  def snapshotFileCount(tableDir: String, version: Int): Int =
+    dataUnits(tableDir, version).map(u =>
+      if (!u.isGroup) 1
+      else u.ref.bounds.get(FilesKey).map(_._1.toInt)
+        .getOrElse(u.entries.size)).sum
+
+  /** Visible read of an externally pruned file list (r14) — the read
+    * the Engine's statement-scoped SQL pruning rebinds a table to.
+    * DV anti-joins, eq-delete sequences and column mapping all apply;
+    * the CALLER's own predicate is the residual (pruning hands back a
+    * superset, so re-applying the full WHERE keeps results exact).
+    * An empty list reads as the empty table with the right schema. */
+  def readSnapshotFiles(spark: SparkSession, tableDir: String,
+      version: Int, files: Seq[String]): DataFrame = {
+    val mapping = columnMapping(tableDir, version)
+    if (files.isEmpty)
+      readSnapshot(spark, tableDir, 0,
+        readSnapshot(spark, tableDir, version).schema)
+    else logicalView(readPrunedVisible(spark, tableDir, version, files,
+      mergeSchema = mapping.nonEmpty), mapping)
   }
 
   /** Multi-dimensional manifest skipping: files whose recorded bounds

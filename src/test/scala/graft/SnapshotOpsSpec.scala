@@ -1609,4 +1609,144 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(SnapshotOps.readSnapshot(spark, t, 3)
       .collect().map(_.getString(1)).toSeq == Seq("g2"))
   }
+
+  // --- typed bounds (r14): string/date/timestamp stats columns ---
+
+  test("encodeBound is order-preserving: string truncation is monotone, " +
+      "temporal types map to exact integers") {
+    import SnapshotOps.encodeBound
+    // strings: every adjacent pair in Spark's order (unsigned UTF-8
+    // byte comparison) must encode non-decreasing; pairs that differ
+    // within the 12-byte prefix must encode STRICTLY increasing
+    val sorted = Seq("", "A", "A-00000500", "A-00000501", "B",
+      "N-00003000", "R-", "R-00000100", "Z", "a", "ab", "b",
+      "é", "中文") // é < 中 in UTF-8 byte order
+    sorted.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(encodeBound(lo) <= encodeBound(hi), s"'$lo' vs '$hi'")
+    }
+    assert(encodeBound("A-00000500") < encodeBound("A-00000501"))
+    // beyond the truncation width encodings collide (non-strict) —
+    // that is the safe direction: collisions admit, never skip
+    assert(encodeBound("prefix-above-12b-AAA") ==
+      encodeBound("prefix-above-12b-ZZZ"))
+    // temporal: epoch micros / days, exact
+    val t0 = java.time.Instant.parse("2024-01-05T00:00:00Z")
+    assert(encodeBound(t0) == BigDecimal(t0.getEpochSecond) * 1000000)
+    assert(encodeBound(java.sql.Timestamp.from(t0)) == encodeBound(t0))
+    assert(encodeBound(java.time.LocalDate.of(2024, 1, 5)) ==
+      BigDecimal(19727))
+    assert(encodeBound(
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 5))) ==
+      BigDecimal(19727))
+    assert(encodeBound(false) < encodeBound(true))
+    // numbers keep the pre-r14 encoding bit-for-bit
+    assert(encodeBound(42L) == BigDecimal("42"))
+    assert(encodeBound(1.5d) == BigDecimal("1.5"))
+  }
+
+  test("string stats: typed range and prefix reads prune files and match " +
+      "the plain filter exactly") {
+    import spark.implicits._
+    val t = freshTable()
+    val rows = (1 to 400).map(i => (f"key-$i%05d", i.toLong))
+    SnapshotOps.commitAppend(spark, t,
+      rows.toDF("k", "v").repartitionByRange(8, col("k")),
+      statsCols = Seq("k"))
+    val v = SnapshotOps.currentVersion(t)
+    val total = SnapshotOps.snapshotEntries(t, v).size
+    assert(total >= 4) // range partitioning actually split the data
+    // range probe: a narrow band must open a strict subset of files
+    val kept = SnapshotOps.rangeFiles(t, v, "k",
+      SnapshotOps.encodeBound("key-00100"),
+      SnapshotOps.encodeBound("key-00120")).size
+    assert(kept < total, s"range probe kept $kept of $total files")
+    val got = SnapshotOps.readSnapshotRangeOf(spark, t, v, "k",
+      "key-00100", "key-00120").select("v")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (100L to 120L).toSeq)
+    // prefix probe (LIKE 'key-002%'): 200..299, again pruned
+    val prefKept = SnapshotOps.rangeFiles(t, v, "k",
+      SnapshotOps.encodeBound("key-002"),
+      SnapshotOps.prefixUpperBound("key-002")).size
+    assert(prefKept < total, s"prefix probe kept $prefKept of $total")
+    val pref = SnapshotOps.readSnapshotPrefix(spark, t, v, "k", "key-002")
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pref == (200L to 299L).toSeq)
+  }
+
+  test("string bounds truncate at 12 bytes: collisions beyond the prefix " +
+      "only ADMIT files — a probe past the width still reads exactly") {
+    import spark.implicits._
+    val t = freshTable()
+    // every key shares the first 12 bytes; order is decided beyond
+    // the truncation width, so ALL files carry identical bounds and
+    // NO file may be skipped for any in-prefix probe
+    val rows = (1 to 60).map(i => (f"sharedprefix-$i%04d", i.toLong))
+    SnapshotOps.commitAppend(spark, t,
+      rows.toDF("k", "v").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    val v = SnapshotOps.currentVersion(t)
+    val total = SnapshotOps.snapshotEntries(t, v).size
+    // pruning is (correctly) impossible: encoded lo == hi everywhere
+    assert(SnapshotOps.rangeFiles(t, v, "k",
+      SnapshotOps.encodeBound("sharedprefix-0010"),
+      SnapshotOps.encodeBound("sharedprefix-0020")).size == total)
+    // …and the typed residual keeps the result exact regardless
+    val got = SnapshotOps.readSnapshotRangeOf(spark, t, v, "k",
+      "sharedprefix-0010", "sharedprefix-0020").select("v")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (10L to 20L).toSeq)
+    // prefix longer than the width degenerates to lo == hi — correct
+    val pref = SnapshotOps.readSnapshotPrefix(spark, t, v, "k",
+      "sharedprefix-003").select("v")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pref == (30L to 39L).toSeq)
+  }
+
+  test("timestamp stats: time-window reads prune to the covering files " +
+      "and match the plain filter") {
+    import spark.implicits._
+    val t = freshTable()
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 240).map(i =>
+      (java.sql.Timestamp.from(base.plusSeconds(i * 3600L)), i.toLong))
+    SnapshotOps.commitAppend(spark, t,
+      rows.toDF("ts", "v").repartitionByRange(6, col("ts")),
+      statsCols = Seq("ts"))
+    val v = SnapshotOps.currentVersion(t)
+    val total = SnapshotOps.snapshotEntries(t, v).size
+    val (lo, hi) = (base.plusSeconds(100 * 3600L),
+      base.plusSeconds(110 * 3600L))
+    val kept = SnapshotOps.rangeFiles(t, v, "ts",
+      SnapshotOps.encodeBound(lo), SnapshotOps.encodeBound(hi)).size
+    assert(kept < total, s"window kept $kept of $total files")
+    val got = SnapshotOps.readSnapshotRangeOf(spark, t, v, "ts", lo, hi)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (100L to 110L).toSeq)
+  }
+
+  test("string stats survive compaction: rewrites recompute the same " +
+      "typed bounds for the files they produce") {
+    import spark.implicits._
+    val t = freshTable()
+    val rows = (1 to 200).map(i => (f"key-$i%05d", i.toLong))
+    // two appends → several small files, then compact collapses them
+    SnapshotOps.commitAppend(spark, t,
+      rows.take(100).toDF("k", "v").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    SnapshotOps.commitAppend(spark, t,
+      rows.drop(100).toDF("k", "v").repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    SnapshotOps.commitCompact(spark, t, nFiles = 2)
+    val v = SnapshotOps.currentVersion(t)
+    val entries = SnapshotOps.snapshotEntries(t, v)
+    // the compacted files carry recomputed string bounds…
+    assert(entries.forall(_.bounds.contains("k")),
+      s"compaction must recompute string bounds: $entries")
+    // …and a typed pruned read over the compacted table stays exact
+    val got = SnapshotOps.readSnapshotRangeOf(spark, t, v, "k",
+      "key-00050", "key-00150").select("v")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (50L to 150L).toSeq)
+  }
 }
