@@ -203,6 +203,31 @@ class Engine(val spark: SparkSession) {
   val lastCommit: mutable.Map[String, graft.operators.SnapshotOps.Committed] =
     mutable.Map.empty
 
+  /** Last SQL-scan pruning decision per table, (files kept, files
+    * total) — recorded whenever a plain SELECT's WHERE was translated
+    * to manifest constraints (r14), whether or not it skipped
+    * anything. The q271 entry's observable. */
+  val lastPrune: mutable.Map[String, (Int, Int)] = mutable.Map.empty
+
+  /** Columns whose per-file min/max should land in the manifest at
+    * commit when `SET auto_stats = true` is active: every top-level
+    * column of a bounds-encodable type (SnapshotOps.encodeBound).
+    * Off by default — stats cost one aggregate pass over the commit's
+    * own files, a price existing pipelines shouldn't silently pay. */
+  private def autoStatsCols(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val on = spark.conf.getOption("graft.setting.auto_stats")
+      .exists(v => Set("true", "1", "on")(v.trim.toLowerCase))
+    if (!on) Nil
+    else df.schema.fields.collect {
+      case f if (f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+          BooleanType => true
+        case _ => false
+      }) => f.name
+    }.toSeq
+  }
+
   /** The snapshot table directory backing `name`, when DML has
     * materialized it. */
   def snapshotDir(name: String): Option[String] =
@@ -240,7 +265,8 @@ class Engine(val spark: SparkSession) {
      else None) match {
       case Some(dir) =>
         lastCommit(norm(name)) =
-          graft.operators.SnapshotOps.commitAppend(spark, dir, rows)
+          graft.operators.SnapshotOps.commitAppend(spark, dir, rows,
+            statsCols = autoStatsCols(rows))
         registerSnapshot(name, dir)
       case None =>
         register(name, target.unionByName(rows))
@@ -267,7 +293,8 @@ class Engine(val spark: SparkSession) {
           // own commit lands (appendRows calls registerSnapshot)
           if (!empty) {
             lastCommit(n) =
-              graft.operators.SnapshotOps.commitAppend(spark, dir, df)
+              graft.operators.SnapshotOps.commitAppend(spark, dir, df,
+                statsCols = autoStatsCols(df))
             snapshotDirs(n) = dir
           }
           Some(dir)
@@ -1099,8 +1126,133 @@ class Engine(val spark: SparkSession) {
           ("""(?i)\b""" + java.util.regex.Pattern.quote(key) + """\b""").r
             .replaceAllIn(q, key.replace('.', '_'))
         }
-      spark.sql(DuckRewriter.rewrite(bindFileTables(dotted), schemaOf))
+      val rewritten = DuckRewriter.rewrite(bindFileTables(dotted), schemaOf)
+      // SQL-scan manifest pruning (r14): a plain single-table SELECT
+      // whose WHERE translates to bound constraints reads only the
+      // manifest-surviving files. Rebinding is ANALYSIS-scoped:
+      // spark.sql analyzes eagerly (Dataset.ofRows asserts analysis),
+      // so restoring the original binding afterwards cannot reach the
+      // returned frame's resolved plan.
+      pruneScan(rewritten) match {
+        case Some((n, pruned)) =>
+          val orig = tables(n)
+          bind(n, pruned)
+          try spark.sql(rewritten) finally bind(n, orig)
+        case None => spark.sql(rewritten)
+      }
   }
+  }
+
+  /** Statement-scoped manifest pruning (r14): when `rewritten` is a
+    * plain single-table SELECT over a snapshot-backed table and its
+    * WHERE yields usable conjuncts ([[graft.dialect.ScanPrune]]),
+    * translate them through the SAME order-preserving encoding the
+    * manifest bounds were recorded with and prune the file list. The
+    * statement's full WHERE still executes, so this can only skip
+    * files that provably hold no match — exactly what Iceberg/Delta
+    * do for engine scans, here at the SQL surface with zero user API.
+    * Returns the pruned read only when something was actually skipped
+    * (rebinding for a no-op would cost plan re-analysis for nothing);
+    * records every translated decision in [[lastPrune]]. */
+  private def pruneScan(rewritten: String): Option[(String, DataFrame)] = {
+    import graft.dialect.ScanPrune
+    import graft.operators.SnapshotOps
+    val (tname, raws) = ScanPrune.analyze(rewritten).getOrElse(return None)
+    // underscored view names bind back to their dotted catalog entry
+    val n = if (tables.contains(norm(tname))) norm(tname)
+      else tables.keys.find(_.replace('.', '_') == norm(tname))
+        .getOrElse(return None)
+    val dir = snapshotDirs.getOrElse(n, return None)
+    val version = SnapshotOps.currentVersion(dir)
+    val schema = tables(n).schema
+    val sessTz = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+
+    // type a raw literal against the column's Spark type; None drops
+    // the conjunct (a dropped conjunct never unsoundly prunes)
+    import org.apache.spark.sql.types._
+    def encode(dt: DataType, l: ScanPrune.Lit): Option[BigDecimal] =
+      (dt, l) match {
+        case (_: NumericType, ScanPrune.NumLit(v)) => Some(v)
+        case (StringType, ScanPrune.StrLit(s)) =>
+          Some(SnapshotOps.encodeBound(s))
+        case (TimestampType, ScanPrune.StrLit(s)) => parseTs(s, sessTz)
+        case (TimestampType, ScanPrune.TsLit(s)) => parseTs(s, sessTz)
+        case (TimestampType, ScanPrune.DateLit(s)) =>
+          scala.util.Try(java.time.LocalDate.parse(s.trim)
+            .atStartOfDay(sessTz).toInstant).toOption
+            .map(SnapshotOps.encodeBound)
+        case (DateType, ScanPrune.DateLit(s)) =>
+          scala.util.Try(BigDecimal(
+            java.time.LocalDate.parse(s.trim).toEpochDay)).toOption
+        case (DateType, ScanPrune.StrLit(s)) =>
+          scala.util.Try(BigDecimal(
+            java.time.LocalDate.parse(s.trim).toEpochDay)).toOption
+        case _ => None
+      }
+
+    // raw predicates → per-column encoded (lo, hi) intervals,
+    // intersected across conjuncts (max of los, min of his)
+    val merged = scala.collection.mutable.Map
+      .empty[String, (Option[BigDecimal], Option[BigDecimal])]
+    def tighten(col: String, lo: Option[BigDecimal],
+        hi: Option[BigDecimal]): Unit = {
+      val (l0, h0) = merged.getOrElse(col, (None, None))
+      merged(col) = (
+        Seq(l0, lo).flatten.reduceOption(_ max _),
+        Seq(h0, hi).flatten.reduceOption(_ min _))
+    }
+    raws.foreach { raw =>
+      schema.fields.find(_.name.equalsIgnoreCase(raw.col)).foreach { f =>
+        raw match {
+          case ScanPrune.Cmp(_, op, l) => encode(f.dataType, l).foreach {
+            v => op match {
+              case "=" => tighten(f.name, Some(v), Some(v))
+              case ">" | ">=" => tighten(f.name, Some(v), None)
+              case "<" | "<=" => tighten(f.name, None, Some(v))
+              case _ =>
+            }
+          }
+          case ScanPrune.Between(_, a, b) =>
+            (encode(f.dataType, a), encode(f.dataType, b)) match {
+              case (Some(lo), Some(hi)) =>
+                tighten(f.name, Some(lo), Some(hi))
+              case _ =>
+            }
+          case ScanPrune.Prefix(_, p) if f.dataType == StringType =>
+            tighten(f.name, Some(SnapshotOps.encodeBound(p)),
+              Some(SnapshotOps.prefixUpperBound(p)))
+          case ScanPrune.InList(_, lits) =>
+            val enc = lits.map(encode(f.dataType, _))
+            if (enc.forall(_.isDefined)) {
+              val vs = enc.flatten
+              tighten(f.name, Some(vs.min), Some(vs.max))
+            }
+          case _ =>
+        }
+      }
+    }
+    if (merged.isEmpty) return None
+    val preds = merged.toSeq.map { case (c, (lo, hi)) =>
+      (SnapshotOps.physicalName(dir, version, c), lo, hi) }
+    val kept = SnapshotOps.predFiles(dir, version, preds)
+    val total = SnapshotOps.snapshotFileCount(dir, version)
+    lastPrune(n) = (kept.size, total)
+    if (kept.size >= total) None
+    else Some((n,
+      SnapshotOps.readSnapshotFiles(spark, dir, version, kept)))
+  }
+
+  /** 'yyyy-MM-dd[ HH:mm:ss[.f…]]' under the session time zone → the
+    * encoded instant; None on any parse failure. */
+  private def parseTs(s: String,
+      zone: java.time.ZoneId): Option[BigDecimal] = {
+    val t = s.trim.replace(' ', 'T')
+    val full = if (t.contains("T")) t else t + "T00:00:00"
+    scala.util.Try(java.time.LocalDateTime.parse(full).atZone(zone)
+      .toInstant).toOption
+      .map(graft.operators.SnapshotOps.encodeBound)
   }
 
   // ---- COPY (balanced hand parser: the (query) form nests parens) --------

@@ -2909,6 +2909,88 @@ object SystemQueries {
         |  count(DISTINCT event_type) AS types, TRUE AS pruned
         |FROM r LEFT JOIN events e ON e.ts BETWEEN lo AND hi
         |GROUP BY probe ORDER BY probe""".stripMargin,
+      headline = true),
+
+    // SQL-surface manifest pruning (r14): with `SET auto_stats = true`
+    // every Engine commit records typed min/max bounds for all
+    // bounds-encodable columns, and a PLAIN SELECT's WHERE — no API,
+    // no hints — translates to manifest constraints that prune the
+    // file list before Spark lists anything (ScanPrune conjunct
+    // extraction over the token stream + SnapshotOps.predFiles). The
+    // Iceberg/Delta engine-scan contract at the SQL surface: banded
+    // ingest (per-flag, per-year commits) gives narrow per-file
+    // bounds, so string BETWEEN, LIKE-prefix and time-window queries
+    // open the covering files only. `pruned` comes from the Engine's
+    // recorded decision (lastPrune: kept < total) — the oracle pins
+    // every query's content AND that skipping really happened.
+    "q271_sql_pruned_scan" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck("SET auto_stats = true")
+      e.executeDuck("CREATE TABLE g271_s (skey VARCHAR, qty DOUBLE)")
+      Seq("A", "N", "R").foreach { flag =>
+        e.executeDuck(
+          s"""INSERT INTO g271_s
+             |SELECT l_returnflag || '-' ||
+             |    lpad(CAST(l_orderkey AS STRING), 8, '0'), l_quantity
+             |FROM lineitem
+             |WHERE l_orderkey <= 4000 AND l_returnflag = '$flag'"""
+            .stripMargin)
+      }
+      e.executeDuck("CREATE TABLE g271_t (ship TIMESTAMP, qty DOUBLE)")
+      Seq("year(l_shipdate) < 1997", "year(l_shipdate) = 1997",
+        "year(l_shipdate) >= 1998").foreach { band =>
+        e.executeDuck(
+          s"""INSERT INTO g271_t
+             |SELECT l_shipdate, l_quantity FROM lineitem
+             |WHERE l_orderkey <= 4000 AND $band""".stripMargin)
+      }
+      def run(probe: String, table: String, sql: String) = {
+        val df = e.executeDuck(sql)
+        val (kept, total) = e.lastPrune.getOrElse(table, (0, 0))
+        df.select(lit(probe).as("probe"), col("n"), col("qty"),
+          lit(kept < total).as("pruned"))
+      }
+      val out = Seq(
+        run("between_n", "g271_s",
+          """SELECT count(skey) AS n,
+            |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            |FROM g271_s
+            |WHERE skey BETWEEN 'N-00000500' AND 'N-00002500'"""
+            .stripMargin),
+        run("prefix_r", "g271_s",
+          """SELECT count(skey) AS n,
+            |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            |FROM g271_s WHERE skey LIKE 'R-%'""".stripMargin),
+        run("ts_1997", "g271_t",
+          """SELECT count(ship) AS n,
+            |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            |FROM g271_t
+            |WHERE ship >= TIMESTAMP '1997-01-01 00:00:00'
+            |  AND ship < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin))
+        .reduce(_.unionByName(_)).orderBy("probe")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over engine-scoped scratch
+        .localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH b AS (SELECT l_returnflag || '-' ||
+        |    lpad(CAST(l_orderkey AS VARCHAR), 8, '0') AS skey,
+        |    l_shipdate AS ship, l_quantity AS qty
+        |  FROM lineitem WHERE l_orderkey <= 4000)
+        |SELECT 'between_n' AS probe, count(skey) AS n,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  TRUE AS pruned
+        |FROM b WHERE skey BETWEEN 'N-00000500' AND 'N-00002500'
+        |UNION ALL
+        |SELECT 'prefix_r', count(skey),
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b WHERE skey LIKE 'R-%'
+        |UNION ALL
+        |SELECT 'ts_1997', count(ship),
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b WHERE ship >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND ship < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY probe""".stripMargin,
       headline = true)
   )
 }

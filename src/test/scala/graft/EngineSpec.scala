@@ -741,4 +741,115 @@ class EngineSpec extends SparkSpecBase {
     assert(e.executeDuck("SELECT count(*) AS n FROM lazy7")
       .collect()(0).getLong(0) == 3L)
   }
+
+  // --- SQL-scan manifest pruning (r14) ------------------------------
+
+  /** Three banded inserts under auto_stats → three one-file commits
+    * with disjoint string-key bounds. */
+  private def prunedFixture(e: Engine): Unit = {
+    e.executeDuck("SET auto_stats = true")
+    e.executeDuck("CREATE TABLE pr (k varchar, v int)")
+    Seq("a" -> 0, "m" -> 100, "z" -> 200).foreach { case (p, base) =>
+      e.executeDuck(s"INSERT INTO pr SELECT '$p-' || " +
+        s"lpad(CAST(id + $base AS STRING), 4, '0'), CAST(id + $base AS INT) " +
+        "FROM range(0, 50)")
+    }
+  }
+
+  test("auto_stats off by default: commits record no column bounds, " +
+      "SELECTs never consult the manifest") {
+    val e = engine
+    e.executeDuck("CREATE TABLE nost (k varchar, v int)")
+    e.executeDuck("INSERT INTO nost VALUES ('a', 1)")
+    val dir = e.snapshotDir("nost").get
+    val entries = graft.operators.SnapshotOps.snapshotEntries(dir, 1)
+    assert(entries.forall(en =>
+      en.bounds.keySet.forall(_.startsWith("_"))),
+      s"no data-column bounds expected: $entries")
+    e.executeDuck("SELECT v AS v FROM nost WHERE k = 'a'").collect()
+    // with no bounds nothing is skipped; the decision is still sound
+    assert(e.lastPrune.get("nost").forall { case (kept, total) =>
+      kept == total })
+    e.close()
+  }
+
+  test("plain SELECT WHERE prunes files and matches the unpruned " +
+      "result: BETWEEN, one-sided, LIKE-prefix, IN, reversed literal") {
+    val e = engine
+    prunedFixture(e)
+    def q(where: String): Seq[Int] =
+      e.executeDuck(s"SELECT v AS v FROM pr WHERE $where ORDER BY v")
+        .collect().map(_.getInt(0)).toSeq
+    def prunedNow(): Boolean = {
+      val (kept, total) = e.lastPrune("pr"); kept < total
+    }
+    assert(q("k BETWEEN 'm-0100' AND 'm-0120'") == (100 to 120) &&
+      prunedNow(), "BETWEEN must prune")
+    assert(q("k >= 'z-'") == (200 until 250) && prunedNow(),
+      "one-sided >= must prune")
+    assert(q("k LIKE 'a-%'") == (0 until 50) && prunedNow(),
+      "LIKE prefix must prune")
+    assert(q("k IN ('m-0100', 'm-0105')") == Seq(100, 105) &&
+      prunedNow(), "IN list must prune")
+    assert(q("'m-0110' <= k AND k <= 'm-0115'") == (110 to 115) &&
+      prunedNow(), "reversed literal must prune")
+    // alias-qualified column prunes too
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM pr p WHERE p.k LIKE 'z-%'")
+      .collect()(0).getLong(0) == 50L && prunedNow())
+    e.close()
+  }
+
+  test("pruning is conservative: ORs, functions, joins and subqueries " +
+      "never translate — results stay exact") {
+    val e = engine
+    prunedFixture(e)
+    e.lastPrune.clear()
+    // OR at the top level: no conjunct extractable → no prune decision
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM pr WHERE k = 'a-0000' OR k = 'z-0249'")
+      .collect()(0).getLong(0) == 2L)
+    assert(!e.lastPrune.contains("pr"), "OR must not prune")
+    // function over the column: that conjunct is dropped; the plain
+    // conjunct still prunes and the function filter still applies
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr " +
+      "WHERE upper(k) = 'M-0100' AND k >= 'm-'")
+      .collect()(0).getLong(0) == 1L)
+    assert(e.lastPrune("pr")._1 < e.lastPrune("pr")._2)
+    // self-join: two tables in scope → disqualified
+    e.lastPrune.clear()
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr x " +
+      "JOIN pr y ON x.k = y.k WHERE x.k LIKE 'a-%'")
+      .collect()(0).getLong(0) == 50L)
+    assert(!e.lastPrune.contains("pr"), "JOIN must not prune")
+    // subquery: two SELECTs → disqualified
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr " +
+      "WHERE k = (SELECT max(k) FROM pr)")
+      .collect()(0).getLong(0) == 1L)
+    assert(!e.lastPrune.contains("pr"), "subquery must not prune")
+    // mid-pattern wildcard is not a prefix — conjunct dropped
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM pr WHERE k LIKE 'a%0'")
+      .collect()(0).getLong(0) == 5L)
+    assert(!e.lastPrune.contains("pr"))
+    e.close()
+  }
+
+  test("a pruned-to-zero probe returns the empty result, not a wrong " +
+      "scan; UPDATE after pruning keeps bounds fresh") {
+    val e = engine
+    prunedFixture(e)
+    // probe entirely outside every band: zero files survive
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM pr WHERE k BETWEEN 'q-' AND 'r-'")
+      .collect()(0).getLong(0) == 0L)
+    assert(e.lastPrune("pr")._1 == 0)
+    // COW update rewrites a file; recomputed bounds keep pruning exact
+    e.executeDuck("UPDATE pr SET v = v + 1000 WHERE k = 'm-0100'")
+    assert(e.executeDuck(
+      "SELECT v AS v FROM pr WHERE k BETWEEN 'm-0100' AND 'm-0101'")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(101, 1100))
+    assert(e.lastPrune("pr")._1 < e.lastPrune("pr")._2)
+    e.close()
+  }
 }
