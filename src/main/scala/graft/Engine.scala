@@ -704,7 +704,11 @@ class Engine(val spark: SparkSession) {
             if (mor) graft.operators.SnapshotOps
               .commitUpdateMoR(spark, dir, cond, applySets)
             else graft.operators.SnapshotOps
-              .commitRewrite(spark, dir, cond, applySets)
+              .commitRewrite(spark, dir, cond, applySets,
+                // manifest-pruned touched-file discovery (r14): scan
+                // only files whose bounds may match the WHERE
+                candidates = Option(whereOpt).map(w =>
+                  dmlCandidates(name, dir, target.schema, w)).orNull)
           registerSnapshot(name, dir)
         case None =>
           register(name, target.select(target.schema.fields.map { f =>
@@ -769,7 +773,10 @@ class Engine(val spark: SparkSession) {
               graft.operators.SnapshotOps
                 .commitDeleteByKey(spark, dir, keyDf)
             case _ => graft.operators.SnapshotOps
-              .commitRewrite(spark, dir, hit, _.limit(0))
+              .commitRewrite(spark, dir, hit, _.limit(0),
+                // manifest-pruned touched-file discovery (r14)
+                candidates = Option(whereOpt).map(w =>
+                  dmlCandidates(name, dir, target.schema, w)).orNull)
           }
           registerSnapshot(name, dir)
         case None =>
@@ -1163,8 +1170,39 @@ class Engine(val spark: SparkSession) {
       else tables.keys.find(_.replace('.', '_') == norm(tname))
         .getOrElse(return None)
     val dir = snapshotDirs.getOrElse(n, return None)
+    manifestCandidates(n, dir, tables(n).schema, raws).map {
+      case (version, files) =>
+        (n, SnapshotOps.readSnapshotFiles(spark, dir, version, files))
+    }
+  }
+
+  /** Manifest candidates for a DML WHERE clause (r14): the same
+    * conjunct grammar and encoding as SELECT pruning, applied to the
+    * predicate text alone. Returns null (no hint) unless the clause
+    * translated AND something was actually skipped; commitRewrite
+    * drops the hint itself if its CAS loop rebases past the version
+    * the candidates were proved against. */
+  private def dmlCandidates(name: String, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      whereText: String): (Int, Seq[String]) = {
+    val n = norm(name)
+    val names = Set(n, n.split('.').last)
+    val raws = graft.dialect.ScanPrune.conjunctsOf(whereText, names)
+    if (raws.isEmpty) null
+    else manifestCandidates(n, dir, schema, raws).orNull
+  }
+
+  /** Raw predicates → (version, pruned file list) against `dir`'s
+    * CURRENT manifest, via the typed-bounds encoding; records the
+    * decision in [[lastPrune]] and returns None when nothing
+    * translated or nothing was skipped. */
+  private def manifestCandidates(n: String, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      raws: Seq[graft.dialect.ScanPrune.RawPred])
+      : Option[(Int, Seq[String])] = {
+    import graft.dialect.ScanPrune
+    import graft.operators.SnapshotOps
     val version = SnapshotOps.currentVersion(dir)
-    val schema = tables(n).schema
     val sessTz = java.time.ZoneId.of(
       spark.conf.get("spark.sql.session.timeZone",
         java.util.TimeZone.getDefault.getID))
@@ -1239,9 +1277,7 @@ class Engine(val spark: SparkSession) {
     val kept = SnapshotOps.predFiles(dir, version, preds)
     val total = SnapshotOps.snapshotFileCount(dir, version)
     lastPrune(n) = (kept.size, total)
-    if (kept.size >= total) None
-    else Some((n,
-      SnapshotOps.readSnapshotFiles(spark, dir, version, kept)))
+    if (kept.size >= total) None else Some((version, kept))
   }
 
   /** 'yyyy-MM-dd[ HH:mm:ss[.f…]]' under the session time zone → the

@@ -106,14 +106,43 @@ object ScanPrune {
       }
       j += 1
     }
-    // split into top-level AND conjuncts; the AND that belongs to a
-    // BETWEEN is consumed by it, not a boundary
+    val names = Set(table.toLowerCase,
+      table.split('.').last.toLowerCase) ++ alias.map(_.toLowerCase)
+    val preds = splitConjuncts(ls, i + 1, end).flatMap { case (a, b) =>
+      parseConjunct(ls.slice(a, b), names) }
+    if (preds.isEmpty) None else Some((table, preds))
+  }
+
+  /** Top-level AND conjuncts of a BARE predicate text (a DML WHERE
+    * clause) under the same grammar as [[analyze]]'s WHERE handling.
+    * `names` = qualifiers accepted on column references (the target
+    * table's name/short name). A predicate containing a subquery or
+    * any disqualifying construct yields nothing — DML pruning must be
+    * exactly as conservative as scan pruning. */
+  def conjunctsOf(predText: String, names: Set[String]): Seq[RawPred] = {
+    val ls = SqlNormalizer.lex(predText)
+      .filterNot(_.tok.isInstanceOf[Comment]).toVector
+    if (ls.exists(_.tok match {
+      case Word(w) =>
+        val u = w.toUpperCase; u == "SELECT" || disqualify(u)
+      case _ => false
+    })) return Nil
+    val lower = names.map(_.toLowerCase)
+    splitConjuncts(ls, 0, ls.length).flatMap { case (a, b) =>
+      parseConjunct(ls.slice(a, b), lower) }
+  }
+
+  /** Token ranges of the depth-0 AND conjuncts in ls[from, until);
+    * the AND that belongs to a BETWEEN is consumed by it, never a
+    * boundary. */
+  private def splitConjuncts(ls: Vector[Lexeme], from: Int,
+      until: Int): Seq[(Int, Int)] = {
     val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    var start = i + 1
+    var start = from
     var pendingBetween = 0
-    depth = 0
-    j = i + 1
-    while (j < end) {
+    var depth = 0
+    var j = from
+    while (j < until) {
       ls(j).tok match {
         case Op("(") => depth += 1
         case Op(")") => depth -= 1
@@ -128,12 +157,8 @@ object ScanPrune {
       }
       j += 1
     }
-    if (start < end) bounds += ((start, end))
-    val names = Set(table.toLowerCase,
-      table.split('.').last.toLowerCase) ++ alias.map(_.toLowerCase)
-    val preds = bounds.toSeq.flatMap { case (a, b) =>
-      parseConjunct(ls.slice(a, b), names) }
-    if (preds.isEmpty) None else Some((table, preds))
+    if (start < until) bounds += ((start, until))
+    bounds.toSeq
   }
 
   private def wordText(ls: Vector[Lexeme], i: Int): String =

@@ -1700,7 +1700,8 @@ object SnapshotOps {
     * GC in a real deployment. */
   def commitRewrite(spark: SparkSession, tableDir: String, cond: Column,
       update: DataFrame => DataFrame, maxRetries: Int = 5,
-      mergeSchema: Boolean = false): Committed = {
+      mergeSchema: Boolean = false,
+      candidates: (Int, Seq[String]) = null): Committed = {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
@@ -1709,6 +1710,14 @@ object SnapshotOps {
       val eqs = eqDeleteUnits(tableDir, base)
       val entries = units.flatMap(_.entries)
       require(entries.nonEmpty, s"commitRewrite on empty table $tableDir")
+      // manifest-pruned candidates (r14): when the caller proved —
+      // from bounds, against a SPECIFIC version — that only these
+      // files can hold matching rows, job 1 scans only them. Deletes
+      // only remove rows, so visible matches ⊆ raw matches ⊆ the
+      // bound-matching files. A CAS retry against a NEWER base drops
+      // the hint (it was proved for another manifest), never reuses it.
+      val candSet = Option(candidates).filter(_._1 == base)
+        .map(_._2.map(localPath).toSet)
       // job 1: which files contain matching VISIBLE rows (file-
       // granularity pruning via the scan's position identity — one
       // distributed pass, a manifest-sized collect); DV'd positions
@@ -1717,12 +1726,28 @@ object SnapshotOps {
       // `update` see the LOGICAL view (identity for un-evolved tables).
       val mapping = columnMapping(tableDir, base)
       val merge = mergeSchema || mapping.nonEmpty
-      val snap = readUnitsVisible(spark, tableDir, units, dvs, eqs,
+      // the FULL visible read stays the schema anchor (job 2's
+      // backfill shape must not depend on which files were scanned);
+      // lazy — with an empty candidate set it is never even analyzed
+      lazy val snap = readUnitsVisible(spark, tableDir, units, dvs, eqs,
         mergeSchema = merge, tagged = true)
-      val touched = logicalView(snap, mapping, extra = Seq("__file"))
-        .where(cond)
-        .select(col("__file").as("f"))
-        .distinct().collect().map(r => localPath(r.getString(0))).toSet
+      def findTouched(read: DataFrame): Set[String] =
+        logicalView(read, mapping, extra = Seq("__file"))
+          .where(cond)
+          .select(col("__file").as("f"))
+          .distinct().collect().map(r => localPath(r.getString(0))).toSet
+      val touched = candSet match {
+        case Some(cs) if cs.isEmpty => Set.empty[String]
+        case Some(cs) => findTouched(readUnitsVisible(spark, tableDir,
+          units, dvs, eqs, mergeSchema = merge, tagged = true,
+          // anchored to the FULL schema: cond may reference an evolved
+          // column that none of the candidate files carries
+          anchor = if (merge) org.apache.spark.sql.types.StructType(
+            snap.schema.filterNot(f =>
+              f.name == "__file" || f.name == "__pos")) else null,
+          keep = e => cs.contains(localPath(e.path))))
+        case None => findTouched(snap)
+      }
       // copy-on-write at GROUP granularity: a unit none of whose files
       // matches carries forward as its one unparsed line; only broken
       // groups' survivors re-wrap

@@ -835,6 +835,38 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("DML pruning: UPDATE/DELETE WHERE discover touched files from " +
+      "manifest bounds — untouched bands never scanned, results exact") {
+    val e = engine
+    prunedFixture(e)
+    // banded UPDATE: only the m-band file may hold matches
+    e.executeDuck(
+      "UPDATE pr SET v = v + 1000 WHERE k BETWEEN 'm-0100' AND 'm-0104'")
+    val (kept, total) = e.lastPrune("pr")
+    assert(kept < total, s"UPDATE must prune discovery: $kept/$total")
+    // file-granular COW: the a- and z-band files carried forward
+    assert(e.lastCommit("pr").reused >= 2,
+      s"expected >=2 reused files: ${e.lastCommit("pr")}")
+    assert(e.executeDuck(
+      "SELECT v AS v FROM pr WHERE k BETWEEN 'm-0100' AND 'm-0105'")
+      .collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(105, 1100, 1101, 1102, 1103, 1104))
+    // banded DELETE: prefix conjunct prunes discovery the same way
+    e.executeDuck("DELETE FROM pr WHERE k LIKE 'z-%'")
+    assert(e.lastPrune("pr")._1 < e.lastPrune("pr")._2)
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr")
+      .collect()(0).getLong(0) == 100L)
+    // a WHERE the grammar can't translate (OR, function) still
+    // executes correctly — it just doesn't prune discovery
+    e.executeDuck("DELETE FROM pr WHERE length(k) = 7 OR v > 5000")
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr")
+      .collect()(0).getLong(0) == 100L, "nothing matched; nothing lost")
+    e.executeDuck("DELETE FROM pr WHERE length(k) = 6 OR v > 5000")
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr")
+      .collect()(0).getLong(0) == 0L, "every key is 6 chars")
+    e.close()
+  }
+
   test("a pruned-to-zero probe returns the empty result, not a wrong " +
       "scan; UPDATE after pruning keeps bounds fresh") {
     val e = engine

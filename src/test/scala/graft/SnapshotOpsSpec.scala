@@ -1725,6 +1725,47 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(got == (100L to 110L).toSeq)
   }
 
+  test("commitRewrite candidates: a current-version hint bounds " +
+      "discovery, a stale-version hint is dropped, never trusted") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (0L until 50L).map(i => (i, "base")).toDF("k", "tag"),
+      statsCols = Seq("k"))
+    SnapshotOps.commitAppend(spark, t,
+      (100L until 150L).map(i => (i, "base")).toDF("k", "tag"),
+      statsCols = Seq("k"))
+    val v = SnapshotOps.currentVersion(t)
+    // current-version hint from the manifest itself: only the second
+    // band may hold matches
+    val cand = SnapshotOps.rangeFiles(t, v, "k",
+      BigDecimal(100), BigDecimal(110))
+    assert(cand.size < SnapshotOps.snapshotFileCount(t, v))
+    val c1 = SnapshotOps.commitRewrite(spark, t,
+      col("k").between(100, 110), _.withColumn("tag", lit("hit")),
+      candidates = (v, cand))
+    assert(c1.reused >= 1, s"first band must carry forward: $c1")
+    assert(SnapshotOps.readLatest(spark, t).where(col("tag") === "hit")
+      .count() == 11)
+    // STALE hint claiming "no files can match": version mismatch must
+    // drop it — the rewrite still finds and updates the matching rows
+    val c2 = SnapshotOps.commitRewrite(spark, t, col("k") < 5,
+      _.withColumn("tag", lit("stale-test")),
+      candidates = (v, Seq.empty)) // v is no longer current
+    assert(c2.written > 0)
+    assert(SnapshotOps.readLatest(spark, t)
+      .where(col("tag") === "stale-test").count() == 5)
+    // a CURRENT-version empty hint is a proof of no matches: the
+    // commit lands as a pure carry-forward, zero files written
+    val vNow = SnapshotOps.currentVersion(t)
+    val c3 = SnapshotOps.commitRewrite(spark, t, lit(true),
+      _.withColumn("tag", lit("never")),
+      candidates = (vNow, Seq.empty))
+    assert(c3.written == 0)
+    assert(SnapshotOps.readLatest(spark, t)
+      .where(col("tag") === "never").count() == 0)
+  }
+
   test("string stats survive compaction: rewrites recompute the same " +
       "typed bounds for the files they produce") {
     import spark.implicits._
