@@ -1133,21 +1133,96 @@ class Engine(val spark: SparkSession) {
           ("""(?i)\b""" + java.util.regex.Pattern.quote(key) + """\b""").r
             .replaceAllIn(q, key.replace('.', '_'))
         }
-      val rewritten = DuckRewriter.rewrite(bindFileTables(dotted), schemaOf)
+      // time-travel clauses (r14): `t [FOR] VERSION AS OF n` /
+      // `t [FOR] TIMESTAMP AS OF 'ts'` swap in a view over the
+      // committed snapshot — any table position, including self-joins
+      // of two versions
+      val (ttSql, ttViews) = rewriteTimeTravel(dotted)
+      val rewritten = DuckRewriter.rewrite(bindFileTables(ttSql), schemaOf)
       // SQL-scan manifest pruning (r14): a plain single-table SELECT
       // whose WHERE translates to bound constraints reads only the
       // manifest-surviving files. Rebinding is ANALYSIS-scoped:
       // spark.sql analyzes eagerly (Dataset.ofRows asserts analysis),
       // so restoring the original binding afterwards cannot reach the
       // returned frame's resolved plan.
-      pruneScan(rewritten) match {
+      try pruneScan(rewritten) match {
         case Some((n, pruned)) =>
           val orig = tables(n)
           bind(n, pruned)
           try spark.sql(rewritten) finally bind(n, orig)
         case None => spark.sql(rewritten)
+      } finally ttViews.foreach { v =>
+        tables.remove(v)
+        spark.catalog.dropTempView(v)
       }
   }
+  }
+
+  /** SQL time travel (r14): rewrite every `t [FOR] VERSION AS OF n`
+    * and `t [FOR] TIMESTAMP AS OF 'ts'` over a snapshot-backed table
+    * into a fresh view bound to [[graft.operators.SnapshotOps
+    * .readSnapshot]] / `readSnapshotAsOf` — the Delta/Iceberg SQL
+    * idiom, resolved over the token stream (a 'VERSION AS OF' inside
+    * a string literal can never match). Timestamps parse under the
+    * session time zone; an expired or future version fails loudly in
+    * the read, never silently serves another snapshot. Returns the
+    * rewritten text plus the view names to unbind after analysis. */
+  private def rewriteTimeTravel(sql0: String): (String, Seq[String]) = {
+    import graft.dialect.SqlNormalizer.{Num, Quoted, Word}
+    import graft.operators.SnapshotOps
+    val ls = Stmt.lexemes(sql0)
+    def word(i: Int): Option[String] = ls.lift(i).map(_.tok).collect {
+      case Word(w) => w.toUpperCase }
+    final case class Hit(nameIdx: Int, lastIdx: Int, view: String)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
+    var k = 0
+    var i = 0
+    while (i < ls.length) {
+      val resolved = ls(i).tok match {
+        case Word(w) =>
+          val n0 = norm(w)
+          if (snapshotDirs.contains(n0)) Some((w, n0))
+          else snapshotDirs.keys.find(_.replace('.', '_') == n0)
+            .map(key => (w, key))
+        case _ => None
+      }
+      resolved.foreach { case (written, key) =>
+        val j = if (word(i + 1).contains("FOR")) i + 2 else i + 1
+        val kind = word(j)
+        if ((kind.contains("VERSION") || kind.contains("TIMESTAMP")) &&
+            word(j + 1).contains("AS") && word(j + 2).contains("OF")) {
+          val dir = snapshotDirs(key)
+          val view = s"${written.replace('.', '_')}_asof_$k"
+          (kind.get, ls.lift(j + 3).map(_.tok)) match {
+            case ("VERSION", Some(Num(n))) =>
+              bind(view, SnapshotOps.readSnapshot(spark, dir, n.toInt))
+              hits += Hit(i, j + 3, view); k += 1
+            case ("TIMESTAMP", Some(q: Quoted))
+                if q.text.startsWith("'") =>
+              val txt = q.text.drop(1).dropRight(1).replace("''", "'")
+              val zone = java.time.ZoneId.of(
+                spark.conf.get("spark.sql.session.timeZone",
+                  java.util.TimeZone.getDefault.getID))
+              val t = txt.trim.replace(' ', 'T')
+              val full = if (t.contains("T")) t else t + "T00:00:00"
+              val ms = java.time.LocalDateTime.parse(full).atZone(zone)
+                .toInstant.toEpochMilli
+              bind(view, SnapshotOps.readSnapshotAsOf(spark, dir, ms))
+              hits += Hit(i, j + 3, view); k += 1
+            case _ =>
+          }
+        }
+      }
+      i += 1
+    }
+    if (hits.isEmpty) (sql0, Seq.empty)
+    else {
+      // splice right-to-left so earlier character spans stay valid
+      val out = hits.sortBy(-_.nameIdx).foldLeft(sql0) { (s, h) =>
+        s.take(ls(h.nameIdx).start) + h.view + s.drop(ls(h.lastIdx).end)
+      }
+      (out, hits.map(_.view).toSeq)
+    }
   }
 
   /** Statement-scoped manifest pruning (r14): when `rewritten` is a

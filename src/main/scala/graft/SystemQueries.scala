@@ -2991,6 +2991,80 @@ object SystemQueries {
         |FROM b WHERE ship >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND ship < TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY probe""".stripMargin,
+      headline = true),
+
+    // SQL TIME TRAVEL (r14): `t VERSION AS OF n` / `t TIMESTAMP AS OF
+    // 'ts'` at the SQL surface — the Delta/Iceberg idiom over the
+    // snapshot layer's committed versions, resolved per table
+    // REFERENCE (a self-join of two versions of the same table is one
+    // query), with timestamps resolving to the latest commit at-or-
+    // before the instant. Versions: v1 insert, v2 insert, v3 UPDATE —
+    // so as-of reads must reproduce both pre-append and pre-update
+    // content, and the oracle re-derives each phase from the base
+    // table. The 15 ms sleeps separate commit wall-clock stamps so
+    // the TIMESTAMP AS OF phase is deterministic.
+    "q272_sql_time_travel" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val e = new Engine(spark)
+      e.executeDuck("CREATE TABLE g272 (id INTEGER, val DOUBLE)")
+      e.executeDuck(
+        """INSERT INTO g272 SELECT c_custkey, c_acctbal FROM customer
+          |WHERE c_custkey <= 500""".stripMargin)              // v1
+      Thread.sleep(15)
+      e.executeDuck(
+        """INSERT INTO g272 SELECT c_custkey + 10000, c_acctbal
+          |FROM customer WHERE c_custkey <= 300""".stripMargin) // v2
+      Thread.sleep(15)
+      e.executeDuck("UPDATE g272 SET val = val + 100 WHERE id <= 200") // v3
+      val dir = e.snapshotDir("g272").get
+      val v1ts = new java.sql.Timestamp(
+        SnapshotOps.snapshotTimestamp(dir, 1).get).toInstant
+        .atZone(java.time.ZoneId.of("UTC")).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      def phase(name: String, sql: String) =
+        e.executeDuck(sql).select(lit(name).as("phase"), col("n"),
+          col("total"))
+      val agg = "count(*) AS n, CAST(sum(CAST(val AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS total"
+      val out = Seq(
+        phase("now", s"SELECT $agg FROM g272"),
+        phase("v2", s"SELECT $agg FROM g272 VERSION AS OF 2"),
+        phase("v1", s"SELECT $agg FROM g272 FOR VERSION AS OF 1"),
+        phase("ts_v1", s"SELECT $agg FROM g272 TIMESTAMP AS OF '$v1ts'"),
+        phase("self_join",
+          """SELECT count(*) AS n, CAST(NULL AS DOUBLE) AS total
+            |FROM g272 VERSION AS OF 1 a JOIN g272 b ON a.id = b.id
+            |""".stripMargin))
+        .reduce(_.unionByName(_)).orderBy("phase")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over engine-scoped scratch
+        .localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH v1 AS (SELECT c_custkey AS id, c_acctbal AS val
+        |    FROM customer WHERE c_custkey <= 500),
+        |v2 AS (SELECT * FROM v1 UNION ALL
+        |  SELECT c_custkey + 10000, c_acctbal FROM customer
+        |  WHERE c_custkey <= 300),
+        |v3 AS (SELECT id,
+        |    CASE WHEN id <= 200 THEN val + 100 ELSE val END AS val
+        |  FROM v2),
+        |r AS (
+        |  SELECT 'now' AS phase, count(*) AS n,
+        |    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM v3
+        |  UNION ALL SELECT 'v2', count(*),
+        |    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) FROM v2
+        |  UNION ALL SELECT 'v1', count(*),
+        |    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) FROM v1
+        |  UNION ALL SELECT 'ts_v1', count(*),
+        |    CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) FROM v1
+        |  UNION ALL SELECT 'self_join',
+        |    (SELECT count(*) FROM v1 a JOIN v3 b ON a.id = b.id),
+        |    CAST(NULL AS DOUBLE))
+        |SELECT phase, CAST(n AS BIGINT) AS n, total FROM r
+        |ORDER BY phase""".stripMargin,
       headline = true)
   )
 }

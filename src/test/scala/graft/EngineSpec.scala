@@ -867,6 +867,33 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("SQL time travel: VERSION/TIMESTAMP AS OF resolve committed " +
+      "snapshots per table reference; literals never match; bad " +
+      "versions fail loudly") {
+    val e = engine
+    e.executeDuck("CREATE TABLE tt (id int)")
+    e.executeDuck("INSERT INTO tt VALUES (1)")         // v1
+    e.executeDuck("INSERT INTO tt VALUES (2), (3)")    // v2
+    def n(sql: String): Long =
+      e.executeDuck(sql).collect()(0).getLong(0)
+    assert(n("SELECT count(*) AS n FROM tt") == 3)
+    assert(n("SELECT count(*) AS n FROM tt VERSION AS OF 1") == 1)
+    assert(n("SELECT count(*) AS n FROM tt FOR VERSION AS OF 2") == 3)
+    // self-join of two versions of the same table in ONE query
+    assert(n("SELECT count(*) AS n FROM tt VERSION AS OF 1 a " +
+      "JOIN tt b ON a.id = b.id") == 1)
+    // the phrase inside a string literal is data, not syntax
+    assert(n("SELECT count(*) AS n FROM tt " +
+      "WHERE 'tt VERSION AS OF 1' <> ''") == 3)
+    // time travel views are statement-scoped: nothing lingers
+    assert(!e.registeredTables.exists(_._1.contains("_asof_")))
+    // a version that never existed fails loudly, never serves another
+    intercept[Exception](
+      e.executeDuck("SELECT count(*) AS n FROM tt VERSION AS OF 99")
+        .collect())
+    e.close()
+  }
+
   test("a pruned-to-zero probe returns the empty result, not a wrong " +
       "scan; UPDATE after pruning keeps bounds fresh") {
     val e = engine
