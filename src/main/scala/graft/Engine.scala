@@ -209,6 +209,12 @@ class Engine(val spark: SparkSession) {
     * anything. The q271 entry's observable. */
   val lastPrune: mutable.Map[String, (Int, Int)] = mutable.Map.empty
 
+  /** Statement-scoped time-travel views → (table dir, resolved
+    * version), so [[pruneScan]] can prune AS-OF reads against the
+    * manifest of the version actually being read. */
+  private val asOfBinds: mutable.Map[String, (String, Int)] =
+    mutable.Map.empty
+
   /** Columns whose per-file min/max should land in the manifest at
     * commit when `SET auto_stats = true` is active: every top-level
     * column of a bounds-encodable type (SnapshotOps.encodeBound).
@@ -702,7 +708,9 @@ class Engine(val spark: SparkSession) {
             .getOption("graft.setting.update_mode").contains("mor")
           lastCommit(norm(name)) =
             if (mor) graft.operators.SnapshotOps
-              .commitUpdateMoR(spark, dir, cond, applySets)
+              .commitUpdateMoR(spark, dir, cond, applySets,
+                candidates = Option(whereOpt).map(w =>
+                  dmlCandidates(name, dir, target.schema, w)).orNull)
             else graft.operators.SnapshotOps
               .commitRewrite(spark, dir, cond, applySets,
                 // manifest-pruned touched-file discovery (r14): scan
@@ -754,7 +762,9 @@ class Engine(val spark: SparkSession) {
             .getOption("graft.setting.delete_mode").getOrElse("cow")
           lastCommit(norm(name)) = mode match {
             case "mor" => graft.operators.SnapshotOps
-              .commitDelete(spark, dir, hit)
+              .commitDelete(spark, dir, hit,
+                candidates = Option(whereOpt).map(w =>
+                  dmlCandidates(name, dir, target.schema, w)).orNull)
             case "eq" =>
               val (kcol, lits) = parseEqKeys(Option(whereOpt)
                 .getOrElse("")).getOrElse(
@@ -1153,6 +1163,7 @@ class Engine(val spark: SparkSession) {
         case None => spark.sql(rewritten)
       } finally ttViews.foreach { v =>
         tables.remove(v)
+        asOfBinds.remove(v)
         spark.catalog.dropTempView(v)
       }
   }
@@ -1196,6 +1207,7 @@ class Engine(val spark: SparkSession) {
           (kind.get, ls.lift(j + 3).map(_.tok)) match {
             case ("VERSION", Some(Num(n))) =>
               bind(view, SnapshotOps.readSnapshot(spark, dir, n.toInt))
+              asOfBinds(view) = (dir, n.toInt)
               hits += Hit(i, j + 3, view); k += 1
             case ("TIMESTAMP", Some(q: Quoted))
                 if q.text.startsWith("'") =>
@@ -1207,7 +1219,13 @@ class Engine(val spark: SparkSession) {
               val full = if (t.contains("T")) t else t + "T00:00:00"
               val ms = java.time.LocalDateTime.parse(full).atZone(zone)
                 .toInstant.toEpochMilli
-              bind(view, SnapshotOps.readSnapshotAsOf(spark, dir, ms))
+              SnapshotOps.versionAsOf(dir, ms) match {
+                case Some(v) =>
+                  bind(view, SnapshotOps.readSnapshot(spark, dir, v))
+                  asOfBinds(view) = (dir, v)
+                case None => // loud-failure / empty-table path
+                  bind(view, SnapshotOps.readSnapshotAsOf(spark, dir, ms))
+              }
               hits += Hit(i, j + 3, view); k += 1
             case _ =>
           }
@@ -1244,8 +1262,12 @@ class Engine(val spark: SparkSession) {
     val n = if (tables.contains(norm(tname))) norm(tname)
       else tables.keys.find(_.replace('.', '_') == norm(tname))
         .getOrElse(return None)
-    val dir = snapshotDirs.getOrElse(n, return None)
-    manifestCandidates(n, dir, tables(n).schema, raws).map {
+    // time-travel views prune against the manifest of the version
+    // actually read, not the current one
+    val (dir, versionOpt) = snapshotDirs.get(n).map((_, None)) orElse
+      asOfBinds.get(n).map { case (d, v) => (d, Some(v)) } getOrElse
+      (return None)
+    manifestCandidates(n, dir, tables(n).schema, raws, versionOpt).map {
       case (version, files) =>
         (n, SnapshotOps.readSnapshotFiles(spark, dir, version, files))
     }
@@ -1273,11 +1295,12 @@ class Engine(val spark: SparkSession) {
     * translated or nothing was skipped. */
   private def manifestCandidates(n: String, dir: String,
       schema: org.apache.spark.sql.types.StructType,
-      raws: Seq[graft.dialect.ScanPrune.RawPred])
+      raws: Seq[graft.dialect.ScanPrune.RawPred],
+      versionOpt: Option[Int] = None)
       : Option[(Int, Seq[String])] = {
     import graft.dialect.ScanPrune
     import graft.operators.SnapshotOps
-    val version = SnapshotOps.currentVersion(dir)
+    val version = versionOpt.getOrElse(SnapshotOps.currentVersion(dir))
     val sessTz = java.time.ZoneId.of(
       spark.conf.get("spark.sql.session.timeZone",
         java.util.TimeZone.getDefault.getID))

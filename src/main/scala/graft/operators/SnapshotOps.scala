@@ -736,7 +736,8 @@ object SnapshotOps {
     * selective deletes on large files, COW when a file's deleted
     * fraction is large enough to be worth rewriting now. */
   def commitDelete(spark: SparkSession, tableDir: String, cond: Column,
-      maxRetries: Int = 5): Committed = {
+      maxRetries: Int = 5,
+      candidates: (Int, Seq[String]) = null): Committed = {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
@@ -745,6 +746,18 @@ object SnapshotOps {
       require(entries.nonEmpty, s"commitDelete on empty table $tableDir")
       val dvs = deleteEntries(tableDir, base)
       val dir = newDataDir(tableDir)
+      // manifest-pruned position discovery (r14, the commitRewrite
+      // discipline): scan only files whose bounds may match; stale-
+      // version hints are dropped, never trusted
+      val candSet = Option(candidates).filter(_._1 == base)
+        .map(_._2.map(localPath).toSet)
+      if (candSet.exists(_.isEmpty)) // proof of no matches at `base`
+        return Committed(base, entries.size, 0, conflicts, skipped = true)
+      val mapping = columnMapping(tableDir, base)
+      lazy val fullSchema = org.apache.spark.sql.types.StructType(
+        readUnitsVisible(spark, tableDir, units, dvs,
+          eqDeleteUnits(tableDir, base),
+          mergeSchema = mapping.nonEmpty).schema)
       // DV size tracks matched rows — a few output files is plenty of
       // write parallelism, and keeps the manifest line count bounded.
       // The match scans VISIBLE rows only (eq-deletes applied), so a
@@ -753,8 +766,13 @@ object SnapshotOps {
       // (identity for never-evolved tables).
       logicalView(readUnitsVisible(spark, tableDir, units, dvs,
           eqDeleteUnits(tableDir, base), tagged = true,
-          mergeSchema = columnMapping(tableDir, base).nonEmpty),
-          columnMapping(tableDir, base), extra = Seq("__file", "__pos"))
+          mergeSchema = mapping.nonEmpty,
+          anchor = if (candSet.isDefined && mapping.nonEmpty)
+            fullSchema else null,
+          keep = candSet.map(cs => (e: FileEntry) =>
+            cs.contains(localPath(e.path)))
+            .getOrElse((_: FileEntry) => true)),
+          mapping, extra = Seq("__file", "__pos"))
         .where(cond)
         .select(col("__file").as(DvFileCol), col("__pos").as(DvPosCol))
         .coalesce(4)
@@ -865,7 +883,8 @@ object SnapshotOps {
     * [[commitDelete]], with [[commitRewrite]] as the COW alternative
     * when a file's updated fraction makes rewriting it worthwhile. */
   def commitUpdateMoR(spark: SparkSession, tableDir: String, cond: Column,
-      update: DataFrame => DataFrame, maxRetries: Int = 5): Committed = {
+      update: DataFrame => DataFrame, maxRetries: Int = 5,
+      candidates: (Int, Seq[String]) = null): Committed = {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
@@ -874,13 +893,30 @@ object SnapshotOps {
       require(entries.nonEmpty, s"commitUpdateMoR on empty table $tableDir")
       val dvs = deleteEntries(tableDir, base)
       val mapping = columnMapping(tableDir, base)
+      // manifest-pruned match discovery (r14, the commitRewrite
+      // discipline): scan only files whose bounds may match; a stale-
+      // version hint is dropped, an empty current-version hint is a
+      // proof of no matches
+      val candSet = Option(candidates).filter(_._1 == base)
+        .map(_._2.map(localPath).toSet)
+      if (candSet.exists(_.isEmpty))
+        return Committed(base, entries.size, 0, conflicts, skipped = true)
+      lazy val fullSchema = org.apache.spark.sql.types.StructType(
+        readUnitsVisible(spark, tableDir, units, dvs,
+          eqDeleteUnits(tableDir, base),
+          mergeSchema = mapping.nonEmpty).schema)
       // matched VISIBLE rows (eq-deletes applied — an update must
       // never resurrect an equality-deleted row as new data), read
       // once; the checkpoint's blocks release before every exit.
       // cond and `update` see the LOGICAL view (identity un-evolved).
       val hits = logicalView(readUnitsVisible(spark, tableDir, units,
           dvs, eqDeleteUnits(tableDir, base), tagged = true,
-          mergeSchema = mapping.nonEmpty),
+          mergeSchema = mapping.nonEmpty,
+          anchor = if (candSet.isDefined && mapping.nonEmpty)
+            fullSchema else null,
+          keep = candSet.map(cs => (e: FileEntry) =>
+            cs.contains(localPath(e.path)))
+            .getOrElse((_: FileEntry) => true)),
           mapping, extra = Seq("__file", "__pos"))
         .where(cond).localCheckpoint()
       val (dvWritten, written) = try {

@@ -867,6 +867,53 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("MoR DML pruning: delete_mode/update_mode 'mor' discover " +
+      "matches from manifest bounds too; results exact") {
+    val e = engine
+    prunedFixture(e)
+    e.executeDuck("SET delete_mode = 'mor'")
+    e.executeDuck("DELETE FROM pr WHERE k BETWEEN 'm-0100' AND 'm-0104'")
+    assert(e.lastPrune("pr")._1 < e.lastPrune("pr")._2,
+      "MoR delete must prune discovery")
+    assert(e.lastCommit("pr").written == 0, "MoR: no data file written")
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr")
+      .collect()(0).getLong(0) == 145L)
+    e.executeDuck("SET update_mode = 'mor'")
+    e.executeDuck("UPDATE pr SET v = v + 1000 WHERE k = 'z-0200'")
+    assert(e.lastPrune("pr")._1 < e.lastPrune("pr")._2,
+      "MoR update must prune discovery")
+    assert(e.executeDuck("SELECT v AS v FROM pr WHERE k = 'z-0200'")
+      .collect().map(_.getInt(0)).toSeq == Seq(1200))
+    // a banded probe that provably matches nothing: skipped commit,
+    // no version burned, content intact
+    val vBefore = graft.operators.SnapshotOps
+      .currentVersion(e.snapshotDir("pr").get)
+    e.executeDuck("DELETE FROM pr WHERE k BETWEEN 'q-' AND 'r-'")
+    assert(graft.operators.SnapshotOps
+      .currentVersion(e.snapshotDir("pr").get) == vBefore,
+      "zero-candidate MoR delete must not burn a version")
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr")
+      .collect()(0).getLong(0) == 145L)
+    e.close()
+  }
+
+  test("time-travel reads prune against the as-of version's manifest") {
+    val e = engine
+    prunedFixture(e)
+    // v4 rewrites the m-band; the as-of read of v3 must prune with
+    // v3's manifest and see pre-update values
+    e.executeDuck("UPDATE pr SET v = v + 1000 WHERE k = 'm-0100'")
+    val got = e.executeDuck("SELECT v AS v FROM pr VERSION AS OF 3 " +
+      "WHERE k BETWEEN 'm-0100' AND 'm-0101' ORDER BY v")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(100, 101), s"as-of content: $got")
+    val asofPrune = e.lastPrune.keys.find(_.contains("_asof_"))
+    assert(asofPrune.exists(k =>
+      e.lastPrune(k)._1 < e.lastPrune(k)._2),
+      s"as-of scan must prune: ${e.lastPrune}")
+    e.close()
+  }
+
   test("SQL time travel: VERSION/TIMESTAMP AS OF resolve committed " +
       "snapshots per table reference; literals never match; bad " +
       "versions fail loudly") {
