@@ -1251,13 +1251,19 @@ object SnapshotOps {
         s"${other.getClass.getName} ($other)")
   }
 
-  private def encodeStringBound(s: String): BigDecimal = {
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def encodeStringBound(s: String): BigDecimal =
+    encodeBytesBound(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0x00)
+
+  /** First [[StrBoundBytes]] of `bytes` as an unsigned big-endian
+    * integer, right-padded with `pad` (0x00 for lower bounds and
+    * values, 0xFF for prefix upper bounds). */
+  private def encodeBytesBound(bytes: Array[Byte], pad: Int): BigDecimal = {
     var acc = BigInt(0)
     var i = 0
     while (i < StrBoundBytes) {
       acc = (acc << 8) | (if (i < bytes.length) BigInt(bytes(i) & 0xff)
-        else BigInt(0))
+        else BigInt(pad))
       i += 1
     }
     BigDecimal(acc)
@@ -1269,28 +1275,140 @@ object SnapshotOps {
     * brackets a LIKE-'prefix%' probe in bound space (a prefix longer
     * than the truncation width degenerates to lo == hi — every
     * matching string shares the stored 12-byte bound). */
-  def prefixUpperBound(prefix: String): BigDecimal = {
-    val bytes = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var acc = BigInt(0)
-    var i = 0
-    while (i < StrBoundBytes) {
-      acc = (acc << 8) | (if (i < bytes.length) BigInt(bytes(i) & 0xff)
-        else BigInt(0xff))
-      i += 1
+  def prefixUpperBound(prefix: String): BigDecimal =
+    encodeBytesBound(
+      prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0xff)
+
+  /** Spec observability only: how many [[entriesFor]] calls were
+    * served from parquet FOOTERS (no Spark job). */
+  private[graft] val footerStatsHits = new java.util.concurrent.atomic.AtomicLong
+
+  /** Control signal: a footer can't serve the requested stats exactly
+    * — fall back to the distributed pass. */
+  private object FooterUnsupported
+    extends Exception(null, null, false, false)
+
+  /** Commit statistics from parquet FOOTERS (r14) — the Iceberg move:
+    * every parquet file already carries per-chunk min/max/row counts,
+    * so a commit's bounds and `_rows` cost DRIVER METADATA READS, not
+    * a Spark aggregation job over the new data. Returns None — and
+    * the caller falls back to the distributed pass — whenever ANY
+    * requested column in ANY file can't be served exactly:
+    * INT96 timestamps (undefined sort order, Spark's default output
+    * type), decimals, non-UTF8 binary, absent/unusable chunk stats.
+    * Value decoding reproduces [[encodeBound]] bit-for-bit: INT32
+    * dates ARE epoch days, INT64 TIMESTAMP(MICROS) IS the micros
+    * encoding (MILLIS scales ×1000, NANOS floors /1000 — floor is
+    * monotone so chunk maxes stay exact), UTF8 binary feeds the same
+    * 12-byte truncation (parquet's own stats truncation only widens
+    * bounds, which admits — never skips). All-null chunks contribute
+    * nothing; an all-null file gets no bound for that column. */
+  private def footerEntries(written: Seq[String],
+      statsCols: Seq[String]): Option[Seq[FileEntry]] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = new org.apache.hadoop.conf.Configuration()
+    try {
+      val out = written.map { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = BigDecimal(blocks.map(_.getRowCount).sum)
+          val bounds = scala.collection.mutable.Map[String,
+            (BigDecimal, BigDecimal)](RowsKey -> (rows, rows))
+          statsCols.foreach { c =>
+            var lo: BigDecimal = null
+            var hi: BigDecimal = null
+            blocks.foreach { b =>
+              val chunk = b.getColumns.asScala.find(cc =>
+                cc.getPath.size == 1 && cc.getPath.toDotString == c)
+                .getOrElse(throw FooterUnsupported) // column missing: not ours to guess
+              val st = chunk.getStatistics
+              if (st == null || st.isEmpty) throw FooterUnsupported
+              val allNull = st.isNumNullsSet &&
+                st.getNumNulls == b.getRowCount
+              if (!allNull) {
+                if (!st.hasNonNullValue) throw FooterUnsupported
+                val pt = chunk.getPrimitiveType
+                val ann = pt.getLogicalTypeAnnotation
+                def tsScale: Option[Long => BigDecimal] = ann match {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit match {
+                      case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                        Some(v => BigDecimal(v))
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                        Some(v => BigDecimal(v) * 1000)
+                      case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                        // floor to micros — monotone, matches the
+                        // Instant.getNano / 1000 agg-path encoding
+                        Some(v => BigDecimal(Math.floorDiv(v, 1000L)))
+                      case _ => None
+                    }
+                  case _ if ann == null ||
+                    ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+                    ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+                    Some(v => BigDecimal(v)) // plain ints; DATE = epoch days
+                  case _ => None
+                }
+                def dec(v: Any): BigDecimal = pt.getPrimitiveTypeName match {
+                  case INT32 => ann match {
+                    case null => BigDecimal(v.asInstanceOf[Int])
+                    case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation |
+                      _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                      BigDecimal(v.asInstanceOf[Int])
+                    case _ => throw FooterUnsupported
+                  }
+                  case INT64 =>
+                    tsScale.getOrElse(throw FooterUnsupported)(v.asInstanceOf[Long])
+                  case FLOAT =>
+                    BigDecimal(v.asInstanceOf[Float].toString)
+                  case DOUBLE =>
+                    BigDecimal(v.asInstanceOf[Double].toString)
+                  case BOOLEAN =>
+                    if (v.asInstanceOf[Boolean]) BigDecimal(1)
+                    else BigDecimal(0)
+                  case BINARY if ann.isInstanceOf[
+                    LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                    encodeBytesBound(v.asInstanceOf[
+                      org.apache.parquet.io.api.Binary].getBytes, 0x00)
+                  case _ => throw FooterUnsupported
+                }
+                val (mn, mx) = (dec(st.genericGetMin),
+                  dec(st.genericGetMax))
+                if (lo == null || mn < lo) lo = mn
+                if (hi == null || mx > hi) hi = mx
+              }
+            }
+            if (lo != null) bounds(c) = (lo, hi)
+          }
+          FileEntry(f, bounds.toMap)
+        } finally reader.close()
+      }
+      footerStatsHits.incrementAndGet()
+      Some(out)
+    } catch { case FooterUnsupported => None
+      case scala.util.control.NonFatal(_) => None
     }
-    BigDecimal(acc)
   }
 
   /** Per-file statistics over freshly written files — min/max for
     * `statsCols` (numeric, string, date/timestamp or boolean — stored
     * through the order-preserving [[encodeBound]] map), a Bloom
     * filter of xxhash64 values for `bloomCols`, plus the per-file row
-    * count, all in ONE distributed pass over only the writer's own
-    * output (a metadata cost that tracks the commit's data, never the
-    * table), grouped by the parquet metadata file path. All-null
-    * files get no bounds for that column (absent stats never skip). */
+    * count. Served from parquet FOOTERS ([[footerEntries]] — driver
+    * metadata reads, zero Spark jobs) whenever no blooms are needed
+    * and every stats column decodes exactly; otherwise ONE distributed
+    * pass over only the writer's own output (a metadata cost that
+    * tracks the commit's data, never the table), grouped by the
+    * parquet metadata file path. All-null files get no bounds for that
+    * column (absent stats never skip). */
   private def entriesFor(spark: SparkSession, written: Seq[String],
       statsCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+    if (written.nonEmpty && bloomCols.isEmpty)
+      footerEntries(written, statsCols).foreach(es => return es)
     // the row count is ALWAYS recorded (Iceberg's rule): it powers
     // metadata-only count(*) and the DV accounting, and its cost is
     // one count pass over only the writer's own output

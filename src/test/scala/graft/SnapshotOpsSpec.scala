@@ -1766,6 +1766,59 @@ class SnapshotOpsSpec extends SparkSpecBase {
       .where(col("tag") === "never").count() == 0)
   }
 
+  test("commit stats come from parquet footers — zero Spark jobs — " +
+      "and decode bit-identically to the distributed pass") {
+    import spark.implicits._
+    val t = freshTable()
+    val rows = (1 to 100).map(i => (i.toLong, i / 10.0,
+      f"key-$i%05d", java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i)), i % 2 == 0))
+    val before = SnapshotOps.footerStatsHits.get()
+    SnapshotOps.commitAppend(spark, t,
+      rows.toDF("id", "score", "k", "d", "flag"),
+      statsCols = Seq("id", "score", "k", "d", "flag"))
+    assert(SnapshotOps.footerStatsHits.get() > before,
+      "long/double/string/date/bool stats must be footer-served")
+    val bounds = SnapshotOps.snapshotEntries(t, 1)
+    def merged(c: String): (BigDecimal, BigDecimal) = {
+      val bs = bounds.flatMap(_.bounds.get(c))
+      (bs.map(_._1).min, bs.map(_._2).max)
+    }
+    assert(merged("id") == (BigDecimal(1), BigDecimal(100)))
+    assert(merged("score") == (BigDecimal("0.1"), BigDecimal("10.0")))
+    assert(merged("k") == (SnapshotOps.encodeBound("key-00001"),
+      SnapshotOps.encodeBound("key-00100")))
+    assert(merged("d") == (
+      SnapshotOps.encodeBound(java.time.LocalDate.of(2024, 1, 2)),
+      SnapshotOps.encodeBound(java.time.LocalDate.of(2024, 4, 10))))
+    assert(merged("flag") == (BigDecimal(0), BigDecimal(1)))
+    // metadata-only count from footer row counts
+    assert(SnapshotOps.snapshotRowCount(t, 1).contains(100L))
+    // …and the typed reads prune/filter exactly on footer bounds
+    assert(SnapshotOps.readSnapshotRangeOf(spark, t, 1, "k",
+      "key-00010", "key-00012").count() == 3)
+  }
+
+  test("footer stats fall back to the distributed pass for INT96 " +
+      "timestamps — bounds identical either way") {
+    import spark.implicits._
+    val t = freshTable()
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 50).map(i =>
+      (java.sql.Timestamp.from(base.plusSeconds(i * 60L)), i.toLong))
+    val before = SnapshotOps.footerStatsHits.get()
+    SnapshotOps.commitAppend(spark, t, rows.toDF("ts", "v"),
+      statsCols = Seq("ts"))
+    // Spark's default parquet timestamp is INT96 (no usable stats):
+    // the footer path must decline, never guess
+    assert(SnapshotOps.footerStatsHits.get() == before,
+      "INT96 timestamp stats must not be footer-served")
+    val bs = SnapshotOps.snapshotEntries(t, 1).flatMap(_.bounds.get("ts"))
+    assert(bs.map(_._1).min == SnapshotOps.encodeBound(base))
+    assert(bs.map(_._2).max ==
+      SnapshotOps.encodeBound(base.plusSeconds(49 * 60L)))
+  }
+
   test("string stats survive compaction: rewrites recompute the same " +
       "typed bounds for the files they produce") {
     import spark.implicits._
