@@ -215,24 +215,95 @@ class Engine(val spark: SparkSession) {
   private val asOfBinds: mutable.Map[String, (String, Int)] =
     mutable.Map.empty
 
+  /** Tables whose last `SELECT count(*)` was answered from manifest
+    * metadata (no data file opened) → the answer. Spec/entry
+    * observable, the lastPrune discipline. */
+  val lastMetaCount: mutable.Map[String, Long] = mutable.Map.empty
+
+  /** `SELECT count(*) [AS a] FROM t` over a snapshot-backed table →
+    * the summed manifest row count (Iceberg count pushdown), as a
+    * 1-row frame named like Spark would name it ("count(1)" unaliased)
+    * so the shortcut is invisible to callers. None whenever the shape
+    * doesn't match or the metadata answer isn't exact —
+    * [[graft.operators.SnapshotOps.snapshotRowCount]] declines on
+    * eq-deletes and stats-free files rather than lying. */
+  private def metaCount(ls: Vector[graft.dialect.SqlNormalizer.Lexeme])
+      : Option[DataFrame] = {
+    import graft.dialect.SqlNormalizer.{Op, Word}
+    def w(i: Int): Option[String] = ls.lift(i).map(_.tok).collect {
+      case Word(x) => x }
+    def op(i: Int, o: String): Boolean =
+      ls.lift(i).map(_.tok).contains(Op(o))
+    if (!w(0).exists(_.equalsIgnoreCase("SELECT"))) return None
+    if (!w(1).exists(_.equalsIgnoreCase("count")) || !op(2, "(") ||
+      !op(3, "*") || !op(4, ")")) return None
+    val (alias, fromI) =
+      if (w(5).exists(_.equalsIgnoreCase("AS")) && w(6).isDefined)
+        (w(6), 7)
+      else (None, 5)
+    if (!w(fromI).exists(_.equalsIgnoreCase("FROM"))) return None
+    val tname = w(fromI + 1).getOrElse(return None)
+    if (ls.length != fromI + 2) return None
+    val n = if (snapshotDirs.contains(norm(tname))) norm(tname)
+      else snapshotDirs.keys.find(_.replace('.', '_') == norm(tname))
+        .getOrElse(return None)
+    val dir = snapshotDirs(n)
+    import graft.operators.SnapshotOps
+    SnapshotOps.snapshotRowCount(dir, SnapshotOps.currentVersion(dir))
+      .map { rows =>
+        lastMetaCount(n) = rows
+        import spark.implicits._
+        Seq(rows).toDF(alias.getOrElse("count(1)"))
+      }
+  }
+
+  private def boundsEncodable(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | StringType | DateType | TimestampType |
+        BooleanType => true
+      case _ => false
+    }
+  }
+
   /** Columns whose per-file min/max should land in the manifest at
     * commit when `SET auto_stats = true` is active: every top-level
     * column of a bounds-encodable type (SnapshotOps.encodeBound).
     * Off by default — stats cost one aggregate pass over the commit's
-    * own files, a price existing pipelines shouldn't silently pay. */
+    * own files, a price existing pipelines shouldn't silently pay
+    * (footer-served commits make it near-free, but the fallback pass
+    * is still a job). */
   private def autoStatsCols(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.types._
     val on = spark.conf.getOption("graft.setting.auto_stats")
       .exists(v => Set("true", "1", "on")(v.trim.toLowerCase))
     if (!on) Nil
     else df.schema.fields.collect {
-      case f if (f.dataType match {
-        case _: NumericType | StringType | DateType | TimestampType |
-          BooleanType => true
-        case _ => false
-      }) => f.name
-    }.toSeq
+      case f if boundsEncodable(f.dataType) => f.name }.toSeq
   }
+
+  /** Declared write layout per table (`ALTER TABLE t WRITE ORDERED BY
+    * cols [INTO n FILES]`): appends range-partition + sort rows on the
+    * declared keys, so every commit lands as key-banded files with
+    * tight bounds — the Iceberg sort-order table property. Declaring a
+    * layout IS declaring skipping intent, so the sort keys' stats are
+    * recorded on every commit regardless of auto_stats. */
+  private val writeOrder: mutable.Map[String, (Seq[String], Int)] =
+    mutable.Map.empty
+
+  private def applyWriteOrder(name: String, df: DataFrame): DataFrame =
+    writeOrder.get(norm(name)).map { case (cols, n) =>
+      val cs = cols.flatMap(c =>
+        df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(f =>
+          col(f.name)))
+      if (cs.isEmpty) df
+      else df.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
+    }.getOrElse(df)
+
+  private def sortStatsCols(name: String, df: DataFrame): Seq[String] =
+    writeOrder.get(norm(name)).map(_._1.flatMap(c =>
+      df.schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
+        boundsEncodable(f.dataType)).map(_.name))).getOrElse(Nil)
 
   /** The snapshot table directory backing `name`, when DML has
     * materialized it. */
@@ -270,9 +341,11 @@ class Engine(val spark: SparkSession) {
     (if (snapshotable(rows)) ensureSnapshot(name, forAppend = true)
      else None) match {
       case Some(dir) =>
+        val laid = applyWriteOrder(name, rows)
         lastCommit(norm(name)) =
-          graft.operators.SnapshotOps.commitAppend(spark, dir, rows,
-            statsCols = autoStatsCols(rows))
+          graft.operators.SnapshotOps.commitAppend(spark, dir, laid,
+            statsCols =
+              (autoStatsCols(laid) ++ sortStatsCols(name, laid)).distinct)
         registerSnapshot(name, dir)
       case None =>
         register(name, target.unionByName(rows))
@@ -298,9 +371,11 @@ class Engine(val spark: SparkSession) {
           // table's dir (forAppend) is provisional until the INSERT's
           // own commit lands (appendRows calls registerSnapshot)
           if (!empty) {
+            val laid = applyWriteOrder(n, df)
             lastCommit(n) =
-              graft.operators.SnapshotOps.commitAppend(spark, dir, df,
-                statsCols = autoStatsCols(df))
+              graft.operators.SnapshotOps.commitAppend(spark, dir, laid,
+                statsCols =
+                  (autoStatsCols(laid) ++ sortStatsCols(n, laid)).distinct)
             snapshotDirs(n) = dir
           }
           Some(dir)
@@ -341,6 +416,9 @@ class Engine(val spark: SparkSession) {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*""".r
   private val AlterDropCol =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
+  private val AlterWriteOrder =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s+""" +
+      """([\w\s,]+?)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""").r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   private val AttachCmd =
@@ -931,6 +1009,15 @@ class Engine(val spark: SparkSession) {
     // when the table is snapshot-backed — data files untouched, time
     // travel to the pre-evolution shape preserved; lazy tables take
     // the plain plan-level rename/drop
+    case AlterWriteOrder(name, colsS, nS) =>
+      val cols = colsS.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val have = table(name).columns.map(_.toLowerCase).toSet
+      val missing = cols.filterNot(c => have(c.toLowerCase))
+      require(missing.isEmpty,
+        s"WRITE ORDERED BY: unknown column(s) ${missing.mkString(", ")}")
+      writeOrder(norm(name)) =
+        (cols, Option(nS).map(_.toInt).getOrElse(8))
+      empty()
     case AlterRename(name, from, to) =>
       ensureSnapshot(name) match {
         case Some(dir) =>
@@ -1143,6 +1230,11 @@ class Engine(val spark: SparkSession) {
           ("""(?i)\b""" + java.util.regex.Pattern.quote(key) + """\b""").r
             .replaceAllIn(q, key.replace('.', '_'))
         }
+      // metadata-only count(*) (r14): Iceberg's count pushdown at the
+      // SQL surface — answered from summed manifest row stats, zero
+      // data files opened; declines (scan as usual) whenever the
+      // metadata answer isn't exact (eq-deletes, missing row stats)
+      metaCount(lexed).foreach(return _)
       // time-travel clauses (r14): `t [FOR] VERSION AS OF n` /
       // `t [FOR] TIMESTAMP AS OF 'ts'` swap in a view over the
       // committed snapshot — any table position, including self-joins

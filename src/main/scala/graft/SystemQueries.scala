@@ -3065,6 +3065,105 @@ object SystemQueries {
         |    CAST(NULL AS DOUBLE))
         |SELECT phase, CAST(n AS BIGINT) AS n, total FROM r
         |ORDER BY phase""".stripMargin,
+      headline = true),
+
+    // SQL-declared WRITE LAYOUT (r14): `ALTER TABLE t WRITE ORDERED BY
+    // cols [INTO n FILES]` — the Iceberg sort-order table property at
+    // the SQL surface. Every subsequent INSERT range-partitions and
+    // sorts on the declared keys, so commits land as key-banded files
+    // with tight bounds, and the sort keys' stats are recorded on
+    // every commit (declaring a layout IS declaring skipping intent —
+    // no auto_stats required). The probes arrive through PLAIN SQL
+    // from an UNSORTED source: layout, not ingest order, is what
+    // makes them prune. Closes the SQL-only loop: declare layout →
+    // ingest → skippable scans, zero API calls.
+    "q273_sql_write_layout" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck("CREATE TABLE g273 (skey STRING, qty DOUBLE)")
+      e.executeDuck("ALTER TABLE g273 WRITE ORDERED BY skey INTO 8 FILES")
+      // ONE insert of the whole (unsorted) source — banding must come
+      // from the declared layout alone
+      e.executeDuck(
+        """INSERT INTO g273
+          |SELECT l_returnflag || '-' ||
+          |    lpad(CAST(l_orderkey AS STRING), 8, '0'), l_quantity
+          |FROM lineitem WHERE l_orderkey <= 4000""".stripMargin)
+      def run(probe: String, where: String) = {
+        val df = e.executeDuck(
+          s"""SELECT count(skey) AS n,
+             |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM g273 WHERE $where""".stripMargin)
+        val (kept, total) = e.lastPrune.getOrElse("g273", (0, 0))
+        df.select(lit(probe).as("probe"), col("n"), col("qty"),
+          lit(kept < total).as("pruned"))
+      }
+      val out = Seq(
+        run("band_n", "skey BETWEEN 'N-00000500' AND 'N-00002500'"),
+        run("prefix_a", "skey LIKE 'A-%'"),
+        run("point_r", "skey = 'R-00000003'"))
+        .reduce(_.unionByName(_)).orderBy("probe")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over engine-scoped scratch
+        .localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH b AS (SELECT l_returnflag || '-' ||
+        |    lpad(CAST(l_orderkey AS VARCHAR), 8, '0') AS skey,
+        |    l_quantity AS qty
+        |  FROM lineitem WHERE l_orderkey <= 4000)
+        |SELECT 'band_n' AS probe, count(skey) AS n,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  TRUE AS pruned
+        |FROM b WHERE skey BETWEEN 'N-00000500' AND 'N-00002500'
+        |UNION ALL
+        |SELECT 'point_r', count(skey),
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b WHERE skey = 'R-00000003'
+        |UNION ALL
+        |SELECT 'prefix_a', count(skey),
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b WHERE skey LIKE 'A-%'
+        |ORDER BY probe""".stripMargin,
+      headline = true),
+
+    // Metadata-only COUNT(*) at the SQL surface (r14): Iceberg's
+    // count pushdown — `SELECT count(*) FROM t` answers from summed
+    // manifest row stats with ZERO data files opened (footer-recorded
+    // row counts make this exact from commit one), MoR deletes
+    // subtract their DV position counts so the metadata answer stays
+    // exact through merge-on-read deletes, and the shortcut DECLINES
+    // (ordinary scan) the moment exactness is unprovable. `meta` pins
+    // that the metadata path really answered.
+    "q274_sql_meta_count" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck("CREATE TABLE g274 (id INTEGER, flag STRING)")
+      e.executeDuck(
+        """INSERT INTO g274 SELECT c_custkey, c_mktsegment
+          |FROM customer WHERE c_custkey <= 600""".stripMargin)
+      def count(phase: String) = {
+        val df = e.executeDuck("SELECT count(*) AS n FROM g274")
+        val meta = e.lastMetaCount.contains("g274")
+        e.lastMetaCount.clear()
+        df.select(lit(phase).as("phase"), col("n"),
+          lit(meta).as("meta"))
+      }
+      val afterInsert = count("after_insert")
+      e.executeDuck("SET delete_mode = 'mor'")
+      e.executeDuck("DELETE FROM g274 WHERE id <= 100")
+      val afterDelete = count("after_mor_delete")
+      val out = afterInsert.unionByName(afterDelete).orderBy("phase")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over engine-scoped scratch
+        .localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH b AS (SELECT c_custkey AS id FROM customer
+        |  WHERE c_custkey <= 600)
+        |SELECT 'after_insert' AS phase, count(*) AS n, TRUE AS meta
+        |FROM b
+        |UNION ALL
+        |SELECT 'after_mor_delete', count(*), TRUE FROM b WHERE id > 100
+        |ORDER BY phase""".stripMargin,
       headline = true)
   )
 }

@@ -867,6 +867,60 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("ALTER TABLE WRITE ORDERED BY: appends land key-banded with " +
+      "sort-key stats, plain SELECTs prune — no auto_stats needed") {
+    val e = engine
+    e.executeDuck("CREATE TABLE wo (k varchar, v int)")
+    e.executeDuck("ALTER TABLE wo WRITE ORDERED BY k INTO 6 FILES")
+    // one UNSORTED insert: layout, not source order, decides banding
+    e.executeDuck("INSERT INTO wo SELECT " +
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'm' " +
+      "ELSE 'z' END || '-' || lpad(CAST(id AS STRING), 4, '0'), " +
+      "CAST(id AS INT) FROM range(0, 300)")
+    val dir = e.snapshotDir("wo").get
+    val entries = graft.operators.SnapshotOps.snapshotEntries(dir, 1)
+    assert(entries.size >= 4, s"expected banded files: ${entries.size}")
+    assert(entries.forall(_.bounds.contains("k")),
+      "sort-key stats must be recorded without auto_stats")
+    assert(e.executeDuck(
+      "SELECT count(k) AS n FROM wo WHERE k LIKE 'm-%'")
+      .collect()(0).getLong(0) == 100L)
+    assert(e.lastPrune("wo")._1 < e.lastPrune("wo")._2,
+      s"banded layout must prune: ${e.lastPrune}")
+    // unknown sort column fails loudly at declaration time
+    intercept[IllegalArgumentException](
+      e.executeDuck("ALTER TABLE wo WRITE ORDERED BY nope"))
+    e.close()
+  }
+
+  test("SELECT count(*) answers from manifest metadata; declines to " +
+      "scan when the metadata answer would be inexact") {
+    val e = engine
+    e.executeDuck("CREATE TABLE mc (id int)")
+    e.executeDuck("INSERT INTO mc SELECT CAST(id AS INT) FROM range(0, 70)")
+    assert(e.executeDuck("SELECT count(*) AS n FROM mc")
+      .collect()(0).getLong(0) == 70L)
+    assert(e.lastMetaCount.get("mc").contains(70L),
+      "plain count(*) must be metadata-served")
+    // unaliased form keeps Spark's column name
+    val un = e.executeDuck("SELECT count(*) FROM mc")
+    assert(un.columns.toSeq == Seq("count(1)"))
+    assert(un.collect()(0).getLong(0) == 70L)
+    // a WHERE breaks the shape: scan path, same answer
+    e.lastMetaCount.clear()
+    assert(e.executeDuck("SELECT count(*) AS n FROM mc WHERE id < 10")
+      .collect()(0).getLong(0) == 10L)
+    assert(!e.lastMetaCount.contains("mc"))
+    // MoR delete subtracts DV rows from the metadata answer exactly
+    e.executeDuck("SET delete_mode = 'mor'")
+    e.executeDuck("DELETE FROM mc WHERE id >= 60")
+    assert(e.executeDuck("SELECT count(*) AS n FROM mc")
+      .collect()(0).getLong(0) == 60L)
+    assert(e.lastMetaCount.get("mc").contains(60L),
+      "DV-subtracted count is still metadata-exact")
+    e.close()
+  }
+
   test("MoR DML pruning: delete_mode/update_mode 'mor' discover " +
       "matches from manifest bounds too; results exact") {
     val e = engine
