@@ -2680,7 +2680,46 @@ object SnapshotOps {
       val physSchema = org.apache.spark.sql.types.StructType(
         snapPhys.schema.filterNot(f =>
           f.name == "__file" || f.name == "__pos"))
-      val snap = logicalView(snapPhys, mapping, extra = Seq("__file"))
+      // manifest-pruned probe (r14): when the target records bounds on
+      // merge keys, the SOURCE's key range (one tiny agg over the
+      // already-checkpointed source) prunes both the match probe AND
+      // the insert anti-join to the bound-intersecting files — a row
+      // matching a source key must carry that key's value, so it can
+      // only live in a file whose bounds intersect the source range.
+      // Unsupported key types or an empty source decline (full scan).
+      val candSet: Option[Set[String]] = {
+        val physKeys = keyCols.map(physName(tableDir, base, _))
+          .filter(c => entries.exists(_.bounds.contains(c)))
+        if (physKeys.isEmpty) None
+        else scala.util.Try {
+          val aggs = keyCols.flatMap(c =>
+            Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c")))
+          val r = src.agg(aggs.head, aggs.tail: _*).head()
+          val preds = keyCols.zip(keyCols.map(physName(tableDir, base, _)))
+            .flatMap { case (c, phys) =>
+              (Option(r.getAs[Any](s"_lo_$c")),
+                Option(r.getAs[Any](s"_hi_$c"))) match {
+                case (Some(lo), Some(hi)) => Some((phys,
+                  Some(encodeBound(lo)), Some(encodeBound(hi))))
+                case _ => None // all-null or empty source: no pruning
+              }
+            }
+          if (preds.size != keyCols.size) None
+          else Some(predFiles(tableDir, base, preds)
+            .map(localPath).toSet)
+        }.toOption.flatten
+      }
+      val snap = candSet match {
+        case Some(cs) if cs.isEmpty => // no file can match: all inserts
+          logicalView(snapPhys, mapping, extra = Seq("__file")).limit(0)
+        case Some(cs) => logicalView(readUnitsVisible(spark, tableDir,
+          units, dvs, eqs, tagged = true,
+          mergeSchema = mapping.nonEmpty,
+          anchor = if (mapping.nonEmpty) physSchema else null,
+          keep = e => cs.contains(localPath(e.path))),
+          mapping, extra = Seq("__file"))
+        case None => logicalView(snapPhys, mapping, extra = Seq("__file"))
+      }
       val srcKeys = broadcast(src.select(keys: _*).distinct())
       val touched = snap
         .select(keys :+ col("__file").as("f"): _*)

@@ -1819,6 +1819,37 @@ class SnapshotOpsSpec extends SparkSpecBase {
       SnapshotOps.encodeBound(base.plusSeconds(49 * 60L)))
   }
 
+  test("commitMerge prunes its probe from the source key range: " +
+      "untouched bands reuse, disjoint sources are pure appends") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (0L until 50L).map(i => (i, "base")).toDF("k", "tag"),
+      statsCols = Seq("k"))
+    SnapshotOps.commitAppend(spark, t,
+      (100L until 150L).map(i => (i, "base")).toDF("k", "tag"),
+      statsCols = Seq("k"))
+    // source inside the second band only: first band must carry
+    // forward (reused), matched rows replaced, new key inserted
+    val c1 = SnapshotOps.commitMerge(spark, t,
+      Seq((100L, "upd"), (101L, "upd"), (990L, "new"))
+        .toDF("k", "tag"), Seq("k"))
+    assert(c1.reused >= 1, s"first band must reuse: $c1")
+    val after = SnapshotOps.readLatest(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after(100L) == "upd" && after(101L) == "upd" &&
+      after(990L) == "new" && after(0L) == "base" &&
+      after.size == 101)
+    // source entirely OUTSIDE every band: provably zero matches —
+    // every existing file reuses, the merge is a pure append
+    val pre = SnapshotOps.snapshotEntries(t,
+      SnapshotOps.currentVersion(t)).size
+    val c2 = SnapshotOps.commitMerge(spark, t,
+      Seq((5000L, "far")).toDF("k", "tag"), Seq("k"))
+    assert(c2.reused == pre, s"disjoint merge must reuse all: $c2")
+    assert(SnapshotOps.readLatest(spark, t).count() == 102)
+  }
+
   test("string stats survive compaction: rewrites recompute the same " +
       "typed bounds for the files they produce") {
     import spark.implicits._
