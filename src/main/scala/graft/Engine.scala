@@ -215,9 +215,11 @@ class Engine(val spark: SparkSession) {
   private val asOfBinds: mutable.Map[String, (String, Int)] =
     mutable.Map.empty
 
-  /** Tables whose last `SELECT count(*)` was answered from manifest
-    * metadata (no data file opened) → the answer. Spec/entry
-    * observable, the lastPrune discipline. */
+  /** STATEMENT-scoped observable: tables whose count(*) was answered
+    * from manifest metadata (no data file opened) → the answer, for
+    * the most recent fall-through SELECT only — the map clears at the
+    * start of every such statement, so a scan-path count can never
+    * leave a stale metadata claim behind. */
   val lastMetaCount: mutable.Map[String, Long] = mutable.Map.empty
 
   /** `SELECT count(*) [AS a] FROM t` over a snapshot-backed table →
@@ -705,6 +707,7 @@ class Engine(val spark: SparkSession) {
   lazy val lexed = Stmt.lexemes(sqlText)
   sqlText match {
     case CreateTableAs(name, query) =>
+      writeOrder.remove(norm(name)) // a new table starts layout-free
       register(name, executeDuck(query)); empty()
     case CreateTable(name, colDefs) =>
       // column DEFINITIONS are type syntax, not expressions — they skip
@@ -716,6 +719,7 @@ class Engine(val spark: SparkSession) {
             .toUpperCase)
       }.toMap
       if (fixedSize.nonEmpty) declaredTypes(norm(name)) = fixedSize
+      writeOrder.remove(norm(name)) // a new table starts layout-free
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         normalizeDdl(colDefs))
       register(name, spark.createDataFrame(
@@ -1047,6 +1051,11 @@ class Engine(val spark: SparkSession) {
       // for [[close]], exactly like a re-register supersession
       snapshotDirs.remove(norm(name)).foreach(retiredDirs += _)
       lastCommit.remove(norm(name))
+      // declared layout and pruning observables die with the table —
+      // a recreated table must not inherit another table's sort order
+      writeOrder.remove(norm(name))
+      lastPrune.remove(norm(name))
+      lastMetaCount.remove(norm(name))
       // dotted (attached-catalog) names are backed by an underscored
       // temp view (see register) — drop the view that actually exists
       spark.catalog.dropTempView(norm(name).replace('.', '_')); empty()
@@ -1234,30 +1243,33 @@ class Engine(val spark: SparkSession) {
       // SQL surface — answered from summed manifest row stats, zero
       // data files opened; declines (scan as usual) whenever the
       // metadata answer isn't exact (eq-deletes, missing row stats)
+      lastMetaCount.clear() // statement-scoped, never stale
       metaCount(lexed).foreach(return _)
       // time-travel clauses (r14): `t [FOR] VERSION AS OF n` /
       // `t [FOR] TIMESTAMP AS OF 'ts'` swap in a view over the
       // committed snapshot — any table position, including self-joins
-      // of two versions
+      // of two versions. Everything after the rewrite runs under the
+      // unbind finally (rewriteTimeTravel cleans up after itself if it
+      // fails mid-statement), so a rewriter/analysis error can never
+      // leak a statement-scoped view.
       val (ttSql, ttViews) = rewriteTimeTravel(dotted)
-      val rewritten = DuckRewriter.rewrite(bindFileTables(ttSql), schemaOf)
-      // SQL-scan manifest pruning (r14): a plain single-table SELECT
-      // whose WHERE translates to bound constraints reads only the
-      // manifest-surviving files. Rebinding is ANALYSIS-scoped:
-      // spark.sql analyzes eagerly (Dataset.ofRows asserts analysis),
-      // so restoring the original binding afterwards cannot reach the
-      // returned frame's resolved plan.
-      try pruneScan(rewritten) match {
-        case Some((n, pruned)) =>
-          val orig = tables(n)
-          bind(n, pruned)
-          try spark.sql(rewritten) finally bind(n, orig)
-        case None => spark.sql(rewritten)
-      } finally ttViews.foreach { v =>
-        tables.remove(v)
-        asOfBinds.remove(v)
-        spark.catalog.dropTempView(v)
-      }
+      try {
+        val rewritten =
+          DuckRewriter.rewrite(bindFileTables(ttSql), schemaOf)
+        // SQL-scan manifest pruning (r14): a plain single-table SELECT
+        // whose WHERE translates to bound constraints reads only the
+        // manifest-surviving files. Rebinding is ANALYSIS-scoped:
+        // spark.sql analyzes eagerly (Dataset.ofRows asserts
+        // analysis), so restoring the original binding afterwards
+        // cannot reach the returned frame's resolved plan.
+        pruneScan(rewritten) match {
+          case Some((n, pruned)) =>
+            val orig = tables(n)
+            bind(n, pruned)
+            try spark.sql(rewritten) finally bind(n, orig)
+          case None => spark.sql(rewritten)
+        }
+      } finally ttViews.foreach(unbindAsOfView)
   }
   }
 
@@ -1270,6 +1282,12 @@ class Engine(val spark: SparkSession) {
     * session time zone; an expired or future version fails loudly in
     * the read, never silently serves another snapshot. Returns the
     * rewritten text plus the view names to unbind after analysis. */
+  private def unbindAsOfView(v: String): Unit = {
+    tables.remove(v)
+    asOfBinds.remove(v)
+    spark.catalog.dropTempView(v)
+  }
+
   private def rewriteTimeTravel(sql0: String): (String, Seq[String]) = {
     import graft.dialect.SqlNormalizer.{Num, Quoted, Word}
     import graft.operators.SnapshotOps
@@ -1280,6 +1298,7 @@ class Engine(val spark: SparkSession) {
     val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
     var k = 0
     var i = 0
+    try {
     while (i < ls.length) {
       val resolved = ls(i).tok match {
         case Word(w) =>
@@ -1298,19 +1317,20 @@ class Engine(val spark: SparkSession) {
           val view = s"${written.replace('.', '_')}_asof_$k"
           (kind.get, ls.lift(j + 3).map(_.tok)) match {
             case ("VERSION", Some(Num(n))) =>
+              // committed versions start at 1: 0 would silently read
+              // the empty pre-table frame, never-existed must be loud
+              require(n.toInt >= 1,
+                s"VERSION AS OF ${n.toInt}: committed versions start at 1")
               bind(view, SnapshotOps.readSnapshot(spark, dir, n.toInt))
               asOfBinds(view) = (dir, n.toInt)
               hits += Hit(i, j + 3, view); k += 1
             case ("TIMESTAMP", Some(q: Quoted))
                 if q.text.startsWith("'") =>
               val txt = q.text.drop(1).dropRight(1).replace("''", "'")
-              val zone = java.time.ZoneId.of(
-                spark.conf.get("spark.sql.session.timeZone",
-                  java.util.TimeZone.getDefault.getID))
-              val t = txt.trim.replace(' ', 'T')
-              val full = if (t.contains("T")) t else t + "T00:00:00"
-              val ms = java.time.LocalDateTime.parse(full).atZone(zone)
-                .toInstant.toEpochMilli
+              val ms = parseLocalInstant(txt, sessionZone)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"TIMESTAMP AS OF: cannot parse '$txt'"))
+                .toEpochMilli
               SnapshotOps.versionAsOf(dir, ms) match {
                 case Some(v) =>
                   bind(view, SnapshotOps.readSnapshot(spark, dir, v))
@@ -1325,6 +1345,10 @@ class Engine(val spark: SparkSession) {
       }
       i += 1
     }
+    } catch { case e: Throwable => // mid-statement failure: no leaks
+      hits.foreach(h => unbindAsOfView(h.view))
+      throw e
+    }
     if (hits.isEmpty) (sql0, Seq.empty)
     else {
       // splice right-to-left so earlier character spans stay valid
@@ -1333,6 +1357,21 @@ class Engine(val spark: SparkSession) {
       }
       (out, hits.map(_.view).toSeq)
     }
+  }
+
+  private def sessionZone: java.time.ZoneId = java.time.ZoneId.of(
+    spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+
+  /** 'yyyy-MM-dd[ HH:mm:ss[.f…]]' under `zone` → the instant; None on
+    * any parse failure. The ONE normalization both TIMESTAMP AS OF and
+    * timestamp-bound pruning share — they must never drift apart. */
+  private def parseLocalInstant(s: String,
+      zone: java.time.ZoneId): Option[java.time.Instant] = {
+    val t = s.trim.replace(' ', 'T')
+    val full = if (t.contains("T")) t else t + "T00:00:00"
+    scala.util.Try(
+      java.time.LocalDateTime.parse(full).atZone(zone).toInstant).toOption
   }
 
   /** Statement-scoped manifest pruning (r14): when `rewritten` is a
@@ -1473,13 +1512,9 @@ class Engine(val spark: SparkSession) {
   /** 'yyyy-MM-dd[ HH:mm:ss[.f…]]' under the session time zone → the
     * encoded instant; None on any parse failure. */
   private def parseTs(s: String,
-      zone: java.time.ZoneId): Option[BigDecimal] = {
-    val t = s.trim.replace(' ', 'T')
-    val full = if (t.contains("T")) t else t + "T00:00:00"
-    scala.util.Try(java.time.LocalDateTime.parse(full).atZone(zone)
-      .toInstant).toOption
+      zone: java.time.ZoneId): Option[BigDecimal] =
+    parseLocalInstant(s, zone)
       .map(graft.operators.SnapshotOps.encodeBound)
-  }
 
   // ---- COPY (balanced hand parser: the (query) form nests parens) --------
   private val copyHeadRe = """(?is)\A\s*COPY\s+""".r

@@ -134,9 +134,25 @@ object ScanPrune {
 
   /** Token ranges of the depth-0 AND conjuncts in ls[from, until);
     * the AND that belongs to a BETWEEN is consumed by it, never a
-    * boundary. */
+    * boundary. A depth-0 OR anywhere in the region extracts NOTHING:
+    * AND binds tighter than OR, so `a OR b AND c` is `a OR (b AND c)`
+    * — splitting at that AND would treat `c` as a required conjunct
+    * and prune away rows that satisfy only `a`. (Parenthesized ORs
+    * sit at depth > 0 and stay per-conjunct concerns.) */
   private def splitConjuncts(ls: Vector[Lexeme], from: Int,
       until: Int): Seq[(Int, Int)] = {
+    var d = 0
+    var i = from
+    while (i < until) {
+      ls(i).tok match {
+        case Op("(") => d += 1
+        case Op(")") => d -= 1
+        case Word(w) if d == 0 && w.equalsIgnoreCase("OR") =>
+          return Seq.empty
+        case _ =>
+      }
+      i += 1
+    }
     val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var start = from
     var pendingBetween = 0

@@ -735,6 +735,15 @@ object SnapshotOps {
     * [[commitRewrite]] with a filtering update; policy: MOR for small
     * selective deletes on large files, COW when a file's deleted
     * fraction is large enough to be worth rewriting now. */
+  /** Version-guarded candidate hint (r14), shared by every pruned
+    * DML discovery: Some(localPath set) only when the hint was proved
+    * against exactly `base` — a CAS rebase past that version drops it
+    * rather than trusting a stale proof. */
+  private def candidateKeep(candidates: (Int, Seq[String]),
+      base: Int): Option[Set[String]] =
+    Option(candidates).filter(_._1 == base)
+      .map(_._2.map(localPath).toSet)
+
   def commitDelete(spark: SparkSession, tableDir: String, cond: Column,
       maxRetries: Int = 5,
       candidates: (Int, Seq[String]) = null): Committed = {
@@ -749,8 +758,7 @@ object SnapshotOps {
       // manifest-pruned position discovery (r14, the commitRewrite
       // discipline): scan only files whose bounds may match; stale-
       // version hints are dropped, never trusted
-      val candSet = Option(candidates).filter(_._1 == base)
-        .map(_._2.map(localPath).toSet)
+      val candSet = candidateKeep(candidates, base)
       if (candSet.exists(_.isEmpty)) // proof of no matches at `base`
         return Committed(base, entries.size, 0, conflicts, skipped = true)
       val mapping = columnMapping(tableDir, base)
@@ -897,8 +905,7 @@ object SnapshotOps {
       // discipline): scan only files whose bounds may match; a stale-
       // version hint is dropped, an empty current-version hint is a
       // proof of no matches
-      val candSet = Option(candidates).filter(_._1 == base)
-        .map(_._2.map(localPath).toSet)
+      val candSet = candidateKeep(candidates, base)
       if (candSet.exists(_.isEmpty))
         return Committed(base, entries.size, 0, conflicts, skipped = true)
       lazy val fullSchema = org.apache.spark.sql.types.StructType(
@@ -1303,12 +1310,11 @@ object SnapshotOps {
     * 12-byte truncation (parquet's own stats truncation only widens
     * bounds, which admits — never skips). All-null chunks contribute
     * nothing; an all-null file gets no bound for that column. */
-  private def footerEntries(written: Seq[String],
-      statsCols: Seq[String]): Option[Seq[FileEntry]] = {
+  private def footerEntries(written: Seq[String], statsCols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Option[Seq[FileEntry]] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    val conf = new org.apache.hadoop.conf.Configuration()
     try {
       val out = written.map { f =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1408,7 +1414,11 @@ object SnapshotOps {
   private def entriesFor(spark: SparkSession, written: Seq[String],
       statsCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     if (written.nonEmpty && bloomCols.isEmpty)
-      footerEntries(written, statsCols).foreach(es => return es)
+      // the SESSION's Hadoop conf: a bare Configuration() would fail
+      // (and silently fall back to the aggregate job) on any
+      // credentialed or non-default filesystem
+      footerEntries(written, statsCols,
+        spark.sessionState.newHadoopConf()).foreach(es => return es)
     // the row count is ALWAYS recorded (Iceberg's rule): it powers
     // metadata-only count(*) and the DV accounting, and its cost is
     // one count pass over only the writer's own output
@@ -1870,8 +1880,7 @@ object SnapshotOps {
       // only remove rows, so visible matches ⊆ raw matches ⊆ the
       // bound-matching files. A CAS retry against a NEWER base drops
       // the hint (it was proved for another manifest), never reuses it.
-      val candSet = Option(candidates).filter(_._1 == base)
-        .map(_._2.map(localPath).toSet)
+      val candSet = candidateKeep(candidates, base)
       // job 1: which files contain matching VISIBLE rows (file-
       // granularity pruning via the scan's position identity — one
       // distributed pass, a manifest-sized collect); DV'd positions

@@ -832,6 +832,24 @@ class EngineSpec extends SparkSpecBase {
       "SELECT count(*) AS n FROM pr WHERE k LIKE 'a%0'")
       .collect()(0).getLong(0) == 5L)
     assert(!e.lastPrune.contains("pr"))
+    // AND/OR precedence: `a OR b AND c` is `a OR (b AND c)` —
+    // splitting at that AND would prune away rows satisfying only
+    // `a`. A mixed-operator WHERE must extract NOTHING.
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr " +
+      "WHERE k = 'a-0000' OR v = 101 AND k = 'm-0101'")
+      .collect()(0).getLong(0) == 2L)
+    assert(!e.lastPrune.contains("pr"), "mixed OR/AND must not prune")
+    // …and through the DML discovery path too (a wrong prune there
+    // is lost writes, not just a wrong read)
+    e.executeDuck("DELETE FROM pr " +
+      "WHERE k = 'a-0001' OR v = 102 AND k = 'm-0102'")
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr")
+      .collect()(0).getLong(0) == 148L, "both OR arms must delete")
+    // parenthesized ORs are depth>0: the other conjunct still prunes
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr " +
+      "WHERE (k = 'm-0100' OR k = 'm-0103') AND k >= 'm-'")
+      .collect()(0).getLong(0) == 2L)
+    assert(e.lastPrune("pr")._1 < e.lastPrune("pr")._2)
     e.close()
   }
 
@@ -992,6 +1010,14 @@ class EngineSpec extends SparkSpecBase {
     intercept[Exception](
       e.executeDuck("SELECT count(*) AS n FROM tt VERSION AS OF 99")
         .collect())
+    // version 0 is the pre-table frame — also loud, never empty-served
+    intercept[IllegalArgumentException](
+      e.executeDuck("SELECT count(*) AS n FROM tt VERSION AS OF 0"))
+    // a statement that fails AFTER a view was bound must not leak it
+    intercept[Exception](
+      e.executeDuck("SELECT no_such_col FROM tt VERSION AS OF 1"))
+    assert(!e.registeredTables.exists(_._1.contains("_asof_")),
+      "failed statements must unbind their time-travel views")
     e.close()
   }
 
