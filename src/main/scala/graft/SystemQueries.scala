@@ -2926,23 +2926,29 @@ object SystemQueries {
     "q271_sql_pruned_scan" -> api((spark, sfDir) => {
       val e = new Engine(spark)
       e.executeDuck("SET auto_stats = true")
+      // staging base, materialized ONCE: the six banded inserts below
+      // must not re-scan lineitem each (6 full scans goes superlinear
+      // at sf1 — measured 31.9 s; one scan + six 24k-row reads doesn't)
+      val base = spark.table("lineitem")
+        .where(col("l_orderkey") <= 4000)
+        .select(col("l_returnflag").as("flag"),
+          concat(col("l_returnflag"), lit("-"),
+            lpad(col("l_orderkey").cast("string"), 8, "0")).as("skey"),
+          col("l_shipdate").as("ship"), col("l_quantity").as("qty"))
+        .localCheckpoint()
+      e.register("g271_base", base)
       e.executeDuck("CREATE TABLE g271_s (skey VARCHAR, qty DOUBLE)")
       Seq("A", "N", "R").foreach { flag =>
         e.executeDuck(
-          s"""INSERT INTO g271_s
-             |SELECT l_returnflag || '-' ||
-             |    lpad(CAST(l_orderkey AS STRING), 8, '0'), l_quantity
-             |FROM lineitem
-             |WHERE l_orderkey <= 4000 AND l_returnflag = '$flag'"""
-            .stripMargin)
+          s"""INSERT INTO g271_s SELECT skey, qty FROM g271_base
+             |WHERE flag = '$flag'""".stripMargin)
       }
       e.executeDuck("CREATE TABLE g271_t (ship TIMESTAMP, qty DOUBLE)")
-      Seq("year(l_shipdate) < 1997", "year(l_shipdate) = 1997",
-        "year(l_shipdate) >= 1998").foreach { band =>
+      Seq("year(ship) < 1997", "year(ship) = 1997",
+        "year(ship) >= 1998").foreach { band =>
         e.executeDuck(
           s"""INSERT INTO g271_t
-             |SELECT l_shipdate, l_quantity FROM lineitem
-             |WHERE l_orderkey <= 4000 AND $band""".stripMargin)
+             |SELECT ship, qty FROM g271_base WHERE $band""".stripMargin)
       }
       def run(probe: String, table: String, sql: String) = {
         val df = e.executeDuck(sql)
@@ -2971,7 +2977,10 @@ object SystemQueries {
         // q194's intra-JVM rule: materialize before returning a frame
         // over engine-scoped scratch
         .localCheckpoint()
-      try out finally e.close()
+      try out finally {
+        graft.operators.SnapshotOps.releaseCheckpoint(base)
+        e.close()
+      }
     },
       """WITH b AS (SELECT l_returnflag || '-' ||
         |    lpad(CAST(l_orderkey AS VARCHAR), 8, '0') AS skey,
