@@ -196,6 +196,12 @@ class Engine(val spark: SparkSession) {
     retiredDirs.foreach(deleteSnapshotDir)
     retiredDirs.clear()
     lastCommit.clear()
+    // settings are session-scoped in DuckDB: a closed Engine's SETs
+    // must not leak into the next Engine on the same SparkSession
+    // (auto_stats or delete_mode surviving a close would silently
+    // change an unrelated session's commit behaviour)
+    setKeys.foreach(k => spark.conf.unset(s"graft.setting.$k"))
+    setKeys.clear()
   }
 
   /** Last snapshot commit per table — spec-asserted (reuse/write/version
@@ -208,6 +214,9 @@ class Engine(val spark: SparkSession) {
     * to manifest constraints (r14), whether or not it skipped
     * anything. The q271 entry's observable. */
   val lastPrune: mutable.Map[String, (Int, Int)] = mutable.Map.empty
+
+  /** Setting keys this Engine wrote (`SET k = v`), unset by close(). */
+  private val setKeys: mutable.Set[String] = mutable.Set.empty
 
   /** Statement-scoped time-travel views → (table dir, resolved
     * version), so [[pruneScan]] can prune AS-OF reads against the
@@ -1218,6 +1227,7 @@ class Engine(val spark: SparkSession) {
       (Seq(defaultDbName) ++ attached.keys.toSeq).toDF("database_name")
     case SetCmd(key, value) =>
       spark.conf.set(s"graft.setting.$key", normalizeSetting(key, value))
+      setKeys += key // unset on close — settings die with the session
       key match { // DuckDB knobs with direct Spark equivalents
         case "threads" =>
           spark.conf.set("spark.sql.shuffle.partitions", value)
