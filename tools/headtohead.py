@@ -40,7 +40,9 @@ EXCLUDE = [
     (r"snapshot|commit|zorder|compact|vacuum|maintenance|time_travel"
      r"|cdc|wap|write_audit|governed|bucket_layout|bucketed_join"
      r"|merge_schema|evolution|incr_agg|stats_pruned|point_index"
-     r"|manifest_group|mor_|table_changes|restore_table|eq_delete",
+     r"|manifest_group|mor_|table_changes|restore_table|eq_delete"
+     r"|stats_skipping|sql_pruned|write_layout|meta_count"
+     r"|column_evolution|prompt_overflow",
      "write/commit lifecycle"),
     (r"dedup_pairs|near_dup|minhash|simhash_hamming|segment_dedup"
      r"|bitext|cluster_safe|exact_substring|dup_clusters",
