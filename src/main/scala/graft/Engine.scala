@@ -202,6 +202,16 @@ class Engine(val spark: SparkSession) {
     // change an unrelated session's commit behaviour)
     setKeys.foreach(k => spark.conf.unset(s"graft.setting.$k"))
     setKeys.clear()
+    // ...including the Spark-native confs SET derived (threads →
+    // shuffle.partitions): restore each to its pre-Engine value so a
+    // closed Engine's SET can't change a later Engine's behaviour
+    derivedConfs.foreach { case (k, prior) =>
+      prior match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+    derivedConfs.clear()
   }
 
   /** Last snapshot commit per table — spec-asserted (reuse/write/version
@@ -217,6 +227,19 @@ class Engine(val spark: SparkSession) {
 
   /** Setting keys this Engine wrote (`SET k = v`), unset by close(). */
   private val setKeys: mutable.Set[String] = mutable.Set.empty
+
+  /** Spark-native confs derived from SET (e.g. threads →
+    * spark.sql.shuffle.partitions) with their pre-SET values (None =
+    * was unset). First write records the pre-Engine value; close()
+    * restores it so derived confs die with the session too. */
+  private val derivedConfs: mutable.Map[String, Option[String]] =
+    mutable.Map.empty
+
+  private def setDerived(sparkKey: String, value: String): Unit = {
+    if (!derivedConfs.contains(sparkKey))
+      derivedConfs(sparkKey) = spark.conf.getOption(sparkKey)
+    spark.conf.set(sparkKey, value)
+  }
 
   /** Statement-scoped time-travel views → (table dir, resolved
     * version), so [[pruneScan]] can prune AS-OF reads against the
@@ -1230,7 +1253,7 @@ class Engine(val spark: SparkSession) {
       setKeys += key // unset on close — settings die with the session
       key match { // DuckDB knobs with direct Spark equivalents
         case "threads" =>
-          spark.conf.set("spark.sql.shuffle.partitions", value)
+          setDerived("spark.sql.shuffle.partitions", value)
         case _ =>
       }
       empty()
@@ -1447,10 +1470,33 @@ class Engine(val spark: SparkSession) {
         java.util.TimeZone.getDefault.getID))
 
     // type a raw literal against the column's Spark type; None drops
-    // the conjunct (a dropped conjunct never unsoundly prunes)
+    // the conjunct (a dropped conjunct never unsoundly prunes).
+    // `dir` is the bound's role: -1 = lower bound, +1 = upper bound,
+    // 0 = equality probe. Float/double bounds are stored as shortest-
+    // round-trip decimals of the BINARY value, and Spark casts the
+    // literal to the column type before comparing — so the probe must
+    // round through the column type too (0.30000000000000001 → 0.3d),
+    // widened one ulp outward for inequalities to absorb the
+    // round-to-nearest direction. Verbatim decimals would prune files
+    // whose stored bound IS the value Spark actually compares.
     import org.apache.spark.sql.types._
-    def encode(dt: DataType, l: ScanPrune.Lit): Option[BigDecimal] =
+    def fpProbe(d: Double, dir: Int): Option[BigDecimal] = {
+      if (d.isNaN || d.isInfinite) return None
+      val p = if (dir < 0) Math.nextDown(d)
+        else if (dir > 0) Math.nextUp(d) else d
+      if (p.isInfinite) None else Some(BigDecimal(p.toString))
+    }
+    def fpProbeF(f: Float, dir: Int): Option[BigDecimal] = {
+      if (f.isNaN || f.isInfinite) return None
+      val p = if (dir < 0) Math.nextDown(f)
+        else if (dir > 0) Math.nextUp(f) else f
+      if (p.isInfinite) None else Some(BigDecimal(p.toString))
+    }
+    def encode(dt: DataType, l: ScanPrune.Lit,
+        dir: Int = 0): Option[BigDecimal] =
       (dt, l) match {
+        case (DoubleType, ScanPrune.NumLit(v)) => fpProbe(v.toDouble, dir)
+        case (FloatType, ScanPrune.NumLit(v)) => fpProbeF(v.toFloat, dir)
         case (_: NumericType, ScanPrune.NumLit(v)) => Some(v)
         case (StringType, ScanPrune.StrLit(s)) =>
           Some(SnapshotOps.encodeBound(s))
@@ -1483,16 +1529,19 @@ class Engine(val spark: SparkSession) {
     raws.foreach { raw =>
       schema.fields.find(_.name.equalsIgnoreCase(raw.col)).foreach { f =>
         raw match {
-          case ScanPrune.Cmp(_, op, l) => encode(f.dataType, l).foreach {
-            v => op match {
-              case "=" => tighten(f.name, Some(v), Some(v))
-              case ">" | ">=" => tighten(f.name, Some(v), None)
-              case "<" | "<=" => tighten(f.name, None, Some(v))
-              case _ =>
+          case ScanPrune.Cmp(_, op, l) =>
+            val dir = op match {
+              case ">" | ">=" => -1 case "<" | "<=" => 1 case _ => 0 }
+            encode(f.dataType, l, dir).foreach { v =>
+              op match {
+                case "=" => tighten(f.name, Some(v), Some(v))
+                case ">" | ">=" => tighten(f.name, Some(v), None)
+                case "<" | "<=" => tighten(f.name, None, Some(v))
+                case _ =>
+              }
             }
-          }
           case ScanPrune.Between(_, a, b) =>
-            (encode(f.dataType, a), encode(f.dataType, b)) match {
+            (encode(f.dataType, a, -1), encode(f.dataType, b, 1)) match {
               case (Some(lo), Some(hi)) =>
                 tighten(f.name, Some(lo), Some(hi))
               case _ =>

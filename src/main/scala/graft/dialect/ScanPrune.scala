@@ -229,7 +229,13 @@ object ScanPrune {
         case _ => None
       }
       case Some(q: Quoted) if q.text.startsWith("'") =>
-        Some((StrLit(unquote(q.text)), i + 1))
+        // Backslashes are processed by Spark's SQL parser (escape
+        // sequences) and double as the LIKE escape char, so the bytes
+        // the residual WHERE compares differ from the verbatim
+        // literal. Declining keeps pruning sound; the conjunct still
+        // executes in full. (Covers Prefix too — it pulls via lit.)
+        val s = unquote(q.text)
+        if (s.contains('\\')) None else Some((StrLit(s), i + 1))
       case Some(Word(w)) if w.equalsIgnoreCase("TIMESTAMP") =>
         ts.lift(i + 1).map(_.tok) match {
           case Some(q: Quoted) if q.text.startsWith("'") =>

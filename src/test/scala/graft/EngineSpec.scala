@@ -853,6 +853,62 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("float/double probes round through the column type before " +
+      "bound comparison; inequalities widen one ulp outward (r15)") {
+    val e = engine
+    e.executeDuck("SET auto_stats = true")
+    e.executeDuck("CREATE TABLE fp (d double, f float, v int)")
+    // three one-file commits, each a constant band so stored bounds
+    // are the shortest-round-trip decimal of the binary value
+    Seq(0.1, 0.3, 0.9).foreach { base =>
+      e.executeDuck(s"INSERT INTO fp SELECT CAST($base AS DOUBLE), " +
+        s"CAST($base AS FLOAT), CAST(id AS INT) FROM range(0, 10)")
+    }
+    def n(where: String): Long =
+      e.executeDuck(s"SELECT count(*) AS n FROM fp WHERE $where")
+        .collect()(0).getLong(0)
+    // Spark casts the 17-digit literal to 0.3d before comparing; the
+    // 0.3-band's stored bound IS 0.3 — a verbatim-decimal probe
+    // (lo = 0.30000000000000001 > 0.3) would unsoundly skip the file
+    assert(n("d = 0.30000000000000001") == 10L)
+    assert(n("d >= 0.30000000000000001") == 20L)
+    // float: 0.3f as double is 0.30000001192…, so the band matches
+    // >= 0.30000001 even though its stored bound 0.3 sits BELOW the
+    // literal — the probe must round through float (one ulp down)
+    assert(n("f >= 0.30000001") == 20L)
+    // rounding must not cost real pruning: a clean mid-band probe
+    // still skips files
+    assert(n("d < 0.5") == 20L &&
+      e.lastPrune("fp")._1 < e.lastPrune("fp")._2)
+    e.close()
+  }
+
+  test("backslash string literals never prune — Spark's parser " +
+      "processes escapes, so the residual WHERE compares different " +
+      "bytes than the verbatim literal (r15)") {
+    val e = engine
+    e.executeDuck("SET auto_stats = true")
+    e.executeDuck("CREATE TABLE bs (k varchar, v int)")
+    // SQL text 'a\\-0001' — Spark parses to a\-0001; a verbatim probe
+    // (a\\… > a\-…) would skip BOTH files and lose the row
+    e.executeDuck("INSERT INTO bs VALUES ('a\\\\-0001', 1)")
+    e.executeDuck("INSERT INTO bs VALUES ('z-0001', 2)")
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM bs WHERE k = 'a\\\\-0001'")
+      .collect()(0).getLong(0) == 1L)
+    e.close()
+  }
+
+  test("close() restores derived Spark confs: a closed Engine's SET " +
+      "threads must not change later Engines on the session (r15)") {
+    val e = engine
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    e.executeDuck("SET threads = 7")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    e.close()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prior)
+  }
+
   test("DML pruning: UPDATE/DELETE WHERE discover touched files from " +
       "manifest bounds — untouched bands never scanned, results exact") {
     val e = engine

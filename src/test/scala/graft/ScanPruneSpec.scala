@@ -104,6 +104,19 @@ class ScanPruneSpec extends AnyFunSuite {
       Seq(Cmp("k", "=", StrLit("it's"))))
   }
 
+  test("backslash in a string literal declines extraction — Spark's " +
+      "parser processes escapes, so verbatim bytes would prune on " +
+      "different data than the residual WHERE compares (r15)") {
+    assert(preds("SELECT * FROM t WHERE k = 'a\\nb'").isEmpty)
+    assert(preds("SELECT * FROM t WHERE path LIKE 'C:\\data\\%'").isEmpty)
+    assert(preds("SELECT * FROM t WHERE k IN ('x', 'a\\tb')").isEmpty)
+    assert(preds(
+      "SELECT * FROM t WHERE k BETWEEN 'a\\\\' AND 'b'").isEmpty)
+    // ...but only THAT conjunct is lost, not the whole region
+    assert(preds("SELECT * FROM t WHERE k = 'a\\nb' AND v = 1") ==
+      Seq(Cmp("v", "=", NumLit(1))))
+  }
+
   test("trailing clauses bound the WHERE region") {
     assert(preds("SELECT v FROM t WHERE k = 'a' ORDER BY v LIMIT 3") ==
       Seq(Cmp("k", "=", StrLit("a"))))
