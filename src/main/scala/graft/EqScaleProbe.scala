@@ -68,6 +68,22 @@ object EqScaleProbe {
     SnapshotOps.commitDeleteByKey(spark, eq,
       spark.range(n / 101).select((col("id") * 101 + 7).as("id")))
     println(f"EQ delete commit (keys only):   ${(System.nanoTime() - t1) / 1e6}%.0f ms")
+    // stacked-commit probe (r15): 64 un-compacted key-delete commits.
+    // The read plan flattens same-signature deletes into ONE union
+    // anti-join per group, so the read tax must stay flat in delete
+    // count (pre-r15 it chained one join per commit).
+    val stack = freshTable("stack"); build(stack)
+    var live = n
+    Seq(4, 16, 64).foldLeft(0) { (done, upTo) =>
+      (done until upTo).foreach { i =>
+        SnapshotOps.commitDeleteByKey(spark, stack,
+          spark.range(100).select((col("id") + i * 1000L).as("id")))
+      }
+      live = n - upTo * 100L
+      println(f"EQ read after $upTo%2d stacked commits: " +
+        f"${timeRead(stack, live)}%.0f ms")
+      upTo
+    }
     spark.stop()
   }
 }

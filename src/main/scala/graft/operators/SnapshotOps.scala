@@ -671,6 +671,42 @@ object SnapshotOps {
       sides.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     }
 
+  /** Immutable key-file caches (r15): an eq-delete's key file is
+    * written once by [[commitDeleteByKey]] and never modified, so its
+    * schema (one footer read, no Spark relation — constructing a
+    * DataFrame per delete made read PLANNING O(delete commits) at
+    * ~100 ms each) and its collected rows (delete-sized by the commit
+    * contract, probed against file Blooms at plan time) both cache
+    * safely by path. Caps bound driver memory across tables/tests. */
+  private val keySchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private val keyRowsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[org.apache.spark.sql.Row]]()
+
+  private def keyFileSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    if (keySchemaCache.size > 4096) keySchemaCache.clear()
+    keySchemaCache.computeIfAbsent(path, p =>
+      try {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p),
+            spark.sessionState.newHadoopConf()))
+        try new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter()
+          .convert(reader.getFooter.getFileMetaData.getSchema)
+        finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) =>
+        spark.read.parquet(p).schema // odd layout: let Spark infer
+      })
+  }
+
+  private def keyFileRows(spark: SparkSession,
+      path: String): Array[org.apache.spark.sql.Row] = {
+    if (keyRowsCache.size > 1024) keyRowsCache.clear()
+    keyRowsCache.computeIfAbsent(path, p => spark.read.parquet(p).collect())
+  }
+
   /** The unit's sequence, REQUIRED whenever equality deletes are in
     * play — the read-time delete-after-data assertion: without a
     * stamped order, applying (or skipping) a delete is a guess that
@@ -689,10 +725,21 @@ object SnapshotOps {
     * the same key survives). With no eq-deletes this is EXACTLY one
     * readFilesDv/readTagged over all files — zero plan regression on
     * eq-free tables. With them, units sharing an applicable-delete
-    * suffix (eqs ascend by seq) scan as ONE group with one chain of
-    * broadcast anti-joins: groups ≤ distinct delete seqs + 1, key
-    * frames are delete-sized (model-sized by the commit contract),
-    * the corpus never shuffles. */
+    * suffix (eqs ascend by seq) scan as ONE group: groups ≤ distinct
+    * delete seqs + 1, key frames are delete-sized (model-sized by the
+    * commit contract), the corpus never shuffles.
+    *
+    * Two scale bounds inside each group (r15):
+    *  - plan depth is O(distinct key signatures), NOT O(delete
+    *    commits): all applicable same-signature key frames union into
+    *    ONE broadcast anti-join side, so a continuously-ingesting
+    *    table stacking N un-compacted key-delete commits reads with
+    *    the same plan as one consolidated delete;
+    *  - Bloom scoping: each delete's keys (collected once,
+    *    delete-sized) probe the file entries' column Blooms at plan
+    *    time — a file whose Blooms refute EVERY applicable key takes
+    *    the no-join path entirely (absence of a bloom never skips;
+    *    the eqTouched scoping [[snapshotDiff]] already proved). */
   private def readUnitsVisible(spark: SparkSession, tableDir: String,
       units: Seq[ManifestUnit], dvs: Seq[FileEntry],
       eqs: Seq[(FileEntry, Int)], mergeSchema: Boolean = false,
@@ -702,14 +749,32 @@ object SnapshotOps {
     def readPart(files: Seq[String]) =
       if (tagged) readTagged(spark, files, dvs, mergeSchema, anchor)
       else readFilesDv(spark, files, dvs, mergeSchema, anchor)
-    val kept = units.map(u => u -> u.entries.filter(keep).map(_.path))
+    val kept = units.map(u => u -> u.entries.filter(keep))
       .filter(_._2.nonEmpty)
-    if (eqs.isEmpty) readPart(kept.flatMap(_._2))
+    if (eqs.isEmpty) readPart(kept.flatMap(_._2.map(_.path)))
     else {
-      // each delete's key file reads ONCE; the per-group folds reuse
-      // the same frame (and Spark reuses the identical broadcast
-      // exchange), instead of re-opening the file per group
-      val keyFrames = eqs.map { case (e, _) => spark.read.parquet(e.path) }
+      // schemas come from cached footer reads — NO Spark relation per
+      // delete, so planning stays O(signatures) however many delete
+      // commits stack up; the join sides below read each signature's
+      // files as ONE multi-path relation
+      val keyFields = eqs.map(e => keyFileSchema(spark, e._1.path).fields)
+      // may file `en` hold ANY key of delete `i`? A missing bloom for
+      // a key column keeps the file a candidate — absence never
+      // skips, and a bloom-less table never collects keys at all.
+      def mightTouch(en: FileEntry, i: Int): Boolean = {
+        val fields = keyFields(i)
+        if (!fields.exists(f => en.blooms.contains(f.name))) return true
+        val filters = fields.map(f => f.name ->
+          en.blooms.get(f.name).map(b =>
+            org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(b)))).toMap
+        keyFileRows(spark, eqs(i)._1.path)
+          .exists(r => fields.zipWithIndex.forall { case (f, j) =>
+            val v = r.get(j)
+            v == null || filters(f.name).forall(
+              _.mightContainLong(probeHash(v, f.dataType)))
+          })
+      }
       kept
         .groupBy { case (u, _) =>
           eqs.count(_._2 > seqRequired(u, tableDir)) }
@@ -717,10 +782,28 @@ object SnapshotOps {
         .map { case (nAppl, group) =>
           // the applicable deletes are exactly the nAppl highest-seq
           // ones (ascending order ⇒ a suffix)
-          keyFrames.takeRight(nAppl)
-            .foldLeft(readPart(group.flatMap(_._2))) { (d, keys) =>
-              d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
-            }
+          val applIdx = eqs.indices.takeRight(nAppl)
+          val perFile = group.flatMap(_._2).map(en =>
+            en.path -> applIdx.filter(i => mightTouch(en, i)))
+          val cleanFiles = perFile.collect { case (p, is) if is.isEmpty => p }
+          val touched = perFile.filter(_._2.nonEmpty)
+          val joined =
+            if (touched.isEmpty) None
+            else Some(touched.flatMap(_._2).distinct
+              .groupBy(i => keyFields(i).map(_.name).sorted.toSeq)
+              .toSeq.sortBy(_._1.mkString(","))
+              .foldLeft(readPart(touched.map(_._1))) { case (d, (_, is)) =>
+                // applying a delete to a file that lacks its keys is a
+                // no-op, so the coarse per-group union stays exact
+                val names = keyFields(is.head).map(_.name).toSeq
+                val keys = spark.read
+                  .parquet(is.map(i => eqs(i)._1.path): _*)
+                  .select(names.map(col): _*)
+                d.join(broadcast(keys), names, "left_anti")
+              })
+          (joined.toSeq ++
+            (if (cleanFiles.isEmpty) None else Some(readPart(cleanFiles))))
+            .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
         }
         .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     }

@@ -1610,6 +1610,68 @@ class SnapshotOpsSpec extends SparkSpecBase {
       .collect().map(_.getString(1)).toSeq == Seq("g2"))
   }
 
+  test("stacked eq-delete commits flatten to one anti-join per key " +
+      "signature — plan depth no longer grows with delete count (r15)") {
+    import spark.implicits._
+    def antiJoins(df: org.apache.spark.sql.DataFrame): Int =
+      "LeftAnti".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (0L until 100L).map(i => (i, s"p$i")).toDF("id", "p"))
+    // eight un-compacted same-signature delete commits
+    (0 until 8).foreach { i =>
+      SnapshotOps.commitDeleteByKey(spark, t, Seq(i.toLong).toDF("id"))
+    }
+    val df = SnapshotOps.readLatest(spark, t)
+    assert(antiJoins(df) == 1,
+      s"8 same-signature deletes must plan ONE anti-join:\n" +
+        df.queryExecution.optimizedPlan)
+    assert(df.count() == 92L)
+    // a second signature adds exactly one more join, not one per commit
+    SnapshotOps.commitDeleteByKey(spark, t, Seq("p8").toDF("p"))
+    SnapshotOps.commitDeleteByKey(spark, t, Seq("p9").toDF("p"))
+    val df2 = SnapshotOps.readLatest(spark, t)
+    assert(antiJoins(df2) == 2,
+      s"two signatures must plan TWO anti-joins:\n" +
+        df2.queryExecution.optimizedPlan)
+    assert(df2.count() == 90L)
+    // re-insert still survives (suffix grouping unchanged): its unit
+    // is NEWER than every delete, so it joins nothing
+    SnapshotOps.commitAppend(spark, t, Seq((5L, "back")).toDF("id", "p"))
+    assert(SnapshotOps.readLatest(spark, t).where(col("id") === 5L)
+      .collect().map(_.getString(1)).toSeq == Seq("back"))
+  }
+
+  test("eq-delete Bloom scoping: files whose blooms refute every " +
+      "applicable key take the no-join path (r15)") {
+    import spark.implicits._
+    def antiJoins(df: org.apache.spark.sql.DataFrame): Int =
+      "LeftAnti".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (0L until 100L).map(i => (i, s"a$i")).toDF("id", "p"),
+      bloomCols = Seq("id"))
+    SnapshotOps.commitAppend(spark, t,
+      (1000L until 1100L).map(i => (i, s"b$i")).toDF("id", "p"),
+      bloomCols = Seq("id"))
+    // keys present in NO file: every file refutes → zero joins planned
+    SnapshotOps.commitDeleteByKey(spark, t, Seq(50000L).toDF("id"))
+    val miss = SnapshotOps.readLatest(spark, t)
+    assert(antiJoins(miss) == 0,
+      s"all-refuted delete must plan NO anti-join:\n" +
+        miss.queryExecution.optimizedPlan)
+    assert(miss.count() == 200L)
+    // keys hitting only the first band: one join, content exact —
+    // the refuted band reads clean alongside it
+    SnapshotOps.commitDeleteByKey(spark, t,
+      Seq(5L, 7L).toDF("id"))
+    val hit = SnapshotOps.readLatest(spark, t)
+    assert(antiJoins(hit) == 1)
+    assert(hit.count() == 198L)
+    assert(hit.where(col("id") === 5L).count() == 0L)
+    assert(hit.where(col("id") === 1005L).count() == 1L)
+  }
+
   // --- typed bounds (r14): string/date/timestamp stats columns ---
 
   test("encodeBound is order-preserving: string truncation is monotone, " +
