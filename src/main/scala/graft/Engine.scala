@@ -1515,54 +1515,86 @@ class Engine(val spark: SparkSession) {
         case _ => None
       }
 
-    // raw predicates → per-column encoded (lo, hi) intervals,
-    // intersected across conjuncts (max of los, min of his)
-    val merged = scala.collection.mutable.Map
-      .empty[String, (Option[BigDecimal], Option[BigDecimal])]
+    // raw predicates → per-column DISJUNCTIONS of encoded (lo, hi)
+    // interval alternatives, intersected across conjuncts (each
+    // alternative tightens independently). Plain conjuncts are the
+    // one-alternative case; same-column ORs and IN lists contribute
+    // several (r15).
+    type Alt = (Option[BigDecimal], Option[BigDecimal])
+    val merged = scala.collection.mutable.Map.empty[String, Seq[Alt]]
+    def constrain(col: String, alts: Seq[Alt]): Unit = {
+      val cur = merged.getOrElse(col,
+        Seq((Option.empty[BigDecimal], Option.empty[BigDecimal])))
+      merged(col) = cur.flatMap { case (l0, h0) =>
+        alts.map { case (l1, h1) =>
+          (Seq(l0, l1).flatten.reduceOption(_ max _),
+            Seq(h0, h1).flatten.reduceOption(_ min _)) } }
+    }
     def tighten(col: String, lo: Option[BigDecimal],
-        hi: Option[BigDecimal]): Unit = {
-      val (l0, h0) = merged.getOrElse(col, (None, None))
-      merged(col) = (
-        Seq(l0, lo).flatten.reduceOption(_ max _),
-        Seq(h0, hi).flatten.reduceOption(_ min _))
+        hi: Option[BigDecimal]): Unit = constrain(col, Seq((lo, hi)))
+    // one simple predicate → its interval; None when it doesn't
+    // encode (the caller decides whether dropping is sound)
+    def altOf(f: org.apache.spark.sql.types.StructField,
+        raw: ScanPrune.RawPred): Option[Alt] = raw match {
+      case ScanPrune.Cmp(_, op, l) =>
+        val dir = op match {
+          case ">" | ">=" => -1 case "<" | "<=" => 1 case _ => 0 }
+        encode(f.dataType, l, dir).flatMap { v =>
+          op match {
+            case "=" => Some((Some(v), Some(v)))
+            case ">" | ">=" => Some((Some(v), None))
+            case "<" | "<=" => Some((None, Some(v)))
+            case _ => None
+          }
+        }
+      case ScanPrune.Between(_, a, b) =>
+        for {
+          lo <- encode(f.dataType, a, -1)
+          hi <- encode(f.dataType, b, 1)
+        } yield (Some(lo), Some(hi))
+      case ScanPrune.Prefix(_, p) if f.dataType == StringType =>
+        Some((Some(SnapshotOps.encodeBound(p)),
+          Some(SnapshotOps.prefixUpperBound(p))))
+      case _ => None
+    }
+    // an IN list as EXACT point alternatives (capped: a huge list
+    // falls back to its envelope to bound the alternative
+    // cross-product)
+    def inAlts(f: org.apache.spark.sql.types.StructField,
+        lits: Seq[ScanPrune.Lit]): Option[Seq[Alt]] = {
+      val enc = lits.map(encode(f.dataType, _))
+      if (!enc.forall(_.isDefined)) None
+      else {
+        val vs = enc.flatten
+        if (vs.size <= 64) Some(vs.map(v => (Some(v), Some(v))))
+        else Some(Seq((Some(vs.min), Some(vs.max))))
+      }
     }
     raws.foreach { raw =>
       schema.fields.find(_.name.equalsIgnoreCase(raw.col)).foreach { f =>
         raw match {
-          case ScanPrune.Cmp(_, op, l) =>
-            val dir = op match {
-              case ">" | ">=" => -1 case "<" | "<=" => 1 case _ => 0 }
-            encode(f.dataType, l, dir).foreach { v =>
-              op match {
-                case "=" => tighten(f.name, Some(v), Some(v))
-                case ">" | ">=" => tighten(f.name, Some(v), None)
-                case "<" | "<=" => tighten(f.name, None, Some(v))
-                case _ =>
-              }
-            }
-          case ScanPrune.Between(_, a, b) =>
-            (encode(f.dataType, a, -1), encode(f.dataType, b, 1)) match {
-              case (Some(lo), Some(hi)) =>
-                tighten(f.name, Some(lo), Some(hi))
-              case _ =>
-            }
-          case ScanPrune.Prefix(_, p) if f.dataType == StringType =>
-            tighten(f.name, Some(SnapshotOps.encodeBound(p)),
-              Some(SnapshotOps.prefixUpperBound(p)))
           case ScanPrune.InList(_, lits) =>
-            val enc = lits.map(encode(f.dataType, _))
-            if (enc.forall(_.isDefined)) {
-              val vs = enc.flatten
-              tighten(f.name, Some(vs.min), Some(vs.max))
+            inAlts(f, lits).foreach(constrain(f.name, _))
+          case ScanPrune.OrSame(_, branches) =>
+            // EVERY branch must encode: dropping one branch would
+            // NARROW a disjunction — unsound, unlike dropping a
+            // conjunct — so a partial encode drops the whole OR
+            val alts = branches.map {
+              case ScanPrune.InList(_, lits) => inAlts(f, lits)
+              case b => altOf(f, b).map(Seq(_))
             }
-          case _ =>
+            if (alts.forall(_.isDefined))
+              constrain(f.name, alts.flatten.flatten)
+          case simple =>
+            altOf(f, simple).foreach { case (lo, hi) =>
+              tighten(f.name, lo, hi) }
         }
       }
     }
     if (merged.isEmpty) return None
-    val preds = merged.toSeq.map { case (c, (lo, hi)) =>
-      (SnapshotOps.physicalName(dir, version, c), lo, hi) }
-    val kept = SnapshotOps.predFiles(dir, version, preds)
+    val preds = merged.toSeq.map { case (c, alts) =>
+      (SnapshotOps.physicalName(dir, version, c), alts) }
+    val kept = SnapshotOps.predFilesCnf(dir, version, preds)
     val total = SnapshotOps.snapshotFileCount(dir, version)
     lastPrune(n) = (kept.size, total)
     if (kept.size >= total) None else Some((version, kept))

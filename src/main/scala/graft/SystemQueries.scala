@@ -3173,6 +3173,99 @@ object SystemQueries {
         |UNION ALL
         |SELECT 'after_mor_delete', count(*), TRUE FROM b WHERE id > 100
         |ORDER BY phase""".stripMargin,
+      headline = true),
+
+    // SAME-COLUMN OR PRUNING (r15): a depth-0 OR region ALL of whose
+    // branches constrain ONE column prunes with the interval UNION —
+    // per-column CNF alternatives through SnapshotOps.predFilesCnf,
+    // so `BETWEEN a AND b OR BETWEEN c AND d` (and the IN dual as
+    // exact point alternatives) skip untouched middle bands. Any
+    // mixed-column or mixed-AND OR still extracts nothing (the
+    // monotonicity kill, regression-pinned). Iceberg expression
+    // binding does the structural analogue (Expressions.or over
+    // bound range predicates); here it lands at the SQL surface with
+    // zero user API. Observable: lastPrune per probe.
+    "q275_sql_or_pruning" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck("SET auto_stats = true")
+      val base = spark.table("lineitem")
+        .where(col("l_orderkey") <= 4000)
+        .select(col("l_returnflag").as("flag"),
+          concat(col("l_returnflag"), lit("-"),
+            lpad(col("l_orderkey").cast("string"), 8, "0")).as("skey"),
+          col("l_shipdate").as("ship"), col("l_quantity").as("qty"))
+        .localCheckpoint()
+      e.register("g275_base", base)
+      e.executeDuck("CREATE TABLE g275_s (skey VARCHAR, qty DOUBLE)")
+      Seq("A", "N", "R").foreach { flag =>
+        e.executeDuck(
+          s"""INSERT INTO g275_s SELECT skey, qty FROM g275_base
+             |WHERE flag = '$flag'""".stripMargin)
+      }
+      e.executeDuck("CREATE TABLE g275_t (ship TIMESTAMP, qty DOUBLE)")
+      Seq("year(ship) < 1997", "year(ship) = 1997",
+        "year(ship) >= 1998").foreach { band =>
+        e.executeDuck(
+          s"""INSERT INTO g275_t
+             |SELECT ship, qty FROM g275_base WHERE $band""".stripMargin)
+      }
+      def run(probe: String, table: String, where: String) = {
+        e.lastPrune.clear()
+        val df = e.executeDuck(
+          s"""SELECT count(qty) AS n,
+             |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM $table WHERE $where""".stripMargin)
+        val (kept, total) = e.lastPrune.getOrElse(table, (0, 0))
+        df.select(lit(probe).as("probe"), col("n"), col("qty"),
+          lit(kept < total).as("pruned"))
+      }
+      val out = Seq(
+        run("or_between_s", "g275_s",
+          "skey BETWEEN 'A-00000100' AND 'A-00001000' OR " +
+            "skey BETWEEN 'R-00000100' AND 'R-00001000'"),
+        run("or_between_ts", "g275_t",
+          "ship BETWEEN TIMESTAMP '1995-01-01 00:00:00' " +
+            "AND TIMESTAMP '1995-12-31 23:59:59' OR " +
+            "ship BETWEEN TIMESTAMP '1998-01-01 00:00:00' " +
+            "AND TIMESTAMP '1998-12-31 23:59:59'"),
+        run("in_points", "g275_s",
+          "skey IN ('A-00000007', 'R-00000007')"),
+        // mixed columns: must NOT translate — pruned stays false
+        run("mixed_guard", "g275_s", "skey LIKE 'A-%' OR qty = 1"))
+        .reduce(_.unionByName(_)).orderBy("probe")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over engine-scoped scratch
+        .localCheckpoint()
+      try out finally {
+        graft.operators.SnapshotOps.releaseCheckpoint(base)
+        e.close()
+      }
+    },
+      """WITH b AS (SELECT l_returnflag || '-' ||
+        |    lpad(CAST(l_orderkey AS VARCHAR), 8, '0') AS skey,
+        |    l_shipdate AS ship, l_quantity AS qty
+        |  FROM lineitem WHERE l_orderkey <= 4000)
+        |SELECT 'in_points' AS probe, count(qty) AS n,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  TRUE AS pruned
+        |FROM b WHERE skey IN ('A-00000007', 'R-00000007')
+        |UNION ALL
+        |SELECT 'mixed_guard', count(qty),
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), FALSE
+        |FROM b WHERE skey LIKE 'A-%' OR qty = 1
+        |UNION ALL
+        |SELECT 'or_between_s', count(qty),
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b WHERE skey BETWEEN 'A-00000100' AND 'A-00001000'
+        |  OR skey BETWEEN 'R-00000100' AND 'R-00001000'
+        |UNION ALL
+        |SELECT 'or_between_ts', count(qty),
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b WHERE ship BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |    AND TIMESTAMP '1995-12-31 23:59:59'
+        |  OR ship BETWEEN TIMESTAMP '1998-01-01 00:00:00'
+        |    AND TIMESTAMP '1998-12-31 23:59:59'
+        |ORDER BY probe""".stripMargin,
       headline = true)
   )
 }

@@ -40,6 +40,13 @@ object ScanPrune {
   final case class Between(col: String, a: Lit, b: Lit) extends RawPred
   final case class Prefix(col: String, prefix: String) extends RawPred
   final case class InList(col: String, lits: Seq[Lit]) extends RawPred
+  /** Same-column disjunction (r15): EVERY depth-0 OR branch of a
+    * region (or of a fully-parenthesized conjunct) is a simple
+    * predicate on the SAME column — pruned with the interval UNION,
+    * which stays monotone (a file is kept if it may match ANY
+    * branch). Any other OR shape still extracts nothing. */
+  final case class OrSame(col: String, branches: Seq[RawPred])
+    extends RawPred
 
   private val clauseEnd =
     Set("GROUP", "ORDER", "LIMIT", "HAVING", "WINDOW", "QUALIFY", "OFFSET")
@@ -108,8 +115,7 @@ object ScanPrune {
     }
     val names = Set(table.toLowerCase,
       table.split('.').last.toLowerCase) ++ alias.map(_.toLowerCase)
-    val preds = splitConjuncts(ls, i + 1, end).flatMap { case (a, b) =>
-      parseConjunct(ls.slice(a, b), names) }
+    val preds = parseRegion(ls, i + 1, end, names)
     if (preds.isEmpty) None else Some((table, preds))
   }
 
@@ -128,8 +134,69 @@ object ScanPrune {
       case _ => false
     })) return Nil
     val lower = names.map(_.toLowerCase)
-    splitConjuncts(ls, 0, ls.length).flatMap { case (a, b) =>
-      parseConjunct(ls.slice(a, b), lower) }
+    parseRegion(ls, 0, ls.length, lower)
+  }
+
+  /** A WHERE region → raw predicates. A region with depth-0 ORs is
+    * EITHER a same-column disjunction in full ([[OrSame]]) or yields
+    * nothing; otherwise the depth-0 AND conjuncts parse
+    * independently (a failed conjunct drops alone — conjunction is
+    * monotone, disjunction is not). */
+  private def parseRegion(ls: Vector[Lexeme], from: Int, until: Int,
+      names: Set[String]): Seq[RawPred] = {
+    var d = 0
+    var hasOr = false
+    var i = from
+    while (i < until) {
+      ls(i).tok match {
+        case Op("(") => d += 1
+        case Op(")") => d -= 1
+        case Word(w) if d == 0 && w.equalsIgnoreCase("OR") => hasOr = true
+        case _ =>
+      }
+      i += 1
+    }
+    if (hasOr) parseDisjuncts(ls, from, until, names).toSeq
+    else splitConjuncts(ls, from, until).flatMap { case (a, b) =>
+      parseConjunct(ls.slice(a, b), names) }
+  }
+
+  /** Depth-0 OR branches of a region, ALL of which must be simple
+    * predicates on ONE column → [[OrSame]]. A depth-0 AND outside a
+    * BETWEEN (mixed `a OR b AND c` precedence), an unparsable branch,
+    * or a second column kills the whole region: dropping one branch
+    * of a disjunction would be unsound, unlike dropping a conjunct. */
+  private def parseDisjuncts(ls: Vector[Lexeme], from: Int, until: Int,
+      names: Set[String]): Option[OrSame] = {
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = from
+    var pendingBetween = 0
+    var depth = 0
+    var j = from
+    while (j < until) {
+      ls(j).tok match {
+        case Op("(") => depth += 1
+        case Op(")") => depth -= 1
+        case Word(w) if depth == 0 =>
+          w.toUpperCase match {
+            case "OR" => bounds += ((start, j)); start = j + 1
+            case "BETWEEN" => pendingBetween += 1
+            case "AND" if pendingBetween > 0 => pendingBetween -= 1
+            case "AND" => return None
+            case _ =>
+          }
+        case _ =>
+      }
+      j += 1
+    }
+    bounds += ((start, until))
+    if (bounds.size < 2) return None
+    val parsed = bounds.map(b => parseConjunct(ls.slice(b._1, b._2), names))
+    if (!parsed.forall(_.isDefined)) return None
+    val ps = parsed.flatten
+    if (ps.exists(_.isInstanceOf[OrSame])) return None // no nesting
+    if (ps.map(_.col.toLowerCase).distinct.size != 1) return None
+    Some(OrSame(ps.head.col, ps.toSeq))
   }
 
   /** Token ranges of the depth-0 AND conjuncts in ls[from, until);
@@ -200,6 +267,27 @@ object ScanPrune {
     * prune). `names` = acceptable column qualifiers. */
   private def parseConjunct(ts: Vector[Lexeme],
       names: Set[String]): Option[RawPred] = {
+    // a conjunct that is ONE fully-parenthesized group recurses: a
+    // plain wrapped predicate, or a same-column disjunction —
+    // `(k = 1 OR k = 2) AND v = 3` prunes on both (r15)
+    if (ts.length >= 3 && ts.head.tok == Op("(") &&
+        ts.last.tok == Op(")")) {
+      var d = 0
+      var wraps = true
+      var i = 0
+      while (i < ts.length - 1) {
+        ts(i).tok match {
+          case Op("(") => d += 1
+          case Op(")") => d -= 1
+          case _ =>
+        }
+        if (d == 0) wraps = false
+        i += 1
+      }
+      if (wraps)
+        return parseDisjuncts(ts, 1, ts.length - 1, names)
+          .orElse(parseConjunct(ts.slice(1, ts.length - 1), names))
+    }
     // ORs / NOT / CASE inside a conjunct make its bound non-monotone
     if (ts.exists(_.tok match {
       case Word(w) => Set("OR", "NOT", "CASE")(w.toUpperCase)

@@ -789,18 +789,24 @@ object SnapshotOps {
           val touched = perFile.filter(_._2.nonEmpty)
           val joined =
             if (touched.isEmpty) None
-            else Some(touched.flatMap(_._2).distinct
-              .groupBy(i => keyFields(i).map(_.name).sorted.toSeq)
-              .toSeq.sortBy(_._1.mkString(","))
-              .foldLeft(readPart(touched.map(_._1))) { case (d, (_, is)) =>
-                // applying a delete to a file that lacks its keys is a
-                // no-op, so the coarse per-group union stays exact
-                val names = keyFields(is.head).map(_.name).toSeq
-                val keys = spark.read
-                  .parquet(is.map(i => eqs(i)._1.path): _*)
-                  .select(names.map(col): _*)
-                d.join(broadcast(keys), names, "left_anti")
-              })
+            else {
+              val base = readPart(touched.map(_._1))
+              val folded = touched.flatMap(_._2).distinct
+                .groupBy(i => keyFields(i).map(_.name).sorted.toSeq)
+                .toSeq.sortBy(_._1.mkString(","))
+                .foldLeft(base) { case (d, (_, is)) =>
+                  // applying a delete to a file that lacks its keys is
+                  // a no-op, so the coarse per-group union stays exact
+                  val names = keyFields(is.head).map(_.name).toSeq
+                  val keys = spark.read
+                    .parquet(is.map(i => eqs(i)._1.path): _*)
+                    .select(names.map(col): _*)
+                  d.join(broadcast(keys), names, "left_anti")
+                }
+              // usingColumns joins front-load the join columns —
+              // restore the scan's column order
+              Some(folded.select(base.columns.map(col).toIndexedSeq: _*))
+            }
           (joined.toSeq ++
             (if (cleanFiles.isEmpty) None else Some(readPart(cleanFiles))))
             .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
@@ -2523,11 +2529,26 @@ object SnapshotOps {
     * Values must arrive through [[encodeBound]]. Pure metadata, two-
     * level (group envelopes first); absent bounds never skip. */
   def predFiles(tableDir: String, version: Int,
-      preds: Seq[(String, Option[BigDecimal], Option[BigDecimal])]): Seq[String] = {
+      preds: Seq[(String, Option[BigDecimal], Option[BigDecimal])]): Seq[String] =
+    predFilesCnf(tableDir, version,
+      preds.map { case (c, lo, hi) => (c, Seq((lo, hi))) })
+
+  /** CNF manifest skipping (r15): per column a DISJUNCTION of
+    * (lo?, hi?) interval alternatives — a file is kept only when, for
+    * EVERY column constraint, its bounds intersect AT LEAST ONE
+    * alternative. This serves the same-column OR shape
+    * (`ts BETWEEN a AND b OR ts BETWEEN c AND d`, and IN lists as
+    * exact point alternatives) without widening to one bounding box.
+    * Still monotone: keeping on ANY may-match alternative only ever
+    * admits. Values must arrive through [[encodeBound]]. */
+  def predFilesCnf(tableDir: String, version: Int,
+      preds: Seq[(String, Seq[(Option[BigDecimal], Option[BigDecimal])])])
+      : Seq[String] = {
     def hit(bounds: Map[String, (BigDecimal, BigDecimal)]): Boolean =
-      preds.forall { case (c, lo, hi) =>
+      preds.forall { case (c, alts) =>
         bounds.get(c).forall { case (mn, mx) =>
-          lo.forall(mx >= _) && hi.forall(mn <= _) }
+          alts.exists { case (lo, hi) =>
+            lo.forall(mx >= _) && hi.forall(mn <= _) } }
       }
     dataUnits(tableDir, version).filter(u => hit(u.ref.bounds))
       .flatMap(_.entries).filter(e => hit(e.bounds)).map(_.path)

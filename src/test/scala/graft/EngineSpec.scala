@@ -800,16 +800,51 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("same-column OR / IN pruning (r15): interval unions and exact " +
+      "IN points skip the untouched middle band") {
+    val e = engine
+    prunedFixture(e)
+    def q(where: String): Seq[Int] =
+      e.executeDuck(s"SELECT v AS v FROM pr WHERE $where ORDER BY v")
+        .collect().map(_.getInt(0)).toSeq
+    def pruned(): (Int, Int) = e.lastPrune("pr")
+    // OR of BETWEENs on the two edge bands: middle band never opens
+    assert(q("k BETWEEN 'a-0000' AND 'a-0005' OR " +
+      "k BETWEEN 'z-0200' AND 'z-0205'") ==
+      ((0 to 5) ++ (200 to 205)) && pruned()._1 < pruned()._2)
+    // the IN dual as exact points (not one envelope): a-edge +
+    // z-edge IN list must NOT keep the middle band
+    assert(q("k IN ('a-0001', 'z-0201')") == Seq(1, 201) &&
+      pruned()._1 < pruned()._2)
+    // parenthesized OR conjunct composes with a plain conjunct
+    assert(q("(k = 'a-0002' OR k = 'm-0102') AND v < 150") ==
+      Seq(2, 102) && pruned()._1 < pruned()._2)
+    // OR through the DML discovery path: only the named bands rewrite
+    e.executeDuck(
+      "DELETE FROM pr WHERE k = 'a-0003' OR k = 'z-0203'")
+    assert(e.executeDuck("SELECT count(*) AS n FROM pr")
+      .collect()(0).getLong(0) == 148L)
+    e.close()
+  }
+
   test("pruning is conservative: ORs, functions, joins and subqueries " +
       "never translate — results stay exact") {
     val e = engine
     prunedFixture(e)
     e.lastPrune.clear()
-    // OR at the top level: no conjunct extractable → no prune decision
+    // SAME-column OR prunes with the interval union (r15): both edge
+    // bands open, the middle band skips
     assert(e.executeDuck(
       "SELECT count(*) AS n FROM pr WHERE k = 'a-0000' OR k = 'z-0249'")
       .collect()(0).getLong(0) == 2L)
-    assert(!e.lastPrune.contains("pr"), "OR must not prune")
+    assert(e.lastPrune("pr")._1 < e.lastPrune("pr")._2,
+      s"same-column OR must skip files: ${e.lastPrune("pr")}")
+    // ...and mixed-COLUMN OR still extracts nothing
+    e.lastPrune.clear()
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM pr WHERE k = 'a-0000' OR v = 249")
+      .collect()(0).getLong(0) == 2L)
+    assert(!e.lastPrune.contains("pr"), "mixed-column OR must not prune")
     // function over the column: that conjunct is dropped; the plain
     // conjunct still prunes and the function filter still applies
     assert(e.executeDuck("SELECT count(*) AS n FROM pr " +

@@ -42,15 +42,43 @@ class ScanPruneSpec extends AnyFunSuite {
         Cmp("v", "=", NumLit(1))))
   }
 
-  test("any depth-0 OR kills extraction for the WHOLE region — " +
+  test("mixed OR/AND kills extraction for the WHOLE region — " +
       "AND binds tighter, so partial extraction is unsound") {
     assert(preds("SELECT * FROM t WHERE k = 'a' OR v = 1 AND k = 'z'")
       .isEmpty)
     assert(preds("SELECT * FROM t WHERE v = 1 AND k = 'z' OR k = 'a'")
       .isEmpty)
-    // parenthesized OR is depth > 0: that conjunct drops, others keep
+    // two-column OR: not a same-column disjunction → nothing
+    assert(preds("SELECT * FROM t WHERE k = 'a' OR v = 1").isEmpty)
+    // one unparsable branch kills the whole disjunction (dropping a
+    // branch would NARROW it — unsound)
+    assert(preds("SELECT * FROM t WHERE k = 'a' OR upper(k) = 'B'")
+      .isEmpty)
+    assert(preds("SELECT * FROM t WHERE k = 'a' OR k = 'x\\nb'")
+      .isEmpty)
+  }
+
+  test("same-column ORs extract as one OrSame disjunction (r15): " +
+      "bare, parenthesized-conjunct, BETWEEN and IN branches") {
+    assert(preds("SELECT * FROM t WHERE k = 'a' OR k = 'b' OR k = 'c'") ==
+      Seq(OrSame("k", Seq(Cmp("k", "=", StrLit("a")),
+        Cmp("k", "=", StrLit("b")), Cmp("k", "=", StrLit("c"))))))
+    assert(preds("SELECT * FROM t WHERE " +
+      "ts BETWEEN 1 AND 2 OR ts BETWEEN 8 AND 9") ==
+      Seq(OrSame("ts", Seq(Between("ts", NumLit(1), NumLit(2)),
+        Between("ts", NumLit(8), NumLit(9))))))
+    // parenthesized same-column OR is ONE conjunct among others
     assert(preds(
       "SELECT * FROM t WHERE (k = 'a' OR k = 'b') AND v = 1") ==
+      Seq(OrSame("k", Seq(Cmp("k", "=", StrLit("a")),
+        Cmp("k", "=", StrLit("b")))), Cmp("v", "=", NumLit(1))))
+    assert(preds(
+      "SELECT * FROM t WHERE k LIKE 'a%' OR k IN ('x', 'y')") ==
+      Seq(OrSame("k", Seq(Prefix("k", "a"),
+        InList("k", Seq(StrLit("x"), StrLit("y")))))))
+    // a mixed-column parenthesized OR still drops (others keep)
+    assert(preds(
+      "SELECT * FROM t WHERE (k = 'a' OR v = 2) AND v = 1") ==
       Seq(Cmp("v", "=", NumLit(1))))
   }
 
