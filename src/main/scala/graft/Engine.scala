@@ -375,6 +375,7 @@ class Engine(val spark: SparkSession) {
     (if (snapshotable(rows)) ensureSnapshot(name, forAppend = true)
      else None) match {
       case Some(dir) =>
+        flushPendingSpec(name, dir)
         val laid = applyWriteOrder(name, rows)
         lastCommit(norm(name)) =
           graft.operators.SnapshotOps.commitAppend(spark, dir, laid,
@@ -405,6 +406,7 @@ class Engine(val spark: SparkSession) {
           // table's dir (forAppend) is provisional until the INSERT's
           // own commit lands (appendRows calls registerSnapshot)
           if (!empty) {
+            flushPendingSpec(n, dir)
             val laid = applyWriteOrder(n, df)
             lastCommit(n) =
               graft.operators.SnapshotOps.commitAppend(spark, dir, laid,
@@ -417,6 +419,38 @@ class Engine(val spark: SparkSession) {
       }
     }
   }
+
+  /** CREATE TABLE (cols) — shared by the plain and PARTITIONED BY
+    * forms. */
+  private def createPlain(name: String, colDefs: String): Unit = {
+    // column DEFINITIONS are type syntax, not expressions — they skip
+    // the dialect rewriter (FLOAT[100] is a type, not an index)
+    val fixedSize = DuckRewriter.splitTop(colDefs).flatMap { d =>
+      val parts = d.trim.split("\\s+", 2)
+      parts.lift(1).filter(_.matches("(?i)\\w+\\s*\\[\\s*\\d+\\s*\\]"))
+        .map(t => parts(0).toLowerCase -> t.replaceAll("\\s", "")
+          .toUpperCase)
+    }.toMap
+    if (fixedSize.nonEmpty) declaredTypes(norm(name)) = fixedSize
+    writeOrder.remove(norm(name)) // a new table starts layout-free
+    pendingPartSpec.remove(norm(name))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      normalizeDdl(colDefs))
+    register(name, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
+
+  /** Partition specs declared before the table has a snapshot dir
+    * (CREATE … PARTITIONED BY, or ALTER on a lazy table) — committed
+    * as the snapshot's first metadata the moment first DML
+    * materializes it. */
+  private val pendingPartSpec: mutable.Map[String,
+    Seq[graft.operators.SnapshotOps.PartField]] = mutable.Map.empty
+
+  private def flushPendingSpec(name: String, dir: String): Unit =
+    pendingPartSpec.remove(norm(name)).foreach { spec =>
+      graft.operators.SnapshotOps.commitSetPartitionSpec(dir, spec)
+    }
 
   def table(name: String): DataFrame =
     tables.getOrElse(norm(name), spark.table(norm(name)))
@@ -433,6 +467,9 @@ class Engine(val spark: SparkSession) {
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+)""".r
   private val CreateTable =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*""".r
+  private val CreateTablePart =
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""" +
+      """\s*\((.+)\)\s+PARTITIONED\s+BY\s*\((.+)\)\s*""").r
   private val InsertValues =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)""".r
   private val InsertSelect =
@@ -453,6 +490,8 @@ class Engine(val spark: SparkSession) {
   private val AlterWriteOrder =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+ORDERED\s+BY\s+""" +
       """([\w\s,]+?)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""").r
+  private val AlterPartition =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*""".r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   private val AttachCmd =
@@ -740,23 +779,23 @@ class Engine(val spark: SparkSession) {
   sqlText match {
     case CreateTableAs(name, query) =>
       writeOrder.remove(norm(name)) // a new table starts layout-free
+      pendingPartSpec.remove(norm(name))
       register(name, executeDuck(query)); empty()
-    case CreateTable(name, colDefs) =>
-      // column DEFINITIONS are type syntax, not expressions — they skip
-      // the dialect rewriter (FLOAT[100] is a type, not an index)
-      val fixedSize = DuckRewriter.splitTop(colDefs).flatMap { d =>
-        val parts = d.trim.split("\\s+", 2)
-        parts.lift(1).filter(_.matches("(?i)\\w+\\s*\\[\\s*\\d+\\s*\\]"))
-          .map(t => parts(0).toLowerCase -> t.replaceAll("\\s", "")
-            .toUpperCase)
-      }.toMap
-      if (fixedSize.nonEmpty) declaredTypes(norm(name)) = fixedSize
-      writeOrder.remove(norm(name)) // a new table starts layout-free
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        normalizeDdl(colDefs))
-      register(name, spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    case CreateTablePart(name, colDefs, fields) =>
+      createPlain(name, colDefs)
+      val spec = graft.operators.SnapshotOps.splitSpecFields(fields)
+        .map(graft.operators.SnapshotOps.parsePartField)
+      require(spec.nonEmpty, "PARTITIONED BY needs at least one field")
+      val have = table(name).columns.map(_.toLowerCase).toSet
+      val missing = spec.map(_.col).filterNot(c => have(c.toLowerCase))
+      require(missing.isEmpty,
+        s"PARTITIONED BY: unknown column(s) ${missing.mkString(", ")}")
+      // the spec seeds the snapshot on first DML (flushPendingSpec):
+      // version 1 is then the metadata-only spec commit
+      pendingPartSpec(norm(name)) = spec
       empty()
+    case CreateTable(name, colDefs) =>
+      createPlain(name, colDefs); empty()
     case InsertValues(name, colsOpt, values) =>
       val target = table(name)
       val cols = Option(colsOpt).map(_.split(",").map(_.trim.toLowerCase))
@@ -1054,6 +1093,28 @@ class Engine(val spark: SparkSession) {
       writeOrder(norm(name)) =
         (cols, Option(nS).map(_.toInt).getOrElse(8))
       empty()
+    // ALTER … SET PARTITION SPEC (…): spec EVOLUTION — a
+    // metadata-only commit on a snapshot-backed table (new files
+    // only; nothing rewritten), a pending declaration otherwise.
+    // An empty field list un-partitions.
+    case AlterPartition(name, fields) =>
+      import graft.operators.SnapshotOps
+      val spec = SnapshotOps.splitSpecFields(fields)
+        .map(SnapshotOps.parsePartField)
+      val have = table(name).columns.map(_.toLowerCase).toSet
+      val missing = spec.map(_.col).filterNot(c => have(c.toLowerCase))
+      require(missing.isEmpty,
+        s"SET PARTITION SPEC: unknown column(s) ${missing.mkString(", ")}")
+      snapshotDirs.get(norm(name)) match {
+        case Some(dir) =>
+          lastCommit(norm(name)) =
+            SnapshotOps.commitSetPartitionSpec(dir, spec)
+          registerSnapshot(name, dir)
+        case None =>
+          if (spec.isEmpty) pendingPartSpec.remove(norm(name))
+          else pendingPartSpec(norm(name)) = spec
+      }
+      empty()
     case AlterRename(name, from, to) =>
       ensureSnapshot(name) match {
         case Some(dir) =>
@@ -1086,6 +1147,7 @@ class Engine(val spark: SparkSession) {
       // declared layout and pruning observables die with the table —
       // a recreated table must not inherit another table's sort order
       writeOrder.remove(norm(name))
+      pendingPartSpec.remove(norm(name))
       lastPrune.remove(norm(name))
       lastMetaCount.remove(norm(name))
       // dotted (attached-catalog) names are backed by an underscored
@@ -1591,9 +1653,115 @@ class Engine(val spark: SparkSession) {
         }
       }
     }
-    if (merged.isEmpty) return None
+    // hidden-partition transforms (r15): a conjunct on a partitioned
+    // column ALSO constrains the derived `_p.` bound key — days /
+    // truncate are monotone (endpoint-mapped intervals), bucket
+    // serves point probes through the probeHash-identical hash.
+    // Derived keys are spec-level names, never column-mapped.
+    val derivedMerged = scala.collection.mutable.Map.empty[String, Seq[Alt]]
+    // the UNION of every spec ever in force: a transform dropped by
+    // evolution still prunes the files written under it
+    val spec = SnapshotOps.partitionSpecAll(dir, version)
+    if (spec.nonEmpty) {
+      def dConstrain(key: String, alts: Seq[Alt]): Unit = {
+        val cur = derivedMerged.getOrElse(key,
+          Seq((Option.empty[BigDecimal], Option.empty[BigDecimal])))
+        derivedMerged(key) = cur.flatMap { case (l0, h0) =>
+          alts.map { case (l1, h1) =>
+            (Seq(l0, l1).flatten.reduceOption(_ max _),
+              Seq(h0, h1).flatten.reduceOption(_ min _)) } }
+      }
+      import org.apache.spark.sql.types.{DateType => DT,
+        TimestampType => TT, StringType => ST}
+      // the raw predicate's plain alternatives, endpoint-mapped by a
+      // monotone transform (OrSame skipped: partial derivation of a
+      // disjunction would be unsound)
+      def mono(f: org.apache.spark.sql.types.StructField,
+          raw: ScanPrune.RawPred,
+          g: BigDecimal => BigDecimal): Option[Seq[Alt]] = {
+        val alts = raw match {
+          case ScanPrune.InList(_, lits) => inAlts(f, lits)
+          case _: ScanPrune.OrSame => None
+          case simple => altOf(f, simple).map(Seq(_))
+        }
+        alts.map(_.map { case (lo, hi) => (lo.map(g), hi.map(g)) })
+      }
+      def truncStr(w: Int, raw: ScanPrune.RawPred): Option[Seq[Alt]] = {
+        def enc(s: String) = SnapshotOps.encodeBound(s.take(w))
+        raw match {
+          case ScanPrune.Cmp(_, op, ScanPrune.StrLit(s)) => op match {
+            case "=" => Some(Seq((Some(enc(s)), Some(enc(s)))))
+            case ">" | ">=" => Some(Seq((Some(enc(s)), None)))
+            case "<" | "<=" => Some(Seq((None, Some(enc(s)))))
+            case _ => None
+          }
+          case ScanPrune.Between(_, ScanPrune.StrLit(a),
+              ScanPrune.StrLit(b)) =>
+            Some(Seq((Some(enc(a)), Some(enc(b)))))
+          case ScanPrune.Prefix(_, p) =>
+            if (p.length >= w) Some(Seq((Some(enc(p)), Some(enc(p)))))
+            else Some(Seq((Some(SnapshotOps.encodeBound(p)),
+              Some(SnapshotOps.prefixUpperBound(p)))))
+          case ScanPrune.InList(_, ls)
+              if ls.forall(_.isInstanceOf[ScanPrune.StrLit]) =>
+            Some(ls.map { case ScanPrune.StrLit(s) =>
+              (Option(enc(s)), Option(enc(s))) })
+          case _ => None
+        }
+      }
+      def bucketAlts(pf: SnapshotOps.PartField,
+          f: org.apache.spark.sql.types.StructField,
+          raw: ScanPrune.RawPred): Option[Seq[Alt]] = {
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        def valOf(l: ScanPrune.Lit): Option[Any] = (f.dataType, l) match {
+          case (IntegerType, ScanPrune.NumLit(v)) =>
+            v.toBigIntExact.filter(_.isValidInt).map(_.toInt)
+          case (LongType, ScanPrune.NumLit(v)) =>
+            v.toBigIntExact.filter(_.isValidLong).map(_.toLong)
+          case (ST, ScanPrune.StrLit(s)) => Some(s)
+          case _ => None
+        }
+        def pt(value: Any): Alt = {
+          val b = BigDecimal(
+            SnapshotOps.bucketOf(value, f.dataType, pf.arg))
+          (Some(b), Some(b))
+        }
+        raw match {
+          case ScanPrune.Cmp(_, "=", l) => valOf(l).map(v => Seq(pt(v)))
+          case ScanPrune.InList(_, ls) =>
+            val vs = ls.map(valOf)
+            if (vs.forall(_.isDefined)) Some(vs.flatten.map(pt)) else None
+          case _ => None
+        }
+      }
+      raws.foreach { raw =>
+        schema.fields.find(_.name.equalsIgnoreCase(raw.col)).foreach { f =>
+          spec.filter(_.col.equalsIgnoreCase(raw.col)).foreach { pf =>
+            val alts = pf.transform match {
+              case "identity" => mono(f, raw, identity)
+              case "days" => f.dataType match {
+                case TT => mono(f, raw, SnapshotOps.dayOfMicros)
+                case DT => mono(f, raw, identity)
+                case _ => None
+              }
+              case "truncate" => f.dataType match {
+                case dt if SnapshotOps.integral(dt) =>
+                  mono(f, raw, SnapshotOps.truncateInt(_, pf.arg))
+                case ST => truncStr(pf.arg, raw)
+                case _ => None
+              }
+              case "bucket" => bucketAlts(pf, f, raw)
+              case _ => None
+            }
+            alts.foreach(dConstrain(pf.key, _))
+          }
+        }
+      }
+    }
+    if (merged.isEmpty && derivedMerged.isEmpty) return None
     val preds = merged.toSeq.map { case (c, alts) =>
-      (SnapshotOps.physicalName(dir, version, c), alts) }
+      (SnapshotOps.physicalName(dir, version, c), alts) } ++
+      derivedMerged.toSeq
     val kept = SnapshotOps.predFilesCnf(dir, version, preds)
     val total = SnapshotOps.snapshotFileCount(dir, version)
     lastPrune(n) = (kept.size, total)

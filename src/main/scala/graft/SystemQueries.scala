@@ -3266,6 +3266,93 @@ object SystemQueries {
         |  OR ship BETWEEN TIMESTAMP '1998-01-01 00:00:00'
         |    AND TIMESTAMP '1998-12-31 23:59:59'
         |ORDER BY probe""".stripMargin,
+      headline = true),
+
+    // HIDDEN PARTITIONING (r15): Iceberg's signature table-format
+    // feature at the SQL surface — `CREATE TABLE … PARTITIONED BY
+    // (days(ts), bucket(8, k))` records a partition spec in the
+    // snapshot metadata; INSERTs hive-split by the DERIVED transform
+    // values (one file = one partition tuple, transform columns never
+    // stored) and stamp per-file derived bounds in the manifest; a
+    // SELECT's WHERE prunes on them STRUCTURALLY — a day range opens
+    // one day's files, an equality probe opens one bucket — with NO
+    // column stats (auto_stats off throughout). Spec evolution via
+    // `ALTER TABLE … SET PARTITION SPEC` governs new files only;
+    // files predating a transform are never skipped by it. Oracle
+    // recomputes every aggregate; `pruned` asserts the manifest
+    // consultation actually skipped files.
+    "q276_hidden_partitioning" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      val base = spark.table("lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select(
+          to_timestamp(concat(lit("2024-03-0"),
+            ((col("l_orderkey") % 3) + 1).cast("string"))).as("ship"),
+          col("l_orderkey").cast("int").as("okey"),
+          col("l_quantity").cast("double").as("qty"))
+        .localCheckpoint()
+      e.register("g276_base", base)
+      e.executeDuck("CREATE TABLE g276 (ship TIMESTAMP, okey INTEGER, " +
+        "qty DOUBLE) PARTITIONED BY (days(ship), bucket(8, okey))")
+      e.executeDuck("INSERT INTO g276 SELECT ship, okey, qty FROM g276_base")
+      def run(probe: String, where: String) = {
+        e.lastPrune.clear()
+        val df = e.executeDuck(
+          s"""SELECT count(qty) AS n,
+             |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM g276 WHERE $where""".stripMargin)
+        val (kept, total) = e.lastPrune.getOrElse("g276", (0, 0))
+        df.select(lit(probe).as("probe"), col("n"), col("qty"),
+          lit(kept < total).as("pruned"))
+      }
+      val preEvo = Seq(
+        run("day_range", "ship >= TIMESTAMP '2024-03-02 00:00:00' " +
+          "AND ship < TIMESTAMP '2024-03-03 00:00:00'"),
+        run("bucket_point", "okey = 1"))
+      // evolution: days only; the appended row carries no bucket key,
+      // so the point probe must keep it (absence never skips)
+      e.executeDuck("ALTER TABLE g276 SET PARTITION SPEC (days(ship))")
+      e.executeDuck("INSERT INTO g276 VALUES " +
+        "(TIMESTAMP '2024-03-04 09:00:00', 1, 1.0)")
+      val postEvo = Seq(
+        run("evo_bucket_point", "okey = 1"),
+        run("evo_new_day", "ship >= TIMESTAMP '2024-03-04 00:00:00'"))
+      val out = (preEvo ++ postEvo).reduce(_.unionByName(_))
+        .orderBy("probe")
+        // q194's intra-JVM rule: materialize before returning a frame
+        // over engine-scoped scratch
+        .localCheckpoint()
+      try out finally {
+        graft.operators.SnapshotOps.releaseCheckpoint(base)
+        e.close()
+      }
+    },
+      """WITH b AS (SELECT
+        |    CAST('2024-03-0' || CAST((l_orderkey % 3) + 1 AS VARCHAR)
+        |      AS TIMESTAMP) AS ship,
+        |    CAST(l_orderkey AS INTEGER) AS okey,
+        |    CAST(l_quantity AS DOUBLE) AS qty
+        |  FROM lineitem WHERE l_orderkey <= 2000),
+        |b2 AS (SELECT * FROM b UNION ALL
+        |  SELECT TIMESTAMP '2024-03-04 09:00:00', 1, 1.0)
+        |SELECT 'bucket_point' AS probe, count(qty) AS n,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  TRUE AS pruned
+        |FROM b WHERE okey = 1
+        |UNION ALL
+        |SELECT 'day_range', count(qty),
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b WHERE ship >= TIMESTAMP '2024-03-02 00:00:00'
+        |  AND ship < TIMESTAMP '2024-03-03 00:00:00'
+        |UNION ALL
+        |SELECT 'evo_bucket_point', count(qty),
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b2 WHERE okey = 1
+        |UNION ALL
+        |SELECT 'evo_new_day', count(qty),
+        |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b2 WHERE ship >= TIMESTAMP '2024-03-04 00:00:00'
+        |ORDER BY probe""".stripMargin,
       headline = true)
   )
 }

@@ -1501,11 +1501,16 @@ object SnapshotOps {
     * parquet metadata file path. All-null files get no bounds for that
     * column (absent stats never skip). */
   private def entriesFor(spark: SparkSession, written: Seq[String],
-      statsCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
-    if (written.nonEmpty && bloomCols.isEmpty)
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      derived: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : Seq[FileEntry] = {
+    if (written.nonEmpty && bloomCols.isEmpty && derived.isEmpty)
       // the SESSION's Hadoop conf: a bare Configuration() would fail
       // (and silently fall back to the aggregate job) on any
-      // credentialed or non-default filesystem
+      // credentialed or non-default filesystem. Derived
+      // partition-transform bounds can't come from footers (the
+      // transform value isn't a stored column), so a partitioned
+      // append takes the one-pass aggregate below.
       footerEntries(written, statsCols,
         spark.sessionState.newHadoopConf()).foreach(es => return es)
     // the row count is ALWAYS recorded (Iceberg's rule): it powers
@@ -1518,6 +1523,8 @@ object SnapshotOps {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c"))) ++
+      derived.flatMap { case (k, e) =>
+        Seq(min(e).as(s"_lo_$k"), max(e).as(s"_hi_$k")) } ++
       bloomCols.map(c => toCol(new BloomFilterAggregate(
         toExpr(xxhash64(col(c))), Literal(1L << 12), Literal(1L << 15))
         .toAggregateExpression()).as(s"_bf_$c")) :+
@@ -1526,7 +1533,7 @@ object SnapshotOps {
       .groupBy(col("_metadata.file_path").as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
-        val bounds = statsCols.flatMap { c =>
+        val bounds = (statsCols ++ derived.map(_._1)).flatMap { c =>
           (Option(r.getAs[Any](s"_lo_$c")), Option(r.getAs[Any](s"_hi_$c"))) match {
             case (Some(lo), Some(hi)) =>
               Some(c -> (encodeBound(lo), encodeBound(hi)))
@@ -1553,11 +1560,229 @@ object SnapshotOps {
 
   /** Stats columns a snapshot's manifest already tracks — rewrites and
     * compactions recompute these for the files they produce, so bounds
-    * survive maintenance without the caller restating them. */
+    * survive maintenance without the caller restating them. Derived
+    * partition-transform bounds (`_p.` keys) are NOT stats columns:
+    * they are recomputed from the partition spec at append time, and a
+    * maintenance writer that doesn't restate them simply leaves its
+    * files un-prunable by transform (absence never skips). */
   private def statsColsOf(entries: Seq[FileEntry]): Seq[String] =
     entries.flatMap(_.bounds.keys)
-      .filterNot(k => k == RowsKey || k == SeqKey || k == FilesKey)
+      .filterNot(k => k == RowsKey || k == SeqKey || k == FilesKey ||
+        k.startsWith(PartBoundPrefix))
       .distinct.sorted
+
+  // ---------------------------------------------------------------
+  // HIDDEN PARTITIONING (r15) — Iceberg's signature metadata idea,
+  // re-expressed over this manifest: the table carries a PARTITION
+  // SPEC (`#partition:days(ts),bucket(16,id)` metadata), appends
+  // cluster their rows by the derived transform values
+  // (repartitionByRange, so files hold tight transform ranges) and
+  // record each file's derived bounds under reserved `_p.<transform>`
+  // keys. Readers prune on those bounds STRUCTURALLY — a `days(ts)`
+  // spec serves timestamp conjuncts without per-row stats, a
+  // `bucket(n,k)` spec serves point probes — through the same
+  // predFilesCnf machinery as column stats. The spec EVOLVES by
+  // replacement ([[commitSetPartitionSpec]]): it applies to files
+  // written AFTER the change; older files keep their old derived
+  // keys, which a probe for a dropped transform no longer consults
+  // and a probe for a new transform treats as absent (never skipped)
+  // — exactly Iceberg's files-keep-their-spec semantics, without
+  // per-file spec ids because the derived keys are self-describing.
+  // Transforms (Iceberg spec v1 §Partition Transforms):
+  //   identity(c)     the value itself
+  //   days(c)         epoch days of a timestamp/date (UTC instants)
+  //   bucket(n,c)     floorMod(xxhash64(value), n) — probe-compatible
+  //                   with [[probeHash]] by construction
+  //   truncate(w,c)   v - floorMod(v, w) on integers; first w chars
+  //                   on strings (both order-preserving)
+  // ---------------------------------------------------------------
+
+  /** Reserved prefix of derived partition-transform bound keys. */
+  val PartBoundPrefix = "_p."
+  private val PartKey = "partition"
+
+  final case class PartField(transform: String, col: String, arg: Int) {
+    /** Manifest bound key — stable across spec evolutions, so a
+      * re-added transform keeps pruning files written under the
+      * earlier spec. */
+    def key: String = transform match {
+      case "identity" | "days" => s"$PartBoundPrefix$transform($col)"
+      case _ => s"$PartBoundPrefix$transform($arg,$col)"
+    }
+    override def toString: String = transform match {
+      case "identity" | "days" => s"$transform($col)"
+      case _ => s"$transform($arg,$col)"
+    }
+  }
+
+  private val partFieldRe =
+    """(?i)\s*(identity|days|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?([\w.]+)\s*\)\s*""".r
+
+  def parsePartField(s: String): PartField = s match {
+    case partFieldRe(t, arg, c) =>
+      val tf = t.toLowerCase
+      val n = Option(arg).map(_.toInt).getOrElse(0)
+      require(tf == "identity" || tf == "days" || n > 0,
+        s"partition transform $tf requires a positive argument: $s")
+      require((tf != "bucket" && tf != "truncate") || arg != null,
+        s"partition transform $tf requires an argument: $s")
+      require((tf != "identity" && tf != "days") || arg == null,
+        s"partition transform $tf takes no argument: $s")
+      PartField(tf, c, n)
+    case other =>
+      throw new IllegalArgumentException(s"bad partition field: $other")
+  }
+
+  /** Top-level comma split — `bucket(4,k)` keeps its inner comma. */
+  def splitSpecFields(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    s.indices.foreach { i =>
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** The spec in force at `version` (empty = unpartitioned). */
+  def partitionSpec(tableDir: String, version: Int): Seq[PartField] =
+    snapshotMeta(tableDir, version).get(PartKey)
+      .map(splitSpecFields(_).map(parsePartField)).getOrElse(Seq.empty)
+
+  /** EVERY transform the table has ever partitioned by — the union a
+    * PRUNING probe consults (Iceberg evaluates scans against every
+    * spec its manifests reference): a transform dropped by evolution
+    * still prunes the files written under it, and files lacking a key
+    * are never skipped by it. Writes use [[partitionSpec]] (the
+    * current spec) — this union is read-side only. */
+  def partitionSpecAll(tableDir: String, version: Int): Seq[PartField] = {
+    val meta = snapshotMeta(tableDir, version)
+    val fields = meta.get(PartHistKey).toSeq ++ meta.get(PartKey).toSeq
+    fields.flatMap(splitSpecFields).map(parsePartField)
+      .groupBy(_.key).map(_._2.head).toSeq.sortBy(_.key)
+  }
+
+  private val PartHistKey = "partition.history"
+
+  /** Replace the partition spec — a METADATA-ONLY commit (every data
+    * line carries forward verbatim). The new spec governs files
+    * written by LATER commits only; nothing is rewritten. An empty
+    * spec un-partitions. Works on an empty table (the CREATE …
+    * PARTITIONED BY seed: version 1 is then pure metadata). */
+  def commitSetPartitionSpec(tableDir: String, spec: Seq[PartField],
+      maxRetries: Int = 5): Committed = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      val meta = snapshotMeta(tableDir, base)
+      // history accumulates every transform ever in force (deduped by
+      // key) so read-side pruning can keep serving files written
+      // under superseded specs
+      val hist = (meta.get(PartHistKey).toSeq ++ meta.get(PartKey).toSeq)
+        .flatMap(splitSpecFields).map(parsePartField)
+        .groupBy(_.key).map(_._2.head).toSeq.sortBy(_.key)
+      val withHist =
+        if (hist.isEmpty) meta - PartHistKey
+        else meta + (PartHistKey -> hist.mkString(","))
+      val newMeta =
+        if (spec.isEmpty) withHist - PartKey
+        else withHist + (PartKey -> spec.mkString(","))
+      val lines = metaLines(newMeta) ++
+        snapshotUnits(tableDir, base).map(_.raw)
+      if (tryPublishLines(tableDir, base + 1, lines))
+        return Committed(base + 1,
+          dataUnits(tableDir, base).flatMap(_.entries).size, 0, conflicts)
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commitSetPartitionSpec lost $maxRetries version races on $tableDir")
+  }
+
+  private val MicrosPerDay = 86400000000L
+
+  /** Derived (bound key, transform expression) pairs for the spec
+    * fields whose column exists in `df` with a transform-compatible
+    * type — a field over an absent/incompatible column contributes
+    * nothing (its files simply record no derived bound). `resolve`
+    * maps the spec's logical column names to `df`'s (physical under
+    * column mapping). The expressions are deterministic and
+    * probe-compatible: bucket hashes through xxhash64 exactly like
+    * [[probeHash]], days/truncate floor like the driver-side duals in
+    * the pruning path. */
+  def partitionExprs(spec: Seq[PartField], df: DataFrame,
+      resolve: String => String = identity)
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.types._
+    spec.flatMap { pf =>
+      df.schema.fields
+        .find(_.name.equalsIgnoreCase(resolve(pf.col))).flatMap { f =>
+          val c = col(f.name)
+          (pf.transform, f.dataType) match {
+            case ("identity", dt) if boundsEncodableType(dt) => Some(c)
+            case ("days", TimestampType) =>
+              // floorDiv via pmod: exact for negatives, stays integral
+              Some(((unix_micros(c) -
+                pmod(unix_micros(c), lit(MicrosPerDay))) /
+                lit(MicrosPerDay)).cast("long"))
+            case ("days", DateType) =>
+              Some(datediff(c, to_date(lit("1970-01-01"))))
+            case ("bucket", dt) if integral(dt) || dt == StringType =>
+              Some(pmod(xxhash64(c), lit(pf.arg.toLong)))
+            case ("truncate", dt) if integral(dt) =>
+              Some(c - pmod(c, lit(pf.arg)))
+            case ("truncate", StringType) =>
+              Some(substring(c, 1, pf.arg))
+            case _ => None
+          }
+        }.map(pf.key -> _)
+    }
+  }
+
+  /** Exact-integer column types (bucket/truncate domain). */
+  private[graft] def integral(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == ByteType || dt == ShortType || dt == IntegerType ||
+      dt == LongType
+  }
+
+  /** Types the manifest's bound encoding can hold. */
+  private def boundsEncodableType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | StringType | DateType | TimestampType |
+        BooleanType => true
+      case _ => false
+    }
+  }
+
+  /** Driver-side duals of [[partitionExprs]] for probe translation —
+    * all in [[encodeBound]] space, all exact-integer arithmetic. */
+  def dayOfMicros(micros: BigDecimal): BigDecimal = {
+    val m = micros.toBigInt
+    val d = MicrosPerDay
+    val fd = (m - m.mod(BigInt(d))) / d
+    BigDecimal(fd)
+  }
+
+  def truncateInt(v: BigDecimal, w: Int): BigDecimal = {
+    val b = v.toBigInt
+    BigDecimal(b - b.mod(BigInt(w)))
+  }
+
+  /** Bucket of a typed probe value — floorMod of the SAME xxhash64
+    * the write expression uses ([[probeHash]] casts to the column's
+    * stored type first, so the hash is bit-identical). */
+  def bucketOf(value: Any,
+      dt: org.apache.spark.sql.types.DataType, n: Int): Int =
+    java.lang.Math.floorMod(probeHash(value, dt), n.toLong).toInt
 
   /** Metadata-only count(*): the snapshot's row count summed from the
     * manifest's per-file `_rows` stats — Iceberg's count pushdown, no
@@ -1604,6 +1829,17 @@ object SnapshotOps {
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
 
+  /** Recursive variant for partitioned writes: files land under
+    * `_pk<i>=<value>` value directories. */
+  private def parquetFilesUnder(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+  }
+
   /** Transactional append: write `df` once as immutable files, then
     * CAS-commit "current manifest + my files" — rebasing (re-reading
     * the new current manifest) and retrying on version conflicts. The
@@ -1645,9 +1881,31 @@ object SnapshotOps {
         n => byLogical.getOrElse(n, n)
     }
     val dir = newDataDir(tableDir)
-    physDf.write.parquet(dir)
-    val mine = entriesFor(spark, parquetFilesIn(dir),
-      statsCols.map(toPhysName), bloomCols.map(toPhysName))
+    // hidden partitioning (r15): a spec in force splits the append by
+    // its derived transform values — range-cluster, then a hive-style
+    // partitionBy over TEMPORARY derived columns (auto-excluded from
+    // the data files), so each file holds exactly ONE partition tuple
+    // — and records per-file derived bounds alongside the column
+    // stats. The user never sees the derived columns: hidden
+    // partitioning's whole point.
+    val spec = partitionSpec(tableDir, pre)
+    val derived = partitionExprs(spec, physDf, toPhysName)
+    val written: Seq[String] =
+      if (derived.isEmpty) {
+        physDf.write.parquet(dir)
+        parquetFilesIn(dir)
+      } else {
+        val names = derived.indices.map(i => s"_pk$i")
+        names.foreach(n => require(!physDf.columns.contains(n),
+          s"commitAppend: reserved partition column name $n in input"))
+        val keyed = derived.zip(names).foldLeft(physDf) {
+          case (d, ((_, e), n)) => d.withColumn(n, e) }
+        keyed.repartitionByRange(names.map(col): _*)
+          .write.partitionBy(names: _*).parquet(dir)
+        parquetFilesUnder(dir)
+      }
+    val mine = entriesFor(spark, written,
+      statsCols.map(toPhysName), bloomCols.map(toPhysName), derived)
     // the group file is rebase-invariant: written once, reused across
     // CAS retries (only the manifest line list rebases)
     val mineLines =

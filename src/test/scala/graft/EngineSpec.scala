@@ -944,6 +944,58 @@ class EngineSpec extends SparkSpecBase {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == prior)
   }
 
+  test("SQL hidden partitioning (r15): CREATE … PARTITIONED BY " +
+      "clusters INSERTs by transform value and prunes SELECTs " +
+      "structurally — no auto_stats needed; ALTER SET PARTITION SPEC " +
+      "evolves for new files only") {
+    val e = engine
+    e.executeDuck("CREATE TABLE hp (ts TIMESTAMP, id INTEGER, " +
+      "name VARCHAR) PARTITIONED BY (days(ts), bucket(8, id))")
+    e.executeDuck(
+      """INSERT INTO hp SELECT
+        |  CASE WHEN id % 3 = 0 THEN TIMESTAMP '2024-03-01 10:00:00'
+        |       WHEN id % 3 = 1 THEN TIMESTAMP '2024-03-02 10:00:00'
+        |       ELSE TIMESTAMP '2024-03-03 10:00:00' END,
+        |  CAST(id AS INT), 'n' || CAST(id AS STRING)
+        |FROM range(0, 300)""".stripMargin)
+    val dir = e.snapshotDir("hp").get
+    import graft.operators.SnapshotOps
+    // version 1 = the metadata-only spec seed; version 2 = the data
+    assert(SnapshotOps.partitionSpec(dir, 1).map(_.toString) ==
+      Seq("days(ts)", "bucket(8,id)"))
+    val entries = SnapshotOps.snapshotEntries(dir, 2)
+    assert(entries.size >= 3, s"partitionBy must split: ${entries.size}")
+    assert(entries.forall(en => en.bounds.contains("_p.days(ts)") &&
+      en.bounds.contains("_p.bucket(8,id)")))
+    // one-file-one-tuple: every derived bound is a point
+    assert(entries.forall(en =>
+      en.bounds("_p.days(ts)")._1 == en.bounds("_p.days(ts)")._2 &&
+      en.bounds("_p.bucket(8,id)")._1 == en.bounds("_p.bucket(8,id)")._2))
+    def n(where: String): Long = {
+      e.lastPrune.clear()
+      e.executeDuck(s"SELECT count(*) AS n FROM hp WHERE $where")
+        .collect()(0).getLong(0)
+    }
+    // a one-day range prunes through days(ts) with NO column stats
+    assert(n("ts >= TIMESTAMP '2024-03-02 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-03 00:00:00'") == 100L)
+    assert(e.lastPrune("hp")._1 < e.lastPrune("hp")._2,
+      s"days transform must prune: ${e.lastPrune("hp")}")
+    // a point probe prunes through bucket(8,id)
+    assert(n("id = 42") == 1L)
+    assert(e.lastPrune("hp")._1 < e.lastPrune("hp")._2,
+      s"bucket transform must prune: ${e.lastPrune("hp")}")
+    // evolution: days only — new files carry no bucket key, so the
+    // point probe keeps them (absence never skips), results stay exact
+    e.executeDuck("ALTER TABLE hp SET PARTITION SPEC (days(ts))")
+    e.executeDuck("INSERT INTO hp VALUES " +
+      "(TIMESTAMP '2024-03-04 09:00:00', 42, 'dup')")
+    assert(n("id = 42") == 2L, "evolved-spec files must not be skipped")
+    assert(n("ts >= TIMESTAMP '2024-03-04 00:00:00'") == 1L)
+    assert(e.lastPrune("hp")._1 < e.lastPrune("hp")._2)
+    e.close()
+  }
+
   test("DML pruning: UPDATE/DELETE WHERE discover touched files from " +
       "manifest bounds — untouched bands never scanned, results exact") {
     val e = engine

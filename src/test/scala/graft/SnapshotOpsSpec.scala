@@ -1672,6 +1672,125 @@ class SnapshotOpsSpec extends SparkSpecBase {
     assert(hit.where(col("id") === 1005L).count() == 1L)
   }
 
+  test("hidden partitioning: a days/bucket/truncate spec clusters " +
+      "appends and records per-file derived bounds that prune " +
+      "structurally (r15)") {
+    import spark.implicits._
+    import SnapshotOps.parsePartField
+    val t = freshTable()
+    // empty-table seed: the CREATE … PARTITIONED BY shape — version 1
+    // is pure metadata
+    SnapshotOps.commitSetPartitionSpec(t, Seq(
+      parsePartField("days(ts)"), parsePartField("truncate(100, v)")))
+    assert(SnapshotOps.partitionSpec(t, 1).map(_.toString) ==
+      Seq("days(ts)", "truncate(100,v)"))
+    val rows = (0 until 600).map { i =>
+      (java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + i % 3}%02d ${i % 9}%02d:30:00"), i.toLong, i)
+    }
+    SnapshotOps.commitAppend(spark, t, rows.toDF("ts", "id", "v"))
+    val v = SnapshotOps.currentVersion(t)
+    val entries = SnapshotOps.snapshotEntries(t, v)
+    assert(entries.size > 3, s"clustering should split: ${entries.size}")
+    assert(entries.forall(e => e.bounds.contains("_p.days(ts)") &&
+      e.bounds.contains("_p.truncate(100,v)")),
+      s"derived bounds missing: ${entries.head.bounds.keySet}")
+    // days probe: ONE day of the three must skip files
+    val day = SnapshotOps.dayOfMicros(SnapshotOps.encodeBound(
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00").toInstant))
+    val kept = SnapshotOps.predFilesCnf(t, v,
+      Seq(("_p.days(ts)", Seq((Some(day), Some(day))))))
+    assert(kept.nonEmpty && kept.size < entries.size,
+      s"days probe kept ${kept.size} of ${entries.size}")
+    // content exact: pruned read + residual == plain filter
+    val res = SnapshotOps.readSnapshotFiles(spark, t, v, kept)
+      .where(col("ts") >= lit("2024-01-02") &&
+        col("ts") < lit("2024-01-03"))
+      .count()
+    val full = SnapshotOps.readSnapshot(spark, t, v)
+      .where(col("ts") >= lit("2024-01-02") &&
+        col("ts") < lit("2024-01-03"))
+      .count()
+    assert(res == full && full == 200L)
+    // truncate probe: band [300, 400) = one derived value
+    val keptT = SnapshotOps.predFilesCnf(t, v,
+      Seq(("_p.truncate(100,v)",
+        Seq((Some(BigDecimal(300)), Some(BigDecimal(300)))))))
+    assert(keptT.size < entries.size)
+    assert(SnapshotOps.readSnapshotFiles(spark, t, v, keptT)
+      .where(col("v") >= 300 && col("v") < 400).count() == 100L)
+  }
+
+  test("hidden partitioning: bucket(n,k) serves point probes through " +
+      "the probeHash-compatible derived bound (r15)") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitSetPartitionSpec(t,
+      Seq(SnapshotOps.parsePartField("bucket(4, k)")))
+    SnapshotOps.commitAppend(spark, t,
+      (0 until 400).map(i => (f"k-$i%04d", i)).toDF("k", "v"))
+    val v = SnapshotOps.currentVersion(t)
+    val total = SnapshotOps.snapshotEntries(t, v).size
+    val probe = "k-0042"
+    val b = BigDecimal(SnapshotOps.bucketOf(probe,
+      org.apache.spark.sql.types.StringType, 4))
+    val kept = SnapshotOps.predFilesCnf(t, v,
+      Seq(("_p.bucket(4,k)", Seq((Some(b), Some(b))))))
+    assert(kept.size < total, s"bucket probe kept $kept of $total")
+    // the probed key's row is IN the kept files (no false skip)
+    assert(SnapshotOps.readSnapshotFiles(spark, t, v, kept)
+      .where(col("k") === probe).count() == 1L)
+  }
+
+  test("hidden partitioning: spec evolution applies to NEW files " +
+      "only — old files keep their derived keys, probes for a " +
+      "transform treat files without it as unskippable (r15)") {
+    import spark.implicits._
+    import SnapshotOps.parsePartField
+    val t = freshTable()
+    SnapshotOps.commitSetPartitionSpec(t, Seq(parsePartField("truncate(100, v)")))
+    SnapshotOps.commitAppend(spark, t,
+      (0 until 300).map(i => (i, s"a$i")).toDF("v", "p"))        // old
+    val oldFiles = SnapshotOps.snapshotFiles(t,
+      SnapshotOps.currentVersion(t)).toSet
+    SnapshotOps.commitSetPartitionSpec(t,
+      Seq(parsePartField("bucket(4, v)")))                       // evolve
+    SnapshotOps.commitAppend(spark, t,
+      (300 until 600).map(i => (i, s"b$i")).toDF("v", "p"))      // new
+    val v = SnapshotOps.currentVersion(t)
+    val entries = SnapshotOps.snapshotEntries(t, v)
+    val (olds, news) = entries.partition(e => oldFiles.contains(e.path))
+    assert(olds.nonEmpty && news.nonEmpty)
+    assert(olds.forall(e => e.bounds.contains("_p.truncate(100,v)") &&
+      !e.bounds.contains("_p.bucket(4,v)")))
+    assert(news.forall(e => e.bounds.contains("_p.bucket(4,v)") &&
+      !e.bounds.contains("_p.truncate(100,v)")))
+    // truncate probe: prunes WITHIN old files, keeps every new file
+    val keptT = SnapshotOps.predFilesCnf(t, v, Seq(("_p.truncate(100,v)",
+      Seq((Some(BigDecimal(0)), Some(BigDecimal(0)))))))
+    assert(news.map(_.path).forall(keptT.contains),
+      "files without the transform must never skip")
+    assert(keptT.size < entries.size, "old files must still prune")
+    // bucket probe: prunes within new files, keeps every old file
+    val b = BigDecimal(SnapshotOps.bucketOf(42,
+      org.apache.spark.sql.types.IntegerType, 4))
+    val keptB = SnapshotOps.predFilesCnf(t, v, Seq(("_p.bucket(4,v)",
+      Seq((Some(b), Some(b))))))
+    assert(olds.map(_.path).forall(keptB.contains))
+    assert(SnapshotOps.readSnapshotFiles(spark, t, v, keptB)
+      .where(col("v") === 42).count() == 1L)
+    // un-partition: appends stop recording derived bounds
+    SnapshotOps.commitSetPartitionSpec(t, Seq.empty)
+    SnapshotOps.commitAppend(spark, t,
+      Seq((900, "z")).toDF("v", "p"))
+    val lastV = SnapshotOps.currentVersion(t)
+    assert(SnapshotOps.partitionSpec(t, lastV).isEmpty)
+    val fresh = SnapshotOps.snapshotEntries(t, lastV)
+      .filterNot(e => entries.map(_.path).contains(e.path))
+    assert(fresh.nonEmpty &&
+      fresh.forall(_.bounds.keySet.forall(!_.startsWith("_p."))))
+  }
+
   // --- typed bounds (r14): string/date/timestamp stats columns ---
 
   test("encodeBound is order-preserving: string truncation is monotone, " +
