@@ -400,8 +400,16 @@ class Engine(val spark: SparkSession) {
         val empty = df.isEmpty // one job, reused below
         if (empty && !forAppend) None
         else {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft_engine_tbl").toString + "/t"
+          // a durable dir that already has history but isn't bound to
+          // this table is a CONFLICT (a CTAS shadowing an existing
+          // warehouse table) — appending would interleave two tables
+          val dir = warehouseDir(n).map { d =>
+            require(!new java.io.File(d, "manifests").isDirectory,
+              s"table $n already exists in the warehouse ($d) — " +
+                "DROP TABLE it first")
+            d
+          }.getOrElse(java.nio.file.Files
+            .createTempDirectory("graft_engine_tbl").toString + "/t")
           // record the binding only once data is committed; an empty
           // table's dir (forAppend) is provisional until the INSERT's
           // own commit lands (appendRows calls registerSnapshot)
@@ -420,9 +428,63 @@ class Engine(val spark: SparkSession) {
     }
   }
 
+  // ---- warehouse persistence (r15) --------------------------------------
+  // `SET warehouse = <dir>`: snapshot tables materialize DURABLY at
+  // `<dir>/<name>` instead of session scratch. close() leaves them (the
+  // temp-dir guard in deleteSnapshotDir never matches a warehouse
+  // path), and a NEW Engine re-attaches everything in the warehouse
+  // the moment the setting is issued — the manifest chain is
+  // self-describing, so content, history, time travel and retention
+  // PRAGMAs all operate across sessions. DROP TABLE on a warehouse
+  // table IS destructive (the DuckDB contract for durable tables).
+
+  private def warehousePath: Option[String] =
+    spark.conf.getOption("graft.setting.warehouse").filter(_.nonEmpty)
+
+  private def warehouseDir(name: String): Option[String] =
+    warehousePath.map(wh => s"$wh/${norm(name)}")
+
+  private def attachWarehouse(dir: String): Unit = {
+    val root = new java.io.File(dir)
+    require(root.isDirectory || root.mkdirs(),
+      s"warehouse: cannot create $dir")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(t => new java.io.File(t, "manifests").isDirectory)
+      .foreach(t => registerSnapshot(t.getName, t.getPath))
+  }
+
+  /** Recursive delete, guarded to paths under the session's declared
+    * warehouse root — a mis-bound path can never delete user data. */
+  private def deleteWarehouseTable(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir).normalize
+    require(warehousePath.exists(wh =>
+      p.startsWith(java.nio.file.Paths.get(wh).normalize)),
+      s"not under the current warehouse: $dir")
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      finally walk.close()
+    }
+  }
+
   /** CREATE TABLE (cols) — shared by the plain and PARTITIONED BY
-    * forms. */
-  private def createPlain(name: String, colDefs: String): Unit = {
+    * forms. `ifNotExists` re-attaches an existing warehouse table
+    * instead of erroring; plain CREATE over one fails loudly (durable
+    * data must not be silently shadowed). */
+  private def createPlain(name: String, colDefs: String,
+      ifNotExists: Boolean = false): Unit = {
+    warehouseDir(name).filter(d =>
+      new java.io.File(d, "manifests").isDirectory).foreach { d =>
+      if (ifNotExists) { registerSnapshot(name, d); return }
+      throw new IllegalArgumentException(
+        s"CREATE TABLE $name: already exists in warehouse ($d) — " +
+          "DROP TABLE it or use IF NOT EXISTS")
+    }
+    createPlainAlways(name, colDefs)
+  }
+
+  private def createPlainAlways(name: String, colDefs: String): Unit = {
     // column DEFINITIONS are type syntax, not expressions — they skip
     // the dialect rewriter (FLOAT[100] is a type, not an index)
     val fixedSize = DuckRewriter.splitTop(colDefs).flatMap { d =>
@@ -466,9 +528,9 @@ class Engine(val spark: SparkSession) {
   private val CreateTableAs =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+)""".r
   private val CreateTable =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*\((.+)\)\s*""".r
   private val CreateTablePart =
-    ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""" +
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)""" +
       """\s*\((.+)\)\s+PARTITIONED\s+BY\s*\((.+)\)\s*""").r
   private val InsertValues =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)""".r
@@ -513,6 +575,9 @@ class Engine(val spark: SparkSession) {
   private val PragmaExpire =
     ("""(?is)\s*PRAGMA\s+expire_snapshots\s*\(\s*'?([\w.]+?)'?\s*,""" +
       """\s*(\d+)\s*\)\s*""").r
+  private val PragmaExpireTs =
+    ("""(?is)\s*PRAGMA\s+expire_snapshots\s*\(\s*'?([\w.]+?)'?\s*,""" +
+      """\s*(?:older_than\s*(?:=>|=)\s*)?TIMESTAMP\s*'([^']+)'\s*\)\s*""").r
   private val PragmaVacuum =
     """(?is)\s*PRAGMA\s+vacuum\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
   private val CallVersion =
@@ -781,8 +846,8 @@ class Engine(val spark: SparkSession) {
       writeOrder.remove(norm(name)) // a new table starts layout-free
       pendingPartSpec.remove(norm(name))
       register(name, executeDuck(query)); empty()
-    case CreateTablePart(name, colDefs, fields) =>
-      createPlain(name, colDefs)
+    case CreateTablePart(ine, name, colDefs, fields) =>
+      createPlain(name, colDefs, ifNotExists = ine != null)
       val spec = graft.operators.SnapshotOps.splitSpecFields(fields)
         .map(graft.operators.SnapshotOps.parsePartField)
       require(spec.nonEmpty, "PARTITIONED BY needs at least one field")
@@ -794,8 +859,8 @@ class Engine(val spark: SparkSession) {
       // version 1 is then the metadata-only spec commit
       pendingPartSpec(norm(name)) = spec
       empty()
-    case CreateTable(name, colDefs) =>
-      createPlain(name, colDefs); empty()
+    case CreateTable(ine, name, colDefs) =>
+      createPlain(name, colDefs, ifNotExists = ine != null); empty()
     case InsertValues(name, colsOpt, values) =>
       val target = table(name)
       val cols = Option(colsOpt).map(_.split(",").map(_.trim.toLowerCase))
@@ -1142,7 +1207,13 @@ class Engine(val spark: SparkSession) {
       // binding may still derive from them (CTAS from this table
       // reads its snapshot parquet lazily), so the dir is RETIRED
       // for [[close]], exactly like a re-register supersession
-      snapshotDirs.remove(norm(name)).foreach(retiredDirs += _)
+      snapshotDirs.remove(norm(name)).foreach { d =>
+        // a DURABLE table's DROP is destructive (the DuckDB contract);
+        // scratch dirs are only retired — live lazy frames may still
+        // derive from them until close()
+        if (warehouseDir(name).contains(d)) deleteWarehouseTable(d)
+        else retiredDirs += d
+      }
       lastCommit.remove(norm(name))
       // declared layout and pruning observables die with the table —
       // a recreated table must not inherit another table's sort order
@@ -1284,6 +1355,25 @@ class Engine(val spark: SparkSession) {
       val (m, f) = SnapshotOps.vacuum(dir, keepVersions = keepS.toInt,
         graceMs = 0L)
       Seq((m.toLong, f.toLong)).toDF("manifests_dropped", "files_deleted")
+    case PragmaExpireTs(name, ts) =>
+      // the timestamp-horizon form (Iceberg expire_snapshots
+      // older_than / Delta retention): versions committed strictly
+      // before the horizon expire, resolved against the SAME `_ts`
+      // stamps as TIMESTAMP AS OF — reads past the horizon then fail
+      // loudly, never silently re-resolve
+      import spark.implicits._
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(throw new IllegalArgumentException(
+        s"expire_snapshots: '$name' has no committed snapshot history"))
+      val zone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID))
+      val horizon = parseLocalInstant(ts, zone).getOrElse(
+        throw new IllegalArgumentException(
+          s"expire_snapshots: cannot parse timestamp '$ts'"))
+        .toEpochMilli
+      val (m, f) = SnapshotOps.vacuumOlderThan(dir, horizon, graceMs = 0L)
+      Seq((m.toLong, f.toLong)).toDF("manifests_dropped", "files_deleted")
     case PragmaVacuum(name) =>
       // orphan-only GC: keep every version (nothing expires), delete
       // only files no manifest references — lost CAS races' leftovers
@@ -1316,6 +1406,7 @@ class Engine(val spark: SparkSession) {
       key match { // DuckDB knobs with direct Spark equivalents
         case "threads" =>
           setDerived("spark.sql.shuffle.partitions", value)
+        case "warehouse" => attachWarehouse(value)
         case _ =>
       }
       empty()

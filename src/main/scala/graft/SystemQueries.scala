@@ -3353,6 +3353,87 @@ object SystemQueries {
         |  CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
         |FROM b2 WHERE ship >= TIMESTAMP '2024-03-04 00:00:00'
         |ORDER BY probe""".stripMargin,
+      headline = true),
+
+    // WAREHOUSE PERSISTENCE + TIME-BASED RETENTION (r15): `SET
+    // warehouse = dir` makes CREATE TABLE land durably at
+    // <dir>/<name>; close() leaves it and a NEW Engine re-attaches by
+    // listing the warehouse — content, history and time travel
+    // survive the session boundary, and commits continue on the same
+    // chain. The lifecycle then closes with the timestamp-horizon
+    // retention form (`expire_snapshots(t, older_than => TIMESTAMP
+    // …)`, the Iceberg/Delta idiom): versions committed before the
+    // horizon expire on the SAME `_ts` clock TIMESTAMP AS OF resolves
+    // against, and as-of reads past the horizon fail loudly.
+    "q277_warehouse_lifecycle" -> api((spark, sfDir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q277_wh").toString
+      val e1 = new Engine(spark)
+      e1.executeDuck(s"SET warehouse = '$wh'")
+      e1.executeDuck(
+        "CREATE TABLE g277 (id INTEGER, bal DOUBLE, seg VARCHAR)")
+      e1.executeDuck(
+        """INSERT INTO g277 SELECT c_custkey, c_acctbal, c_mktsegment
+          |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin) // v1
+      e1.executeDuck(
+        "UPDATE g277 SET bal = bal + 100 WHERE seg = 'BUILDING'") // v2
+      e1.close()
+      // a FRESH engine: nothing bound until the warehouse attaches
+      val e2 = new Engine(spark)
+      e2.executeDuck(s"SET warehouse = '$wh'")
+      val nV1 = e2.executeDuck(
+        "SELECT count(*) AS n FROM g277 VERSION AS OF 1")
+        .collect()(0).getLong(0)
+      Thread.sleep(60)
+      val mid = java.time.LocalDateTime.now().format(
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      Thread.sleep(60)
+      e2.executeDuck(
+        """INSERT INTO g277 SELECT c_custkey, c_acctbal, c_mktsegment
+          |FROM customer WHERE c_custkey % 3 = 0""".stripMargin)  // v3
+      val versions = e2.snapshotDir("g277")
+        .map(graft.operators.SnapshotOps.currentVersion).getOrElse(0)
+      val expired = e2.executeDuck(
+        s"PRAGMA expire_snapshots('g277', older_than => TIMESTAMP '$mid')")
+        .collect()(0).getLong(0)
+      val retained = e2.executeDuck("PRAGMA table_snapshots('g277')")
+        .count()
+      val asofFails = scala.util.Try(e2.executeDuck(
+        "SELECT count(*) AS n FROM g277 VERSION AS OF 1").collect())
+        .isFailure
+      val out = e2.executeDuck(
+        """SELECT count(*) AS n,
+          |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total
+          |FROM g277""".stripMargin)
+        .select(lit("lifecycle").as("probe"), col("n"), col("bal_total"),
+          lit(nV1).as("n_v1"), lit(versions).cast("long").as("versions"),
+          lit(expired).as("expired"),
+          lit(retained).as("retained"), lit(asofFails).as("asof_fails"))
+        // q194's intra-JVM rule: materialize before reclaiming the
+        // warehouse the frame reads from
+        .localCheckpoint()
+      e2.executeDuck("DROP TABLE g277") // destructive on durable tables
+      try out finally {
+        e2.close()
+        new java.io.File(wh).delete()
+      }
+    },
+      """WITH v1 AS (SELECT c_custkey AS id, c_acctbal AS bal,
+        |    c_mktsegment AS seg FROM customer WHERE c_custkey % 3 <> 0),
+        |v2 AS (SELECT id, CASE WHEN seg = 'BUILDING' THEN bal + 100
+        |    ELSE bal END AS bal, seg FROM v1),
+        |v3 AS (SELECT * FROM v2 UNION ALL
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_custkey % 3 = 0)
+        |SELECT 'lifecycle' AS probe, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  (SELECT count(*) FROM v1) AS n_v1,
+        |  CAST(3 AS BIGINT) AS versions,
+        |  CAST(2 AS BIGINT) AS expired,
+        |  CAST(1 AS BIGINT) AS retained,
+        |  TRUE AS asof_fails
+        |FROM v3""".stripMargin,
       headline = true)
   )
 }

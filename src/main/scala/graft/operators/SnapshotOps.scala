@@ -2393,18 +2393,39 @@ object SnapshotOps {
         if (!retainedGroups.contains(g.getPath) && g.isFile &&
             g.lastModified < cutoff) g.delete()
       }
-    Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { d =>
+    // recursive: partitioned writes (r15) nest files under
+    // `_pk<i>=<value>` directories inside the writer dir
+    def sweep(d: java.io.File): Unit = {
       Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (!retained.contains(f.getPath) && f.isFile &&
+        if (f.isDirectory) sweep(f)
+        else if (!retained.contains(f.getPath) &&
             f.lastModified < cutoff) {
           val isData = f.getName.endsWith(".parquet")
           if (f.delete() && isData) deleted += 1
         }
       }
-      // a writer dir whose files are all gone is itself garbage
+      // a dir whose files are all gone is itself garbage
       if (Option(d.listFiles()).forall(_.isEmpty)) d.delete()
     }
+    Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).foreach(sweep)
     (dropped, deleted)
+  }
+
+  /** Time-horizon retention (r15): expire every version whose commit
+    * timestamp — the `_ts` manifest stamp, the SAME clock TIMESTAMP
+    * AS OF resolves against — is strictly older than
+    * `olderThanMillis`; the current version always survives, and a
+    * version without a stamp is RETAINED (never delete what can't be
+    * dated). Delegates to [[vacuum]], so time travel past the horizon
+    * fails loudly exactly like count-based expiry. */
+  def vacuumOlderThan(tableDir: String, olderThanMillis: Long,
+      graceMs: Long = 10L * 60 * 1000): (Int, Int) = {
+    val cur = currentVersion(tableDir)
+    val keepFrom = availableVersions(tableDir).find(v =>
+      v == cur || snapshotTimestamp(tableDir, v)
+        .forall(_ >= olderThanMillis)).getOrElse(cur)
+    vacuum(tableDir, keepVersions = cur - keepFrom + 1, graceMs)
   }
 
   /** Manifest-level file skipping: the data files of `version` whose

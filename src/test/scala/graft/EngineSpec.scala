@@ -996,6 +996,81 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("warehouse persistence (r15): tables survive close(); a new " +
+      "Engine re-attaches with content, history, time travel and " +
+      "further commits intact; DROP is destructive") {
+    val wh = Files.createTempDirectory("graft_wh_spec").toString
+    val e1 = engine
+    e1.executeDuck(s"SET warehouse = '$wh'")
+    e1.executeDuck("CREATE TABLE wt (id int, v varchar)")
+    e1.executeDuck("INSERT INTO wt VALUES (1, 'a'), (2, 'b')")  // v1
+    e1.executeDuck("UPDATE wt SET v = 'z' WHERE id = 2")        // v2
+    e1.close()
+    assert(new java.io.File(s"$wh/wt/manifests").isDirectory,
+      "warehouse table must survive close()")
+    val e2 = engine
+    // a fresh engine knows nothing until the warehouse is attached
+    e2.executeDuck(s"SET warehouse = '$wh'")
+    assert(e2.executeDuck("SELECT v FROM wt ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "z"))
+    // history + time travel across the session boundary
+    assert(e2.executeDuck(
+      "SELECT v AS v FROM wt VERSION AS OF 1 ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"))
+    // commits continue on the same chain
+    e2.executeDuck("INSERT INTO wt VALUES (3, 'c')")            // v3
+    assert(e2.executeDuck("SELECT count(*) AS n FROM wt")
+      .collect()(0).getLong(0) == 3L)
+    // plain re-CREATE must not shadow durable data; IF NOT EXISTS
+    // re-binds it
+    val ex = intercept[IllegalArgumentException](
+      e2.executeDuck("CREATE TABLE wt (id int, v varchar)"))
+    assert(ex.getMessage.contains("already exists"))
+    e2.executeDuck("CREATE TABLE IF NOT EXISTS wt (id int, v varchar)")
+    assert(e2.executeDuck("SELECT count(*) AS n FROM wt")
+      .collect()(0).getLong(0) == 3L)
+    // DROP deletes the durable dir; the name is then free again
+    e2.executeDuck("DROP TABLE wt")
+    assert(!new java.io.File(s"$wh/wt").exists())
+    e2.executeDuck("CREATE TABLE wt (id int, v varchar)")
+    e2.executeDuck("INSERT INTO wt VALUES (9, 'fresh')")
+    assert(e2.executeDuck("SELECT count(*) AS n FROM wt")
+      .collect()(0).getLong(0) == 1L)
+    e2.close()
+  }
+
+  test("time-based retention (r15): expire_snapshots older_than " +
+      "TIMESTAMP drops pre-horizon versions on the AS-OF clock; " +
+      "time travel past the horizon fails loudly") {
+    val e = engine
+    e.executeDuck("CREATE TABLE tr (id int)")
+    e.executeDuck("INSERT INTO tr VALUES (1)")                   // v1
+    e.executeDuck("INSERT INTO tr VALUES (2)")                   // v2
+    Thread.sleep(60)
+    val mid = java.time.LocalDateTime.now()
+    Thread.sleep(60)
+    e.executeDuck("INSERT INTO tr VALUES (3)")                   // v3
+    e.executeDuck("INSERT INTO tr VALUES (4)")                   // v4
+    val midS = mid.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val r = e.executeDuck(
+      s"PRAGMA expire_snapshots('tr', older_than => TIMESTAMP '$midS')")
+      .collect()(0)
+    assert(r.getLong(0) == 2L, s"v1+v2 must expire: $r")
+    // current content and post-horizon history intact
+    assert(e.executeDuck("SELECT count(*) AS n FROM tr")
+      .collect()(0).getLong(0) == 4L)
+    assert(e.executeDuck("SELECT count(*) AS n FROM tr VERSION AS OF 3")
+      .collect()(0).getLong(0) == 3L)
+    // past the horizon: fail loudly, never silently re-resolve
+    intercept[Exception](e.executeDuck(
+      "SELECT count(*) AS n FROM tr VERSION AS OF 1").collect())
+    intercept[Exception](e.executeDuck(
+      s"SELECT count(*) AS n FROM tr TIMESTAMP AS OF '2000-01-01 00:00:00'")
+      .collect())
+    e.close()
+  }
+
   test("DML pruning: UPDATE/DELETE WHERE discover touched files from " +
       "manifest bounds — untouched bands never scanned, results exact") {
     val e = engine
