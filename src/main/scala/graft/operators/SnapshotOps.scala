@@ -1784,6 +1784,48 @@ object SnapshotOps {
       dt: org.apache.spark.sql.types.DataType, n: Int): Int =
     java.lang.Math.floorMod(probeHash(value, dt), n.toLong).toInt
 
+  /** Spec col name (logical) → the physical name at `base`. */
+  private def physResolve(tableDir: String, base: Int): String => String =
+    columnMapping(tableDir, base) match {
+      case None => identity
+      case Some(m) =>
+        val byLogical = m.filter(_.live)
+          .map(c => c.logical.toLowerCase -> c.physical).toMap
+        n => byLogical.getOrElse(n.toLowerCase, n)
+    }
+
+  /** Write `df` (physical names) into `dir` under the spec in force
+    * at `base`: hive-split by the derived transform values over
+    * TEMPORARY columns (auto-excluded from the data files — one file
+    * per partition tuple) — or plain when unpartitioned, shaped by
+    * `plainShape` (compaction's coalesce). Partitioned writes cluster
+    * by the derived tuple instead: one file per live partition value
+    * IS the compacted layout. Returns (written files, derived exprs)
+    * for the caller's entriesFor, so maintenance writers re-record
+    * derived bounds and partitioned tables stay prunable across
+    * compaction and COW rewrites. */
+  private def writeUnderSpec(spark: SparkSession, tableDir: String,
+      base: Int, df: DataFrame, dir: String,
+      resolve: String => String = null,
+      plainShape: DataFrame => DataFrame = identity)
+      : (Seq[String], Seq[(String, org.apache.spark.sql.Column)]) = {
+    val res = Option(resolve).getOrElse(physResolve(tableDir, base))
+    val derived = partitionExprs(partitionSpec(tableDir, base), df, res)
+    if (derived.isEmpty) {
+      plainShape(df).write.parquet(dir)
+      (parquetFilesIn(dir), Nil)
+    } else {
+      val names = derived.indices.map(i => s"_pk$i")
+      names.foreach(n => require(!df.columns.contains(n),
+        s"reserved partition column name $n in input"))
+      val keyed = derived.zip(names).foldLeft(df) {
+        case (d, ((_, e), n)) => d.withColumn(n, e) }
+      keyed.repartitionByRange(names.map(col): _*)
+        .write.partitionBy(names: _*).parquet(dir)
+      (parquetFilesUnder(dir), derived)
+    }
+  }
+
   /** Metadata-only count(*): the snapshot's row count summed from the
     * manifest's per-file `_rows` stats — Iceberg's count pushdown, no
     * data file opened. None when any file predates row-count stats
@@ -1888,22 +1930,8 @@ object SnapshotOps {
     // — and records per-file derived bounds alongside the column
     // stats. The user never sees the derived columns: hidden
     // partitioning's whole point.
-    val spec = partitionSpec(tableDir, pre)
-    val derived = partitionExprs(spec, physDf, toPhysName)
-    val written: Seq[String] =
-      if (derived.isEmpty) {
-        physDf.write.parquet(dir)
-        parquetFilesIn(dir)
-      } else {
-        val names = derived.indices.map(i => s"_pk$i")
-        names.foreach(n => require(!physDf.columns.contains(n),
-          s"commitAppend: reserved partition column name $n in input"))
-        val keyed = derived.zip(names).foldLeft(physDf) {
-          case (d, ((_, e), n)) => d.withColumn(n, e) }
-        keyed.repartitionByRange(names.map(col): _*)
-          .write.partitionBy(names: _*).parquet(dir)
-        parquetFilesUnder(dir)
-      }
+    val (written, derived) =
+      writeUnderSpec(spark, tableDir, pre, physDf, dir, toPhysName)
     val mine = entriesFor(spark, written,
       statsCols.map(toPhysName), bloomCols.map(toPhysName), derived)
     // the group file is rebase-invariant: written once, reused across
@@ -2287,11 +2315,15 @@ object SnapshotOps {
           dvs, eqs,
           anchor = if (merge) dataSchema else null,
           keep = e => rewriteSet.contains(localPath(e.path))), mapping)
-        toPhysical(
+        val phys = toPhysical(
           update(in.where(cond)).unionByName(in.where(!coalesce(cond,
-            lit(false)))), mapping).write.parquet(dir)
-        entriesFor(spark, parquetFilesIn(dir), statsColsOf(entries),
-          bloomColsOf(entries))
+            lit(false)))), mapping)
+        // rewritten files re-split under the spec and re-record
+        // derived bounds — a COW update never un-partitions its band
+        val (files, derived) =
+          writeUnderSpec(spark, tableDir, base, phys, dir)
+        entriesFor(spark, files, statsColsOf(entries),
+          bloomColsOf(entries), derived)
       }
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         intact.map(_.raw) ++
@@ -2328,10 +2360,15 @@ object SnapshotOps {
       // neither `!` nor `=` lines carry into the new manifest; under a
       // column mapping, maintenanceRead also surfaces evolved columns
       // (mergeSchema) and drops tombstoned ones
-      maintenanceRead(spark, tableDir, base)
-        .coalesce(nFiles).write.parquet(dir)
-      val written = entriesFor(spark, parquetFilesIn(dir),
-        statsColsOf(entries), bloomColsOf(entries))
+      // under a partition spec, the compacted layout IS one file per
+      // live partition tuple (nFiles shapes only the unpartitioned
+      // case) and derived bounds re-record, so partitioned tables
+      // stay prunable across maintenance
+      val (outFiles, derived) = writeUnderSpec(spark, tableDir, base,
+        maintenanceRead(spark, tableDir, base), dir,
+        plainShape = _.coalesce(nFiles))
+      val written = entriesFor(spark, outFiles,
+        statsColsOf(entries), bloomColsOf(entries), derived)
       val lines = metaLines(snapshotMeta(tableDir, base)) ++
         (if (written.nonEmpty) Seq(groupLine(tableDir, written)) else Nil)
       if (tryPublishLines(tableDir, base + 1, lines))

@@ -1791,6 +1791,42 @@ class SnapshotOpsSpec extends SparkSpecBase {
       fresh.forall(_.bounds.keySet.forall(!_.startsWith("_p."))))
   }
 
+  test("hidden partitioning survives maintenance: COW rewrites and " +
+      "compaction re-split under the spec and re-record derived " +
+      "bounds (r15)") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitSetPartitionSpec(t,
+      Seq(SnapshotOps.parsePartField("truncate(100, v)")))
+    SnapshotOps.commitAppend(spark, t,
+      (0 until 300).map(i => (i, s"p$i")).toDF("v", "p"))
+    // COW update touches only the 100-band; its rewritten files must
+    // carry derived bounds again
+    SnapshotOps.commitRewrite(spark, t,
+      col("v") >= 100 && col("v") < 200,
+      df => df.withColumn("p", lit("upd")))
+    val v2 = SnapshotOps.currentVersion(t)
+    assert(SnapshotOps.snapshotEntries(t, v2).forall(
+      _.bounds.contains("_p.truncate(100,v)")),
+      "rewritten files must re-record derived bounds")
+    // compaction keeps one file per partition tuple, bounds intact
+    SnapshotOps.commitCompact(spark, t, nFiles = 1)
+    val v3 = SnapshotOps.currentVersion(t)
+    val entries = SnapshotOps.snapshotEntries(t, v3)
+    assert(entries.size >= 3, s"compaction must keep the split: $entries")
+    assert(entries.forall(e =>
+      e.bounds.contains("_p.truncate(100,v)") &&
+        e.bounds("_p.truncate(100,v)")._1 ==
+        e.bounds("_p.truncate(100,v)")._2))
+    val kept = SnapshotOps.predFilesCnf(t, v3, Seq(("_p.truncate(100,v)",
+      Seq((Some(BigDecimal(100)), Some(BigDecimal(100)))))))
+    assert(kept.size < entries.size)
+    assert(SnapshotOps.readSnapshotFiles(spark, t, v3, kept)
+      .where(col("v") >= 100 && col("v") < 200)
+      .collect().forall(_.getString(1) == "upd"))
+    assert(SnapshotOps.readSnapshot(spark, t, v3).count() == 300L)
+  }
+
   // --- typed bounds (r14): string/date/timestamp stats columns ---
 
   test("encodeBound is order-preserving: string truncation is monotone, " +
