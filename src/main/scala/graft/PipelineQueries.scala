@@ -2132,7 +2132,18 @@ object PipelineQueries {
             |  JOIN part ON p_partkey = l_partkey
             |  WHERE p_type = 'PROMO'
             |  GROUP BY o_custkey)""".stripMargin))
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        // reducer count sized by MEASURED pair volume (r15 — the
+        // "sized by volume at warehouse scale" note, now real): one
+        // cheap agg over the checkpointed basket table estimates the
+        // packed-pair rows; ~2M pair rows per reducer, floor 8 (the
+        // dispatch-floor knob at bench sf). The fixed 8 measured 80 s
+        // at sf10sv (spilling reducers); sized, the plan is linear.
+        val pairsEst = spark.sql(
+          """SELECT coalesce(sum(CAST(size(items) AS BIGINT) *
+            |  (size(items) - 1) DIV 2), 0) FROM graft_q140_baskets"""
+            .stripMargin).collect()(0).getLong(0)
+        spark.conf.set("spark.sql.shuffle.partitions",
+          Math.max(8L, Math.min(4096L, pairsEst / 2000000L)).toString)
         // item frequency AND basket total from one grouped pass: each
         // basket emits its items plus a -1 marker (item ids are >= 1,
         // so the ranges cannot collide); both results are item-sized

@@ -42,7 +42,8 @@ EXCLUDE = [
      r"|merge_schema|evolution|incr_agg|stats_pruned|point_index"
      r"|manifest_group|mor_|table_changes|restore_table|eq_delete"
      r"|stats_skipping|sql_pruned|write_layout|meta_count"
-     r"|column_evolution|prompt_overflow",
+     r"|column_evolution|prompt_overflow|or_pruning"
+     r"|hidden_partitioning|warehouse_lifecycle",
      "write/commit lifecycle"),
     (r"dedup_pairs|near_dup|minhash|simhash_hamming|segment_dedup"
      r"|bitext|cluster_safe|exact_substring|dup_clusters",
