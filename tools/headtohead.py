@@ -59,19 +59,37 @@ def reason(name: str):
     return None
 
 
-def main():
-    sf_dir, oracle_path, bench_path = sys.argv[1:4]
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    oracles = json.loads(Path(oracle_path).read_text())
-    bench = json.loads(Path(bench_path).read_text())
-    queries = bench["queries"]
+def _time_entry(sf_dir, sql, reps, q):
+    """Child-process timing: a hung DuckDB operator (interrupt() is
+    not honored mid-pipeline by every operator — observed at sf10) is
+    killed by the parent instead of wedging the whole harness."""
     con = duckdb.connect()
-    con.execute(f"SET threads TO 32")
+    con.execute("SET threads TO 32")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    times = []
+    try:
+        for _ in range(reps):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            times.append(time.time() - t0)
+            if times[-1] > 5:  # slow query: one measurement is enough
+                break
+        q.put(("ok", times))
+    except Exception as e:  # noqa: BLE001 - report and die
+        q.put(("err", f"{type(e).__name__}: {str(e)[:80]}"))
+
+
+def main():
+    import multiprocessing as mp
+    sf_dir, oracle_path, bench_path = sys.argv[1:4]
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    oracles = json.loads(Path(oracle_path).read_text())
+    bench = json.loads(Path(bench_path).read_text())
+    queries = bench["queries"]
     rows = []
     for name, graft_s in sorted(queries.items()):
         sql = oracles.get(name)
@@ -84,32 +102,34 @@ def main():
                          "excluded": excl, "err": None})
             continue
         print(f"timing {name}…", file=sys.stderr, flush=True)
+        # per-entry wall budget: some oracles are written for
+        # correctness clarity, not speed, and a pathological plan at
+        # sf>=1 can burn an hour on one entry. Timing runs in a CHILD
+        # process with a hard kill — a timed-out entry is recorded as
+        # err (dropped from the aggregate), honest in the conservative
+        # direction since an absurdly slow DuckDB time would only
+        # flatter the graft ratio.
         times = []
         err = None
-        for i in range(reps):
-            # per-entry wall budget: some oracles are written for
-            # correctness clarity, not speed (correlated unnest per
-            # pair), and a pathological single-threaded plan at sf>=1
-            # can burn an hour on one entry. An interrupted entry is
-            # recorded as err (dropped from the aggregate) — honest in
-            # the conservative direction, since an absurdly slow
-            # DuckDB time would only flatter the graft ratio.
-            import threading
-            timer = threading.Timer(120.0, con.interrupt)
-            timer.start()
-            t0 = time.time()
+        q = mp.Queue()
+        proc = mp.Process(target=_time_entry, args=(sf_dir, sql, reps, q))
+        proc.start()
+        proc.join(180.0)
+        if proc.is_alive():
+            proc.terminate()
+            proc.join(10.0)
+            if proc.is_alive():
+                proc.kill()
+            err = "timeout>180s (killed)"
+        else:
             try:
-                con.execute(sql).fetchall()
-            except Exception as e:  # noqa: BLE001 - record and move on
-                err = f"{type(e).__name__}: {str(e)[:80]}"
-                if time.time() - t0 >= 119:
-                    err = "timeout>120s (interrupted)"
-                break
-            finally:
-                timer.cancel()
-            times.append(time.time() - t0)
-            if times[-1] > 5:  # slow query: one measurement is enough
-                break
+                kind, payload = q.get_nowait()
+                if kind == "ok":
+                    times = payload
+                else:
+                    err = payload
+            except Exception:  # noqa: BLE001 - died without reporting
+                err = "child exited without result"
         # floor at timer resolution so a sub-ms DuckDB time neither
         # divides to an absurd ratio nor (the old falsy-zero bug)
         # silently drops the entry from the comparable aggregate —
