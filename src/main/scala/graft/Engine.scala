@@ -580,6 +580,8 @@ class Engine(val spark: SparkSession) {
       """\s*(?:older_than\s*(?:=>|=)\s*)?TIMESTAMP\s*'([^']+)'\s*\)\s*""").r
   private val PragmaVacuum =
     """(?is)\s*PRAGMA\s+vacuum\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
+  private val PragmaTablePartitions =
+    """(?is)\s*PRAGMA\s+table_partitions\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
   private val CallVersion =
     """(?is)\s*CALL\s+pragma_version\s*\(\s*\)\s*""".r
   private val SummarizeCmd = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
@@ -1386,6 +1388,16 @@ class Engine(val spark: SparkSession) {
       val (m, f) = SnapshotOps.vacuum(dir, keepVersions = keep,
         graceMs = 0L)
       Seq((m.toLong, f.toLong)).toDF("manifests_dropped", "files_deleted")
+    case PragmaTablePartitions(name) =>
+      // the Iceberg `partitions` metadata table at the PRAGMA surface:
+      // distinct derived transform values with file/row counts, read
+      // from the manifest only — zero data files opened
+      import spark.implicits._
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(throw new IllegalArgumentException(
+        s"table_partitions: '$name' has no committed snapshot history"))
+      SnapshotOps.partitionValues(dir, SnapshotOps.currentVersion(dir))
+        .toDF("transform", "value", "files", "rows")
     case PragmaTableInfo(name) =>
       import spark.implicits._
       table(name).schema.fields.zipWithIndex.map { case (f, i) =>

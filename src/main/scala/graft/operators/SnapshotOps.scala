@@ -1784,6 +1784,27 @@ object SnapshotOps {
       dt: org.apache.spark.sql.types.DataType, n: Int): Int =
     java.lang.Math.floorMod(probeHash(value, dt), n.toLong).toInt
 
+  /** Partition-value inventory of a snapshot — the Iceberg
+    * `partitions` metadata table: (transform, value, files, rows) per
+    * distinct derived value, read from the manifest's `_p.` bounds
+    * only (zero data files opened). A file spanning several values
+    * (written before the spec, or by a non-spec writer) reports its
+    * range as "lo..hi". */
+  def partitionValues(tableDir: String,
+      version: Int): Seq[(String, String, Long, Long)] =
+    snapshotEntries(tableDir, version).flatMap { e =>
+      val rows = e.bounds.get(RowsKey).map(_._1.toLong).getOrElse(0L)
+      e.bounds.toSeq.collect {
+        case (k, (lo, hi)) if k.startsWith(PartBoundPrefix) =>
+          val v =
+            if (lo == hi) lo.bigDecimal.stripTrailingZeros.toPlainString
+            else s"$lo..$hi"
+          (k.drop(PartBoundPrefix.length), v, rows)
+      }
+    }.groupBy(t => (t._1, t._2)).toSeq.map { case ((t, v), g) =>
+      (t, v, g.size.toLong, g.map(_._3).sum)
+    }.sortBy(t => (t._1, t._2))
+
   /** Spec col name (logical) → the physical name at `base`. */
   private def physResolve(tableDir: String, base: Int): String => String =
     columnMapping(tableDir, base) match {

@@ -985,6 +985,16 @@ class EngineSpec extends SparkSpecBase {
     assert(n("id = 42") == 1L)
     assert(e.lastPrune("hp")._1 < e.lastPrune("hp")._2,
       s"bucket transform must prune: ${e.lastPrune("hp")}")
+    // PRAGMA table_partitions: metadata-only value inventory — 3 days
+    // recorded, all point values, per-transform rows sum to the table
+    val parts = e.executeDuck("PRAGMA table_partitions('hp')").collect()
+    assert(parts.map(_.getString(0)).distinct.sorted.toSeq ==
+      Seq("bucket(8,id)", "days(ts)"))
+    val days = parts.filter(_.getString(0) == "days(ts)")
+    assert(days.length == 3 && days.map(_.getLong(3)).sum == 300L,
+      s"3 day values summing to 300 rows: ${days.mkString(";")}")
+    assert(parts.forall(r => !r.getString(1).contains("..")),
+      "one-file-one-tuple: every recorded value is a point")
     // evolution: days only — new files carry no bucket key, so the
     // point probe keeps them (absence never skips), results stay exact
     e.executeDuck("ALTER TABLE hp SET PARTITION SPEC (days(ts))")
