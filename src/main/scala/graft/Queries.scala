@@ -127,6 +127,13 @@ object CoreQueries {
 
     // J1 — fact⋈dim with explicit broadcast: no shuffle of the orders fact
     // table at any scale; only the final tiny agg shuffles.
+    // Floor note (r15 A/B, sf3sv — JoinAbProbe): pre-aggregating
+    // orders by o_custkey before the customer join measured 0.87 s vs
+    // 0.54 s for this shape — the per-custkey agg state (~|customer|
+    // groups) costs more than the broadcast-probe it saves. The
+    // residual vs DuckDB is the probe constant on a dense-key hash
+    // relation, not a shuffle; there is no plan below one pass over
+    // orders plus one probe per row.
     "q08_join_agg" -> sql(
       """SELECT /*+ BROADCAST(customer) */ c_mktsegment,
         |  count(*) AS n_orders,
@@ -141,7 +148,11 @@ object CoreQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       headline = true),
 
-    // J2/J5 — 3-way chain join, both dims broadcast
+    // J2/J5 — 3-way chain join, both dims broadcast. Floor note (r15
+    // A/B, sf3sv — JoinAbProbe): aggregating by c_nationkey below the
+    // nation join measured a wash (0.655 vs 0.660 s) — Catalyst
+    // already pushes the partial agg below the tiny-dim join, so the
+    // rewrite buys nothing; shape kept canonical.
     "q09_join3_chain" -> sql(
       """SELECT /*+ BROADCAST(customer, nation) */ n_name,
         |  count(*) AS n_orders,
@@ -573,20 +584,34 @@ object CoreQueries {
         |ORDER BY o_orderkey""".stripMargin),
 
     // TPC-H Q3 shape (shipping priority): selective dim filter broadcast
-    // into two fact joins, grouped revenue, top-10 — the plan is
-    // broadcast → broadcast → partial agg → one shuffle on the group key
-    // → TakeOrderedAndProject; the orders/lineitem fact tables never
-    // shuffle before aggregation.
+    // into two fact joins, grouped revenue, top-10.
+    // Q3 plan note (r15 A/B, sf3sv, min of 3 — JoinAbProbe): the
+    // canonical order (broadcast customer into orders, then shuffle
+    // orders⋈lineitem on the orderkey) measured 4.56 s — the fact-fact
+    // shuffle moves every 'BUILDING/pre-1997' order row AND every
+    // post-1997-shipped lineitem row before the join drops ~90% of
+    // them. THIS shape filters orders through the broadcast customer
+    // join first (~10% survive: 1/5 segment × ~1/2 date window), then
+    // broadcasts that filtered order set into the lineitem scan:
+    // 1.21 s — the only shuffle left is the group-by over the ~5% of
+    // lineitem rows that survive both the shipdate filter and the
+    // join. The scale-safe dual (pre-aggregate lineitem by l_orderkey,
+    // shuffle-join the filtered orders) measured 1.68 s; at scales
+    // where the filtered orders side outgrows a broadcast, dropping
+    // the hint lets AQE pick that shuffle plan — the structural win
+    // (filter orders before any fact shuffle) holds either way.
     "q90_tpch_q3" -> sql(
-      """SELECT /*+ BROADCAST(customer) */ o_orderkey,
+      """WITH o AS (SELECT /*+ BROADCAST(customer) */
+        |    o_orderkey, o_orderdate
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT /*+ BROADCAST(o) */ o_orderkey,
         |  CAST(o_orderdate AS DATE) AS odate,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
         |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |FROM lineitem JOIN o ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
@@ -601,26 +626,43 @@ object CoreQueries {
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
       headline = true),
 
-    // TPC-H Q5 shape (local-supplier volume): five joins where every
-    // dimension (customer, supplier, nation, region) broadcasts and the
-    // only shuffle on fact data is lineitem⋈orders on the orderkey —
-    // then a tiny agg on n_name. The c_nationkey = s_nationkey predicate
-    // is the classic "local supplier" join filter.
+    // TPC-H Q5 shape (local-supplier volume): five joins; the
+    // c_nationkey = s_nationkey predicate is the classic "local
+    // supplier" join filter.
+    // Q5 plan note (r15 A/B, sf3sv, min of 3 — JoinAbProbe): the
+    // canonical order (shuffle full lineitem⋈orders on the orderkey,
+    // dims broadcast) measured 1.83 s. THIS shape semi-reduces BOTH
+    // shuffle sides before the one fact-fact join: lineitem first
+    // joins the broadcast ASIA-supplier map (supplier⋈nation⋈region —
+    // drops ~80% of lineitem and attaches s_nationkey/n_name, all
+    // map-side), orders first joins broadcast customer under the
+    // 2-year date window (attaches c_nationkey). The remaining
+    // shuffle carries ~20% of lineitem as (orderkey, nationkey, amt)
+    // narrow rows and ~30% of orders as (orderkey, nationkey):
+    // 1.25 s. Broadcasting the filtered orders side instead measured
+    // 1.87 s (the ~30% orders slice is too big to ship to every
+    // task). Unlike Q3/Q10 this winner has NO fact-side broadcast —
+    // the same plan is the 100 TB plan: both shuffle legs are
+    // dimension-prefiltered fact slices, and the supplier prefilter
+    // ratio (suppliers in one region / all) is scale-invariant.
     "q91_tpch_q5" -> sql(
-      """SELECT /*+ BROADCAST(customer, supplier, nation, region) */
-        |  n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |  AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      """WITH s AS (SELECT /*+ BROADCAST(nation, region) */
+        |    s_suppkey, s_nationkey, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |l AS (SELECT /*+ BROADCAST(s) */ l_orderkey, s_nationkey,
+        |    n_name, CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6)) AS amt
+        |  FROM lineitem JOIN s ON l_suppkey = s_suppkey),
+        |o AS (SELECT /*+ BROADCAST(customer) */
+        |    o_orderkey, c_nationkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT n_name, CAST(sum(amt) AS DOUBLE) AS revenue
+        |FROM l JOIN o ON l_orderkey = o_orderkey
+        |  AND s_nationkey = c_nationkey
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -133,11 +133,30 @@ class QueriesSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("q91 TPC-H Q5: every dimension broadcasts (no fact-side SMJ)") {
-    val plan = SparkEntry.queries("q91_tpch_q5")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+  test("q91 TPC-H Q5: one fact shuffle join, both sides dim-prefiltered") {
+    // r15 shape: the single SortMergeJoin joins two fact slices that
+    // were each semi-reduced by a broadcast dim join BELOW the
+    // shuffle (lineitem⋈ASIA-suppliers, orders⋈customer) — the
+    // shuffle must never move a raw fact scan. The SMJ carries the
+    // composite key (orderkey AND nationkey).
+    val exec = SparkEntry.queries("q91_tpch_q5")(spark, sfDir)
+      .queryExecution.executedPlan
+    val plan = exec.toString
+    val smjs = plan.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smjs == 1, plan)
+    // the SMJ sits inside the un-finalized AdaptiveSparkPlan, which
+    // collect() does not traverse — unwrap to its current inner plan
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val smj = inner.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.get
+    assert(smj.leftKeys.size == 2, smj.leftKeys)
+    assert(smj.left.toString.contains("BroadcastHashJoin"), smj.left)
+    assert(smj.right.toString.contains("BroadcastHashJoin"), smj.right)
   }
 
   test("q92 hash sample is map-only (no shuffle in the plan)") {
