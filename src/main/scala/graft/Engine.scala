@@ -450,7 +450,25 @@ class Engine(val spark: SparkSession) {
       s"warehouse: cannot create $dir")
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(t => new java.io.File(t, "manifests").isDirectory)
-      .foreach(t => registerSnapshot(t.getName, t.getPath))
+      .foreach { t =>
+        registerSnapshot(t.getName, t.getPath)
+        // branch forks are durable with their table — re-bind their
+        // writable `<table>.branch_<name>` aliases too
+        graft.operators.SnapshotOps.listBranchForks(t.getPath)
+          .foreach(b => registerSnapshot(
+            s"${norm(t.getName)}.branch_$b",
+            graft.operators.SnapshotOps.branchForkDir(t.getPath, b)))
+      }
+  }
+
+  /** Remove a branch fork's `t.branch_<name>` table binding (the fork
+    * was consumed by fast_forward or dropped). */
+  private def unbindBranch(name: String, br: String): Unit = {
+    val bkey = s"${norm(name)}.branch_$br"
+    tables.remove(bkey)
+    snapshotDirs.remove(bkey)
+    lastCommit.remove(bkey)
+    spark.catalog.dropTempView(bkey.replace('.', '_'))
   }
 
   /** Recursive delete, guarded to paths under the session's declared
@@ -582,6 +600,24 @@ class Engine(val spark: SparkSession) {
     """(?is)\s*PRAGMA\s+vacuum\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
   private val PragmaTablePartitions =
     """(?is)\s*PRAGMA\s+table_partitions\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
+  // named refs (r15): tags pin versions, branches fork the chain
+  private val PragmaCreateTag =
+    ("""(?is)\s*PRAGMA\s+create_tag\s*\(\s*'?([\w.]+?)'?\s*,""" +
+      """\s*'([\w-]+)'\s*(?:,\s*(\d+)\s*)?\)\s*""").r
+  private val PragmaDropTag =
+    ("""(?is)\s*PRAGMA\s+drop_tag\s*\(\s*'?([\w.]+?)'?\s*,""" +
+      """\s*'([\w-]+)'\s*\)\s*""").r
+  private val PragmaCreateBranch =
+    ("""(?is)\s*PRAGMA\s+create_branch\s*\(\s*'?([\w.]+?)'?\s*,""" +
+      """\s*'([\w-]+)'\s*\)\s*""").r
+  private val PragmaDropBranch =
+    ("""(?is)\s*PRAGMA\s+drop_branch\s*\(\s*'?([\w.]+?)'?\s*,""" +
+      """\s*'([\w-]+)'\s*\)\s*""").r
+  private val PragmaFastForward =
+    ("""(?is)\s*PRAGMA\s+fast_forward\s*\(\s*'?([\w.]+?)'?\s*,""" +
+      """\s*'([\w-]+)'\s*\)\s*""").r
+  private val PragmaTableRefs =
+    """(?is)\s*PRAGMA\s+table_refs\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
   private val CallVersion =
     """(?is)\s*CALL\s+pragma_version\s*\(\s*\)\s*""".r
   private val SummarizeCmd = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
@@ -1398,6 +1434,75 @@ class Engine(val spark: SparkSession) {
         s"table_partitions: '$name' has no committed snapshot history"))
       SnapshotOps.partitionValues(dir, SnapshotOps.currentVersion(dir))
         .toDF("transform", "value", "files", "rows")
+    // ---- named refs (r15): tags + branch forks at the SQL surface ----
+    // `PRAGMA create_tag('t','name'[,version])` pins a version against
+    // retention; `VERSION AS OF 'name'` resolves it (or a branch
+    // head). `PRAGMA create_branch('t','name')` forks the chain and
+    // binds the writable table `t.branch_<name>` — every DML verb
+    // (INSERT/UPDATE/DELETE/MERGE, layout, evolution) works on it
+    // through the normal path, isolated from `t` until
+    // `PRAGMA fast_forward('t','name')` adopts the branch commits.
+    case PragmaCreateTag(name, tag, verS) =>
+      import graft.operators.SnapshotOps
+      val dir = ensureSnapshot(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"create_tag: '$name' has no snapshot-capable content to tag"))
+      registerSnapshot(name, dir)
+      SnapshotOps.createTag(dir, tag,
+        Option(verS).map(_.toInt)
+          .getOrElse(SnapshotOps.currentVersion(dir)))
+      empty()
+    case PragmaDropTag(name, tag) =>
+      import spark.implicits._
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"drop_tag: '$name' has no committed snapshot history"))
+      Seq(SnapshotOps.dropTag(dir, tag)).toDF("dropped")
+    case PragmaCreateBranch(name, br) =>
+      import graft.operators.SnapshotOps
+      val dir = ensureSnapshot(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"create_branch: '$name' has no snapshot-capable content"))
+      registerSnapshot(name, dir)
+      val bd = SnapshotOps.createBranchFork(dir, br,
+        SnapshotOps.currentVersion(dir))
+      registerSnapshot(s"${norm(name)}.branch_$br", bd)
+      empty()
+    case PragmaDropBranch(name, br) =>
+      import spark.implicits._
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"drop_branch: '$name' has no committed snapshot history"))
+      unbindBranch(name, br)
+      Seq(SnapshotOps.dropBranchFork(dir, br)).toDF("dropped")
+    case PragmaFastForward(name, br) =>
+      import spark.implicits._
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"fast_forward: '$name' has no committed snapshot history"))
+      val c = SnapshotOps.fastForward(dir, br)
+      lastCommit(norm(name)) = c
+      unbindBranch(name, br) // the fork is consumed
+      registerSnapshot(name, dir)
+      Seq((c.version.toLong, c.written.toLong))
+        .toDF("version", "adopted_commits")
+    case PragmaTableRefs(name) =>
+      import spark.implicits._
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"table_refs: '$name' has no committed snapshot history"))
+      val tags = SnapshotOps.listTags(dir)
+        .map { case (n, v) => (n, "tag", v.toLong) }
+      val brs = SnapshotOps.listBranchForks(dir).map { b =>
+        (b, "branch", SnapshotOps.currentVersion(
+          SnapshotOps.branchForkDir(dir, b)).toLong)
+      }
+      (brs ++ tags).sortBy(r => (r._2, r._1))
+        .toDF("name", "kind", "version")
     case PragmaTableInfo(name) =>
       import spark.implicits._
       table(name).schema.fields.zipWithIndex.map { case (f, i) =>
@@ -1521,6 +1626,26 @@ class Engine(val spark: SparkSession) {
                 s"VERSION AS OF ${n.toInt}: committed versions start at 1")
               bind(view, SnapshotOps.readSnapshot(spark, dir, n.toInt))
               asOfBinds(view) = (dir, n.toInt)
+              hits += Hit(i, j + 3, view); k += 1
+            case ("VERSION", Some(q: Quoted)) if q.text.startsWith("'") =>
+              // named ref (r15): a TAG resolves to its pinned version,
+              // a BRANCH to its head — the Iceberg `VERSION AS OF
+              // 'ref'` string form. Unknown names fail loudly.
+              val ref = q.text.drop(1).dropRight(1).replace("''", "'")
+              require(ref.matches("[A-Za-z0-9_-]+"),
+                s"VERSION AS OF '$ref': not a valid ref name")
+              SnapshotOps.tagVersion(dir, ref) match {
+                case Some(v) =>
+                  bind(view, SnapshotOps.readSnapshot(spark, dir, v))
+                  asOfBinds(view) = (dir, v)
+                case None =>
+                  val bd = SnapshotOps.branchForkDir(dir, ref)
+                  require(new java.io.File(bd, "manifests").isDirectory,
+                    s"VERSION AS OF '$ref': no tag or branch named " +
+                      s"'$ref' on $key")
+                  bind(view, SnapshotOps.readLatest(spark, bd))
+                  asOfBinds(view) = (bd, SnapshotOps.currentVersion(bd))
+              }
               hits += Hit(i, j + 3, view); k += 1
             case ("TIMESTAMP", Some(q: Quoted))
                 if q.text.startsWith("'") =>

@@ -3434,6 +3434,126 @@ object SystemQueries {
         |  CAST(1 AS BIGINT) AS retained,
         |  TRUE AS asof_fails
         |FROM v3""".stripMargin,
+      headline = true),
+
+    // NAMED TAGS (r15): immutable refs that pin a version against
+    // retention — the Iceberg tag model at the PRAGMA surface. The
+    // probe tags v1, commits two more versions, then expires to a
+    // 1-version horizon: the tagged v1 must stay readable through
+    // `VERSION AS OF 'name'` while the untagged v2 is gone, and
+    // dropping the tag releases the pin (asserted via table_refs).
+    // 100 TB story: a tag is one 2-byte ref file; what it buys is
+    // governance (audit/repro pins) with ZERO interference in the
+    // retention sweep's O(live files) cost.
+    "q278_sql_table_tags" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck("CREATE TABLE g278 (id INTEGER, bal DOUBLE)")
+      e.executeDuck(
+        """INSERT INTO g278 SELECT c_custkey, c_acctbal FROM customer
+          |WHERE c_custkey <= 400""".stripMargin)                // v1
+      e.executeDuck("PRAGMA create_tag('g278', 'baseline')")
+      e.executeDuck("UPDATE g278 SET bal = bal + 50 WHERE id <= 100") // v2
+      e.executeDuck(
+        """INSERT INTO g278 SELECT c_custkey, c_acctbal FROM customer
+          |WHERE c_custkey > 400 AND c_custkey <= 500""".stripMargin) // v3
+      e.executeDuck("PRAGMA expire_snapshots('g278', 1)")
+      val refsN = e.executeDuck("PRAGMA table_refs('g278')").count()
+      val v2Gone = scala.util.Try(e.executeDuck(
+        "SELECT count(*) AS n FROM g278 VERSION AS OF 2").collect())
+        .isFailure
+      val agg = "count(*) AS n, CAST(sum(CAST(bal AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS total"
+      def phase(name: String, sql: String) =
+        e.executeDuck(sql).select(lit(name).as("phase"), col("n"),
+          col("total"))
+      val out = Seq(
+        phase("now", s"SELECT $agg FROM g278"),
+        phase("tagged", s"SELECT $agg FROM g278 VERSION AS OF 'baseline'"))
+        .reduce(_.unionByName(_))
+        .withColumn("refs", lit(refsN))
+        .withColumn("v2_gone", lit(v2Gone))
+        .orderBy("phase").localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH v1 AS (SELECT c_custkey AS id, c_acctbal AS bal
+        |    FROM customer WHERE c_custkey <= 400),
+        |v3 AS (SELECT id, CASE WHEN id <= 100 THEN bal + 50 ELSE bal
+        |    END AS bal FROM v1
+        |  UNION ALL SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_custkey > 400 AND c_custkey <= 500)
+        |SELECT 'now' AS phase, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(1 AS BIGINT) AS refs, TRUE AS v2_gone FROM v3
+        |UNION ALL
+        |SELECT 'tagged', count(*),
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(1 AS BIGINT), TRUE FROM v1
+        |ORDER BY phase""".stripMargin,
+      headline = true),
+
+    // BRANCH FORKS (r15): `PRAGMA create_branch` forks the version
+    // chain as the writable table `t.branch_<name>`; every DML verb
+    // runs against it through the normal SQL path, fully isolated
+    // from main; `VERSION AS OF '<name>'` reads its head from the
+    // main name; `PRAGMA fast_forward` adopts the branch commits
+    // (same version numbers — adopted history time-travels) and
+    // consumes the fork. The fork is pure metadata (parent files
+    // referenced in place) and the adoption is rename-only — zero
+    // data bytes copied at any step, which is the property that
+    // makes isolated multi-commit work affordable on a 100 TB table.
+    "q279_sql_branch_fork" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck("CREATE TABLE g279 (id INTEGER, bal DOUBLE)")
+      e.executeDuck(
+        """INSERT INTO g279 SELECT c_custkey, c_acctbal FROM customer
+          |WHERE c_custkey <= 500""".stripMargin)                // v1
+      e.executeDuck("PRAGMA create_branch('g279', 'fix')")
+      e.executeDuck(
+        "UPDATE g279.branch_fix SET bal = bal * 2 WHERE id % 2 = 0")
+      e.executeDuck("DELETE FROM g279.branch_fix WHERE id > 450")
+      e.executeDuck(
+        """INSERT INTO g279.branch_fix
+          |SELECT c_custkey + 1000, c_acctbal FROM customer
+          |WHERE c_custkey <= 50""".stripMargin)
+      val agg = "count(*) AS n, CAST(sum(CAST(bal AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS total"
+      def phase(name: String, sql: String) =
+        e.executeDuck(sql).select(lit(name).as("phase"), col("n"),
+          col("total"))
+      val mainBefore = phase("main_before", s"SELECT $agg FROM g279")
+      // materialize BEFORE the fast-forward: adoption renames the
+      // branch-written data dirs into the parent, so a lazy frame
+      // over the branch head would read moved paths
+      val branchHead = phase("branch",
+        s"SELECT $agg FROM g279 VERSION AS OF 'fix'").localCheckpoint()
+      val adopted = e.executeDuck("PRAGMA fast_forward('g279', 'fix')")
+        .collect()(0).getLong(1)
+      val refsAfter = e.executeDuck("PRAGMA table_refs('g279')").count()
+      val out = Seq(mainBefore, branchHead,
+        phase("after_ff", s"SELECT $agg FROM g279"))
+        .reduce(_.unionByName(_))
+        .withColumn("adopted", lit(adopted))
+        .withColumn("refs_after", lit(refsAfter))
+        .orderBy("phase").localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH v1 AS (SELECT c_custkey AS id, c_acctbal AS bal
+        |    FROM customer WHERE c_custkey <= 500),
+        |br AS (SELECT id, CASE WHEN id % 2 = 0 THEN bal * 2 ELSE bal
+        |    END AS bal FROM v1 WHERE id <= 450
+        |  UNION ALL SELECT c_custkey + 1000, c_acctbal FROM customer
+        |  WHERE c_custkey <= 50),
+        |r AS (
+        |  SELECT 'main_before' AS phase, count(*) AS n,
+        |    CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM v1
+        |  UNION ALL SELECT 'branch', count(*),
+        |    CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) FROM br
+        |  UNION ALL SELECT 'after_ff', count(*),
+        |    CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) FROM br)
+        |SELECT phase, CAST(n AS BIGINT) AS n, total,
+        |  CAST(3 AS BIGINT) AS adopted, CAST(0 AS BIGINT) AS refs_after
+        |FROM r ORDER BY phase""".stripMargin,
       headline = true)
   )
 }

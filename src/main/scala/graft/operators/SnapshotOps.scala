@@ -2428,11 +2428,22 @@ object SnapshotOps {
       .flatMap(f => new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
         .map(l => parseEntry(l).path))
+    // TAGS pin their version outside the horizon (r15): a tagged
+    // manifest and everything it references survive however old —
+    // dropping the tag releases them to the next vacuum
+    val pinned = listTags(tableDir).map(_._2).toSet
+    // live BRANCH FORKS pin every file any of their versions
+    // reference — including parent files their seed carries, which
+    // the parent horizon may otherwise drop (r15)
+    val branchUnits = listBranchForks(tableDir).flatMap { b =>
+      val bd = branchForkDir(tableDir, b)
+      availableVersions(bd).flatMap(v => snapshotUnits(bd, v))
+    }
     // enumerate SURVIVING manifests only: a prior expire may already
     // have dropped part of the [keepFrom, cur) range
     val retainedUnits = availableVersions(tableDir)
-      .filter(_ >= keepFrom)
-      .flatMap(v => snapshotUnits(tableDir, v))
+      .filter(v => v >= keepFrom || pinned(v))
+      .flatMap(v => snapshotUnits(tableDir, v)) ++ branchUnits
     val retained = (retainedUnits.flatMap(_.entries.map(_.path)) ++
       retainedUnits.filter(u => u.isDelete || u.isEqDelete)
         .map(_.ref.path) ++
@@ -2441,7 +2452,7 @@ object SnapshotOps {
     // (dropped versions' groups, lost-race leftovers) are orphans
     val retainedGroups = retainedUnits.filter(_.isGroup)
       .map(_.ref.path).toSet
-    val dropped = (1 until keepFrom)
+    val dropped = (1 until keepFrom).filterNot(pinned)
       .count(v => Files.deleteIfExists(manifestPath(tableDir, v)))
     val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new java.io.File(s"$tableDir/data")
@@ -3068,6 +3079,241 @@ object SnapshotOps {
     * orphans for [[vacuum]] — dirty data never touched the main line. */
   def dropBranch(tableDir: String, branch: String): Boolean =
     Files.deleteIfExists(branchPath(tableDir, branch))
+
+  // ------------------------------------------------------------------
+  // NAMED REFS (r15): TAGS and BRANCH FORKS — the Iceberg ref model
+  // (design reference: Iceberg spec "Branches and Tags"; no code
+  // shared). A TAG is an immutable named pin of a committed version:
+  // retention ([[vacuum]]/[[vacuumOlderThan]]) keeps a tagged
+  // version's manifest and files alive however old it gets, and
+  // dropping the tag releases them to the normal horizon. A BRANCH
+  // FORK is a full writable fork of the version chain: its own
+  // manifest chain seeded from the fork version, against which EVERY
+  // commit verb in this object works unchanged (append, COW/MoR
+  // DML, merge, compact, z-order, schema evolution) — because a
+  // branch IS a table dir whose seed manifest references the
+  // parent's immutable files in place, zero bytes copied.
+  //
+  // The seed manifest publishes AT the fork version number, not at
+  // v1: unit `_seq` stamps carried from the parent stay consistent
+  // with the branch's own version counter (an eq-delete committed on
+  // the branch at version k applies to units with seq < k in BOTH
+  // chains — the shared-sequence-space rule that makes fast-forward
+  // sound). WAP staging ([[stageAppend]]) remains the lightweight
+  // audit path; forks are for multi-commit isolated work.
+  // ------------------------------------------------------------------
+
+  private def refsDir(tableDir: String): Path =
+    manifestDir(tableDir).resolve("refs")
+
+  private def refName(name: String): String = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad ref name: $name")
+    name
+  }
+
+  private def tagPath(tableDir: String, name: String): Path =
+    refsDir(tableDir).resolve(s"tag-${refName(name)}.ref")
+
+  /** Create an immutable TAG pinning `version`. Fails if the tag
+    * exists (tags never move — drop and recreate is the explicit
+    * idiom) or the version doesn't. */
+  def createTag(tableDir: String, name: String, version: Int): Unit = {
+    require(availableVersions(tableDir).contains(version),
+      s"createTag $name: version $version does not exist on $tableDir")
+    Files.createDirectories(refsDir(tableDir))
+    try Files.write(tagPath(tableDir, name),
+      version.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalArgumentException(
+        s"tag $name already exists on $tableDir — tags are immutable, " +
+          "drop it first")
+    }
+  }
+
+  def tagVersion(tableDir: String, name: String): Option[Int] = {
+    val p = tagPath(tableDir, name)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8).trim.toInt)
+  }
+
+  def dropTag(tableDir: String, name: String): Boolean =
+    Files.deleteIfExists(tagPath(tableDir, name))
+
+  def listTags(tableDir: String): Seq[(String, Int)] =
+    Option(refsDir(tableDir).toFile.listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.startsWith("tag-") &&
+        f.getName.endsWith(".ref"))
+      .map(f => f.getName.stripPrefix("tag-").stripSuffix(".ref") ->
+        new String(Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8).trim.toInt)
+      .sortBy(_._1)
+
+  /** Branch forks live INSIDE the parent dir, so a durable (warehouse)
+    * table's branches are durable with it and re-discoverable by
+    * listing. */
+  def branchForkDir(tableDir: String, name: String): String =
+    s"$tableDir/branches/${refName(name)}"
+
+  def listBranchForks(tableDir: String): Seq[String] =
+    Option(new java.io.File(tableDir, "branches").listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(d => new java.io.File(d, "manifests").isDirectory)
+      .map(_.getName).sorted
+
+  /** Fork a writable branch at `fromVersion`. Pure metadata: the seed
+    * manifest carries the parent's unit lines verbatim (absolute
+    * paths — the parent files back the branch in place) plus
+    * `fork.of`/`fork.from` bookkeeping, published at version
+    * `fromVersion` so the sequence space is shared (see section
+    * note). Returns the branch table dir — every SnapshotOps verb
+    * operates on it directly. */
+  def createBranchFork(tableDir: String, name: String,
+      fromVersion: Int): String = {
+    val bd = branchForkDir(tableDir, name)
+    require(!new java.io.File(bd, "manifests").isDirectory,
+      s"branch $name already exists on $tableDir")
+    require(availableVersions(tableDir).contains(fromVersion),
+      s"createBranchFork $name: version $fromVersion does not exist " +
+        s"on $tableDir")
+    val meta = snapshotMeta(tableDir, fromVersion) +
+      ("fork.of" -> tableDir) + ("fork.from" -> fromVersion.toString)
+    val lines = metaLines(meta) ++
+      snapshotUnits(tableDir, fromVersion).map(_.raw)
+    require(tryPublishLines(bd, fromVersion, lines),
+      s"createBranchFork $name: lost the creation race on $tableDir")
+    bd
+  }
+
+  /** The first path field of a manifest unit line (after any
+    * `@`/`!`/`=` marker), plus the pieces to rebuild the line. */
+  private def splitUnitLine(l: String): (String, String, String) = {
+    val marker = l.charAt(0) match {
+      case '@' | '!' | '=' => l.take(1)
+      case _ => ""
+    }
+    val body = l.drop(marker.length)
+    val tab = body.indexOf('\t')
+    if (tab < 0) (marker, body, "")
+    else (marker, body.take(tab), body.drop(tab))
+  }
+
+  /** FAST-FORWARD: the parent adopts the branch's commits. Requires
+    * the parent unmoved since the fork (a moved parent = divergence —
+    * fail loudly; rebase is the caller's decision, not this verb's).
+    * Each branch version RE-PUBLISHES onto the parent chain verbatim
+    * (same version numbers, same `_seq` stamps — history, time
+    * travel, CDF and appends-since all span the adopted range), with
+    * branch-local paths rewritten to their parent-side locations:
+    * branch-written data dirs RENAME into the parent's data area
+    * (zero bytes copied) and branch-written group files re-land in
+    * the parent's groups dir with member paths rewritten. The fork is
+    * CONSUMED on success — with physical forks, "branch == main" is
+    * the deleted branch, not a dangling alias whose files' lifetimes
+    * two chains would have to co-own. Single-writer contract: a
+    * parent commit racing the adoption fails the remaining
+    * publishes loudly; a crash mid-verb leaves the parent correct at
+    * whatever prefix landed and the fork recoverable only by
+    * [[dropBranchFork]] (its data dirs already parked under the
+    * parent as vacuum-able orphans). */
+  def fastForward(tableDir: String, name: String): Committed = {
+    val bd = branchForkDir(tableDir, name)
+    require(new java.io.File(bd, "manifests").isDirectory,
+      s"no branch $name on $tableDir")
+    val bCur = currentVersion(bd)
+    val from = snapshotMeta(bd, bCur).getOrElse("fork.from",
+      throw new IllegalStateException(
+        s"branch $name carries no fork.from marker")).toInt
+    val pCur = currentVersion(tableDir)
+    if (pCur != from) throw new java.util.ConcurrentModificationException(
+      s"fast_forward $name: $tableDir advanced ($from -> $pCur) since " +
+        "the fork — diverged; drop the branch or merge its content " +
+        "explicitly")
+    if (bCur == from) { // nothing committed on the branch
+      dropBranchFork(tableDir, name)
+      return Committed(pCur, 0, 0, 0, skipped = true)
+    }
+    val prefix = bd + "/"
+    def rew(p: String): String =
+      if (p.startsWith(prefix)) s"$tableDir/${p.drop(prefix.length)}"
+      else p
+    val vs = (from + 1) to bCur
+    // rewritten manifest lines per adopted version (fork bookkeeping
+    // dropped from meta; everything else verbatim, stamps included)
+    val perVersion: Seq[(Int, Seq[String])] = vs.map { v =>
+      val lines = manifestLines(bd, v).flatMap { l =>
+        if (l.startsWith("#fork.")) None
+        else if (l.startsWith("#")) Some(l)
+        else {
+          val (marker, path, rest) = splitUnitLine(l)
+          Some(marker + rew(path) + rest)
+        }
+      }
+      (v, lines)
+    }
+    // branch-written group files: re-land under the parent's groups
+    // dir with member paths rewritten (UUID names — no collisions;
+    // an existing target means a resumed verb already wrote it)
+    vs.flatMap(v => manifestLines(bd, v))
+      .filter(_.startsWith("@" + prefix))
+      .map(l => splitUnitLine(l)._2).distinct.foreach { gp =>
+        val members = new String(Files.readAllBytes(Paths.get(gp)),
+          StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+        val out = members.map { ml =>
+          val (m, p, rest) = splitUnitLine(ml)
+          m + rew(p) + rest
+        }
+        val target = Paths.get(rew(gp))
+        Files.createDirectories(target.getParent)
+        if (!Files.exists(target))
+          Files.write(target, out.mkString("\n")
+            .getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+      }
+    // branch-written data dirs (data files, DVs, eq-delete key files
+    // all land under <bd>/data/<uuid>): rename the top-level uuid
+    // dirs into the parent's data area
+    val localDirs = vs.flatMap { v =>
+      val us = snapshotUnits(bd, v)
+      us.flatMap(_.entries.map(_.path)) ++
+        us.filter(u => u.isDelete || u.isEqDelete).map(_.ref.path)
+    }.filter(_.startsWith(prefix + "data/"))
+      .map(p => p.drop(prefix.length).split("/").take(2).mkString("/"))
+      .distinct
+    Files.createDirectories(Paths.get(tableDir, "data"))
+    localDirs.foreach { rel =>
+      val src = Paths.get(bd, rel)
+      if (Files.exists(src))
+        Files.move(src, Paths.get(tableDir, rel))
+    }
+    var written = 0
+    perVersion.foreach { case (v, lines) =>
+      if (!tryPublishLines(tableDir, v, lines))
+        throw new java.util.ConcurrentModificationException(
+          s"fast_forward $name: version $v landed concurrently on " +
+            s"$tableDir — adopted $written/${vs.size} branch versions")
+      written += 1
+    }
+    dropBranchFork(tableDir, name)
+    Committed(bCur, 0, written, 0)
+  }
+
+  /** Delete a branch fork: its own data dirs (never the parent files
+    * its seed references) become unreachable and are removed with the
+    * dir. */
+  def dropBranchFork(tableDir: String, name: String): Boolean = {
+    val bd = Paths.get(branchForkDir(tableDir, name))
+    if (!Files.exists(bd)) false
+    else {
+      val walk = Files.walk(bd)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+      true
+    }
+  }
 
   /** Transactional MERGE (upsert): source rows REPLACE target rows
     * sharing their key (every copy, across files); source rows with no

@@ -1266,4 +1266,107 @@ class EngineSpec extends SparkSpecBase {
     assert(e.lastPrune("pr")._1 < e.lastPrune("pr")._2)
     e.close()
   }
+
+  test("named refs (r15): tags pin versions against retention and " +
+      "resolve through VERSION AS OF '<name>'; table_refs lists them") {
+    val e = engine
+    e.executeDuck("CREATE TABLE rt (id int, v varchar)")
+    e.executeDuck("INSERT INTO rt VALUES (1, 'a')")              // v1
+    e.executeDuck("INSERT INTO rt VALUES (2, 'b')")              // v2
+    e.executeDuck("PRAGMA create_tag('rt', 'rel-1', 1)")
+    e.executeDuck("PRAGMA create_tag('rt', 'latest')") // defaults to head
+    e.executeDuck("UPDATE rt SET v = 'z' WHERE id = 1")          // v3
+    val refs = e.executeDuck("PRAGMA table_refs('rt')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs == Seq(("latest", "tag", 2L), ("rel-1", "tag", 1L)))
+    // tag resolution in any table position, the Iceberg string form
+    assert(e.executeDuck(
+      "SELECT v FROM rt VERSION AS OF 'rel-1'").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    // retention keeps BOTH tagged versions outside the horizon
+    e.executeDuck("PRAGMA expire_snapshots('rt', 1)")
+    assert(e.executeDuck(
+      "SELECT v FROM rt FOR VERSION AS OF 'rel-1'").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM rt VERSION AS OF 2").collect()(0)
+      .getLong(0) == 2L, "'latest' pins v2 through the expiry")
+    // unknown ref fails loudly; dropping the tags releases the pins
+    intercept[Exception](e.executeDuck(
+      "SELECT v FROM rt VERSION AS OF 'nope'"))
+    e.executeDuck("PRAGMA drop_tag('rt', 'rel-1')")
+    e.executeDuck("PRAGMA drop_tag('rt', 'latest')")
+    e.executeDuck("PRAGMA expire_snapshots('rt', 1)")
+    intercept[Exception](e.executeDuck(
+      "SELECT v FROM rt VERSION AS OF 'rel-1'"))
+    intercept[Exception](e.executeDuck(
+      "SELECT v FROM rt VERSION AS OF 2").collect())
+    e.close()
+  }
+
+  test("named refs (r15): a branch fork is a writable table " +
+      "t.branch_<name> — DML isolated from main, readable via " +
+      "VERSION AS OF '<name>', adopted by fast_forward") {
+    val e = engine
+    e.executeDuck("CREATE TABLE bt (id int, v varchar)")
+    e.executeDuck("INSERT INTO bt VALUES (1, 'a'), (2, 'b')")    // v1
+    e.executeDuck("PRAGMA create_branch('bt', 'dev')")
+    // full DML on the branch through the normal SQL path
+    e.executeDuck("INSERT INTO bt.branch_dev VALUES (3, 'c')")
+    e.executeDuck("UPDATE bt.branch_dev SET v = 'B' WHERE id = 2")
+    e.executeDuck("DELETE FROM bt.branch_dev WHERE id = 1")
+    // main is untouched; the branch reads both ways
+    assert(e.executeDuck("SELECT v FROM bt ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(e.executeDuck(
+      "SELECT v FROM bt.branch_dev ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("B", "c"))
+    assert(e.executeDuck(
+      "SELECT v FROM bt VERSION AS OF 'dev' ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("B", "c"))
+    val refs = e.executeDuck("PRAGMA table_refs('bt')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs == Seq(("dev", "branch")))
+    // fast-forward adopts the branch history and consumes the fork
+    val ff = e.executeDuck("PRAGMA fast_forward('bt', 'dev')")
+      .collect()(0)
+    assert(ff.getLong(1) == 3L, s"three branch commits adopt: $ff")
+    assert(e.executeDuck("SELECT v FROM bt ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("B", "c"))
+    // adopted intermediate versions time-travel on main
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM bt VERSION AS OF 2").collect()(0)
+      .getLong(0) == 3L)
+    assert(e.executeDuck("PRAGMA table_refs('bt')").collect().isEmpty)
+    intercept[Exception](e.executeDuck(
+      "SELECT * FROM bt.branch_dev").collect())
+    e.close()
+  }
+
+  test("named refs (r15): branches and tags are durable with a " +
+      "warehouse table — a fresh engine re-attaches the branch " +
+      "binding and fast_forward works across sessions") {
+    val wh = Files.createTempDirectory("graft_wh_refs").toString
+    val e1 = engine
+    e1.executeDuck(s"SET warehouse = '$wh'")
+    e1.executeDuck("CREATE TABLE dt (id int)")
+    e1.executeDuck("INSERT INTO dt VALUES (1)")
+    e1.executeDuck("PRAGMA create_tag('dt', 'seed')")
+    e1.executeDuck("PRAGMA create_branch('dt', 'work')")
+    e1.executeDuck("INSERT INTO dt.branch_work VALUES (2)")
+    e1.close()
+    val e2 = engine
+    e2.executeDuck(s"SET warehouse = '$wh'")
+    assert(e2.executeDuck(
+      "SELECT count(*) AS n FROM dt.branch_work").collect()(0)
+      .getLong(0) == 2L)
+    assert(e2.executeDuck("PRAGMA table_refs('dt')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("work", "branch"), ("seed", "tag")))
+    e2.executeDuck("PRAGMA fast_forward('dt', 'work')")
+    assert(e2.executeDuck("SELECT count(*) AS n FROM dt").collect()(0)
+      .getLong(0) == 2L)
+    e2.executeDuck("DROP TABLE dt")
+    e2.close()
+  }
 }

@@ -2091,4 +2091,177 @@ class SnapshotOpsSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got == (50L to 150L).toSeq)
   }
+
+  // ---- named refs: tags -------------------------------------------------
+
+  test("tags: immutable named pins — create/list/resolve/drop, double " +
+      "create and missing version fail loudly") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    SnapshotOps.commitAppend(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    SnapshotOps.createTag(t, "rel", 1)
+    SnapshotOps.createTag(t, "head", 2)
+    assert(SnapshotOps.listTags(t) == Seq("head" -> 2, "rel" -> 1))
+    assert(SnapshotOps.tagVersion(t, "rel").contains(1))
+    intercept[IllegalArgumentException](SnapshotOps.createTag(t, "rel", 2))
+    intercept[IllegalArgumentException](SnapshotOps.createTag(t, "x", 9))
+    intercept[IllegalArgumentException](
+      SnapshotOps.createTag(t, "../evil", 1))
+    assert(SnapshotOps.dropTag(t, "rel"))
+    assert(!SnapshotOps.dropTag(t, "rel"))
+    assert(SnapshotOps.tagVersion(t, "rel").isEmpty)
+  }
+
+  test("tags pin their version through vacuum: the tagged manifest and " +
+      "files survive the horizon; dropping the tag releases them") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t, Seq((1L, "v1")).toDF("id", "s"))
+    SnapshotOps.commitAppend(spark, t, Seq((2L, "v2")).toDF("id", "s"))
+    // v3 rewrites EVERYTHING so v1's files are referenced only by old
+    // versions — exactly what an untagged vacuum would reclaim
+    SnapshotOps.commitRewrite(spark, t, lit(true),
+      _.withColumn("s", concat(col("s"), lit("!"))))
+    SnapshotOps.createTag(t, "audit2026", 1)
+    val (dropped, deleted) = SnapshotOps.vacuum(t, keepVersions = 1,
+      graceMs = 0)
+    assert(dropped == 1, s"only the untagged v2 drops, got $dropped")
+    // the tagged snapshot still reads exactly
+    val v1 = SnapshotOps.readSnapshot(spark, t, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v1 == Seq(1L -> "v1"))
+    // time travel to the untagged v2 is gone (loud, not wrong)
+    intercept[Exception](SnapshotOps.readSnapshot(spark, t, 2).collect())
+    // releasing the tag lets the next vacuum take v1 and its files
+    SnapshotOps.dropTag(t, "audit2026")
+    val (dropped2, deleted2) = SnapshotOps.vacuum(t, keepVersions = 1,
+      graceMs = 0)
+    assert(dropped2 == 1)
+    assert(deleted2 >= 1, "v1's files must be reclaimed once untagged")
+    assert(deleted >= 0) // v2-only files (none here) were already eligible
+  }
+
+  // ---- named refs: branch forks -----------------------------------------
+
+  test("branch fork: isolated two-way — branch DML invisible to main, " +
+      "main append invisible to the branch; drop removes only " +
+      "branch-written data") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 6L).map(i => (i, s"m$i")).toDF("id", "s")
+        .repartitionByRange(2, col("id")), statsCols = Seq("id"))
+    val bd = SnapshotOps.createBranchFork(t, "dev", 1)
+    // the fork is pure metadata: it references the parent files in place
+    assert(SnapshotOps.snapshotFiles(bd,
+      SnapshotOps.currentVersion(bd)).toSet ==
+      SnapshotOps.snapshotFiles(t, 1).toSet)
+    // full DML lifecycle ON the branch: append, COW update, MoR delete
+    SnapshotOps.commitAppend(spark, bd, Seq((7L, "b7")).toDF("id", "s"))
+    SnapshotOps.commitRewrite(spark, bd, col("id") === 2L,
+      _.withColumn("s", lit("patched")))
+    SnapshotOps.commitDelete(spark, bd, col("id") === 5L)
+    val branchRows = SnapshotOps.readLatest(spark, bd)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(branchRows == Seq(1L -> "m1", 2L -> "patched", 3L -> "m3",
+      4L -> "m4", 6L -> "m6", 7L -> "b7"))
+    // main is untouched by all of it
+    assert(SnapshotOps.currentVersion(t) == 1)
+    val mainRows = SnapshotOps.readLatest(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(mainRows == (1L to 6L).map(i => (i, s"m$i")))
+    assert(SnapshotOps.listBranchForks(t) == Seq("dev"))
+    // dropping the fork deletes branch-written files, never parent data
+    assert(SnapshotOps.dropBranchFork(t, "dev"))
+    assert(SnapshotOps.listBranchForks(t).isEmpty)
+    assert(SnapshotOps.readLatest(spark, t).count() == 6)
+  }
+
+  test("fast-forward adopts the branch history onto main: content, " +
+      "version numbers, time travel and diff span the adopted range; " +
+      "the fork is consumed") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 4L).map(i => (i, s"m$i")).toDF("id", "s")) // v1
+    val bd = SnapshotOps.createBranchFork(t, "etl", 1)
+    SnapshotOps.commitAppend(spark, bd,
+      Seq((5L, "b5"), (6L, "b6")).toDF("id", "s"))      // branch v2
+    SnapshotOps.commitRewrite(spark, bd, col("id") === 1L,
+      _.withColumn("s", lit("fixed")))                  // branch v3
+    val c = SnapshotOps.fastForward(t, "etl")
+    assert(c.version == 3 && c.written == 2, c)
+    assert(SnapshotOps.currentVersion(t) == 3)
+    assert(SnapshotOps.listBranchForks(t).isEmpty)
+    val rows = SnapshotOps.readLatest(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq(1L -> "fixed", 2L -> "m2", 3L -> "m3",
+      4L -> "m4", 5L -> "b5", 6L -> "b6"))
+    // adopted intermediate version time-travels on MAIN
+    val v2 = SnapshotOps.readSnapshot(spark, t, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(v2 == (1L to 6L))
+    // no manifest line references the (deleted) branch dir
+    assert(SnapshotOps.snapshotFiles(t, 3).forall(!_.contains("/branches/")))
+    // appends-since spans the adopted append-only prefix (v1 -> v2
+    // added ids 5,6), and the full span correctly REFUSES because the
+    // adopted v3 is a rewrite — the carried history has real
+    // semantics, not just content
+    val added = SnapshotOps.readAppendsSince(spark, t, 1, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(added == Seq(5L, 6L))
+    intercept[IllegalArgumentException](
+      SnapshotOps.readAppendsSince(spark, t, 1, 3))
+    // vacuum after adoption reclaims nothing still referenced
+    SnapshotOps.vacuum(t, keepVersions = 3, graceMs = 0)
+    assert(SnapshotOps.readLatest(spark, t).count() == 6)
+  }
+
+  test("fast-forward refuses a diverged parent; vacuum on the parent " +
+      "never reclaims files a live fork references") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val bd = SnapshotOps.createBranchFork(t, "dev", 1)
+    SnapshotOps.commitAppend(spark, bd, Seq((2L, "b")).toDF("id", "s"))
+    // parent moves past the fork point: rewrite drops v1's files from
+    // the parent's own live set
+    SnapshotOps.commitRewrite(spark, t, lit(true),
+      _.withColumn("s", lit("z")))
+    intercept[java.util.ConcurrentModificationException](
+      SnapshotOps.fastForward(t, "dev"))
+    // the branch still reads: vacuum must have pinned the v1 files the
+    // fork's seed references even though the parent horizon dropped v1
+    SnapshotOps.vacuum(t, keepVersions = 1, graceMs = 0)
+    val branchRows = SnapshotOps.readLatest(spark, bd)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(branchRows == Seq(1L -> "a", 2L -> "b"))
+    SnapshotOps.dropBranchFork(t, "dev")
+  }
+
+  test("branch fork shares the sequence space: an eq-delete committed on " +
+      "the branch applies to parent-inherited rows, and survives " +
+      "fast-forward") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitAppend(spark, t,
+      Seq((1L, "keep"), (2L, "kill")).toDF("id", "s")) // v1, seq 1
+    SnapshotOps.commitAppend(spark, t,
+      Seq((3L, "keep")).toDF("id", "s"))               // v2, seq 2
+    val bd = SnapshotOps.createBranchFork(t, "dev", 2)
+    // eq-delete id=2 on the branch (branch v3, seq 3 > seq 1) then
+    // re-insert id=2 (branch v4, seq 4 — must survive its own delete)
+    SnapshotOps.commitDeleteByKey(spark, bd,
+      Seq(2L).toDF("id"))
+    SnapshotOps.commitAppend(spark, bd,
+      Seq((2L, "reborn")).toDF("id", "s"))
+    val branchRows = SnapshotOps.readLatest(spark, bd)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(branchRows == Seq(1L -> "keep", 2L -> "reborn", 3L -> "keep"))
+    SnapshotOps.fastForward(t, "dev")
+    val mainRows = SnapshotOps.readLatest(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(mainRows == Seq(1L -> "keep", 2L -> "reborn", 3L -> "keep"))
+  }
 }
