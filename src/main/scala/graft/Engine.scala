@@ -692,6 +692,64 @@ class Engine(val spark: SparkSession) {
       sql.substring(ls(a).end, if (b < 0) sql.length else ls(b).start)
   }
 
+  /** One parsed MERGE WHEN clause (r15 general grammar). `kind`: "m"
+    * (MATCHED), "nt" (NOT MATCHED [BY TARGET]), "ns" (NOT MATCHED BY
+    * SOURCE). `action`: "update" (payload = the SET list), "delete"
+    * (no payload), "insert" (payload = the `(cols) VALUES (vals)`
+    * tail). `cond` is the optional `AND <condition>` text. */
+  private final case class MergeClause(kind: String,
+      cond: Option[String], action: String, payload: String)
+
+  private def parseMergeClauses(c: String,
+      ls: Vector[graft.dialect.SqlNormalizer.Lexeme],
+      firstWhen: Int): Seq[MergeClause] = {
+    import graft.dialect.SqlNormalizer.Word
+    def word(i: Int): Option[String] = ls.lift(i).map(_.tok).collect {
+      case Word(x) => x.toUpperCase }
+    val starts = Iterator.iterate(firstWhen)(i =>
+      Stmt.findKw(ls, i + 1, "WHEN")).takeWhile(_ >= 0).toVector
+    starts.zipWithIndex.map { case (wi, n) =>
+      val end = starts.lift(n + 1).getOrElse(-1)
+      val (kind, after) =
+        if (word(wi + 1).contains("MATCHED")) ("m", wi + 2)
+        else if (word(wi + 1).contains("NOT") &&
+            word(wi + 2).contains("MATCHED")) {
+          if (word(wi + 3).contains("BY") &&
+              word(wi + 4).contains("SOURCE")) ("ns", wi + 5)
+          else if (word(wi + 3).contains("BY") &&
+              word(wi + 4).contains("TARGET")) ("nt", wi + 5)
+          else ("nt", wi + 3)
+        } else throw new IllegalArgumentException(
+          "MERGE: cannot parse WHEN clause")
+      val thenIdx = Stmt.findKw(ls, after, "THEN")
+      require(thenIdx > 0 && (end < 0 || thenIdx < end),
+        "MERGE: WHEN clause without THEN")
+      val condTxt =
+        if (thenIdx == after) None
+        else {
+          require(word(after).contains("AND"),
+            "MERGE: expected AND <condition> before THEN")
+          Some(Stmt.slice(c, ls, after, thenIdx))
+        }
+      val cl = word(thenIdx + 1).getOrElse("") match {
+        case "UPDATE" =>
+          require(word(thenIdx + 2).contains("SET"),
+            "MERGE: UPDATE without SET")
+          MergeClause(kind, condTxt, "update",
+            Stmt.slice(c, ls, thenIdx + 2, end))
+        case "DELETE" => MergeClause(kind, condTxt, "delete", "")
+        case "INSERT" => MergeClause(kind, condTxt, "insert",
+          Stmt.slice(c, ls, thenIdx + 1, end))
+        case a => throw new IllegalArgumentException(
+          s"MERGE: unsupported action '$a'")
+      }
+      require(if (cl.kind == "nt") cl.action == "insert"
+        else cl.action != "insert",
+        s"MERGE: ${cl.action.toUpperCase} is not valid for this WHEN form")
+      cl
+    }
+  }
+
   /** `name [AS alias]` in a token-delimited name region. */
   private val NameAlias =
     """(?is)\s*([\w.]+)(?:\s+AS\s+(\w+))?\s*""".r
@@ -1050,23 +1108,31 @@ class Engine(val spark: SparkSession) {
       }
       empty()
     case c if """(?is)\s*MERGE\b.*""".r.matches(c) =>
-      // MERGE INTO t USING s ON cond
-      //   WHEN MATCHED THEN UPDATE SET col = expr, …
-      //   WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)
-      // — the classic upsert, as one rematerialization: matched target
-      // rows take the SET expressions, unmatched keep their values, and
-      // source rows with no target match append. Contract (standard
-      // MERGE practice): at most one source row matches a target row —
-      // a fan-out source would duplicate target rows, as it does in any
-      // engine without the cardinality check.
+      // MERGE INTO t [a] USING s [b] ON cond, then any number of
+      //   WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE
+      //   WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT (cols) VALUES (…)
+      //   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE
+      // — the full SQL/Delta-parity grammar (r15). Per row the FIRST
+      // clause (statement order) whose condition holds wins; a target
+      // row winning no clause carries forward, a source row winning no
+      // clause drops. Contract (standard MERGE practice): at most one
+      // source row matches a target row — a fan-out source would
+      // duplicate target rows, as it does in any engine without the
+      // cardinality check.
+      //
+      // Routing: the UNCONDITIONAL single-action shapes — the classic
+      // upsert, the CDC delete-apply, insert-only, update-only —
+      // commit as ONE key-pruned commitMerge whose cost tracks the
+      // source batch; a conditional or BY SOURCE clause makes the
+      // outcome a per-target-row function of both sides, so a
+      // snapshot-backed table takes ONE atomic full commitRewrite
+      // (mirror-sync is O(table) in any engine) and a lazy table
+      // rematerializes.
       val ls = Stmt.lexemes(c)
       val usingIdx = Stmt.findKw(ls, 2, "USING")
       val onIdx = Stmt.findKw(ls, usingIdx + 1, "ON")
-      val matchedIdx = Stmt.findKw(ls, onIdx + 1,
-        "WHEN", "MATCHED", "THEN", "UPDATE", "SET")
-      val notIdx = Stmt.findKw(ls, matchedIdx + 1,
-        "WHEN", "NOT", "MATCHED", "THEN", "INSERT")
-      require(usingIdx > 0 && onIdx > 0 && matchedIdx > 0 && notIdx > 0,
+      val firstWhen = Stmt.findKw(ls, onIdx + 1, "WHEN")
+      require(usingIdx > 0 && onIdx > 0 && firstWhen > 0,
         "MERGE: cannot parse")
       val (tName, tA) = Stmt.slice(c, ls, 1, usingIdx) match {
         case NameAlias(n, a) => (n, Option(a).getOrElse(n))
@@ -1076,56 +1142,107 @@ class Engine(val spark: SparkSession) {
         case NameAlias(n, a) => (n, Option(a).getOrElse(n))
         case _ => throw new IllegalArgumentException("MERGE: bad source")
       }
-      // ON condition runs to the WHEN MATCHED keywords; nested parens
+      // ON condition runs to the first WHEN keyword; nested parens
       // and string literals inside it are invisible to findKw
-      val cond = Stmt.slice(c, ls, onIdx, matchedIdx)
-      val setList = Stmt.slice(c, ls, matchedIdx + 4, notIdx)
-      // tail: INSERT (cols) VALUES (vals) — paren groups by lexeme
-      val insertTail = Stmt.slice(c, ls, notIdx + 4, -1)
-      val (insCols, insVals) = insertTail match {
-        case MergeInsertTail(ic, iv) => (ic, iv)
-        case _ => throw new IllegalArgumentException("MERGE: bad INSERT")
-      }
+      val cond = Stmt.slice(c, ls, onIdx, firstWhen)
+      val clauses = parseMergeClauses(c, ls, firstWhen)
+      require(clauses.nonEmpty, "MERGE: no WHEN clause")
       val tgt = table(tName)
       val src = table(sName)
       val condE = expr(DuckRewriter.rewrite(cond, schemaOf))
-      val sets = DuckRewriter.splitTop(setList).map { a =>
-        val Array(k, v) = a.split("=", 2)
-        // SET targets are target columns — strip an optional alias qualifier
-        norm(k.trim.stripPrefix(s"$tA.")) ->
-          expr(DuckRewriter.rewrite(v.trim, schemaOf))
-      }.toMap
-      // left join keeps every target row; __m marks the matched ones
-      val joined = tgt.alias(tA)
-        .join(src.withColumn("__m", lit(true)).alias(sA), condE, "left")
-      val updated = joined.select(tgt.schema.fields.map { f =>
-        sets.get(f.name.toLowerCase) match {
-          case Some(v) => when(col("__m"), v.cast(f.dataType))
-            .otherwise(col(s"$tA.${f.name}")).as(f.name)
-          case None => col(s"$tA.${f.name}").as(f.name)
+      // SET targets are target columns — strip an optional alias qualifier
+      def parseSets(txt: String): Map[String, org.apache.spark.sql.Column] =
+        DuckRewriter.splitTop(txt).map { a =>
+          val Array(k, v) = a.split("=", 2)
+          norm(k.trim.stripPrefix(s"$tA.")) ->
+            expr(DuckRewriter.rewrite(v.trim, schemaOf))
+        }.toMap
+      def clauseCond(txt: Option[String]): org.apache.spark.sql.Column =
+        txt.map(t => expr(DuckRewriter.rewrite(t, schemaOf)))
+          .getOrElse(lit(true))
+      // INSERT tail: (cols) VALUES (vals) — paren groups by lexeme;
+      // rows align to the target schema (absent columns null)
+      def insertRowsFor(cl: MergeClause, from: DataFrame): DataFrame = {
+        val (insCols, insVals) = cl.payload match {
+          case MergeInsertTail(ic, iv) => (ic, iv)
+          case _ => throw new IllegalArgumentException("MERGE: bad INSERT")
         }
-      }.toIndexedSeq: _*)
-      // source rows with no target match become inserts
-      val insertNames = insCols.split(",").map(n =>
-        norm(n.trim.stripPrefix(s"$tA.")))
-      val insertExprs = DuckRewriter.splitTop(insVals)
-        .map(v => expr(DuckRewriter.rewrite(v.trim, schemaOf)))
-      val anti = src.alias(sA).join(tgt.alias(tA), condE, "left_anti")
-        .select(insertExprs.zip(insertNames).map { case (e, n) =>
-          e.as(n) }.toIndexedSeq: _*)
-      val alignedInserts = tgt.schema.fields.map { f =>
-        if (insertNames.contains(f.name.toLowerCase))
-          col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        val insertNames = insCols.split(",").map(n =>
+          norm(n.trim.stripPrefix(s"$tA.")))
+        val insertExprs = DuckRewriter.splitTop(insVals)
+          .map(v => expr(DuckRewriter.rewrite(v.trim, schemaOf)))
+        val named = from.select(insertExprs.zip(insertNames).map {
+          case (e, n) => e.as(n) }.toIndexedSeq: _*)
+        named.select(tgt.schema.fields.map { f =>
+          if (insertNames.contains(f.name.toLowerCase))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
       }
-      val insertRows = anti.select(alignedInserts.toIndexedSeq: _*)
-      // Snapshot route — MERGE maps onto the committed upsert
-      // (commitMerge) when it is key-shaped: ON is a pure equi-AND of
-      // target.col = source.col, the key is unique on both sides (a
-      // fan-out merge is order-dependent in any engine), and no SET
-      // rewrites a key column. The replacement rows (matched rows with
-      // their SETs applied ∪ aligned inserts) become commitMerge's
-      // source; anything else falls back to lazy rematerialization.
+      // row-level evaluator shared by the conditional/lazy paths:
+      // `__act` = the winning clause index (first-true in statement
+      // order, evaluated once per row); DELETE winners filter out,
+      // UPDATE winners rewrite their SET columns, rows winning
+      // nothing carry forward; the source side unions the first-true
+      // INSERT clause's aligned rows
+      def fullContent(base: DataFrame): DataFrame = {
+        val j = base.alias(tA)
+          .join(src.withColumn("__m", lit(true)).alias(sA), condE, "left")
+        val tgtSide = clauses.zipWithIndex.filter(_._1.kind != "nt")
+        val act = tgtSide.foldLeft(when(lit(false), -1)) {
+          case (acc, (cl, i)) =>
+            val arm = (if (cl.kind == "m") coalesce(col("__m"), lit(false))
+              else col("__m").isNull) && clauseCond(cl.cond)
+            acc.when(arm, i)
+        }.otherwise(-1)
+        val withAct = j.withColumn("__act", act)
+        val deleteIdxs = tgtSide.collect {
+          case (cl, i) if cl.action == "delete" => i }
+        val kept = if (deleteIdxs.isEmpty) withAct
+          else withAct.where(!col("__act").isin(deleteIdxs: _*))
+        val updates = tgtSide.collect {
+          case (cl, i) if cl.action == "update" => (i, parseSets(cl.payload)) }
+        val keptRows = kept.select(tgt.schema.fields.map { f =>
+          val carried: org.apache.spark.sql.Column = col(s"$tA.${f.name}")
+          val relevant = updates.filter(_._2.contains(f.name.toLowerCase))
+          val e =
+            if (relevant.isEmpty) carried
+            else relevant.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+              case (acc, (i, s)) =>
+                val v = s(f.name.toLowerCase).cast(f.dataType)
+                Some(acc.fold(when(col("__act") === i, v))(
+                  _.when(col("__act") === i, v)))
+            }.get.otherwise(carried)
+          e.as(f.name)
+        }.toIndexedSeq: _*)
+        val ntSide = clauses.zipWithIndex.filter(_._1.kind == "nt")
+        if (ntSide.isEmpty) keptRows
+        else {
+          val anti = src.alias(sA).join(base.alias(tA), condE, "left_anti")
+          val iact = ntSide.foldLeft(when(lit(false), -1)) {
+            case (acc, (cl, i)) => acc.when(clauseCond(cl.cond), i)
+          }.otherwise(-1)
+          val withI = anti.withColumn("__iact", iact)
+          ntSide.map { case (cl, i) =>
+            insertRowsFor(cl, withI.where(col("__iact") === i))
+          }.foldLeft(keptRows)(_.unionByName(_))
+        }
+      }
+      // Snapshot route — the UNCONDITIONAL shapes map onto the
+      // committed upsert (commitMerge) when the merge is key-shaped:
+      // ON is a pure equi-AND of target.col = source.col, the key is
+      // unique on both sides (a fan-out merge is order-dependent in
+      // any engine), and no SET rewrites a key column. The replacement
+      // rows (matched rows with their SETs applied ∪ aligned inserts)
+      // become commitMerge's source; a matched-DELETE clause passes
+      // its matched target keys as commitMerge's deleteKeys.
+      val mC = clauses.filter(_.kind == "m")
+      val ntC = clauses.filter(_.kind == "nt")
+      val simpleShape = clauses.forall(cl =>
+        cl.kind != "ns" && cl.cond.isEmpty) &&
+        mC.size <= 1 && ntC.size <= 1
+      val sets = mC.headOption.filter(_.action == "update")
+        .map(cl => parseSets(cl.payload)).getOrElse(Map.empty)
       val keyPairs: Option[Seq[String]] = {
         val eq = """(?is)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
         val conj = cond.split("(?i)\\s+AND\\s+").toSeq.map {
@@ -1139,16 +1256,30 @@ class Engine(val spark: SparkSession) {
         }
         if (conj.forall(_.isDefined)) Some(conj.flatten) else None
       }
-      val routed = keyPairs.filterNot(ks =>
+      val routed = (if (simpleShape) keyPairs else None).filterNot(ks =>
         ks.exists(sets.contains)).flatMap { ks =>
         ensureSnapshot(tName).flatMap { dir =>
-          val matchedRepl = joined.where(col("__m"))
-            .select(tgt.schema.fields.map { f =>
-              sets.get(f.name.toLowerCase) match {
-                case Some(v) => v.cast(f.dataType).as(f.name)
-                case None => col(s"$tA.${f.name}").as(f.name)
-              }
-            }.toIndexedSeq: _*)
+          val insertRows = ntC.headOption.map(cl => insertRowsFor(cl,
+            src.alias(sA).join(tgt.alias(tA), condE, "left_anti")))
+            .getOrElse(tgt.limit(0))
+          val matchedRepl = mC.headOption.filter(_.action == "update")
+            .map { _ =>
+              tgt.alias(tA)
+                .join(src.withColumn("__m", lit(true)).alias(sA),
+                  condE, "left")
+                .where(col("__m"))
+                .select(tgt.schema.fields.map { f =>
+                  sets.get(f.name.toLowerCase) match {
+                    case Some(v) => v.cast(f.dataType).as(f.name)
+                    case None => col(s"$tA.${f.name}").as(f.name)
+                  }
+                }.toIndexedSeq: _*)
+            }.getOrElse(tgt.limit(0))
+          // matched-DELETE: the matched target keys drop as one
+          // key-pruned commit — the CDC delete-apply shape
+          val deleteKeys = mC.headOption.filter(_.action == "delete")
+            .map(_ => tgt.alias(tA).join(src.alias(sA), condE,
+              "left_semi").select(ks.map(col): _*)).orNull
           val upsert = matchedRepl.unionByName(insertRows).localCheckpoint()
           val kCols = ks.map(col)
           def unique(df: DataFrame): Boolean = df.groupBy(kCols: _*)
@@ -1164,7 +1295,7 @@ class Engine(val spark: SparkSession) {
             if (tgtTouchedUnique && unique(upsert)) {
               lastCommit(norm(tName)) = graft.operators.SnapshotOps
                 .commitMerge(spark, dir, upsert, ks,
-                  sourceVerified = true)
+                  sourceVerified = true, deleteKeys = deleteKeys)
               registerSnapshot(tName, dir)
               Some(())
             } else None
@@ -1173,8 +1304,20 @@ class Engine(val spark: SparkSession) {
           routedOk
         }
       }
-      if (routed.isEmpty)
-        register(tName, updated.unionByName(insertRows))
+      if (routed.isEmpty) {
+        if (!simpleShape) ensureSnapshot(tName) match {
+          // conditional / BY SOURCE: per-target-row outcome — one
+          // atomic full rewrite keeps the committed lifecycle (time
+          // travel spans the merge); the O(table) cost is inherent to
+          // row-conditional mirror-sync in any engine
+          case Some(dir) =>
+            lastCommit(norm(tName)) = graft.operators.SnapshotOps
+              .commitRewrite(spark, dir, lit(true), fullContent)
+            registerSnapshot(tName, dir)
+          case None => register(tName, fullContent(tgt))
+        }
+        else register(tName, fullContent(tgt))
+      }
       empty()
     case AlterAdd(name, colName, typ) =>
       register(name, table(name).withColumn(colName,

@@ -3554,6 +3554,78 @@ object SystemQueries {
         |SELECT phase, CAST(n AS BIGINT) AS n, total,
         |  CAST(3 AS BIGINT) AS adopted, CAST(0 AS BIGINT) AS refs_after
         |FROM r ORDER BY phase""".stripMargin,
+      headline = true),
+
+    // FULL MERGE GRAMMAR (r15): conditional clauses, MATCHED-DELETE,
+    // and NOT MATCHED BY SOURCE in one statement — SQL-standard
+    // first-match-wins row semantics over a snapshot-backed table.
+    // Two merges: (1) an unconditional CDC delete-apply (key-pruned
+    // commitMerge — cost tracks the tombstone batch), then (2) a
+    // conditional mirror-sync (one atomic full commitRewrite — the
+    // O(table) cost inherent to per-row BY SOURCE semantics). Both
+    // land as committed versions, so the phases also pin that time
+    // travel spans the merges.
+    "q280_sql_merge_full" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck("CREATE TABLE g280 (id INTEGER, bal DOUBLE, " +
+        "status VARCHAR)")
+      e.executeDuck(
+        """INSERT INTO g280 SELECT c_custkey, c_acctbal, 'live'
+          |FROM customer WHERE c_custkey <= 600""".stripMargin)   // v1
+      // (1) tombstone apply: delete every multiple of 7
+      e.executeDuck(
+        """CREATE TABLE g280_tomb AS SELECT c_custkey AS k FROM customer
+          |WHERE c_custkey <= 600 AND c_custkey % 7 = 0""".stripMargin)
+      e.executeDuck(
+        """MERGE INTO g280 USING g280_tomb ON g280.id = g280_tomb.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)               // v2
+      // (2) conditional mirror-sync against a fresher source slice
+      e.executeDuck(
+        """CREATE TABLE g280_src AS
+          |SELECT c_custkey AS k, c_acctbal + 10 AS nb FROM customer
+          |WHERE c_custkey <= 300""".stripMargin)
+      e.executeDuck(
+        """MERGE INTO g280 USING g280_src ON g280.id = g280_src.k
+          |WHEN MATCHED AND g280.bal < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = g280_src.nb
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'
+          |""".stripMargin)                                       // v3
+      val agg = "count(*) AS n, CAST(sum(CAST(bal AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS total"
+      def phase(name: String, sql: String) =
+        e.executeDuck(sql).select(lit(name).as("phase"), col("n"),
+          col("total"))
+      val out = Seq(
+        phase("v1", s"SELECT $agg FROM g280 VERSION AS OF 1"),
+        phase("after_delete", s"SELECT $agg FROM g280 VERSION AS OF 2"),
+        phase("now", s"SELECT $agg FROM g280"),
+        phase("stale", s"SELECT $agg FROM g280 WHERE status = 'stale'"))
+        .reduce(_.unionByName(_)).orderBy("phase").localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH v1 AS (SELECT c_custkey AS id, c_acctbal AS bal,
+        |    'live' AS status FROM customer WHERE c_custkey <= 600),
+        |v2 AS (SELECT * FROM v1 WHERE id % 7 <> 0),
+        |src AS (SELECT c_custkey AS k, c_acctbal + 10 AS nb
+        |  FROM customer WHERE c_custkey <= 300),
+        |v3 AS (
+        |  SELECT id, CASE WHEN k IS NOT NULL THEN nb ELSE bal END AS bal,
+        |    CASE WHEN k IS NULL THEN 'stale' ELSE status END AS status
+        |  FROM v2 LEFT JOIN src ON id = k
+        |  WHERE NOT (k IS NOT NULL AND bal < 0)),
+        |r AS (
+        |  SELECT 'v1' AS phase, count(*) AS n,
+        |    CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM v1
+        |  UNION ALL SELECT 'after_delete', count(*),
+        |    CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) FROM v2
+        |  UNION ALL SELECT 'now', count(*),
+        |    CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) FROM v3
+        |  UNION ALL SELECT 'stale', count(*),
+        |    CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM v3 WHERE status = 'stale')
+        |SELECT phase, CAST(n AS BIGINT) AS n, total FROM r
+        |ORDER BY phase""".stripMargin,
       headline = true)
   )
 }

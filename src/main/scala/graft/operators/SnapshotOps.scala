@@ -3332,7 +3332,8 @@ object SnapshotOps {
       source: DataFrame, keyCols: Seq[String],
       maxRetries: Int = 5,
       txn: Option[(String, Long)] = None,
-      sourceVerified: Boolean = false): Committed = {
+      sourceVerified: Boolean = false,
+      deleteKeys: DataFrame = null): Committed = {
     require(keyCols.nonEmpty, "commitMerge needs key columns")
     // same per-stream watermark as commitAppend: a replayed upsert
     // batch (the streaming CDC-apply sink's at-least-once retry) must
@@ -3344,6 +3345,13 @@ object SnapshotOps {
     if (alreadyIn(snapshotMeta(tableDir, pre)))
       return Committed(pre, 0, 0, 0, skipped = true)
     val src = source.localCheckpoint() // read once, reused four times
+    // MERGE's matched-DELETE arm (r15): key tuples whose target rows
+    // drop — they join the touched-file discovery (a file holding a
+    // deleted key must rewrite) and the rewrite carries neither their
+    // rows nor a replacement. Disjoint from the source's keys by the
+    // caller's clause semantics (a key wins one action).
+    val delk = Option(deleteKeys)
+      .map(_.select(keyCols.map(col): _*).distinct().localCheckpoint())
     val keys = keyCols.map(col)
     // sourceVerified: the caller already proved key uniqueness (the
     // Engine's MERGE eligibility gate does) — don't re-shuffle for it
@@ -3390,7 +3398,11 @@ object SnapshotOps {
         else scala.util.Try {
           val aggs = keyCols.flatMap(c =>
             Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c")))
-          val r = src.agg(aggs.head, aggs.tail: _*).head()
+          // the probe range must span the DELETE keys too: a file
+          // holding only deleted keys must not prune away
+          val probe = delk.fold(src.select(keys: _*))(d =>
+            src.select(keys: _*).unionByName(d))
+          val r = probe.agg(aggs.head, aggs.tail: _*).head()
           val preds = keyCols.zip(keyCols.map(physName(tableDir, base, _)))
             .flatMap { case (c, phys) =>
               (Option(r.getAs[Any](s"_lo_$c")),
@@ -3416,7 +3428,12 @@ object SnapshotOps {
           mapping, extra = Seq("__file"))
         case None => logicalView(snapPhys, mapping, extra = Seq("__file"))
       }
-      val srcKeys = broadcast(src.select(keys: _*).distinct())
+      // discovery probes source keys ∪ delete keys; the rewrite's
+      // carry-forward anti-join uses the same union, so deleted keys'
+      // rows vanish without a replacement
+      val srcKeys = broadcast(delk
+        .fold(src.select(keys: _*))(d =>
+          src.select(keys: _*).unionByName(d)).distinct())
       val touched = snap
         .select(keys :+ col("__file").as("f"): _*)
         .join(srcKeys, keyCols, "left_semi")
@@ -3474,7 +3491,10 @@ object SnapshotOps {
     }
     throw new java.util.ConcurrentModificationException(
       s"commitMerge lost $maxRetries version races on $tableDir")
-    } finally releaseCheckpoint(src)
+    } finally {
+      releaseCheckpoint(src)
+      delk.foreach(releaseCheckpoint)
+    }
   }
 
   /** Small-file compaction POLICY — q196/commitCompact generalized to

@@ -1267,6 +1267,95 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("MERGE general grammar (r15): WHEN MATCHED THEN DELETE is the " +
+      "key-pruned CDC delete-apply — one committed version, untouched " +
+      "files reused") {
+    val e = engine
+    e.executeDuck("CREATE TABLE md (id int, v varchar)")
+    e.executeDuck(
+      "INSERT INTO md VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    e.executeDuck("CREATE TABLE mdd (k int)")
+    e.executeDuck("INSERT INTO mdd VALUES (2), (4), (9)")
+    e.executeDuck(
+      """MERGE INTO md USING mdd ON md.id = mdd.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(e.executeDuck("SELECT v FROM md ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "c"))
+    // one committed version on the snapshot chain (not a lazy shadow)
+    val dir = e.snapshotDir("md").get
+    assert(graft.operators.SnapshotOps.currentVersion(dir) == 2)
+    e.close()
+  }
+
+  test("MERGE general grammar (r15): DELETE + INSERT in one statement " +
+      "(the full CDC upsert-or-tombstone apply)") {
+    val e = engine
+    e.executeDuck("CREATE TABLE mx (id int, v varchar)")
+    e.executeDuck("INSERT INTO mx VALUES (1,'a'), (2,'b')")
+    e.executeDuck("CREATE TABLE mxs (k int, nv varchar)")
+    e.executeDuck("INSERT INTO mxs VALUES (2,'B2'), (5,'E5')")
+    e.executeDuck(
+      """MERGE INTO mx USING mxs ON mx.id = mxs.k
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (k, nv)""".stripMargin)
+    assert(e.executeDuck("SELECT id, v FROM mx ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(1 -> "a", 5 -> "E5"))
+    e.close()
+  }
+
+  test("MERGE general grammar (r15): conditional clauses are " +
+      "first-match-wins per row; matched rows winning no clause carry") {
+    val e = engine
+    e.executeDuck("CREATE TABLE mc (id int, qty int, v varchar)")
+    e.executeDuck(
+      "INSERT INTO mc VALUES (1,5,'a'), (2,50,'b'), (3,500,'c'), (4,1,'d')")
+    e.executeDuck("CREATE TABLE mcs (k int, add_qty int)")
+    e.executeDuck("INSERT INTO mcs VALUES (1,10), (2,10), (3,10)")
+    // clause order matters: qty >= 100 deletes, qty >= 10 updates,
+    // anything else matched carries (id=1 qty=5 untouched)
+    e.executeDuck(
+      """MERGE INTO mc USING mcs ON mc.id = mcs.k
+        |WHEN MATCHED AND mc.qty >= 100 THEN DELETE
+        |WHEN MATCHED AND mc.qty >= 10 THEN UPDATE SET qty = mc.qty + mcs.add_qty
+        |WHEN NOT MATCHED THEN INSERT (id, qty, v) VALUES (k, add_qty, 'new')
+        |""".stripMargin)
+    assert(e.executeDuck("SELECT id, qty FROM mc ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq(1 -> 5, 2 -> 60, 4 -> 1))
+    e.close()
+  }
+
+  test("MERGE general grammar (r15): WHEN NOT MATCHED BY SOURCE — " +
+      "mirror-sync deletes and flag-updates in one atomic commit") {
+    val e = engine
+    e.executeDuck("CREATE TABLE ms (id int, v varchar, stale boolean)")
+    e.executeDuck("INSERT INTO ms VALUES " +
+      "(1,'a',false), (2,'b',false), (3,'c',false), (4,'d',false)")
+    e.executeDuck("CREATE TABLE mss (k int, nv varchar)")
+    e.executeDuck("INSERT INTO mss VALUES (1,'A'), (3,'C'), (7,'G')")
+    e.executeDuck(
+      """MERGE INTO ms USING mss ON ms.id = mss.k
+        |WHEN MATCHED THEN UPDATE SET v = mss.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v, stale) VALUES (k, nv, false)
+        |WHEN NOT MATCHED BY SOURCE AND ms.id >= 4 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = true
+        |""".stripMargin)
+    assert(e.executeDuck(
+      "SELECT id, v, stale FROM ms ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSeq ==
+      Seq((1, "A", false), (2, "b", true), (3, "C", false),
+        (7, "G", false)))
+    // snapshot lifecycle preserved: the merge is ONE committed version
+    // and the pre-merge content still time-travels
+    val dir = e.snapshotDir("ms").get
+    assert(graft.operators.SnapshotOps.currentVersion(dir) == 2)
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM ms VERSION AS OF 1").collect()(0)
+      .getLong(0) == 4L)
+    e.close()
+  }
+
   test("named refs (r15): tags pin versions against retention and " +
       "resolve through VERSION AS OF '<name>'; table_refs lists them") {
     val e = engine

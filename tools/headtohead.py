@@ -43,7 +43,8 @@ EXCLUDE = [
      r"|manifest_group|mor_|table_changes|restore_table|eq_delete"
      r"|stats_skipping|sql_pruned|write_layout|meta_count"
      r"|column_evolution|prompt_overflow|or_pruning"
-     r"|hidden_partitioning|warehouse_lifecycle|table_tags|branch_fork",
+     r"|hidden_partitioning|warehouse_lifecycle|table_tags|branch_fork"
+     r"|sql_merge",
      "write/commit lifecycle"),
     (r"dedup_pairs|near_dup|minhash|simhash_hamming|segment_dedup"
      r"|bitext|cluster_safe|exact_substring|dup_clusters",
