@@ -665,15 +665,27 @@ class Engine(val spark: SparkSession) {
     }.getOrElse("")
 
     /** Index of the first paren-depth-0 occurrence of the keyword
-      * sequence at or after `from`; -1 when absent. */
+      * sequence at or after `from`; -1 when absent. CASE-aware: tokens
+      * between a depth-0 CASE and its END are expression content (a
+      * bare `CASE WHEN … THEN … END` in a SET value, MERGE clause
+      * condition or ON condition), so clause keywords never match
+      * inside that span — without this, parseMergeClauses would split
+      * a WHEN-clause boundary on a CASE expression's own WHEN/THEN.
+      * (A depth>0 CASE is invisible anyway: all its tokens sit inside
+      * parens, where keywords already never match.) */
     def findKw(ls: Vector[Lexeme], from: Int, kws: String*): Int = {
       var depth = 0
+      var caseDepth = 0
       var i = math.max(from, 0)
       while (i < ls.length) {
         ls(i).tok match {
           case Op("(") => depth += 1
           case Op(")") => depth -= 1
-          case Word(_) if depth == 0 &&
+          case Word(w) if depth == 0 && w.equalsIgnoreCase("CASE") =>
+            caseDepth += 1
+          case Word(w) if depth == 0 && caseDepth > 0 &&
+              w.equalsIgnoreCase("END") => caseDepth -= 1
+          case Word(_) if depth == 0 && caseDepth == 0 &&
               kws.indices.forall(j => i + j < ls.length &&
                 (ls(i + j).tok match {
                   case Word(x) => x.equalsIgnoreCase(kws(j))
@@ -706,8 +718,18 @@ class Engine(val spark: SparkSession) {
     import graft.dialect.SqlNormalizer.Word
     def word(i: Int): Option[String] = ls.lift(i).map(_.tok).collect {
       case Word(x) => x.toUpperCase }
+    // a clause start is the two-word head `WHEN MATCHED` / `WHEN NOT`
+    // (belt-and-braces on top of findKw's CASE skip: a stray WHEN that
+    // is not a clause head can never split a clause)
+    def nextClause(from: Int): Int = {
+      var j = Stmt.findKw(ls, from, "WHEN")
+      while (j >= 0 && !word(j + 1).exists(w =>
+          w == "MATCHED" || w == "NOT"))
+        j = Stmt.findKw(ls, j + 1, "WHEN")
+      j
+    }
     val starts = Iterator.iterate(firstWhen)(i =>
-      Stmt.findKw(ls, i + 1, "WHEN")).takeWhile(_ >= 0).toVector
+      nextClause(i + 1)).takeWhile(_ >= 0).toVector
     starts.zipWithIndex.map { case (wi, n) =>
       val end = starts.lift(n + 1).getOrElse(-1)
       val (kind, after) =
@@ -1228,21 +1250,28 @@ class Engine(val spark: SparkSession) {
           }.foldLeft(keptRows)(_.unionByName(_))
         }
       }
-      // Snapshot route — the UNCONDITIONAL shapes map onto the
-      // committed upsert (commitMerge) when the merge is key-shaped:
-      // ON is a pure equi-AND of target.col = source.col, the key is
-      // unique on both sides (a fan-out merge is order-dependent in
-      // any engine), and no SET rewrites a key column. The replacement
-      // rows (matched rows with their SETs applied ∪ aligned inserts)
-      // become commitMerge's source; a matched-DELETE clause passes
-      // its matched target keys as commitMerge's deleteKeys.
-      val mC = clauses.filter(_.kind == "m")
-      val ntC = clauses.filter(_.kind == "nt")
-      val simpleShape = clauses.forall(cl =>
-        cl.kind != "ns" && cl.cond.isEmpty) &&
-        mC.size <= 1 && ntC.size <= 1
-      val sets = mC.headOption.filter(_.action == "update")
-        .map(cl => parseSets(cl.payload)).getOrElse(Map.empty)
+      // Snapshot route — any clause set WITHOUT a BY SOURCE arm maps
+      // onto the committed upsert (commitMerge) when the merge is
+      // key-shaped: ON is a pure equi-AND of target.col = source.col,
+      // the key is unique on both sides among touched rows (a fan-out
+      // merge is order-dependent in any engine), and no SET rewrites a
+      // key column. Without BY SOURCE the outcome is confined to rows
+      // holding SOURCE keys — unmatched target rows carry forward
+      // untouched — so the commit is key-prunable at file granularity
+      // exactly like the unconditional upsert (r16, the r15 ADVICE
+      // item: conditional matched-only merges no longer pay a
+      // full-table rewrite). Per matched row the FIRST true clause
+      // (statement order) wins: UPDATE winners become replacement
+      // rows, DELETE winners become deleteKeys, no-winner rows carry;
+      // unmatched source rows take the first true NOT MATCHED clause's
+      // INSERT. Only a BY SOURCE arm — whose outcome is a function of
+      // the target rows source does NOT hold — forces the O(table)
+      // full rewrite below.
+      val mIdx = clauses.zipWithIndex.filter(_._1.kind == "m")
+      val ntIdx = clauses.zipWithIndex.filter(_._1.kind == "nt")
+      val noBySource = clauses.forall(_.kind != "ns")
+      val allSets = mIdx.collect { case (cl, i) if cl.action == "update" =>
+        (i, parseSets(cl.payload)) }
       val keyPairs: Option[Seq[String]] = {
         val eq = """(?is)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
         val conj = cond.split("(?i)\\s+AND\\s+").toSeq.map {
@@ -1256,67 +1285,94 @@ class Engine(val spark: SparkSession) {
         }
         if (conj.forall(_.isDefined)) Some(conj.flatten) else None
       }
-      val routed = (if (simpleShape) keyPairs else None).filterNot(ks =>
-        ks.exists(sets.contains)).flatMap { ks =>
+      val routed = (if (noBySource) keyPairs else None).filterNot(ks =>
+        allSets.exists(_._2.keys.exists(ks.contains))).flatMap { ks =>
         ensureSnapshot(tName).flatMap { dir =>
-          val insertRows = ntC.headOption.map(cl => insertRowsFor(cl,
-            src.alias(sA).join(tgt.alias(tA), condE, "left_anti")))
-            .getOrElse(tgt.limit(0))
-          val matchedRepl = mC.headOption.filter(_.action == "update")
-            .map { _ =>
-              tgt.alias(tA)
-                .join(src.withColumn("__m", lit(true)).alias(sA),
-                  condE, "left")
-                .where(col("__m"))
-                .select(tgt.schema.fields.map { f =>
-                  sets.get(f.name.toLowerCase) match {
-                    case Some(v) => v.cast(f.dataType).as(f.name)
-                    case None => col(s"$tA.${f.name}").as(f.name)
-                  }
-                }.toIndexedSeq: _*)
-            }.getOrElse(tgt.limit(0))
-          // matched-DELETE: the matched target keys drop as one
-          // key-pruned commit — the CDC delete-apply shape
-          val deleteKeys = mC.headOption.filter(_.action == "delete")
-            .map(_ => tgt.alias(tA).join(src.alias(sA), condE,
-              "left_semi").select(ks.map(col): _*)).orNull
+          // matched rows with their winning clause: first-true in
+          // statement order, evaluated once per row on the inner join
+          val withAct = tgt.alias(tA).join(src.alias(sA), condE, "inner")
+            .withColumn("__act", mIdx.foldLeft(when(lit(false), -1)) {
+              case (acc, (cl, i)) => acc.when(clauseCond(cl.cond), i)
+            }.otherwise(-1))
+          val updIdxs = allSets.map(_._1)
+          val matchedRepl = if (updIdxs.isEmpty) tgt.limit(0)
+            else withAct.where(col("__act").isin(updIdxs: _*))
+              .select(tgt.schema.fields.map { f =>
+                val carried: org.apache.spark.sql.Column =
+                  col(s"$tA.${f.name}")
+                val relevant =
+                  allSets.filter(_._2.contains(f.name.toLowerCase))
+                val e =
+                  if (relevant.isEmpty) carried
+                  else relevant.foldLeft(
+                    Option.empty[org.apache.spark.sql.Column]) {
+                    case (acc, (i, s)) =>
+                      val v = s(f.name.toLowerCase).cast(f.dataType)
+                      Some(acc.fold(when(col("__act") === i, v))(
+                        _.when(col("__act") === i, v)))
+                  }.get.otherwise(carried)
+                e.as(f.name)
+              }.toIndexedSeq: _*)
+          // matched-DELETE winners: their target keys drop as part of
+          // the same key-pruned commit — the CDC delete-apply shape
+          val delIdxs = mIdx.collect {
+            case (cl, i) if cl.action == "delete" => i }
+          val deleteKeys = if (delIdxs.isEmpty) null
+            else withAct.where(col("__act").isin(delIdxs: _*))
+              .select(ks.map(k => col(s"$tA.$k").as(k)): _*)
+          // NOT MATCHED inserts: one anti-join, first-true clause wins
+          val insertRows = if (ntIdx.isEmpty) tgt.limit(0) else {
+            val withI = src.alias(sA).join(tgt.alias(tA), condE,
+              "left_anti").withColumn("__iact",
+                ntIdx.foldLeft(when(lit(false), -1)) {
+                  case (acc, (cl, i)) => acc.when(clauseCond(cl.cond), i)
+                }.otherwise(-1))
+            ntIdx.map { case (cl, i) =>
+              insertRowsFor(cl, withI.where(col("__iact") === i))
+            }.foldLeft(tgt.limit(0))(_.unionByName(_))
+          }
           val upsert = matchedRepl.unionByName(insertRows).localCheckpoint()
+          val delK = Option(deleteKeys).map(_.localCheckpoint())
           val kCols = ks.map(col)
           def unique(df: DataFrame): Boolean = df.groupBy(kCols: _*)
             .count().where(col("count") > 1).isEmpty
-          // target uniqueness only among keys the merge touches:
-          // unmatched duplicate-key target rows are untouched either
-          // way, so the eligibility gate scans the table once but
-          // shuffles only the matched slice (not a full-table groupBy)
+          // target uniqueness only among keys the merge touches
+          // (upsert ∪ delete winners): unmatched duplicate-key target
+          // rows are untouched either way, so the eligibility gate
+          // scans the table once but shuffles only the touched slice.
+          // A duplicate touched target key falls back to the full
+          // rewrite (commitMerge's key replacement would clobber the
+          // carried duplicate — e.g. one dup wins a conditional
+          // UPDATE, the other wins nothing).
+          val touchedKeys = delK.foldLeft(
+            upsert.select(kCols: _*))(_.unionByName(_)).distinct()
           val tgtTouchedUnique = unique(tgt.join(
-            broadcast(upsert.select(kCols: _*).distinct()), ks,
-            "left_semi"))
+            broadcast(touchedKeys), ks, "left_semi"))
           val routedOk =
             if (tgtTouchedUnique && unique(upsert)) {
               lastCommit(norm(tName)) = graft.operators.SnapshotOps
                 .commitMerge(spark, dir, upsert, ks,
-                  sourceVerified = true, deleteKeys = deleteKeys)
+                  sourceVerified = true, deleteKeys = delK.orNull)
               registerSnapshot(tName, dir)
               Some(())
             } else None
-          // the eligibility checkpoint's blocks die with the statement
+          // the eligibility checkpoints' blocks die with the statement
           graft.operators.SnapshotOps.releaseCheckpoint(upsert)
+          delK.foreach(graft.operators.SnapshotOps.releaseCheckpoint)
           routedOk
         }
       }
-      if (routed.isEmpty) {
-        if (!simpleShape) ensureSnapshot(tName) match {
-          // conditional / BY SOURCE: per-target-row outcome — one
-          // atomic full rewrite keeps the committed lifecycle (time
-          // travel spans the merge); the O(table) cost is inherent to
-          // row-conditional mirror-sync in any engine
-          case Some(dir) =>
-            lastCommit(norm(tName)) = graft.operators.SnapshotOps
-              .commitRewrite(spark, dir, lit(true), fullContent)
-            registerSnapshot(tName, dir)
-          case None => register(tName, fullContent(tgt))
-        }
-        else register(tName, fullContent(tgt))
+      if (routed.isEmpty) ensureSnapshot(tName) match {
+        // BY SOURCE (or non-key-shaped / non-unique-key): per-target-
+        // row outcome over the whole table — one atomic full rewrite
+        // keeps the committed lifecycle (time travel spans the merge);
+        // the O(table) cost is inherent to row-conditional mirror-sync
+        // in any engine
+        case Some(dir) =>
+          lastCommit(norm(tName)) = graft.operators.SnapshotOps
+            .commitRewrite(spark, dir, lit(true), fullContent)
+          registerSnapshot(tName, dir)
+        case None => register(tName, fullContent(tgt))
       }
       empty()
     case AlterAdd(name, colName, typ) =>

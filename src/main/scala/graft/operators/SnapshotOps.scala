@@ -3120,6 +3120,13 @@ object SnapshotOps {
   def createTag(tableDir: String, name: String, version: Int): Unit = {
     require(availableVersions(tableDir).contains(version),
       s"createTag $name: version $version does not exist on $tableDir")
+    // tags and branch forks share ONE ref namespace (the Iceberg
+    // rule): VERSION AS OF '<ref>' resolves tags first, so a
+    // same-named pair would silently shadow the branch
+    require(!new java.io.File(branchForkDir(tableDir, name),
+      "manifests").isDirectory,
+      s"ref $name already names a branch on $tableDir — tags and " +
+        "branches share one ref namespace")
     Files.createDirectories(refsDir(tableDir))
     try Files.write(tagPath(tableDir, name),
       version.toString.getBytes(StandardCharsets.UTF_8),
@@ -3175,6 +3182,11 @@ object SnapshotOps {
     val bd = branchForkDir(tableDir, name)
     require(!new java.io.File(bd, "manifests").isDirectory,
       s"branch $name already exists on $tableDir")
+    // shared ref namespace with tags (see createTag): a branch named
+    // like an existing tag would be unreachable through VERSION AS OF
+    require(tagVersion(tableDir, name).isEmpty,
+      s"ref $name already names a tag on $tableDir — tags and " +
+        "branches share one ref namespace")
     require(availableVersions(tableDir).contains(fromVersion),
       s"createBranchFork $name: version $fromVersion does not exist " +
         s"on $tableDir")
@@ -3226,14 +3238,18 @@ object SnapshotOps {
     val from = snapshotMeta(bd, bCur).getOrElse("fork.from",
       throw new IllegalStateException(
         s"branch $name carries no fork.from marker")).toInt
-    val pCur = currentVersion(tableDir)
-    if (pCur != from) throw new java.util.ConcurrentModificationException(
-      s"fast_forward $name: $tableDir advanced ($from -> $pCur) since " +
-        "the fork — diverged; drop the branch or merge its content " +
-        "explicitly")
+    def requireUnmoved(): Unit = {
+      val pCur = currentVersion(tableDir)
+      if (pCur != from)
+        throw new java.util.ConcurrentModificationException(
+          s"fast_forward $name: $tableDir advanced ($from -> $pCur) " +
+            "since the fork — diverged; drop the branch or merge its " +
+            "content explicitly")
+    }
+    requireUnmoved()
     if (bCur == from) { // nothing committed on the branch
       dropBranchFork(tableDir, name)
-      return Committed(pCur, 0, 0, 0, skipped = true)
+      return Committed(from, 0, 0, 0, skipped = true)
     }
     val prefix = bd + "/"
     def rew(p: String): String =
@@ -3283,10 +3299,28 @@ object SnapshotOps {
       .map(p => p.drop(prefix.length).split("/").take(2).mkString("/"))
       .distinct
     Files.createDirectories(Paths.get(tableDir, "data"))
+    // last divergence check BEFORE any rename: a parent commit that
+    // landed between entry and here would otherwise strand the moved
+    // dirs as adopted-but-unpublished orphans (the publish loop below
+    // would fail on version 1 of the adoption, after the moves)
+    requireUnmoved()
+    val now = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis())
     localDirs.foreach { rel =>
       val src = Paths.get(bd, rel)
-      if (Files.exists(src))
-        Files.move(src, Paths.get(tableDir, rel))
+      if (Files.exists(src)) {
+        val dst = Paths.get(tableDir, rel)
+        Files.move(src, dst)
+        // re-stamp the adopted files' mtimes: Files.move preserves
+        // them, and until the publishes below land these files are
+        // referenced by no parent manifest — indistinguishable from
+        // orphans. Fresh mtimes put them inside vacuum's graceMs
+        // window, so a crash/lost race here cannot make a routine
+        // vacuum delete adopted-but-unpublished data.
+        val walk = Files.walk(dst)
+        try walk.forEach(p => { Files.setLastModifiedTime(p, now); () })
+        finally walk.close()
+      }
     }
     var written = 0
     perVersion.foreach { case (v, lines) =>

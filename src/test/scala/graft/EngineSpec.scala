@@ -1356,6 +1356,105 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("MERGE (r16): conditional matched-only clause set takes the " +
+      "key-pruned commitMerge route — untouched files reused, not a " +
+      "full-table rewrite") {
+    import graft.operators.SnapshotOps
+    val e = engine
+    e.executeDuck("CREATE TABLE kp (id int, qty int)")
+    e.executeDuck("INSERT INTO kp VALUES (1, 5), (2, 50)")    // file A
+    e.executeDuck("INSERT INTO kp VALUES (10, 7), (11, 70)")  // file B
+    e.executeDuck("CREATE TABLE kps (k int, add_qty int)")
+    e.executeDuck("INSERT INTO kps VALUES (1, 100), (2, 100)")
+    // conditional MATCHED-only, no BY SOURCE: the outcome is confined
+    // to rows holding source keys, so the commit must be the key-pruned
+    // upsert — file B (keys 10/11, outside the source key range) reused
+    val dir = e.snapshotDir("kp").get
+    val before = SnapshotOps.snapshotFiles(dir, 2)
+    e.executeDuck(
+      """MERGE INTO kp USING kps ON kp.id = kps.k
+        |WHEN MATCHED AND kp.qty >= 10 THEN
+        |  UPDATE SET qty = kp.qty + kps.add_qty""".stripMargin)
+    assert(e.executeDuck("SELECT id, qty FROM kp ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq(1 -> 5, 2 -> 150, 10 -> 7, 11 -> 70))
+    val c = e.lastCommit("kp")
+    assert(c.reused >= 1, s"conditional merge reused nothing: $c")
+    assert(SnapshotOps.snapshotFiles(dir, 3).exists(before.contains),
+      "untouched file must carry forward byte-for-byte")
+    // conditional DELETE winners are key-pruned too
+    e.executeDuck(
+      """MERGE INTO kp USING kps ON kp.id = kps.k
+        |WHEN MATCHED AND kp.qty > 100 THEN DELETE""".stripMargin)
+    assert(e.executeDuck("SELECT id FROM kp ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 10, 11))
+    assert(e.lastCommit("kp").reused >= 1)
+    e.close()
+  }
+
+  test("MERGE (r16): a bare CASE WHEN in SET values, clause conditions " +
+      "and the ON condition never splits a WHEN clause (ADVICE r15)") {
+    val e = engine
+    e.executeDuck("CREATE TABLE cw (id int, qty int, v varchar)")
+    e.executeDuck(
+      "INSERT INTO cw VALUES (1, 5, 'a'), (2, 50, 'b'), (3, 7, 'c')")
+    e.executeDuck("CREATE TABLE cws (k int, nv varchar)")
+    e.executeDuck("INSERT INTO cws VALUES (1,'X'), (2,'Y'), (9,'Z')")
+    // CASE in the ON condition, in a clause condition, and in two SET
+    // expressions — the old boundary scan split on the CASE's own WHEN
+    e.executeDuck(
+      """MERGE INTO cw USING cws
+        |ON cw.id = CASE WHEN cws.k < 100 THEN cws.k ELSE -1 END
+        |WHEN MATCHED AND (CASE WHEN cw.qty >= 10 THEN 1 ELSE 0 END) = 1
+        |  THEN UPDATE SET v = CASE WHEN cws.nv = 'Y' THEN 'why'
+        |    ELSE cws.nv END
+        |WHEN MATCHED THEN UPDATE SET
+        |  qty = CASE WHEN cw.qty < 6 THEN 0 ELSE cw.qty END
+        |WHEN NOT MATCHED THEN INSERT (id, qty, v) VALUES (k, 0, nv)
+        |""".stripMargin)
+    assert(e.executeDuck(
+      "SELECT id, qty, v FROM cw ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, 0, "a"), (2, 50, "why"), (3, 7, "c"), (9, 0, "Z")))
+    e.close()
+  }
+
+  test("MERGE (r16): a duplicate touched target key declines the " +
+      "key-pruned route and still lands the correct full-rewrite result") {
+    val e = engine
+    e.executeDuck("CREATE TABLE dupm (id int, qty int)")
+    // duplicate key 1: one row will win the conditional UPDATE, the
+    // other must CARRY — commitMerge's key replacement would clobber
+    // it, so the route must fall back to the full rewrite
+    e.executeDuck("INSERT INTO dupm VALUES (1, 5), (1, 50), (2, 7)")
+    e.executeDuck("CREATE TABLE dupms (k int)")
+    e.executeDuck("INSERT INTO dupms VALUES (1)")
+    e.executeDuck(
+      """MERGE INTO dupm USING dupms ON dupm.id = dupms.k
+        |WHEN MATCHED AND dupm.qty >= 10 THEN UPDATE SET qty = 0"""
+        .stripMargin)
+    assert(e.executeDuck("SELECT id, qty FROM dupm ORDER BY id, qty")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq(1 -> 0, 1 -> 5, 2 -> 7))
+    e.close()
+  }
+
+  test("named refs (r16): tags and branch forks share one ref " +
+      "namespace — same-named pairs are rejected in both directions") {
+    val e = engine
+    e.executeDuck("CREATE TABLE ns (id int)")
+    e.executeDuck("INSERT INTO ns VALUES (1)")
+    e.executeDuck("PRAGMA create_branch('ns', 'dev')")
+    val ex1 = intercept[Exception](
+      e.executeDuck("PRAGMA create_tag('ns', 'dev')"))
+    assert(ex1.getMessage.contains("ref namespace"), ex1.getMessage)
+    e.executeDuck("PRAGMA create_tag('ns', 'rel')")
+    val ex2 = intercept[Exception](
+      e.executeDuck("PRAGMA create_branch('ns', 'rel')"))
+    assert(ex2.getMessage.contains("ref namespace"), ex2.getMessage)
+    e.close()
+  }
+
   test("named refs (r15): tags pin versions against retention and " +
       "resolve through VERSION AS OF '<name>'; table_refs lists them") {
     val e = engine
