@@ -69,6 +69,39 @@ class QueriesSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q90/q106 fact-side broadcast is size-gated (r16): hinted under " +
+      "the footer cap, AQE-converted from measured sizes past it") {
+    // under the cap (every test/bench sf): the gate emits the hint and
+    // the direct-broadcast plan runs
+    for (name <- Seq("q90_tpch_q3", "q106_tpch_q10")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+    }
+    // past the cap the gate refuses — the hint is never uncapped
+    Queries.prep(spark, sfDir)
+    assert(Queries.hintIfSliceSmall(spark, sfDir, "orders", keepCols = 2,
+      hint = "H", capBytes = 1L) == "")
+    assert(Queries.hintIfSliceSmall(spark, sfDir, "orders", keepCols = 2,
+      hint = "H") == "H")
+    // and the un-hinted shape still BROADCASTS at runtime: AQE's
+    // size-based conversion picks broadcast from the measured slice
+    // (at a scale where the slice outgrows the threshold the same
+    // plan degrades to a shuffle join instead of OOMing the driver)
+    val noHint = spark.sql(
+      """WITH o AS (SELECT o_orderkey, o_orderdate
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT o_orderkey, sum(l_extendedprice) AS s
+        |FROM lineitem JOIN o ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey""".stripMargin)
+    noHint.collect() // AQE finalizes plans only as stages execute
+    val finalPlan = noHint.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+  }
+
   test("q15 top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q15_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
