@@ -191,6 +191,10 @@ class Engine(val spark: SparkSession) {
       spark.catalog.dropTempView(
         if (n.contains('.')) n.replace('.', '_') else n)
     }
+    // introspection views reflect THIS engine's catalog — a later
+    // engine on the same session must rebuild, never read stale ones
+    spark.catalog.dropTempView("information_schema_tables")
+    spark.catalog.dropTempView("information_schema_columns")
     snapshotDirs.values.foreach(deleteSnapshotDir)
     snapshotDirs.clear()
     retiredDirs.foreach(deleteSnapshotDir)
@@ -541,6 +545,110 @@ class Engine(val spark: SparkSession) {
 
   private def schemaOf: String => Option[Seq[String]] = t =>
     scala.util.Try(table(t).columns.toSeq).toOption
+
+  // ---- information_schema (r16) -----------------------------------------
+  // The reference's schema-introspection entry point builds its prompt by
+  // executing `SELECT * FROM information_schema.tables` and
+  // `SELECT * FROM information_schema.columns WHERE table_name = '<t>'`
+  // verbatim (reference examples/utils.py:13-31). Spark exposes no
+  // information_schema, so the Engine serves both as DuckDB-0.9-shaped
+  // views over ITS OWN catalog (the same listing show_tables uses, plus
+  // attached-catalog dotted names), rebuilt on every statement that
+  // references them — DDL between statements is always visible. Types
+  // render through the DESCRIBE mapping (declared DDL text when the
+  // table was created by this engine, Summarize.duckTypeName otherwise,
+  // DECIMAL with its declared precision/scale as DuckDB prints it).
+
+  private val infoSchemaRe =
+    """(?i)\binformation_schema\s*\.\s*(tables|columns)\b""".r
+
+  /** DuckDB's DECIMAL rendering keeps (precision,scale); everything else
+    * matches DESCRIBE's type names. */
+  private def infoTypeName(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        s"DECIMAL(${d.precision},${d.scale})"
+      case other => graft.operators.Summarize.duckTypeName(other)
+    }
+
+  private def refreshInformationSchema(): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val entries = tables.toSeq.sortBy(_._1).map { case (key, df) =>
+      val (cat, name) = key.split("\\.", 2) match {
+        case Array(c, t) => (c, t)
+        case _ => ("memory", key)
+      }
+      (key, cat, "main", name, df)
+    }
+    def vc(n: String) = StructField(n, StringType)
+    def ic(n: String) = StructField(n, IntegerType)
+    val tSchema = StructType(Seq(
+      vc("table_catalog"), vc("table_schema"), vc("table_name"),
+      vc("table_type"), vc("self_referencing_column_name"),
+      vc("reference_generation"), vc("user_defined_type_catalog"),
+      vc("user_defined_type_schema"), vc("user_defined_type_name"),
+      vc("is_insertable_into"), vc("is_typed"), vc("commit_action"),
+      vc("TABLE_COMMENT")))
+    val tRows = entries.map { case (_, c, s, t, _) =>
+      Row(c, s, t, "BASE TABLE", null, null, null, null, null,
+        "YES", "NO", null, null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(tRows, 1), tSchema)
+      .createOrReplaceTempView("information_schema_tables")
+    // the SQL-standard 45-column shape DuckDB serves; inapplicable
+    // fields are null exactly where DuckDB leaves them null
+    val cSchema = StructType(Seq(
+      vc("table_catalog"), vc("table_schema"), vc("table_name"),
+      vc("column_name"), ic("ordinal_position"), vc("column_default"),
+      vc("is_nullable"), vc("data_type"),
+      ic("character_maximum_length"), ic("character_octet_length"),
+      ic("numeric_precision"), ic("numeric_precision_radix"),
+      ic("numeric_scale"), ic("datetime_precision"), vc("interval_type"),
+      ic("interval_precision"), vc("character_set_catalog"),
+      vc("character_set_schema"), vc("character_set_name"),
+      vc("collation_catalog"), vc("collation_schema"), vc("collation_name"),
+      vc("domain_catalog"), vc("domain_schema"), vc("domain_name"),
+      vc("udt_catalog"), vc("udt_schema"), vc("udt_name"),
+      vc("scope_catalog"), vc("scope_schema"), vc("scope_name"),
+      ic("maximum_cardinality"), vc("dtd_identifier"),
+      vc("is_self_referencing"), vc("is_identity"),
+      vc("identity_generation"), vc("identity_start"),
+      vc("identity_increment"), vc("identity_maximum"),
+      vc("identity_minimum"), vc("identity_cycle"), vc("is_generated"),
+      vc("generation_expression"), vc("is_updatable"),
+      vc("COLUMN_COMMENT")))
+    // (numeric_precision, radix, scale) as DuckDB fills them for the
+    // machine types; null for non-numerics
+    def numeric(dt: DataType): (Any, Any, Any) = dt match {
+      case ByteType => (8, 2, 0)
+      case ShortType => (16, 2, 0)
+      case IntegerType => (32, 2, 0)
+      case LongType => (64, 2, 0)
+      case FloatType => (24, 2, 0)
+      case DoubleType => (53, 2, 0)
+      case d: DecimalType => (d.precision, 10, d.scale)
+      case _ => (null, null, null)
+    }
+    val cRows = entries.flatMap { case (key, c, s, t, df) =>
+      val declared = declaredTypes.getOrElse(norm(key), Map.empty)
+      val notNull = notNullCols.getOrElse(norm(key), Set.empty)
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        val (p, r, sc) = numeric(f.dataType)
+        Row(c, s, t, f.name, i + 1, null,
+          if (f.nullable && !notNull(f.name.toLowerCase)) "YES" else "NO",
+          declared.getOrElse(f.name.toLowerCase, infoTypeName(f.dataType)),
+          null, null, p, r, sc, null, null, null, null, null, null,
+          null, null, null, null, null, null, null, null, null, null,
+          null, null, null, null, null, null, null, null, null, null,
+          null, null, null, null, null, null)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(cRows, 1), cSchema)
+      .createOrReplaceTempView("information_schema_columns")
+  }
 
   // ---- command patterns (case-insensitive, dotall) -----------------------
   private val CreateTableAs =
@@ -1734,10 +1842,19 @@ class Engine(val spark: SparkSession) {
         notNullCols.getOrElse(norm(name), Set.empty),
         declaredTypes.getOrElse(norm(name), Map.empty))
     case query =>
+      // information_schema.tables/columns (r16): rebuild the views from
+      // the CURRENT catalog, then resolve like any dotted name
+      val infoQuery =
+        if (infoSchemaRe.findFirstIn(query).isEmpty) query
+        else {
+          refreshInformationSchema()
+          infoSchemaRe.replaceAllIn(query,
+            m => "information_schema_" + m.group(1).toLowerCase)
+        }
       // db-qualified names (nyc.taxi) resolve through the Engine catalog:
       // temp views are single-part, so swap in the underscored view name
       val dotted = tables.keys.filter(_.contains('.'))
-        .foldLeft(query) { (q, key) =>
+        .foldLeft(infoQuery) { (q, key) =>
           ("""(?i)\b""" + java.util.regex.Pattern.quote(key) + """\b""").r
             .replaceAllIn(q, key.replace('.', '_'))
         }

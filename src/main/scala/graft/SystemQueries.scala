@@ -3626,6 +3626,37 @@ object SystemQueries {
         |  FROM v3 WHERE status = 'stale')
         |SELECT phase, CAST(n AS BIGINT) AS n, total FROM r
         |ORDER BY phase""".stripMargin,
+      headline = true),
+
+    // §2.9 H2 (r16): the reference's live-introspection entry point —
+    // examples/utils.py:13-31 builds its schema prompt by executing
+    // literal `information_schema.tables` / `information_schema.columns`
+    // SQL. The Engine serves both as DuckDB-shaped views over its own
+    // catalog (Engine.refreshInformationSchema); the oracle is DuckDB's
+    // OWN information_schema over the same tables, so the shape, the
+    // type spellings (BIGINT/INTEGER/VARCHAR/DOUBLE) and the ordinals
+    // are pinned engine-to-engine, not hand-written.
+    "q281_information_schema" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      try {
+        for (t <- Seq("region", "nation", "customer"))
+          e.executeDuck(s"CREATE TABLE $t AS SELECT * FROM $t")
+        e.executeDuck(
+          """SELECT table_name, column_name,
+            |  CAST(ordinal_position AS INT) AS ordinal_position,
+            |  data_type, is_nullable
+            |FROM information_schema.columns
+            |WHERE table_name IN ('region', 'nation', 'customer')
+            |ORDER BY table_name, ordinal_position""".stripMargin)
+          .localCheckpoint()
+      } finally e.close()
+    },
+      """SELECT table_name, column_name,
+        |  CAST(ordinal_position AS INT) AS ordinal_position,
+        |  data_type, is_nullable
+        |FROM information_schema.columns
+        |WHERE table_name IN ('region', 'nation', 'customer')
+        |ORDER BY table_name, ordinal_position""".stripMargin,
       headline = true)
   )
 }
