@@ -3657,6 +3657,72 @@ object SystemQueries {
         |FROM information_schema.columns
         |WHERE table_name IN ('region', 'nation', 'customer')
         |ORDER BY table_name, ordinal_position""".stripMargin,
+      headline = true),
+
+    // Execution-time manifest pruning from a JOIN plan shape (r16, the
+    // r15 verdict's top item): clean snapshot tables now read through a
+    // manifest-backed FileIndex (graft.sources.GraftFileIndex), so the
+    // filters Spark pushes down to the scan — which exist for ANY plan
+    // shape, joins included — consult the manifest's bounds at
+    // file-LISTING time. The statement front end (ScanPrune) declines
+    // this query outright (JOIN token), which was exactly the r15
+    // ceiling: a fact⋈dim query over a snapshot table scanned every
+    // file. `pruned` comes from the FileIndex's recorded decision
+    // AFTER execution (kept < total over ≥3 banded files); the oracle
+    // pins the content AND that skipping really happened.
+    "q282_join_pruned_scan" -> api((spark, sfDir) => {
+      import graft.sources.GraftFileIndex
+      val e = new Engine(spark)
+      e.executeDuck("SET auto_stats = true")
+      val base = spark.table("lineitem")
+        .where(col("l_orderkey") <= 4000)
+        .select(concat(col("l_returnflag"), lit("-"),
+          lpad(col("l_orderkey").cast("string"), 8, "0")).as("skey"),
+          col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+        .localCheckpoint()
+      e.register("g282_base", base)
+      e.executeDuck("CREATE TABLE g282_f (skey VARCHAR, flag VARCHAR, " +
+        "qty DOUBLE)")
+      // three banded commits → disjoint per-file skey prefixes (A-/N-/R-)
+      Seq("A", "N", "R").foreach { fl =>
+        e.executeDuck(
+          s"""INSERT INTO g282_f SELECT skey, flag, qty FROM g282_base
+             |WHERE flag = '$fl'""".stripMargin)
+      }
+      e.executeDuck("CREATE TABLE g282_d AS SELECT * FROM (VALUES " +
+        "('A', 'returned'), ('N', 'live'), ('R', 'refunded')) " +
+        "AS t(flag, label)")
+      val joined = e.executeDuck(
+        """SELECT d.label AS label, count(f.skey) AS n,
+          |  CAST(sum(CAST(f.qty AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM g282_f f JOIN g282_d d ON f.flag = d.flag
+          |WHERE f.skey BETWEEN 'N-00000500' AND 'N-00002500'
+          |GROUP BY d.label ORDER BY label""".stripMargin)
+        .localCheckpoint() // execute: listFiles records its decision
+      val dir = e.snapshotDir("g282_f").get
+      val (kept, total) = GraftFileIndex.lastPrune
+        .getOrDefault(dir, (0, 0))
+      val out = joined
+        .withColumn("pruned", lit(total >= 3 && kept < total))
+        .localCheckpoint()
+      try out finally {
+        graft.operators.SnapshotOps.releaseCheckpoint(base)
+        graft.operators.SnapshotOps.releaseCheckpoint(joined)
+        e.close()
+      }
+    },
+      """WITH f AS (SELECT l_returnflag || '-' ||
+        |    lpad(CAST(l_orderkey AS VARCHAR), 8, '0') AS skey,
+        |    l_returnflag AS flag, l_quantity AS qty
+        |  FROM lineitem WHERE l_orderkey <= 4000),
+        |d(flag, label) AS (VALUES
+        |  ('A', 'returned'), ('N', 'live'), ('R', 'refunded'))
+        |SELECT d.label AS label, count(f.skey) AS n,
+        |  CAST(sum(CAST(f.qty AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  TRUE AS pruned
+        |FROM f JOIN d ON f.flag = d.flag
+        |WHERE f.skey BETWEEN 'N-00000500' AND 'N-00002500'
+        |GROUP BY d.label ORDER BY label""".stripMargin,
       headline = true)
   )
 }

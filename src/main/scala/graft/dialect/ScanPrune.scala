@@ -34,6 +34,12 @@ object ScanPrune {
   final case class StrLit(v: String) extends Lit
   final case class TsLit(text: String) extends Lit
   final case class DateLit(text: String) extends Lit
+  /** A literal ALREADY in encodeBound space (r16): produced only by
+    * the typed Catalyst front end (graft.sources.CatalystPrune), where
+    * date/timestamp values arrive as their internal epoch encodings —
+    * never by the SQL text parser. Bound encoding passes it through
+    * verbatim for any column type. */
+  final case class EncLit(v: BigDecimal) extends Lit
 
   sealed trait RawPred { def col: String }
   final case class Cmp(col: String, op: String, lit: Lit) extends RawPred

@@ -340,11 +340,23 @@ object SnapshotOps {
       // travel to a pre-rename/pre-drop version reproduces that
       // version's shape with its data, from the same unrewritten files
       val mapping = columnMapping(tableDir, version)
-      val phys = readUnitsVisible(spark, tableDir,
-        dataUnits(tableDir, version), deleteEntries(tableDir, version),
-        eqDeleteUnits(tableDir, version),
-        mergeSchema = mergeSchema || mapping.nonEmpty)
-      logicalView(phys, mapping)
+      val dvs = deleteEntries(tableDir, version)
+      val eqs = eqDeleteUnits(tableDir, version)
+      // CLEAN snapshot (no MoR debt, no mapping): serve a relation over
+      // the manifest-backed FileIndex (r16) — the scan then consults
+      // the manifest's bounds/blooms/hidden-partition stats at
+      // file-LISTING time with the filters Spark pushed down for THIS
+      // scan, so skipping fires from ANY plan shape (joins,
+      // subqueries, CTEs), not just the statement front end's
+      // single-table grammar. Identical rows, full parquet stack.
+      if (mapping.isEmpty && dvs.isEmpty && eqs.isEmpty && !mergeSchema)
+        graft.sources.GraftRelation.frame(spark, tableDir, version)
+      else {
+        val phys = readUnitsVisible(spark, tableDir,
+          dataUnits(tableDir, version), dvs, eqs,
+          mergeSchema = mergeSchema || mapping.nonEmpty)
+        logicalView(phys, mapping)
+      }
     } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Option(schema).getOrElse(org.apache.spark.sql.types.StructType(Nil)))
@@ -683,7 +695,7 @@ object SnapshotOps {
   private val keyRowsCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[org.apache.spark.sql.Row]]()
 
-  private def keyFileSchema(spark: SparkSession,
+  private[graft] def keyFileSchema(spark: SparkSession,
       path: String): org.apache.spark.sql.types.StructType = {
     if (keySchemaCache.size > 4096) keySchemaCache.clear()
     keySchemaCache.computeIfAbsent(path, p =>
@@ -1275,7 +1287,7 @@ object SnapshotOps {
     }
   }
 
-  private def localPath(p: String): String =
+  private[graft] def localPath(p: String): String =
     if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString
     else p
 
