@@ -362,10 +362,37 @@ class Engine(val spark: SparkSession) {
   }
 
   private def registerSnapshot(name: String, dir: String): Unit = {
+    import graft.operators.SnapshotOps
+    // commit-time maintenance policy (r16): every snapshot (re)bind —
+    // i.e. every committed DML — runs the metadata-only debt check
+    // (stacked delete files, dead-row ratio; no data file opened).
+    // With `SET auto_compact = true` a tripped policy pays the debt
+    // RIGHT HERE as one committed compaction (time travel spans it,
+    // the DV/eq lines bake in); otherwise the verdict is only
+    // recorded, queryable via PRAGMA table_maintenance.
+    val debt = SnapshotOps.maintenanceDebt(dir,
+      SnapshotOps.currentVersion(dir))
+    val auto = spark.conf.getOption("graft.setting.auto_compact")
+      .exists(v => Set("true", "1", "on")(v.trim.toLowerCase))
+    maintenanceFlags(norm(name)) =
+      if (debt.flagged && auto) {
+        SnapshotOps.commitCompact(spark, dir,
+          math.max(1, math.min(debt.dataFiles, 4)))
+        SnapshotOps.maintenanceDebt(dir, SnapshotOps.currentVersion(dir))
+          .copy(reason = s"auto_compacted(${debt.reason})")
+      } else debt
     // bind, not register: register would retire the very dir being bound
     bind(norm(name), graft.operators.SnapshotOps.readLatest(spark, dir))
     snapshotDirs(norm(name)) = dir
   }
+
+  /** Last commit-time maintenance verdict per snapshot table (r16) —
+    * PRAGMA table_maintenance recomputes against the current manifest,
+    * so a manual SnapshotOps commit can never leave this stale; the map
+    * exists so the commit-time decision (incl. the auto_compacted
+    * marker) stays observable. */
+  val maintenanceFlags: mutable.Map[String,
+    graft.operators.SnapshotOps.MaintenanceDebt] = mutable.Map.empty
 
   /** INSERT: a transactional manifest-union append when the table can
     * live in the snapshot layer (the aligned rows become version 1 of
@@ -692,6 +719,8 @@ class Engine(val spark: SparkSession) {
   private val PragmaDbList = """(?is)\s*PRAGMA\s+database_list\s*""".r
   private val PragmaSnapshots =
     """(?is)\s*PRAGMA\s+table_snapshots\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
+  private val PragmaMaintenance =
+    """(?is)\s*PRAGMA\s+table_maintenance\s*\(\s*'?([\w.]+?)'?\s*\)\s*""".r
   private val PragmaTableChanges =
     ("""(?is)\s*PRAGMA\s+table_changes\s*\(\s*'?([\w.]+?)'?\s*,""" +
       """\s*(\d+)\s*,\s*(\d+)\s*\)\s*""").r
@@ -1566,6 +1595,7 @@ class Engine(val spark: SparkSession) {
       pendingPartSpec.remove(norm(name))
       lastPrune.remove(norm(name))
       lastMetaCount.remove(norm(name))
+      maintenanceFlags.remove(norm(name))
       // dotted (attached-catalog) names are backed by an underscored
       // temp view (see register) — drop the view that actually exists
       spark.catalog.dropTempView(norm(name).replace('.', '_')); empty()
@@ -1741,6 +1771,28 @@ class Engine(val spark: SparkSession) {
         s"table_partitions: '$name' has no committed snapshot history"))
       SnapshotOps.partitionValues(dir, SnapshotOps.currentVersion(dir))
         .toDF("transform", "value", "files", "rows")
+    case PragmaMaintenance(name) =>
+      // the compaction-policy verdict at the PRAGMA surface (r16):
+      // merge-on-read debt from manifest metadata only, plus the
+      // read-tax model's flag. `reason` carries `auto_compacted(…)`
+      // when the commit-time policy already paid the debt this
+      // statement (SET auto_compact = true).
+      import spark.implicits._
+      import graft.operators.SnapshotOps
+      val dir = snapshotDir(name).getOrElse(throw new IllegalArgumentException(
+        s"table_maintenance: '$name' has no committed snapshot history"))
+      val live = SnapshotOps.maintenanceDebt(dir,
+        SnapshotOps.currentVersion(dir))
+      val d = maintenanceFlags.get(norm(name))
+        .filter(f => f.version == live.version &&
+          f.reason.startsWith("auto_compacted"))
+        .getOrElse(live)
+      Seq((d.version.toLong, d.dataFiles.toLong, d.dataRows,
+        d.dvFiles.toLong, d.dvRows, d.eqFiles.toLong, d.eqRows,
+        d.flagged, d.reason))
+        .toDF("version", "data_files", "data_rows", "dv_files",
+          "dv_rows", "eq_files", "eq_rows", "compact_recommended",
+          "reason")
     // ---- named refs (r15): tags + branch forks at the SQL surface ----
     // `PRAGMA create_tag('t','name'[,version])` pins a version against
     // retention; `VERSION AS OF 'name'` resolves it (or a branch

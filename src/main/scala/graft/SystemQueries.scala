@@ -3723,6 +3723,63 @@ object SystemQueries {
         |FROM f JOIN d ON f.flag = d.flag
         |WHERE f.skey BETWEEN 'N-00000500' AND 'N-00002500'
         |GROUP BY d.label ORDER BY label""".stripMargin,
+      headline = true),
+
+    // Maintenance policy lifecycle (r16, the r15 verdict's #8): the
+    // commit-time debt check — manifest metadata only — flags when the
+    // merge-on-read read-tax model crosses its threshold (dead rows ≥
+    // 10% of data rows, or ≥ 8 stacked delete files), surfaced via
+    // PRAGMA table_maintenance; `SET auto_compact = true` makes the
+    // NEXT commit pay the flagged debt as one committed compaction
+    // (DV lines bake in, time travel spans it). The oracle rederives
+    // the row counts AND the dv_rows debt relationally, and pins the
+    // flag/reason transitions.
+    "q284_maintenance_policy" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck("SET delete_mode = 'mor'")
+      e.executeDuck("CREATE TABLE g284 (id INTEGER, bal DOUBLE)")
+      e.executeDuck(
+        """INSERT INTO g284 SELECT c_custkey, c_acctbal FROM customer
+          |WHERE c_custkey <= 1000""".stripMargin)
+      def phase(p: String) = {
+        val m = e.executeDuck("PRAGMA table_maintenance('g284')")
+          .collect()(0)
+        e.executeDuck("SELECT count(*) AS n FROM g284")
+          .select(lit(p).as("phase"), col("n"),
+            lit(m.getLong(4)).as("dv_rows"),
+            lit(m.getBoolean(7)).as("flagged"),
+            lit(m.getString(8).startsWith("auto_compacted"))
+              .as("auto_paid"))
+      }
+      val p0 = phase("a_ingest")
+      // ~14% of rows delete as one DV — over the 10% row-tax threshold
+      e.executeDuck("DELETE FROM g284 WHERE id % 7 = 0")
+      val p1 = phase("b_mor_debt")
+      // the next commit's policy check pays the flagged debt
+      e.executeDuck("SET auto_compact = true")
+      e.executeDuck("DELETE FROM g284 WHERE id % 11 = 0 AND id % 7 <> 0")
+      val p2 = phase("c_auto_compacted")
+      val out = Seq(p0, p1, p2).reduce(_.unionByName(_))
+        .orderBy("phase").localCheckpoint()
+      try out finally e.close()
+    },
+      """WITH base AS (SELECT c_custkey AS id FROM customer
+        |  WHERE c_custkey <= 1000),
+        |v2 AS (SELECT id FROM base WHERE id % 7 <> 0),
+        |v3 AS (SELECT id FROM v2 WHERE id % 11 <> 0 OR id % 7 = 0)
+        |SELECT 'a_ingest' AS phase, (SELECT count(*) FROM base) AS n,
+        |  CAST(0 AS BIGINT) AS dv_rows, FALSE AS flagged,
+        |  FALSE AS auto_paid
+        |UNION ALL
+        |SELECT 'b_mor_debt',
+        |  (SELECT count(*) FROM v2),
+        |  (SELECT count(*) FROM base WHERE id % 7 = 0),
+        |  TRUE, FALSE
+        |UNION ALL
+        |SELECT 'c_auto_compacted',
+        |  (SELECT count(*) FROM v3),
+        |  CAST(0 AS BIGINT), FALSE, TRUE
+        |ORDER BY phase""".stripMargin,
       headline = true)
   )
 }

@@ -27,6 +27,7 @@ object GraftFunctions {
     ("pragma_version", 0, _ => PragmaVersion()),
     ("simhash64", 1, args => SimHash64Expr(args(0))),
     ("simhash_md5", 1, args => SimHashMd5Expr(args(0))),
+    ("simhash_md5w", 1, args => SimHashMd5WideExpr(args(0))),
     ("minhash_sig", 2, args => MinHashSigExpr(args(0), args(1))),
     ("minhash_md5", 2, args => MinHashMd5Expr(args(0), args(1))),
     ("rp_sketch", 3, args => RpSketchExpr(args(0), args(1), args(2))),
@@ -55,6 +56,8 @@ object GraftFunctions {
     toCol(SimHash64Expr(toExpr(tokens)))
   def simhashMd5(tokens: Column): Column =
     toCol(SimHashMd5Expr(toExpr(tokens)))
+  def simhashMd5Wide(tokens: Column): Column =
+    toCol(SimHashMd5WideExpr(toExpr(tokens)))
   def minhashSig(shingles: Column, k: Column): Column =
     toCol(MinHashSigExpr(toExpr(shingles), toExpr(k)))
   def minhashMd5(shingles: Column, k: Column): Column =

@@ -134,6 +134,45 @@ object GraftHash {
     sig
   }
 
+  /** Portable 64-bit SimHash (r16): bit j is the majority vote of bit
+    * j of each token's md5 digest (big-endian — byte j/8, bit 7-(j%8),
+    * i.e. hex nibble j/4's bit 3-(j%4)). ONE digest per token — the
+    * same hash cost as the 32-bit [[simhashMd5]], which uses only the
+    * 32 nibble MSBs of the same 128 bits — and still reproducible on
+    * any engine with md5()+substr(): each within-nibble bit is a fixed
+    * 8-char membership set over the hex alphabet. The scale-safe
+    * headline width: at maxHamming=3 the banded candidate search gets
+    * 16-bit chunks, so band collisions run at 2^-16 instead of the
+    * 32-bit form's 2^-8 — the q178 sf10sv saturation was exactly that
+    * Θ(sigs²/2^8) band-pair tail. */
+  def simhashMd5Wide(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(tokens.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 64) {
+          if (((digest(j >>> 3) >> (7 - (j & 7))) & 1) == 1)
+            counts(j) += 1
+          else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L

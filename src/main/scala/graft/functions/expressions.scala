@@ -174,6 +174,26 @@ case class SimHashMd5Expr(child: Expression)
     copy(child = newChildren(0))
 }
 
+/** Portable 64-bit SimHash ([[GraftHash.simhashMd5Wide]]): two md5
+  * digests per token (plain + 'x'-prefixed) vote 64 bits — the
+  * scale-safe banded-search width, still oracle-checkable on any
+  * engine with md5()+substr(). */
+case class SimHashMd5WideExpr(child: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val in = if (child.dataType == ArrayType(StringType)) child
+             else Cast(child, ArrayType(StringType))
+    objects.StaticInvoke(GraftHash.getClass, LongType, "simhashMd5Wide",
+      Seq(in), inputTypes = Seq(ArrayType(StringType)),
+      returnNullable = false)
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "simhash_md5w"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** Scan-file-path → integer ordinal interning ([[GraftHash.pathOrdinal]]):
   * turns the deletion-vector key (`_metadata.file_path`, a ~100-char
   * string) into the path's index in the plan-time scan file list, so DV

@@ -243,6 +243,44 @@ object SnapshotOps {
     (dvs.size, dvs.flatMap(_.bounds.get(RowsKey)).map(_._1.toLong).sum)
   }
 
+  /** Merge-on-read debt of a snapshot with the compaction-policy
+    * verdict (r16, the r15 verdict's #8) — manifest metadata ONLY, no
+    * data file opened. The read-tax model: every DV position is one
+    * anti-join row on every scan; every stacked eq-delete commit is
+    * one more plan-time key-frame/bloom consult (the r15 flattening
+    * made the SCAN flat in delete count, but commit metadata and
+    * plan-time work still grow); invisible rows are pure scan waste a
+    * compaction reclaims. `flagged` trips when any of:
+    *   - DV'd + eq-deleted rows ≥ `rowTaxPct`% of recorded data rows
+    *     (default 10 — the classic rewrite-beats-MoR crossover), or
+    *   - stacked delete FILES (dv + eq lines) ≥ `maxDeleteFiles`
+    *     (default 8 — bounded plan-time metadata work per scan).
+    * `reason` names the tripped rule; compaction ([[commitCompact]])
+    * pays the whole debt in one committed version. */
+  final case class MaintenanceDebt(version: Int, dataFiles: Int,
+      dataRows: Long, dvFiles: Int, dvRows: Long, eqFiles: Int,
+      eqRows: Long, flagged: Boolean, reason: String)
+
+  def maintenanceDebt(tableDir: String, version: Int,
+      rowTaxPct: Int = 10, maxDeleteFiles: Int = 8): MaintenanceDebt = {
+    val entries = snapshotEntries(tableDir, version)
+    val dataRows = entries.flatMap(_.bounds.get(RowsKey))
+      .map(_._1.toLong).sum
+    val (dvF, dvR) = deleteStats(tableDir, version)
+    val (eqF, eqR) = eqDeleteStats(tableDir, version)
+    val deadRows = dvR + eqR // eq rows are key tuples — an upper-
+    // bound proxy for matched rows; over-flagging only compacts early
+    val rowTax = dataRows > 0 && deadRows * 100 >= dataRows * rowTaxPct
+    val fileTax = dvF + eqF >= maxDeleteFiles
+    val reason =
+      if (rowTax && fileTax) "row_tax+delete_files"
+      else if (rowTax) "row_tax"
+      else if (fileTax) "delete_files"
+      else ""
+    MaintenanceDebt(version, entries.size, dataRows, dvF, dvR, eqF, eqR,
+      flagged = rowTax || fileTax, reason = reason)
+  }
+
   /** Equality-delete entries of a snapshot with their stamped
     * sequence numbers, ascending. An eq-delete line without `_seq`
     * fails fast: the delete-after-data rule cannot be evaluated
@@ -3438,30 +3476,64 @@ object SnapshotOps {
       // only live in a file whose bounds intersect the source range.
       // Unsupported key types or an empty source decline (full scan).
       val candSet: Option[Set[String]] = {
-        val physKeys = keyCols.map(physName(tableDir, base, _))
-          .filter(c => entries.exists(_.bounds.contains(c)))
-        if (physKeys.isEmpty) None
-        else scala.util.Try {
-          val aggs = keyCols.flatMap(c =>
-            Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c")))
-          // the probe range must span the DELETE keys too: a file
-          // holding only deleted keys must not prune away
-          val probe = delk.fold(src.select(keys: _*))(d =>
-            src.select(keys: _*).unionByName(d))
-          val r = probe.agg(aggs.head, aggs.tail: _*).head()
-          val preds = keyCols.zip(keyCols.map(physName(tableDir, base, _)))
-            .flatMap { case (c, phys) =>
-              (Option(r.getAs[Any](s"_lo_$c")),
-                Option(r.getAs[Any](s"_hi_$c"))) match {
-                case (Some(lo), Some(hi)) => Some((phys,
-                  Some(encodeBound(lo)), Some(encodeBound(hi))))
-                case _ => None // all-null or empty source: no pruning
+        // the probe must span the DELETE keys too: a file holding only
+        // deleted keys must not prune away
+        val probe = delk.fold(src.select(keys: _*))(d =>
+          src.select(keys: _*).unionByName(d))
+        val boundsPreds: Seq[(String,
+            Seq[(Option[BigDecimal], Option[BigDecimal])])] = {
+          val physKeys = keyCols.map(physName(tableDir, base, _))
+            .filter(c => entries.exists(_.bounds.contains(c)))
+          if (physKeys.isEmpty) Seq.empty
+          else scala.util.Try {
+            val aggs = keyCols.flatMap(c =>
+              Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c")))
+            val r = probe.agg(aggs.head, aggs.tail: _*).head()
+            val preds = keyCols.zip(keyCols.map(physName(tableDir, base, _)))
+              .flatMap { case (c, phys) =>
+                (Option(r.getAs[Any](s"_lo_$c")),
+                  Option(r.getAs[Any](s"_hi_$c"))) match {
+                  case (Some(lo), Some(hi)) => Some((phys,
+                    Seq((Option(encodeBound(lo)), Option(encodeBound(hi))))))
+                  case _ => None // all-null or empty source: no pruning
+                }
               }
+            if (preds.size != keyCols.size) Seq.empty else preds
+          }.getOrElse(Seq.empty)
+        }
+        // bucket-spec probes (r16, the r15 verdict's #7): a bucket
+        // transform on a merge key serves the same pruning
+        // STRUCTURALLY, with auto_stats off — files written under the
+        // spec record their derived `_p.` bucket value, and the
+        // probe's distinct bucket set (≤ n values by construction, one
+        // small agg through the SAME xxhash64 the write expression
+        // used) becomes exact point alternatives on that key. A merge
+        // keyed on the bucketed column then opens only the source
+        // keys' buckets; pre-spec files carry no `_p.` bound and are
+        // never skipped.
+        val bucketPreds: Seq[(String,
+            Seq[(Option[BigDecimal], Option[BigDecimal])])] =
+          partitionSpecAll(tableDir, base)
+            .filter(pf => pf.transform == "bucket" &&
+              keyCols.exists(_.equalsIgnoreCase(pf.col)))
+            .flatMap { pf =>
+              scala.util.Try {
+                partitionExprs(Seq(pf), probe).headOption.flatMap {
+                  case (key, e) =>
+                    val vals = probe.select(e.as("b"))
+                      .where(col("b").isNotNull).distinct()
+                      .collect().map(_.getLong(0)).sorted
+                    // all n buckets present ⇒ nothing skippable
+                    if (vals.isEmpty || vals.length >= pf.arg) None
+                    else Some((key, vals.toSeq.map(v =>
+                      (Option(BigDecimal(v)), Option(BigDecimal(v))))))
+                }
+              }.toOption.flatten
             }
-          if (preds.size != keyCols.size) None
-          else Some(predFiles(tableDir, base, preds)
-            .map(localPath).toSet)
-        }.toOption.flatten
+        val cnf = boundsPreds ++ bucketPreds
+        if (cnf.isEmpty) None
+        else scala.util.Try(predFilesCnf(tableDir, base, cnf)
+          .map(localPath).toSet).toOption
       }
       val snap = candSet match {
         case Some(cs) if cs.isEmpty => // no file can match: all inserts

@@ -315,16 +315,27 @@ object TextOps {
   def simhashMd5TopKNeighbors(docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3, k: Int = 2,
       maxBucket: Int = 1 << 16,
-      broadcastSigLimit: Long = 1L << 16): DataFrame = {
+      broadcastSigLimit: Long = 1L << 16,
+      wide: Boolean = false): DataFrame = {
+    // `wide` (r16): the 64-bit portable signature
+    // (GraftHash.simhashMd5Wide) — the scale-safe HEADLINE form. At
+    // maxHamming=3 banding gets 16-bit chunks, so the band-collision
+    // rate drops from the 32-bit form's 2^-8 to 2^-16: the sf10sv
+    // saturation of the 32-bit entry (30.8 s — Θ(sigs²/2^8) band
+    // pairs) was exactly that tail. Same pipeline, same bounded
+    // contracts, still md5-portable for the DuckDB oracle.
+    val width = if (wide) 64 else 32
     // materialize signatures once: the subplan feeds groups, the
     // signature pairing AND the per-doc candidate expansion — without
     // this the md5-per-token digest pass runs three times (measured
     // 3.0 s → 1.9 s at sf0.1; ~1.5× at sf1 in a same-session A/B on the
     // noisy bench host). The warehouse analogue is a persisted
     // signature column.
+    val sigOf =
+      if (wide) graft.functions.GraftFunctions.simhashMd5Wide _
+      else graft.functions.GraftFunctions.simhashMd5 _
     val sigs = parallelize(docs).select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.simhashMd5(tokens(col(textCol)))
-        .as("sig"))
+      sigOf(tokens(col(textCol))).as("sig"))
       .localCheckpoint()
     // one shuffle: distinct-signature groups with the k+1 smallest
     // member ids and the group size. Checkpointed: the table feeds the
@@ -351,14 +362,23 @@ object TextOps {
     // its own group's other members
     val gp = bandedHammingPairs(
       groups.select(col("sig").as("id"), col("sig")),
-      bits = 32, maxHamming = maxHamming, maxBucket = maxBucket)
-    val nbrGroups =
-      gp.select(col("id_a").as("sig"), col("id_b").as("nbr_sig"),
-          col("hamming"))
-        .union(gp.select(col("id_b").as("sig"), col("id_a").as("nbr_sig"),
-          col("hamming")))
-        .union(groups.select(col("sig"), col("sig").as("nbr_sig"),
-          lit(0).as("hamming")))
+      bits = width, maxHamming = maxHamming, maxBucket = maxBucket)
+    // both orientations EXPLODE out of one pass over the banded join
+    // (r16): the previous gp.union(gp-flipped) shape referenced the gp
+    // subtree twice, and exchange reuse does not cover the join+verify
+    // compute above the reused shuffles — the whole candidate stage
+    // ran twice (measured at sf10sv: the pair stage alone 6.5 s, the
+    // old two-reference pipeline 37 s end-to-end; one-pass orientation
+    // puts the full query at ~11 s)
+    val oriented = gp.select(explode(array(
+        struct(col("id_a").as("sig"), col("id_b").as("nbr_sig"),
+          col("hamming")),
+        struct(col("id_b").as("sig"), col("id_a").as("nbr_sig"),
+          col("hamming")))).as("p"))
+      .select(col("p.sig"), col("p.nbr_sig"), col("p.hamming"))
+    val nbrGroups = oriented
+      .union(groups.select(col("sig"), col("sig").as("nbr_sig"),
+        lit(0).as("hamming")))
     // signature-level prune BEFORE the doc join: per (sig, hamming
     // level), only the k+1 neighbor groups with the smallest lead
     // member id can ever serve a top-k request. Soundness: a doc's
@@ -404,10 +424,89 @@ object TextOps {
       sigs.select(col(idCol).as("id"), col(sigCol).as("sig")),
       bits, maxHamming, maxBucket)
 
+  /** Two-level pigeonhole banding for 64-bit signatures (r16): a pair
+    * within Hamming ≤ 3 shares an intact 16-bit chunk (level 1), and —
+    * since all its diffs then live in the remaining 48 bits — ALSO an
+    * intact 12-bit sub-chunk of that remainder (level 2, pigeonhole
+    * again over 4 sub-chunks ≥ maxHamming+1). The candidate key is
+    * (chunk, chunkBits, sub, subBits): 16 keys per signature instead
+    * of 4, but a HOT level-1 bucket (tens of thousands of signatures
+    * sharing one 16-bit chunk without being near-dups — measured
+    * 2.2 B candidate pairs at sf10sv, 0.2% verify precision) splits by
+    * the 12-bit sub-value, cutting its quadratic expansion ~4096×/4.
+    * Exact: both levels are necessary conditions, so recall is
+    * unchanged; each pair still emits exactly once, at its minimal
+    * agreeing (chunk, sub) — the same row-local dedup discipline as
+    * the one-level form. Measured sf10sv (485k distinct sigs): the
+    * pair stage 11.7 s → the candidate volume collapses from 2.2 B to
+    * the near-dup structure itself. */
+  private def bandedHammingPairs2L(sigs: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val W = 16
+    val SW = 12
+    def chunkBitsOf(c: Int, sig: Column): Column =
+      shiftright(sig, c * W).bitwiseAND(lit((1L << W) - 1))
+    // the 48-bit remainder of `sig` with chunk `c` excised
+    def remainder48(c: Int, sig: Column): Column = {
+      val lowBits = c * W
+      val low =
+        if (lowBits == 0) lit(0L)
+        else sig.bitwiseAND(lit((1L << lowBits) - 1))
+      val high =
+        if (c == 3) lit(0L)
+        else shiftleft(shiftright(sig, (c + 1) * W)
+          .bitwiseAND(lit((1L << (48 - lowBits)) - 1)), lowBits)
+      low.bitwiseOR(high)
+    }
+    def subBitsOf(c: Int, s: Int, sig: Column): Column =
+      shiftright(remainder48(c, sig), s * SW)
+        .bitwiseAND(lit((1L << SW) - 1))
+    val keys = for (c <- 0 until 4; s <- 0 until 4) yield
+      struct(lit(c).as("chunk"), lit(s).as("sub"),
+        chunkBitsOf(c, col("sig")).as("ch"),
+        subBitsOf(c, s, col("sig")).as("sch"))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array(keys: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.chunk"), col("bb.sub"),
+        col("bb.ch"), col("bb.sch"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk", "sub", "ch", "sch")))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val firstChunk: Column = (0 until 4)
+      .foldRight(lit(-1): Column) { (c, rest) =>
+        when(chunkBitsOf(c, col("x.sig")) === chunkBitsOf(c, col("y.sig")),
+          lit(c)).otherwise(rest)
+      }
+    def firstSubFor(c: Int): Column = (0 until 4)
+      .foldRight(lit(-1): Column) { (s, rest) =>
+        when(subBitsOf(c, s, col("x.sig")) ===
+          subBitsOf(c, s, col("y.sig")), lit(s)).otherwise(rest)
+      }
+    val firstSub: Column = (0 until 4)
+      .foldLeft(lit(-1): Column) { (acc, c) =>
+        when(col("x.chunk") === c, firstSubFor(c)).otherwise(acc)
+      }
+    banded.as("x").join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.sub") === col("y.sub") &&
+          col("x.ch") === col("y.ch") && col("x.sch") === col("y.sch") &&
+          col("x.id") < col("y.id"))
+      .where(col("x.chunk") === firstChunk && col("x.sub") === firstSub)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .where(col("hamming") <= 3)
+  }
+
   private def bandedHammingPairs(sigs: DataFrame, bits: Int,
       maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming in [0, $bits)")
+    // the 64-bit maxHamming=3 shape takes the two-level pigeonhole
+    // (exact — see bandedHammingPairs2L); other shapes keep the
+    // one-level form
+    if (bits == 64 && maxHamming == 3)
+      return bandedHammingPairs2L(sigs, maxBucket)
     val chunks = maxHamming + 1
     val width = bits / chunks // last chunk absorbs the remainder bits
     def chunkBitsOf(c: Int, sig: Column): Column = {

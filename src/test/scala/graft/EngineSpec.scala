@@ -1499,6 +1499,52 @@ class EngineSpec extends SparkSpecBase {
     e.close()
   }
 
+  test("maintenance policy (r16): stacked MoR deletes trip the " +
+      "commit-time debt flag; SET auto_compact pays it as one " +
+      "committed compaction") {
+    import graft.operators.SnapshotOps
+    val e = engine
+    e.executeDuck("SET delete_mode = 'mor'")
+    e.executeDuck("CREATE TABLE mt (id int, v int)")
+    e.executeDuck("INSERT INTO mt SELECT id, id * 10 FROM " +
+      "(SELECT explode(sequence(1, 40)) AS id)")
+    def m() = e.executeDuck("PRAGMA table_maintenance('mt')").collect()(0)
+    val m0 = m()
+    assert(!m0.getBoolean(7) && m0.getLong(4) == 0L, m0.toString)
+    // 5/40 deleted rows = 12.5% ≥ the 10% row-tax threshold
+    e.executeDuck("DELETE FROM mt WHERE id <= 5")
+    val m1 = m()
+    assert(m1.getLong(3) == 1L && m1.getLong(4) == 5L, m1.toString)
+    assert(m1.getBoolean(7) && m1.getString(8) == "row_tax", m1.toString)
+    // flag only — auto_compact is off, so the debt is still there
+    val dir = e.snapshotDir("mt").get
+    assert(SnapshotOps.deleteStats(dir, SnapshotOps.currentVersion(dir))
+      ._2 == 5L)
+    // with auto_compact on, the NEXT commit's policy check pays the
+    // debt as one committed compaction — DV lines bake in, flag clears
+    e.executeDuck("SET auto_compact = true")
+    e.executeDuck("DELETE FROM mt WHERE id = 40")
+    val m2 = m()
+    assert(m2.getString(8).startsWith("auto_compacted("), m2.toString)
+    assert(!m2.getBoolean(7) && m2.getLong(4) == 0L && m2.getLong(6) == 0L,
+      m2.toString)
+    assert(e.executeDuck("SELECT count(*) AS n FROM mt").collect()(0)
+      .getLong(0) == 34L)
+    // time travel spans the maintenance commit
+    assert(e.executeDuck("SELECT count(*) AS n FROM mt VERSION AS OF 1")
+      .collect()(0).getLong(0) == 40L)
+    // the file-count rule trips independently of the row tax
+    e.executeDuck("SET auto_compact = false")
+    e.executeDuck("CREATE TABLE mt2 (id int)")
+    e.executeDuck("INSERT INTO mt2 SELECT explode(sequence(1, 2000))")
+    for (i <- 1 to 8)
+      e.executeDuck(s"DELETE FROM mt2 WHERE id = ${i * 3}")
+    val f = e.executeDuck("PRAGMA table_maintenance('mt2')").collect()(0)
+    assert(f.getBoolean(7) && f.getString(8) == "delete_files",
+      f.toString)
+    e.close()
+  }
+
   test("named refs (r15): tags pin versions against retention and " +
       "resolve through VERSION AS OF '<name>'; table_refs lists them") {
     val e = engine

@@ -350,6 +350,43 @@ class SnapshotOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("commitMerge bucket-spec probe pruning (r16): a merge keyed on " +
+      "the bucket column opens only the source keys' buckets with " +
+      "auto_stats off — no recorded key bounds needed") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotOps.commitSetPartitionSpec(t,
+      Seq(SnapshotOps.parsePartField("bucket(8, id)")))             // v1
+    // NO statsCols: the only skippable metadata is the derived `_p.`
+    // bucket bound the spec write records
+    SnapshotOps.commitAppend(spark, t,
+      (1L to 400L).map(i => (i, i * 10)).toDF("id", "v"))           // v2
+    val total = SnapshotOps.snapshotFileCount(t, 2)
+    assert(total >= 8, s"expected >=8 bucket files, got $total")
+    assert(!SnapshotOps.snapshotEntries(t, 2)
+      .exists(_.bounds.contains("id")), "no raw key bounds recorded")
+    // a 2-key source hits at most 2 buckets; the commit must REUSE
+    // every other bucket's file
+    val c = SnapshotOps.commitMerge(spark, t,
+      Seq((7L, 7777L), (250L, 8888L)).toDF("id", "v"), Seq("id"))
+    assert(c.version == 3)
+    assert(c.reused >= total - 2,
+      s"bucket probe should reuse all non-matching buckets: $c " +
+        s"(total $total)")
+    val got = SnapshotOps.readLatest(spark, t)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 400 && got(7L) == 7777L && got(250L) == 8888L
+      && got(8L) == 80L)
+    // deletes ride the same probe: the delete keys' buckets must stay
+    // in the candidate set
+    val c2 = SnapshotOps.commitMerge(spark, t,
+      spark.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("v"))
+        .limit(0),
+      Seq("id"), deleteKeys = Seq(250L).toDF("id"))
+    assert(SnapshotOps.readLatest(spark, t).count() == 399)
+    assert(c2.reused >= total - 2, s"delete-only merge over-rewrote: $c2")
+  }
+
   test("commitCluster z-orders the snapshot: two-dim box reads prune " +
       "strictly better than the hash layout, content is unchanged") {
     import spark.implicits._

@@ -171,6 +171,49 @@ class TextOpsSpec extends SparkSpecBase {
       s"near-dup hamming ${ham(100L, 101L)} not separated")
   }
 
+  test("wide (64-bit) simhash top-k (r16): equals the quadratic truth " +
+      "over the packed wide signature; halves match the portable duals") {
+    import spark.implicits._
+    val docs = planted
+    val got = TextOps.simhashMd5TopKNeighbors(docs, "doc_id", "text",
+        maxHamming = 3, k = 2, wide = true)
+      .select("id", "nbr", "hamming", "rk")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val sigs = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.simhashMd5Wide(
+          TextOps.tokens(col("text"))).as("sig"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ia, sa) <- sigs
+      cands = (for {
+        (ib, sb) <- sigs if ib != ia
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+      } yield (h, ib)).sorted.take(2)
+      ((h, ib), rk) <- cands.zipWithIndex
+    } yield (ia, ib, h, rk + 1)).toSet
+    assert(got == want, s"got=$got want=$want")
+    // the kernel's bit extraction matches a direct digest-bit
+    // reference (what the oracle's hex-membership terms read): bit j =
+    // md5 byte j/8, bit 7-(j%8) — majority over tokens
+    def refSig(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      text.trim.split("\\s+").foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        for (j <- 0 until 64)
+          if (((d(j >>> 3) >> (7 - (j & 7))) & 1) == 1) counts(j) += 1
+          else counts(j) -= 1
+      }
+      (0 until 64).foldLeft(0L)((s, j) =>
+        if (counts(j) > 0) s | (1L << j) else s)
+    }
+    val texts = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    sigs.foreach { case (id, s) =>
+      assert(s == refSig(texts(id)), s"wide signature mismatch for $id") }
+  }
+
   test("simhashMd5TopKNeighbors shuffle path (diverse corpus) equals " +
       "the broadcast path and the quadratic truth") {
     import spark.implicits._
