@@ -157,7 +157,46 @@ object JoinAbProbe {
           |SELECT /*+ BROADCAST(nation) */ n_name, sum(n) AS n_orders,
           |  CAST(sum(tot) AS DOUBLE) AS revenue
           |FROM x JOIN nation ON c_nationkey = n_nationkey
-          |GROUP BY n_name ORDER BY n_name""".stripMargin
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      // r16: at sf30 customer is 4.5M rows — the broadcast BUILD of a
+      // multi-million-entry map is itself a cost; the shuffled-hash
+      // dual pays two shuffles but builds per-partition maps
+      "q08_C_shuffle_hash" ->
+        """SELECT /*+ SHUFFLE_HASH(customer) */ c_mktsegment,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "q09_C_shuffle_hash" ->
+        """SELECT /*+ SHUFFLE_HASH(customer) BROADCAST(nation) */ n_name,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      // q91 dual: shuffled-hash on BOTH fact legs instead of SMJ
+      "q5_D_shuffle_hash_legs" ->
+        """WITH s AS (SELECT /*+ BROADCAST(nation, region) */
+          |    s_suppkey, s_nationkey, n_name
+          |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'ASIA'),
+          |l AS (SELECT /*+ BROADCAST(s) */ l_orderkey, s_nationkey,
+          |    n_name, CAST(l_extendedprice * (1 - l_discount)
+          |      AS DECIMAL(18,6)) AS amt
+          |  FROM lineitem JOIN s ON l_suppkey = s_suppkey),
+          |o AS (SELECT /*+ BROADCAST(customer) */
+          |    o_orderkey, c_nationkey
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+          |SELECT /*+ SHUFFLE_HASH(o) */ n_name,
+          |  CAST(sum(amt) AS DOUBLE) AS revenue
+          |FROM l JOIN o ON l_orderkey = o_orderkey
+          |  AND s_nationkey = c_nationkey
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
     )
 
     def once(q: String): Double = {
@@ -165,8 +204,11 @@ object JoinAbProbe {
       spark.sql(q).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // optional shape-name substring filter (arg 3)
+    val only = args.lift(2)
     // codegen warm-up per shape, then min over reps
-    shapes.foreach { case (name, q) =>
+    shapes.filter { case (n, _) => only.forall(n.contains) }
+      .foreach { case (name, q) =>
       once(q)
       val ts = (1 to reps).map(_ => once(q))
       println(f"$name%-32s min=${ts.min}%.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")

@@ -69,15 +69,69 @@ object Queries {
     * shuffle write. The gate keeps the direct-broadcast plan at every
     * scale where it is provably safe and hands off to AQE beyond. */
   def hintIfSliceSmall(spark: SparkSession, sfDir: String, table: String,
-      keepCols: Int, hint: String, capBytes: Long = 128L << 20): String = {
+      keepCols: Int, hint: String, capBytes: Long = 128L << 20): String =
+    if (sliceBytes(spark, sfDir, table, keepCols) <= capBytes) hint else ""
+
+  /** On-disk bytes of a table pro-rated to the columns a query keeps —
+    * the footer-level size estimate the join-hint gates compare
+    * against their caps. */
+  def sliceBytes(spark: SparkSession, sfDir: String, table: String,
+      keepCols: Int): Long = {
     def bytes(f: java.io.File): Long =
       if (f.isDirectory)
         Option(f.listFiles).getOrElse(Array.empty).map(bytes).sum
       else f.length
     val onDisk = bytes(new java.io.File(s"$sfDir/$table.parquet"))
     val total = math.max(spark.table(table).schema.size, keepCols)
-    if (onDisk * keepCols / total <= capBytes) hint else ""
+    onDisk * keepCols / total
   }
+
+  /** Cap for broadcasting a whole DIMENSION into a fact join (q08/
+    * q09's customer). Much tighter than the 128 MB driver-safety cap:
+    * the broadcast's cost here is the single-threaded BUILD of the
+    * map, which loses to a shuffled-hash join long before the driver
+    * is at risk. Measured (JoinAbProbe, min of 3, broadcast vs
+    * SHUFFLE_HASH on the same shape): slice 1.9 MB (sf3sv, 450k
+    * customers) broadcast wins 0.54 vs 0.82 s; slice 6.2 MB (sf10sv,
+    * 1.5M) SHUFFLE_HASH wins 0.87 vs 1.63 s; slice 18 MB (sf30, 4.5M)
+    * SHUFFLE_HASH wins 1.60 vs 3.61 s. 4 MB splits the measured
+    * crossover. */
+  val DimBuildCapBytes: Long = 4L << 20
+
+  /** Cap for the fact-leg⋈fact-leg join in Q5 shapes (q91's l⋈o):
+    * under it the un-hinted plan runs (Spark/AQE picks; the direct
+    * measurement says broadcast-o regresses there — q91 plan note);
+    * past it SHUFFLE_HASH on the narrower leg beats the default
+    * sort-merge (no sort of either multi-M-row leg). Measured
+    * (JoinAbProbe): o-slice 17.8 MB (sf3sv) wash (1.06 vs 1.06 s);
+    * 59.5 MB (sf10sv) SHUFFLE_HASH wins 1.99 vs 2.43 s; 179 MB (sf30)
+    * wins 4.66 vs 7.28 s. */
+  val FactLegCapBytes: Long = 32L << 20
+
+  /** The fact-slice JOIN hint with its past-the-cap fallback (r16):
+    * under the footer cap the slice broadcasts (see
+    * [[hintIfSliceSmall]]); past it the hint degrades to SHUFFLE_HASH
+    * on the same side — each task builds a hash map of only its
+    * PARTITION of the slice (memory-safe at any scale), and the fact
+    * side streams through unsorted. Without this, Spark's default past
+    * the broadcast threshold is a sort-merge join whose fact-side SORT
+    * dominates (measured sf30, q90: SMJ 40.9 s vs SHUFFLE_HASH —
+    * the sort of ~150M surviving lineitem rows, pure overhead for a
+    * join that aggregates right after). */
+  def factJoinHint(spark: SparkSession, sfDir: String, table: String,
+      keepCols: Int, alias: String,
+      capBytes: Long = 128L << 20): String =
+    s"/*+ ${factJoinHintSpec(spark, sfDir, table, keepCols, alias, capBytes)} */ "
+
+  /** [[factJoinHint]] without the comment wrapper, for composing with
+    * other hints in one comment (Spark reads only the first hint
+    * comment after SELECT). */
+  def factJoinHintSpec(spark: SparkSession, sfDir: String, table: String,
+      keepCols: Int, alias: String,
+      capBytes: Long = 128L << 20): String =
+    if (sliceBytes(spark, sfDir, table, keepCols) <= capBytes)
+      s"BROADCAST($alias)"
+    else s"SHUFFLE_HASH($alias)"
 }
 
 /** Relational core + dialect + function coverage (SURVEY.md §2.1–§2.8).
@@ -154,22 +208,29 @@ object CoreQueries {
         |FROM orders GROUP BY o_custkey
         |HAVING count(*) > 5 ORDER BY o_custkey""".stripMargin),
 
-    // J1 — fact⋈dim with explicit broadcast: no shuffle of the orders fact
-    // table at any scale; only the final tiny agg shuffles.
-    // Floor note (r15 A/B, sf3sv — JoinAbProbe): pre-aggregating
+    // J1 — fact⋈dim, join strategy gated on the dimension's size
+    // ([[Queries.DimBuildCapBytes]] — broadcast while the customer
+    // slice is small, SHUFFLE_HASH once the single-threaded broadcast
+    // BUILD dominates; the fact side never sorts on either path).
+    // Floor notes (JoinAbProbe, min of 3): r15 sf3sv — pre-aggregating
     // orders by o_custkey before the customer join measured 0.87 s vs
-    // 0.54 s for this shape — the per-custkey agg state (~|customer|
-    // groups) costs more than the broadcast-probe it saves. The
-    // residual vs DuckDB is the probe constant on a dense-key hash
-    // relation, not a shuffle; there is no plan below one pass over
-    // orders plus one probe per row.
-    "q08_join_agg" -> sql(
-      """SELECT /*+ BROADCAST(customer) */ c_mktsegment,
+    // 0.54 s for this shape (the per-custkey agg state costs more than
+    // the probe it saves). r16 — broadcast vs SHUFFLE_HASH: sf3sv
+    // 0.54/0.82, sf10sv 1.63/0.87, sf30 3.61/1.60 s; the gate flips
+    // between them at the measured crossover. The residual vs DuckDB
+    // is the probe constant on a dense-key hash relation, not a
+    // shuffle; there is no plan below one pass over orders plus one
+    // probe per row.
+    "q08_join_agg" -> api((spark, sfDir) => spark.sql {
+      val h = factJoinHint(spark, sfDir, "customer", keepCols = 2,
+        alias = "customer", capBytes = DimBuildCapBytes)
+      s"""SELECT $h c_mktsegment,
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    },
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS revenue
@@ -177,19 +238,25 @@ object CoreQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       headline = true),
 
-    // J2/J5 — 3-way chain join, both dims broadcast. Floor note (r15
-    // A/B, sf3sv — JoinAbProbe): aggregating by c_nationkey below the
-    // nation join measured a wash (0.655 vs 0.660 s) — Catalyst
-    // already pushes the partial agg below the tiny-dim join, so the
-    // rewrite buys nothing; shape kept canonical.
-    "q09_join3_chain" -> sql(
-      """SELECT /*+ BROADCAST(customer, nation) */ n_name,
+    // J2/J5 — 3-way chain join. nation (25 rows, scale-invariant)
+    // always broadcasts; customer takes the same size-gated
+    // broadcast-or-SHUFFLE_HASH as q08 (r16 A/B: 0.63/0.74 s sf3sv,
+    // 1.56/0.99 sf10sv, 3.39/1.75 sf30). Floor note (r15 A/B, sf3sv —
+    // JoinAbProbe): aggregating by c_nationkey below the nation join
+    // measured a wash (0.655 vs 0.660 s) — Catalyst already pushes
+    // the partial agg below the tiny-dim join, so the rewrite buys
+    // nothing; shape kept canonical.
+    "q09_join3_chain" -> api((spark, sfDir) => spark.sql {
+      val ch = factJoinHintSpec(spark, sfDir, "customer", keepCols = 2,
+        alias = "customer", capBytes = DimBuildCapBytes)
+      s"""SELECT /*+ $ch, BROADCAST(nation) */ n_name,
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
       """SELECT n_name, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS revenue
@@ -638,8 +705,8 @@ object CoreQueries {
     // through the broadcast customer join before any fact shuffle)
     // holds on every path.
     "q90_tpch_q3" -> api((spark, sfDir) => spark.sql {
-      val h = hintIfSliceSmall(spark, sfDir, "orders", keepCols = 2,
-        hint = "/*+ BROADCAST(o) */ ")
+      val h = factJoinHint(spark, sfDir, "orders", keepCols = 2,
+        alias = "o")
       s"""WITH o AS (SELECT /*+ BROADCAST(customer) */
         |    o_orderkey, o_orderdate
         |  FROM orders JOIN customer ON c_custkey = o_custkey
@@ -685,8 +752,16 @@ object CoreQueries {
     // the same plan is the 100 TB plan: both shuffle legs are
     // dimension-prefiltered fact slices, and the supplier prefilter
     // ratio (suppliers in one region / all) is scale-invariant.
-    "q91_tpch_q5" -> sql(
-      """WITH s AS (SELECT /*+ BROADCAST(nation, region) */
+    // r16 adds a size-gated SHUFFLE_HASH on the final leg join (see
+    // the inline note and [[Queries.FactLegCapBytes]]).
+    "q91_tpch_q5" -> api((spark, sfDir) => spark.sql {
+      // r16: the final l⋈o fact-leg join defaults to sort-merge; past
+      // [[FactLegCapBytes]] a SHUFFLE_HASH hint on the narrower o leg
+      // skips both sorts (sf10sv 2.43→1.99 s, sf30 7.28→4.66 s;
+      // sf3sv a wash and broadcast-o regresses — see cap note).
+      val fh = if (sliceBytes(spark, sfDir, "orders", keepCols = 2)
+          > FactLegCapBytes) "/*+ SHUFFLE_HASH(o) */ " else ""
+      s"""WITH s AS (SELECT /*+ BROADCAST(nation, region) */
         |    s_suppkey, s_nationkey, n_name
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
@@ -700,10 +775,11 @@ object CoreQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
-        |SELECT n_name, CAST(sum(amt) AS DOUBLE) AS revenue
+        |SELECT ${fh}n_name, CAST(sum(amt) AS DOUBLE) AS revenue
         |FROM l JOIN o ON l_orderkey = o_orderkey
         |  AND s_nationkey = c_nationkey
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+    },
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
         |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -806,8 +882,8 @@ object CoreQueries {
     // below the customer join either way, which is the structural
     // win.
     "q106_tpch_q10" -> api((spark, sfDir) => spark.sql {
-      val h = hintIfSliceSmall(spark, sfDir, "orders", keepCols = 2,
-        hint = "/*+ BROADCAST(o) */ ")
+      val h = factJoinHint(spark, sfDir, "orders", keepCols = 2,
+        alias = "o")
       s"""WITH o AS (SELECT o_orderkey, o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'),

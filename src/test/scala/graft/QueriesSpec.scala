@@ -102,6 +102,32 @@ class QueriesSpec extends SparkSpecBase {
     assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
   }
 
+  test("q08/q09/q91 join hints are size-gated (r16): broadcast under the " +
+      "dim-build cap, SHUFFLE_HASH past it — never an unbounded broadcast") {
+    Queries.prep(spark, sfDir)
+    // at test scale the customer slice is under the cap → broadcast
+    assert(Queries.factJoinHintSpec(spark, sfDir, "customer", keepCols = 2,
+      alias = "customer", capBytes = Queries.DimBuildCapBytes)
+      == "BROADCAST(customer)")
+    // past the cap the SAME call degrades to a partitioned build
+    assert(Queries.factJoinHintSpec(spark, sfDir, "customer", keepCols = 2,
+      alias = "customer", capBytes = 1L) == "SHUFFLE_HASH(customer)")
+    // and the past-cap shape really plans as a shuffled-hash join
+    // (per-partition build maps — no sort of either side, no driver
+    // OOM at any dimension size)
+    val shj = spark.sql(
+      """SELECT /*+ SHUFFLE_HASH(customer) */ c_mktsegment, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(shj.contains("ShuffledHashJoin"), shj)
+    assert(!shj.contains("SortMergeJoin"), shj)
+    // q91's final-leg gate: no hint under the cap (spec'd shape above),
+    // SHUFFLE_HASH past it — the sliceBytes estimate is what gates it
+    assert(Queries.sliceBytes(spark, sfDir, "orders", keepCols = 2)
+      <= Queries.FactLegCapBytes)
+  }
+
   test("q15 top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q15_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
