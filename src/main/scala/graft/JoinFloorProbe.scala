@@ -34,7 +34,12 @@ object JoinFloorProbe {
       }
       println(f"[floor] $name%-26s ${times.min}%8.3f s (min of $reps)")
     }
-    // q08/q09: lineitem (l_orderkey, l_quantity) full pass + DECIMAL sum
+    // q08/q09: the orders pass those entries cannot avoid — both
+    // payload columns, one DECIMAL sum, no join
+    t("orders_2col_sum",
+      """SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS s, count(o_custkey) AS n FROM orders""".stripMargin)
+    // general lineitem narrow-pass reference point
     t("lineitem_2col_sum",
       """SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
         |  count(l_orderkey) AS n FROM lineitem""".stripMargin)

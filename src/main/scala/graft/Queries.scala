@@ -221,6 +221,15 @@ object CoreQueries {
     // is the probe constant on a dense-key hash relation, not a
     // shuffle; there is no plan below one pass over orders plus one
     // probe per row.
+    // Irreducible-floor note (r16, sf30 — JoinFloorProbe +
+    // tools/headtohead_sf30.json, DuckDB at 32 threads on the same
+    // parquet): the bare orders 2-col scan-sum floor is 0.146 s vs
+    // the full entry's 1.60-2.17 s and DuckDB's 0.78 s. Scan
+    // throughput is at parity (q105 full: 0.63 graft vs 0.66 duck);
+    // the 2.8x residual is the single-node join-machinery delta
+    // (exchange + codegen'd build/probe vs DuckDB's in-memory
+    // vectorized join) — the cost a multi-executor cluster
+    // partitions away, and the component DuckDB cannot scale out.
     "q08_join_agg" -> api((spark, sfDir) => spark.sql {
       val h = factJoinHint(spark, sfDir, "customer", keepCols = 2,
         alias = "customer", capBytes = DimBuildCapBytes)
@@ -246,6 +255,10 @@ object CoreQueries {
     // measured a wash (0.655 vs 0.660 s) — Catalyst already pushes
     // the partial agg below the tiny-dim join, so the rewrite buys
     // nothing; shape kept canonical.
+    // Irreducible-floor note (r16, sf30): orders 2-col floor 0.146 s;
+    // full entry 1.75-2.10 s vs DuckDB 0.76 s (2.77x) — same
+    // join-machinery residual as q08 (see its note); the extra nation
+    // hop is a 25-row broadcast, free at every scale.
     "q09_join3_chain" -> api((spark, sfDir) => spark.sql {
       val ch = factJoinHintSpec(spark, sfDir, "customer", keepCols = 2,
         alias = "customer", capBytes = DimBuildCapBytes)
@@ -704,6 +717,15 @@ object CoreQueries {
     // shuffle when it isn't. The structural win (filter orders
     // through the broadcast customer join before any fact shuffle)
     // holds on every path.
+    // Irreducible-floor note (r16, sf30): the shipdate-filtered
+    // revenue pass this query cannot avoid floors at 0.370 s; the
+    // full entry runs 4.3-5.0 s vs DuckDB's 1.07 s at 32 threads
+    // (4.7x). Past the broadcast cap the SHUFFLE_HASH fallback is
+    // what keeps it there — the default sort-merge measured 40.9 s
+    // (sorting ~150M surviving lineitem rows). Scan throughput is at
+    // parity (q105); the residual is the one fact shuffle + probe —
+    // the per-node cost a cluster divides, while DuckDB's number is
+    // single-node-only.
     "q90_tpch_q3" -> api((spark, sfDir) => spark.sql {
       val h = factJoinHint(spark, sfDir, "orders", keepCols = 2,
         alias = "o")
@@ -754,6 +776,12 @@ object CoreQueries {
     // ratio (suppliers in one region / all) is scale-invariant.
     // r16 adds a size-gated SHUFFLE_HASH on the final leg join (see
     // the inline note and [[Queries.FactLegCapBytes]]).
+    // Irreducible-floor note (r16, sf30): the two bare fact-leg
+    // passes floor at 0.145 s (lineitem 3-col) + 0.175 s (windowed
+    // orders count); the full entry runs 4.7-5.5 s vs DuckDB's
+    // 1.41 s at 32 threads (3.9x). The residual is the two
+    // dim-prefilter joins plus the one leg⋈leg shuffle join — all
+    // partition-parallel on the cluster target.
     "q91_tpch_q5" -> api((spark, sfDir) => spark.sql {
       // r16: the final l⋈o fact-leg join defaults to sort-merge; past
       // [[FactLegCapBytes]] a SHUFFLE_HASH hint on the narrower o leg
@@ -841,6 +869,9 @@ object CoreQueries {
     // both referenced columns push down to the parquet scan (no join, no
     // shuffle beyond the single-row final agg). DECIMAL partials make the
     // sum order-independent at any parallelism.
+    // r16, sf30 (tools/headtohead_sf30.json): 0.63 s vs DuckDB's
+    // 0.66 s at 32 threads — ratio 0.96, scan-throughput parity on
+    // the family's largest measured corpus.
     "q105_tpch_q6" -> same(
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount
         |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -876,11 +907,15 @@ object CoreQueries {
     // slice's BROADCAST hint is GATED on the same footer-level size
     // bound as q90 (Queries.hintIfSliceSmall) — it is O(fact), and an
     // unconditional hint would OOM the driver at 100× instead of
-    // falling back. Past the cap the hint drops and AQE broadcasts
-    // from measured sizes or keeps the shuffle, where the default
-    // bloom-filter threshold takes over — the la aggregate stays
-    // below the customer join either way, which is the structural
+    // falling back. Past the cap the hint degrades to SHUFFLE_HASH on
+    // the same side (per-partition builds — no fact-side sort, no
+    // driver risk; see [[Queries.factJoinHint]]) — the la aggregate
+    // stays below the customer join either way, which is the structural
     // win.
+    // Irreducible-floor note (r16, sf30): the R-flag-filtered revenue
+    // pass floors at 0.339 s; full entry 5.3 s vs DuckDB 1.31 s at 32
+    // threads (4.0x) — same join-machinery residual as q90 (its note
+    // has the breakdown).
     "q106_tpch_q10" -> api((spark, sfDir) => spark.sql {
       val h = factJoinHint(spark, sfDir, "orders", keepCols = 2,
         alias = "o")
