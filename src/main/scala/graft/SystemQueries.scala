@@ -3780,6 +3780,57 @@ object SystemQueries {
         |  (SELECT count(*) FROM v3),
         |  CAST(0 AS BIGINT), FALSE, TRUE
         |ORDER BY phase""".stripMargin,
+      headline = true),
+
+    // Vanilla-Spark write path (r16): a user builds and evolves a
+    // snapshot table with NOTHING but the stock DataFrameWriter —
+    // `df.write.format("graft").mode(…).save(dir)` — no Engine, no
+    // SQL front end. Two appends band the table (stats options feed
+    // manifest skipping), an overwrite replaces content as ONE
+    // committed version, and the stock reader time-travels across
+    // all three: the full table lifecycle through public Spark API
+    // only. The oracle rederives both phases' aggregates
+    // relationally from customer.
+    "q285_spark_write_path" -> api((spark, sfDir) => {
+      val dir = java.nio.file.Files.createTempDirectory("g285")
+        .toString + "/t"
+      val c = spark.table("customer").select(
+        col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+      c.where(col("id") % 2 === 0)
+        .write.format("graft").mode("append")
+        .option("statsCols", "id").save(dir)                       // v1
+      c.where(col("id") % 2 === 1)
+        .write.format("graft").mode("append")
+        .option("statsCols", "id").save(dir)                       // v2
+      c.where(col("id") % 3 === 0)
+        .withColumn("bal", col("bal") + 10)
+        .write.format("graft").mode("overwrite").save(dir)         // v3
+      def phase(p: String, df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        sum(col("bal").cast("decimal(18,2)")).cast("double")
+          .as("bal_sum"))
+        .select(lit(p).as("phase"), col("n"), col("bal_sum"))
+      val out = phase("a_appended", spark.read.format("graft")
+          .option("versionAsOf", "2").load(dir))
+        .unionByName(phase("b_overwritten",
+          spark.read.format("graft").load(dir)))
+        .orderBy("phase").localCheckpoint()
+      // out is materialized; the scratch table can go
+      val walk = Files.walk(new java.io.File(dir).getParentFile.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+      out
+    },
+      """SELECT 'a_appended' AS phase, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS bal_sum
+        |FROM customer
+        |UNION ALL
+        |SELECT 'b_overwritten', count(*),
+        |  CAST(sum(CAST(c_acctbal + 10 AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM customer WHERE c_custkey % 3 = 0
+        |ORDER BY phase""".stripMargin,
       headline = true)
   )
 }

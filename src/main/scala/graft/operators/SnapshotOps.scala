@@ -2042,6 +2042,57 @@ object SnapshotOps {
       s"commitAppend lost $maxRetries version races on $tableDir")
   }
 
+  /** SaveMode.Overwrite / INSERT OVERWRITE as ONE committed version:
+    * the frame's files REPLACE every prior unit — data, DV and
+    * eq-delete lines all drop, so the new snapshot's visible rows are
+    * exactly `df`'s. Prior versions keep referencing their files
+    * (time travel spans the overwrite; vacuum owns retention), and
+    * manifest METADATA carries forward — txn watermarks, partition
+    * spec, column mapping — so an overwrite rewinds content, not
+    * transactional state, mirroring [[commitRestore]]'s rule. The
+    * frame lands through the same spec-clustered write as append
+    * (hidden partitioning stays in force). */
+  def commitOverwrite(spark: SparkSession, tableDir: String,
+      df: DataFrame, maxRetries: Int = 20,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Committed = {
+    val pre = currentVersion(tableDir)
+    val (physDf, newMapping) = appendPhysical(tableDir, pre, df)
+    val toPhysName: String => String = newMapping match {
+      case None => identity
+      case Some(m) =>
+        val byLogical = m.filter(_.live)
+          .map(c => c.logical -> c.physical).toMap
+        n => byLogical.getOrElse(n, n)
+    }
+    val dir = newDataDir(tableDir)
+    val (written, derived) =
+      writeUnderSpec(spark, tableDir, pre, physDf, dir, toPhysName)
+    val mine = entriesFor(spark, written,
+      statsCols.map(toPhysName), bloomCols.map(toPhysName), derived)
+    val mineLines =
+      if (mine.nonEmpty) Seq(groupLine(tableDir, mine)) else Nil
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val base = currentVersion(tableDir)
+      val meta = snapshotMeta(tableDir, base)
+      require(meta.get(ColsKey) ==
+        snapshotMeta(tableDir, pre).get(ColsKey) ||
+        base == pre,
+        s"commitOverwrite on $tableDir raced a column-evolution " +
+          "commit — retry against the new schema")
+      val metaWithCols = newMapping.fold(meta)(m =>
+        meta + (ColsKey -> colsValue(m)))
+      // no carry-forward: the overwrite's group line is the snapshot
+      val lines = metaLines(metaWithCols) ++ mineLines
+      if (tryPublishLines(tableDir, base + 1, lines))
+        return Committed(base + 1, 0, mine.size, conflicts)
+      conflicts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commitOverwrite lost $maxRetries version races on $tableDir")
+  }
+
   /** Delta RESTORE / Iceberg rollback-to-snapshot: a NEW committed
     * version whose content is exactly `toVersion`'s — the restored
     * units' manifest lines carry forward VERBATIM, so the operation

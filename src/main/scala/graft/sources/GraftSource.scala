@@ -2,14 +2,15 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Row, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  TableScan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -275,9 +276,74 @@ class SnapshotScanRelation(spark: SparkSession, tableDir: String,
   * file listing, full parquet scan stack); snapshots with
   * merge-on-read debt or a column mapping read through the
   * visible-row fallback. */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft").mode(…).save(dir)` — vanilla DataFrame
+    * WRITES of snapshot tables without the Engine (r16). Every mode
+    * lands as one committed version through the snapshot protocol
+    * (CAS-published, time-travelable, partition-spec-clustered):
+    *   - Append: [[SnapshotOps.commitAppend]]; a fresh directory
+    *     creates the table (the Delta convention)
+    *   - Overwrite: [[SnapshotOps.commitOverwrite]] — prior units
+    *     drop, history survives
+    *   - ErrorIfExists (the DataFrameWriter default): first write
+    *     creates; an existing table fails loudly
+    *   - Ignore: no-op on an existing table
+    * Appends to an existing table align columns BY NAME to the table
+    * schema (order-free), requiring the exact column set and
+    * per-column `sameType` (nullability-insensitive) — silent
+    * positional coercion is how a reordered frame corrupts a table.
+    * Options: `statsCols`/`bloomCols` (comma-separated) feed the
+    * manifest's skipping stats, same knobs the Engine's auto_stats
+    * derives. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft sink requires a path (the snapshot table directory)"))
+    require(!parameters.contains("versionAsOf") &&
+      !parameters.contains("timestampAsOf"),
+      "graft sink: time travel options are read-only")
+    def cols(k: String): Seq[String] = parameters.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val exists = SnapshotOps.currentVersion(dir) > 0
+    val aligned = if (!exists) data else {
+      val want = SnapshotOps.readSnapshot(spark, dir,
+        SnapshotOps.currentVersion(dir)).schema
+      val have = data.schema
+      val missing = want.map(_.name).filterNot(have.fieldNames.contains)
+      val extra = have.fieldNames.filterNot(f =>
+        want.fieldNames.contains(f))
+      require(missing.isEmpty && extra.isEmpty,
+        s"graft sink: frame schema does not match table $dir — " +
+          s"missing ${missing.mkString(",")} extra ${extra.mkString(",")}")
+      want.foreach { f =>
+        val got = have(f.name).dataType
+        require(got.catalogString == f.dataType.catalogString,
+          s"graft sink: column ${f.name} is $got, table has ${f.dataType}")
+      }
+      data.select(want.map(f => data(f.name)): _*)
+    }
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft sink: $dir already holds a table (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite if exists =>
+        SnapshotOps.commitOverwrite(spark, dir, aligned,
+          statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+      case _ => // Append, or any mode's table-creating first write
+        SnapshotOps.commitAppend(spark, dir, aligned,
+          statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+    }
+    createRelation(sqlContext,
+      parameters -- Seq("statsCols", "bloomCols"))
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -127,4 +127,70 @@ class GraftSourceSpec extends SparkSpecBase {
     val (kept, _) = GraftFileIndex.lastPrune.get(dir)
     assert(kept < total, s"bucket probe did not prune: $kept/$total")
   }
+
+  test("format(\"graft\") writes: append creates and extends, " +
+      "columns align by name, mismatches fail loudly") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.format("graft").mode("append").save(dir)              // v1
+    assert(SnapshotOps.currentVersion(dir) == 1)
+    // reordered frame aligns BY NAME, not position
+    Seq(("c", 3)).toDF("v", "id")
+      .write.format("graft").mode("append").save(dir)              // v2
+    val got = spark.read.format("graft").load(dir)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+    // wrong column set / wrong type fail with clear messages
+    intercept[Exception](Seq((4, "d", 1.0)).toDF("id", "v", "x")
+      .write.format("graft").mode("append").save(dir))
+    intercept[Exception](Seq((4L, "d")).toDF("id", "v")
+      .write.format("graft").mode("append").save(dir))
+    // ErrorIfExists (writer default) refuses an existing table;
+    // Ignore no-ops
+    intercept[Exception](Seq((9, "z")).toDF("id", "v")
+      .write.format("graft").save(dir))
+    Seq((9, "z")).toDF("id", "v")
+      .write.format("graft").mode("ignore").save(dir)
+    assert(SnapshotOps.currentVersion(dir) == 2)
+  }
+
+  test("format(\"graft\") overwrite: one committed version, prior " +
+      "units drop, history and time travel span it") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.format("graft").mode("append").save(dir)              // v1
+    Seq((3, "c")).toDF("id", "v")
+      .write.format("graft").mode("append").save(dir)              // v2
+    Seq((7, "q"), (8, "r")).toDF("id", "v")
+      .write.format("graft").mode("overwrite").save(dir)           // v3
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids(spark.read.format("graft").load(dir)) == Seq(7, 8))
+    assert(ids(spark.read.format("graft")
+      .option("versionAsOf", "2").load(dir)) == Seq(1, 2, 3))
+    assert(SnapshotOps.currentVersion(dir) == 3)
+    // the overwrite snapshot references ONLY its own files
+    assert(SnapshotOps.snapshotFiles(dir, 3).toSet
+      .intersect(SnapshotOps.snapshotFiles(dir, 2).toSet).isEmpty)
+  }
+
+  test("format(\"graft\") write stats options feed manifest skipping " +
+      "on the read path") {
+    import spark.implicits._
+    val dir = freshDir()
+    for (band <- 0 to 2)
+      (band * 100 until band * 100 + 50).map(i => (i, s"p$i"))
+        .toDF("id", "v").coalesce(1)
+        .write.format("graft").mode("append")
+        .option("statsCols", "id").save(dir)
+    val total = SnapshotOps.snapshotFileCount(dir, 3)
+    assert(total >= 3)
+    val df = spark.read.format("graft").load(dir)
+    assert(df.where(col("id") >= 210).count() == 40)
+    val (kept, tot) = GraftFileIndex.lastPrune.get(dir)
+    assert(tot == total && kept < total,
+      s"bounds from write options did not prune: $kept/$tot")
+  }
 }
