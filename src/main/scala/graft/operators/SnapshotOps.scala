@@ -392,7 +392,8 @@ object SnapshotOps {
       else {
         val phys = readUnitsVisible(spark, tableDir,
           dataUnits(tableDir, version), dvs, eqs,
-          mergeSchema = mergeSchema || mapping.nonEmpty)
+          mergeSchema = mergeSchema || mapping.nonEmpty,
+          prune = Some((tableDir, version)))
         logicalView(phys, mapping)
       }
     } else spark.createDataFrame(
@@ -688,9 +689,20 @@ object SnapshotOps {
     * the table. */
   private def readFilesDv(spark: SparkSession, files: Seq[String],
       dvs: Seq[FileEntry], mergeSchema: Boolean = false,
-      anchor: org.apache.spark.sql.types.StructType = null): DataFrame =
-    if (dvs.isEmpty) plainReader(spark, mergeSchema, anchor)
-      .parquet(files: _*)
+      anchor: org.apache.spark.sql.types.StructType = null,
+      prune: Option[(String, Int)] = None): DataFrame = {
+    // DV-free sides of a read carrying a prune context list their
+    // files through a subset GraftFileIndex (r16): Catalyst-pushed
+    // filters skip files inside merge-on-read scan groups too —
+    // sound below the anti-joins because a filter on data columns
+    // commutes with LEFT ANTI on the data side, and the query's own
+    // predicates still run in full above the scan.
+    def plainPart(fs: Seq[String]): DataFrame = prune match {
+      case Some((dir, v)) if !mergeSchema && fs.nonEmpty =>
+        graft.sources.GraftRelation.subsetFrame(spark, dir, v, fs, anchor)
+      case _ => plainReader(spark, mergeSchema, anchor).parquet(fs: _*)
+    }
+    if (dvs.isEmpty) plainPart(files)
     else {
       val maybe = dvMaybeFiles(dvs, files)
         .getOrElse(files.toSet) // bloom-less DV: anti-join everything
@@ -715,11 +727,11 @@ object SnapshotOps {
         } else Some(readTagged(spark, dvd, dvs, mergeSchema, anchor)
           .drop("__file", "__pos"))
       val sides = dvdSide.toSeq ++ (
-        if (clean.nonEmpty)
-          Some(plainReader(spark, mergeSchema, anchor).parquet(clean: _*))
+        if (clean.nonEmpty) Some(plainPart(clean))
         else None)
       sides.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     }
+  }
 
   /** Immutable key-file caches (r15): an eq-delete's key file is
     * written once by [[commitDeleteByKey]] and never modified, so its
@@ -795,10 +807,11 @@ object SnapshotOps {
       eqs: Seq[(FileEntry, Int)], mergeSchema: Boolean = false,
       anchor: org.apache.spark.sql.types.StructType = null,
       tagged: Boolean = false,
-      keep: FileEntry => Boolean = _ => true): DataFrame = {
+      keep: FileEntry => Boolean = _ => true,
+      prune: Option[(String, Int)] = None): DataFrame = {
     def readPart(files: Seq[String]) =
       if (tagged) readTagged(spark, files, dvs, mergeSchema, anchor)
-      else readFilesDv(spark, files, dvs, mergeSchema, anchor)
+      else readFilesDv(spark, files, dvs, mergeSchema, anchor, prune)
     val kept = units.map(u => u -> u.entries.filter(keep))
       .filter(_._2.nonEmpty)
     if (eqs.isEmpty) readPart(kept.flatMap(_._2.map(_.path)))

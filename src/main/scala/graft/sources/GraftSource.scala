@@ -9,8 +9,8 @@ import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation,
-  CreatableRelationProvider, DataSourceRegister, RelationProvider,
-  TableScan}
+  CreatableRelationProvider, DataSourceRegister, PrunedFilteredScan,
+  RelationProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -147,10 +147,11 @@ object CatalystPrune {
   * listing cost here is once per query, not per task, so local scale
   * is unaffected. */
 class GraftFileIndex(spark: SparkSession, tableDir: String, version: Int,
-    val dataSchema: StructType) extends FileIndex {
+    val dataSchema: StructType,
+    subset: Option[Seq[String]] = None) extends FileIndex {
 
   private val paths: Seq[String] =
-    SnapshotOps.snapshotFiles(tableDir, version)
+    subset.getOrElse(SnapshotOps.snapshotFiles(tableDir, version))
   private val statuses: Seq[FileStatus] = {
     val conf = spark.sessionState.newHadoopConf()
     paths.map { p =>
@@ -176,9 +177,12 @@ class GraftFileIndex(spark: SparkSession, tableDir: String, version: Int,
       if (preds.isEmpty) paths.map(SnapshotOps.localPath).toSet
       else SnapshotOps.predFilesCnf(tableDir, version, preds)
         .map(SnapshotOps.localPath).toSet
-    GraftFileIndex.lastPrune.put(tableDir, (kept.size, paths.size))
     val keptStatuses = statuses.filter(s =>
       kept.contains(SnapshotOps.localPath(s.getPath.toString)))
+    // subset indexes intersect implicitly: statuses only span the
+    // subset, so the recorded (kept, total) is subset-relative
+    GraftFileIndex.lastPrune.put(tableDir,
+      (keptStatuses.size, paths.size))
     Seq(PartitionDirectory(InternalRow.empty, keptStatuses.toArray))
   }
 
@@ -250,6 +254,30 @@ object GraftRelation {
       version: Int): org.apache.spark.sql.DataFrame =
     spark.baseRelationToDataFrame(hadoopFsRelation(spark, tableDir,
       version))
+
+  /** A DV-free file GROUP of a dirty snapshot as a manifest-pruned
+    * relation (r16): the group's files list through a subset
+    * [[GraftFileIndex]], so Catalyst-pushed filters skip files inside
+    * merge-on-read scan groups too — the eq-delete/DV read path's
+    * share of the any-plan-shape pruning the clean path got. `anchor`
+    * null derives the schema from the group's first footer (uniform
+    * within a group by the grouping contract). */
+  def subsetFrame(spark: SparkSession, tableDir: String, version: Int,
+      files: Seq[String],
+      anchor: StructType): org.apache.spark.sql.DataFrame = {
+    require(files.nonEmpty, "subsetFrame over an empty group")
+    val schema = nullable(
+      if (anchor != null) anchor
+      else SnapshotOps.keyFileSchema(spark, files.head))
+    spark.baseRelationToDataFrame(HadoopFsRelation(
+      location = new GraftFileIndex(spark, tableDir, version, schema,
+        Some(files)),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark))
+  }
 }
 
 /** Correctness fallback for snapshots carrying merge-on-read debt
@@ -258,11 +286,51 @@ object GraftRelation {
   * RDD; manifest pruning and full codegen come back once the debt is
   * compacted away (the maintenance verbs' job). */
 class SnapshotScanRelation(spark: SparkSession, tableDir: String,
-    version: Int) extends BaseRelation with TableScan {
+    version: Int) extends BaseRelation with PrunedFilteredScan {
   private lazy val df = SnapshotOps.readSnapshot(spark, tableDir, version)
   override def sqlContext: SQLContext = spark.sqlContext
   override def schema: StructType = df.schema
-  override def buildScan(): RDD[Row] = df.rdd
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.{sources => sf}
+
+  /** External Filter → Column, exactly or not at all. Only translated
+    * filters are applied inside the composed plan — where Catalyst
+    * pushes them down to the per-group manifest-pruned relations —
+    * and ALL filters stay unhandled (the BaseRelation default), so
+    * Spark re-applies them above: a skipped translation costs
+    * pruning, never correctness. */
+  private def translate(f: sf.Filter): Option[Column] = f match {
+    case sf.EqualTo(a, v) if v != null => Some(col(a) === lit(v))
+    case sf.GreaterThan(a, v) if v != null => Some(col(a) > lit(v))
+    case sf.GreaterThanOrEqual(a, v) if v != null =>
+      Some(col(a) >= lit(v))
+    case sf.LessThan(a, v) if v != null => Some(col(a) < lit(v))
+    case sf.LessThanOrEqual(a, v) if v != null => Some(col(a) <= lit(v))
+    case sf.In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sf.IsNull(a) => Some(col(a).isNull)
+    case sf.IsNotNull(a) => Some(col(a).isNotNull)
+    case sf.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sf.And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case sf.Or(l, r) => // dropping one OR branch would narrow it
+      for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case sf.Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+
+  /** Filters and projection applied INSIDE the composed visible-row
+    * plan (r16): Catalyst pushes them through the group unions and
+    * eq-delete anti-joins down to the manifest-backed subset indexes,
+    * so merge-on-read snapshots prune files through `format("graft")`
+    * too — TableScan hid the whole plan behind an opaque RDD. */
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[sf.Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(translate).foldLeft(df)(_.where(_))
+    filtered.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
+  }
 }
 
 /** `spark.read.format("graft")` — vanilla DataFrame reads of snapshot

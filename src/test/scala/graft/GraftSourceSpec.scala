@@ -128,6 +128,33 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(kept < total, s"bucket probe did not prune: $kept/$total")
   }
 
+  test("merge-on-read snapshots prune through format(\"graft\") too: " +
+      "filters push into the composed plan and skip group files") {
+    import spark.implicits._
+    val dir = freshDir()
+    for (band <- 0 to 2)
+      SnapshotOps.commitAppend(spark, dir,
+        (band * 100 until band * 100 + 50)
+          .map(i => (i, s"p-$i")).toDF("id", "v").coalesce(1),
+        statsCols = Seq("id"))                                     // v1-v3
+    // an equality delete dirties the table: reads route through the
+    // composed visible-row plan, not the clean HadoopFsRelation
+    SnapshotOps.commitDeleteByKey(spark, dir,
+      Seq(110).toDF("id"))                                         // v4
+    val total = SnapshotOps.snapshotFileCount(dir, 4)
+    assert(total >= 3)
+    GraftFileIndex.lastPrune.remove(dir)
+    val df = spark.read.format("graft").load(dir)
+      .where(col("id") >= 100 && col("id") < 200)
+    val got = df.select("id").collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == (100 until 150).filterNot(_ == 110),
+      s"eq-delete not applied or band wrong: ${got.take(5).toSeq}…")
+    val prune = GraftFileIndex.lastPrune.get(dir)
+    assert(prune != null, "dirty read never consulted the manifest index")
+    val (kept, tot) = prune
+    assert(kept < tot, s"dirty-path filter did not prune: $kept/$tot")
+  }
+
   test("format(\"graft\") writes: append creates and extends, " +
       "columns align by name, mismatches fail loudly") {
     import spark.implicits._
