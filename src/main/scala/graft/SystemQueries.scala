@@ -3831,6 +3831,61 @@ object SystemQueries {
         |  CAST(sum(CAST(c_acctbal + 10 AS DECIMAL(18,2))) AS DOUBLE)
         |FROM customer WHERE c_custkey % 3 = 0
         |ORDER BY phase""".stripMargin,
+      headline = true),
+
+    // Native streaming sink (r16): table-to-table replication through
+    // STOCK streaming API only — readStream over the source snapshot
+    // table, writeStream.format("graft") into the sink, one committed
+    // version per micro-batch with the exactly-once txn watermark
+    // (the q240/q259 foreachBatch idiom, now a format). Phase a reads
+    // the replicated head (2 epochs = 2 sink versions); phase b
+    // time-travels the SINK to epoch 1's commit — streaming ingest
+    // yields a time-travelable history by construction.
+    "q286_stream_native_sink" -> api((spark, sfDir) => {
+      import graft.operators.SnapshotOps
+      val root = java.nio.file.Files.createTempDirectory("g286")
+      val (src, dst) = (s"$root/src", s"$root/dst")
+      val c = spark.table("customer").select(
+        col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+      SnapshotOps.commitAppend(spark, src, c.where(col("id") % 2 === 0))
+      SnapshotOps.commitAppend(spark, src, c.where(col("id") % 2 === 1))
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", src).option("maxVersionsPerBatch", "1").load()
+        .writeStream.format("graft")
+        .option("path", dst).option("txnAppId", "g286")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def phase(p: String, df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        sum(col("bal").cast("decimal(18,2)")).cast("double")
+          .as("bal_sum"))
+        .select(lit(p).as("phase"), col("n"), col("bal_sum"),
+          lit(SnapshotOps.currentVersion(dst).toLong).as("versions"))
+      val out = phase("a_replicated_head",
+          spark.read.format("graft").load(dst))
+        .unionByName(phase("b_epoch1_travel",
+          spark.read.format("graft").option("versionAsOf", "1")
+            .load(dst)))
+        .orderBy("phase").localCheckpoint()
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+      out
+    },
+      """SELECT 'a_replicated_head' AS phase, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS bal_sum,
+        |  CAST(2 AS BIGINT) AS versions
+        |FROM customer
+        |UNION ALL
+        |SELECT 'b_epoch1_travel', count(*),
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(2 AS BIGINT)
+        |FROM customer WHERE c_custkey % 2 = 0
+        |ORDER BY phase""".stripMargin,
       headline = true)
   )
 }

@@ -2068,8 +2068,14 @@ object SnapshotOps {
   def commitOverwrite(spark: SparkSession, tableDir: String,
       df: DataFrame, maxRetries: Int = 20,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Committed = {
+      bloomCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Committed = {
+    def alreadyIn(meta: Map[String, String]): Boolean = txn.exists {
+      case (sid, bid) => meta.get(s"txn.$sid").exists(_.toLong >= bid)
+    }
     val pre = currentVersion(tableDir)
+    if (alreadyIn(snapshotMeta(tableDir, pre)))
+      return Committed(pre, 0, 0, 0, skipped = true)
     val (physDf, newMapping) = appendPhysical(tableDir, pre, df)
     val toPhysName: String => String = newMapping match {
       case None => identity
@@ -2089,6 +2095,8 @@ object SnapshotOps {
     while (conflicts <= maxRetries) {
       val base = currentVersion(tableDir)
       val meta = snapshotMeta(tableDir, base)
+      if (alreadyIn(meta)) // lost the race to a twin of the same batch
+        return Committed(base, 0, 0, conflicts, skipped = true)
       require(meta.get(ColsKey) ==
         snapshotMeta(tableDir, pre).get(ColsKey) ||
         base == pre,
@@ -2096,8 +2104,11 @@ object SnapshotOps {
           "commit — retry against the new schema")
       val metaWithCols = newMapping.fold(meta)(m =>
         meta + (ColsKey -> colsValue(m)))
+      val newMeta = txn.fold(metaWithCols) { case (sid, bid) =>
+        metaWithCols + (s"txn.$sid" -> bid.toString)
+      }
       // no carry-forward: the overwrite's group line is the snapshot
-      val lines = metaLines(metaWithCols) ++ mineLines
+      val lines = metaLines(newMeta) ++ mineLines
       if (tryPublishLines(tableDir, base + 1, lines))
         return Committed(base + 1, 0, mine.size, conflicts)
       conflicts += 1

@@ -345,9 +345,53 @@ class SnapshotScanRelation(spark: SparkSession, tableDir: String,
   * merge-on-read debt or a column mapping read through the
   * visible-row fallback. */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft").option("path", dir)` — the
+    * streaming sink ([[org.apache.spark.sql.graft.SnapshotStreamSink]]):
+    * every micro-batch is one committed snapshot version, exactly-once
+    * per epoch via the txn watermark. Options:
+    *   - `txnAppId`: the stream's watermark identity (defaults to a
+    *     checkpointLocation-derived id, else a path-derived one — set
+    *     it explicitly when two queries share one checkpoint dir)
+    *   - `mergeKeys`: comma-separated upsert keys, REQUIRED for
+    *     Update mode (routes to commitMerge)
+    *   - `statsCols`/`bloomCols`: manifest skipping stats, as on the
+    *     batch writer
+    * Layout comes from the table's own partition spec; partitionBy on
+    * the stream writer is rejected rather than silently ignored. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink: layout comes from the table's partition spec " +
+        "(PARTITIONED BY at create / SET PARTITION SPEC), not " +
+        "partitionBy on the stream writer")
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft sink requires a path (the snapshot table directory)"))
+    def cols(k: String): Seq[String] = parameters.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val mergeKeys = cols("mergeKeys")
+    if (outputMode == org.apache.spark.sql.streaming.OutputMode.Update())
+      require(mergeKeys.nonEmpty,
+        "graft sink: Update mode needs a mergeKeys option (the " +
+          "upsert key columns)")
+    val streamId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation")
+        .map(p => "ckpt-" + Integer.toHexString(p.hashCode)))
+      .getOrElse("graft-" + Integer.toHexString(dir.hashCode))
+    new org.apache.spark.sql.graft.SnapshotStreamSink(
+      sqlContext.sparkSession
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      dir, streamId, outputMode, mergeKeys,
+      cols("statsCols"), cols("bloomCols"))
+  }
 
   /** `df.write.format("graft").mode(…).save(dir)` — vanilla DataFrame
     * WRITES of snapshot tables without the Engine (r16). Every mode

@@ -216,4 +216,115 @@ class SnapshotStreamSpec extends SparkSpecBase {
     assert(batches(1).map(r =>
       (r.getLong(0), r.getString(1), r.getLong(2))) == Seq((3L, "c", 30L)))
   }
+
+  // ---- the streaming SINK (r16): writeStream.format("graft") ----
+
+  private def drainTo(srcDir: String, sinkDir: String, ckpt: String,
+      appId: String, maxPerBatch: Int = 1): Unit = {
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", srcDir)
+      .option("maxVersionsPerBatch", maxPerBatch.toString)
+      .load()
+      .writeStream.format("graft")
+      .option("path", sinkDir)
+      .option("txnAppId", appId)
+      .option("statsCols", "id")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("sink append mode: table-to-table replication through stock " +
+      "API only — one committed version per micro-batch, exactly-once " +
+      "under full epoch replay") {
+    import spark.implicits._
+    val src = freshDir("graft_sk1s")
+    val dst = freshDir("graft_sk1d")
+    def wave(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+    SnapshotOps.commitAppend(spark, src, wave(1 to 10, "w1"))
+    SnapshotOps.commitAppend(spark, src, wave(11 to 20, "w2"))
+    SnapshotOps.commitAppend(spark, src, wave(21 to 30, "w3"))
+    val c1 = java.nio.file.Files.createTempDirectory("graft_sk1c").toString
+    drainTo(src, dst, c1, "repl")
+    assert(SnapshotOps.currentVersion(dst) == 3)
+    def ids(dir: String): Seq[Long] =
+      spark.read.format("graft").load(dir)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(dst) == (1L to 30L))
+    // full epoch replay: a FRESH checkpoint restarts batch ids at 0,
+    // re-delivering every span — the sink's txn watermark skips each
+    // one before reading or writing a byte (no new versions, no dupes)
+    val c2 = java.nio.file.Files.createTempDirectory("graft_sk1c2").toString
+    drainTo(src, dst, c2, "repl")
+    assert(SnapshotOps.currentVersion(dst) == 3,
+      "replayed epochs must skip, not re-commit")
+    assert(ids(dst) == (1L to 30L))
+    // a genuinely new epoch — resuming the ORIGINAL checkpoint, so
+    // its batch id advances past the watermark — still lands
+    SnapshotOps.commitAppend(spark, src, wave(31 to 35, "w4"))
+    drainTo(src, dst, c1, "repl")
+    assert(SnapshotOps.currentVersion(dst) == 4)
+    assert(ids(dst) == (1L to 35L))
+  }
+
+  test("sink complete mode: each epoch's aggregation state overwrites " +
+      "the table as one committed version; history spans epochs") {
+    import spark.implicits._
+    val src = freshDir("graft_sk2s")
+    val dst = freshDir("graft_sk2d")
+    SnapshotOps.commitAppend(spark, src,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "tag"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sk2c").toString
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", src).load()
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+      .writeStream.format("graft")
+      .option("path", dst).option("txnAppId", "agg")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("sink update mode: changed rows upsert by mergeKeys; missing " +
+      "mergeKeys is rejected at query start") {
+    import spark.implicits._
+    val src = freshDir("graft_sk3s")
+    val dst = freshDir("graft_sk3d")
+    // seed the sink, then stream an overlapping wave as upserts
+    SnapshotOps.commitAppend(spark, dst,
+      Seq((1L, "old"), (2L, "old")).toDF("id", "tag"))
+    SnapshotOps.commitAppend(spark, src,
+      Seq((2L, "new"), (3L, "new")).toDF("id", "tag"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sk3c").toString
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", src).load()
+      .writeStream.format("graft")
+      .option("path", dst).option("txnAppId", "ups")
+      .option("mergeKeys", "id")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.format("graft").load(dst)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "old"), (2L, "new"), (3L, "new")))
+    intercept[Exception] {
+      spark.readStream.format("graft-snapshot").option("path", src)
+        .load()
+        .writeStream.format("graft").option("path", dst)
+        .outputMode("update")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_sk3c2").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
 }
