@@ -167,7 +167,7 @@ object SnapshotOps {
       if (bs.exists(_.isEmpty)) None // a stat-less member poisons the col
       else {
         val vs = bs.flatten
-        Some(c -> (if (c == RowsKey) {
+        Some(c -> (if (c == RowsKey || c == BytesKey) {
           val s = vs.map(_._1).sum; (s, s)
         } else (vs.map(_._1).min, vs.map(_._2).max)))
       }
@@ -1363,6 +1363,22 @@ object SnapshotOps {
     * inference (it is not a data column). */
   private val RowsKey = "_rows"
 
+  /** Reserved bounds key carrying the file's on-disk BYTE SIZE
+    * (lo = hi = bytes, r16): recorded once at commit (the
+    * Iceberg/Delta `file_size_in_bytes` shape), so file LISTING —
+    * [[graft.sources.GraftFileIndex]] synthesizing FileStatus for
+    * Spark's split planning — is a pure manifest read with ZERO
+    * filesystem metadata calls per query. Entries predating the key
+    * fall back to one getFileStatus each (absence never lies). */
+  private val BytesKey = "_bytes"
+
+  /** localPath → recorded on-disk bytes for every data file of the
+    * snapshot that carries the r16 `_bytes` stat. */
+  def fileBytes(tableDir: String, version: Int): Map[String, Long] =
+    dataUnits(tableDir, version).flatMap(_.entries).flatMap(e =>
+      e.bounds.get(BytesKey).map(b =>
+        localPath(e.path) -> b._1.toLong)).toMap
+
   // ---------------------------------------------------------------
   // Typed bounds (r14). The manifest's bounds field holds BigDecimal
   // pairs; non-numeric stats columns ride the SAME field through an
@@ -1542,6 +1558,10 @@ object SnapshotOps {
             }
             if (lo != null) bounds(c) = (lo, hi)
           }
+          val len = BigDecimal(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f), conf).getLength)
+          bounds(BytesKey) = (len, len)
           FileEntry(f, bounds.toMap)
         } finally reader.close()
       }
@@ -1610,6 +1630,7 @@ object SnapshotOps {
           Option(r.getAs[Array[Byte]](s"_bf_$c")).map(c -> _)).toMap
         localPath(r.getAs[String]("_f")) -> (bounds, blooms)
       }.toMap
+    val hconf = spark.sessionState.newHadoopConf()
     written.map { f =>
       // a file absent from the grouped stats holds ZERO rows (the
       // writer emitted a schema-only file for an empty partition): no
@@ -1617,7 +1638,9 @@ object SnapshotOps {
       val (bounds, blooms) = stats.getOrElse(f,
         (Map(RowsKey -> (BigDecimal(0), BigDecimal(0))),
           Map.empty[String, Array[Byte]]))
-      FileEntry(f, bounds, blooms)
+      val hp = new org.apache.hadoop.fs.Path(f)
+      val len = BigDecimal(hp.getFileSystem(hconf).getFileStatus(hp).getLen)
+      FileEntry(f, bounds + (BytesKey -> (len, len)), blooms)
     }
   }
 
@@ -1631,7 +1654,7 @@ object SnapshotOps {
   private def statsColsOf(entries: Seq[FileEntry]): Seq[String] =
     entries.flatMap(_.bounds.keys)
       .filterNot(k => k == RowsKey || k == SeqKey || k == FilesKey ||
-        k.startsWith(PartBoundPrefix))
+        k == BytesKey || k.startsWith(PartBoundPrefix))
       .distinct.sorted
 
   // ---------------------------------------------------------------

@@ -141,11 +141,11 @@ object CatalystPrune {
   * stack — vectorized reader, footer pushdown, whole-stage codegen,
   * `_metadata` columns — is untouched above it.
   *
-  * Scale note: file sizes come from one driver `getFileStatus` per
-  * file at index construction. At 10⁵⁺-file scale those belong in the
-  * manifest itself (a `_bytes` stat, the Iceberg/Delta shape); the
-  * listing cost here is once per query, not per task, so local scale
-  * is unaffected. */
+  * Scale note (r16): file sizes come from the manifest's own
+  * `_bytes` stat (recorded at commit — the Iceberg/Delta
+  * `file_size_in_bytes` shape), so index construction and listing
+  * are pure metadata reads with zero filesystem calls per file;
+  * pre-r16 entries fall back to one `getFileStatus` each. */
 class GraftFileIndex(spark: SparkSession, tableDir: String, version: Int,
     val dataSchema: StructType,
     subset: Option[Seq[String]] = None) extends FileIndex {
@@ -153,10 +153,19 @@ class GraftFileIndex(spark: SparkSession, tableDir: String, version: Int,
   private val paths: Seq[String] =
     subset.getOrElse(SnapshotOps.snapshotFiles(tableDir, version))
   private val statuses: Seq[FileStatus] = {
-    val conf = spark.sessionState.newHadoopConf()
+    // sizes come from the manifest's `_bytes` stat (recorded at
+    // commit, r16) — listing is a pure metadata read, no filesystem
+    // call per file; entries predating the stat fall back to one
+    // getFileStatus each
+    val known = SnapshotOps.fileBytes(tableDir, version)
+    lazy val conf = spark.sessionState.newHadoopConf()
     paths.map { p =>
       val hp = new Path(p)
-      hp.getFileSystem(conf).getFileStatus(hp)
+      known.get(SnapshotOps.localPath(p)) match {
+        case Some(len) =>
+          new FileStatus(len, false, 1, 128L << 20, 0L, hp)
+        case None => hp.getFileSystem(conf).getFileStatus(hp)
+      }
     }
   }
   private def sessTz: java.time.ZoneId = java.time.ZoneId.of(

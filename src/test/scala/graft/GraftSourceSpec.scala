@@ -155,6 +155,30 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(kept < tot, s"dirty-path filter did not prune: $kept/$tot")
   }
 
+  test("commits record the _bytes stat: file listing is a pure " +
+      "manifest read and the sizes match the filesystem") {
+    import spark.implicits._
+    val dir = freshDir()
+    SnapshotOps.commitAppend(spark, dir,
+      (1 to 100).map(i => (i, s"p$i")).toDF("id", "v").coalesce(1),
+      statsCols = Seq("id"))
+    SnapshotOps.commitAppend(spark, dir,
+      (101 to 200).map(i => (i, s"p$i")).toDF("id", "v").coalesce(1))
+    val bytes = SnapshotOps.fileBytes(dir, 2)
+    val files = SnapshotOps.snapshotFiles(dir, 2)
+    assert(bytes.size == files.size,
+      s"every data file records _bytes: ${bytes.size}/${files.size}")
+    files.foreach { f =>
+      assert(bytes(SnapshotOps.localPath(f)) ==
+        new java.io.File(f).length(), s"stale _bytes for $f")
+    }
+    // the index's sizeInBytes comes straight from the manifest
+    val idx = new GraftFileIndex(spark, dir, 2,
+      spark.read.parquet(files.head).schema)
+    assert(idx.sizeInBytes == files.map(new java.io.File(_).length()).sum)
+    assert(spark.read.format("graft").load(dir).count() == 200)
+  }
+
   test("format(\"graft\") writes: append creates and extends, " +
       "columns align by name, mismatches fail loudly") {
     import spark.implicits._
