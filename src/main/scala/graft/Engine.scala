@@ -694,6 +694,8 @@ class Engine(val spark: SparkSession) {
   // to a token-delimited slice where no string literal precedes it
   private val MergeInsertTail =
     """(?is)\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""".r
+  private val TruncateTable =
+    """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*""".r
   private val AlterAdd =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
   private val AlterType =
@@ -1137,6 +1139,22 @@ class Engine(val spark: SparkSession) {
       val casted = target.schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name))
       appendRows(name, target, rows.select(casted.toIndexedSeq: _*))
+      empty()
+    case TruncateTable(name) =>
+      // TRUNCATE is a MUTATION, not a rebind: on a snapshot-backed
+      // table it lands as ONE commitOverwrite of the empty frame, so
+      // history survives (VERSION AS OF the pre-truncate version
+      // still reads) and the audit trail shows the truncation —
+      // Iceberg's TRUNCATE semantics, not parquet-file deletion
+      val target = table(name)
+      ensureSnapshot(name) match {
+        case Some(dir) =>
+          lastCommit(norm(name)) = graft.operators.SnapshotOps
+            .commitOverwrite(spark, dir, target.limit(0).coalesce(1))
+          registerSnapshot(name, dir)
+        case None => // schema parquet can't carry, or empty: rebind
+          register(name, target.limit(0))
+      }
       empty()
     case c if Stmt.head(lexed) == "UPDATE" &&
         Stmt.findKw(lexed, 1, "SET") > 0 =>

@@ -3886,6 +3886,41 @@ object SystemQueries {
         |  CAST(2 AS BIGINT)
         |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY phase""".stripMargin,
-      headline = true)
+      headline = true),
+
+    // TRUNCATE TABLE (r16): one committed overwrite of the empty
+    // frame — NOT a wipe. Phase b proves the head is empty while the
+    // pre-truncate version still time-travels; phase c proves the
+    // chain continues (a later insert is just the next version). The
+    // oracle rederives each phase relationally.
+    "q287_sql_truncate" -> api((spark, sfDir) => {
+      val e = new Engine(spark)
+      e.executeDuck("CREATE TABLE g287 (id INTEGER, bal DOUBLE)")
+      e.executeDuck(
+        """INSERT INTO g287 SELECT c_custkey, c_acctbal FROM customer
+          |WHERE c_custkey <= 500""".stripMargin)                  // v1
+      e.executeDuck("TRUNCATE TABLE g287")                         // v2
+      e.executeDuck(
+        """INSERT INTO g287 SELECT c_custkey, c_acctbal FROM customer
+          |WHERE c_custkey <= 100""".stripMargin)                  // v3
+      val out = e.executeDuck(
+        """SELECT 'a_head' AS phase, count(*) AS n FROM g287
+          |UNION ALL
+          |SELECT 'b_pre_truncate',
+          |  (SELECT count(*) FROM g287 VERSION AS OF 1)
+          |UNION ALL
+          |SELECT 'c_truncated_head',
+          |  (SELECT count(*) FROM g287 VERSION AS OF 2)
+          |ORDER BY phase""".stripMargin).localCheckpoint()
+      try out finally e.close()
+    },
+      """SELECT 'a_head' AS phase, count(*) AS n FROM customer
+        |  WHERE c_custkey <= 100
+        |UNION ALL
+        |SELECT 'b_pre_truncate', count(*) FROM customer
+        |  WHERE c_custkey <= 500
+        |UNION ALL
+        |SELECT 'c_truncated_head', 0
+        |ORDER BY phase""".stripMargin)
   )
 }

@@ -1647,4 +1647,31 @@ class EngineSpec extends SparkSpecBase {
     e2.executeDuck("DROP TABLE dt")
     e2.close()
   }
+
+  test("TRUNCATE TABLE (r16): one committed overwrite — empty head, " +
+      "history time-travels, appends continue on the same chain") {
+    val e = engine
+    e.executeDuck("CREATE TABLE tt (id int, v varchar)")
+    e.executeDuck("INSERT INTO tt VALUES (1, 'a'), (2, 'b')")      // v1
+    e.executeDuck("TRUNCATE TABLE tt")                             // v2
+    assert(e.executeDuck("SELECT count(*) AS n FROM tt").collect()(0)
+      .getLong(0) == 0L)
+    // schema survives the truncation
+    assert(e.executeDuck("SELECT * FROM tt").columns.toSeq ==
+      Seq("id", "v"))
+    // the pre-truncate version still reads (a commit, not a wipe)
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM tt VERSION AS OF 1").collect()(0)
+      .getLong(0) == 2L)
+    // the chain continues: a post-truncate insert is v3
+    e.executeDuck("INSERT INTO tt VALUES (9, 'z')")
+    assert(e.executeDuck("SELECT id FROM tt").collect()
+      .map(_.getInt(0)).toSeq == Seq(9))
+    // bare TRUNCATE form and unknown-table refusal
+    e.executeDuck("TRUNCATE tt")
+    assert(e.executeDuck("SELECT count(*) AS n FROM tt").collect()(0)
+      .getLong(0) == 0L)
+    intercept[Exception](e.executeDuck("TRUNCATE TABLE no_such"))
+    e.close()
+  }
 }
