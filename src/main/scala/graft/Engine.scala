@@ -679,7 +679,7 @@ class Engine(val spark: SparkSession) {
 
   // ---- command patterns (case-insensitive, dotall) -----------------------
   private val CreateTableAs =
-    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+)""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+)""".r
   private val CreateTable =
     """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*\((.+)\)\s*""".r
   private val CreateTablePart =
@@ -1099,10 +1099,37 @@ class Engine(val spark: SparkSession) {
   // otherwise pay a full lex per guard on the dispatch path)
   lazy val lexed = Stmt.lexemes(sqlText)
   sqlText match {
-    case CreateTableAs(name, query) =>
-      writeOrder.remove(norm(name)) // a new table starts layout-free
-      pendingPartSpec.remove(norm(name))
-      register(name, executeDuck(query)); empty()
+    case CreateTableAs(orReplace, name, query) =>
+      val n = norm(name)
+      writeOrder.remove(n) // a new table starts layout-free
+      pendingPartSpec.remove(n)
+      val rows = executeDuck(query)
+      // CREATE OR REPLACE over an EXISTING snapshot chain (session or
+      // durable warehouse) is Iceberg's REPLACE TABLE: one committed
+      // overwrite — history survives, the durable chain stays the
+      // source of truth across sessions (a lazy rebind would show new
+      // content this session and OLD content after reopen). Falls
+      // back to the rebind when the chain carries a column mapping or
+      // a partition spec the new schema can't serve (the first DML's
+      // conflict guard still protects durable data on that path).
+      val chain = snapshotDir(n).orElse(warehouseDir(n).filter(d =>
+        new java.io.File(d, "manifests").isDirectory))
+      val replaceable = orReplace != null && chain.exists { dir =>
+        val v = graft.operators.SnapshotOps.currentVersion(dir)
+        val cols = rows.columns.map(_.toLowerCase).toSet
+        graft.operators.SnapshotOps.columnMapping(dir, v).isEmpty &&
+          graft.operators.SnapshotOps.partitionSpec(dir, v)
+            .forall(pf => cols(pf.col.toLowerCase)) &&
+          snapshotable(rows)
+      }
+      if (replaceable) {
+        val dir = chain.get
+        lastCommit(n) = graft.operators.SnapshotOps
+          .commitOverwrite(spark, dir, rows,
+            statsCols = autoStatsCols(rows))
+        registerSnapshot(name, dir)
+      } else register(name, rows)
+      empty()
     case CreateTablePart(ine, name, colDefs, fields) =>
       createPlain(name, colDefs, ifNotExists = ine != null)
       val spec = graft.operators.SnapshotOps.splitSpecFields(fields)

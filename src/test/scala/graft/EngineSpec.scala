@@ -1648,6 +1648,40 @@ class EngineSpec extends SparkSpecBase {
     e2.close()
   }
 
+  test("CREATE OR REPLACE TABLE AS (r16): an existing snapshot chain " +
+      "takes one committed overwrite — history survives, and a " +
+      "durable replace is the truth after reopen") {
+    val e = engine
+    e.executeDuck("CREATE TABLE rt (id int)")
+    e.executeDuck("INSERT INTO rt VALUES (1), (2)")                // v1
+    e.executeDuck("CREATE OR REPLACE TABLE rt AS SELECT 9 AS id")  // v2
+    assert(e.executeDuck("SELECT id FROM rt").collect()
+      .map(_.getInt(0)).toSeq == Seq(9))
+    assert(e.executeDuck(
+      "SELECT count(*) AS n FROM rt VERSION AS OF 1").collect()(0)
+      .getLong(0) == 2L)
+    // self-referencing replace reads the old chain, writes the new
+    e.executeDuck(
+      "CREATE OR REPLACE TABLE rt AS SELECT id + 1 AS id FROM rt")
+    assert(e.executeDuck("SELECT id FROM rt").collect()
+      .map(_.getInt(0)).toSeq == Seq(10))
+    e.close()
+    // durable: the replace IS the warehouse state after reopen
+    val wh = Files.createTempDirectory("graft_wh_cor").toString
+    val e1 = engine
+    e1.executeDuck(s"SET warehouse = '$wh'")
+    e1.executeDuck("CREATE TABLE dt (id int)")
+    e1.executeDuck("INSERT INTO dt VALUES (1)")
+    e1.executeDuck("CREATE OR REPLACE TABLE dt AS SELECT 5 AS id")
+    e1.close()
+    val e2 = engine
+    e2.executeDuck(s"SET warehouse = '$wh'")
+    assert(e2.executeDuck("SELECT id FROM dt").collect()
+      .map(_.getInt(0)).toSeq == Seq(5))
+    e2.executeDuck("DROP TABLE dt")
+    e2.close()
+  }
+
   test("TRUNCATE TABLE (r16): one committed overwrite — empty head, " +
       "history time-travels, appends continue on the same chain") {
     val e = engine
