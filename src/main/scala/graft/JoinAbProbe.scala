@@ -176,6 +176,18 @@ object JoinAbProbe {
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      // r16b: does pre-aggregating orders by o_custkey BEFORE the
+      // shuffled-hash join beat shuffling raw orders rows? The agg
+      // state is ~|customer| groups but the join input shrinks
+      "q08_D_preagg_shj" ->
+        """WITH oa AS (SELECT o_custkey, count(*) AS n,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+          |  FROM orders GROUP BY o_custkey)
+          |SELECT /*+ SHUFFLE_HASH(customer) */ c_mktsegment,
+          |  CAST(sum(n) AS BIGINT) AS n_orders,
+          |  CAST(sum(tot) AS DOUBLE) AS revenue
+          |FROM oa JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       // q91 dual: shuffled-hash on BOTH fact legs instead of SMJ
       "q5_D_shuffle_hash_legs" ->
         """WITH s AS (SELECT /*+ BROADCAST(nation, region) */

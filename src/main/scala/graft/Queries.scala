@@ -217,7 +217,11 @@ object CoreQueries {
     // 0.54 s for this shape (the per-custkey agg state costs more than
     // the probe it saves). r16 — broadcast vs SHUFFLE_HASH: sf3sv
     // 0.54/0.82, sf10sv 1.63/0.87, sf30 3.61/1.60 s; the gate flips
-    // between them at the measured crossover. The residual vs DuckDB
+    // between them at the measured crossover. Pre-aggregating orders
+    // by o_custkey BEFORE the shuffled-hash join also loses (r16b:
+    // 0.96 vs 0.91 s sf10sv, 2.91 vs 2.27 s sf30) — the ~|customer|
+    // agg state costs more than the narrower shuffle saves, the same
+    // verdict as the r15 broadcast-path A/B. The residual vs DuckDB
     // is the probe constant on a dense-key hash relation, not a
     // shuffle; there is no plan below one pass over orders plus one
     // probe per row.
