@@ -167,7 +167,8 @@ object SnapshotOps {
       if (bs.exists(_.isEmpty)) None // a stat-less member poisons the col
       else {
         val vs = bs.flatten
-        Some(c -> (if (c == RowsKey || c == BytesKey) {
+        Some(c -> (if (c == RowsKey || c == BytesKey ||
+            c.startsWith(NullsPrefix)) {
           val s = vs.map(_._1).sum; (s, s)
         } else (vs.map(_._1).min, vs.map(_._2).max)))
       }
@@ -1372,6 +1373,30 @@ object SnapshotOps {
     * fall back to one getFileStatus each (absence never lies). */
   private val BytesKey = "_bytes"
 
+  /** Reserved bounds-key PREFIX for per-column NULL counts
+    * (`_n.<col>` → lo = hi = nulls, r16): the Iceberg
+    * `null_value_counts` shape, recorded in the same commit pass as
+    * min/max. Powers null-aware file skipping on the execution path
+    * ([[graft.sources.GraftFileIndex]]): `c IS NULL` skips files with
+    * zero recorded nulls, `c IS NOT NULL` skips all-null files — and
+    * since Spark injects IsNotNull for every filtered column, the
+    * all-null skip fires on ordinary WHERE clauses. Summed into group
+    * envelopes like row counts; absence never skips. */
+  private val NullsPrefix = "_n."
+
+  /** localPath → (rows, col → recorded null count) for the snapshot's
+    * data files. Missing cols = unknown (never skip on absence). */
+  def fileNullStats(tableDir: String, version: Int)
+      : Map[String, (Long, Map[String, Long])] =
+    dataUnits(tableDir, version).flatMap(_.entries).map { e =>
+      val rows = e.bounds.get(RowsKey).map(_._1.toLong).getOrElse(-1L)
+      val nulls = e.bounds.collect {
+        case (k, (lo, _)) if k.startsWith(NullsPrefix) =>
+          k.drop(NullsPrefix.length) -> lo.toLong
+      }
+      localPath(e.path) -> (rows, nulls)
+    }.toMap
+
   /** localPath → recorded on-disk bytes for every data file of the
     * snapshot that carries the r16 `_bytes` stat. */
   def fileBytes(tableDir: String, version: Int): Map[String, Long] =
@@ -1496,12 +1521,16 @@ object SnapshotOps {
           statsCols.foreach { c =>
             var lo: BigDecimal = null
             var hi: BigDecimal = null
+            var nulls = 0L
+            var nullsKnown = true
             blocks.foreach { b =>
               val chunk = b.getColumns.asScala.find(cc =>
                 cc.getPath.size == 1 && cc.getPath.toDotString == c)
                 .getOrElse(throw FooterUnsupported) // column missing: not ours to guess
               val st = chunk.getStatistics
               if (st == null || st.isEmpty) throw FooterUnsupported
+              if (st.isNumNullsSet) nulls += st.getNumNulls
+              else nullsKnown = false
               val allNull = st.isNumNullsSet &&
                 st.getNumNulls == b.getRowCount
               if (!allNull) {
@@ -1557,6 +1586,10 @@ object SnapshotOps {
               }
             }
             if (lo != null) bounds(c) = (lo, hi)
+            if (nullsKnown) {
+              val n = BigDecimal(nulls)
+              bounds(s"$NullsPrefix$c") = (n, n)
+            }
           }
           val len = BigDecimal(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -1605,7 +1638,8 @@ object SnapshotOps {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c"))) ++
+      Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c"),
+        count(col(c)).as(s"_nn_$c"))) ++
       derived.flatMap { case (k, e) =>
         Seq(min(e).as(s"_lo_$k"), max(e).as(s"_hi_$k")) } ++
       bloomCols.map(c => toCol(new BloomFilterAggregate(
@@ -1625,7 +1659,11 @@ object SnapshotOps {
         }.toMap + (RowsKey -> {
           val n = BigDecimal(r.getAs[Long]("_nrows"))
           (n, n)
-        })
+        }) ++ statsCols.map { c =>
+          val nulls = BigDecimal(r.getAs[Long]("_nrows") -
+            r.getAs[Long](s"_nn_$c"))
+          s"$NullsPrefix$c" -> (nulls, nulls)
+        }
         val blooms = bloomCols.flatMap(c =>
           Option(r.getAs[Array[Byte]](s"_bf_$c")).map(c -> _)).toMap
         localPath(r.getAs[String]("_f")) -> (bounds, blooms)
@@ -1654,7 +1692,8 @@ object SnapshotOps {
   private def statsColsOf(entries: Seq[FileEntry]): Seq[String] =
     entries.flatMap(_.bounds.keys)
       .filterNot(k => k == RowsKey || k == SeqKey || k == FilesKey ||
-        k == BytesKey || k.startsWith(PartBoundPrefix))
+        k == BytesKey || k.startsWith(NullsPrefix) ||
+        k.startsWith(PartBoundPrefix))
       .distinct.sorted
 
   // ---------------------------------------------------------------

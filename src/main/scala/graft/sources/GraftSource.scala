@@ -121,6 +121,16 @@ object CatalystPrune {
     * of conjuncts only ever keeps more files). */
   def rawPreds(filters: Seq[Expression]): Seq[ScanPrune.RawPred] =
     filters.flatMap(conjuncts).flatMap(rawOf)
+
+  /** Top-level IS [NOT] NULL conjuncts as (column, isNull) — the null
+    * axis rides per-file `_n.` counts, not interval bounds. Spark
+    * injects IsNotNull for every filtered column, so the all-null
+    * file skip fires on ordinary WHERE clauses. */
+  def nullPreds(filters: Seq[Expression]): Seq[(String, Boolean)] =
+    filters.flatMap(conjuncts).collect {
+      case IsNull(a: AttributeReference) => (a.name, true)
+      case IsNotNull(a: AttributeReference) => (a.name, false)
+    }
 }
 
 /** Manifest-backed [[FileIndex]] over one committed snapshot (r16).
@@ -186,8 +196,29 @@ class GraftFileIndex(spark: SparkSession, tableDir: String, version: Int,
       if (preds.isEmpty) paths.map(SnapshotOps.localPath).toSet
       else SnapshotOps.predFilesCnf(tableDir, version, preds)
         .map(SnapshotOps.localPath).toSet
+    // null axis (r16): IS NULL skips zero-null files, IS NOT NULL
+    // skips all-null (and empty) files — from the `_n.` manifest
+    // counts; files without recorded counts always keep
+    val np = CatalystPrune.nullPreds(dataFilters)
+    val keptNull: Set[String] =
+      if (np.isEmpty) kept
+      else {
+        val stats = SnapshotOps.fileNullStats(tableDir, version)
+        kept.filter { p =>
+          stats.get(p).forall { case (rows, nulls) =>
+            np.forall { case (c, isNull) =>
+              nulls.get(c) match {
+                case None => true
+                case Some(n) =>
+                  if (isNull) n > 0 || rows < 0
+                  else rows < 0 || n < rows
+              }
+            }
+          }
+        }
+      }
     val keptStatuses = statuses.filter(s =>
-      kept.contains(SnapshotOps.localPath(s.getPath.toString)))
+      keptNull.contains(SnapshotOps.localPath(s.getPath.toString)))
     // subset indexes intersect implicitly: statuses only span the
     // subset, so the recorded (kept, total) is subset-relative
     GraftFileIndex.lastPrune.put(tableDir,

@@ -155,6 +155,39 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(kept < tot, s"dirty-path filter did not prune: $kept/$tot")
   }
 
+  test("null-count stats (r16): IS NULL skips zero-null files, " +
+      "IS NOT NULL skips all-null files — and fires on ordinary " +
+      "filters via Spark's injected IsNotNull") {
+    import spark.implicits._
+    val dir = freshDir()
+    def wave(ids: Range, v: Int => Option[Int]) =
+      ids.map(i => (i, v(i))).toDF("id", "v").coalesce(1)
+    SnapshotOps.commitAppend(spark, dir,
+      wave(1 to 50, i => Some(i)), statsCols = Seq("id", "v"))
+    SnapshotOps.commitAppend(spark, dir,
+      wave(51 to 100, _ => None), statsCols = Seq("id", "v"))
+    SnapshotOps.commitAppend(spark, dir,
+      wave(101 to 150, i => if (i % 2 == 0) Some(i) else None),
+      statsCols = Seq("id", "v"))
+    val stats = SnapshotOps.fileNullStats(dir, 3)
+    assert(stats.size == 3 &&
+      stats.values.map(_._2.getOrElse("v", -1L)).toSeq.sorted ==
+        Seq(0L, 25L, 50L), stats)
+    val df = spark.read.format("graft").load(dir)
+    assert(df.where(col("v").isNull).count() == 75)
+    assert(GraftFileIndex.lastPrune.get(dir) == ((2, 3)),
+      "IS NULL must skip the zero-null file")
+    assert(df.where(col("v").isNotNull).count() == 75)
+    assert(GraftFileIndex.lastPrune.get(dir) == ((2, 3)),
+      "IS NOT NULL must skip the all-null file")
+    // an ordinary equality filter: bounds prune the mixed file, the
+    // injected IsNotNull prunes the all-null file (which has NO v
+    // bounds — absence alone would keep it)
+    assert(df.where(col("v") === 10).count() == 1)
+    assert(GraftFileIndex.lastPrune.get(dir) == ((1, 3)),
+      "equality must prune via bounds AND the null axis")
+  }
+
   test("commits record the _bytes stat: file listing is a pure " +
       "manifest read and the sizes match the filesystem") {
     import spark.implicits._
