@@ -1510,9 +1510,11 @@ object SnapshotOps {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     try {
       val out = written.map { f =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f), conf))
+        // fromPath stats the file once; reuse it for BytesKey below
+        // instead of a second getFileStatus round trip per file
+        val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val rows = BigDecimal(blocks.map(_.getRowCount).sum)
@@ -1591,9 +1593,7 @@ object SnapshotOps {
               bounds(s"$NullsPrefix$c") = (n, n)
             }
           }
-          val len = BigDecimal(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(f), conf).getLength)
+          val len = BigDecimal(inFile.getLength)
           bounds(BytesKey) = (len, len)
           FileEntry(f, bounds.toMap)
         } finally reader.close()
