@@ -338,6 +338,26 @@ class Engine(val spark: SparkSession) {
       else df.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
     }.getOrElse(df)
 
+  /** Size-gated write coalescing for DML appends (r16-opt, guide §6
+    * small-files): a 32-partition plan whose data is a few hundred KB
+    * writes 32 near-empty parquet files — 32 write tasks (closure
+    * deserialization + parquet writer init each), 32 footer stat
+    * reads at commit, 32 manifest entries, and 32 file opens on every
+    * subsequent read. When the optimizer's size estimate says the
+    * commit is small, write it as ONE file instead. The estimate is
+    * conservative the right way round: filters/joins never SHRINK
+    * sizeInBytes without CBO, and an unknown size is Long.MaxValue —
+    * both leave big appends alone, so a 100 TB append keeps its
+    * parallelism and only provably-small commits serialize. Declared
+    * write layouts are exempt ([[applyWriteOrder]] banding — `INTO n
+    * FILES` is an explicit file-count request), as are partitioned
+    * tables (writeUnderSpec re-distributes by transform anyway). */
+  private def coalesceSmallWrite(name: String, df: DataFrame): DataFrame =
+    if (writeOrder.contains(norm(name))) df
+    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes
+      <= (16L << 20)) df.coalesce(1)
+    else df
+
   private def sortStatsCols(name: String, df: DataFrame): Seq[String] =
     writeOrder.get(norm(name)).map(_._1.flatMap(c =>
       df.schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
@@ -407,7 +427,7 @@ class Engine(val spark: SparkSession) {
      else None) match {
       case Some(dir) =>
         flushPendingSpec(name, dir)
-        val laid = applyWriteOrder(name, rows)
+        val laid = coalesceSmallWrite(name, applyWriteOrder(name, rows))
         lastCommit(norm(name)) =
           graft.operators.SnapshotOps.commitAppend(spark, dir, laid,
             statsCols =
@@ -446,7 +466,7 @@ class Engine(val spark: SparkSession) {
           // own commit lands (appendRows calls registerSnapshot)
           if (!empty) {
             flushPendingSpec(n, dir)
-            val laid = applyWriteOrder(n, df)
+            val laid = coalesceSmallWrite(n, applyWriteOrder(n, df))
             lastCommit(n) =
               graft.operators.SnapshotOps.commitAppend(spark, dir, laid,
                 statsCols =

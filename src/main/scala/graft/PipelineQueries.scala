@@ -327,9 +327,16 @@ object PipelineQueries {
     def run(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = {
       val keys = Seq("spark.sql.analyzer.maxIterations",
-        "spark.sql.optimizer.maxIterations")
+        "spark.sql.optimizer.maxIterations",
+        "spark.sql.constraintPropagation.enabled")
       val prev = keys.map(k => k -> spark.conf.getOption(k))
-      keys.foreach(k => spark.conf.set(k, "1000"))
+      keys.take(2).foreach(k => spark.conf.set(k, "1000"))
+      // constraint propagation is quadratic-ish in projection width ×
+      // plan depth; on the unrolled 10-level DP statements it is pure
+      // planner cost (constraints only feed optimizations these
+      // integer-projection chains don't take) — r16-opt measured the
+      // whole entry's driver gap at 5.7 s of Catalyst with it on
+      spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
       val t0 = System.nanoTime()
       def mark(s: String): Unit =
         if (sys.env.contains("GRAFT_Q250_TIMING"))

@@ -470,9 +470,17 @@ object EmbeddingOps {
         // vector ⇒ a (a_id, b_id) pair matches at most once
         ca.join(cb, Seq("bkt"))
       }
-    val pairs = rawPairs
+    // dense branch (r16-opt): the cross-score table is consumed FOUR
+    // times (both hoods, fwd, bwd) — materialize it once instead of
+    // re-running the cosine cross per consumer. Sound only here: the
+    // dense gate bounds pairs at bound² (≤16M rows by contract), and
+    // the blocks release below once the result is materialized. The
+    // LSH branch keeps the never-materialized contract (its pair
+    // table is corpus-shaped).
+    val pairs0 = rawPairs
       .select(col("a_id"), col("b_id"),
         GraftFunctions.duckRound(cosine(col("va"), col("vb")), 6).as("cos"))
+    val pairs = if (dense) pairs0.localCheckpoint() else pairs0
     def hood(key: String): DataFrame = {
       val other = if (key == "a_id") "b_id" else "a_id"
       pairs
@@ -503,10 +511,17 @@ object EmbeddingOps {
       .agg(max(struct(col("margin"), (-col("a_id")).as("na"),
         col("a_id"))).as("g"))
       .select(col("b_id"), col("g.a_id").as("back_a"))
-    fwd.join(bwd, "b_id")
+    val mutual = fwd.join(bwd, "b_id")
       .where(col("back_a") === col("a_id"))
       .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
       .orderBy("a_id")
+    if (!dense) mutual
+    else {
+      // materialize the (side-sized) result, then drop the pair blocks
+      val out = mutual.localCheckpoint()
+      graft.operators.SnapshotOps.releaseCheckpoint(pairs)
+      out
+    }
   }
 
   def nearestPairs(corpus: DataFrame, idCol: String, vecCol: String,
