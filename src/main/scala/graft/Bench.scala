@@ -19,11 +19,20 @@ object Bench {
     // select any catalog entries for ad-hoc measurement
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.headline
     val qs = SparkEntry.queries
-    // warm-up: register + materialize the table cache (buffer-pool warm,
-    // like any resident engine), then one query end-to-end for codegen.
-    // Every warm-up step is exception-guarded: a single bad table or a
-    // failing first query must degrade to named per-query failures in the
-    // artifact, not an rc=1 with zero timings (the r6 lesson).
+    // warm-up: REGISTRATION ONLY (r16-opt measurement fix). prep binds
+    // the table views — footer reads, zero materialization. The hot
+    // tables' repartitioned cache (Tables.registerAll, the buffer-pool
+    // role) now materializes INSIDE the timed region, on the first
+    // timed query that touches each table, as do JVM/codegen warm-up:
+    // every bench invocation computes from the parquet inputs, with no
+    // base-table cache built outside the timed region. The interleaved
+    // two-pass / per-entry-min protocol (below) still reports the warm
+    // resident state — pass 1 absorbs cache materialization + codegen,
+    // pass 2 is warm, and the cold pass stays visible in queries_max.
+    // Pre-fix numbers: BENCH_r15.json / tools/bench_r16opt_before.json
+    // (same per-entry mins within noise — the min was warm either way).
+    // Guarded: a bad table must degrade to named per-query failures in
+    // the artifact, not an rc=1 with zero timings (the r6 lesson).
     // NonFatal only: an OutOfMemoryError or interrupt must crash the run
     // (a half-dead JVM would otherwise produce misleading timings)
     def guard(what: String)(body: => Unit): Unit =
@@ -31,8 +40,6 @@ object Bench {
         System.err.println(s"[bench] warm-up $what failed: ${e.getMessage}")
       }
     guard("prep")(Queries.prep(spark, sfDir))
-    Tables.names.foreach(n => guard(s"cache $n")(spark.table(n).count()))
-    guard(s"codegen ${names.head}")(qs(names.head)(spark, sfDir).count())
     // two INTERLEAVED passes over the whole list, per-query min across
     // passes: back-to-back best-of-2 is defenseless against a co-tenant
     // load spike that covers both runs (r2 lost ~117 s to exactly that);
